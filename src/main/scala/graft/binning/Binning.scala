@@ -1,0 +1,202 @@
+package graft.binning
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The parallelized N-D histogram — the computational heart of the engine
+  * (reference: `sed/binning/binning.py`, `sed/binning/numba_bin.py`).
+  *
+  * Spark-first design: the reference's hand-rolled machinery (per-partition
+  * Numba kernels + delayed scheduling rounds + tree-combine,
+  * `binning.py:327-407`) collapses into a single declarative plan
+  *
+  * {{{ df.select(binIndexExprs*).groupBy(idxCols*).count() }}}
+  *
+  * which Catalyst executes as `Scan(pruned cols) → Project → partial
+  * HashAggregate → Exchange(idx) → final HashAggregate`, all inside
+  * whole-stage codegen. Partial (map-side) aggregation is the per-partition
+  * histogram; the shuffle moves at most `min(rowsPerPartition, nCells)`
+  * pre-combined rows per partition, so at 100 TB the shuffle volume is
+  * bounded by cube cardinality × partitions, not by event count. The result
+  * stays a distributed sparse cube; densification to a driver-side tensor is
+  * opt-in and only legal for small cubes ([[densify]]).
+  */
+object Binning {
+
+  /** Bin index for a uniform axis, reproducing `_hist_from_bin_range`
+    * (`sed/binning/numba_bin.py:54-69`) bit-for-bit:
+    *
+    *  - `j = round((x - edgeLo) * delta, 11)` — the 1e-11 rounding guard
+    *    strips FP error so values on an exact edge land deterministically;
+    *  - values with `j == nBins` (the right-most edge) fold into the last
+    *    bin;
+    *  - events outside `0 <= j <= nBins` (on the *rounded* value) are
+    *    dropped;
+    *  - the index is the truncation of the rounded value (non-negative here,
+    *    so `floor` ≡ `int()`).
+    *
+    * Returns a nullable LongType column: null ⇔ out of range. Pure built-in
+    * expressions → fully codegen'd, no UDF.
+    */
+  def uniformBinIndex(c: Column, ax: UniformAxis): Column = {
+    val jf = round((c - lit(ax.edgeLo)) * lit(ax.delta), 11)
+    when(jf >= 0 && jf <= ax.nBins, least(floor(jf), lit(ax.nBins - 1L)))
+  }
+
+  /** Bin index for explicit edges, reproducing `binsearch`
+    * (`sed/binning/numba_bin.py:74-105`): below-first / above-last edge →
+    * dropped (null); equal to the last edge → last bin; else the unique `k`
+    * with `edges(k) <= x < edges(k+1)`.
+    *
+    * The edges are plan-time literals, so the binary search unrolls into a
+    * balanced `CASE WHEN` tree of depth ⌈log₂ n⌉ — still pure codegen'd
+    * expressions, no broadcast or UDF needed even for thousands of edges.
+    */
+  def edgesBinIndex(c: Column, edges: Array[Double]): Column = {
+    val n = edges.length - 1
+    // balanced search over candidate bins [lo, hi)
+    def search(lo: Int, hi: Int): Column =
+      if (hi - lo == 1) lit(lo.toLong)
+      else {
+        val mid = (lo + hi) / 2
+        when(c < lit(edges(mid)), search(lo, mid)).otherwise(search(mid, hi))
+      }
+    when(c === lit(edges(n)), lit((n - 1).toLong))
+      .when(c >= lit(edges(0)) && c < lit(edges(n)), search(0, n))
+  }
+
+  /** Bin index column for any normalized axis. */
+  def binIndex(ax: BinAxis): Column = ax match {
+    case u: UniformAxis => uniformBinIndex(col(u.column), u)
+    case e: EdgesAxis   => edgesBinIndex(col(e.column), e.edges)
+  }
+
+  /** Default name of the index column derived for an axis. */
+  def idxName(ax: BinAxis): String = s"bin_${ax.column}"
+
+  /** N-D histogram as a sparse distributed cube:
+    * one row per non-empty cell, schema `(bin_<ax0> … bin_<axN>, cnt)`.
+    *
+    * Equivalent of `bin_dataframe` (`sed/binning/binning.py:204-437`) minus
+    * the densification (see [[densify]]). Events falling outside any axis
+    * range are excluded (matching the kernel's `is_inside` early-exit).
+    * Counts are exact Long — a documented deliberate divergence from the
+    * reference's overflow-tolerant uint32 (`numba_bin.py:162-168`).
+    */
+  def histogram(
+      df: DataFrame,
+      axes: Seq[BinAxis],
+      countName: String = "cnt",
+  ): DataFrame = {
+    require(axes.nonEmpty, "at least one bin axis required")
+    val idxCols = axes.map(ax => binIndex(ax).as(idxName(ax)))
+    // null index ⇔ out of range on that axis ⇔ drop the event
+    val keep = axes.map(ax => col(idxName(ax)).isNotNull).reduce(_ && _)
+    df.select(idxCols: _*)
+      .filter(keep)
+      .groupBy(axes.map(ax => col(idxName(ax))): _*)
+      .agg(count(lit(1)).as(countName))
+  }
+
+  /** Histogram with an extra leading grouping column (the
+    * `return_partitions=True` path, `sed/binning/binning.py:353-356`): per
+    * input file / per category cubes in one aggregation. Pass e.g.
+    * `input_file_name()` or any categorical column.
+    */
+  def histogramPer(
+      df: DataFrame,
+      partCol: Column,
+      partName: String,
+      axes: Seq[BinAxis],
+      countName: String = "cnt",
+  ): DataFrame = {
+    val idxCols = partCol.as(partName) +: axes.map(ax => binIndex(ax).as(idxName(ax)))
+    val keep = axes.map(ax => col(idxName(ax)).isNotNull).reduce(_ && _)
+    df.select(idxCols: _*)
+      .filter(keep)
+      .groupBy((partName +: axes.map(idxName)).map(col): _*)
+      .agg(count(lit(1)).as(countName))
+  }
+
+  /** Collect a sparse cube into a dense driver-side [[BinnedCube]].
+    *
+    * Only legal for small cubes (the reference materializes every cube; we
+    * cap at `maxCells` to stay scale-safe — at 100 TB the sparse DataFrame
+    * is the product, densification is an export step).
+    */
+  def densify(
+      sparse: DataFrame,
+      axes: Seq[BinAxis],
+      countName: String = "cnt",
+      maxCells: Long = 200L * 1000 * 1000,
+  ): BinnedCube = {
+    val shape = axes.map(_.nBins.toLong)
+    val cells = shape.product
+    require(
+      cells <= maxCells,
+      s"cube has $cells cells > maxCells=$maxCells; keep it distributed",
+    )
+    val strides = new Array[Long](axes.length)
+    var s = 1L
+    var i = axes.length - 1
+    while (i >= 0) { strides(i) = s; s *= shape(i); i -= 1 }
+    val data = new Array[Long](cells.toInt)
+    val idxNames = axes.map(idxName)
+    val rows = sparse
+      .select((idxNames :+ countName).map(col): _*)
+      .collect()
+    rows.foreach { r =>
+      var flat = 0L
+      var d = 0
+      while (d < axes.length) { flat += r.getLong(d) * strides(d); d += 1 }
+      data(flat.toInt) = r.getLong(axes.length)
+    }
+    BinnedCube(
+      axes.map(_.column),
+      axes.map(_.centers),
+      data,
+      axes.map(_.nBins),
+    )
+  }
+
+  /** Acquisition-time normalization histogram from per-event timestamps
+    * (`sed/binning/binning.py:440-473`, `normalization_histogram_from_timestamps`):
+    * per-event Δts via a lag window over the ingestion order, bucketed by the
+    * axis, summed per bucket.
+    *
+    * `orderCol` must be a stable global ordering (the reference relies on
+    * dask partition order; SURVEY.md §7.4 risk 3). At scale the single
+    * unpartitioned window is the bottleneck — callers with a per-file order
+    * column should pass `partitionCols` so the lag runs per file.
+    */
+  def normalizationHistogramFromTimestamps(
+      df: DataFrame,
+      ax: BinAxis,
+      tsCol: String,
+      orderCol: String,
+      partitionCols: Seq[String] = Nil,
+      countName: String = "norm",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w =
+      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("_dts", col(tsCol) - lag(col(tsCol), 1).over(w))
+      .select(binIndex(ax).as(idxName(ax)), col("_dts"))
+      .filter(col(idxName(ax)).isNotNull && col("_dts").isNotNull)
+      .groupBy(col(idxName(ax)))
+      .agg(sum(col("_dts")).as(countName))
+  }
+
+  /** Acquisition-time normalization from the timed (1 ms sampled) table
+    * (`sed/binning/binning.py:476-508`): bucket count × time unit.
+    */
+  def normalizationHistogramFromTimedDataframe(
+      timed: DataFrame,
+      ax: BinAxis,
+      timeUnit: Double,
+      countName: String = "norm",
+  ): DataFrame =
+    histogram(timed, Seq(ax), "_n")
+      .select(col(idxName(ax)), (col("_n") * lit(timeUnit)).as(countName))
+}
