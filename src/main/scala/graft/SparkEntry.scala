@@ -1,9 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.binning._
+import graft.calibrate.{Delay, Energy, Momentum}
+import graft.dfops.{DfOps, Interp}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +40,23 @@ object SparkEntry {
   val axEdges: EdgesAxis =
     EdgesAxis("value", Array(0.0, 10.0, 50.0, 100.0, 200.0, 350.0, 500.0))
 
+  // ---- shared transform parameters (single source for Spark + oracle) ----
+
+  /** T3 polynomial coefficients, highest degree first. */
+  val polyACoeffs: Seq[Double] = Seq(1.0e-7, -2.0e-4, 0.3)
+
+  /** T6 8-sector detector delays. */
+  val sectorDelays: Array[Double] =
+    Array(0.0, 0.25, -0.25, 0.5, -0.5, 0.125, -0.125, 0.0)
+
+  /** T14 rotation angle constants. */
+  val cos03: Double = math.cos(0.3)
+  val sin03: Double = math.sin(0.3)
+
+  /** T15 interpolation knots. */
+  val interpXs: Array[Double] = Array(0.0, 100.0, 250.0, 400.0, 500.0)
+  val interpYs: Array[Double] = Array(1.0, 0.5, 2.0, -1.0, 3.0)
+
   // ---- flagship ----
 
   /** Flagship: 1-D binned histogram on sf0.001 events; driver smoke-checks rows>0. */
@@ -70,6 +89,132 @@ object SparkEntry {
     "q_norm_timed" -> ((s, dir) =>
       Binning.normalizationHistogramFromTimedDataframe(
         table(s, dir, "events"), ax1dValue, 0.001)),
+    // A6: normalization histogram from per-event timestamps (lag + bucket-sum;
+    // integer-exact sums). Compared at µs granularity: DuckDB truncates the
+    // parquet's TIMESTAMP(NANOS) to µs on read, Spark keeps full nanos.
+    "q_norm_ts" -> ((s, dir) =>
+      Binning.normalizationHistogramFromTimestamps(
+        table(s, dir, "events")
+          .withColumn("ts_us", expr("ts div 1000")),
+        ax1dValue, "ts_us", "event_id")),
+
+    // ---- projections / filters ----
+    // P1 apply_filter: open-interval range predicate
+    "q_filter_range" -> ((s, dir) =>
+      DfOps.applyFilter(table(s, dir, "events"), "value", 100.0, 400.0)
+        .select("event_id", "value")),
+
+    // ---- per-event calibration transforms (T2-T15) ----
+    // T2 tof2ev: fit-form TOF→energy
+    "q_tof2ev" -> ((s, dir) =>
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Energy.tof2ev(col("l_extendedprice"), tofDistance = 1.0e6,
+          timeOffset = 100.0, binwidth = 2.0, binning = 0,
+          energyScale = "kinetic", energyOffset = 0.5).as("energy"))),
+    // T3 tof2evpoly: 3rd-order polynomial TOF→energy
+    "q_tof2evpoly" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Energy.tof2evpoly(col("value"), polyACoeffs, 10.0).as("energy"))),
+    // T4 tof2ns
+    "q_tof2ns" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        Energy.tof2ns(col("value"), binwidth = 2.0e-9, binning = 1).as("t_ns"))),
+    // T5 energy corrections: tm = t + f(x, y), all four profile types
+    "q_corr_spherical" -> ((s, dir) =>
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") + Energy.Correction.spherical(
+          col("l_quantity"), col("l_linenumber"), 25.0, 4.0, 0.05, 100.0)).as("tm"))),
+    "q_corr_lorentzian" -> ((s, dir) =>
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") + Energy.Correction.lorentzian(
+          col("l_quantity"), col("l_linenumber"), 25.0, 4.0, 0.02, 30.0)).as("tm"))),
+    "q_corr_gaussian" -> ((s, dir) =>
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") + Energy.Correction.gaussian(
+          col("l_quantity"), col("l_linenumber"), 25.0, 4.0, 0.02, 20.0), 6).as("tm"))),
+    "q_corr_asym" -> ((s, dir) =>
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") + Energy.Correction.lorentzianAsymmetric(
+          col("l_quantity"), col("l_linenumber"), 25.0, 4.0,
+          0.02, 30.0, 0.01, 45.0)).as("tm"))),
+    // T6 align_dld_sectors: per-sector TOF skew removal
+    "q_sector_align" -> ((s, dir) =>
+      DfOps.dropColumns(
+        Energy.alignDldSectors(
+          table(s, dir, "events")
+            .select(col("event_id"), col("value"),
+              (col("event_id") % 8).as("sector")),
+          "value", "sector", sectorDelays),
+        "sector")),
+    // T7 split_channel_bitwise: sector ID packed in the LSBs
+    "q_bitsplit" -> ((s, dir) =>
+      DfOps.splitChannelBitwise(
+        table(s, dir, "events").select("event_id", "user_id"),
+        "user_id", "low", "high", 3).drop("user_id")),
+    // T9 append_k_axis: linear detector→momentum
+    "q_k_axis" -> ((s, dir) =>
+      Momentum.appendKAxis(
+        table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        "l_quantity", "l_extendedprice", "kx", "ky",
+        rStart = 0.0, cStart = 900.0, rCenter = 25.0, cCenter = 100.0,
+        rConversion = 0.01, cConversion = 2.0e-5, rStep = 1.0, cStep = 500.0)
+        .drop("l_quantity", "l_extendedprice")),
+    // T10 append_delay_axis: ADC→ps incl. mm_to_ps range derivation
+    "q_delay_axis" -> ((s, dir) =>
+      Delay.appendDelayAxis(
+        table(s, dir, "events").select("event_id", "value"),
+        "value", "delay", adcRange = (0.0, 500.0),
+        delayRangeMm = Some((25.0, 25.6)), time0Mm = 25.3).drop("value")),
+    // T11/T13 add_offsets with preserve_mean (mean is integer-exact here)
+    "q_offset_preserve" -> ((s, dir) =>
+      DfOps.offsetByOtherColumns(
+        table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
+        "l_extendedprice", Seq("l_quantity"), Seq(1.0),
+        preserveMean = Seq(true), rename = Some("shifted"))
+        .select("l_orderkey", "l_linenumber", "shifted")),
+    // T13 reduction="mean": offset by the scalar mean instead of the row value
+    "q_offset_mean" -> ((s, dir) =>
+      DfOps.offsetByOtherColumns(
+        table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
+        "l_extendedprice", Seq("l_quantity"), Seq(0.5),
+        reductions = Seq(Some("mean")), rename = Some("shifted"))
+        .select("l_orderkey", "l_linenumber", "shifted")),
+    // T14 map_columns_2d: rotation
+    "q_map2d" -> ((s, dir) =>
+      DfOps.mapColumns2D(
+        table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax"),
+        "l_quantity", "l_tax",
+        (x, y) => (lit(cos03) * x - lit(sin03) * y, lit(sin03) * x + lit(cos03) * y),
+        "xr", "yr").drop("l_quantity", "l_tax")),
+    // T15 add_time_stamped_data: np.interp of an external series
+    "q_interp" -> ((s, dir) =>
+      DfOps.addTimeStampedData(
+        table(s, dir, "events").select("event_id", "value"),
+        "aux", "value", interpXs, interpYs).drop("value")),
+    // T16 forward_fill_lazy: last-non-null propagation in ingestion order
+    "q_ffill" -> ((s, dir) =>
+      DfOps.forwardFill(
+        table(s, dir, "events").select(
+          col("event_id"),
+          when(col("event_type") === "click", col("value")).as("sparse")),
+        Seq("sparse"), "event_id")),
+    // S5 timed-table derivation: last event value per time bucket
+    "q_timed_table" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(expr("ts div 1000000000").as("sec"))
+        .agg(expr("max_by(value, event_id)").as("last_value"),
+          count(lit(1)).as("n"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -94,5 +239,120 @@ object SparkEntry {
          |  WHERE ${OracleSql.uniformKeep("j0", ax1dValue)}
          |) GROUP BY bin_value""".stripMargin.replace("\n", " ")
     },
+    "q_norm_ts" -> {
+      val j = OracleSql.uniformJ("value", ax1dValue)
+      val idx = OracleSql.uniformIdx("j0", ax1dValue)
+      s"""SELECT bin_value, CAST(sum(dts) AS BIGINT) AS norm FROM (
+         |  SELECT $idx AS bin_value, dts FROM (
+         |    SELECT $j AS j0,
+         |      epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY event_id) AS dts
+         |    FROM events)
+         |  WHERE ${OracleSql.uniformKeep("j0", ax1dValue)} AND dts IS NOT NULL
+         |) GROUP BY bin_value""".stripMargin.replace("\n", " ")
+    },
+    "q_filter_range" ->
+      "SELECT event_id, value FROM events WHERE value > 100.0 AND value < 400.0",
+    "q_tof2ev" -> {
+      val den = "((l_extendedprice * 2.0) * 1.0) - 100.0"
+      val r = s"(1000000.0 / ($den))"
+      s"SELECT l_orderkey, l_linenumber, (2.84281E-12 * ($r * $r)) + 0.5 AS energy FROM lineitem"
+    },
+    "q_tof2evpoly" -> {
+      import OracleSql.d
+      val Seq(a3, a2, a1) = polyACoeffs
+      val p1 = "value"
+      val p2 = "(value * value)"
+      val p3 = "((value * value) * value)"
+      s"SELECT event_id, (((${d(a1)} * $p1) + (${d(a2)} * $p2)) + (${d(a3)} * $p3)) + 10.0 AS energy FROM events"
+    },
+    "q_tof2ns" ->
+      "SELECT event_id, ((value * 1.0E9) * 2.0E-9) * 2.0 AS t_ns FROM events",
+    "q_corr_spherical" -> {
+      val dx = "(l_quantity - 25.0)"
+      val dy = "(l_linenumber - 4.0)"
+      s"""SELECT l_orderkey, l_linenumber, l_extendedprice +
+         | (-((1.0 - SQRT(1.0 - ($dx * $dx + $dy * $dy) / 10000.0)) * 100.0 * 0.05))
+         | AS tm FROM lineitem""".stripMargin.replace("\n", " ")
+    },
+    "q_corr_lorentzian" -> {
+      import OracleSql.d
+      val k = d(100000.0 * 0.02 / (30.0 * math.Pi))
+      val dx = "(l_quantity - 25.0)"
+      val dy = "(l_linenumber - 4.0)"
+      s"""SELECT l_orderkey, l_linenumber, l_extendedprice +
+         | ($k * (900.0 / ($dx * $dx + $dy * $dy + 900.0) - 1.0))
+         | AS tm FROM lineitem""".stripMargin.replace("\n", " ")
+    },
+    "q_corr_gaussian" -> {
+      import OracleSql.d
+      val k = d(20000.0 * 0.02 / math.sqrt(2.0 * math.Pi * 20.0 * 20.0))
+      val dx = "(l_quantity - 25.0)"
+      val dy = "(l_linenumber - 4.0)"
+      s"""SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice +
+         | ($k * (EXP((-($dx * $dx + $dy * $dy)) / 800.0) - 1.0)), 6)
+         | AS tm FROM lineitem""".stripMargin.replace("\n", " ")
+    },
+    "q_corr_asym" -> {
+      import OracleSql.d
+      val k1 = d(100000.0 * 0.02 / (30.0 * math.Pi))
+      val k2 = d(100000.0 * 0.01 / (45.0 * math.Pi))
+      val dx = "(l_quantity - 25.0)"
+      val dy = "(l_linenumber - 4.0)"
+      s"""SELECT l_orderkey, l_linenumber, l_extendedprice +
+         | ($k1 * (900.0 / ($dy * $dy + 900.0) - 1.0) + $k2 * (2025.0 / ($dx * $dx + 2025.0) - 1.0))
+         | AS tm FROM lineitem""".stripMargin.replace("\n", " ")
+    },
+    "q_sector_align" -> {
+      import OracleSql.d
+      val cases = sectorDelays.zipWithIndex
+        .map { case (v, i) => s"WHEN $i THEN ${d(v)}" }
+        .mkString(" ")
+      s"SELECT event_id, value - (CASE (event_id % 8) $cases END) AS value FROM events"
+    },
+    "q_bitsplit" ->
+      "SELECT event_id, user_id % 8 AS low, user_id // 8 AS high FROM events",
+    "q_k_axis" -> {
+      import OracleSql.d
+      val det0r = d(0.0 + 1.0 * 25.0)
+      val det0c = d(900.0 + 500.0 * 100.0)
+      s"""SELECT l_orderkey, l_linenumber,
+         | 0.01 * ((l_quantity - $det0r) / 1.0) AS kx,
+         | 2.0E-5 * ((l_extendedprice - $det0c) / 500.0) AS ky
+         | FROM lineitem""".stripMargin.replace("\n", " ")
+    },
+    "q_delay_axis" -> {
+      import OracleSql.d
+      val d0 = Delay.mmToPs(25.0, 25.3)
+      val d1 = Delay.mmToPs(25.6, 25.3)
+      s"SELECT event_id, ${d(d0)} + ((value - 0.0) * ${d(d1 - d0)}) / 500.0 AS delay FROM events"
+    },
+    "q_offset_preserve" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ((l_extendedprice + 1.0 * l_quantity) - 1.0 * (SELECT avg(l_quantity) FROM lineitem))
+        | AS shifted FROM lineitem""".stripMargin.replace("\n", " "),
+    "q_offset_mean" ->
+      """SELECT l_orderkey, l_linenumber,
+        | (l_extendedprice + 0.5 * (SELECT avg(l_quantity) FROM lineitem))
+        | AS shifted FROM lineitem""".stripMargin.replace("\n", " "),
+    "q_map2d" -> {
+      import OracleSql.d
+      s"""SELECT l_orderkey, l_linenumber,
+         | ${d(cos03)} * l_quantity - ${d(sin03)} * l_tax AS xr,
+         | ${d(sin03)} * l_quantity + ${d(cos03)} * l_tax AS yr
+         | FROM lineitem""".stripMargin.replace("\n", " ")
+    },
+    "q_interp" -> {
+      val e = Interp.piecewiseLinearSql("value", interpXs, interpYs)
+      s"SELECT event_id, $e AS aux FROM events"
+    },
+    "q_ffill" ->
+      """SELECT event_id,
+        | last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |   OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        | AS sparse FROM events""".stripMargin.replace("\n", " "),
+    "q_timed_table" ->
+      """SELECT epoch_ns(ts) // 1000000000 AS sec,
+        | arg_max(value, event_id) AS last_value, count(*) AS n
+        | FROM events GROUP BY sec""".stripMargin.replace("\n", " "),
   )
 }

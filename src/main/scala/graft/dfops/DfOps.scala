@@ -1,0 +1,211 @@
+package graft.dfops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Column-level dataframe operations, the Spark re-expression of
+  * `sed/core/dfops.py`. Every operator here is a lazy, embarrassingly
+  * parallel projection or a single window/aggregate — no driver-side loops,
+  * no UDFs in the hot path.
+  */
+object DfOps {
+
+  /** T1 `apply_jitter` (`sed/core/dfops.py:16-70`): de-quantize digitized
+    * columns with uniform `U(-amp, amp)` or normal `N(0, amp)` noise into
+    * new `<col>_jittered` columns (or in place via `colsJittered`).
+    *
+    * Reference semantics: ONE noise vector is drawn per call and shared by
+    * all target columns (correlated jitter); we reproduce that by deriving a
+    * single `rand(seed)` column reused across targets. Seeded for test
+    * reproducibility; the reference is unseeded (SURVEY.md §7.4 risk 4).
+    */
+  def applyJitter(
+      df: DataFrame,
+      cols: Seq[String],
+      colsJittered: Option[Seq[String]] = None,
+      amps: Seq[Double] = Seq(0.5),
+      jitterType: String = "uniform",
+      seed: Long = 42L,
+  ): DataFrame = {
+    require(
+      jitterType == "uniform" || jitterType == "normal",
+      "type needs to be one of 'normal', 'uniform'!",
+    )
+    val outNames = colsJittered.getOrElse(cols.map(_ + "_jittered"))
+    require(outNames.length == cols.length)
+    val ampSeq = if (amps.length == 1) Seq.fill(cols.length)(amps.head) else amps
+    require(ampSeq.length == cols.length)
+    val noise =
+      if (jitterType == "uniform") rand(seed) * 2.0 - 1.0 else randn(seed)
+    val withNoise = df.withColumn("_jitter_noise", noise)
+    val out = cols.lazyZip(outNames).lazyZip(ampSeq).foldLeft(withNoise) {
+      case (d, (c, cj, amp)) =>
+        d.withColumn(cj, col(c) + lit(amp) * col("_jitter_noise"))
+    }
+    out.drop("_jitter_noise")
+  }
+
+  /** P1 `apply_filter` (`sed/core/dfops.py:91-120`): open-interval range
+    * predicate on one column. Bounds default to ±∞.
+    */
+  def applyFilter(
+      df: DataFrame,
+      column: String,
+      lowerBound: Double = Double.NegativeInfinity,
+      upperBound: Double = Double.PositiveInfinity,
+  ): DataFrame =
+    df.filter(col(column) > lit(lowerBound) && col(column) < lit(upperBound))
+
+  /** P4 `drop_column` (`sed/core/dfops.py:73-88`). */
+  def dropColumns(df: DataFrame, cols: String*): DataFrame = df.drop(cols: _*)
+
+  /** T14 `map_columns_2d` (`sed/core/dfops.py:165-193`): arbitrary
+    * 2-in/2-out column mapping, e.g. a rotation.
+    */
+  def mapColumns2D(
+      df: DataFrame,
+      xColumn: String,
+      yColumn: String,
+      mapping: (Column, Column) => (Column, Column),
+      newXColumn: String,
+      newYColumn: String,
+  ): DataFrame = {
+    val (nx, ny) = mapping(col(xColumn), col(yColumn))
+    df.withColumns(Map(newXColumn -> nx, newYColumn -> ny))
+  }
+
+  /** T13 `offset_by_other_columns` (`sed/core/dfops.py:318-443`), the shared
+    * engine behind energy/delay `add_offsets`:
+    *
+    * `target += Σ signᵢ · (colᵢ or mean(colᵢ))`, then `−Σ signᵢ · mean(colᵢ)`
+    * for columns with `preserveMean`. `reduction = Some("mean")` uses the
+    * column's global mean instead of the per-row value.
+    *
+    * The dask original needs three `map_partitions` passes plus delayed
+    * scalars; here the means come from ONE aggregate job (only over the
+    * columns that need them) and the shift is a single projection — two jobs
+    * total regardless of column count, shuffle-free.
+    */
+  def offsetByOtherColumns(
+      df: DataFrame,
+      targetColumn: String,
+      offsetColumns: Seq[String],
+      weights: Seq[Double],
+      preserveMean: Seq[Boolean] = Nil,
+      reductions: Seq[Option[String]] = Nil,
+      rename: Option[String] = None,
+  ): DataFrame = {
+    require(offsetColumns.nonEmpty, "no offset columns provided")
+    require(offsetColumns.length == weights.length)
+    val pm =
+      if (preserveMean.isEmpty) Seq.fill(offsetColumns.length)(false)
+      else preserveMean
+    val red =
+      if (reductions.isEmpty) Seq.fill(offsetColumns.length)(Option.empty[String])
+      else reductions
+    require(red.forall(r => r.isEmpty || r.contains("mean")),
+      "only reduction='mean' is supported")
+    val needMean =
+      offsetColumns.lazyZip(red).lazyZip(pm).collect {
+        case (c, r, p) if r.nonEmpty || p => c
+      }.toSeq.distinct
+    val means: Map[String, Double] =
+      if (needMean.isEmpty) Map.empty
+      else {
+        val row = df.agg(avg(needMean.head), needMean.tail.map(avg(_)): _*).first()
+        needMean.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
+      }
+    val target = rename.getOrElse(targetColumn)
+    var shifted: Column = col(targetColumn)
+    offsetColumns.lazyZip(weights).lazyZip(red).foreach { case (c, w, r) =>
+      val term = if (r.contains("mean")) lit(means(c)) else col(c)
+      shifted = shifted + lit(w) * term
+    }
+    offsetColumns.lazyZip(weights).lazyZip(pm).foreach { case (c, w, p) =>
+      if (p) shifted = shifted - lit(w) * lit(means(c))
+    }
+    df.withColumn(target, shifted)
+  }
+
+  /** T16 `forward_fill_lazy` (`sed/core/dfops.py:196-315`): propagate the
+    * last non-null value onto subsequent rows — used to paint per-train /
+    * per-pulse channel values onto electrons.
+    *
+    * The dask original iterates `map_overlap` passes to cross fully-null
+    * partitions; one window pass replaces the iteration hack. Requires a
+    * stable ordering column (file sequence + row position, materialized at
+    * ingestion — SURVEY.md §7.4 risk 3). Pass `partitionCols` (e.g. the file
+    * id) whenever the fill cannot cross that boundary: the unpartitioned
+    * variant funnels all rows through one window and is the scale
+    * bottleneck.
+    */
+  def forwardFill(
+      df: DataFrame,
+      cols: Seq[String],
+      orderCol: String,
+      partitionCols: Seq[String] = Nil,
+  ): DataFrame = {
+    val base =
+      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** `backward_fill_lazy` (`sed/core/dfops.py:260-315`): mirror of
+    * [[forwardFill]] filling from the next non-null value.
+    */
+  def backwardFill(
+      df: DataFrame,
+      cols: Seq[String],
+      orderCol: String,
+      partitionCols: Seq[String] = Nil,
+  ): DataFrame = {
+    val base =
+      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** T7 `split_channel_bitwise` (`sed/loader/utils.py:99-197`): split an
+    * integer channel into its `bits` LSBs and the remaining high bits — the
+    * detector packs a 3-bit sector ID into the TOF LSBs.
+    */
+  def splitChannelBitwise(
+      df: DataFrame,
+      column: String,
+      lowColumn: String,
+      highColumn: String,
+      bits: Int,
+  ): DataFrame =
+    df.withColumns(Map(
+      lowColumn -> col(column).bitwiseAND(lit((1L << bits) - 1)),
+      highColumn -> shiftright(col(column), bits),
+    ))
+
+  /** T15 `add_time_stamped_data` (`sed/core/dfops.py:123-162`): linear
+    * interpolation of an external `(timestamps, values)` series onto each
+    * event's timestamp — `np.interp` semantics (clamped to the end values
+    * outside the knot range).
+    *
+    * The knots are plan-time literals, so the binary search + lerp unrolls
+    * into a balanced codegen'd CASE tree ([[Interp.piecewiseLinear]]);
+    * no UDF, no broadcast join. For series too large to inline, the as-of
+    * range-join formulation is the fallback.
+    */
+  def addTimeStampedData(
+      df: DataFrame,
+      destColumn: String,
+      tsColumn: String,
+      timestamps: Array[Double],
+      values: Array[Double],
+  ): DataFrame =
+    df.withColumn(
+      destColumn,
+      Interp.piecewiseLinear(col(tsColumn), timestamps, values),
+    )
+}

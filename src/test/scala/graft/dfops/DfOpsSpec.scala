@@ -1,0 +1,116 @@
+package graft.dfops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Mirrors `tests/test_dfops.py` semantics on synthetic frames. */
+class DfOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyJitter: bounded uniform noise, one shared vector per call") {
+    val df = spark.range(1000).select(
+      col("id").cast("double").as("a"),
+      (col("id") * 2).cast("double").as("b"))
+    val j = DfOps.applyJitter(df, Seq("a", "b"), amps = Seq(0.5))
+    val rows = j.select(
+      (col("a_jittered") - col("a")).as("da"),
+      (col("b_jittered") - col("b")).as("db")).collect()
+    // uniform noise covers [-amp, amp] (dfops.py:59-60)
+    assert(rows.forall(r => math.abs(r.getDouble(0)) <= 0.5))
+    // the SAME noise vector is shared by all columns (dfops.py:57-68)
+    assert(rows.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    // de-quantization actually jitters: not all offsets identical
+    assert(rows.map(_.getDouble(0)).distinct.length > 100)
+  }
+
+  test("applyJitter: normal type and in-place column names") {
+    val df = spark.range(2000).select(col("id").cast("double").as("a"))
+    val j = DfOps.applyJitter(df, Seq("a"), colsJittered = Some(Seq("a")),
+      amps = Seq(0.1), jitterType = "normal")
+    assert(j.columns.toSeq === Seq("a"))
+    val std = j.agg(stddev("a")).first().getDouble(0)
+    // stdev of id+N(0,0.1) dominated by id spread; just check it ran & changed
+    val diff = j.as[Double].collect().zip(0 until 2000)
+      .count { case (v, i) => v != i.toDouble }
+    assert(diff > 1900)
+    assert(std > 0)
+  }
+
+  test("applyFilter: open interval excludes the bounds") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val out = DfOps.applyFilter(df, "x", 1.0, 4.0).as[Double].collect().sorted
+    assert(out.toSeq === Seq(2.0, 3.0))
+  }
+
+  test("offsetByOtherColumns: row offsets, mean reduction, preserve_mean") {
+    val df = Seq((10.0, 1.0), (20.0, 2.0), (30.0, 3.0)).toDF("e", "c")
+    // plain row offset with weight -1 (binding-scale sign flip)
+    val r1 = DfOps.offsetByOtherColumns(df, "e", Seq("c"), Seq(-1.0))
+      .select("e").as[Double].collect().sorted
+    assert(r1.toSeq === Seq(9.0, 18.0, 27.0))
+    // reduction=mean: shift all rows by w * mean(c) = 2
+    val r2 = DfOps.offsetByOtherColumns(df, "e", Seq("c"), Seq(1.0),
+      reductions = Seq(Some("mean"))).select("e").as[Double].collect().sorted
+    assert(r2.toSeq === Seq(12.0, 22.0, 32.0))
+    // preserve_mean: e + c - mean(c) keeps mean(e) unchanged
+    val r3 = DfOps.offsetByOtherColumns(df, "e", Seq("c"), Seq(1.0),
+      preserveMean = Seq(true))
+    assert(math.abs(r3.agg(avg("e")).first().getDouble(0) - 20.0) < 1e-12)
+    // rename leaves the original column intact
+    val r4 = DfOps.offsetByOtherColumns(df, "e", Seq("c"), Seq(1.0),
+      rename = Some("e2"))
+    assert(r4.columns.toSet === Set("e", "c", "e2"))
+  }
+
+  test("forwardFill crosses long null runs (the map_overlap pain point)") {
+    // nulls spanning more than one partition: dask needs iterated
+    // map_overlap (dfops.py:239-254); one window pass handles any run length
+    val df = spark.range(100).repartition(8).select(
+      col("id"),
+      when(col("id") === 0 || col("id") === 90, col("id").cast("double")).as("v"))
+    val out = DfOps.forwardFill(df, Seq("v"), "id")
+      .orderBy("id").select("v").as[Double].collect()
+    assert(out.slice(0, 90).forall(_ == 0.0))
+    assert(out.slice(90, 100).forall(_ == 90.0))
+  }
+
+  test("backwardFill mirrors forwardFill") {
+    val df = spark.range(10).select(
+      col("id"),
+      when(col("id") === 7, lit(7.0)).as("v"))
+    val out = DfOps.backwardFill(df, Seq("v"), "id")
+      .orderBy("id").collect().map(r => Option(r.get(1)))
+    assert(out.take(8).forall(_.contains(7.0)))
+    assert(out.drop(8).forall(_.isEmpty))
+  }
+
+  test("splitChannelBitwise: 3-bit sector extraction") {
+    val df = Seq(0L, 7L, 8L, 0x1234L).toDF("v")
+    val out = DfOps.splitChannelBitwise(df, "v", "low", "high", 3)
+      .orderBy("v").select("low", "high").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((0L, 0L), (7L, 0L), (0L, 1L), (0x1234L & 7, 0x1234L >> 3)))
+  }
+
+  test("Interp.piecewiseLinear: np.interp parity incl. clamps") {
+    val xs = Array(0.0, 1.0, 3.0)
+    val ys = Array(10.0, 20.0, -20.0)
+    val df = Seq(-5.0, 0.0, 0.5, 1.0, 2.0, 3.0, 99.0).toDF("x")
+    val out = df.select(Interp.piecewiseLinear(col("x"), xs, ys))
+      .as[Double].collect()
+    assert(out.toSeq === Seq(10.0, 10.0, 15.0, 20.0, 0.0, -20.0, -20.0))
+  }
+
+  test("mapColumns2D: rotation round trip") {
+    val df = Seq((1.0, 0.0), (0.0, 1.0)).toDF("x", "y")
+    val c = math.cos(0.5); val s = math.sin(0.5)
+    val rot = DfOps.mapColumns2D(df, "x", "y",
+      (x, y) => (lit(c) * x - lit(s) * y, lit(s) * x + lit(c) * y), "xr", "yr")
+    val back = DfOps.mapColumns2D(rot, "xr", "yr",
+      (x, y) => (lit(c) * x + lit(s) * y, -lit(s) * x + lit(c) * y), "xb", "yb")
+    back.select("x", "y", "xb", "yb").collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-12)
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-12)
+    }
+  }
+}
