@@ -57,6 +57,9 @@ object SparkEntry {
   val interpXs: Array[Double] = Array(0.0, 100.0, 250.0, 400.0, 500.0)
   val interpYs: Array[Double] = Array(1.0, 0.5, 2.0, -1.0, 3.0)
 
+  /** ANN: 8 seeded random hyperplanes over the 64-dim embeddings. */
+  val lshPlanes: Array[Array[Double]] = pipeline.Similarity.hyperplanes(64, 8)
+
   // ---- flagship ----
 
   /** Flagship: 1-D binned histogram on sf0.001 events; driver smoke-checks rows>0. */
@@ -215,6 +218,81 @@ object SparkEntry {
         .groupBy(expr("ts div 1000000000").as("sec"))
         .agg(expr("max_by(value, event_id)").as("last_value"),
           count(lit(1)).as("n"))),
+
+    // ---- training-data pipeline extensions ----
+    // exact dedup: fingerprint → keep lowest id per cluster
+    "q_dedup_exact" -> ((s, dir) =>
+      pipeline.Dedup.exactDuplicates(table(s, dir, "documents"), "text", "doc_id")),
+    // exact dedup, materializing variant (left-semi against winners)
+    "q_dedup_drop" -> ((s, dir) =>
+      pipeline.Dedup.dropExactDuplicates(table(s, dir, "documents"), "text", "doc_id")),
+    // normalized document fingerprint
+    "q_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"), pipeline.TextOps.fingerprint(col("text")).as("fp"))),
+    // token counting: whitespace + BPE-ish regex
+    "q_token_count" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        pipeline.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        pipeline.TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))),
+    // quality scoring: length/punct/stopword signals
+    "q_quality" -> ((s, dir) =>
+      pipeline.TextOps.qualityColumns(table(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+          "stopword_ratio")
+        .withColumn("n_tokens", col("n_tokens").cast("long"))),
+    // language-ID heuristic
+    "q_langid" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"), pipeline.TextOps.langId(col("text")).as("lang_pred"))),
+    // n-gram Jaccard near-dup pairs, blocked by source
+    "q_ngram_jaccard" -> ((s, dir) =>
+      pipeline.Dedup.ngramJaccardPairs(
+        table(s, dir, "documents"), "text", "doc_id", col("source"), n = 3)
+        .withColumn("jaccard", round(col("jaccard"), 6))),
+    // embedding-cosine near-dup pairs, blocked by label
+    "q_embed_pairs" -> ((s, dir) =>
+      pipeline.Dedup.embeddingNearDuplicates(
+        table(s, dir, "embeddings"), "embedding", "vec_id", col("label"), 0.2)),
+    // brute-force cosine top-k against the vec_id=0 embedding
+    "q_cosine_topk" -> ((s, dir) => {
+      val q = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
+      pipeline.Similarity.bruteForceTopK(
+        table(s, dir, "embeddings"), "embedding", "vec_id", q, 20)
+    }),
+    // LSH bucket assignment (the ANN indexing pass)
+    "q_lsh_bucket" -> ((s, dir) =>
+      pipeline.Similarity.lshBuckets(
+        table(s, dir, "embeddings"), "embedding", lshPlanes)
+        .select("vec_id", "bucket")),
+    // LSH-bucketed ANN top-k (multi-probe) — rows-only check
+    "q_lsh_topk" -> ((s, dir) => {
+      val q = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
+      pipeline.Similarity.lshTopK(
+        table(s, dir, "embeddings"), "embedding", "vec_id", q, lshPlanes, 10)
+    }),
+    // MinHash+LSH near-dup pairs — rows-only (xxhash64 not in DuckDB)
+    "q_minhash_pairs" -> ((s, dir) =>
+      pipeline.Dedup.minhashNearDuplicates(
+        table(s, dir, "documents"), "text", "doc_id", threshold = 0.2)),
+    // SimHash near-dup pairs — rows-only
+    "q_simhash_pairs" -> ((s, dir) =>
+      pipeline.Dedup.simhashNearDuplicates(
+        table(s, dir, "documents"), "text", "doc_id", maxDistance = 16)),
+    // winnowing rolling-hash fingerprints — rows-only
+    "q_rolling_fp" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        pipeline.TextOps.rollingHashFingerprint(col("text")).as("fp"))),
+    // multimodal: binary column + stubbed decode via batched mapPartitions
+    "q_multimodal_meta" -> ((s, dir) =>
+      pipeline.Multimodal.decodeMeta(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("bin")),
+        "bin").drop("bin")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -354,5 +432,96 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 1000000000 AS sec,
         | arg_max(value, event_id) AS last_value, count(*) AS n
         | FROM events GROUP BY sec""".stripMargin.replace("\n", " "),
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
+    "q_dedup_drop" ->
+      "SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))",
+    "q_fingerprint" ->
+      raw"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents",
+    "q_token_count" ->
+      raw"""SELECT doc_id,
+           | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+           | FROM documents""".stripMargin.replace("\n", " "),
+    "q_quality" -> {
+      val sw = pipeline.TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+      raw"""SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           | CAST(nws AS DOUBLE) / n_tokens AS avg_token_len,
+           | CAST(np AS DOUBLE) / n_chars_m AS punct_ratio,
+           | CAST(nsw AS DOUBLE) / n_tokens AS stopword_ratio
+           | FROM (SELECT doc_id,
+           |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           |  length(regexp_replace(text, '\s+', '', 'g')) AS nws,
+           |  length(text) AS n_chars_m,
+           |  length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS np,
+           |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ($sw))) AS nsw
+           | FROM documents)""".stripMargin.replace("\n", " ")
+    },
+    "q_langid" -> {
+      val scoreCols = pipeline.TextOps.LangProfiles.map { case (lang, words) =>
+        val ws = words.map(w => s"'$w'").mkString(", ")
+        raw"len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t IN ($ws))) AS s_$lang"
+      }.mkString(", ")
+      val langs = pipeline.TextOps.LangProfiles.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val branches = langs
+        .map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+        .mkString(" ")
+      val passthrough = langs.map(l => s"s_$l").mkString(", ")
+      raw"""SELECT doc_id, CASE WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+           | $branches ELSE 'und' END AS lang_pred
+           | FROM (SELECT doc_id, text, $passthrough, $best AS best FROM
+           |   (SELECT doc_id, text, $scoreCols FROM documents))""".stripMargin.replace("\n", " ")
+    },
+    "q_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id AS id, source AS block,
+        |  list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS sh
+        |  FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)),
+        |    6) AS jaccard
+        |FROM s a JOIN s b ON a.block = b.block AND a.id < b.id""".stripMargin.replace("\n", " "),
+    "q_embed_pairs" ->
+      """WITH x AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |  unnest(embedding) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,
+        |  sum(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)) AS na,
+        |  sum(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS nb
+        | FROM x a JOIN x b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM p
+        |WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.2""".stripMargin.replace("\n", " "),
+    "q_cosine_topk" ->
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |  unnest(embedding) AS v FROM embeddings),
+        |q AS (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+        |  FROM embeddings WHERE vec_id = 0),
+        |p AS (SELECT x.vec_id, sum(CAST(x.v AS DOUBLE) * CAST(q.v AS DOUBLE)) AS dot,
+        |  sum(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE)) AS nx,
+        |  sum(CAST(q.v AS DOUBLE) * CAST(q.v AS DOUBLE)) AS nq
+        | FROM x JOIN q ON x.i = q.i GROUP BY 1)
+        |SELECT vec_id, ROUND(dot / (sqrt(nx) * sqrt(nq)), 6) AS cos FROM p
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replace("\n", " "),
+    "q_lsh_bucket" -> {
+      import OracleSql.d
+      val dots = lshPlanes.map { p =>
+        "0.0 + " + p.zipWithIndex
+          .map { case (w, i) => s"CAST(embedding[${i + 1}] AS DOUBLE) * ${d(w)}" }
+          .mkString(" + ")
+      }
+      val bucket = dots.zipWithIndex
+        .map { case (dt, b) => s"(CASE WHEN ($dt) > 0 THEN ${1L << b} ELSE 0 END)" }
+        .mkString(" + ")
+      s"SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM embeddings"
+    },
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,
+        | CAST((octet_length(CAST(text AS BLOB)) // 640) % 480 AS INTEGER) AS height,
+        | CASE (ord(substr(text, 1, 1)) % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+        | FROM documents""".stripMargin.replace("\n", " "),
   )
 }

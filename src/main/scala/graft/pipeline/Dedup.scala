@@ -1,0 +1,239 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Designed shuffle-aware for
+  * 100 TB: every variant reduces to (a) per-row signature computation in a
+  * single codegen'd projection, then (b) ONE shuffle on a bucket/hash key
+  * whose cardinality is bounded, then (c) pair verification restricted to
+  * within-bucket candidates — never an all-pairs join.
+  */
+object Dedup {
+
+  /** Exact dedup: group by the normalized-content fingerprint, keep the
+    * lowest id per group. One hash-partitioned aggregation; the winners
+    * survive, `dupCount` reports cluster sizes.
+    */
+  def exactDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      normalize: Boolean = false,
+  ): DataFrame = {
+    val fp = if (normalize) TextOps.fingerprint(col(textCol)) else md5(col(textCol))
+    df.select(fp.as("h"), col(idCol))
+      .groupBy("h")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /** Drop exact duplicates keeping the lowest id — the materializing
+    * variant (left-semi join back against the winners, both sides
+    * hash-partitioned on the fingerprint: no broadcast of the full corpus).
+    */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val winners = exactDuplicates(df, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** Deterministic per-function affine hash of a shingle:
+    * `(a_i * (h(s) mod p) + b_i) mod p` with the Mersenne prime `2^31 − 1`.
+    * Both factors stay below 2^31, so the product fits a Long without
+    * overflow (Spark 4 runs ANSI arithmetic — a wider prime would throw).
+    */
+  private val MersennePrime = (1L << 31) - 1
+
+  private def hashCoeffs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** MinHash signature (length `numHashes`) over the distinct char-k-gram
+    * shingle set — all higher-order array expressions, computed in one
+    * projection with no shuffle:
+    * `sig_i = min over shingles of (a_i·h(s) + b_i) mod p`.
+    */
+  def minhashSignature(
+      text: Column,
+      k: Int = 5,
+      numHashes: Int = 32,
+      seed: Long = 42L,
+  ): Column = {
+    val coeffs = hashCoeffs(numHashes, seed)
+    val base = transform(TextOps.charShingleSet(text, k),
+      s => pmod(xxhash64(s), lit(MersennePrime)))
+    val funcs = coeffs.map { case (a, b) =>
+      array_min(transform(base, h =>
+        pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }
+    array(funcs.toIndexedSeq: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * Banding: the signature is cut into `bands` slices of `rows` hashes; a
+    * pair is a candidate iff some slice hashes equal. The plan is
+    * `project(sig) → posexplode(bands) → shuffle(band_idx, band_hash) →
+    * self-join within buckets → estimate Jaccard from full signatures`.
+    * The only shuffle key is the band bucket, so skew is bounded by bucket
+    * size, and the candidate set — not n² — drives the join cost.
+    *
+    * Returns `(id_a, id_b, est_jaccard)` with `id_a < id_b`, distinct,
+    * filtered to `est_jaccard >= threshold`.
+    */
+  def minhashNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(col(textCol), k, numHashes, seed).as("sig"),
+    )
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))),
+      )),
+    ).withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes. Expressed as 64 bit-count aggregations over the token array —
+    * pure expressions, one projection (no explode, no shuffle).
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
+    val n = size(hashes)
+    (0 until 64).map { bit =>
+      val ones = size(filter(hashes, h => shiftright(h, bit).bitwiseAND(1) === 1))
+      // bit set iff strictly more than half the tokens vote 1
+      when(ones * 2 > n, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxDistance.
+    *
+    * Pigeonhole banding: split the 64-bit signature into `maxDistance + 1`
+    * blocks; any pair within distance shares at least one exact block.
+    * Same bounded-shuffle shape as MinHash LSH.
+    */
+  def simhashNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDistance: Int = 3,
+  ): DataFrame = {
+    val blocks = maxDistance + 1
+    val width = 64 / blocks
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until blocks).map { blk =>
+        shiftright(col("sig"), blk * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)),
+    ).withColumnsRenamed(Map("pos" -> "block_idx", "col" -> "block_val"))
+    val a = banded.select(col("block_idx"), col("block_val"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("block_idx"), col("block_val"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("distance"))
+      .filter(col("distance") <= maxDistance)
+      .distinct()
+  }
+
+  // ---- n-gram Jaccard ----
+
+  /** Exact n-gram Jaccard similarity for candidate pairs under a blocking
+    * key (e.g. source + length bucket): never all-pairs — the self-join is
+    * equi on the block column, then `|A∩B| / |A∪B|` via array set ops in
+    * the projection.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: Column,
+      n: Int = 3,
+      threshold: Double = 0.0,
+  ): DataFrame = {
+    val sets = df.select(
+      col(idCol).as("id"),
+      blockCol.as("block"),
+      TextOps.charShingleSet(col(textCol), n).as("sh"),
+    )
+    val a = sets.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), (inter / union).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- embedding cosine near-dup ----
+
+  /** Cosine similarity of two equal-length float-vector columns, computed
+    * as a strict left fold (deterministic summation order) in double.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key (label,
+    * LSH bucket, …): `cos(a, b) >= threshold`, `id_a < id_b`.
+    */
+  def embeddingNearDuplicates(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      blockCol: Column,
+      threshold: Double,
+  ): DataFrame = {
+    val v = df.select(col(idCol).as("id"), blockCol.as("block"), col(vecCol).as("v"))
+    val a = v.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

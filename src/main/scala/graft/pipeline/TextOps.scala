@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting. All pure
+  * built-in expressions (split / higher-order array functions / regex), so
+  * every operator stays inside whole-stage codegen and scales linearly —
+  * no UDFs, no shuffles except where an aggregation is the semantics.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the `\s+` convention; leading/trailing
+    * whitespace trimmed so no empty edge tokens).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece regex splitting on letter/digit
+    * boundaries and punctuation (a cheap proxy for tokenizer cost
+    * estimation: contiguous letter runs, digit runs, or single symbols).
+    */
+  val BpeishPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Default English stopword list used by quality scoring. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be", "are",
+  )
+
+  /** Number of tokens that are stopwords. */
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnStopwords): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))
+
+  /** Composite quality signals (length / punctuation / stopword ratios —
+    * the heuristics used to filter training corpora). Returns a struct-free
+    * set of columns via `withColumns` for schema transparency.
+    */
+  def qualityColumns(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    df.withColumns(Map(
+      "n_tokens" -> nTok,
+      "n_chars_m" -> length(t),
+      "avg_token_len" ->
+        (length(regexp_replace(t, "\\s+", "")).cast("double") / nTok),
+      "punct_ratio" -> (punctCount(t).cast("double") / length(t)),
+      "stopword_ratio" -> (stopwordCount(t).cast("double") / nTok),
+    ))
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword language
+    * heuristic. Order matters: it is the deterministic tie-break priority.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ich", "nicht", "mit", "ein", "auf"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"),
+    "es" -> Seq("el", "de", "que", "los", "en", "un", "por", "con", "una", "se"),
+  )
+
+  /** Language-ID heuristic: CJK script detection by codepoint range, else
+    * argmax of per-language stopword hits (ties broken by profile order,
+    * "und" meaning undetermined when no profile scores).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(text.rlike("[\\x{4E00}-\\x{9FFF}]"), lit("zh")).otherwise(pick)
+  }
+
+  /** Canonical document fingerprint: md5 of the lowercased,
+    * whitespace-collapsed text — the normalization used before exact dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing-style rolling-hash fingerprint (Schleimer et al.): k-gram
+    * polynomial rolling hashes, windowed minima, distinct-sorted. Used for
+    * robust near-dup detection; implemented as a deterministic expression
+    * chain over char shingles.
+    */
+  def rollingHashFingerprint(text: Column, k: Int = 7, window: Int = 4): Column = {
+    val shingles = charShingles(text, k)
+    val hashes = transform(shingles, s => abs(xxhash64(s)))
+    val mins = transform(
+      sequence(lit(0), greatest(size(hashes) - window, lit(0))),
+      i => array_min(slice(hashes, i + 1, lit(window))),
+    )
+    array_sort(array_distinct(mins))
+  }
+
+  /** Character k-gram shingles of a string column (positions 1-based,
+    * `length - k + 1` shingles; empty array when the text is shorter
+    * than `k`).
+    */
+  def charShingles(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k)),
+      )).otherwise(array())
+
+  /** Distinct character shingles (the set used for Jaccard similarity). */
+  def charShingleSet(text: Column, k: Int): Column =
+    array_distinct(charShingles(text, k))
+
+  /** Word n-gram shingles (space-joined). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))),
+      )).otherwise(array())
+  }
+}

@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "a"),
+    (1L, "the quick brown fox jumps over the lazy dog", "a"), // exact dup of 0
+    (2L, "the quick brown fox jumped over the lazy dog", "a"), // near dup
+    (3L, "completely different content about spark aggregation engines", "a"),
+    (4L, "der schnelle braune fuchs und der faule hund ist nicht da", "b"),
+    (5L, "le renard brun rapide est pour les chiens un une des", "b"),
+  ).toDF("doc_id", "text", "source")
+
+  test("exactDuplicates keeps lowest id and counts clusters") {
+    val out = Dedup.exactDuplicates(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) === 2L) // docs 0 and 1 collapse
+    assert(out.values.sum === 6L)
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 2L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical → jaccard 1
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
+  }
+
+  test("minhash est_jaccard is exact 1.0 for identical docs") {
+    val est = Dedup.minhashNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("est_jaccard").as[Double].head()
+    assert(est === 1.0)
+  }
+
+  test("simhash: identical docs distance 0, near dups close, unrelated far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) === 0)
+    assert(ham(sigs(0L), sigs(2L)) < ham(sigs(0L), sigs(3L)))
+    val pairs = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxDistance = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram Jaccard: dup pair 1.0, near-dup high, respects blocking") {
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id", col("source"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((0L, 1L)) === 1.0)
+    assert(out((0L, 2L)) > 0.7)
+    assert(out((0L, 2L)) < 1.0)
+    // cross-block pairs never produced
+    assert(!out.keySet.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 1 })
+  }
+
+  test("rollingHashFingerprint: identical docs same fp, overlap for near dups") {
+    val fps = docs.select(col("doc_id"),
+        TextOps.rollingHashFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(0L) === fps(1L))
+    val overlap = fps(0L).intersect(fps(2L)).size.toDouble / fps(0L).union(fps(2L)).size
+    assert(overlap > 0.4)
+    assert(fps(0L).intersect(fps(3L)).size < fps(0L).size / 2)
+  }
+
+  test("langId picks profiles deterministically") {
+    val preds = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(0L) === "en")
+    assert(preds(4L) === "de")
+    assert(preds(5L) === "fr")
+    val zh = Seq((9L, "中文文本")).toDF("doc_id", "text")
+      .select(TextOps.langId(col("text"))).as[String].head()
+    assert(zh === "zh")
+  }
+
+  test("quality columns compute exact ratios") {
+    val one = Seq((0L, "the cat, sat!")).toDF("doc_id", "text")
+    val r = TextOps.qualityColumns(one, "text").first()
+    assert(r.getAs[Int]("n_tokens") === 3)
+    assert(r.getAs[Double]("punct_ratio") === 2.0 / 13.0)
+    assert(r.getAs[Double]("stopword_ratio") === 1.0 / 3.0)
+  }
+
+  test("cosine and brute-force top-k rank by true similarity") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "embedding", "vec_id",
+      Array(1.0, 0.0, 0.0), 2).select("vec_id").as[Long].collect()
+    assert(top.toSeq === Seq(0L, 1L))
+  }
+
+  test("lshTopK equals brute force restricted to the probed buckets") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = df.filter(col("vec_id") === 3).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble).toArray
+    val planes = Similarity.hyperplanes(64, 4)
+    val approx = Similarity.lshTopK(df, "embedding", "vec_id", q, planes, 10)
+      .select("vec_id").as[Long].collect()
+    // determinism property: identical to exact top-k over the candidate set
+    val qBucket = planes.zipWithIndex.map { case (p, b) =>
+      if (p.indices.map(i => q(i) * p(i)).sum > 0) 1L << b else 0L
+    }.reduce(_ | _)
+    val probes = qBucket +: planes.indices.map(b => qBucket ^ (1L << b))
+    val candidates = Similarity.lshBuckets(df, "embedding", planes)
+      .filter(col("bucket").isin(probes: _*))
+    val exactOnCandidates = Similarity
+      .bruteForceTopK(candidates, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect()
+    assert(approx.toSeq === exactOnCandidates.toSeq)
+    assert(approx.contains(3L)) // the query itself always survives
+  }
+
+  test("multimodal decodeMeta: stubbed decode over binary batches") {
+    val df = Seq((1L, "abcdef"), (2L, "")).toDF("id", "s")
+      .select(col("id"), col("s").cast("binary").as("bin"))
+    val out = Multimodal.decodeMeta(df, "bin")
+      .select("id", "width", "height", "format", "byte_len")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((6, 0, ('a'.toInt % 3) match {
+      case 0 => "png"; case 1 => "jpeg"; case _ => "wav"
+    }, 6L)))
+    assert(out(2L) === ((0, 0, "empty", 0L)))
+  }
+
+  test("sampleFrameOffsets fans out n rows per asset") {
+    val df = Seq((1L, "0123456789")).toDF("id", "s")
+      .select(col("id"), col("s").cast("binary").as("bin"))
+    val offs = Multimodal.sampleFrameOffsets(df, "bin", 4)
+      .select("frame_offset").as[Long].collect().sorted
+    assert(offs.toSeq === Seq(0L, 2L, 5L, 7L))
+  }
+}
