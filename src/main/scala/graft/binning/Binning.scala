@@ -39,8 +39,21 @@ object Binning {
     * expressions → fully codegen'd, no UDF.
     */
   def uniformBinIndex(c: Column, ax: UniformAxis): Column = {
-    val jf = round((c - lit(ax.edgeLo)) * lit(ax.delta), 11)
+    val jf = roundHalfAway((c - lit(ax.edgeLo)) * lit(ax.delta), 11)
     when(jf >= 0 && jf <= ax.nBins, least(floor(jf), lit(ax.nBins - 1L)))
+  }
+
+  /** `round(v, digits)` with half-away-from-zero ties — the C
+    * `std::round(v·10^d)/10^d` that numpy's kernel guard and DuckDB's
+    * `round` both compute. Composed from primitive expressions because
+    * Spark's built-in `round` routes doubles through BigDecimal
+    * (`Double.toString` + `setScale`), which measured ~7× the cost of the
+    * whole remaining bin-index projection.
+    */
+  def roundHalfAway(v: Column, digits: Int): Column = {
+    val p = math.pow(10.0, digits)
+    val y = v * lit(p)
+    when(v >= 0, floor(y + 0.5)).otherwise(-floor(-y + 0.5)) / lit(p)
   }
 
   /** Bin index for explicit edges, reproducing `binsearch`

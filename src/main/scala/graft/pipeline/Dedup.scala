@@ -63,10 +63,22 @@ object Dedup {
       k: Int = 5,
       numHashes: Int = 32,
       seed: Long = 42L,
-  ): Column = {
-    val coeffs = hashCoeffs(numHashes, seed)
-    val base = transform(TextOps.charShingleSet(text, k),
+  ): Column =
+    minhashFromBase(baseShingleHashes(text, k), numHashes, seed)
+
+  /** Reduced shingle hashes `h(s) mod p` — materialize this into its own
+    * column before fanning out the hash family: the shingle/hash array is
+    * by far the most expensive subtree, and Spark does not share common
+    * subexpressions across the `numHashes` sibling expressions, so inlining
+    * it N times costs N× (measured 40× on the bench corpus).
+    */
+  def baseShingleHashes(text: Column, k: Int): Column =
+    transform(TextOps.charShingleSet(text, k),
       s => pmod(xxhash64(s), lit(MersennePrime)))
+
+  /** Signature from a pre-materialized [[baseShingleHashes]] column. */
+  def minhashFromBase(base: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val coeffs = hashCoeffs(numHashes, seed)
     val funcs = coeffs.map { case (a, b) =>
       array_min(transform(base, h =>
         pmod(h * lit(a) + lit(b), lit(MersennePrime))))
@@ -98,10 +110,10 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), k, numHashes, seed).as("sig"),
-    )
+    val sigs = df
+      .select(col(idCol).as("id"),
+        baseShingleHashes(col(textCol), k).as("_base"))
+      .select(col("id"), minhashFromBase(col("_base"), numHashes, seed).as("sig"))
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(transform(
