@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.binning._
 import graft.calibrate.{Delay, Energy, Momentum}
 import graft.dfops.{DfOps, Interp}
+import graft.loader.ChannelLoader
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -293,6 +294,43 @@ object SparkEntry {
         table(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("bin")),
         "bin").drop("bin")),
+
+    // ---- loader-family operators (S3/F1-F5) ----
+    // F2 posexplode of array channels onto the index
+    "q_explode" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))),
+    // F5 full-outer channel join (the only join in the reference)
+    "q_channel_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(c("c_custkey"), o("o_custkey")).as("k"), o("o_orderkey"))
+        .groupBy("k").agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+    // S3 union-all of per-file frames
+    "q_union" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      e.filter(col("event_id") % 2 === 0)
+        .unionByName(e.filter(col("event_id") % 2 === 1))
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    }),
+    // F3 dldAux fan-out: fixed slots of an array channel to named scalars
+    "q_aux_fanout" -> ((s, dir) =>
+      table(s, dir, "embeddings").select(
+        col("vec_id") +:
+          ChannelLoader.AuxNames.zipWithIndex.map { case (n, i) =>
+            col("embedding")(i).cast("double").as(n)
+          }: _*)),
+    // F1 electron index: explode pulse array, enumerate electrons per pulse
+    "q_electron_index" -> ((s, dir) =>
+      loader.ChannelLoader.electronIndex(
+        table(s, dir, "embeddings")
+          .select(col("vec_id").as("trainId"), col("embedding").as("pulseId")),
+        ubidOffset = 0)
+        .select(col("trainId"), col("pulseId").cast("double").as("pulseId"),
+          col("electronId").cast("long").as("electronId"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -523,5 +561,32 @@ object SparkEntry {
         | CASE (ord(substr(text, 1, 1)) % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
         | FROM documents""".stripMargin.replace("\n", " "),
+    "q_explode" ->
+      """SELECT token, count(*) AS cnt FROM
+        | (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        | GROUP BY token""".stripMargin.replace("\n", " "),
+    "q_channel_join" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS k, count(o_orderkey) AS n_orders
+        | FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        | GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q_union" ->
+      """SELECT event_type, count(*) AS cnt FROM (
+        | SELECT * FROM events WHERE event_id % 2 = 0
+        | UNION ALL SELECT * FROM events WHERE event_id % 2 = 1
+        |) GROUP BY event_type""".stripMargin.replace("\n", " "),
+    "q_aux_fanout" -> {
+      val cols = ChannelLoader.AuxNames.zipWithIndex
+        .map { case (n, i) => s"CAST(embedding[${i + 1}] AS DOUBLE) AS $n" }
+        .mkString(", ")
+      s"SELECT vec_id, $cols FROM embeddings"
+    },
+    "q_electron_index" ->
+      """SELECT trainId, CAST(pulseId AS DOUBLE) AS pulseId,
+        | CAST(electronId AS BIGINT) AS electronId FROM (
+        | SELECT trainId, v AS pulseId,
+        |   row_number() OVER (PARTITION BY trainId, v ORDER BY i) - 1 AS electronId
+        | FROM (SELECT vec_id AS trainId, generate_subscripts(embedding, 1) AS i,
+        |       unnest(embedding) AS v FROM embeddings)
+        | WHERE v >= 0)""".stripMargin.replace("\n", " "),
   )
 }

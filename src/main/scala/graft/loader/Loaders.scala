@@ -1,0 +1,214 @@
+package graft.loader
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Loader layer (SURVEY.md §2.1): scan instrument data into the event /
+  * timed dataframes. With no HDF5 toolchain in the JVM stack, ingestion
+  * universalizes the reference's own flash-loader design — convert raw
+  * files once into a Parquet "buffer" lake, then scan that
+  * (`sed/loader/flash/loader.py:617-742`); these loaders consume the
+  * post-conversion shapes.
+  */
+trait Loader {
+
+  /** S8 `BaseLoader` contract (`sed/loader/base/loader.py:19-181`). */
+  def readDataframe(spark: SparkSession, paths: Seq[String]): (DataFrame, Option[DataFrame])
+
+  /** Per-file elapsed seconds (`get_elapsed_time`). */
+  def elapsedTime(df: DataFrame, tsCol: String): Double =
+    df.agg((max(col(tsCol)) - min(col(tsCol))).cast("double")).first().getDouble(0)
+
+  /** Events per second (`get_count_rate`). */
+  def countRate(df: DataFrame, tsCol: String): Double = {
+    val r = df.agg(count(lit(1)).cast("double"),
+      (max(col(tsCol)) - min(col(tsCol))).cast("double")).first()
+    val dt = r.getDouble(1)
+    if (dt <= 0) 0.0 else r.getDouble(0) / dt
+  }
+}
+
+object GenericLoader extends Loader {
+
+  /** S2 `gather_files` natural sort (`sed/loader/utils.py:17-55`): digit
+    * runs compare numerically, text runs lexicographically.
+    */
+  def naturalSortKey(s: String): Seq[(Int, String)] =
+    "\\d+|\\D+".r.findAllIn(s).map { part =>
+      if (part.head.isDigit) (0, f"${BigInt(part)}%040d") else (1, part)
+    }.toSeq
+
+  def naturalSort(files: Seq[String]): Seq[String] =
+    files.sortBy(naturalSortKey)(
+      scala.math.Ordering.Implicits.seqOrdering[Seq, (Int, String)])
+
+  /** S2 file gathering: glob a folder by extension, natural-sort, slice
+    * `[fStart, fEnd) by fStep`.
+    */
+  def gatherFiles(
+      folder: String,
+      extension: String,
+      fStart: Option[Int] = None,
+      fEnd: Option[Int] = None,
+      fStep: Int = 1,
+      sorting: Boolean = true,
+  ): Seq[String] = {
+    val all = Option(new java.io.File(folder).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(s".$extension"))
+      .map(_.getPath)
+      .toSeq
+    val sorted = if (sorting) naturalSort(all) else all
+    val sliced = sorted.slice(fStart.getOrElse(0), fEnd.getOrElse(sorted.length))
+    sliced.grouped(fStep).map(_.head).toSeq
+  }
+
+  /** S1 `GenericLoader.read_dataframe`: parquet/csv/json scan of an
+    * explicit path list (order preserved). A `file_id` column materializes
+    * the file sequence and `seq` a per-file row index — the stable global
+    * ordering the window-based fills require (SURVEY.md §7.4 risk 3).
+    */
+  def read(
+      spark: SparkSession,
+      paths: Seq[String],
+      ftype: String = "parquet",
+      withOrdering: Boolean = false,
+  ): DataFrame = {
+    require(paths.nonEmpty, "No valid files or folders found!")
+    val readOne: String => DataFrame = ftype match {
+      case "parquet" => p => spark.read.parquet(p)
+      case "csv"     => p => spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+      case "json"    => p => spark.read.json(p)
+      case other     => throw new IllegalArgumentException(s"Unknown file type: $other")
+    }
+    // UNION ALL of per-file frames in the given order (S3's da.concatenate)
+    val parts = paths.zipWithIndex.map { case (p, i) =>
+      val df = readOne(p)
+      if (withOrdering)
+        df.withColumn("file_id", lit(i))
+          .withColumn("seq", monotonically_increasing_id())
+      else df
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  override def readDataframe(
+      spark: SparkSession,
+      paths: Seq[String],
+  ): (DataFrame, Option[DataFrame]) =
+    (read(spark, paths), None)
+}
+
+/** Flash/SXP-style channel loader (S6/F1-F7, S7): consumes per-train rows
+  * holding channel arrays at three granularities and aligns everything on
+  * the `(trainId, pulseId, electronId)` index.
+  *
+  * Input shape per channel table:
+  *  - per_electron: `trainId, <ch>: array<double>` — one value per pulse
+  *    entry, exploded to electrons
+  *  - per_pulse: `trainId, <ch>: array<double>` — one value per pulse
+  *  - per_train: `trainId, <ch>: double`
+  */
+object ChannelLoader {
+
+  /** The 7 named `dldAux` slots of the HEXTOF detector
+    * (`sed/config/flash_example_config.yaml:95-167`).
+    */
+  val AuxNames: Seq[String] = Seq(
+    "sampleBias", "tofVoltage", "extractorVoltage", "extractorCurrent",
+    "cryoTemperature", "sampleTemperature", "dldTimeBinSize",
+  )
+
+  /** F1 `create_multi_index_per_electron`: explode the pulse-id array,
+    * subtract `ubidOffset`, drop negative pulses, enumerate `electronId`
+    * within (train, pulse).
+    */
+  def electronIndex(pulseIds: DataFrame, ubidOffset: Int): DataFrame = {
+    val exploded = pulseIds.select(
+      col("trainId"),
+      posexplode(col("pulseId")).as(Seq("_pos", "_pid")))
+      .select(col("trainId"), col("_pos"),
+        (col("_pid") - ubidOffset).as("pulseId"))
+      .filter(col("pulseId") >= 0)
+    exploded.withColumn("electronId",
+      row_number().over(
+        Window.partitionBy("trainId", "pulseId").orderBy("_pos")) - 1)
+      .drop("_pos")
+  }
+
+  /** F2 `create_dataframe_per_electron`: explode a per-electron channel
+    * onto the positional index, dropping NaN values.
+    */
+  def perElectron(ch: DataFrame, name: String): DataFrame =
+    ch.select(col("trainId"), posexplode(col(name)).as(Seq("_pos", name)))
+      .filter(!isnan(col(name)))
+
+  /** F3 `create_dataframe_per_pulse`: explode a pulse-resolved channel
+    * onto (trainId, pulseId).
+    */
+  def perPulse(ch: DataFrame, name: String): DataFrame =
+    ch.select(col("trainId"), posexplode(col(name)).as(Seq("pulseId", name)))
+
+  /** F3 `dldAux` fan-out: slice a fixed-position aux array into named
+    * scalar columns.
+    */
+  def auxFanout(ch: DataFrame, auxCol: String, names: Seq[String]): DataFrame =
+    ch.select(col("trainId") +: names.zipWithIndex.map { case (n, i) =>
+      col(auxCol)(i).as(n)
+    }: _*)
+
+  /** F5 `concatenate_channels`: chained FULL OUTER equi-join of channel
+    * frames on the shared index — the only join in the reference. Frames
+    * arrive hash-partitioned on the join keys, so the chain reuses one
+    * exchange per side; per-file volumes are small (buffer files), so AQE
+    * may broadcast.
+    */
+  def concatenateChannels(frames: Seq[DataFrame], on: Seq[String]): DataFrame =
+    frames.reduce((l, r) => l.join(r, on, "full_outer"))
+
+  /** F6/F7 + T16: assemble the electron and timed ("pulse") dataframes
+    * from channel tables. `perTrainCols` are forward-filled onto electrons
+    * in (trainId, pulseId, electronId) order; the timed frame keeps rows
+    * with `electronId == 0 or null` (`flash/loader.py:825-830`).
+    */
+  def assemble(
+      electronFrame: DataFrame,
+      pulseFrames: Seq[DataFrame],
+      trainFrames: Seq[DataFrame],
+      tofColumn: String,
+  ): (DataFrame, DataFrame) = {
+    val withPulse = pulseFrames.foldLeft(electronFrame)(
+      (acc, f) => acc.join(f, Seq("trainId", "pulseId"), "full_outer"))
+    val joined = trainFrames.foldLeft(withPulse)(
+      (acc, f) => acc.join(f, Seq("trainId"), "full_outer"))
+    val trainCols = trainFrames.flatMap(_.columns).filterNot(_ == "trainId")
+    val filled = graft.dfops.DfOps.forwardFill(
+      joined.withColumn("_ord",
+        struct(col("trainId"), col("pulseId"), col("electronId"))),
+      trainCols, "_ord").drop("_ord")
+    val events = filled.na.drop(Seq(tofColumn))
+    val timed = filled.filter(col("electronId") === 0 || col("electronId").isNull)
+    (events, timed)
+  }
+
+  /** F6 parquet buffering with schema check against the expected channel
+    * set (`flash/loader.py:617-742`): write once, validate on reuse.
+    */
+  def bufferToParquet(
+      df: DataFrame,
+      path: String,
+      expectedColumns: Seq[String],
+      forceRecreate: Boolean = false,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val exists = new java.io.File(path).exists()
+    if (!exists || forceRecreate)
+      df.write.mode("overwrite").parquet(path)
+    val buffered = spark.read.parquet(path)
+    val missing = expectedColumns.toSet -- buffered.columns.toSet
+    require(missing.isEmpty,
+      s"The available parquet files do not match the configured channels: missing $missing")
+    buffered
+  }
+}

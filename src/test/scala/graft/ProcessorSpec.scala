@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.binning.{BinnedCube, Binning, UniformAxis}
+import graft.export.CubeIO
+
+class ProcessorSpec extends SparkSpec {
+
+  private def events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+  test("full workflow: jitter → corrections → calibrations → compute") {
+    val base = events
+      .withColumn("X", col("value"))
+      .withColumn("Y", col("value") * 0.5)
+      .withColumn("t", col("value") + 1000.0)
+    val p = new Processor(spark, base, Some(base))
+    p.addJitter(Seq("X", "Y"), Seq(0.1))
+      .applyEnergyCorrection(
+        calibrate.Energy.Correction.spherical(_, _, 250.0, 125.0, 0.1, 2000.0))
+      .appendEnergyAxis("tm", Left((1.0e5, -10.0, 0.0)), binwidth = 2.0, binning = 0)
+      .calibrateDelayAxis("value", (0.0, 500.0), delayRangeMm = Some((25.0, 25.6)),
+        time0Mm = 25.3)
+      .filterColumn("energy", -1e9, 1e9)
+    assert(Seq("tm", "energy", "delay").forall(p.dataframe.columns.contains))
+    // timed table mirrored the shared-column transforms
+    assert(p.timed.get.columns.contains("energy"))
+    val cube = p.compute(Seq(UniformAxis("energy", 50,
+      0.0, 0.06)))
+    assert(cube.total > 0)
+    assert(cube.attrs("units") === "counts")
+    // metadata provenance recorded along the chain
+    assert(p.metadata.get.keySet.intersect(
+      Set("jitter", "energy_correction", "energy_calibration", "delay_calibration")).size === 4)
+  }
+
+  test("compute applies transient filters and normalization") {
+    val base = events
+    val p = new Processor(spark, base, Some(base))
+    val ax = UniformAxis("value", 20, 0.0, 500.0)
+    val full = p.compute(Seq(ax))
+    val filtered = p.compute(Seq(ax), filters = Seq(("value", 100.0, 400.0)))
+    assert(filtered.total < full.total)
+    val err = intercept[IllegalArgumentException] {
+      p.compute(Seq(ax), filters = Seq(("nope", 0.0, 1.0)))
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
+  test("metadata duplicate policies: raise, overwrite, merge") {
+    val m = new MetadataTree
+    m.add(Map("a" -> 1), "k")
+    intercept[IllegalArgumentException] { m.add(Map("b" -> 2), "k") }
+    m.add(Map("b" -> 2), "k", "merge")
+    assert(m.get("k") === Map("a" -> 1, "b" -> 2))
+    m.add(Map("c" -> 3), "k", "overwrite")
+    assert(m.get("k") === Map("c" -> 3))
+  }
+
+  test("CubeIO dense round trip preserves data, axes, shape") {
+    val cube = BinnedCube(
+      Seq("x", "y"),
+      Seq(Array(0.5, 1.5), Array(0.0, 1.0, 2.0)),
+      Array(1L, 2L, 3L, 4L, 5L, 6L),
+      Seq(2, 3),
+      Map("units" -> "counts"))
+    val path = Files.createTempDirectory("cube").toFile.getPath + "/c"
+    CubeIO.writeDense(cube, path)
+    val back = CubeIO.readDense(path)
+    assert(back.data.toSeq === cube.data.toSeq)
+    assert(back.shape === cube.shape)
+    assert(back.axisNames === cube.axisNames)
+    assert(back.axes.head.toSeq === Seq(0.5, 1.5))
+  }
+
+  test("CubeIO sparse round trip via parquet + sidecar") {
+    val ax = UniformAxis("value", 10, 0.0, 500.0)
+    val hist = Binning.histogram(events, Seq(ax))
+    val path = Files.createTempDirectory("sparse").toFile.getPath + "/h"
+    CubeIO.writeSparse(hist, Seq(ax), path, Map("units" -> "counts"))
+    val (back, meta) = CubeIO.readSparse(spark, path)
+    assert(back.agg(sum("cnt")).first().getLong(0) ===
+      hist.agg(sum("cnt")).first().getLong(0))
+    assert(meta.contains("bin_value") && meta.contains("counts"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.loader
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LoaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("naturalSort orders digit runs numerically") {
+    val files = Seq("Scan10_2.h5", "Scan2_1.h5", "Scan2_10.h5", "Scan2_2.h5", "Scan1_1.h5")
+    assert(GenericLoader.naturalSort(files) ===
+      Seq("Scan1_1.h5", "Scan2_1.h5", "Scan2_2.h5", "Scan2_10.h5", "Scan10_2.h5"))
+  }
+
+  test("gatherFiles globs, sorts, and slices [start:end:step]") {
+    val dir = Files.createTempDirectory("gather").toFile
+    Seq("a3.csv", "a1.csv", "a10.csv", "a2.csv", "b.txt").foreach { n =>
+      Files.writeString(new java.io.File(dir, n).toPath, "x\n1")
+    }
+    val all = GenericLoader.gatherFiles(dir.getPath, "csv")
+    assert(all.map(new java.io.File(_).getName) === Seq("a1.csv", "a2.csv", "a3.csv", "a10.csv"))
+    val sliced = GenericLoader.gatherFiles(dir.getPath, "csv", fStart = Some(1), fEnd = Some(4), fStep = 2)
+    assert(sliced.map(new java.io.File(_).getName) === Seq("a2.csv", "a10.csv"))
+  }
+
+  test("GenericLoader.read unions per-file frames with stable ordering cols") {
+    val dir = Files.createTempDirectory("generic").toFile
+    Seq(("f1", Seq(1, 2)), ("f2", Seq(3, 4))).foreach { case (n, vs) =>
+      Files.writeString(new java.io.File(dir, s"$n.csv").toPath,
+        "v\n" + vs.mkString("\n"))
+    }
+    val files = GenericLoader.gatherFiles(dir.getPath, "csv")
+    val df = GenericLoader.read(spark, files, "csv", withOrdering = true)
+    assert(df.columns.toSet === Set("v", "file_id", "seq"))
+    val byFile = df.groupBy("file_id").agg(collect_set("v"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toSet).toMap
+    assert(byFile(0) === Set(1, 2))
+    assert(byFile(1) === Set(3, 4))
+  }
+
+  test("electronIndex explodes pulses and enumerates electrons") {
+    val raw = Seq(
+      (1L, Seq(5.0, 5.0, 6.0, -1.0)), // two electrons in pulse 5, one in 6, one dropped
+      (2L, Seq(7.0)),
+    ).toDF("trainId", "pulseId")
+    val idx = ChannelLoader.electronIndex(raw, ubidOffset = 0)
+      .orderBy("trainId", "pulseId", "electronId")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(idx.toSeq === Seq((1L, 5.0, 0), (1L, 5.0, 1), (1L, 6.0, 0), (2L, 7.0, 0)))
+  }
+
+  test("ubidOffset shifts and negative pulses are dropped") {
+    val raw = Seq((1L, Seq(3.0, 2.0))).toDF("trainId", "pulseId")
+    val idx = ChannelLoader.electronIndex(raw, ubidOffset = 3)
+      .select("pulseId").as[Double].collect().sorted
+    assert(idx.toSeq === Seq(0.0)) // 3-3=0 kept, 2-3=-1 dropped
+  }
+
+  test("auxFanout slices fixed positions into named scalars") {
+    val raw = Seq((1L, Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0)))
+      .toDF("trainId", "aux")
+    val out = ChannelLoader.auxFanout(raw, "aux", ChannelLoader.AuxNames).first()
+    assert(out.getAs[Double]("sampleBias") === 10.0)
+    assert(out.getAs[Double]("dldTimeBinSize") === 70.0)
+  }
+
+  test("assemble: full-outer join + ffill of train values + timed frame") {
+    val electrons = Seq(
+      (1L, 0L, 0L, 100.0), (1L, 0L, 1L, 101.0), (1L, 1L, 0L, 102.0),
+      (2L, 0L, 0L, 103.0),
+    ).toDF("trainId", "pulseId", "electronId", "dldTime")
+    val pulse = Seq((1L, 0L, 7.5), (1L, 1L, 7.6), (2L, 0L, 7.7))
+      .toDF("trainId", "pulseId", "bam")
+    val train = Seq((1L, 0.5)).toDF("trainId", "sampleBias") // train 2 missing → ffilled
+    val (events, timed) = ChannelLoader.assemble(
+      electrons, Seq(pulse), Seq(train), "dldTime")
+    val ev = events.orderBy("trainId", "pulseId", "electronId").collect()
+    assert(ev.length === 4)
+    // sampleBias forward-filled onto train 2
+    assert(ev.forall(_.getAs[Double]("sampleBias") === 0.5))
+    assert(ev.head.getAs[Double]("bam") === 7.5)
+    // timed frame: one row per (train, pulse) where electronId == 0
+    assert(timed.count() === 3)
+  }
+
+  test("bufferToParquet writes once and validates the channel schema") {
+    val dir = Files.createTempDirectory("buffer").toFile.getPath + "/buf"
+    val df = Seq((1L, 2.0)).toDF("trainId", "x")
+    val loaded = ChannelLoader.bufferToParquet(df, dir, Seq("trainId", "x"))
+    assert(loaded.count() === 1)
+    val err = intercept[IllegalArgumentException] {
+      ChannelLoader.bufferToParquet(df, dir, Seq("trainId", "missing_channel"))
+    }
+    assert(err.getMessage.contains("missing_channel"))
+  }
+
+  test("countRate and elapsedTime aggregate timestamps") {
+    val df = Seq((0.0, 1L), (10.0, 2L), (20.0, 3L)).toDF("ts", "v")
+    assert(GenericLoader.elapsedTime(df, "ts") === 20.0)
+    assert(GenericLoader.countRate(df, "ts") === 3.0 / 20.0)
+  }
+}
