@@ -59,4 +59,47 @@ final case class BinnedCube(
   }
 
   def withAttrs(kv: (String, String)*): BinnedCube = copy(attrs = attrs ++ kv)
+
+  /** D13 `select_slice` (`sed/calibrator/momentum.py:196-316`): sum the
+    * cube over an index range of the named axis, dropping that dimension.
+    */
+  def selectSlice(axisName: String, from: Int, until: Int): BinnedCube = {
+    val d = axisNames.indexOf(axisName)
+    require(d >= 0, s"axis $axisName not in $axisNames")
+    require(from >= 0 && until <= shape(d) && from < until, "bad slice range")
+    val outShape = shape.patch(d, Nil, 1)
+    val outData = new Array[Long](outShape.map(_.toLong).product.toInt)
+    val outStrides = {
+      val s = new Array[Long](outShape.length)
+      var acc = 1L
+      var i = outShape.length - 1
+      while (i >= 0) { s(i) = acc; acc *= outShape(i); i -= 1 }
+      s
+    }
+    var i = 0
+    while (i < data.length) {
+      val k = ((i / strides(d)) % shape(d)).toInt
+      if (k >= from && k < until) {
+        var flat = 0L
+        var dim = 0
+        var o = 0
+        while (dim < shape.length) {
+          if (dim != d) {
+            flat += ((i / strides(dim)) % shape(dim)) * outStrides(o)
+            o += 1
+          }
+          dim += 1
+        }
+        outData(flat.toInt) += data(i)
+      }
+      i += 1
+    }
+    BinnedCube(
+      axisNames.patch(d, Nil, 1),
+      axes.patch(d, Nil, 1),
+      outData,
+      outShape,
+      attrs,
+    )
+  }
 }

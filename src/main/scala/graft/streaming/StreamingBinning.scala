@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.binning.{BinAxis, Binning}
+
+/** Structured-Streaming surface of the engine.
+  *
+  * The reference's "datastream" is batch (SURVEY.md §1.1) — the detector
+  * writes files that are processed offline. For a live instrument (or a
+  * 100 TB ingestion pipeline), the same operators apply incrementally:
+  * the per-event transforms (§2.4) are stateless projections that work on
+  * streams unchanged; the histogram becomes a streaming aggregation with
+  * event-time windows + watermark; the running-calibration state uses
+  * `mapGroupsWithState`.
+  */
+object StreamingBinning {
+
+  /** Continuous N-D histogram over an event stream: per-window sparse
+    * cubes, updated incrementally. `tsCol` is the event-time column;
+    * late events beyond `watermark` are dropped (bounded state — at
+    * 1000 executors the state store only holds the open windows × filled
+    * cells, never raw events).
+    */
+  def windowedHistogram(
+      stream: DataFrame,
+      axes: Seq[BinAxis],
+      tsCol: String,
+      windowDuration: String,
+      watermark: String = "10 seconds",
+      countName: String = "cnt",
+  ): DataFrame = {
+    val idxCols = axes.map(ax => Binning.binIndex(ax).as(Binning.idxName(ax)))
+    val keep = axes.map(ax => col(Binning.idxName(ax)).isNotNull).reduce(_ && _)
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol) +: idxCols: _*)
+      .filter(keep)
+      .groupBy(
+        window(col(tsCol), windowDuration) +:
+          axes.map(ax => col(Binning.idxName(ax))): _*)
+      .agg(count(lit(1)).as(countName))
+  }
+
+  /** Streaming per-event transform passthrough: the calibration chain is
+    * stateless, so any `DataFrame => DataFrame` built from §2.4 operators
+    * applies to a stream as-is. Provided for discoverability/symmetry.
+    */
+  def transform(stream: DataFrame, chain: DataFrame => DataFrame): DataFrame =
+    chain(stream)
+
+  /** Running per-key statistics via `mapGroupsWithState` — the streaming
+    * analog of the driver-side running calibration state (e.g. tracking a
+    * per-detector-sector running mean TOF for drift monitoring). State is
+    * O(keys), timeout-free here.
+    */
+  case class SectorState(n: Long, mean: Double)
+  case class SectorUpdate(sector: Long, n: Long, mean: Double)
+
+  def runningSectorMeans(
+      stream: DataFrame,
+      sectorCol: String,
+      valueCol: String,
+  ): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .select(col(sectorCol).cast("long").as("sector"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SectorState, SectorUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (sector, rows, state: GroupState[SectorState]) =>
+          val prev = state.getOption.getOrElse(SectorState(0L, 0.0))
+          var n = prev.n
+          var mean = prev.mean
+          rows.foreach { case (_, v) =>
+            n += 1
+            mean += (v - mean) / n
+          }
+          state.update(SectorState(n, mean))
+          SectorUpdate(sector, n, mean)
+      }
+      .toDF()
+  }
+
+  /** Convenience: run a streaming query over a bounded in-memory source to
+    * completion and return the sink table (used by tests and batch-parity
+    * checks).
+    */
+  def runToMemorySink(
+      stream: DataFrame,
+      queryName: String,
+      outputMode: OutputMode,
+  ): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.table(queryName)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.binning
+
+import org.apache.spark.sql.functions.{col, sum}
+
+import graft.SparkSpec
+
+/** Property-style randomized tests the reference lacks (SURVEY.md §5 port
+  * strategy): seeded random bin specs and data against structural
+  * invariants. (Hand-rolled generation: the scalatest/scalacheck bridge
+  * artifact is not in the offline cache.)
+  */
+class BinningProperties extends SparkSpec {
+  import spark.implicits._
+
+  private def cases[A](n: Int, seed: Long)(gen: scala.util.Random => A): Seq[A] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(gen(rnd))
+  }
+
+  private def randAxis(rnd: scala.util.Random): UniformAxis = {
+    val n = 1 + rnd.nextInt(50)
+    val lo = -100.0 + rnd.nextDouble() * 200.0
+    UniformAxis("x", n, lo, lo + 0.1 + rnd.nextDouble() * 50.0)
+  }
+
+  private def randValues(rnd: scala.util.Random, n: Int): Seq[Double] =
+    Seq.fill(n)(-150.0 + rnd.nextDouble() * 350.0)
+
+  test("mass conservation: sum(hist) == count of in-range rows (20 cases)") {
+    cases(20, 1L)(r => (randAxis(r), randValues(r, 200))).foreach {
+      case (ax, values) =>
+        val total = Binning.histogram(values.toDF("x"), Seq(ax))
+          .agg(sum("cnt")).collect().headOption
+          .flatMap(r => Option(r.get(0))).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val inRange = values.count { v =>
+          val j = BigDecimal((v - ax.edgeLo) * ax.delta)
+            .setScale(11, BigDecimal.RoundingMode.HALF_UP).toDouble
+          j >= 0 && j <= ax.nBins
+        }
+        assert(total === inRange.toLong, s"axis $ax")
+    }
+  }
+
+  test("bin indices are always within [0, nBins) (20 cases)") {
+    cases(20, 2L)(r => (randAxis(r), randValues(r, 100))).foreach {
+      case (ax, values) =>
+        val idx = values.toDF("x")
+          .select(Binning.uniformBinIndex(col("x"), ax))
+          .collect().flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        assert(idx.forall(i => i >= 0 && i < ax.nBins), s"axis $ax")
+    }
+  }
+
+  test("edges histogram equals uniform histogram when edges are uniform (10 cases)") {
+    cases(10, 3L)(r => (2 + r.nextInt(29), randValues(r, 200))).foreach {
+      case (n, values) =>
+        val uniform = UniformAxis("x", n, 0.0, n.toDouble)
+        val edges = EdgesAxis("x",
+          Array.tabulate(n + 1)(i => uniform.edgeLo + i * uniform.width))
+        val df = values.toDF("x")
+        val hU = Binning.histogram(df, Seq(uniform)).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val hE = Binning.histogram(df, Seq(edges)).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(hU === hE, s"n=$n")
+    }
+  }
+
+  test("dense aggregate equals sparse path on random axes (8 cases)") {
+    cases(8, 4L)(r => (randAxis(r), randValues(r, 300))).foreach {
+      case (ax, values) =>
+        val df = values.toDF("x").repartition(3)
+        val dense = DenseHistogramAgg.denseHistogram(df, Seq(ax))
+        val sparse = Binning.densify(Binning.histogram(df, Seq(ax)), Seq(ax))
+        assert(dense.data.toSeq === sparse.data.toSeq, s"axis $ax")
+    }
+  }
+
+  test("interp output is bounded by the knot value envelope (15 cases)") {
+    cases(15, 5L) { r =>
+      val xs = Seq.fill(5)(-100.0 + r.nextDouble() * 200.0).distinct.sorted.toArray
+      xs
+    }.filter(_.length >= 2).foreach { xs =>
+      val ys = xs.indices.map(i => math.sin(i.toDouble) * 10).toArray
+      val vals = Seq(-1000.0, xs.head, xs.last, 1000.0) ++
+        xs.indices.dropRight(1).map(i => (xs(i) + xs(i + 1)) / 2)
+      val out = vals.toDF("x")
+        .select(graft.dfops.Interp.piecewiseLinear(col("x"), xs, ys))
+        .as[Double].collect()
+      assert(out.forall(v => v >= ys.min - 1e-9 && v <= ys.max + 1e-9))
+    }
+  }
+}

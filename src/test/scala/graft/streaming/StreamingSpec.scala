@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.binning.{Binning, UniformAxis}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEventFiles(dir: String): Unit = {
+    // two "arriving" files of timestamped events
+    Seq(
+      (0 until 50).map(i => (java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i % 30}%02d"), i * 10.0)),
+      (50 until 80).map(i => (java.sql.Timestamp.valueOf(f"2024-01-01 00:01:${i % 30}%02d"), i * 5.0)),
+    ).zipWithIndex.foreach { case (rows, idx) =>
+      rows.toDF("ts", "value").coalesce(1)
+        .write.mode("append").parquet(dir)
+      val _ = idx
+    }
+  }
+
+  test("windowedHistogram over a file stream matches the batch histogram") {
+    val dir = Files.createTempDirectory("stream-in").toFile.getPath + "/data"
+    writeEventFiles(dir)
+    val ax = UniformAxis("value", 10, 0.0, 800.0)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val binned = StreamingBinning.windowedHistogram(
+      stream, Seq(ax), "ts", "1 minute")
+    assert(binned.isStreaming)
+    // Complete mode: emits every window at each trigger — in Append mode the
+    // final window would stay open (the watermark never passes it) and be
+    // dropped when the bounded stream ends
+    val result = StreamingBinning.runToMemorySink(binned, "hist_sink", OutputMode.Complete())
+      .groupBy("bin_value").agg(sum("cnt").as("cnt")) // collapse windows
+    val batch = Binning.histogram(spark.read.parquet(dir), Seq(ax))
+    val streamed = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === expected)
+  }
+
+  test("stateless calibration chain applies to a stream unchanged") {
+    val dir = Files.createTempDirectory("stream-in2").toFile.getPath + "/data"
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 100.0))
+      .toDF("ts", "value").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = StreamingBinning.transform(stream,
+      df => df.withColumn("t_ns",
+        graft.calibrate.Energy.tof2ns(col("value"), 2.0e-9, 1)))
+    val sunk = StreamingBinning.runToMemorySink(out, "chain_sink", OutputMode.Append())
+    assert(sunk.select("t_ns").as[Double].head() === 100.0 * 1e9 * 2.0e-9 * 2.0)
+  }
+
+  test("runningSectorMeans keeps per-key state across micro-batches") {
+    val dir = Files.createTempDirectory("stream-in3").toFile.getPath + "/data"
+    Seq((0L, 10.0), (0L, 20.0), (1L, 5.0)).toDF("sector", "v").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = StreamingBinning.runningSectorMeans(stream, "sector", "v")
+    val sunk = StreamingBinning.runToMemorySink(out, "state_sink", OutputMode.Update())
+    val byKey = sunk.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(byKey(0L) === ((2L, 15.0)))
+    assert(byKey(1L) === ((1L, 5.0)))
+  }
+}
