@@ -48,9 +48,9 @@ object Momentum {
     * bilinear interpolation into the inverse deformation field —
     * `(Xm, Ym) = bilinear(invDfield[0|1], X/detRatioX, Y/detRatioY)`.
     *
-    * The field (two `rows × cols` grids, ≈2048² doubles each) is broadcast
-    * once; the lookup is a Scala UDF over the broadcast handle (v0 — a
-    * codegen `Expression` is the planned upgrade, SURVEY.md §4). Matches
+    * Each field (a `rows × cols` grid, ≈2048² doubles) is broadcast once
+    * per executor and looked up by the native codegen'd
+    * [[BilinearGridLookup]] expression — no UDF in the hot path. Matches
     * `scipy.ndimage.map_coordinates(order=1)` with nearest-edge clamping.
     */
   def applyDfield(
@@ -71,29 +71,20 @@ object Momentum {
     val yScale = (cols - 1).toDouble / (detectorRanges._2._2 - detectorRanges._2._1)
     val xOff = detectorRanges._1._1
     val yOff = detectorRanges._2._1
-    val bc: Broadcast[Array[Array[Array[Double]]]] =
-      spark.sparkContext.broadcast(invDfield)
 
-    def bilinear(field: Int) = udf { (x: Double, y: Double) =>
-      val g = bc.value(field)
-      val r = (x - xOff) * xScale
-      val c = (y - yOff) * yScale
-      // clamp to the grid (map_coordinates mode="nearest" at order=1)
-      val rc = math.min(math.max(r, 0.0), rows - 1.0)
-      val cc = math.min(math.max(c, 0.0), cols - 1.0)
-      val r0 = math.min(rc.toInt, rows - 2)
-      val c0 = math.min(cc.toInt, cols - 2)
-      val fr = rc - r0
-      val fc = cc - c0
-      g(r0)(c0) * (1 - fr) * (1 - fc) +
-        g(r0 + 1)(c0) * fr * (1 - fc) +
-        g(r0)(c0 + 1) * (1 - fr) * fc +
-        g(r0 + 1)(c0 + 1) * fr * fc
+    import org.apache.spark.sql.GraftBridge
+    def lookup(field: Int): Column = {
+      val flat: Broadcast[Array[Double]] =
+        spark.sparkContext.broadcast(invDfield(field).flatten)
+      GraftBridge.column(BilinearGridLookup(
+        GraftBridge.expression(col(xColumn).cast("double")),
+        GraftBridge.expression(col(yColumn).cast("double")),
+        flat, rows, cols, xOff, xScale, yOff, yScale))
     }
 
     df.withColumns(Map(
-      newXColumn -> bilinear(0)(col(xColumn), col(yColumn)),
-      newYColumn -> bilinear(1)(col(xColumn), col(yColumn)),
+      newXColumn -> lookup(0),
+      newYColumn -> lookup(1),
     ))
   }
 }

@@ -192,6 +192,25 @@ object ChannelLoader {
     (events, timed)
   }
 
+  /** S7 SXP variant (`sed/loader/sxp/loader.py:226-318`): the DAQ
+    * concatenates several macrobunches' pulse arrays into one train
+    * record; boundaries are where the pulse id *decreases*. Emits one row
+    * per pulse entry with its recovered `macrobunchId` — a per-train lag
+    * window over the explode order (the shuffle keys on trainId, so
+    * window state never crosses trains).
+    */
+  def segmentMacrobunches(raw: DataFrame): DataFrame = {
+    val exploded = raw.select(
+      col("trainId"), posexplode(col("pulseId")).as(Seq("_pos", "pulse")))
+    val w = Window.partitionBy("trainId").orderBy("_pos")
+    exploded
+      .withColumn("_desc",
+        when(col("pulse") < lag(col("pulse"), 1).over(w), 1).otherwise(0))
+      .withColumn("macrobunchId",
+        sum(col("_desc")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_desc", "_pos")
+  }
+
   /** F6 parquet buffering with schema check against the expected channel
     * set (`flash/loader.py:617-742`): write once, validate on reuse.
     */

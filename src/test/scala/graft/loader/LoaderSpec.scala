@@ -96,6 +96,17 @@ class LoaderSpec extends SparkSpec {
     assert(err.getMessage.contains("missing_channel"))
   }
 
+  test("segmentMacrobunches splits concatenated pulse arrays on descents") {
+    // S7: pulse ids [0,1,2, 0,1, 0] = three macrobunches in one train
+    val raw = Seq((1L, Seq(0.0, 1.0, 2.0, 0.0, 1.0, 0.0)), (2L, Seq(5.0, 6.0)))
+      .toDF("trainId", "pulseId")
+    val out = ChannelLoader.segmentMacrobunches(raw)
+      .orderBy("trainId", "macrobunchId", "pulse")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq === Seq(0L, 0L, 0L, 1L, 1L, 2L))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq === Seq(0L, 0L))
+  }
+
   test("countRate and elapsedTime aggregate timestamps") {
     val df = Seq((0.0, 1L), (10.0, 2L), (20.0, 3L)).toDF("ts", "v")
     assert(GenericLoader.elapsedTime(df, "ts") === 20.0)
