@@ -63,12 +63,23 @@ object SparkEntry {
 
   // ---- flagship ----
 
-  /** Flagship: 1-D binned histogram on sf0.001 events; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    Binning.histogram(
-      table(spark, "/root/testdata/sf0.001", "events"),
-      Seq(ax1dValue),
-    )
+  /** Flagship: the full calibration workflow + 1-D energy histogram on
+    * sf0.001 lineitem; driver smoke-checks rows>0. (lineitem, not events:
+    * events.parquet carries TIMESTAMP(NANOS), which would require the
+    * nanosAsLong flag on whatever session the driver passes in.)
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = table(spark, "/root/testdata/sf0.001", "lineitem")
+    val chained = Energy
+      .applyEnergyCorrection(
+        DfOps.applyJitter(li, Seq("l_quantity"), amps = Seq(0.5)),
+        "l_extendedprice", "tm",
+        Energy.Correction.spherical(_, _, 25.0, 4.0, 0.05, 100.0),
+        "l_quantity", "l_linenumber")
+      .withColumn("energy",
+        Energy.tof2ev(col("tm"), 1.0e6, 100.0, 2.0, 0, "kinetic", 0.5))
+    Binning.histogram(chained, Seq(UniformAxis("energy", 100, 0.5, 1.5)))
+  }
 
   // ---- operator inventory ----
 

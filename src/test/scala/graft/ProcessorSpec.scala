@@ -36,6 +36,10 @@ class ProcessorSpec extends SparkSpec {
       Set("jitter", "energy_correction", "energy_calibration", "delay_calibration")).size === 4)
   }
 
+  test("SparkEntry.entry produces a non-empty flagship result") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("compute applies transient filters and normalization") {
     val base = events
     val p = new Processor(spark, base, Some(base))
