@@ -187,6 +187,37 @@ object DfOps {
       highColumn -> shiftright(col(column), bits),
     ))
 
+  /** Skew-safe two-phase aggregation: when a grouping key is heavily
+    * skewed (one detector region, one dominant document source), a plain
+    * `groupBy(key)` funnels the hot key through one reducer. Salting
+    * splits each key into `saltBuckets` sub-keys for the partial phase and
+    * re-aggregates the partials — both phases map-side combinable, hot-key
+    * reducer load divided by `saltBuckets`.
+    *
+    * `aggs` supplies per output column a (name, partial aggregate
+    * expression, partial-merge function), e.g. `("cnt", count(lit(1)),
+    * sum)` for a count or `("total", sum(col("x")), sum)` for a sum.
+    * (AQE's skew handling covers joins; aggregation skew needs the salt.)
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      keyCols: Seq[String],
+      aggs: Seq[(String, Column, Column => Column)],
+      saltBuckets: Int = 16,
+      seed: Long = 7L,
+  ): DataFrame = {
+    val salted = df.withColumn("_salt",
+      (rand(seed) * saltBuckets).cast("int"))
+    val partial = salted
+      .groupBy((keyCols :+ "_salt").map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map(a => a._2.as(a._1)): _*)
+    partial
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head._3(col(aggs.head._1)).as(aggs.head._1),
+        aggs.tail.map(a => a._3(col(a._1)).as(a._1)): _*)
+  }
+
   /** T15 `add_time_stamped_data` (`sed/core/dfops.py:123-162`): linear
     * interpolation of an external `(timestamps, values)` series onto each
     * event's timestamp — `np.interp` semantics (clamped to the end values

@@ -64,6 +64,29 @@ object GenericLoader extends Loader {
     sliced.grouped(fStep).map(_.head).toSeq
   }
 
+  /** S9 run-id file resolution (`sed/loader/mpes/loader.py:673-715`,
+    * `sed/loader/flash/loader.py:114-168`): per-facility glob patterns
+    * with the run id substituted, e.g. `"Scan{run}_*"` or
+    * `"*_run{run}_*"`. Natural-sorted like [[gatherFiles]].
+    */
+  def getFilesFromRunId(
+      folder: String,
+      runId: String,
+      extension: String,
+      pattern: String = "*{run}*",
+  ): Seq[String] = {
+    val glob = pattern.replace("{run}", runId)
+    val rx = ("^" + java.util.regex.Pattern.quote(glob)
+      .replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "$").r
+    val all = Option(new java.io.File(folder).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(s".$extension") &&
+        rx.matches(f.getName.stripSuffix(s".$extension")))
+      .map(_.getPath).toSeq
+    require(all.nonEmpty, s"No files found for run $runId in $folder")
+    naturalSort(all)
+  }
+
   /** S1 `GenericLoader.read_dataframe`: parquet/csv/json scan of an
     * explicit path list (order preserved). A `file_id` column materializes
     * the file sequence and `seq` a per-file row index — the stable global

@@ -92,6 +92,27 @@ class DfOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 0L), (7L, 0L), (0L, 1L), (0x1234L & 7, 0x1234L >> 3)))
   }
 
+  test("saltedAggregate equals plain groupBy on skewed keys") {
+    // 90% of rows share one key — the salting path must still be exact
+    val df = spark.range(2000).select(
+      when(col("id") % 10 =!= 0, lit("hot"))
+        .otherwise(concat(lit("k"), (col("id") % 7).cast("string")))
+        .as("key"),
+      col("id").cast("double").as("x"))
+    val salted = DfOps.saltedAggregate(df, Seq("key"), Seq(
+      ("cnt", count(lit(1)), sum),
+      ("total", sum(col("x")), sum),
+    )).collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val plain = df.groupBy("key")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("total"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(salted.keySet === plain.keySet)
+    plain.foreach { case (k, (n, t)) =>
+      assert(salted(k)._1 === n)
+      assert(math.abs(salted(k)._2 - t) < 1e-6)
+    }
+  }
+
   test("Interp.piecewiseLinear: np.interp parity incl. clamps") {
     val xs = Array(0.0, 1.0, 3.0)
     val ys = Array(10.0, 20.0, -20.0)

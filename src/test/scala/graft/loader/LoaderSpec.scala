@@ -96,6 +96,18 @@ class LoaderSpec extends SparkSpec {
     assert(err.getMessage.contains("missing_channel"))
   }
 
+  test("getFilesFromRunId resolves per-facility patterns") {
+    val dir = Files.createTempDirectory("runs").toFile
+    Seq("Scan0030_1.h5", "Scan0030_2.h5", "Scan0031_1.h5", "other.h5").foreach { n =>
+      Files.writeString(new java.io.File(dir, n).toPath, "x")
+    }
+    val files = GenericLoader.getFilesFromRunId(dir.getPath, "0030", "h5", "Scan{run}_*")
+    assert(files.map(new java.io.File(_).getName) === Seq("Scan0030_1.h5", "Scan0030_2.h5"))
+    intercept[IllegalArgumentException] {
+      GenericLoader.getFilesFromRunId(dir.getPath, "9999", "h5", "Scan{run}_*")
+    }
+  }
+
   test("segmentMacrobunches splits concatenated pulse arrays on descents") {
     // S7: pulse ids [0,1,2, 0,1, 0] = three macrobunches in one train
     val raw = Seq((1L, Seq(0.0, 1.0, 2.0, 0.0, 1.0, 0.0)), (2L, Seq(5.0, 6.0)))
