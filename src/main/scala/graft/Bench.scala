@@ -80,9 +80,10 @@ object Bench {
     )
 
     val workloads: Seq[(String, () => Unit)] = Seq(
-      // reference binning_1d: 1-D histogram, 1000 bins
-      "binning_1d" -> (() => exec(Binning.histogram(lineitem,
-        Seq(UniformAxis("l_extendedprice", 1000, 900.0, 105000.0))))),
+      // reference binning_1d: 1-D histogram, 1000 bins — dense-aggregate
+      // fast path, materialized like the reference's cube
+      "binning_1d" -> (() => Binning.histogramCube(lineitem,
+        Seq(UniformAxis("l_extendedprice", 1000, 900.0, 105000.0)))),
       // reference binning_4d: 4-D histogram, 100 bins per axis
       "binning_4d" -> (() => exec(Binning.histogram(lineitem, Seq(
         UniformAxis("l_quantity", 100, 1.0, 50.0),
@@ -90,7 +91,7 @@ object Bench {
         UniformAxis("l_discount", 100, 0.0, 0.11),
         UniformAxis("l_tax", 100, 0.0, 0.09))))),
       // reference workflow_1d: full transform chain + 1-D energy histogram
-      "workflow_1d" -> (() => exec(Binning.histogram(workflowChain, Seq(axEnergy)))),
+      "workflow_1d" -> (() => Binning.histogramCube(workflowChain, Seq(axEnergy))),
       // reference workflow_4d: chain + 4-D (kx, ky, energy, delay) histogram
       "workflow_4d" -> (() => exec(Binning.histogram(workflowChain, ax4dWf))),
       // pipeline extensions at the same scale factor

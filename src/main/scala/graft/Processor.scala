@@ -172,8 +172,7 @@ class Processor(
       require(d.columns.contains(c), s"Filter column $c not in dataframe")
       DfOps.applyFilter(d, c, lo, up)
     }
-    val sparse = Binning.histogram(filtered, axes)
-    val cube = Binning.densify(sparse, axes)
+    val cube = Binning.histogramCube(filtered, axes)
       .withAttrs("units" -> "counts", "long_name" -> "photoelectron counts")
     normalizeToAcquisitionTime match {
       case None => cube

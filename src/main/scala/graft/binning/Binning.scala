@@ -131,6 +131,23 @@ object Binning {
       .agg(count(lit(1)).as(countName))
   }
 
+  /** Materialized histogram with automatic physical-path selection: cubes
+    * up to `denseMaxCells` use [[DenseHistogramAgg]] (per-partition dense
+    * buffers, no per-cell shuffle — measured 2-3× faster than
+    * sparse+densify at bench scale); larger cubes aggregate sparsely and
+    * densify, bounded by [[densify]]'s `maxCells` guard. `denseMaxCells`
+    * defaults to 2²⁰ cells = 8 MB of buffer per partition.
+    */
+  def histogramCube(
+      df: DataFrame,
+      axes: Seq[BinAxis],
+      denseMaxCells: Long = 1L << 20,
+  ): BinnedCube = {
+    val cells = axes.map(_.nBins.toLong).product
+    if (cells <= denseMaxCells) DenseHistogramAgg.denseHistogram(df, axes)
+    else densify(histogram(df, axes), axes)
+  }
+
   /** Collect a sparse cube into a dense driver-side [[BinnedCube]].
     *
     * Only legal for small cubes (the reference materializes every cube; we
