@@ -306,6 +306,14 @@ object SparkEntry {
           .select(col("doc_id"), col("text").cast("binary").as("bin")),
         "bin").drop("bin")),
 
+    // duplicate-cluster resolution: connected components over near-dup
+    // pairs → canonical (minimum) id per cluster
+    "q_dedup_cluster" -> ((s, dir) =>
+      pipeline.Dedup.connectedComponents(
+        pipeline.Dedup.ngramJaccardPairs(
+          table(s, dir, "documents"), "text", "doc_id", col("source"),
+          n = 3, threshold = 0.5))),
+
     // ---- loader-family operators (S3/F1-F5) ----
     // F2 posexplode of array channels onto the index
     "q_explode" -> ((s, dir) =>
@@ -572,6 +580,20 @@ object SparkEntry {
         | CASE (ord(substr(text, 1, 1)) % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
         | FROM documents""".stripMargin.replace("\n", " "),
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE s AS (SELECT doc_id AS id, source AS block,
+        |  list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS sh
+        |  FROM documents),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b FROM s a JOIN s b
+        |  ON a.block = b.block AND a.id < b.id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
+        |    >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |walk AS (SELECT src AS id, dst AS reach FROM edges
+        |  UNION SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+        |SELECT id, least(id, min(reach)) AS label FROM walk GROUP BY id""".stripMargin.replace("\n", " "),
     "q_explode" ->
       """SELECT token, count(*) AS cnt FROM
         | (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -217,6 +217,74 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- duplicate-cluster resolution ----
+
+  /** Connected components over near-duplicate pairs: assigns every id the
+    * minimum id reachable through the pair graph (the canonical document
+    * of its duplicate cluster).
+    *
+    * Iterative label propagation: each round joins current labels across
+    * the (symmetrized) edge list and keeps the per-node minimum —
+    * O(diameter) rounds of hash joins, all shuffles keyed on node id.
+    * Near-dup graphs are unions of small cliques-ish clusters (diameter
+    * ≤ ~log n in practice), so `maxIter` defaults small; iteration stops
+    * early when a round changes nothing.
+    */
+  def connectedComponents(
+      pairs: DataFrame, // columns id_a, id_b
+      maxIter: Int = 10,
+  ): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // min label among self and neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end near-duplicate removal: MinHash-LSH candidate pairs →
+    * duplicate clusters → keep only each cluster's minimum id (plus all
+    * documents that never appeared in a pair). The anti-join keeps the
+    * corpus distributed throughout.
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 8,
+  ): DataFrame = {
+    val pairs = minhashNearDuplicates(df, textCol, idCol,
+      numHashes = numHashes, bands = bands, threshold = threshold)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- embedding cosine near-dup ----
 
   /** Cosine similarity of two equal-length float-vector columns, computed

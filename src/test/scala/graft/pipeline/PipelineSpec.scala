@@ -72,6 +72,27 @@ class PipelineSpec extends SparkSpec {
     assert(fps(0L).intersect(fps(3L)).size < fps(0L).size / 2)
   }
 
+  test("connectedComponents resolves duplicate clusters to min ids") {
+    // components: {1,2,3,4} via chain, {10,11}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === 1L && labels(2L) === 1L && labels(3L) === 1L && labels(4L) === 1L)
+    assert(labels(10L) === 10L && labels(11L) === 10L)
+  }
+
+  test("dropNearDuplicates keeps one document per near-dup cluster") {
+    val out = Dedup.dropNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // docs 0,1,2 form one cluster (exact + near dup) → keep 0 only
+    assert(out.contains(0L))
+    assert(!out.contains(1L))
+    assert(!out.contains(2L))
+    // unrelated docs survive
+    assert(Seq(3L, 4L, 5L).forall(out.contains))
+  }
+
   test("langId picks profiles deterministically") {
     val preds = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
