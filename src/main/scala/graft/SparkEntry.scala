@@ -286,6 +286,15 @@ object SparkEntry {
       pipeline.Similarity.lshTopK(
         table(s, dir, "embeddings"), "embedding", "vec_id", q, lshPlanes, 10)
     }),
+    // IVF ANN top-k: k-means coarse quantizer + probed search — rows-only
+    // (centroids are data-derived; determinism is property-tested)
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
+      val centroids = pipeline.Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8)
+      pipeline.Similarity.ivfTopK(emb, "embedding", "vec_id", q, centroids, 10)
+    }),
     // MinHash+LSH near-dup pairs — rows-only (xxhash64 not in DuckDB)
     "q_minhash_pairs" -> ((s, dir) =>
       pipeline.Dedup.minhashNearDuplicates(

@@ -63,6 +63,106 @@ object Similarity {
   ): DataFrame =
     df.withColumn(bucketName, lshBucket(col(vecCol), planes))
 
+  // ---- IVF (inverted-file) variant: k-means coarse quantizer ----
+
+  /** Driver-side Lloyd iterations on a bounded, deterministic sample (the
+    * first `sampleN` rows by id): the coarse quantizer is tiny (k × dim
+    * doubles) and training it on a sample is the standard IVF recipe —
+    * the full corpus never leaves the executors.
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      iters: Int = 10,
+      sampleN: Int = 10000,
+  ): Array[Array[Double]] = {
+    val sample = df.orderBy(col(idCol)).limit(sampleN)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors")
+    var centroids = Array.tabulate(k)(i => sample(i * (sample.length / k)).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d2 = 0.0
+      var i = 0
+      while (i < v.length) { val d = v(i) - centroids(c)(i); d2 += d * d; i += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Squared euclidean distance of the vector column to a literal
+    * centroid — strict left fold, deterministic summation order.
+    */
+  def sqDist(vec: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, lit(centroid), (x, m) => {
+        val d = x.cast("double") - m
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF list assignment: nearest-centroid index per row (ties to the
+    * lowest index). Pure expressions — at rest, partition the lake by
+    * this column so a probe reads only its lists.
+    */
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.map(sqDist(vec, _))
+    val best = dists.reduce((a, b) => least(a, b))
+    centroids.indices.reverse.foldLeft(lit(-1)) { (acc, c) =>
+      when(dists(c) === best, lit(c)).otherwise(acc)
+    }
+  }
+
+  /** IVF ANN top-k: probe the `nProbe` lists nearest to the query, score
+    * only their members.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Array[Double],
+      centroids: Array[Array[Double]],
+      k: Int,
+      nProbe: Int = 2,
+  ): DataFrame = {
+    val probes = centroids.indices
+      .sortBy { c =>
+        centroids(c).indices.map { i =>
+          val d = query(i) - centroids(c)(i); d * d
+        }.sum
+      }
+      .take(nProbe)
+    df.withColumn("_list", ivfAssign(col(vecCol), centroids))
+      .filter(col("_list").isin(probes: _*))
+      .select(col(idCol),
+        round(Dedup.cosine(col(vecCol), lit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k: score only rows in the query's bucket (single-probe).
     * `multiProbe` additionally probes all buckets at Hamming distance 1
     * (flipping each bit once) — the standard recall/latency dial.

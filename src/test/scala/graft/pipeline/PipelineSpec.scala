@@ -145,6 +145,40 @@ class PipelineSpec extends SparkSpec {
     assert(approx.contains(3L)) // the query itself always survives
   }
 
+  test("ivfAssign expression matches the driver-side nearest centroid") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = Similarity.kmeansCentroids(df, "embedding", "vec_id", 4, iters = 5)
+    val assigned = df.select(col("vec_id"),
+        Similarity.ivfAssign(col("embedding"), centroids).as("list"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = df.select("vec_id", "embedding").collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val dists = centroids.map(c =>
+        v.indices.foldLeft(0.0)((acc, i) => acc + (v(i) - c(i)) * (v(i) - c(i))))
+      r.getLong(0) -> dists.indexOf(dists.min)
+    }.toMap
+    assert(assigned === expected)
+  }
+
+  test("ivfTopK equals brute force restricted to the probed lists") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = df.filter(col("vec_id") === 3).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble).toArray
+    val centroids = Similarity.kmeansCentroids(df, "embedding", "vec_id", 8)
+    val approx = Similarity.ivfTopK(df, "embedding", "vec_id", q, centroids, 10, nProbe = 2)
+      .select("vec_id").as[Long].collect()
+    val probes = centroids.indices.sortBy { c =>
+      centroids(c).indices.map { i => val d = q(i) - centroids(c)(i); d * d }.sum
+    }.take(2)
+    val candidates = df.withColumn("_list",
+        Similarity.ivfAssign(col("embedding"), centroids))
+      .filter(col("_list").isin(probes: _*))
+    val exact = Similarity.bruteForceTopK(candidates, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect()
+    assert(approx.toSeq === exact.toSeq)
+    assert(approx.contains(3L)) // query's own list is always probed
+  }
+
   test("multimodal decodeMeta: stubbed decode over binary batches") {
     val df = Seq((1L, "abcdef"), (2L, "")).toDF("id", "s")
       .select(col("id"), col("s").cast("binary").as("bin"))
