@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.binning.{Binning, UniformAxis}
+import graft.dfops.Interp
+
+/** SQL surface: exposes the engine's core scalar operators to
+  * `spark.sql(...)` via the Catalyst `FunctionRegistry`, either through
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * [[GraftExtensions.register]] on a live session.
+  *
+  * Registered functions:
+  *  - `graft_bin_uniform(x, nBins, centerLo, centerHi)` — bin index with
+  *    the engine's exact kernel semantics (center-range convention,
+  *    rounding guard, inclusive right edge; NULL = out of range)
+  *  - `graft_tof2ev(t, d, t0, binwidth, binning, sign, e0)`
+  *  - `graft_interp(x, xs, ys)` — np.interp with literal array knots
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def lit(e: Expression, what: String): Any = e match {
+    case Literal(v, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
+  private def d(e: Expression, what: String): Double = lit(e, what) match {
+    case n: java.lang.Number => n.doubleValue()
+    case v => throw new IllegalArgumentException(s"$what must be numeric, got $v")
+  }
+  private def i(e: Expression, what: String): Int = d(e, what).toInt
+  private def darr(e: Expression, what: String): Array[Double] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _) =>
+      children.map(c => d(c, what)).toArray
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array literal, got $other")
+  }
+
+  private def col(e: Expression) = GraftBridge.column(e)
+  private def ex(c: org.apache.spark.sql.Column) = GraftBridge.resolvedExpression(c)
+
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      "graft_bin_uniform",
+      new ExpressionInfo(classOf[Binning.type].getName, "graft_bin_uniform"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_bin_uniform(x, nBins, centerLo, centerHi)")
+        val ax = UniformAxis("_", i(args(1), "nBins"),
+          d(args(2), "centerLo"), d(args(3), "centerHi"))
+        ex(Binning.uniformBinIndex(col(args.head), ax))
+      },
+    ),
+    (
+      "graft_tof2ev",
+      new ExpressionInfo(classOf[graft.calibrate.Energy.type].getName, "graft_tof2ev"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          "graft_tof2ev(t, d, t0, binwidth, binning, scale_sign, e0)")
+        val scale = if (d(args(5), "scale_sign") >= 0) "kinetic" else "binding"
+        ex(graft.calibrate.Energy.tof2ev(col(args.head), d(args(1), "d"),
+          d(args(2), "t0"), d(args(3), "binwidth"), i(args(4), "binning"),
+          scale, d(args(6), "e0")))
+      },
+    ),
+    (
+      "graft_interp",
+      new ExpressionInfo(classOf[Interp.type].getName, "graft_interp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_interp(x, xs_array, ys_array)")
+        ex(Interp.piecewiseLinear(col(args.head),
+          darr(args(1), "xs"), darr(args(2), "ys")))
+      },
+    ),
+  )
+
+  /** Register on an already-built session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

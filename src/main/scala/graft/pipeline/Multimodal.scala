@@ -26,12 +26,54 @@ object Multimodal {
     StructField("byte_len", LongType, nullable = false),
   ))
 
-  /** STUB decoder: a real implementation would parse the container header
-    * (PNG/JPEG/WAV/…). The fake is deterministic in the bytes so tests and
-    * oracles are stable: dimensions derived from the byte length, format
-    * from the first byte.
+  /** Container-header metadata decode. Real parsing for the three
+    * fixed-layout headers that need no codec — PNG (IHDR), JPEG (SOFn
+    * frame marker), WAV (fmt chunk: samples/sec × channels stand in for
+    * width/height) — and a clearly-marked deterministic STUB for anything
+    * else (pixel/audio *decoding* needs codec libraries this environment
+    * doesn't ship; the fake derives stable pseudo-metadata from the raw
+    * bytes so plumbing tests and oracles are reproducible).
     */
   def decodeStub(bytes: Array[Byte]): MediaMeta = {
+    def u16be(i: Int) = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    def u32be(i: Int) =
+      ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    def u16le(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32le(i: Int) =
+      (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+    val len = bytes.length.toLong
+    // PNG: 8-byte signature, then the IHDR chunk at fixed offset
+    if (len >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G')
+      MediaMeta(u32be(16), u32be(20), "png", len)
+    // JPEG: scan markers for the first SOFn (C0-C3) frame header
+    else if (len >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      var i = 2
+      var out: MediaMeta = null
+      while (out == null && i + 9 < bytes.length) {
+        if ((bytes(i) & 0xff) == 0xff) {
+          val marker = bytes(i + 1) & 0xff
+          if (marker >= 0xc0 && marker <= 0xc3)
+            out = MediaMeta(u16be(i + 7), u16be(i + 5), "jpeg", len)
+          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+          else i += 2 + u16be(i + 2)
+        } else i += 1
+      }
+      if (out != null) out else MediaMeta(0, 0, "jpeg", len)
+    }
+    // WAV: RIFF....WAVE with an LE fmt chunk at the canonical offset
+    else if (len >= 36 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V')
+      MediaMeta(u32le(24), u16le(22), "wav", len) // sample rate, channels
+    else stubMeta(bytes)
+  }
+
+  /** The deterministic fallback for non-container bytes (STUB — stands in
+    * for codec-based feature extraction).
+    */
+  def stubMeta(bytes: Array[Byte]): MediaMeta = {
     val len = bytes.length.toLong
     val fmt = if (bytes.isEmpty) "empty" else ((bytes(0) & 0xff) % 3) match {
       case 0 => "png"

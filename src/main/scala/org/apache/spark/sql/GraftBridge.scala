@@ -11,4 +11,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Fully convert a Column's node tree to a catalyst Expression using
+    * the active session's converter — needed when the expression must be
+    * self-contained (e.g. returned from a FunctionRegistry builder),
+    * where the lazy [[expression]] wrapper would keep unresolved
+    * function nodes that codegen rejects.
+    */
+  def resolvedExpression(c: Column): Expression = {
+    val s = SparkSession.active.asInstanceOf[classic.SparkSession]
+    s.expression(c)
+  }
 }

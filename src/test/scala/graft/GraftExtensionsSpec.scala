@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.binning.{Binning, UniformAxis}
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.register(spark)
+  }
+
+  test("graft_bin_uniform in SQL matches the DataFrame API") {
+    Seq(0.0, 1.4, 2.5, 499.0, -3.0, 500.0).toDF("value")
+      .createOrReplaceTempView("vals")
+    val viaSql = spark.sql(
+      "SELECT graft_bin_uniform(value, 100, 0.0D, 500.0D) AS b FROM vals")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val ax = UniformAxis("value", 100, 0.0, 500.0)
+    val viaApi = spark.table("vals")
+      .select(Binning.uniformBinIndex(col("value"), ax).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    assert(viaSql.exists(_.isEmpty)) // -3.0 is out of range
+  }
+
+  test("graft_tof2ev and graft_interp evaluate correctly from SQL") {
+    val e = spark.sql(
+      "SELECT graft_tof2ev(1000.0D, 1.0E6D, 100.0D, 2.0D, 0, 1.0D, 0.5D) AS e")
+      .as[Double].head()
+    val r = 1.0e6 / ((1000.0 * 2.0) * 1.0 - 100.0)
+    assert(e === 2.84281e-12 * (r * r) + 0.5)
+    val v = spark.sql(
+      "SELECT graft_interp(5.0D, array(0.0D, 10.0D), array(0.0D, 100.0D)) AS v")
+      .as[Double].head()
+    assert(v === 50.0)
+  }
+
+  test("non-literal parameters are rejected with a clear error") {
+    Seq(1.0).toDF("value").createOrReplaceTempView("v1")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_bin_uniform(value, CAST(value AS INT), 0.0D, 1.0D) FROM v1")
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+}

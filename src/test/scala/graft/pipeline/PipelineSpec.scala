@@ -192,6 +192,28 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) === ((0, 0, "empty", 0L)))
   }
 
+  test("decodeStub parses real PNG/JPEG/WAV container headers") {
+    // PNG: signature + IHDR length/type + width=640 height=480
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 6, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.decodeStub(png) ===
+      Multimodal.MediaMeta(640, 480, "png", png.length.toLong))
+    // JPEG: SOI + APP0(len 4) + SOF0 with height=16 width=32
+    val jpeg = Array[Int](0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0, 0,
+      0xff, 0xc0, 0x00, 0x0b, 8, 0x00, 0x10, 0x00, 0x20, 3, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.decodeStub(jpeg) ===
+      Multimodal.MediaMeta(32, 16, "jpeg", jpeg.length.toLong))
+    // WAV: RIFF/WAVE with channels=2 @ offset 22, rate=44100 @ offset 24
+    val wav = new Array[Byte](44)
+    "RIFF".getBytes.copyToArray(wav, 0)
+    "WAVEfmt ".getBytes.copyToArray(wav, 8)
+    wav(22) = 2
+    wav(24) = 0x44.toByte; wav(25) = 0xac.toByte // 44100 LE
+    assert(Multimodal.decodeStub(wav) ===
+      Multimodal.MediaMeta(44100, 2, "wav", 44L))
+  }
+
   test("sampleFrameOffsets fans out n rows per asset") {
     val df = Seq((1L, "0123456789")).toDF("id", "s")
       .select(col("id"), col("s").cast("binary").as("bin"))
