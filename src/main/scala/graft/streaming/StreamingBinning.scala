@@ -86,6 +86,42 @@ object StreamingBinning {
       .toDF()
   }
 
+  /** Streaming exact dedup: drop events whose fingerprint was already
+    * seen within the watermark horizon — the incremental form of
+    * [[graft.pipeline.Dedup.exactDuplicates]] for ingestion pipelines.
+    * State is bounded by (distinct keys × watermark window); late
+    * duplicates beyond the watermark are the documented trade-off.
+    */
+  def dedupWithinWatermark(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String,
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Sink a streaming sparse histogram as per-batch cube snapshots: each
+    * micro-batch's windows are densified and exported via the provided
+    * callback (e.g. [[graft.export.CubeIO.writeDense]] keyed by batch id)
+    * — the live-monitoring surface of the batch `compute()`.
+    */
+  def cubeSnapshotSink(
+      binned: DataFrame,
+      axes: Seq[graft.binning.BinAxis],
+      onBatch: (graft.binning.BinnedCube, Long) => Unit,
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    binned.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cube = Binning.densify(
+          batch.groupBy(axes.map(ax => col(Binning.idxName(ax))): _*)
+            .agg(sum(col("cnt")).cast("long").as("cnt")),
+          axes)
+        onBatch(cube, id)
+      }
+
   /** Convenience: run a streaming query over a bounded in-memory source to
     * completion and return the sink table (used by tests and batch-parity
     * checks).

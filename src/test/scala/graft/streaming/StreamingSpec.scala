@@ -56,6 +56,44 @@ class StreamingSpec extends SparkSpec {
     assert(sunk.select("t_ns").as[Double].head() === 100.0 * 1e9 * 2.0e-9 * 2.0)
   }
 
+  test("dedupWithinWatermark drops repeated keys on a stream") {
+    val dir = Files.createTempDirectory("stream-in4").toFile.getPath + "/data"
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "b"),
+    ).toDF("ts", "key").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = StreamingBinning.dedupWithinWatermark(stream, Seq("key"), "ts", "10 minutes")
+    val sunk = StreamingBinning.runToMemorySink(out, "dedup_sink", OutputMode.Append())
+    assert(sunk.select("key").as[String].collect().sorted.toSeq === Seq("a", "b"))
+  }
+
+  test("cubeSnapshotSink densifies each micro-batch's windows") {
+    val dir = Files.createTempDirectory("stream-in5").toFile.getPath + "/data"
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 15.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 15.5),
+    ).toDF("ts", "value").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val ax = UniformAxis("value", 4, 0.0, 40.0)
+    val binned = StreamingBinning.windowedHistogram(stream, Seq(ax), "ts", "1 minute")
+    @volatile var seen: Option[graft.binning.BinnedCube] = None
+    val q = StreamingBinning.cubeSnapshotSink(binned, Seq(ax),
+        (cube, _) => seen = Some(cube))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.isDefined)
+    assert(seen.get.total === 3L)
+    // center-range convention: kernel edges are [-5, 35), width 10
+    assert(seen.get(1) === 1L) // 5.0 → bin 1
+    assert(seen.get(2) === 2L) // 15.x → bin 2
+  }
+
   test("runningSectorMeans keeps per-key state across micro-batches") {
     val dir = Files.createTempDirectory("stream-in3").toFile.getPath + "/data"
     Seq((0L, 10.0), (0L, 20.0), (1L, 5.0)).toDF("sector", "v").write.parquet(dir)
