@@ -167,8 +167,18 @@ class Processor(
       filters: Seq[(String, Double, Double)] = Nil,
       normalizeToAcquisitionTime: Option[String] = None,
       timeUnit: Double = 0.001,
+      dfPartitions: Option[Int] = None,
   ): BinnedCube = {
-    val filtered = filters.foldLeft(df) { case (d, (c, lo, up)) =>
+    // P7 partition selection (`processor.py:2210-2216`): bin only the
+    // first N input files — pruned at the scan via input_file_name
+    val limited = dfPartitions match {
+      case None => df
+      case Some(n) =>
+        val files = df.select(input_file_name()).distinct()
+          .limit(n).collect().map(_.getString(0))
+        df.filter(input_file_name().isin(files.toIndexedSeq: _*))
+    }
+    val filtered = filters.foldLeft(limited) { case (d, (c, lo, up)) =>
       require(d.columns.contains(c), s"Filter column $c not in dataframe")
       DfOps.applyFilter(d, c, lo, up)
     }

@@ -121,6 +121,33 @@ object Energy {
       col(tofColumn) + correction(col(xColumn), col(yColumn)),
     )
 
+  /** T11 `add_offsets` (`sed/calibrator/energy.py:1476-1646`): shift the
+    * energy column by a constant and/or weighted other columns. On the
+    * *binding* energy scale every weight's sign flips (higher kinetic
+    * energy = lower binding energy); `preserveMean`/`reductions` follow
+    * `offset_by_other_columns` (T13).
+    */
+  def addOffsets(
+      df: DataFrame,
+      energyColumn: String,
+      energyScale: String,
+      constant: Double = 0.0,
+      offsetColumns: Seq[String] = Nil,
+      weights: Seq[Double] = Nil,
+      preserveMean: Seq[Boolean] = Nil,
+      reductions: Seq[Option[String]] = Nil,
+  ): DataFrame = {
+    val sign = if (energyScale == "binding") -1.0 else 1.0
+    val shifted =
+      if (offsetColumns.isEmpty) df
+      else graft.dfops.DfOps.offsetByOtherColumns(
+        df, energyColumn, offsetColumns, weights.map(_ * sign),
+        preserveMean, reductions)
+    if (constant == 0.0) shifted
+    else shifted.withColumn(energyColumn,
+      col(energyColumn) + lit(sign * constant))
+  }
+
   /** T6 `align_dld_sectors` (`sed/calibrator/energy.py:1428-1474`): subtract
     * the per-sector delay `t ← t − delays[sectorID]` for the 8-sector
     * detector. Tiny literal array → `element_at`, no join. The reference

@@ -51,6 +51,36 @@ class BinningSpec extends SparkSpec {
     assert(hist1d(Seq(-0.01, 7.01), ax).isEmpty)
   }
 
+  test("BinSpec.normalize: the argument-normalization matrix") {
+    // mirrors tests/test_binning.py:318-400 accepted forms
+    // scalar int bins broadcast across axes
+    val a1 = BinSpec.normalize(Seq("x", "y"), Seq(Left(10)),
+      Seq((0.0, 1.0), (2.0, 4.0)))
+    assert(a1.map(_.nBins) === Seq(10, 10))
+    assert(a1.map(_.column) === Seq("x", "y"))
+    // per-axis ints with ranges
+    val a2 = BinSpec.normalize(Seq("x", "y"), Seq(Left(5), Left(7)),
+      Seq((0.0, 1.0), (2.0, 4.0)))
+    assert(a2.map(_.nBins) === Seq(5, 7))
+    // explicit center arrays need no ranges
+    val a3 = BinSpec.normalize(Seq("x"), Seq(Right(Array(1.0, 2.0, 3.0))), Nil)
+    assert(a3.head.isInstanceOf[EdgesAxis])
+    assert(a3.head.nBins === 3)
+    // error cases: length mismatch, missing range, bad range order
+    intercept[IllegalArgumentException] {
+      BinSpec.normalize(Seq("x", "y"), Seq(Left(5), Left(7), Left(9)),
+        Seq((0.0, 1.0), (2.0, 4.0)))
+    }
+    intercept[IllegalArgumentException] {
+      BinSpec.normalize(Seq("x"), Seq(Left(5)), Nil)
+    }
+    intercept[IllegalArgumentException] { UniformAxis("x", 5, 1.0, 1.0) }
+    intercept[IllegalArgumentException] { UniformAxis("x", 0, 0.0, 1.0) }
+    intercept[IllegalArgumentException] {
+      EdgesAxis("x", Array(1.0, 1.0, 2.0))
+    }
+  }
+
   test("centers/edges round trip (bin_centers_to_bin_edges)") {
     val centers = Array(1.0, 2.0, 3.0, 4.0)
     val edges = BinSpec.centersToEdges(centers)

@@ -112,6 +112,19 @@ class CalibrateSpec extends SparkSpec {
     assert(math.abs(Delay.mmToPs(25.45, 25.3) - 1.0) < 1e-12)
   }
 
+  test("addOffsets flips signs on the binding energy scale") {
+    // mirrors tests/test_processor.py:650-654 exact-shift semantics
+    val df = Seq((10.0, 2.0), (20.0, 4.0)).toDF("energy", "aux")
+    val kin = Energy.addOffsets(df, "energy", "kinetic",
+        constant = 1.0, offsetColumns = Seq("aux"), weights = Seq(1.0))
+      .select("energy").as[Double].collect().sorted
+    assert(kin.toSeq === Seq(13.0, 25.0)) // e + aux + 1
+    val bind = Energy.addOffsets(df, "energy", "binding",
+        constant = 1.0, offsetColumns = Seq("aux"), weights = Seq(1.0))
+      .select("energy").as[Double].collect().sorted
+    assert(bind.toSeq === Seq(7.0, 15.0)) // e - aux - 1
+  }
+
   test("full workflow chain: jitter → correction → energy → delay on events") {
     val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("X", col("value"))
