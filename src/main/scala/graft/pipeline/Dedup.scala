@@ -297,6 +297,24 @@ object Dedup {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Embedding near-dup pairs blocked by sign-random-projection LSH
+    * buckets — the fully self-contained scale path (no external blocking
+    * column needed): bucket cardinality 2^numBits bounds every join
+    * partition. Recall dial = fewer bits (bigger buckets).
+    */
+  def embeddingNearDuplicatesLsh(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      dim: Int,
+      numBits: Int = 8,
+      seed: Long = 7L,
+  ): DataFrame =
+    embeddingNearDuplicates(
+      Similarity.lshBuckets(df, vecCol, Similarity.hyperplanes(dim, numBits, seed)),
+      vecCol, idCol, col("bucket"), threshold)
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (label,
     * LSH bucket, …): `cos(a, b) >= threshold`, `id_a < id_b`.
     */

@@ -145,6 +145,18 @@ class PipelineSpec extends SparkSpec {
     assert(approx.contains(3L)) // the query itself always survives
   }
 
+  test("embeddingNearDuplicatesLsh finds identical vectors without a block column") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
+      (1L, Array(1.0f, 0.2f, -0.3f, 0.5f)), // exact dup of 0
+      (2L, Array(-1.0f, 0.4f, 0.9f, -0.2f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicatesLsh(
+        vecs, "embedding", "vec_id", threshold = 0.99, dim = 4, numBits = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
   test("ivfAssign expression matches the driver-side nearest centroid") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = Similarity.kmeansCentroids(df, "embedding", "vec_id", 4, iters = 5)
