@@ -1,6 +1,7 @@
 package graft
 
 import graft.binning.{BinAxis, EdgesAxis, UniformAxis}
+import graft.pipeline.TextOps
 
 /** Renders the engine's bin-index semantics as ANSI/DuckDB SQL so each
   * `SparkEntry.queries` entry and its `oracleSql` twin derive from the same
@@ -44,6 +45,188 @@ object OracleSql {
        |${branches.mkString(" ")}
        |END""".stripMargin.replace("\n", " ")
   }
+
+  // ---- portable polynomial hashes (mirror graft.pipeline.TextOps) ----
+
+  private val P = TextOps.PolyPrime
+
+  private def pow(base: Long, e: Int): Long =
+    Iterator.fill(e)(base).foldLeft(1L)(_ * _)
+
+  /** Poly hash of the k chars of `textSql` starting at 1-based position
+    * expression `iSql` — direct char indexing (all positions assumed in
+    * range); mirrors [[TextOps.polyHashFixed]] applied to a full shingle.
+    */
+  def polyShingleSql(textSql: String, iSql: String, k: Int, base: Long = 31L): String = {
+    val terms = (0 until k).map { j =>
+      val at = if (j == 0) iSql else s"$iSql + $j"
+      s"(ord(substr($textSql, $at, 1)) * ${pow(base, k - 1 - j)}::BIGINT)"
+    }
+    s"((${terms.mkString(" + ")}) % $P)"
+  }
+
+  /** Guarded poly hash of the first `k` chars of a (possibly shorter)
+    * string expression; out-of-range codepoints read as 0 to match Spark's
+    * `ascii` on an empty substring.
+    */
+  def polyPrefixSql(tSql: String, k: Int, base: Long): String = {
+    val terms = (1 to k).map { j =>
+      s"((CASE WHEN length($tSql) >= $j THEN ord(substr($tSql, $j, 1)) ELSE 0 END) * ${pow(base, k - j)}::BIGINT)"
+    }
+    s"((${terms.mkString(" + ")}) % $P)"
+  }
+
+  /** Mirrors [[TextOps.portableTokenHash]]: 62-bit two-polynomial hash. */
+  def portableTokenHashSql(tSql: String): String = {
+    val h1 = s"((${polyPrefixSql(tSql, 8, 31L)} + length($tSql)) % $P)"
+    val h2 = s"((${polyPrefixSql(tSql, 8, 37L)} + (length($tSql) * 7)) % $P)"
+    s"($h1 + ($h2 * ${1L << 31}))"
+  }
+
+  /** Winnowing fingerprint rows (doc_id, fp) — mirrors
+    * [[TextOps.rollingHashFingerprint]] with the portable shingle hash,
+    * exploded: k-gram hashes, window minima, distinct.
+    */
+  def rollingFpSql(table: String, k: Int, window: Int): String = {
+    val h = polyShingleSql("text", "i", k)
+    s"""WITH h AS (
+       |  SELECT doc_id, [ $h for i in range(1, length(text) - ${k - 2}) ] AS hs
+       |  FROM $table WHERE length(text) >= $k)
+       |SELECT doc_id, unnest(list_sort(list_distinct(
+       |  [ list_min(hs[i : i + ${window - 1}])
+       |    for i in range(1, greatest(len(hs) - ${window - 1}, 1) + 1) ]
+       |))) AS fp FROM h""".stripMargin.replace("\n", " ")
+  }
+
+  /** MinHash+LSH near-dup pairs — mirrors
+    * [[graft.pipeline.Dedup.minhashNearDuplicates]] with `portable = true`:
+    * same seeded affine coefficients, same banding, same estimate.
+    */
+  def minhashPairsSql(
+      table: String,
+      k: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      seed: Long,
+  ): String = {
+    val rows = numHashes / bands
+    val coeffs = pipeline.Dedup.hashCoeffs(numHashes, seed)
+    val sigEntries = coeffs.map { case (a, b) =>
+      s"list_min([ ((h * $a::BIGINT) + $b) % $P for h in hs ])"
+    }
+    val est =
+      s"CAST(len([i for i in range(1, ${numHashes + 1}) if a.sig[i] = b.sig[i]]) AS DOUBLE) / ${d(numHashes.toDouble)}"
+    val bandIdx = (0 until bands).mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct([ ${polyShingleSql("text", "i", k)}
+       |      for i in range(1, length(text) - ${k - 2}) ]) AS hs
+       |  FROM $table WHERE length(text) >= $k),
+       |sigs AS (SELECT id, [ ${sigEntries.mkString(", ")} ] AS sig FROM base),
+       |banded AS (
+       |  SELECT id, sig, bi, sig[$rows * bi + 1 : $rows * bi + $rows] AS band
+       |  FROM sigs CROSS JOIN (SELECT unnest($bandIdx) AS bi) bs)
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b, $est AS est_jaccard
+       |FROM banded a JOIN banded b
+       |  ON a.bi = b.bi AND a.band = b.band AND a.id < b.id
+       |WHERE $est >= ${d(threshold)}""".stripMargin.replace("\n", " ")
+  }
+
+  /** SimHash near-dup pairs — mirrors
+    * [[graft.pipeline.Dedup.simhashNearDuplicates]] with `portable = true`
+    * (62-bit token hash, pigeonhole banding, Hamming filter).
+    */
+  def simhashPairsSql(table: String, maxDistance: Int): String = {
+    val bits = 62
+    val blocks = maxDistance + 1
+    val width = bits / blocks
+    val sigTerms = (0 until bits).map { bit =>
+      s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $bit) & 1) = 1)) > len(hs) THEN ${1L << bit}::BIGINT ELSE 0 END)"
+    }
+    val blockIdx = (0 until blocks).mkString("[", ", ", "]")
+    raw"""WITH th AS (
+         |  SELECT doc_id AS id,
+         |    [ ${portableTokenHashSql("t")}
+         |      for t in regexp_split_to_array(trim(text), '\s+') ] AS hs
+         |  FROM $table),
+         |sigs AS (SELECT id, (${sigTerms.mkString(" + ")}) AS sig FROM th),
+         |banded AS (
+         |  SELECT id, sig, blk, (sig >> ($width * blk)) & ${(1L << width) - 1} AS bv
+         |  FROM sigs CROSS JOIN (SELECT unnest($blockIdx) AS blk) bs)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS distance
+         |FROM banded a JOIN banded b
+         |  ON a.blk = b.blk AND a.bv = b.bv AND a.id < b.id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= $maxDistance""".stripMargin.replace("\n", " ")
+  }
+
+  /** Per-row LSH bucket expression over `embedding` (same plane constants
+    * and left-to-right dot-sum order as
+    * [[graft.pipeline.Similarity.lshBucket]]).
+    */
+  def lshBucketExprSql(planes: Array[Array[Double]]): String = {
+    val dots = planes.map { p =>
+      "0.0 + " + p.zipWithIndex
+        .map { case (w, i) => s"CAST(embedding[${i + 1}] AS DOUBLE) * ${d(w)}" }
+        .mkString(" + ")
+    }
+    val bucket = dots.zipWithIndex
+      .map { case (dt, b) => s"(CASE WHEN ($dt) > 0 THEN ${1L << b} ELSE 0 END)" }
+      .mkString(" + ")
+    s"CAST($bucket AS BIGINT)"
+  }
+
+  /** Multi-probe LSH ANN top-k — mirrors
+    * [[graft.pipeline.Similarity.lshTopK]]: probe the query's bucket and
+    * all Hamming-1 neighbors, exact cosine within candidates.
+    */
+  def lshTopKSql(table: String, planes: Array[Array[Double]], k: Int): String = {
+    val xorProbes = planes.indices.map(b => 1L << b).mkString(", ")
+    s"""WITH bk AS (SELECT vec_id, ${lshBucketExprSql(planes)} AS bucket FROM $table),
+       |qb AS (SELECT bucket AS q FROM bk WHERE vec_id = 0),
+       |cand AS (SELECT bk.vec_id FROM bk, qb
+       |  WHERE bk.bucket = qb.q OR xor(bk.bucket, qb.q) IN ($xorProbes)),
+       |x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |  unnest(embedding) AS v FROM $table
+       |  WHERE vec_id IN (SELECT vec_id FROM cand)),
+       |q AS (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+       |  FROM $table WHERE vec_id = 0),
+       |p AS (SELECT x.vec_id, sum(CAST(x.v AS DOUBLE) * CAST(q.v AS DOUBLE)) AS dot,
+       |  sum(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE)) AS nx,
+       |  sum(CAST(q.v AS DOUBLE) * CAST(q.v AS DOUBLE)) AS nq
+       | FROM x JOIN q ON x.i = q.i GROUP BY 1)
+       |SELECT vec_id, ROUND(dot / (sqrt(nx) * sqrt(nq)), 6) AS cos FROM p
+       |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
+  /** IVF ANN top-k with the seed-vector quantizer (embeddings `0..nLists−1`
+    * as centroids) — mirrors [[graft.pipeline.Similarity.ivfTopK]]: assign
+    * each row to its nearest centroid (ties → lowest index), probe the
+    * `nProbe` centroids nearest the query, exact cosine within the probed
+    * lists.
+    */
+  def ivfTopKSql(table: String, nLists: Int, nProbe: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM $table),
+       |c AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < $nLists),
+       |cd AS (SELECT cid, sum((c.v - q.v) * (c.v - q.v)) AS dq
+       |  FROM c JOIN (SELECT i, v FROM e WHERE vec_id = 0) q USING (i) GROUP BY cid),
+       |probes AS (SELECT cid FROM cd ORDER BY dq, cid LIMIT $nProbe),
+       |rd AS (SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dd
+       |  FROM e JOIN c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM rd)
+       |  WHERE rn = 1),
+       |cand AS (SELECT vec_id FROM asg WHERE cid IN (SELECT cid FROM probes)),
+       |q2 AS (SELECT i, v FROM e WHERE vec_id = 0),
+       |p AS (SELECT e.vec_id, sum(e.v * q2.v) AS dot, sum(e.v * e.v) AS nx,
+       |  sum(q2.v * q2.v) AS nq
+       | FROM e JOIN q2 ON e.i = q2.i
+       | WHERE e.vec_id IN (SELECT vec_id FROM cand) GROUP BY 1)
+       |SELECT vec_id, ROUND(dot / (sqrt(nx) * sqrt(nq)), 6) AS cos FROM p
+       |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
 
   /** Full sparse-histogram oracle for a set of axes over `table`:
     * `SELECT bin_<c0>…, count(*) AS cnt GROUP BY all bins`, dropping

@@ -279,35 +279,44 @@ object SparkEntry {
       pipeline.Similarity.lshBuckets(
         table(s, dir, "embeddings"), "embedding", lshPlanes)
         .select("vec_id", "bucket")),
-    // LSH-bucketed ANN top-k (multi-probe) — rows-only check
+    // LSH-bucketed ANN top-k (multi-probe: query bucket + all Hamming-1
+    // neighbors) — fully deterministic given the seeded planes
     "q_lsh_topk" -> ((s, dir) => {
       val q = table(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
       pipeline.Similarity.lshTopK(
         table(s, dir, "embeddings"), "embedding", "vec_id", q, lshPlanes, 10)
     }),
-    // IVF ANN top-k: k-means coarse quantizer + probed search — rows-only
-    // (centroids are data-derived; determinism is property-tested)
+    // IVF ANN top-k: seed-vector coarse quantizer (embeddings 0..7 as the
+    // inverted lists — random-sample init, the standard IVF recipe) +
+    // probed search; the k-means-trained quantizer variant is
+    // property-tested (centroids are data-derived, not SQL-expressible)
     "q_ivf_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
-      val centroids = pipeline.Similarity.kmeansCentroids(emb, "embedding", "vec_id", 8)
-      pipeline.Similarity.ivfTopK(emb, "embedding", "vec_id", q, centroids, 10)
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      pipeline.Similarity.ivfTopK(emb, "embedding", "vec_id", seeds(0), seeds, 10)
     }),
-    // MinHash+LSH near-dup pairs — rows-only (xxhash64 not in DuckDB)
+    // MinHash+LSH near-dup pairs (portable polynomial shingle hash → the
+    // full signature/banding/estimate pipeline is oracle-checked)
     "q_minhash_pairs" -> ((s, dir) =>
       pipeline.Dedup.minhashNearDuplicates(
-        table(s, dir, "documents"), "text", "doc_id", threshold = 0.2)),
-    // SimHash near-dup pairs — rows-only
+        table(s, dir, "documents"), "text", "doc_id", threshold = 0.2,
+        portable = true)),
+    // SimHash near-dup pairs (portable 62-bit token hash)
     "q_simhash_pairs" -> ((s, dir) =>
       pipeline.Dedup.simhashNearDuplicates(
-        table(s, dir, "documents"), "text", "doc_id", maxDistance = 16)),
-    // winnowing rolling-hash fingerprints — rows-only
+        table(s, dir, "documents"), "text", "doc_id", maxDistance = 16,
+        portable = true)
+        .withColumn("distance", col("distance").cast("long"))),
+    // winnowing rolling-hash fingerprints, exploded to (doc_id, fp) rows
+    // (scalar output so the driver compare can sort; portable k-gram hash)
     "q_rolling_fp" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
-        pipeline.TextOps.rollingHashFingerprint(col("text")).as("fp"))),
+        explode(pipeline.TextOps.rollingHashFingerprint(
+          col("text"), hasher = pipeline.TextOps.polyHashFixed(_, 7))).as("fp"))),
     // multimodal: binary column + stubbed decode via batched mapPartitions
     "q_multimodal_meta" -> ((s, dir) =>
       pipeline.Multimodal.decodeMeta(
@@ -570,18 +579,14 @@ object SparkEntry {
         | FROM x JOIN q ON x.i = q.i GROUP BY 1)
         |SELECT vec_id, ROUND(dot / (sqrt(nx) * sqrt(nq)), 6) AS cos FROM p
         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replace("\n", " "),
-    "q_lsh_bucket" -> {
-      import OracleSql.d
-      val dots = lshPlanes.map { p =>
-        "0.0 + " + p.zipWithIndex
-          .map { case (w, i) => s"CAST(embedding[${i + 1}] AS DOUBLE) * ${d(w)}" }
-          .mkString(" + ")
-      }
-      val bucket = dots.zipWithIndex
-        .map { case (dt, b) => s"(CASE WHEN ($dt) > 0 THEN ${1L << b} ELSE 0 END)" }
-        .mkString(" + ")
-      s"SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM embeddings"
-    },
+    "q_lsh_bucket" ->
+      s"SELECT vec_id, ${OracleSql.lshBucketExprSql(lshPlanes)} AS bucket FROM embeddings",
+    "q_lsh_topk" -> OracleSql.lshTopKSql("embeddings", lshPlanes, 10),
+    "q_ivf_topk" -> OracleSql.ivfTopKSql("embeddings", nLists = 8, nProbe = 2, k = 10),
+    "q_minhash_pairs" -> OracleSql.minhashPairsSql(
+      "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2, seed = 42L),
+    "q_simhash_pairs" -> OracleSql.simhashPairsSql("documents", maxDistance = 16),
+    "q_rolling_fp" -> OracleSql.rollingFpSql("documents", k = 7, window = 4),
     "q_multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,

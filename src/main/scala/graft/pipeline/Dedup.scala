@@ -47,7 +47,10 @@ object Dedup {
     */
   private val MersennePrime = (1L << 31) - 1
 
-  private def hashCoeffs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+  /** The seeded affine-hash family coefficients — exposed so an external
+    * oracle (SQL generation) can reproduce the exact signature arithmetic.
+    */
+  def hashCoeffs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numHashes)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
       math.abs(rnd.nextLong()) % MersennePrime))
@@ -70,11 +73,16 @@ object Dedup {
     * column before fanning out the hash family: the shingle/hash array is
     * by far the most expensive subtree, and Spark does not share common
     * subexpressions across the `numHashes` sibling expressions, so inlining
-    * it N times costs N× (measured 40× on the bench corpus).
+    * it N times costs N× (measured 40× on the bench corpus). `portable`
+    * swaps xxhash64 for the SQL-expressible polynomial char hash
+    * ([[TextOps.polyHashFixed]]) so downstream results are oracle-checkable.
     */
-  def baseShingleHashes(text: Column, k: Int): Column =
-    transform(TextOps.charShingleSet(text, k),
-      s => pmod(xxhash64(s), lit(MersennePrime)))
+  def baseShingleHashes(text: Column, k: Int, portable: Boolean = false): Column = {
+    val hasher: Column => Column =
+      if (portable) TextOps.polyHashFixed(_, k)
+      else s => pmod(xxhash64(s), lit(MersennePrime))
+    transform(TextOps.charShingleSet(text, k), hasher)
+  }
 
   /** Signature from a pre-materialized [[baseShingleHashes]] column. */
   def minhashFromBase(base: Column, numHashes: Int, seed: Long = 42L): Column = {
@@ -107,12 +115,13 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5,
       seed: Long = 42L,
+      portable: Boolean = false,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = df
       .select(col(idCol).as("id"),
-        baseShingleHashes(col(textCol), k).as("_base"))
+        baseShingleHashes(col(textCol), k, portable).as("_base"))
       .select(col("id"), minhashFromBase(col("_base"), numHashes, seed).as("sig"))
     val banded = sigs.select(
       col("id"), col("sig"),
@@ -137,13 +146,31 @@ object Dedup {
   // ---- SimHash ----
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes. Expressed as 64 bit-count aggregations over the token array —
+    * hashes. Expressed as bit-count aggregations over the token array —
     * pure expressions, one projection (no explode, no shuffle).
+    *
+    * NOTE: inlines the token-hash array into every per-bit subtree; prefer
+    * materializing [[tokenHashes]] into a column and calling
+    * [[simhashFromHashes]] (Spark shares no common subexpressions across
+    * the 64 sibling expressions — the two-projection form is ~bits× cheaper).
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
+  def simhash(text: Column): Column =
+    simhashFromHashes(tokenHashes(text), 64)
+
+  /** Per-token hash array (the expensive subtree — materialize once).
+    * `portable` uses the 62-bit SQL-expressible polynomial token hash.
+    */
+  def tokenHashes(text: Column, portable: Boolean = false): Column =
+    if (portable) transform(TextOps.tokens(text), TextOps.portableTokenHash(_))
+    else transform(TextOps.tokens(text), t => xxhash64(t))
+
+  /** SimHash from a pre-materialized token-hash column: per-bit majority
+    * vote over the low `bits` bits (64 for xxhash64, 62 for the portable
+    * hash whose top two bits are always clear).
+    */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
     val n = size(hashes)
-    (0 until 64).map { bit =>
+    (0 until bits).map { bit =>
       val ones = size(filter(hashes, h => shiftright(h, bit).bitwiseAND(1) === 1))
       // bit set iff strictly more than half the tokens vote 1
       when(ones * 2 > n, lit(1L << bit)).otherwise(lit(0L))
@@ -164,10 +191,15 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxDistance: Int = 3,
+      portable: Boolean = false,
   ): DataFrame = {
+    val bits = if (portable) 62 else 64
     val blocks = maxDistance + 1
-    val width = 64 / blocks
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val width = bits / blocks
+    require(width >= 1, s"maxDistance $maxDistance too large for $bits-bit simhash")
+    val sigs = df
+      .select(col(idCol).as("id"), tokenHashes(col(textCol), portable).as("_th"))
+      .select(col("id"), simhashFromHashes(col("_th"), bits).as("sig"))
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(array((0 until blocks).map { blk =>

@@ -91,19 +91,63 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Winnowing-style rolling-hash fingerprint (Schleimer et al.): k-gram
-    * polynomial rolling hashes, windowed minima, distinct-sorted. Used for
-    * robust near-dup detection; implemented as a deterministic expression
-    * chain over char shingles.
+  // ---- portable polynomial hashes ----
+  //
+  // Deterministic char-polynomial hashes whose arithmetic is expressible
+  // identically in plain SQL (codepoint × power-of-base sums mod a Mersenne
+  // prime), so operators built on them are verifiable bit-for-bit against
+  // an independent SQL engine. The default operators use `xxhash64` (faster,
+  // 64-bit); the portable family trades hash width for auditability.
+
+  /** Mersenne prime 2^31 − 1: both hash values and affine coefficients stay
+    * below 2^31, so products fit a Long without overflow (ANSI-safe).
     */
-  def rollingHashFingerprint(text: Column, k: Int = 7, window: Int = 4): Column = {
+  val PolyPrime: Long = (1L << 31) - 1
+
+  /** Polynomial hash of the first `k` chars: `Σ cp(s,j)·base^(k−j) mod p`,
+    * unrolled (no lambda fold — stays a flat codegen'd expression). Codepoints
+    * beyond the string's end read as 0, so strings shorter than `k` are
+    * well-defined; intended for fixed-length shingles or rpad'd prefixes.
+    */
+  def polyHashFixed(s: Column, k: Int, base: Long = 31L): Column = {
+    val terms = (1 to k).map { j =>
+      val pow = Iterator.fill(k - j)(base).foldLeft(1L)(_ * _)
+      ascii(substring(s, j, 1)).cast("long") * lit(pow)
+    }
+    pmod(terms.reduce(_ + _), lit(PolyPrime))
+  }
+
+  /** Portable 62-bit token hash: two base-31/base-37 polynomials over the
+    * first 8 chars (out-of-range codepoints read as 0), length-mixed,
+    * packed as `h1 + h2*2^31` (bits 0..61; bits 62/63 always clear).
+    */
+  def portableTokenHash(t: Column): Column = {
+    val h1 = pmod(polyHashFixed(t, 8, 31L) + length(t), lit(PolyPrime))
+    val h2 = pmod(polyHashFixed(t, 8, 37L) + length(t) * 7, lit(PolyPrime))
+    h1 + h2 * lit(1L << 31)
+  }
+
+  /** Winnowing-style rolling-hash fingerprint (Schleimer et al.): k-gram
+    * hashes, windowed minima, distinct-sorted. Used for robust near-dup
+    * detection; implemented as a deterministic expression chain over char
+    * shingles. `hasher` maps a k-char shingle to a non-negative Long
+    * (default `abs(xxhash64)`; pass `polyHashFixed(_, k)` for the
+    * SQL-portable variant). Texts shorter than `k` yield an empty array.
+    */
+  def rollingHashFingerprint(
+      text: Column,
+      k: Int = 7,
+      window: Int = 4,
+      hasher: Column => Column = c => abs(xxhash64(c)),
+  ): Column = {
     val shingles = charShingles(text, k)
-    val hashes = transform(shingles, s => abs(xxhash64(s)))
+    val hashes = transform(shingles, hasher)
     val mins = transform(
       sequence(lit(0), greatest(size(hashes) - window, lit(0))),
       i => array_min(slice(hashes, i + 1, lit(window))),
     )
-    array_sort(array_distinct(mins))
+    when(length(text) >= k, array_sort(array_distinct(mins)))
+      .otherwise(array().cast("array<long>"))
   }
 
   /** Character k-gram shingles of a string column (positions 1-based,
