@@ -161,6 +161,44 @@ object OracleSql {
          |WHERE bit_count(xor(a.sig, b.sig)) <= $maxDistance""".stripMargin.replace("\n", " ")
   }
 
+  /** T8 bilinear dfield lookup oracle — mirrors
+    * [[graft.calibrate.BilinearGridLookup.interp]] step by step (clamp,
+    * truncating floor, same product/sum association) with grid node values
+    * recomputed from their closed-form SQL (`nodeSql(fieldIdx)(rSql, cSql)`
+    * must mirror the Scala grid-fill expression exactly).
+    */
+  def dfieldSql(
+      table: String,
+      keyCols: Seq[String],
+      xSql: String,
+      ySql: String,
+      rows: Int,
+      cols: Int,
+      ranges: ((Double, Double), (Double, Double)),
+      nodeSql: Int => (String, String) => String,
+      outCols: (String, String),
+  ): String = {
+    val xScale = (rows - 1).toDouble / (ranges._1._2 - ranges._1._1)
+    val yScale = (cols - 1).toDouble / (ranges._2._2 - ranges._2._1)
+    def interp(field: Int): String = {
+      val g = nodeSql(field)
+      val (g00, g10, g01, g11) =
+        (g("r0", "c0"), g("(r0 + 1)", "c0"), g("r0", "(c0 + 1)"), g("(r0 + 1)", "(c0 + 1)"))
+      s"$g00 * (1.0 - fr) * (1.0 - fc) + $g10 * fr * (1.0 - fc) + " +
+        s"$g01 * (1.0 - fr) * fc + $g11 * fr * fc"
+    }
+    val keys = keyCols.mkString(", ")
+    s"""WITH s1 AS (SELECT $keys,
+       |  LEAST(GREATEST((CAST($xSql AS DOUBLE) - ${d(ranges._1._1)}) * ${d(xScale)}, 0.0), ${d(rows - 1.0)}) AS rc,
+       |  LEAST(GREATEST((CAST($ySql AS DOUBLE) - ${d(ranges._2._1)}) * ${d(yScale)}, 0.0), ${d(cols - 1.0)}) AS cc
+       |  FROM $table),
+       |s2 AS (SELECT *, LEAST(CAST(FLOOR(rc) AS INTEGER), ${rows - 2}) AS r0,
+       |  LEAST(CAST(FLOOR(cc) AS INTEGER), ${cols - 2}) AS c0 FROM s1),
+       |s3 AS (SELECT *, rc - r0 AS fr, cc - c0 AS fc FROM s2)
+       |SELECT $keys, ${interp(0)} AS ${outCols._1}, ${interp(1)} AS ${outCols._2}
+       |FROM s3""".stripMargin.replace("\n", " ")
+  }
+
   /** Per-row LSH bucket expression over `embedding` (same plane constants
     * and left-to-right dot-sum order as
     * [[graft.pipeline.Similarity.lshBucket]]).

@@ -61,6 +61,19 @@ object SparkEntry {
   /** ANN: 8 seeded random hyperplanes over the 64-dim embeddings. */
   val lshPlanes: Array[Array[Double]] = pipeline.Similarity.hyperplanes(64, 8)
 
+  /** T8: analytic 2×9×9 inverse deformation field (node values derive
+    * from closed-form polynomials so the oracle can recompute them; the
+    * production path broadcasts measured grids the same way).
+    */
+  val dfieldDims: (Int, Int) = (9, 9)
+  def dfieldNode(field: Int, i: Int, j: Int): Double =
+    if (field == 0) 0.1 * i * i + 0.2 * j * j + 0.05 * i * j
+    else 2.0 + 0.3 * i + 0.07 * j * j - 0.01 * i * j
+  val dfieldGrid: Array[Array[Array[Double]]] =
+    Array.tabulate(2, dfieldDims._1, dfieldDims._2)(dfieldNode)
+  val dfieldRanges: ((Double, Double), (Double, Double)) =
+    ((0.0, 50.0), (0.0, 8.0))
+
   // ---- flagship ----
 
   /** Flagship: the full calibration workflow + 1-D energy histogram on
@@ -173,6 +186,14 @@ object SparkEntry {
       DfOps.splitChannelBitwise(
         table(s, dir, "events").select("event_id", "user_id"),
         "user_id", "low", "high", 3).drop("user_id")),
+    // T8 apply_dfield: per-event bilinear lookup into the broadcast
+    // inverse deformation field (native codegen BilinearGridLookup)
+    "q_dfield" -> ((s, dir) =>
+      calibrate.Momentum.applyDfield(s,
+        table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity"),
+        dfieldGrid, "l_quantity", "l_linenumber", "xm", "ym", dfieldRanges)
+        .select("l_orderkey", "l_linenumber", "xm", "ym")),
     // T9 append_k_axis: linear detector→momentum
     "q_k_axis" -> ((s, dir) =>
       Momentum.appendKAxis(
@@ -464,6 +485,19 @@ object SparkEntry {
     },
     "q_bitsplit" ->
       "SELECT event_id, user_id % 8 AS low, user_id // 8 AS high FROM events",
+    "q_dfield" -> OracleSql.dfieldSql(
+      "lineitem", Seq("l_orderkey", "l_linenumber"),
+      "l_quantity", "l_linenumber",
+      dfieldDims._1, dfieldDims._2, dfieldRanges,
+      // mirrors dfieldNode's exact arithmetic (same association); constants
+      // must be CAST to DOUBLE — bare literals are DECIMAL in DuckDB and
+      // would fold `0.1 * r0 * r0` exactly instead of in binary doubles
+      field => (r, c) =>
+        if (field == 0)
+          s"(CAST(0.1 AS DOUBLE) * $r * $r + CAST(0.2 AS DOUBLE) * $c * $c + CAST(0.05 AS DOUBLE) * $r * $c)"
+        else
+          s"(2.0 + CAST(0.3 AS DOUBLE) * $r + CAST(0.07 AS DOUBLE) * $c * $c - CAST(0.01 AS DOUBLE) * $r * $c)",
+      ("xm", "ym")),
     "q_k_axis" -> {
       import OracleSql.d
       val det0r = d(0.0 + 1.0 * 25.0)

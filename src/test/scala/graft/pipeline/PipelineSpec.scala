@@ -233,4 +233,47 @@ class PipelineSpec extends SparkSpec {
       .select("frame_offset").as[Long].collect().sorted
     assert(offs.toSeq === Seq(0L, 2L, 5L, 7L))
   }
+
+  test("polyHashFixed matches the hand-computed polynomial, OOB chars read 0") {
+    val out = Seq("abc", "ab", "", "中x").toDF("s")
+      .select(TextOps.polyHashFixed(col("s"), 3).as("h")).as[Long].collect()
+    val p = TextOps.PolyPrime
+    assert(out(0) === ('a' * 31L * 31L + 'b' * 31L + 'c') % p)
+    assert(out(1) === ('a' * 31L * 31L + 'b' * 31L) % p)
+    assert(out(2) === 0L)
+    assert(out(3) === (0x4E2D * 31L * 31L + 'x' * 31L) % p)
+  }
+
+  test("portableTokenHash stays within 62 bits and separates lengths") {
+    val hs = Seq("spark", "sparks", "a", "").toDF("t")
+      .select(TextOps.portableTokenHash(col("t")).as("h")).as[Long].collect()
+    assert(hs.forall(h => h >= 0 && h < (1L << 62)))
+    assert(hs.distinct.length === 4) // prefix-sharing tokens still split
+  }
+
+  test("portable minhash/simhash find the same near-dup structure as xxhash") {
+    for (portable <- Seq(false, true)) {
+      val mh = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+          threshold = 0.5, portable = portable)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(mh.contains((0L, 1L)), s"portable=$portable")
+      assert(!mh.exists { case (a, b) => a == 3L || b == 3L })
+      val sh = Dedup.simhashNearDuplicates(docs, "text", "doc_id",
+          maxDistance = 10, portable = portable)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(sh.contains((0L, 1L)), s"portable=$portable")
+    }
+  }
+
+  test("portable rolling fingerprint: equality for dups, empty for short text") {
+    val fp = Seq((0L, "the quick brown fox"), (1L, "the quick brown fox"),
+        (2L, "short"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.rollingHashFingerprint(
+        col("text"), hasher = TextOps.polyHashFixed(_, 7)).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L).nonEmpty && fp(0L) === fp(0L).sorted.distinct)
+    assert(fp(2L) === Seq.empty)
+  }
 }
