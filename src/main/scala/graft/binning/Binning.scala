@@ -105,10 +105,44 @@ object Binning {
     val idxCols = axes.map(ax => binIndex(ax).as(idxName(ax)))
     // null index ⇔ out of range on that axis ⇔ drop the event
     val keep = axes.map(ax => col(idxName(ax)).isNotNull).reduce(_ && _)
-    df.select(idxCols: _*)
-      .filter(keep)
-      .groupBy(axes.map(ax => col(idxName(ax))): _*)
-      .agg(count(lit(1)).as(countName))
+    val indexed = df.select(idxCols: _*).filter(keep)
+    flatStrides(axes) match {
+      case Some(strides) =>
+        // single flat Long group key: for high-cardinality cubes (e.g.
+        // 100⁴ cells, where partial aggregation barely combines) this
+        // shrinks the shuffled key from N longs to one and makes the
+        // aggregate hash/compare one word — decode back to per-axis
+        // indices AFTER the aggregation, on ≤|cells| rows
+        val flat = axes.zip(strides)
+          .map { case (ax, s) => col(idxName(ax)) * lit(s) }
+          .reduce(_ + _)
+        val decode = axes.zip(strides).map { case (ax, s) =>
+          (expr(s"_flat div ${s}L") % ax.nBins).as(idxName(ax))
+        }
+        indexed
+          .select(flat.as("_flat"))
+          .groupBy(col("_flat"))
+          .agg(count(lit(1)).as(countName))
+          .select(decode :+ col(countName): _*)
+      case None =>
+        indexed
+          .groupBy(axes.map(ax => col(idxName(ax))): _*)
+          .agg(count(lit(1)).as(countName))
+    }
+  }
+
+  /** Row-major strides for a flat bin index, or None for 1-D (no benefit)
+    * or cubes whose cell count would overflow the Long key space.
+    */
+  private def flatStrides(axes: Seq[BinAxis]): Option[Seq[Long]] = {
+    if (axes.length < 2) return None
+    val cells = axes.map(ax => BigInt(ax.nBins)).product
+    if (cells > BigInt(Long.MaxValue) / 2) return None
+    val strides = new Array[Long](axes.length)
+    var s = 1L
+    var i = axes.length - 1
+    while (i >= 0) { strides(i) = s; s *= axes(i).nBins; i -= 1 }
+    Some(strides.toSeq)
   }
 
   /** Histogram with an extra leading grouping column (the
