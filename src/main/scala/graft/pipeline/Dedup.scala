@@ -130,14 +130,13 @@ object Dedup {
         b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))),
       )),
     ).withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           m => m)).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .distinct()
@@ -207,14 +206,16 @@ object Dedup {
           .bitwiseAND(lit((1L << width) - 1))
       }: _*)),
     ).withColumnsRenamed(Map("pos" -> "block_idx", "col" -> "block_val"))
-    val a = banded.select(col("block_idx"), col("block_val"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("block_idx"), col("block_val"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("block_idx", "block_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hamming(col("sig_a"), col("sig_b")).as("distance"))
+    // identical-plan self-join: in the sort-merge regime both children are
+    // the same exchange, so ReuseExchange computes the signature pipeline
+    // and its shuffle once instead of twice
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.block_idx") === col("b.block_idx")
+          && col("a.block_val") === col("b.block_val"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).as("distance"))
       .filter(col("distance") <= maxDistance)
       .distinct()
   }
@@ -239,13 +240,15 @@ object Dedup {
       blockCol.as("block"),
       TextOps.charShingleSet(col(textCol), n).as("sh"),
     )
-    val a = sets.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sets.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), (inter / union).as("jaccard"))
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+    val union = (size(col("a.sh")) + size(col("b.sh"))).cast("double") - inter
+    // identical-plan self-join → shingle-set projection shared via
+    // ReuseExchange in the sort-merge regime
+    sets.as("a")
+      .join(sets.as("b"), col("a.block") === col("b.block"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (inter / union).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -358,12 +361,12 @@ object Dedup {
       threshold: Double,
   ): DataFrame = {
     val v = df.select(col(idCol).as("id"), blockCol.as("block"), col(vecCol).as("v"))
-    val a = v.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+    // identical-plan self-join (see minhashNearDuplicates)
+    v.as("a")
+      .join(v.as("b"), col("a.block") === col("b.block"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
