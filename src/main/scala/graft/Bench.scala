@@ -54,17 +54,29 @@ object Bench {
     val embeddings = load("embeddings")
 
     /** The reference's canonical transform chain (benchmark_sed.py:124-129):
-      * jitter → momentum calibration → energy correction → energy
-      * calibration → delay calibration, on the lineitem event columns.
+      * jitter → momentum correction (2048² inverse-dfield bilinear lookup)
+      * → momentum calibration → energy correction → energy calibration →
+      * delay calibration, on the lineitem event columns. Built once: the
+      * deformation grids broadcast at plan-build time, as in production.
       */
-    def workflowChain: DataFrame = {
+    val nGrid = 2048
+    // ≈ identity + smooth warp, in detector units (x∈[0,50], y∈[0,8])
+    val invD: Array[Array[Array[Double]]] = Array(
+      Array.tabulate(nGrid, nGrid)((i, j) =>
+        i * (50.0 / (nGrid - 1)) + 0.5 * math.sin(j / 300.0)),
+      Array.tabulate(nGrid, nGrid)((i, j) =>
+        j * (8.0 / (nGrid - 1)) + 0.2 * math.cos(i / 400.0)),
+    )
+    val workflowChain: DataFrame = {
       val j = DfOps.applyJitter(lineitem, Seq("l_quantity"), amps = Seq(0.5))
-      val k = graft.calibrate.Momentum.appendKAxis(j, "l_quantity", "l_extendedprice",
-        "kx", "ky", rStart = 0.0, cStart = 900.0, rCenter = 25.0, cCenter = 100.0,
-        rConversion = 0.01, cConversion = 2.0e-5, rStep = 1.0, cStep = 500.0)
+      val m = graft.calibrate.Momentum.applyDfield(spark, j, invD,
+        "l_quantity", "l_linenumber", "xm", "ym", ((0.0, 50.0), (0.0, 8.0)))
+      val k = graft.calibrate.Momentum.appendKAxis(m, "xm", "ym",
+        "kx", "ky", rStart = 0.0, cStart = 0.0, rCenter = 25.0, cCenter = 4.0,
+        rConversion = 0.01, cConversion = 0.01, rStep = 1.0, cStep = 1.0)
       val corr = Energy.applyEnergyCorrection(k, "l_extendedprice", "tm",
         Energy.Correction.spherical(_, _, 25.0, 4.0, 0.05, 100.0),
-        "l_quantity", "l_linenumber")
+        "xm", "ym")
       val en = corr.withColumn("energy",
         Energy.tof2ev(col("tm"), 1.0e6, 100.0, 2.0, 0, "kinetic", 0.5))
       Delay.appendDelayAxis(en, "l_discount", "delay",
@@ -74,10 +86,15 @@ object Bench {
     val axEnergy = UniformAxis("energy", 1000, 0.5, 1.5)
     val ax4dWf = Seq(
       UniformAxis("kx", 100, -0.3, 0.3),
-      UniformAxis("ky", 100, -1.1, 1.2),
+      UniformAxis("ky", 100, -0.06, 0.06),
       UniformAxis("energy", 100, 0.5, 1.5),
       UniformAxis("delay", 100, -2.0, 2.1),
     )
+
+    // D10 inverse-field generation (reference inv_dfield baseline: 2048²
+    // target grid) — driver-side numerics; forward field built once, untimed
+    val fwdR = Array.tabulate(nGrid, nGrid)((r, c) => r + 5.0 * math.sin(c / 200.0))
+    val fwdC = Array.tabulate(nGrid, nGrid)((r, c) => c + 3.0 * math.cos(r / 150.0))
 
     val workloads: Seq[(String, () => Unit)] = Seq(
       // reference binning_1d: 1-D histogram, 1000 bins — dense-aggregate
@@ -94,6 +111,12 @@ object Bench {
       "workflow_1d" -> (() => Binning.histogramCube(workflowChain, Seq(axEnergy))),
       // reference workflow_4d: chain + 4-D (kx, ky, energy, delay) histogram
       "workflow_4d" -> (() => exec(Binning.histogram(workflowChain, ax4dWf))),
+      // reference inv_dfield: D10 scattered-interpolation field inversion
+      "inv_dfield" -> (() => {
+        graft.fit.Fields.invertField(fwdR, fwdC, nGrid, nGrid,
+          ((0.0, nGrid - 1.0), (0.0, nGrid - 1.0)))
+        ()
+      }),
       // pipeline extensions at the same scale factor
       "dedup_exact" -> (() => exec(pipeline.Dedup.exactDuplicates(
         documents, "text", "doc_id"))),
