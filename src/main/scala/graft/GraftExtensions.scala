@@ -18,6 +18,11 @@ import graft.dfops.Interp
   *    rounding guard, inclusive right edge; NULL = out of range)
   *  - `graft_tof2ev(t, d, t0, binwidth, binning, sign, e0)`
   *  - `graft_interp(x, xs, ys)` — np.interp with literal array knots
+  *  - `graft_tof2ns(t, binwidth, binning)`, `graft_mm_to_ps(mm, t0)` —
+  *    remaining calibration scalars
+  *  - `graft_poly_hash(s, k)`, `graft_token_count(text)`,
+  *    `graft_lang_id(text)`, `graft_fingerprint(text)`,
+  *    `graft_simhash(text)`, `graft_hamming(a, b)` — text-pipeline scalars
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -78,6 +83,71 @@ object GraftExtensions {
         require(args.length == 3, "graft_interp(x, xs_array, ys_array)")
         ex(Interp.piecewiseLinear(col(args.head),
           darr(args(1), "xs"), darr(args(2), "ys")))
+      },
+    ),
+    (
+      "graft_tof2ns",
+      new ExpressionInfo(classOf[graft.calibrate.Energy.type].getName, "graft_tof2ns"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_tof2ns(t, binwidth, binning)")
+        ex(graft.calibrate.Energy.tof2ns(col(args.head),
+          d(args(1), "binwidth"), i(args(2), "binning")))
+      },
+    ),
+    (
+      "graft_mm_to_ps",
+      new ExpressionInfo(classOf[graft.calibrate.Delay.type].getName, "graft_mm_to_ps"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_mm_to_ps(mm, time0_mm)")
+        ex((col(args.head) - col(args(1))) / org.apache.spark.sql.functions.lit(0.15))
+      },
+    ),
+    (
+      "graft_poly_hash",
+      new ExpressionInfo(classOf[graft.pipeline.TextOps.type].getName, "graft_poly_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_poly_hash(s, k)")
+        ex(graft.pipeline.TextOps.polyHashFixed(col(args.head), i(args(1), "k")))
+      },
+    ),
+    (
+      "graft_token_count",
+      new ExpressionInfo(classOf[graft.pipeline.TextOps.type].getName, "graft_token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_token_count(text)")
+        ex(graft.pipeline.TextOps.tokenCount(col(args.head)))
+      },
+    ),
+    (
+      "graft_lang_id",
+      new ExpressionInfo(classOf[graft.pipeline.TextOps.type].getName, "graft_lang_id"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_lang_id(text)")
+        ex(graft.pipeline.TextOps.langId(col(args.head)))
+      },
+    ),
+    (
+      "graft_fingerprint",
+      new ExpressionInfo(classOf[graft.pipeline.TextOps.type].getName, "graft_fingerprint"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_fingerprint(text)")
+        ex(graft.pipeline.TextOps.fingerprint(col(args.head)))
+      },
+    ),
+    (
+      "graft_simhash",
+      new ExpressionInfo(classOf[graft.pipeline.Dedup.type].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash(text)")
+        ex(graft.pipeline.Dedup.simhash(col(args.head)))
+      },
+    ),
+    (
+      "graft_hamming",
+      new ExpressionInfo(classOf[graft.pipeline.Dedup.type].getName, "graft_hamming"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hamming(sig_a, sig_b)")
+        ex(graft.pipeline.Dedup.hamming(col(args.head), col(args(1))))
       },
     ),
   )

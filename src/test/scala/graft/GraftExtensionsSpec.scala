@@ -38,6 +38,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(v === 50.0)
   }
 
+  test("text-pipeline and calibration scalars work from SQL") {
+    val r = spark.sql(
+      """SELECT graft_tof2ns(10.0D, 2.0E-9D, 1) AS tns,
+        |  graft_mm_to_ps(25.6D, 25.3D) AS ps,
+        |  graft_poly_hash('abc', 3) AS h,
+        |  graft_token_count(' a b  c ') AS n,
+        |  graft_lang_id('the cat and the dog') AS lang,
+        |  graft_fingerprint('  A  b ') AS fp,
+        |  graft_hamming(graft_simhash('a b c'), graft_simhash('a b c')) AS hd
+        |""".stripMargin).collect().head
+    assert(r.getAs[Double]("tns") === 10.0 * 1e9 * 2.0e-9 * 2.0)
+    assert(math.abs(r.getAs[Double]("ps") - (25.6 - 25.3) / 0.15) < 1e-12)
+    assert(r.getAs[Long]("h") ===
+      ('a' * 31L * 31L + 'b' * 31L + 'c') % graft.pipeline.TextOps.PolyPrime)
+    assert(r.getAs[Int]("n") === 3)
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[String]("fp") ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("a b".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(r.getAs[Int]("hd") === 0)
+  }
+
   test("non-literal parameters are rejected with a clear error") {
     Seq(1.0).toDF("value").createOrReplaceTempView("v1")
     val err = intercept[Exception] {

@@ -76,6 +76,32 @@ class BinningProperties extends SparkSpec {
     }
   }
 
+  test("flat-key multi-axis histogram equals per-axis-key grouping (10 cases)") {
+    cases(10, 7L) { r =>
+      val axes = Seq.fill(2 + r.nextInt(2))(randAxis(r)).zipWithIndex
+        .map { case (ax, i) => ax.copy(column = s"x$i") }
+      val rows = Seq.fill(300)(axes.map(_ => -150.0 + r.nextDouble() * 350.0))
+      (axes, rows)
+    }.foreach { case (axes, rows) =>
+      val df = rows.map {
+        case Seq(a, b)    => (a, b, 0.0)
+        case Seq(a, b, c) => (a, b, c)
+      }.toDF("x0", "x1", "x2")
+      val flat = Binning.histogram(df, axes) // multi-axis → flat Long key
+      // reference grouping: per-axis keys, no flat packing
+      val idx = axes.map(ax => Binning.binIndex(ax).as(s"bin_${ax.column}"))
+      val keep = axes.map(ax => col(s"bin_${ax.column}").isNotNull).reduce(_ && _)
+      val direct = df.select(idx: _*).filter(keep)
+        .groupBy(axes.map(ax => col(s"bin_${ax.column}")): _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (0 until r.length).map(r.getLong).toSeq
+      assert(flat.collect().map(key).toSet === direct.collect().map(key).toSet,
+        s"axes $axes")
+    }
+  }
+
   test("interp output is bounded by the knot value envelope (15 cases)") {
     cases(15, 5L) { r =>
       val xs = Seq.fill(5)(-100.0 + r.nextDouble() * 200.0).distinct.sorted.toArray
