@@ -159,12 +159,16 @@ class Processor(
     this
   }
 
-  /** A8 `compute`: transient filters → sparse histogram → dense cube, with
-    * optional normalization by the timed-table histogram (A7).
+  /** A8 `compute`: transient filters → optional binning-time jitter →
+    * sparse histogram → dense cube, with optional normalization by the
+    * timed-table histogram (A7). `jitter` lists quantized columns to
+    * de-quantize in place with ±0.5 uniform noise before binning
+    * (`bin_dataframe(jitter=…)`, `sed/binning/binning.py:511-537`).
     */
   def compute(
       axes: Seq[BinAxis],
       filters: Seq[(String, Double, Double)] = Nil,
+      jitter: Seq[String] = Nil,
       normalizeToAcquisitionTime: Option[String] = None,
       timeUnit: Double = 0.001,
       dfPartitions: Option[Int] = None,
@@ -182,7 +186,10 @@ class Processor(
       require(d.columns.contains(c), s"Filter column $c not in dataframe")
       DfOps.applyFilter(d, c, lo, up)
     }
-    val cube = Binning.histogramCube(filtered, axes)
+    val jittered =
+      if (jitter.isEmpty) filtered
+      else DfOps.applyJitter(filtered, jitter, colsJittered = Some(jitter))
+    val cube = Binning.histogramCube(jittered, axes)
       .withAttrs("units" -> "counts", "long_name" -> "photoelectron counts")
     normalizeToAcquisitionTime match {
       case None => cube

@@ -53,6 +53,20 @@ class ProcessorSpec extends SparkSpec {
     assert(err.getMessage.contains("nope"))
   }
 
+  test("compute-time jitter de-quantizes an integer column across bins") {
+    import spark.implicits._
+    // all mass on the integer value 5 → without jitter one bin, with ±0.5
+    // uniform jitter the two bins straddling it both receive counts
+    val quantized = Seq.fill(500)(5.0).toDF("q")
+    val p = new Processor(spark, quantized, None)
+    val ax = UniformAxis("q", 10, 0.5, 10.5) // width-1 bins, edges at integers
+    val plain = p.compute(Seq(ax))
+    assert(plain.data.count(_ > 0) === 1)
+    val jittered = p.compute(Seq(ax), jitter = Seq("q"))
+    assert(jittered.data.count(_ > 0) === 2)
+    assert(jittered.total === plain.total)
+  }
+
   test("metadata duplicate policies: raise, overwrite, merge") {
     val m = new MetadataTree
     m.add(Map("a" -> 1), "k")
