@@ -92,6 +92,43 @@ class CalibrateSpec extends SparkSpec {
     }
   }
 
+  test("momentum workflow: TPS warp → invertField → applyDfield → k-axis " +
+    "recovers the ideal symmetric targets (tier-2 integration)") {
+    import graft.fit.Fields
+    val n = 64
+    // detected landmarks = ideal hexagon displaced by a smooth distortion
+    val targets = Fields.rotSymmetricTargets((32.0, 32.0), 16.0, 6) :+ ((32.0, 32.0))
+    def distort(r: Double, c: Double): (Double, Double) =
+      (r + 2.0 * math.sin(c / 20.0), c + 1.5 * math.cos(r / 15.0))
+    val landmarks = targets.map { case (r, c) => distort(r, c) }
+    // D8: forward deformation field (corrected grid → original coords)
+    val (rd, cd) = Fields.splineWarp(landmarks, targets, n, n)
+    // D10: inverse field (original grid → corrected coords)
+    val (invR, invC) = Fields.invertField(rd, cd, n, n,
+      ((0.0, n - 1.0), (0.0, n - 1.0)))
+    // T8: per-event application — events sit AT the distorted landmark
+    // positions; the corrected positions should recover the ideal targets
+    val events = landmarks.toSeq.toDF("X", "Y")
+    val corrected = Momentum.applyDfield(spark, events, Array(invR, invC),
+      "X", "Y", "Xm", "Ym", ((0.0, n - 1.0), (0.0, n - 1.0)))
+    // T9: momentum calibration on the corrected coordinates
+    val withK = Momentum.appendKAxis(corrected, "Xm", "Ym", "kx", "ky",
+      rStart = 0.0, cStart = 0.0, rCenter = 32.0, cCenter = 32.0,
+      rConversion = 0.05, cConversion = 0.05, rStep = 1.0, cStep = 1.0)
+    val rows = withK.collect()
+    rows.zip(targets).foreach { case (row, (tr, tc)) =>
+      // IDW inversion error is O(grid spacing); generous tolerance
+      assert(math.abs(row.getAs[Double]("Xm") - tr) < 1.0,
+        s"Xm ${row.getAs[Double]("Xm")} vs $tr")
+      assert(math.abs(row.getAs[Double]("Ym") - tc) < 1.0)
+      assert(math.abs(row.getAs[Double]("kx") - 0.05 * (row.getAs[Double]("Xm") - 32.0)) < 1e-12)
+    }
+    // the center landmark maps (near) the origin of momentum space
+    val center = rows.last
+    assert(math.abs(center.getAs[Double]("kx")) < 0.05)
+    assert(math.abs(center.getAs[Double]("ky")) < 0.05)
+  }
+
   test("delay axis: adc range endpoints map to delay range endpoints") {
     // mirrors test_delay.py range-based calibration
     val df = Seq(100.0, 500.0, 300.0).toDF("adc")
