@@ -76,22 +76,33 @@ object SparkEntry {
 
   // ---- flagship ----
 
-  /** Flagship: the full calibration workflow + 1-D energy histogram on
-    * sf0.001 lineitem; driver smoke-checks rows>0. (lineitem, not events:
-    * events.parquet carries TIMESTAMP(NANOS), which would require the
-    * nanosAsLong flag on whatever session the driver passes in.)
+  /** Flagship: the full reference calibration workflow — jitter →
+    * momentum correction (broadcast dfield bilinear) → momentum
+    * calibration → energy correction → energy calibration → delay axis —
+    * then a 2-D (kx, energy) histogram on sf0.001 lineitem; driver
+    * smoke-checks rows>0. (lineitem, not events: events.parquet carries
+    * TIMESTAMP(NANOS), which would require the nanosAsLong flag on
+    * whatever session the driver passes in.)
     */
   def entry(spark: SparkSession): DataFrame = {
     val li = table(spark, "/root/testdata/sf0.001", "lineitem")
+    val jittered = DfOps.applyJitter(li, Seq("l_quantity"), amps = Seq(0.5))
+    val corrected = calibrate.Momentum.applyDfield(spark, jittered,
+      dfieldGrid, "l_quantity", "l_linenumber", "xm", "ym", dfieldRanges)
+    val withK = calibrate.Momentum.appendKAxis(corrected, "xm", "ym",
+      "kx", "ky", rStart = 0.0, cStart = 0.0, rCenter = 10.0, cCenter = 2.0,
+      rConversion = 0.01, cConversion = 0.01, rStep = 1.0, cStep = 1.0)
     val chained = Energy
-      .applyEnergyCorrection(
-        DfOps.applyJitter(li, Seq("l_quantity"), amps = Seq(0.5)),
-        "l_extendedprice", "tm",
+      .applyEnergyCorrection(withK, "l_extendedprice", "tm",
         Energy.Correction.spherical(_, _, 25.0, 4.0, 0.05, 100.0),
         "l_quantity", "l_linenumber")
       .withColumn("energy",
         Energy.tof2ev(col("tm"), 1.0e6, 100.0, 2.0, 0, "kinetic", 0.5))
-    Binning.histogram(chained, Seq(UniformAxis("energy", 100, 0.5, 1.5)))
+    val withDelay = Delay.appendDelayAxis(chained, "l_discount", "delay",
+      adcRange = (0.0, 0.11), delayRange = Some((-2.0, 2.0)))
+    Binning.histogram(withDelay, Seq(
+      UniformAxis("kx", 50, -0.25, 0.25),
+      UniformAxis("energy", 100, 0.5, 1.5)))
   }
 
   // ---- operator inventory ----

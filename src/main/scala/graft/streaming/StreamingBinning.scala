@@ -102,6 +102,28 @@ object StreamingBinning {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-duplicate suppression: key the watermarked dedup on
+    * the MinHash signature instead of raw content, so documents whose
+    * shingle sets minhash identically (near-certain duplicates at 32
+    * hashes) collapse to the first arrival. A streaming-feasible
+    * approximation of the batch pair-join (stream-stream self-joins on
+    * band buckets would need both sides fully retained); the estimated-
+    * Jaccard threshold dial is traded for signature equality.
+    */
+  def dedupNearWithinWatermark(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String,
+      numHashes: Int = 32,
+  ): DataFrame =
+    stream
+      .withColumn("_sig",
+        graft.pipeline.Dedup.minhashSignature(col(textCol), numHashes = numHashes))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_sig"))
+      .drop("_sig")
+
   /** Sink a streaming sparse histogram as per-batch cube snapshots: each
     * micro-batch's windows are densified and exported via the provided
     * callback (e.g. [[graft.export.CubeIO.writeDense]] keyed by batch id)

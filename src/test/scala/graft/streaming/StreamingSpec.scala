@@ -70,6 +70,26 @@ class StreamingSpec extends SparkSpec {
     assert(sunk.select("key").as[String].collect().sorted.toSeq === Seq("a", "b"))
   }
 
+  test("dedupNearWithinWatermark collapses near-identical documents") {
+    val dir = Files.createTempDirectory("stream-in6").toFile.getPath + "/data"
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        "the quick brown fox jumps over the lazy dog", 1L),
+      // exact duplicate content → identical signature → dropped
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+        "the quick brown fox jumps over the lazy dog", 2L),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"),
+        "completely different content about engines", 3L),
+    ).toDF("ts", "text", "id").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = StreamingBinning.dedupNearWithinWatermark(
+      stream, "text", "ts", "10 minutes")
+    val sunk = StreamingBinning.runToMemorySink(out, "neardedup_sink", OutputMode.Append())
+    assert(sunk.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    assert(!sunk.columns.contains("_sig"))
+  }
+
   test("cubeSnapshotSink densifies each micro-batch's windows") {
     val dir = Files.createTempDirectory("stream-in5").toFile.getPath + "/data"
     Seq(
