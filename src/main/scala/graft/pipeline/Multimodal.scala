@@ -101,6 +101,51 @@ object Multimodal {
     }(enc)
   }
 
+  /** Batched fixed-dimension feature extraction over a binary column
+    * (STUB kernel: a normalized 16-bucket byte histogram tiled to `dim` —
+    * stands in for a codec+model embedding; schema/batching real). Output
+    * appends `features: array<float>` of exactly `dim`.
+    */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+        val n = math.max(bytes.length, 1).toFloat
+        val feats = Array.tabulate(dim)(d => hist(d % 16) / n)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Batched "resize" over a binary column (STUB kernel: nearest-neighbor
+    * byte resampling to `targetLen` — stands in for pixel-space resize;
+    * the iterator-to-iterator batch shape and output schema contract are
+    * the real plumbing). Output replaces the column with fixed-length
+    * binary and appends the original length.
+    */
+  def resizeStub(df: DataFrame, binCol: String, targetLen: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("orig_len", LongType, nullable = false))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val resized =
+          if (bytes.isEmpty) new Array[Byte](targetLen)
+          else Array.tabulate(targetLen)(i => bytes((i.toLong * bytes.length / targetLen).toInt))
+        Row.fromSeq(r.toSeq.updated(idx, resized) :+ bytes.length.toLong)
+      }
+    }(enc)
+  }
+
   /** Fixed-count frame sampling positions for a (stubbed) video column:
     * byte offsets at which a real decoder would seek. Pure expressions —
     * demonstrates the plumbing of per-asset fan-out (one row per sampled

@@ -226,6 +226,24 @@ class PipelineSpec extends SparkSpec {
       Multimodal.MediaMeta(44100, 2, "wav", 44L))
   }
 
+  test("extractFeatures emits fixed-dim normalized features; resizeStub fixes length") {
+    val df = Seq((1L, "abcdefgh"), (2L, ""))
+      .toDF("id", "s")
+      .select(col("id"), col("s").cast("binary").as("bin"))
+    val feats = Multimodal.extractFeatures(df, "bin", dim = 32)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L).length === 32)
+    assert(math.abs(feats(1L).take(16).sum - 1.0f) < 1e-6) // histogram normalized
+    assert(feats(2L).forall(_ === 0f))
+    val resized = Multimodal.resizeStub(df, "bin", targetLen = 4)
+      .select("id", "bin", "orig_len").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Array[Byte]](1), r.getLong(2)))).toMap
+    assert(resized(1L)._1.toSeq === "aceg".getBytes.toSeq) // nearest-neighbor stride 2
+    assert(resized(1L)._2 === 8L)
+    assert(resized(2L)._1.length === 4 && resized(2L)._2 === 0L)
+  }
+
   test("sampleFrameOffsets fans out n rows per asset") {
     val df = Seq((1L, "0123456789")).toDF("id", "s")
       .select(col("id"), col("s").cast("binary").as("bin"))
