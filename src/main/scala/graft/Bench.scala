@@ -33,6 +33,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // single-JVM bench: shuffle bytes never cross a network, so
+      // compression is pure CPU cost here (a real cluster keeps defaults)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
