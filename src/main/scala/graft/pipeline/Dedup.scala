@@ -252,6 +252,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- skew mitigation for blocked self-joins ----
+
+  /** Split oversized blocking keys by appending a deterministic salt, so
+    * no block exceeds ~`maxBlockSize` expected members — the standard
+    * skew fix for near-dup blocking at 100 TB, where one hot key (an
+    * empty-text band, a dominant source) would otherwise concentrate a
+    * quadratic pair-join on one task.
+    *
+    * Plan shape: one aggregation counts block sizes; only the oversized
+    * keys (a tiny set by construction) are broadcast back; rows in them
+    * get `block → (block, salt)` with `salt = xxhash64(id) mod ceil(n /
+    * maxBlockSize)`. Documented trade-off: candidate pairs across salts
+    * of the same block are lost (recall dial, like LSH banding itself).
+    */
+  def saltBlocks(
+      df: DataFrame,
+      blockCol: String,
+      idCol: String,
+      maxBlockSize: Long,
+  ): DataFrame = {
+    val oversized = df.groupBy(col(blockCol))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxBlockSize)
+      .select(col(blockCol),
+        ceil(col("_n").cast("double") / maxBlockSize).cast("long").as("_salts"))
+    df.join(broadcast(oversized), Seq(blockCol), "left")
+      .withColumn("_salt",
+        when(col("_salts").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col(idCol)), col("_salts"))))
+      .withColumn(blockCol, concat_ws("#", col(blockCol), col("_salt")))
+      .drop("_salts", "_salt")
+  }
+
   // ---- duplicate-cluster resolution ----
 
   /** Connected components over near-duplicate pairs: assigns every id the

@@ -252,6 +252,26 @@ class PipelineSpec extends SparkSpec {
     assert(offs.toSeq === Seq(0L, 2L, 5L, 7L))
   }
 
+  test("saltBlocks splits only oversized blocks, deterministically") {
+    val df = (1 to 100).map(i => (i.toLong, if (i <= 90) "hot" else "cold"))
+      .toDF("id", "block")
+    val salted = Dedup.saltBlocks(df, "block", "id", maxBlockSize = 30L)
+    val sizes = salted.groupBy("block").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cold block (10 rows) untouched but suffixed with salt 0
+    assert(sizes("cold#0") === 10L)
+    // hot block split into ceil(90/30)=3 salts, each well under the cap ×2
+    val hot = sizes.filter(_._1.startsWith("hot#"))
+    assert(hot.keySet === Set("hot#0", "hot#1", "hot#2"))
+    assert(hot.values.sum === 90L)
+    assert(hot.values.forall(_ <= 60L))
+    // deterministic: same input → same assignment
+    val again = Dedup.saltBlocks(df, "block", "id", maxBlockSize = 30L)
+      .groupBy("block").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === sizes)
+  }
+
   test("polyHashFixed matches the hand-computed polynomial, OOB chars read 0") {
     val out = Seq("abc", "ab", "", "中x").toDF("s")
       .select(TextOps.polyHashFixed(col("s"), 3).as("h")).as[Long].collect()
