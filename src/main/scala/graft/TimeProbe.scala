@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", false)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val names = args.toSeq
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val cnt = SparkEntry.queries(n)(spark, dir).count()
+      println(f"TIMED $n%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$cnt")
+    }
+    spark.stop()
+  }
+}

@@ -224,8 +224,14 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for candidate pairs under a blocking
     * key (e.g. source + length bucket): never all-pairs — the self-join is
-    * equi on the block column, then `|A∩B| / |A∪B|` via array set ops in
-    * the projection.
+    * equi on the block column, then `|A∩B| / |A∪B|` per pair.
+    *
+    * The shingle set is reduced ONCE per document to a distinct-sorted
+    * xxhash64 array in the projection; the per-pair kernel is the native
+    * [[SortedLongIntersectCount]] merge (no per-pair set building, no
+    * string hashing inside the join — `array_intersect` on string sets
+    * measured ~4× slower at bench scale). Jaccard over 64-bit-hashed
+    * shingle sets equals string-set Jaccard up to 2⁻⁶⁴ collisions.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -238,9 +244,14 @@ object Dedup {
     val sets = df.select(
       col(idCol).as("id"),
       blockCol.as("block"),
-      TextOps.charShingleSet(col(textCol), n).as("sh"),
+      array_sort(array_distinct(
+        transform(TextOps.charShingles(col(textCol), n), s => xxhash64(s))))
+        .as("sh"),
     )
-    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+    val inter = org.apache.spark.sql.GraftBridge.column(
+      SortedLongIntersectCount(
+        org.apache.spark.sql.GraftBridge.expression(col("a.sh")),
+        org.apache.spark.sql.GraftBridge.expression(col("b.sh")))).cast("double")
     val union = (size(col("a.sh")) + size(col("b.sh"))).cast("double") - inter
     // identical-plan self-join → shingle-set projection shared via
     // ReuseExchange in the sort-merge regime
