@@ -324,18 +324,21 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // min label among self and neighbors
+      // min label among self and neighbors; the node's own previous label
+      // rides along in the same aggregation so convergence needs no extra
+      // join — one shuffle per iteration total
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label"))
+        .select(col("src").as("id"), col("label"), lit(false).as("_own"))
+      val next = labels.select(col("id"), col("label"), lit(true).as("_own"))
         .union(viaNeighbors)
-        .groupBy("id").agg(min("label").as("label"))
+        .groupBy("id")
+        .agg(min("label").as("label"),
+          min(when(col("_own"), col("label"))).as("_old"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      val changed = next.filter(col("label") < col("_old")).limit(1).count() > 0
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "label")
       converged = !changed
       iter += 1
     }
