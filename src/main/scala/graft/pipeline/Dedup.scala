@@ -148,13 +148,15 @@ object Dedup {
     * hashes. Expressed as bit-count aggregations over the token array —
     * pure expressions, one projection (no explode, no shuffle).
     *
-    * NOTE: inlines the token-hash array into every per-bit subtree; prefer
-    * materializing [[tokenHashes]] into a column and calling
-    * [[simhashFromHashes]] (Spark shares no common subexpressions across
-    * the 64 sibling expressions — the two-projection form is ~bits× cheaper).
+    * The token-hash array is bound once as a lambda variable so the 64
+    * per-bit subtrees reference the evaluated value rather than re-running
+    * tokenization+hashing per bit. (For multi-column pipelines, the
+    * two-projection form — materialize [[tokenHashes]], then
+    * [[simhashFromHashes]] — remains the idiomatic shape.)
     */
   def simhash(text: Column): Column =
-    simhashFromHashes(tokenHashes(text), 64)
+    transform(array(tokenHashes(text)), hs => simhashFromHashes(hs, 64))
+      .getItem(0)
 
   /** Per-token hash array (the expensive subtree — materialize once).
     * `portable` uses the 62-bit SQL-expressible polynomial token hash.
