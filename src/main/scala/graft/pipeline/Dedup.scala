@@ -67,7 +67,10 @@ object Dedup {
       numHashes: Int = 32,
       seed: Long = 42L,
   ): Column =
-    minhashFromBase(baseShingleHashes(text, k), numHashes, seed)
+    // bind the shingle-hash array once — inlined, the shingle pipeline
+    // would re-run per hash function (numHashes×)
+    transform(array(baseShingleHashes(text, k)), base =>
+      minhashFromBase(base, numHashes, seed)).getItem(0)
 
   /** Reduced shingle hashes `h(s) mod p` — materialize this into its own
     * column before fanning out the hash family: the shingle/hash array is
