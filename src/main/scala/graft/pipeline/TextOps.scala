@@ -48,15 +48,22 @@ object TextOps {
     */
   def qualityColumns(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val nTok = tokenCount(t)
-    df.withColumns(Map(
-      "n_tokens" -> nTok,
-      "n_chars_m" -> length(t),
-      "avg_token_len" ->
-        (length(regexp_replace(t, "\\s+", "")).cast("double") / nTok),
-      "punct_ratio" -> (punctCount(t).cast("double") / length(t)),
-      "stopword_ratio" -> (stopwordCount(t).cast("double") / nTok),
-    ))
+    // one tokenization bound per row: the token-derived signals reference
+    // the lambda variable, not three separate regex splits
+    val sig = transform(array(tokens(t)), toks => struct(
+      size(toks).as("n_tokens"),
+      size(filter(toks, w => w.isin(EnStopwords: _*))).as("n_stop"),
+    )).getItem(0)
+    df.withColumn("_q", sig)
+      .withColumns(Map(
+        "n_tokens" -> col("_q.n_tokens"),
+        "n_chars_m" -> length(t),
+        "avg_token_len" ->
+          (length(regexp_replace(t, "\\s+", "")).cast("double") / col("_q.n_tokens")),
+        "punct_ratio" -> (punctCount(t).cast("double") / length(t)),
+        "stopword_ratio" -> (col("_q.n_stop").cast("double") / col("_q.n_tokens")),
+      ))
+      .drop("_q")
   }
 
   /** Tiny per-language stopword profiles for the n-gram/stopword language
