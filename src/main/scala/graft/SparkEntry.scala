@@ -256,6 +256,13 @@ object SparkEntry {
           col("event_id"),
           when(col("event_type") === "click", col("value")).as("sparse")),
         Seq("sparse"), "event_id")),
+    // T16 backward_fill_lazy: next-non-null propagation (the mirror pass)
+    "q_bfill" -> ((s, dir) =>
+      DfOps.backwardFill(
+        table(s, dir, "events").select(
+          col("event_id"),
+          when(col("event_type") === "click", col("value")).as("sparse")),
+        Seq("sparse"), "event_id")),
     // S5 timed-table derivation: last event value per time bucket
     "q_timed_table" -> ((s, dir) =>
       table(s, dir, "events")
@@ -349,6 +356,11 @@ object SparkEntry {
         col("doc_id"),
         explode(pipeline.TextOps.rollingHashFingerprint(
           col("text"), hasher = pipeline.TextOps.polyHashFixed(_, 7))).as("fp"))),
+    // word n-gram shingles (the word-level dedup unit), exploded
+    "q_word_shingles" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        explode(pipeline.TextOps.wordShingles(col("text"), 3)).as("shingle"))),
     // multimodal: binary column + stubbed decode via batched mapPartitions
     "q_multimodal_meta" -> ((s, dir) =>
       pipeline.Multimodal.decodeMeta(
@@ -548,6 +560,11 @@ object SparkEntry {
         | last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
         |   OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         | AS sparse FROM events""".stripMargin.replace("\n", " "),
+    "q_bfill" ->
+      """SELECT event_id,
+        | first_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |   OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        | AS sparse FROM events""".stripMargin.replace("\n", " "),
     "q_timed_table" ->
       """SELECT epoch_ns(ts) // 1000000000 AS sec,
         | arg_max(value, event_id) AS last_value, count(*) AS n
@@ -632,6 +649,14 @@ object SparkEntry {
       "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2, seed = 42L),
     "q_simhash_pairs" -> OracleSql.simhashPairsSql("documents", maxDistance = 16),
     "q_rolling_fp" -> OracleSql.rollingFpSql("documents", k = 7, window = 4),
+    "q_word_shingles" ->
+      raw"""SELECT doc_id, unnest(
+           | [array_to_string(toks[i : i + 2], ' ')
+           |  for i in range(1, len(toks) - 1)]) AS shingle
+           | FROM (SELECT doc_id,
+           |   regexp_split_to_array(trim(text), '\s+') AS toks
+           |  FROM documents)
+           | WHERE len(toks) >= 3""".stripMargin.replace("\n", " "),
     "q_multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,
