@@ -159,10 +159,27 @@ object Binning {
   ): DataFrame = {
     val idxCols = partCol.as(partName) +: axes.map(ax => binIndex(ax).as(idxName(ax)))
     val keep = axes.map(ax => col(idxName(ax)).isNotNull).reduce(_ && _)
-    df.select(idxCols: _*)
-      .filter(keep)
-      .groupBy((partName +: axes.map(idxName)).map(col): _*)
-      .agg(count(lit(1)).as(countName))
+    val indexed = df.select(idxCols: _*).filter(keep)
+    flatStrides(axes) match {
+      case Some(strides) =>
+        // same flat-Long-key packing as [[histogram]], with the partition
+        // column as the leading group key
+        val flat = axes.zip(strides)
+          .map { case (ax, s) => col(idxName(ax)) * lit(s) }
+          .reduce(_ + _)
+        val decode = axes.zip(strides).map { case (ax, s) =>
+          (expr(s"_flat div ${s}L") % ax.nBins).as(idxName(ax))
+        }
+        indexed
+          .select(col(partName), flat.as("_flat"))
+          .groupBy(col(partName), col("_flat"))
+          .agg(count(lit(1)).as(countName))
+          .select(col(partName) +: decode :+ col(countName): _*)
+      case None =>
+        indexed
+          .groupBy((partName +: axes.map(idxName)).map(col): _*)
+          .agg(count(lit(1)).as(countName))
+    }
   }
 
   /** Materialized histogram with automatic physical-path selection: cubes
