@@ -50,31 +50,28 @@ object OracleSql {
 
   private val P = TextOps.PolyPrime
 
-  private def pow(base: Long, e: Int): Long =
-    Iterator.fill(e)(base).foldLeft(1L)(_ * _)
-
   /** Poly hash of the k chars of `textSql` starting at 1-based position
     * expression `iSql` — direct char indexing (all positions assumed in
-    * range); mirrors [[TextOps.polyHashFixed]] applied to a full shingle.
+    * range); mirrors [[TextOps.polyHashFixed]] applied to a full shingle:
+    * Horner form with a `% p` reduction per step, so BIGINT intermediates
+    * never overflow for any `k` (identical to the Spark side step-for-step).
     */
-  def polyShingleSql(textSql: String, iSql: String, k: Int, base: Long = 31L): String = {
-    val terms = (0 until k).map { j =>
+  def polyShingleSql(textSql: String, iSql: String, k: Int, base: Long = 31L): String =
+    (0 until k).foldLeft(s"0::BIGINT") { (acc, j) =>
       val at = if (j == 0) iSql else s"$iSql + $j"
-      s"(ord(substr($textSql, $at, 1)) * ${pow(base, k - 1 - j)}::BIGINT)"
+      s"((($acc * $base::BIGINT) + ord(substr($textSql, $at, 1))) % $P)"
     }
-    s"((${terms.mkString(" + ")}) % $P)"
-  }
 
   /** Guarded poly hash of the first `k` chars of a (possibly shorter)
     * string expression; out-of-range codepoints read as 0 to match Spark's
-    * `ascii` on an empty substring.
+    * `ascii` on an empty substring. Same overflow-safe Horner form as
+    * [[polyShingleSql]].
     */
-  def polyPrefixSql(tSql: String, k: Int, base: Long): String = {
-    val terms = (1 to k).map { j =>
-      s"((CASE WHEN length($tSql) >= $j THEN ord(substr($tSql, $j, 1)) ELSE 0 END) * ${pow(base, k - j)}::BIGINT)"
+  def polyPrefixSql(tSql: String, k: Int, base: Long): String =
+    (1 to k).foldLeft(s"0::BIGINT") { (acc, j) =>
+      val cp = s"(CASE WHEN length($tSql) >= $j THEN ord(substr($tSql, $j, 1)) ELSE 0 END)"
+      s"((($acc * $base::BIGINT) + $cp) % $P)"
     }
-    s"((${terms.mkString(" + ")}) % $P)"
-  }
 
   /** Mirrors [[TextOps.portableTokenHash]]: 62-bit two-polynomial hash. */
   def portableTokenHashSql(tSql: String): String = {

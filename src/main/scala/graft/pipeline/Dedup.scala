@@ -326,6 +326,10 @@ object Dedup {
       .distinct()
       .withColumn("label", col("id"))
       .cache()
+    // Spark's uncacheQuery is plan-identity based: unpersisting a Project
+    // wrapped around the cached Aggregate is a no-op, so track the exact
+    // DataFrame that was cached separately from the projected view.
+    var cached: DataFrame = labels
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -342,13 +346,23 @@ object Dedup {
           min(when(col("_own"), col("label"))).as("_old"))
         .cache()
       val changed = next.filter(col("label") < col("_old")).limit(1).count() > 0
-      labels.unpersist()
+      cached.unpersist()
+      cached = next
       labels = next.select("id", "label")
       converged = !changed
       iter += 1
     }
     edges.unpersist()
-    labels
+    // Hand the caller a frame THEY can unpersist (plan-identity again:
+    // unpersisting the projection would not free the final iteration's
+    // cache). The copy is tiny — two longs per node, read from cache.
+    if (cached eq labels) labels // maxIter == 0: already directly cached
+    else {
+      val out = labels.cache()
+      out.count()
+      cached.unpersist()
+      out
+    }
   }
 
   /** End-to-end near-duplicate removal: MinHash-LSH candidate pairs →

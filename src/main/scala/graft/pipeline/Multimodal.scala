@@ -95,7 +95,10 @@ object Multimodal {
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val m = decodeStub(r.getAs[Array[Byte]](idx))
+        // Null binary values (nullable column) read as empty assets
+        // rather than NPE-ing the whole task.
+        val m = decodeStub(
+          Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray))
         Row.fromSeq(r.toSeq ++ Seq(m.width, m.height, m.format, m.byteLen))
       }
     }(enc)
@@ -113,7 +116,8 @@ object Multimodal {
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](idx)
+        val bytes =
+          Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray)
         val hist = new Array[Float](16)
         var i = 0
         while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
@@ -137,7 +141,8 @@ object Multimodal {
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](idx)
+        val bytes =
+          Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray)
         val resized =
           if (bytes.isEmpty) new Array[Byte](targetLen)
           else Array.tabulate(targetLen)(i => bytes((i.toLong * bytes.length / targetLen).toInt))

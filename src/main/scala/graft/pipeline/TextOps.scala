@@ -110,23 +110,27 @@ object TextOps {
   // an independent SQL engine. The default operators use `xxhash64` (faster,
   // 64-bit); the portable family trades hash width for auditability.
 
-  /** Mersenne prime 2^31 − 1: both hash values and affine coefficients stay
-    * below 2^31, so products fit a Long without overflow (ANSI-safe).
+  /** Mersenne prime 2^31 − 1: hash values and affine coefficients stay
+    * below 2^31 and every multiply is reduced mod p before the next one,
+    * so intermediates fit a Long without overflow (ANSI-safe).
     */
   val PolyPrime: Long = (1L << 31) - 1
 
   /** Polynomial hash of the first `k` chars: `Σ cp(s,j)·base^(k−j) mod p`,
-    * unrolled (no lambda fold — stays a flat codegen'd expression). Codepoints
-    * beyond the string's end read as 0, so strings shorter than `k` are
-    * well-defined; intended for fixed-length shingles or rpad'd prefixes.
+    * evaluated in Horner form with a mod reduction per step (unrolled — no
+    * lambda fold, stays a flat codegen'd expression). Intermediates stay
+    * below `p·base + maxCodepoint < 2^37`, so the arithmetic never
+    * overflows a Long for ANY `k` (ANSI-safe); the per-step form is
+    * mirrored verbatim by the SQL renderers ([[graft.OracleSql]]).
+    * Codepoints beyond the string's end read as 0, so strings shorter than
+    * `k` are well-defined; intended for fixed-length shingles or rpad'd
+    * prefixes.
     */
-  def polyHashFixed(s: Column, k: Int, base: Long = 31L): Column = {
-    val terms = (1 to k).map { j =>
-      val pow = Iterator.fill(k - j)(base).foldLeft(1L)(_ * _)
-      ascii(substring(s, j, 1)).cast("long") * lit(pow)
+  def polyHashFixed(s: Column, k: Int, base: Long = 31L): Column =
+    (1 to k).foldLeft(lit(0L)) { (acc, j) =>
+      pmod(acc * lit(base) + ascii(substring(s, j, 1)).cast("long"),
+        lit(PolyPrime))
     }
-    pmod(terms.reduce(_ + _), lit(PolyPrime))
-  }
 
   /** Portable 62-bit token hash: two base-31/base-37 polynomials over the
     * first 8 chars (out-of-range codepoints read as 0), length-mixed,

@@ -116,10 +116,22 @@ object StreamingBinning {
       tsCol: String,
       watermark: String,
       numHashes: Int = 32,
+      shingleK: Int = 5,
   ): DataFrame =
     stream
+      // Texts shorter than the shingle size (incl. null/empty) have an
+      // empty shingle set and thus one shared all-null signature; keying
+      // on it would collapse DISTINCT short documents into one arrival.
+      // The batch path never pairs them (est. Jaccard 0), so fall back to
+      // an exact content fingerprint for those rows (null keeps its own
+      // key via the second element, so it cannot collide with real text).
       .withColumn("_sig",
-        graft.pipeline.Dedup.minhashSignature(col(textCol), numHashes = numHashes))
+        when(length(coalesce(col(textCol), lit(""))) >= shingleK,
+          graft.pipeline.Dedup.minhashSignature(col(textCol),
+            k = shingleK, numHashes = numHashes))
+          .otherwise(array(
+            xxhash64(coalesce(col(textCol), lit(""))),
+            when(col(textCol).isNull, lit(1L)).otherwise(lit(0L)))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("_sig"))
       .drop("_sig")

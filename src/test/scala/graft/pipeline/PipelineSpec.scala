@@ -314,4 +314,49 @@ class PipelineSpec extends SparkSpec {
     assert(fp(0L).nonEmpty && fp(0L) === fp(0L).sorted.distinct)
     assert(fp(2L) === Seq.empty)
   }
+
+  test("polyHashFixed matches the BigInt reference beyond k = 9 (no overflow)") {
+    // Horner-with-pmod regression: the unreduced sum form overflowed Long
+    // for k >= ~10 (non-ASCII input) / k >= ~13 (ASCII).
+    val s = "The \u4e2d\u6587 text with wide codepoints \u00e9\u00fc!"
+    val p = BigInt(TextOps.PolyPrime)
+    for (k <- Seq(3, 8, 13, 20); base <- Seq(31L, 37L)) {
+      val expected = s.take(k).padTo(k, '\u0000').codePoints().toArray
+        .foldLeft(BigInt(0))((acc, cp) => (acc * base + cp).mod(p))
+      val got = Seq(Tuple1(s)).toDF("t")
+        .select(TextOps.polyHashFixed(col("t"), k, base).as("h"))
+        .as[Long].head()
+      assert(got === expected.toLong, s"k=$k base=$base")
+    }
+  }
+
+  test("connectedComponents frees its iteration caches") {
+    spark.catalog.clearCache()
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+    labels.count()
+    // only the returned (caller-owned) frame may remain cached
+    labels.unpersist(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "iteration caches leaked past connectedComponents")
+  }
+
+  test("multimodal ops treat null binary values as empty assets") {
+    val df = Seq((1L, Some("abcdef")), (2L, None))
+      .toDF("id", "s")
+      .select(col("id"), col("s").cast("binary").as("bin"))
+    val meta = Multimodal.decodeMeta(df, "bin")
+      .select("id", "format", "byte_len").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(meta(2L) === (("empty", 0L)))
+    val feats = Multimodal.extractFeatures(df, "bin", dim = 16)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(2L).length === 16 && feats(2L).forall(_ === 0f))
+    val resized = Multimodal.resizeStub(df, "bin", targetLen = 4)
+      .select("id", "bin", "orig_len").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Array[Byte]](1), r.getLong(2)))).toMap
+    assert(resized(2L)._1.length === 4 && resized(2L)._2 === 0L)
+  }
 }

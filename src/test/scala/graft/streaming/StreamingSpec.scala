@@ -90,6 +90,29 @@ class StreamingSpec extends SparkSpec {
     assert(!sunk.columns.contains("_sig"))
   }
 
+  test("dedupNearWithinWatermark keeps distinct short documents") {
+    // Regression: texts shorter than the shingle size share an empty
+    // shingle set (identical all-null signature) — they must NOT collapse.
+    val dir = Files.createTempDirectory("stream-in7").toFile.getPath + "/data"
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "ab", 1L),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "cd", 2L),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "", 3L),
+      // exact duplicate short text still collapses (fingerprint equality)
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), "ab", 4L),
+    ).toDF("ts", "text", "id").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = StreamingBinning.dedupNearWithinWatermark(
+      stream, "text", "ts", "10 minutes")
+    val sunk = StreamingBinning.runToMemorySink(out, "shortdedup_sink", OutputMode.Append())
+    val ids = sunk.select("id").as[Long].collect().sorted.toSeq
+    // which of the two "ab" arrivals survives depends on file read order
+    assert(ids.length === 3)
+    assert(ids.contains(2L) && ids.contains(3L))
+    assert(ids.count(id => id == 1L || id == 4L) === 1)
+  }
+
   test("cubeSnapshotSink densifies each micro-batch's windows") {
     val dir = Files.createTempDirectory("stream-in5").toFile.getPath + "/data"
     Seq(
