@@ -87,14 +87,28 @@ object Dedup {
     transform(TextOps.charShingleSet(text, k), hasher)
   }
 
-  /** Signature from a pre-materialized [[baseShingleHashes]] column. */
-  def minhashFromBase(base: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val coeffs = hashCoeffs(numHashes, seed)
-    val funcs = coeffs.map { case (a, b) =>
-      array_min(transform(base, h =>
-        pmod(h * lit(a) + lit(b), lit(MersennePrime))))
-    }
-    array(funcs.toIndexedSeq: _*)
+  /** Signature from a pre-materialized [[baseShingleHashes]] column —
+    * the native one-pass kernel ([[MinHashSignatureExpr]]); bit-identical
+    * to the declarative `numHashes × array_min(transform(…))` form it
+    * replaced (same seeded affine family, same reduction, all-null
+    * signature for an empty shingle set).
+    */
+  def minhashFromBase(base: Column, numHashes: Int, seed: Long = 42L): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      MinHashSignatureExpr(
+        org.apache.spark.sql.GraftBridge.expression(base), numHashes, seed))
+
+  /** Ensure the expensive per-document signature projection gets at least
+    * the session's shuffle parallelism: a scan with fewer splits than
+    * cores (e.g. one local single-row-group file) would otherwise pin the
+    * whole signature pipeline to one task. No-op — no shuffle inserted —
+    * whenever the scan already has enough splits, which at lake scale it
+    * always does.
+    */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val want = math.min(p, df.sparkSession.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions < want) df.repartition(p) else df
   }
 
   /** MinHash+LSH near-duplicate pairs.
@@ -122,7 +136,7 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = df
+    val sigs = ensureParallelism(df)
       .select(col(idCol).as("id"),
         baseShingleHashes(col(textCol), k, portable).as("_base"))
       .select(col("id"), minhashFromBase(col("_base"), numHashes, seed).as("sig"))
@@ -201,7 +215,7 @@ object Dedup {
     val blocks = maxDistance + 1
     val width = bits / blocks
     require(width >= 1, s"maxDistance $maxDistance too large for $bits-bit simhash")
-    val sigs = df
+    val sigs = ensureParallelism(df)
       .select(col(idCol).as("id"), tokenHashes(col(textCol), portable).as("_th"))
       .select(col("id"), simhashFromHashes(col("_th"), bits).as("sig"))
     val banded = sigs.select(
@@ -258,10 +272,17 @@ object Dedup {
         org.apache.spark.sql.GraftBridge.expression(col("a.sh")),
         org.apache.spark.sql.GraftBridge.expression(col("b.sh")))).cast("double")
     val union = (size(col("a.sh")) + size(col("b.sh"))).cast("double") - inter
-    // identical-plan self-join → shingle-set projection shared via
-    // ReuseExchange in the sort-merge regime
-    sets.as("a")
-      .join(sets.as("b"), col("a.block") === col("b.block"))
+    // Repartition by the join key with an explicit partition count (so AQE
+    // does not coalesce the tiny-by-bytes but quadratic-by-work shuffle):
+    // the pair-merge work is O(block²), so parallelism must follow blocks,
+    // not input splits — a single-row-group scan would otherwise leave the
+    // whole pair loop on one task. Identical-plan children → the shuffle +
+    // shingle projection are computed once and shared via ReuseExchange,
+    // and SMJ at scale needs this exchange anyway.
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = sets.repartition(p, col("block"))
+    parts.as("a")
+      .join(parts.as("b"), col("a.block") === col("b.block"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (inter / union).as("jaccard"))
@@ -307,16 +328,85 @@ object Dedup {
     * minimum id reachable through the pair graph (the canonical document
     * of its duplicate cluster).
     *
-    * Iterative label propagation: each round joins current labels across
-    * the (symmetrized) edge list and keeps the per-node minimum —
-    * O(diameter) rounds of hash joins, all shuffles keyed on node id.
-    * Near-dup graphs are unions of small cliques-ish clusters (diameter
-    * ≤ ~log n in practice), so `maxIter` defaults small; iteration stops
-    * early when a round changes nothing.
+    * Hybrid execution: the pair graph of a dedup run is orders of
+    * magnitude smaller than the corpus (only documents that near-match
+    * something), so when it fits comfortably on the driver
+    * (`<= driverEdgeLimit` edges, default 1e7 ≈ 160 MB) a single-pass
+    * union-find computes exact labels with zero Spark jobs beyond the
+    * collect — the iterative path costs O(diameter) full shuffle rounds,
+    * each with a fixed scheduling floor that dwarfs sub-second graphs.
+    * Above the limit: distributed label propagation — each round joins
+    * current labels across the (symmetrized) edge list and keeps the
+    * per-node minimum, O(diameter) rounds of hash joins, all shuffles
+    * keyed on node id. Near-dup graphs are unions of small cliques-ish
+    * clusters (diameter ≤ ~log n in practice), so `maxIter` defaults
+    * small; iteration stops early when a round changes nothing.
+    *
+    * Both paths return the same exact result (columns `id`, `label`);
+    * the returned DataFrame of the distributed path is cached — callers
+    * may `unpersist()` it when done.
     */
   def connectedComponents(
       pairs: DataFrame, // columns id_a, id_b
       maxIter: Int = 10,
+      driverEdgeLimit: Long = 10000000L,
+  ): DataFrame = {
+    val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .cache()
+    val nEdges = raw.count()
+    val out =
+      if (nEdges <= driverEdgeLimit) ccOnDriver(raw)
+      else ccDistributed(raw, maxIter)
+    raw.unpersist()
+    out
+  }
+
+  /** Exact union-find on the collected edge list (small-graph fast path
+    * of [[connectedComponents]]): path-compressed, roots always the
+    * component minimum (union attaches the larger root under the
+    * smaller).
+    */
+  private def ccOnDriver(pairsDf: DataFrame): DataFrame = {
+    val spark = pairsDf.sparkSession
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairsDf.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val labels = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { val k = it.next(); labels(i) = (k, find(k)); i += 1 }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        labels.toIndexedSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)),
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          labels.length / 100000 + 1))),
+      schema)
+  }
+
+  /** Distributed label propagation (at-scale path of
+    * [[connectedComponents]]).
+    */
+  private def ccDistributed(
+      pairs: DataFrame,
+      maxIter: Int,
   ): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

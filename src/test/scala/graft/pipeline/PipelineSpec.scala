@@ -334,12 +334,27 @@ class PipelineSpec extends SparkSpec {
     spark.catalog.clearCache()
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(pairs)
+    // force the distributed label-propagation path
+    val labels = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
     labels.count()
     // only the returned (caller-owned) frame may remain cached
     labels.unpersist(blocking = true)
     assert(spark.sharedState.cacheManager.isEmpty,
       "iteration caches leaked past connectedComponents")
+  }
+
+  test("connectedComponents driver and distributed paths agree") {
+    // chain + clique + singleton pair; also exercises long diameters
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)))
+      .toDF("id_a", "id_b")
+    def run(limit: Long) = Dedup.connectedComponents(pairs, driverEdgeLimit = limit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = run(1000000L)
+    val dist = run(0L)
+    assert(driver === dist)
+    assert(driver(6L) === 1L && driver(22L) === 20L && driver(31L) === 30L)
+    spark.catalog.clearCache()
   }
 
   test("multimodal ops treat null binary values as empty assets") {
