@@ -102,40 +102,47 @@ object Binning {
       countName: String = "cnt",
   ): DataFrame = {
     require(axes.nonEmpty, "at least one bin axis required")
-    val idxCols = axes.map(ax => binIndex(ax).as(idxName(ax)))
-    // null index ⇔ out of range on that axis ⇔ drop the event
-    val keep = axes.map(ax => col(idxName(ax)).isNotNull).reduce(_ && _)
-    val indexed = df.select(idxCols: _*).filter(keep)
     flatStrides(axes) match {
       case Some(strides) =>
-        // single flat Long group key: for high-cardinality cubes (e.g.
-        // 100⁴ cells, where partial aggregation barely combines) this
-        // shrinks the shuffled key from N longs to one and makes the
-        // aggregate hash/compare one word — decode back to per-axis
-        // indices AFTER the aggregation, on ≤|cells| rows
-        val flat = axes.zip(strides)
-          .map { case (ax, s) => col(idxName(ax)) * lit(s) }
-          .reduce(_ + _)
+        // single flat Long group key computed by the fused native kernel
+        // ([[FlatBinIndexExpr]]): ONE compact expression per row instead of
+        // per-axis guarded trees + a conjunctive null filter, which
+        // predicate pushdown would otherwise re-inline — several
+        // evaluations of the whole upstream transform chain per row (see
+        // the expression's scaladoc). The flat key also shrinks the
+        // shuffled key to one word for high-cardinality cubes (e.g. 100⁴
+        // cells, where partial aggregation barely combines); decode back
+        // to per-axis indices AFTER the aggregation, on ≤|cells| rows.
         val decode = axes.zip(strides).map { case (ax, s) =>
           (expr(s"_flat div ${s}L") % ax.nBins).as(idxName(ax))
         }
-        indexed
-          .select(flat.as("_flat"))
+        df.select(flatBinIndex(axes, strides).as("_flat"))
+          .filter(col("_flat") >= 0) // -1 ⇔ out of range / null on any axis
           .groupBy(col("_flat"))
           .agg(count(lit(1)).as(countName))
           .select(decode :+ col(countName): _*)
       case None =>
-        indexed
+        val idxCols = axes.map(ax => binIndex(ax).as(idxName(ax)))
+        // null index ⇔ out of range on that axis ⇔ drop the event
+        val keep = axes.map(ax => col(idxName(ax)).isNotNull).reduce(_ && _)
+        df.select(idxCols: _*).filter(keep)
           .groupBy(axes.map(ax => col(idxName(ax))): _*)
           .agg(count(lit(1)).as(countName))
     }
   }
 
-  /** Row-major strides for a flat bin index, or None for 1-D (no benefit)
-    * or cubes whose cell count would overflow the Long key space.
+  /** The fused flat-key bin-index column (see [[FlatBinIndexExpr]]). */
+  def flatBinIndex(axes: Seq[BinAxis], strides: Seq[Long]): Column =
+    org.apache.spark.sql.GraftBridge.column(FlatBinIndexExpr(
+      axes.map(ax => org.apache.spark.sql.GraftBridge.expression(
+        col(ax.column).cast("double"))),
+      axes, strides))
+
+  /** Row-major strides for a flat bin index, or None for cubes whose cell
+    * count would overflow the Long key space (those fall back to per-axis
+    * index columns).
     */
   private def flatStrides(axes: Seq[BinAxis]): Option[Seq[Long]] = {
-    if (axes.length < 2) return None
     val cells = axes.map(ax => BigInt(ax.nBins)).product
     if (cells > BigInt(Long.MaxValue) / 2) return None
     val strides = new Array[Long](axes.length)
@@ -157,26 +164,23 @@ object Binning {
       axes: Seq[BinAxis],
       countName: String = "cnt",
   ): DataFrame = {
-    val idxCols = partCol.as(partName) +: axes.map(ax => binIndex(ax).as(idxName(ax)))
-    val keep = axes.map(ax => col(idxName(ax)).isNotNull).reduce(_ && _)
-    val indexed = df.select(idxCols: _*).filter(keep)
     flatStrides(axes) match {
       case Some(strides) =>
-        // same flat-Long-key packing as [[histogram]], with the partition
-        // column as the leading group key
-        val flat = axes.zip(strides)
-          .map { case (ax, s) => col(idxName(ax)) * lit(s) }
-          .reduce(_ + _)
+        // same fused flat-Long-key kernel as [[histogram]], with the
+        // partition column as the leading group key
         val decode = axes.zip(strides).map { case (ax, s) =>
           (expr(s"_flat div ${s}L") % ax.nBins).as(idxName(ax))
         }
-        indexed
-          .select(col(partName), flat.as("_flat"))
+        df.select(partCol.as(partName), flatBinIndex(axes, strides).as("_flat"))
+          .filter(col("_flat") >= 0)
           .groupBy(col(partName), col("_flat"))
           .agg(count(lit(1)).as(countName))
           .select(col(partName) +: decode :+ col(countName): _*)
       case None =>
-        indexed
+        val idxCols =
+          partCol.as(partName) +: axes.map(ax => binIndex(ax).as(idxName(ax)))
+        val keep = axes.map(ax => col(idxName(ax)).isNotNull).reduce(_ && _)
+        df.select(idxCols: _*).filter(keep)
           .groupBy((partName +: axes.map(idxName)).map(col): _*)
           .agg(count(lit(1)).as(countName))
     }
