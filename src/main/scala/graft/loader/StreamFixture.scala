@@ -1,0 +1,201 @@
+package graft.loader
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Binary instrument-stream ingestion (S3/S4/S5 made concrete on bytes).
+  *
+  * The reference's mpes loader reads SPECS Metis HDF5 files — one 1-D
+  * float dataset per `Stream_N` group plus an `msMarkers` dataset and a
+  * file-start timestamp attribute (`sed/loader/mpes/loader.py:54-140,
+  * 267-347`) — and its flash loader converts every instrument file to a
+  * Parquet buffer exactly once (`sed/loader/flash/loader.py:617-742`).
+  * This module universalizes that design on a dependency-free container
+  * with the SAME logical layout (named per-channel float64 datasets +
+  * ms-marker event indices + start-time attribute), so the whole
+  * binary-file ingestion path — executor-side decode, column aliasing,
+  * per-event timestamp synthesis, timed-table derivation, Parquet
+  * buffering — is real and tested end-to-end. Parsing true HDF5
+  * superblocks needs a JNI/external library (documented gap, SURVEY §7.4
+  * risk 8); the byte-level container is the only swappable piece.
+  *
+  * File layout (little-endian): magic `GSD1`, `startTs: f64`,
+  * `nChannels: i32`, then per channel `nameLen: i16, name: UTF-8,
+  * nValues: i32, values: f64...`, then `nMarkers: i32, markers: i64...`
+  * (marker `i` = count of events recorded by millisecond `i`, ascending —
+  * the `msMarkers` semantics).
+  */
+object StreamFixture {
+
+  final case class StreamData(
+      startTs: Double,
+      channels: Seq[(String, Array[Double])],
+      msMarkers: Array[Long],
+  )
+
+  private val Magic = Array[Byte]('G', 'S', 'D', '1')
+
+  /** Driver-side fixture writer (the role of the instrument DAQ). */
+  def write(path: String, data: StreamData): Unit = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    def writeLong(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
+    def writeInt(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
+    def writeShort(v: Int): Unit =
+      out.writeShort(java.lang.Short.reverseBytes(v.toShort))
+    def writeDouble(v: Double): Unit =
+      writeLong(java.lang.Double.doubleToLongBits(v))
+    out.write(Magic)
+    writeDouble(data.startTs)
+    writeInt(data.channels.length)
+    data.channels.foreach { case (name, values) =>
+      val nb = name.getBytes("UTF-8")
+      writeShort(nb.length)
+      out.write(nb)
+      writeInt(values.length)
+      values.foreach(writeDouble)
+    }
+    writeInt(data.msMarkers.length)
+    data.msMarkers.foreach(writeLong)
+    out.flush()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bos.toByteArray)
+  }
+
+  /** Pure decoder — runs inside executor tasks on `binaryFile` content. */
+  def decode(bytes: Array[Byte]): StreamData = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4)
+    buf.get(magic)
+    require(magic.sameElements(Magic), "not a GSD1 stream file")
+    val startTs = buf.getDouble
+    val nCh = buf.getInt
+    val channels = (0 until nCh).map { _ =>
+      val nameLen = buf.getShort.toInt
+      val nb = new Array[Byte](nameLen)
+      buf.get(nb)
+      val n = buf.getInt
+      val values = new Array[Double](n)
+      var i = 0
+      while (i < n) { values(i) = buf.getDouble; i += 1 }
+      (new String(nb, "UTF-8"), values)
+    }
+    val nM = buf.getInt
+    val markers = new Array[Long](nM)
+    var i = 0
+    while (i < nM) { markers(i) = buf.getLong; i += 1 }
+    StreamData(startTs, channels, markers)
+  }
+
+  /** Per-event epoch timestamps from ms markers (S4,
+    * `sed/loader/mpes/loader.py:304-343`): event `e` carries
+    * `startTs + ms/1000` for the first millisecond `ms` whose marker
+    * covers it (markers are cumulative event counts per elapsed ms) —
+    * the reference's step interpolation onto the event index.
+    */
+  def eventTimestamps(markers: Array[Long], nEvents: Int, startTs: Double): Array[Double] = {
+    val ts = new Array[Double](nEvents)
+    var e = 0
+    var ms = 0
+    while (e < nEvents) {
+      while (ms < markers.length && markers(ms) <= e) ms += 1
+      ts(e) = startTs + ms * 0.001
+      e += 1
+    }
+    ts
+  }
+
+  /** Ingest stream files into the event table (S3): `binaryFile` scan →
+    * executor-side decode → one row per event with aliased channel
+    * columns, synthesized `ts`, and the explicit global ordering
+    * (`file_id`, `seq`) the window-based fills require (SURVEY §7.4 risk
+    * 3). One task per file, exactly like the reference's one-delayed-task
+    * -per-file ingestion — at lake scale parallelism follows file count.
+    *
+    * `aliases` maps dataset name → event-table column (P6); datasets not
+    * listed are skipped, missing datasets error out (the reference's
+    * schema check).
+    */
+  def ingest(
+      spark: SparkSession,
+      paths: Seq[String],
+      aliases: Seq[(String, String)],
+  ): DataFrame = {
+    val ordered = GenericLoader.naturalSort(paths)
+    val fileIds = ordered.zipWithIndex.toMap
+    val outSchema = StructType(
+      StructField("file_id", IntegerType, nullable = false) +:
+        StructField("seq", LongType, nullable = false) +:
+        StructField("ts", DoubleType, nullable = false) +:
+        aliases.map(a => StructField(a._2, DoubleType, nullable = false)))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    val aliasesB = spark.sparkContext.broadcast(aliases)
+    val fileIdsB = spark.sparkContext.broadcast(fileIds)
+    spark.read.format("binaryFile").load(ordered: _*)
+      .select(col("path"), col("content"))
+      .mapPartitions { rows =>
+        val as = aliasesB.value
+        rows.flatMap { r =>
+          val rawPath = r.getString(0)
+          val localPath = rawPath.stripPrefix("file:")
+          val fileId = fileIdsB.value.getOrElse(rawPath,
+            fileIdsB.value.getOrElse(localPath, -1))
+          val data = decode(r.getAs[Array[Byte]](1))
+          val byName = data.channels.toMap
+          val missing = as.map(_._1).filterNot(byName.contains)
+          require(missing.isEmpty,
+            s"stream file $rawPath missing datasets: ${missing.mkString(",")}")
+          val cols = as.map { case (ds, _) => byName(ds) }
+          val n = if (cols.isEmpty) 0 else cols.map(_.length).min
+          val ts = eventTimestamps(data.msMarkers, n, data.startTs)
+          (0 until n).iterator.map { i =>
+            Row.fromSeq(fileId +: i.toLong +: ts(i) +: cols.map(_(i)))
+          }
+        }
+      }(enc)
+  }
+
+  /** Timed-table derivation from the same files (S5,
+    * `hdf5_to_timed_dataframe`, `sed/loader/mpes/loader.py:143-229`): one
+    * row per ms marker, sampling the LAST event recorded by that
+    * millisecond (`g_dataset[int(point) - 1]`); markers before the first
+    * event sample the first value, matching the reference's clamp.
+    */
+  def ingestTimed(
+      spark: SparkSession,
+      paths: Seq[String],
+      aliases: Seq[(String, String)],
+  ): DataFrame = {
+    val ordered = GenericLoader.naturalSort(paths)
+    val fileIds = ordered.zipWithIndex.toMap
+    val outSchema = StructType(
+      StructField("file_id", IntegerType, nullable = false) +:
+        StructField("ms", LongType, nullable = false) +:
+        StructField("ts", DoubleType, nullable = false) +:
+        aliases.map(a => StructField(a._2, DoubleType, nullable = false)))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    val aliasesB = spark.sparkContext.broadcast(aliases)
+    val fileIdsB = spark.sparkContext.broadcast(fileIds)
+    spark.read.format("binaryFile").load(ordered: _*)
+      .select(col("path"), col("content"))
+      .mapPartitions { rows =>
+        val as = aliasesB.value
+        rows.flatMap { r =>
+          val rawPath = r.getString(0)
+          val fileId = fileIdsB.value.getOrElse(rawPath,
+            fileIdsB.value.getOrElse(rawPath.stripPrefix("file:"), -1))
+          val data = decode(r.getAs[Array[Byte]](1))
+          val byName = data.channels.toMap
+          val cols = as.map { case (ds, _) => byName(ds) }
+          data.msMarkers.iterator.zipWithIndex.map { case (marker, ms) =>
+            val at = math.max(marker.toInt - 1, 0)
+            Row.fromSeq(fileId +: ms.toLong +: (data.startTs + ms * 0.001) +:
+              cols.map(c => c(math.min(at, c.length - 1))))
+          }
+        }
+      }(enc)
+  }
+}

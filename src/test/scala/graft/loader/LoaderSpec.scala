@@ -124,4 +124,73 @@ class LoaderSpec extends SparkSpec {
     assert(GenericLoader.elapsedTime(df, "ts") === 20.0)
     assert(GenericLoader.countRate(df, "ts") === 3.0 / 20.0)
   }
+
+  test("StreamFixture: binary stream files round-trip to the event table") {
+    val dir = Files.createTempDirectory("gsd").toFile.getPath
+    // file written out of order on purpose: natural sort fixes ingestion order
+    StreamFixture.write(s"$dir/Scan2.gsd", StreamFixture.StreamData(
+      startTs = 2000.0,
+      channels = Seq(
+        "Stream_0" -> Array(10.0, 11.0, 12.0),
+        "Stream_1" -> Array(0.5, 0.6, 0.7),
+        "Stream_9" -> Array(9.9, 9.8, 9.7)), // unmapped dataset: skipped
+      msMarkers = Array(1L, 3L)))
+    StreamFixture.write(s"$dir/Scan1.gsd", StreamFixture.StreamData(
+      startTs = 1000.0,
+      channels = Seq(
+        "Stream_0" -> Array(1.0, 2.0, 3.0, 4.0),
+        "Stream_1" -> Array(0.1, 0.2, 0.3, 0.4)),
+      msMarkers = Array(2L, 3L, 4L)))
+    val aliases = Seq("Stream_0" -> "X", "Stream_1" -> "t")
+    val events = StreamFixture.ingest(spark,
+      Seq(s"$dir/Scan2.gsd", s"$dir/Scan1.gsd"), aliases)
+    assert(events.columns.toSeq === Seq("file_id", "seq", "ts", "X", "t"))
+    val rows = events.orderBy("file_id", "seq")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length === 7)
+    // Scan1 first (natural sort), its 4 events in file order
+    assert(rows.take(4).map(_._4).toSeq === Seq(1.0, 2.0, 3.0, 4.0))
+    // S4 step timestamps: markers (2,3,4) -> events 0,1 in ms 0; 2 in ms 1; 3 in ms 2
+    assert(rows.take(4).map(_._3).toSeq === Seq(1000.0, 1000.0, 1000.001, 1000.002))
+    assert(rows.drop(4).map(_._4).toSeq === Seq(10.0, 11.0, 12.0))
+    assert(rows.drop(4).map(_._3).toSeq === Seq(2000.0, 2000.001, 2000.001))
+
+    // F6 buffering round-trip: write-once parquet, schema-checked reuse
+    val buf = s"$dir/buffer"
+    val buffered = ChannelLoader.bufferToParquet(events, buf, Seq("X", "t", "ts"))
+    assert(buffered.count() === 7)
+    val again = ChannelLoader.bufferToParquet(
+      spark.emptyDataFrame, buf, Seq("X", "t", "ts")) // must NOT rewrite
+    assert(again.count() === 7)
+    intercept[IllegalArgumentException] {
+      ChannelLoader.bufferToParquet(events, buf, Seq("X", "missing_channel"))
+    }
+  }
+
+  test("StreamFixture: timed table samples the last event per ms marker") {
+    val dir = Files.createTempDirectory("gsd2").toFile.getPath
+    StreamFixture.write(s"$dir/Scan0.gsd", StreamFixture.StreamData(
+      startTs = 100.0,
+      channels = Seq("Stream_0" -> Array(1.0, 2.0, 3.0, 4.0)),
+      msMarkers = Array(0L, 2L, 4L)))
+    val timed = StreamFixture.ingestTimed(spark, Seq(s"$dir/Scan0.gsd"),
+      Seq("Stream_0" -> "X"))
+    val rows = timed.orderBy("ms").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // marker 0 (no events yet) clamps to the first value; marker 2 -> value[1];
+    // marker 4 -> value[3]  (g_dataset[int(point)-1])
+    assert(rows.toSeq === Seq((0L, 100.0, 1.0), (1L, 100.001, 2.0), (2L, 100.002, 4.0)))
+  }
+
+  test("StreamFixture: missing configured dataset fails the ingest") {
+    val dir = Files.createTempDirectory("gsd3").toFile.getPath
+    StreamFixture.write(s"$dir/Scan0.gsd", StreamFixture.StreamData(
+      startTs = 0.0, channels = Seq("Stream_0" -> Array(1.0)),
+      msMarkers = Array(1L)))
+    val bad = StreamFixture.ingest(spark, Seq(s"$dir/Scan0.gsd"),
+      Seq("Stream_0" -> "X", "Stream_7" -> "Y"))
+    val e = intercept[org.apache.spark.SparkException] { bad.collect() }
+    assert(e.getMessage.contains("missing datasets")
+      || Option(e.getCause).exists(_.getMessage.contains("missing datasets")))
+  }
 }
