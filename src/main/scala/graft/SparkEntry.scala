@@ -61,6 +61,9 @@ object SparkEntry {
   /** ANN: 8 seeded random hyperplanes over the 64-dim embeddings. */
   val lshPlanes: Array[Array[Double]] = pipeline.Similarity.hyperplanes(64, 8)
 
+  /** Sessionization gap: 12 h in nanoseconds (events.ts is Long nanos). */
+  val sessionGapNs: Long = 12L * 3600 * 1000 * 1000 * 1000
+
   /** T8: analytic 2×9×9 inverse deformation field (node values derive
     * from closed-form polynomials so the oracle can recompute them; the
     * production path broadcasts measured grids the same way).
@@ -375,6 +378,47 @@ object SparkEntry {
         pipeline.Dedup.ngramJaccardPairs(
           table(s, dir, "documents"), "text", "doc_id", col("source"),
           n = 3, threshold = 0.5))),
+
+    // ---- event-stream + corpus operators (round 3) ----
+    // as-of join: latest marker value at-or-before each event, per user —
+    // union+running-window formulation, one shuffle, no inequality join
+    "q_asof" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val markers = e.filter(col("event_id") % 7 === 0)
+        .select(col("user_id"), col("ts"), col("value").as("mark_value"))
+      DfOps.asofJoin(e.select("event_id", "user_id", "ts"), markers,
+        "ts", "ts", Seq("user_id"), Seq("mark_value"))
+        .select("event_id", "mark_value")
+    }),
+    // gap-based sessionization (12 h gap), one window pass per user
+    "q_sessionize" -> ((s, dir) =>
+      DfOps.sessionize(table(s, dir, "events").select("event_id", "user_id", "ts"),
+        "ts", lit(sessionGapNs), Seq("user_id"))
+        .select("event_id", "session_id")),
+    // corpus TF-IDF (smoothed idf), two chained aggregations
+    "q_tfidf" -> ((s, dir) =>
+      pipeline.TextOps.tfidf(table(s, dir, "documents"), "text", "doc_id")
+        .withColumn("tfidf", round(col("tfidf"), 6))),
+    // exact grouped quantiles (auto-ranging companion to binning)
+    "q_percentiles" -> ((s, dir) =>
+      DfOps.groupQuantiles(table(s, dir, "lineitem"), "l_extendedprice",
+        Seq("l_returnflag"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))),
+    // per-label embedding centroids: one agg keyed (label, dim)
+    "q_centroid" -> ((s, dir) =>
+      pipeline.Similarity.groupCentroids(table(s, dir, "embeddings"),
+        "embedding", Seq("label"))
+        .select(col("label").cast("long").as("label"),
+          col("dim").cast("long").as("dim"), col("centroid"))),
+    // deterministic portable-hash Bernoulli sample (20 %)
+    "q_sample" -> ((s, dir) =>
+      pipeline.Sampling.hashSample(table(s, dir, "documents"), "doc_id", 200)
+        .select("doc_id", "source")),
+    // per-source cap (class rebalancing): lowest 10 doc_ids per source
+    "q_balance" -> ((s, dir) =>
+      pipeline.Sampling.capPerGroup(table(s, dir, "documents"),
+        Seq("source"), "doc_id", 10)
+        .select("doc_id", "source")),
 
     // ---- loader-family operators (S3/F1-F5) ----
     // F2 posexplode of array channels onto the index
@@ -697,6 +741,52 @@ object SparkEntry {
         .mkString(", ")
       s"SELECT vec_id, $cols FROM embeddings"
     },
+    "q_asof" ->
+      """SELECT e.event_id, m.mark_value FROM events e ASOF LEFT JOIN (
+        | SELECT user_id, ts, value AS mark_value FROM events
+        | WHERE event_id % 7 = 0) m
+        | ON e.user_id = m.user_id AND m.ts <= e.ts""".stripMargin.replace("\n", " "),
+    "q_sessionize" ->
+      s"""SELECT event_id, CAST(SUM(CASE WHEN g > $sessionGapNs THEN 1 ELSE 0 END)
+         | OVER (PARTITION BY user_id ORDER BY ts
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         | FROM (SELECT event_id, user_id, ts,
+         |   epoch_ns(ts) - lag(epoch_ns(ts))
+         |     OVER (PARTITION BY user_id ORDER BY ts) AS g
+         |  FROM events)""".stripMargin.replace("\n", " "),
+    "q_tfidf" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           |  FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dfq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents)
+           |SELECT tf.doc_id, tf.token, tf.tf,
+           |  ROUND(CAST(tf.tf AS DOUBLE) *
+           |    (ln(CAST(n.n + 1 AS DOUBLE) / CAST(dfc + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+           |FROM tf JOIN dfq USING (token) CROSS JOIN n""".stripMargin.replace("\n", " "),
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        | ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+        | ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        | ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        | FROM lineitem GROUP BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q_centroid" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+        | ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
+        | FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |   unnest(embedding) AS v FROM embeddings)
+        | GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         | WHERE (${OracleSql.portableTokenHashSql("CAST(doc_id AS VARCHAR)")}) % 1000 < 200""".stripMargin
+        .replace("\n", " "),
+    "q_balance" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source,
+        |   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        | FROM documents) WHERE rn <= 10""".stripMargin.replace("\n", " "),
     "q_electron_index" ->
       """SELECT trainId, CAST(pulseId AS DOUBLE) AS pulseId,
         | CAST(electronId AS BIGINT) AS electronId FROM (

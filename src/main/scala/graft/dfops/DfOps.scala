@@ -171,6 +171,110 @@ object DfOps {
       d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
   }
 
+  /** As-of join: for every left row, attach `valueCols` from the latest
+    * right row whose `rightOrder` ≤ the left row's `leftOrder` (within the
+    * same `keyCols` group) — the time-series join Spark's relational
+    * operators lack natively (the reference's channel alignment and
+    * timestamped-data attachment are both special cases; see
+    * `sed/core/dfops.py:123-162` for the interpolating variant T15).
+    *
+    * Spark-first formulation: instead of an inequality join (which Catalyst
+    * would execute as a broadcast-nested-loop — quadratic at scale), tag and
+    * UNION the two inputs, then a single `last(value, ignoreNulls)` running
+    * window per key fills each left row from the most recent right row. One
+    * shuffle on `keyCols` (or one global sort when keyless), O(n log n),
+    * identical to how a 1000-executor job would want it planned. Right rows
+    * at the exact same order value as a left row DO match (`<=`); if
+    * several right rows share one order value the one ordered last within
+    * `tieBreakCols` wins deterministically. Callers must make the right
+    * side unique per `(keyCols, rightOrder)` (aggregate first) — with
+    * duplicates the surviving row is tie-nondeterministic, as in any
+    * as-of engine.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftOrder: String,
+      rightOrder: String,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+  ): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoin needs at least one value column")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(valueCols.contains),
+      s"left already has ${valueCols.filter(leftCols.contains).mkString(",")}")
+    // tag: right rows sort BEFORE left rows at an equal order value so an
+    // exactly-simultaneous right row is visible to the left row (<= match)
+    val l = left.withColumn("_ord", col(leftOrder))
+      .withColumn("_isLeft", lit(1))
+      .withColumns(valueCols.map(v => v -> lit(null).cast(
+        right.schema(v).dataType)).toMap)
+      .select((leftCols.map(col) ++ Seq(col("_ord"), col("_isLeft")) ++
+        valueCols.map(col)): _*)
+    val r = right.select(
+      (keyCols.map(col) ++ Seq(col(rightOrder).as("_ord"),
+        lit(0).as("_isLeft")) ++ valueCols.map(col)): _*)
+      .withColumns(leftCols.filterNot(keyCols.contains).map(c =>
+        c -> lit(null).cast(left.schema(c).dataType)).toMap)
+      .select((leftCols.map(col) ++ Seq(col("_ord"), col("_isLeft")) ++
+        valueCols.map(col)): _*)
+    val base =
+      if (keyCols.isEmpty) Window.orderBy(col("_ord"), col("_isLeft"))
+      else Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("_ord"), col("_isLeft"))
+    val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(l.unionByName(r))((d, v) =>
+      d.withColumn(v, last(col(v), ignoreNulls = true).over(w)))
+    filled.filter(col("_isLeft") === 1).drop("_ord", "_isLeft")
+  }
+
+  /** Gap-based sessionization: assign each row a session ordinal per key —
+    * a new session starts when the gap to the previous row (by `orderCol`,
+    * within `keyCols`) exceeds `maxGap`. The canonical event-stream
+    * operator for a training-data pipeline (and the batch mirror of
+    * Structured Streaming's session windows).
+    *
+    * One window pass: `lag` → gap indicator → running `sum` — a single
+    * shuffle on `keyCols`, no iteration.
+    */
+  def sessionize(
+      df: DataFrame,
+      orderCol: String,
+      maxGap: Column,
+      keyCols: Seq[String],
+      sessionCol: String = "session_id",
+  ): DataFrame = {
+    val base =
+      if (keyCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val newSession = when(
+      col(orderCol) - lag(col(orderCol), 1).over(base) > maxGap, 1L)
+      .otherwise(0L)
+    df.withColumn(sessionCol,
+      sum(newSession).over(
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Exact grouped quantiles (linear interpolation, the `quantile_cont` /
+    * numpy `percentile` definition) via Spark's exact `percentile`
+    * aggregate — the auto-ranging companion to binning (`bin_dataframe`
+    * computes axis ranges from data when unspecified,
+    * `sed/binning/utils.py`). For 100 TB inputs swap in
+    * `percentile_approx` (sketch-mergeable, one pass); the exact variant
+    * is the oracle-checkable contract.
+    */
+  def groupQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String],
+      quantiles: Seq[(String, Double)],
+  ): DataFrame = {
+    val aggs = quantiles.map { case (name, q) =>
+      round(percentile(col(valueCol), lit(q)), 6).as(name)
+    }
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** T7 `split_channel_bitwise` (`sed/loader/utils.py:99-197`): split an
     * integer channel into its `bits` LSBs and the remaining high bits — the
     * detector packs a 3-bit sector ID into the TOF LSBs.

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling / rebalancing for training-data
+  * pipelines. Every operator is reproducible from the data alone (content
+  * or id hashing, never `rand()`), so a re-run over re-partitioned,
+  * re-ordered, or incrementally grown inputs selects the same rows — the
+  * property that makes dataset versions diffable at 100 TB.
+  */
+object Sampling {
+
+  /** Per-mille deterministic hash bucket of a key column (0..999): the
+    * portable two-polynomial hash of the key's string form, reduced mod
+    * 1000. Stable across engines — [[graft.OracleSql.portableTokenHashSql]]
+    * renders the identical value in SQL.
+    */
+  def hashBucket(key: Column): Column =
+    pmod(TextOps.portableTokenHash(key.cast("string")), lit(1000L))
+
+  /** Deterministic Bernoulli sample: keep a row iff its key hashes into
+    * the first `permille` of 1000 buckets. A pure codegen'd filter — no
+    * shuffle, pushdown-friendly, and the sampled set is a superset-stable
+    * function of the keys (growing `permille` only ever ADDS rows, the
+    * property A/B data ablations rely on).
+    */
+  def hashSample(df: DataFrame, keyCol: String, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille=$permille")
+    df.filter(hashBucket(col(keyCol)) < permille)
+  }
+
+  /** Per-group cap (class rebalancing / boilerplate-source down-weighting):
+    * keep at most `maxPerGroup` rows per key, chosen deterministically as
+    * the lowest `orderCol` values. One window shuffle keyed on the group
+    * columns; pair with [[Dedup.saltBlocks]] upstream if one group
+    * dominates the corpus.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      maxPerGroup: Int,
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxPerGroup)
+      .drop("_rn")
+  }
+
+  /** Stratified deterministic sample: an independent [[hashSample]] rate
+    * per stratum value (unlisted strata drop out). The hash is salted with
+    * the stratum so a row's fate in one stratum is independent of its fate
+    * under another stratification.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      permilleByStratum: Map[String, Int],
+  ): DataFrame = {
+    val bucket = pmod(
+      TextOps.portableTokenHash(
+        concat_ws("", col(stratumCol), col(keyCol).cast("string"))),
+      lit(1000L))
+    val rate = permilleByStratum.foldLeft(lit(0)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+}

@@ -52,6 +52,26 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
+  /** Per-group embedding centroids: one row per `(keyCols, dim)` with the
+    * component mean — the cluster-summary / class-prototype primitive
+    * (IVF list retraining, semantic-dedup cluster centers, drift checks).
+    *
+    * `posexplode` then ONE aggregation keyed on `(keyCols, dim)`: partial
+    * (map-side) combine reduces each partition to ≤ |keys| × dim rows
+    * before the single shuffle, so shuffle volume is bounded by group
+    * cardinality × dimension, not corpus size.
+    */
+  def groupCentroids(
+      df: DataFrame,
+      vecCol: String,
+      keyCols: Seq[String],
+      roundTo: Int = 6,
+  ): DataFrame =
+    df.select(keyCols.map(col) :+
+        posexplode(col(vecCol)).as(Seq("dim", "_v")): _*)
+      .groupBy((keyCols :+ "dim").map(col): _*)
+      .agg(round(avg(col("_v").cast("double")), roundTo).as("centroid"))
+
   /** Assign every row its LSH bucket (the indexing pass: at scale, write
     * the lake partitioned/bucketed by this column).
     */

@@ -38,6 +38,33 @@ object TextOps {
   def stopwordCount(text: Column, stopwords: Seq[String] = EnStopwords): Column =
     size(filter(tokens(text), t => t.isin(stopwords: _*)))
 
+  /** Corpus TF-IDF: one row per (doc, distinct token) with the raw term
+    * frequency and `tf · idf`, `idf = ln((N + 1) / (df + 1)) + 1` (the
+    * smoothed scikit-learn convention). The classic relevance-scoring /
+    * keyword-extraction primitive for a training-data pipeline.
+    *
+    * Plan shape at scale: explode → one `(doc, token)` count aggregation;
+    * document frequency is a SECOND aggregation of those per-doc rows (never
+    * re-reads the corpus) and comes back via a broadcast-friendly join keyed
+    * on token. N rides along as a literal-free scalar via a cross join of a
+    * 1-row aggregate (broadcast, no shuffle).
+    */
+  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("_df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          (log((col("_n") + 1).cast("double") / (col("_df") + 1)) + 1.0))
+      .select(col(idCol), col("token"), col("tf"), col("tfidf"))
+  }
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))

@@ -122,6 +122,69 @@ class DfOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(10.0, 10.0, 15.0, 20.0, 0.0, -20.0, -20.0))
   }
 
+  test("asofJoin: latest right row at-or-before each left row, per key") {
+    val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 25L),
+      (4L, "v", 5L), (5L, "v", 50L)).toDF("id", "k", "t")
+    val right = Seq(("u", 10L, 1.0), ("u", 21L, 2.0), ("v", 40L, 3.0))
+      .toDF("k", "t", "mv")
+    val out = DfOps.asofJoin(left, right, "t", "t", Seq("k"), Seq("mv"))
+      .select("id", "mv").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // id=1: right at EXACTLY t=10 matches (<=); id=3: 21 <= 25 wins over 10;
+    // id=4: no right row at or before t=5 -> null
+    assert(out === Map(1L -> Some(1.0), 2L -> Some(1.0), 3L -> Some(2.0),
+      4L -> None, 5L -> Some(3.0)))
+  }
+
+  test("asofJoin matches a brute-force inequality join on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(1000).toLong))
+      .toDF("id", "k", "t")
+    val right = (1 to 80).map(i =>
+      (s"k${rnd.nextInt(4)}", rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .toDF("k", "t", "mv")
+      // unique per (k, t): asofJoin's documented precondition
+      .groupBy("k", "t").agg(max("mv").as("mv"))
+    val got = DfOps.asofJoin(left, right, "t", "t", Seq("k"), Seq("mv"))
+      .select("id", "mv").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    val exp = left.as[(Long, String, Long)].collect().map { case (id, k, t) =>
+      val cands = right.as[(String, Long, Double)].collect()
+        .filter(c => c._1 == k && c._2 <= t)
+      id -> (if (cands.isEmpty) Double.NaN else cands.maxBy(_._2)._3)
+    }.toMap
+    assert(got.keySet === exp.keySet)
+    got.foreach { case (id, v) =>
+      assert(v.isNaN == exp(id).isNaN && (v.isNaN || v == exp(id)),
+        s"id=$id got=$v exp=${exp(id)}")
+    }
+  }
+
+  test("sessionize: new session when the gap exceeds maxGap") {
+    val df = Seq(("u", 0L), ("u", 10L), ("u", 100L), ("u", 105L),
+      ("u", 300L), ("v", 0L)).toDF("k", "t")
+    val out = DfOps.sessionize(df, "t", lit(50L), Seq("k"))
+      .select("k", "t", "session_id").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out === Map(("u", 0L) -> 0L, ("u", 10L) -> 0L, ("u", 100L) -> 1L,
+      ("u", 105L) -> 1L, ("u", 300L) -> 2L, ("v", 0L) -> 0L))
+  }
+
+  test("groupQuantiles: exact linear-interpolation quantiles per group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0)).toDF("g", "x")
+    val out = DfOps.groupQuantiles(df, "x", Seq("g"),
+      Seq("p50" -> 0.5, "p25" -> 0.25))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // numpy/quantile_cont convention: index (n-1)*q, linear interpolation
+    assert(out("a") === ((2.5, 1.75)))
+    assert(out("b") === ((10.0, 10.0)))
+  }
+
   test("mapColumns2D: rotation round trip") {
     val df = Seq((1.0, 0.0), (0.0, 1.0)).toDF("x", "y")
     val c = math.cos(0.5); val s = math.sin(0.5)

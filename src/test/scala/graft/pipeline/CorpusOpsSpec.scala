@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-3 corpus operators: deterministic sampling/rebalancing, TF-IDF,
+  * per-group embedding centroids.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1 to n).map(i => (i.toLong, s"src${i % 5}")).toDF("id", "src")
+
+  test("hashSample: deterministic, monotone in permille, roughly calibrated") {
+    val df = docs(2000)
+    val a = Sampling.hashSample(df, "id", 200).as[(Long, String)].collect().toSet
+    val b = Sampling.hashSample(df, "id", 200).as[(Long, String)].collect().toSet
+    assert(a === b) // reproducible from data alone
+    val wider = Sampling.hashSample(df, "id", 400)
+      .as[(Long, String)].collect().toSet
+    assert(a.subsetOf(wider)) // growing the rate only ADDS rows
+    assert(math.abs(a.size - 400) < 120) // ~20 % of 2000, hash-mixed
+    assert(Sampling.hashSample(df, "id", 0).count() === 0)
+    assert(Sampling.hashSample(df, "id", 1000).count() === 2000)
+  }
+
+  test("capPerGroup: keeps the lowest orderCol rows, at most max per group") {
+    val out = Sampling.capPerGroup(docs(100), Seq("src"), "id", 3)
+      .as[(Long, String)].collect()
+    val byGroup = out.groupBy(_._2)
+    assert(byGroup.keySet.size === 5)
+    byGroup.foreach { case (src, rows) =>
+      assert(rows.length === 3)
+      // the three LOWEST ids of that group survive
+      val all = (1 to 100).filter(i => s"src${i % 5}" == src).take(3).map(_.toLong)
+      assert(rows.map(_._1).sorted.toSeq === all)
+    }
+  }
+
+  test("stratifiedHashSample: per-stratum rates, unlisted strata dropped") {
+    val df = docs(2000)
+    val out = Sampling.stratifiedHashSample(df, "id", "src",
+      Map("src0" -> 1000, "src1" -> 0, "src2" -> 500))
+      .as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("src1", 0) === 0)
+    assert(bySrc("src0") === 400) // full stratum kept
+    assert(!bySrc.contains("src3") && !bySrc.contains("src4"))
+    assert(math.abs(bySrc("src2") - 200) < 80) // ~half of 400
+  }
+
+  test("tfidf: hand-computed smoothed scores on a tiny corpus") {
+    val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.tfidf(df, "text", "doc_id")
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // N=2; df: a->2, b->1, c->1; idf = ln((N+1)/(df+1)) + 1
+    val idfA = math.log(3.0 / 3.0) + 1.0
+    val idfB = math.log(3.0 / 2.0) + 1.0
+    assert(out((1L, "a"))._1 === 2L)
+    assert(math.abs(out((1L, "a"))._2 - 2.0 * idfA) < 1e-12)
+    assert(math.abs(out((1L, "b"))._2 - idfB) < 1e-12)
+    assert(math.abs(out((2L, "c"))._2 - idfB) < 1e-12)
+    assert(out.size === 4) // (1,a) (1,b) (2,a) (2,c)
+  }
+
+  test("groupCentroids: component means per label") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 6.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.groupCentroids(df, "embedding", Seq("label"))
+      .as[(Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out === Map((0, 0) -> 2.0, (0, 1) -> 4.0,
+      (1, 0) -> 10.0, (1, 1) -> 20.0))
+  }
+}
