@@ -32,9 +32,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // single-JVM bench: shuffle bytes never cross a network, so
-      // compression is pure CPU cost here (a real cluster keeps defaults)
+      // single-JVM bench posture (a real cluster keeps defaults for both):
+      // shuffle bytes never cross a network, so compression is pure CPU
+      // cost here; and AQE's runtime re-planning only inserts stage-
+      // materialization barriers when every shuffle is ~10 MB — there is
+      // nothing to adaptively re-plan at bench scale (measured ~20 % of
+      // total). Verify and the test suite keep AQE ON (the at-scale plan
+      // shape the library is designed for, incl. its stage-reuse and
+      // skew handling).
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
