@@ -136,6 +136,29 @@ object StreamingBinning {
       .dropDuplicatesWithinWatermark(Seq("_sig"))
       .drop("_sig")
 
+  /** Streaming gap-based sessionization: per-key session aggregates via
+    * Spark's native `session_window` (sessions close when no event
+    * arrives within `gap`; watermark bounds open-session state). The
+    * incremental form of [[graft.dfops.DfOps.sessionize]] — the batch
+    * operator numbers sessions, the stream emits each session's bounds
+    * and size once it is final.
+    */
+  def sessionizeStream(
+      stream: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      gap: String,
+      watermark: String,
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keyCols.map(col) :+
+        col("session_window.start").as("session_start") :+
+        col("session_window.end").as("session_end") :+
+        col("n_events"): _*)
+
   /** Sink a streaming sparse histogram as per-batch cube snapshots: each
     * micro-batch's windows are densified and exported via the provided
     * callback (e.g. [[graft.export.CubeIO.writeDense]] keyed by batch id)

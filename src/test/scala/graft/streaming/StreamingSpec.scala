@@ -113,6 +113,36 @@ class StreamingSpec extends SparkSpec {
     assert(ids.count(id => id == 1L || id == 4L) === 1)
   }
 
+  test("sessionizeStream: session bounds and sizes match batch sessionize") {
+    val dir = Files.createTempDirectory("stream-in7").toFile.getPath + "/data"
+    // user u: events at 0s,10s then a 10-min gap then 700s,705s → 2 sessions
+    // user v: one event → 1 session
+    val rows = Seq(("u", 0L), ("u", 10L), ("u", 700L), ("u", 705L), ("v", 3L))
+    rows.map { case (k, s) =>
+      (k, new java.sql.Timestamp(1704067200000L + s * 1000))
+    }.toDF("k", "ts").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = StreamingBinning.sessionizeStream(
+      stream, "ts", Seq("k"), gap = "60 seconds", watermark = "0 seconds")
+    assert(out.isStreaming)
+    val sunk = StreamingBinning.runToMemorySink(out, "sess_sink", OutputMode.Complete())
+      .select("k", "session_start", "n_events")
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    val t0 = 1704067200000L
+    assert(sunk === Set(
+      ("u", new java.sql.Timestamp(t0), 2L),
+      ("u", new java.sql.Timestamp(t0 + 700000), 2L),
+      ("v", new java.sql.Timestamp(t0 + 3000), 1L)))
+    // batch parity: same number of sessions per key as DfOps.sessionize
+    val batch = graft.dfops.DfOps.sessionize(
+      rows.toDF("k", "t").withColumn("t", col("t") * 1000), // ms
+      "t", lit(60000L), Seq("k"))
+      .groupBy("k").agg(countDistinct("session_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(batch === Map("u" -> 2L, "v" -> 1L))
+  }
+
   test("cubeSnapshotSink densifies each micro-batch's windows") {
     val dir = Files.createTempDirectory("stream-in5").toFile.getPath + "/data"
     Seq(
