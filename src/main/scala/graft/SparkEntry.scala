@@ -420,6 +420,21 @@ object SparkEntry {
         Seq("source"), "doc_id", 10)
         .select("doc_id", "source")),
 
+    // Gopher-style repetition ratios (duplicate words / 2-grams per doc)
+    "q_repetition" -> ((s, dir) =>
+      pipeline.TextOps.repetitionColumns(table(s, dir, "documents"), "text")
+        .select("doc_id", "dup_word_ratio", "dup_2gram_ratio")),
+    // corpus vocabulary head: top-50 tokens, deterministic rank
+    "q_vocab" -> ((s, dir) =>
+      pipeline.TextOps.topTokens(table(s, dir, "documents"), "text", 50)
+        .withColumn("rank", col("rank").cast("long"))),
+    // grouped distinct cardinality (Expand-based two-phase distinct agg;
+    // swap countDistinct -> approx_count_distinct at 100 TB)
+    "q_user_card" -> ((s, dir) =>
+      table(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+
     // ---- loader-family operators (S3/F1-F5) ----
     // F2 posexplode of array channels onto the index
     "q_explode" -> ((s, dir) =>
@@ -787,6 +802,31 @@ object SparkEntry {
         | SELECT doc_id, source,
         |   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         | FROM documents) WHERE rn <= 10""".stripMargin.replace("\n", " "),
+    "q_repetition" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+           |s AS (SELECT doc_id, toks,
+           |  [array_to_string(toks[i : i + 1], ' ')
+           |   for i in range(1, len(toks))] AS sh2 FROM t)
+           |SELECT doc_id,
+           | CASE WHEN len(toks) > 0 THEN ROUND(CAST(1.0 AS DOUBLE) -
+           |   CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+           |  ELSE 0.0 END AS dup_word_ratio,
+           | CASE WHEN len(sh2) > 0 THEN ROUND(CAST(1.0 AS DOUBLE) -
+           |   CAST(len(list_distinct(sh2)) AS DOUBLE) / CAST(len(sh2) AS DOUBLE), 6)
+           |  ELSE 0.0 END AS dup_2gram_ratio
+           |FROM s""".stripMargin.replace("\n", " "),
+    "q_vocab" ->
+      raw"""SELECT token, cnt,
+           | CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+           |FROM (SELECT token, count(*) AS cnt FROM (
+           |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           |  FROM documents) GROUP BY token)
+           |ORDER BY cnt DESC, token LIMIT 50""".stripMargin.replace("\n", " "),
+    "q_user_card" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events FROM events
+        | GROUP BY event_type""".stripMargin.replace("\n", " "),
     "q_electron_index" ->
       """SELECT trainId, CAST(pulseId AS DOUBLE) AS pulseId,
         | CAST(electronId AS BIGINT) AS electronId FROM (

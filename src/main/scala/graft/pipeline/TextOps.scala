@@ -195,6 +195,43 @@ object TextOps {
       .otherwise(array().cast("array<long>"))
   }
 
+  /** Gopher-style repetition signals: the fraction of duplicated words
+    * and duplicated word 2-grams per document (`1 − distinct/total`, 0
+    * for empty/too-short docs). High values flag boilerplate and
+    * degenerate generations in corpus filtering. Pure per-row array
+    * expressions — no shuffle, whole-stage codegen'd.
+    */
+  def repetitionColumns(df: DataFrame, textCol: String): DataFrame = {
+    def dupRatio(arr: Column): Column = {
+      // bind the derived array once (NOTES.md lambda-binding rule)
+      transform(array(arr), a =>
+        when(size(a) > 0,
+          round(lit(1.0) -
+            size(array_distinct(a)).cast("double") / size(a).cast("double"),
+            6))
+          .otherwise(lit(0.0))).getItem(0)
+    }
+    df.withColumns(Map(
+      "dup_word_ratio" -> dupRatio(tokens(col(textCol))),
+      "dup_2gram_ratio" -> dupRatio(wordShingles(col(textCol), 2)),
+    ))
+  }
+
+  /** Corpus vocabulary head: the `k` most frequent whitespace tokens with
+    * a deterministic dense ordering (count desc, then token). The plan is
+    * explode → one count aggregation → `TakeOrderedAndProject` (per-
+    * partition top-k, no global sort) + a k-row window for the rank.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+  }
+
   /** Character k-gram shingles of a string column (positions 1-based,
     * `length - k + 1` shingles; empty array when the text is shorter
     * than `k`).

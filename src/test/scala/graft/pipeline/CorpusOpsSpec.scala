@@ -65,6 +65,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.size === 4) // (1,a) (1,b) (2,a) (2,c)
   }
 
+  test("repetitionColumns: duplicate word / 2-gram fractions") {
+    val df = Seq((1L, "a a b"), (2L, "x y"), (3L, "c c c")).toDF("doc_id", "text")
+    val out = TextOps.repetitionColumns(df, "text")
+      .select("doc_id", "dup_word_ratio", "dup_2gram_ratio")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((0.333333, 0.0))) // "a a" "a b" distinct
+    assert(out(2L) === ((0.0, 0.0)))
+    assert(out(3L) === ((0.666667, 0.5))) // "c c" "c c"
+  }
+
+  test("topTokens: most frequent tokens with deterministic rank") {
+    val df = Seq((1L, "b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.topTokens(df, "text", 2)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(out === Seq(("b", 3L, 1), ("a", 2L, 2)))
+  }
+
   test("groupCentroids: component means per label") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 6.0f), 0),
