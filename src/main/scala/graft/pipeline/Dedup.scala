@@ -153,8 +153,11 @@ object Dedup {
           && col("a.band_hash") === col("b.band_hash"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          m => m)).cast("double") / numHashes).as("est_jaccard"))
+        // native equal-position count: no per-pair array allocations
+        (org.apache.spark.sql.GraftBridge.column(PositionalEqCount(
+          org.apache.spark.sql.GraftBridge.expression(col("a.sig")),
+          org.apache.spark.sql.GraftBridge.expression(col("b.sig"))))
+          .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .distinct()
   }

@@ -82,6 +82,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === Seq(("b", 3L, 1), ("a", 2L, 2)))
   }
 
+  test("PositionalEqCount matches the composed zip_with form incl. nulls") {
+    import org.apache.spark.sql.GraftBridge
+    val df = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 9L, 3L)),
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, null, 3L)),
+      (Seq[java.lang.Long](), Seq[java.lang.Long](5L)),
+    ).toDF("a", "b")
+    val native = GraftBridge.column(PositionalEqCount(
+      GraftBridge.expression(col("a")), GraftBridge.expression(col("b"))))
+    val composed = size(filter(zip_with(col("a"), col("b"),
+      (x, y) => x === y), m => m))
+    val rows = df.select(native.as("n"), composed.as("c"))
+      .as[(Int, Int)].collect()
+    assert(rows.toSeq === Seq((2, 2), (2, 2), (0, 0)))
+  }
+
   test("groupCentroids: component means per label") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 6.0f), 0),
