@@ -150,6 +150,22 @@ object GraftExtensions {
         ex(graft.pipeline.Dedup.hamming(col(args.head), col(args(1))))
       },
     ),
+    (
+      "graft_hash_bucket",
+      new ExpressionInfo(classOf[graft.pipeline.Sampling.type].getName, "graft_hash_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_hash_bucket(key)")
+        ex(graft.pipeline.Sampling.hashBucket(col(args.head)))
+      },
+    ),
+    (
+      "graft_sig_agreement",
+      new ExpressionInfo(classOf[graft.pipeline.PositionalEqCount].getName, "graft_sig_agreement"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_sig_agreement(sig_a, sig_b)")
+        graft.pipeline.PositionalEqCount(args.head, args(1))
+      },
+    ),
   )
 
   /** Register on an already-built session (tests, notebooks). */
