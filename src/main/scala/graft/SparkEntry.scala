@@ -390,6 +390,17 @@ object SparkEntry {
         "ts", "ts", Seq("user_id"), Seq("mark_value"))
         .select("event_id", "mark_value")
     }),
+    // range (interval) join: events into ±5-wide marker intervals via
+    // bucketized equi-join + residual filter (no nested-loop join)
+    "q_range_join" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val iv = e.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("interval_id"),
+          (col("value") - 5.0).as("lo"), (col("value") + 5.0).as("hi"))
+      DfOps.rangeJoin(e.select(col("event_id"), col("value")),
+        "value", iv, "lo", "hi", bucketWidth = 10.0)
+        .select("event_id", "interval_id")
+    }),
     // gap-based sessionization (12 h gap), one window pass per user
     "q_sessionize" -> ((s, dir) =>
       DfOps.sessionize(table(s, dir, "events").select("event_id", "user_id", "ts"),
@@ -761,6 +772,12 @@ object SparkEntry {
         | SELECT user_id, ts, value AS mark_value FROM events
         | WHERE event_id % 7 = 0) m
         | ON e.user_id = m.user_id AND m.ts <= e.ts""".stripMargin.replace("\n", " "),
+    "q_range_join" ->
+      """SELECT e.event_id, m.event_id AS interval_id FROM events e
+        | JOIN (SELECT event_id, value - CAST(5.0 AS DOUBLE) AS lo,
+        |   value + CAST(5.0 AS DOUBLE) AS hi FROM events
+        |  WHERE event_id % 97 = 0) m
+        | ON e.value >= m.lo AND e.value < m.hi""".stripMargin.replace("\n", " "),
     "q_sessionize" ->
       s"""SELECT event_id, CAST(SUM(CASE WHEN g > $sessionGapNs THEN 1 ELSE 0 END)
          | OVER (PARTITION BY user_id ORDER BY ts

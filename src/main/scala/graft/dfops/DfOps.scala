@@ -228,6 +228,45 @@ object DfOps {
     filled.filter(col("_isLeft") === 1).drop("_ord", "_isLeft")
   }
 
+  /** Range (interval) join: pair every left row whose `pointCol` falls in
+    * `[startCol, endCol)` of a right-side interval — the other relational
+    * operator Spark lacks natively (Catalyst plans a raw inequality join
+    * as a broadcast-nested-loop: O(|L|·|R|)).
+    *
+    * Scalable formulation: quantize the point axis into fixed-width
+    * buckets; each interval explodes to the buckets it overlaps, each
+    * point maps to one bucket, and the pairing becomes a hash equi-join
+    * on (bucket ∪ keyCols) + a residual interval filter. Join cost is
+    * |pairs sharing a bucket| instead of |L|·|R|; `bucketWidth` should be
+    * on the order of the typical interval length (each interval then
+    * explodes to ~2 buckets). Degenerate giant intervals explode to many
+    * buckets — split those upstream or use a coarser width.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      pointCol: String,
+      right: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Double,
+      keyCols: Seq[String] = Nil,
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lb = left.withColumn("_bk",
+      floor(col(pointCol) / lit(bucketWidth)).cast("long"))
+    val rb = right.withColumn("_bk",
+      // floor(end/w) over-covers by one bucket when end sits exactly on a
+      // boundary (end is exclusive) — harmless: the residual filter drops
+      // those candidates, and the alternative exact arithmetic costs a
+      // modulo per interval for no asymptotic gain
+      explode(sequence(
+        floor(col(startCol) / lit(bucketWidth)).cast("long"),
+        floor(col(endCol) / lit(bucketWidth)).cast("long"))))
+    lb.join(rb, Seq("_bk") ++ keyCols)
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_bk")
+  }
+
   /** Gap-based sessionization: assign each row a session ordinal per key —
     * a new session starts when the gap to the previous row (by `orderCol`,
     * within `keyCols`) exceeds `maxGap`. The canonical event-stream

@@ -163,6 +163,30 @@ class DfOpsSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin: half-open semantics and brute-force parity") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 400).map(i => (i.toLong, rnd.nextDouble() * 100))
+      .toDF("pid", "x")
+    val ivs = (1 to 40).map { i =>
+      val lo = rnd.nextDouble() * 100 - 5
+      (i.toLong, lo, lo + rnd.nextDouble() * 12)
+    }.toDF("iid", "lo", "hi")
+    val got = DfOps.rangeJoin(pts, "x", ivs, "lo", "hi", bucketWidth = 8.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val p = pts.as[(Long, Double)].collect()
+    val v = ivs.as[(Long, Double, Double)].collect()
+    val exp = (for {
+      (pid, x) <- p; (iid, lo, hi) <- v if x >= lo && x < hi
+    } yield (pid, iid)).toSet
+    assert(got === exp)
+    // boundary: start inclusive, end exclusive, even exactly on a bucket edge
+    val bpts = Seq((1L, 8.0), (2L, 16.0)).toDF("pid", "x")
+    val bivs = Seq((9L, 8.0, 16.0)).toDF("iid", "lo", "hi")
+    val b = DfOps.rangeJoin(bpts, "x", bivs, "lo", "hi", 8.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(b === Set((1L, 9L)))
+  }
+
   test("sessionize: new session when the gap exceeds maxGap") {
     val df = Seq(("u", 0L), ("u", 10L), ("u", 100L), ("u", 105L),
       ("u", 300L), ("v", 0L)).toDF("k", "t")
