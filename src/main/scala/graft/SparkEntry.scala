@@ -353,12 +353,13 @@ object SparkEntry {
         portable = true)
         .withColumn("distance", col("distance").cast("long"))),
     // winnowing rolling-hash fingerprints, exploded to (doc_id, fp) rows
-    // (scalar output so the driver compare can sort; portable k-gram hash)
+    // (scalar output so the driver compare can sort; portable k-gram hash
+    // via the native one-pass kernel)
     "q_rolling_fp" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
-        explode(pipeline.TextOps.rollingHashFingerprint(
-          col("text"), hasher = pipeline.TextOps.polyHashFixed(_, 7))).as("fp"))),
+        explode(pipeline.TextOps.winnowingFingerprintPortable(col("text")))
+          .as("fp"))),
     // word n-gram shingles (the word-level dedup unit), exploded
     "q_word_shingles" -> ((s, dir) =>
       table(s, dir, "documents").select(

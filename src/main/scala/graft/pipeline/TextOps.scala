@@ -195,6 +195,23 @@ object TextOps {
       .otherwise(array().cast("array<long>"))
   }
 
+  /** Portable winnowing fingerprint via the native one-pass kernel
+    * ([[WinnowingFingerprintExpr]]) — bit-identical to
+    * `rollingHashFingerprint(text, k, window, polyHashFixed(_, k, base))`
+    * (property-tested) but without the five intermediate arrays per
+    * document. Null text yields an empty array like the composed form.
+    */
+  def winnowingFingerprintPortable(
+      text: Column,
+      k: Int = 7,
+      window: Int = 4,
+      base: Long = 31L,
+  ): Column =
+    coalesce(
+      org.apache.spark.sql.GraftBridge.column(WinnowingFingerprintExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), k, window, base)),
+      array().cast("array<long>"))
+
   /** Gopher-style repetition signals: the fraction of duplicated words
     * and duplicated word 2-grams per document (`1 − distinct/total`, 0
     * for empty/too-short docs). High values flag boilerplate and

@@ -98,6 +98,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.toSeq === Seq((2, 2), (2, 2), (0, 0)))
   }
 
+  test("winnowingFingerprintPortable: bit-identical to the composed form") {
+    val rnd = new scala.util.Random(3)
+    val alphabet = "abcde XYZ.,é世😀" // incl. 2-char surrogate
+    val texts = (1 to 60).map { _ =>
+      val n = rnd.nextInt(40)
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", "abcdefg", "aaaaaaaaaaaa", null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    for ((k, w) <- Seq((7, 4), (3, 2), (5, 9))) {
+      val rows = df.select(col("id"),
+        TextOps.winnowingFingerprintPortable(col("t"), k, w).as("native"),
+        TextOps.rollingHashFingerprint(col("t"), k, w,
+          hasher = TextOps.polyHashFixed(_, k)).as("composed"))
+        .as[(Long, Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (id, nat, comp) =>
+        assert(nat === comp, s"id=$id k=$k w=$w")
+      }
+    }
+  }
+
   test("groupCentroids: component means per label") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 6.0f), 0),
