@@ -432,6 +432,15 @@ object SparkEntry {
         Seq("source"), "doc_id", 10)
         .select("doc_id", "source")),
 
+    // unigram log-perplexity quality score (broadcast vocab join)
+    "q_unigram_ppl" -> ((s, dir) =>
+      pipeline.TextOps.unigramLogPerplexity(
+        table(s, dir, "documents"), "text", "doc_id")),
+    // train/test contamination: distinct word-3gram overlap vs src0 docs
+    "q_contamination" -> ((s, dir) =>
+      pipeline.TextOps.contaminationFraction(
+        table(s, dir, "documents"), "text", "doc_id",
+        col("source") === "src0", n = 3)),
     // Gopher-style repetition ratios (duplicate words / 2-grams per doc)
     "q_repetition" -> ((s, dir) =>
       pipeline.TextOps.repetitionColumns(table(s, dir, "documents"), "text")
@@ -820,6 +829,36 @@ object SparkEntry {
         | SELECT doc_id, source,
         |   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         | FROM documents) WHERE rn <= 10""".stripMargin.replace("\n", " "),
+    "q_unigram_ppl" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           |  FROM documents),
+           |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+           |tot AS (SELECT count(*) AS tot FROM toks)
+           |SELECT toks.doc_id,
+           |  ROUND(AVG(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))), 6)
+           |    AS logppl
+           |FROM toks JOIN vocab USING (token) CROSS JOIN tot
+           |GROUP BY toks.doc_id""".stripMargin.replace("\n", " "),
+    "q_contamination" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(
+           |  [array_to_string(toks[i : i + 2], ' ')
+           |   for i in range(1, len(toks) - 1)])) AS s
+           |  FROM t WHERE len(toks) >= 3),
+           |bench AS (SELECT DISTINCT sh.s FROM sh
+           |  JOIN documents d ON sh.doc_id = d.doc_id WHERE d.source = 'src0'),
+           |agg AS (SELECT sh.doc_id, count(*) AS n_sh, count(bench.s) AS n_m
+           |  FROM sh LEFT JOIN bench ON sh.s = bench.s GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(COALESCE(n_sh, 0) AS BIGINT) AS n_shingles,
+           |  CAST(COALESCE(n_m, 0) AS BIGINT) AS n_matched,
+           |  ROUND(CASE WHEN COALESCE(n_sh, 0) > 0
+           |    THEN CAST(n_m AS DOUBLE) / CAST(n_sh AS DOUBLE)
+           |    ELSE 0.0 END, 6) AS contamination
+           |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+        .replace("\n", " "),
     "q_repetition" ->
       raw"""WITH t AS (SELECT doc_id,
            |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

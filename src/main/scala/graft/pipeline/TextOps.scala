@@ -234,6 +234,61 @@ object TextOps {
     ))
   }
 
+  /** Unigram log-perplexity quality score: per document, the mean negative
+    * log corpus-frequency of its tokens — the cheapest "model-based"
+    * quality filter (high = rare/garbled vocabulary, low = common
+    * language). Two aggregations + a token-keyed join that Spark
+    * broadcasts when the vocabulary is small; corpus size joins in as a
+    * 1-row broadcast like [[tfidf]].
+    */
+  def unigramLogPerplexity(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+  ): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("_cnt"))
+    val total = toks.agg(count(lit(1)).as("_tot"))
+    toks.join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(col("_cnt").cast("double") /
+        col("_tot").cast("double"))), 6).as("logppl"))
+  }
+
+  /** Contamination fraction against a benchmark subset: per document, the
+    * share of its distinct word `n`-grams that also occur anywhere in the
+    * benchmark rows (`benchmarkFilter`) — the train/test-overlap
+    * decontamination check. The benchmark shingle set is DISTINCT and
+    * typically tiny relative to the corpus → Spark broadcasts it; the
+    * per-doc side never shuffles more than its own exploded shingles.
+    * Documents with fewer than `n` tokens report 0 over 0 shingles.
+    */
+  def contaminationFraction(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      benchmarkFilter: Column,
+      n: Int = 3,
+  ): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(array_distinct(wordShingles(col(textCol), n))).as("_s"))
+    val bench = df.filter(benchmarkFilter)
+      .select(explode(wordShingles(col(textCol), n)).as("_s"))
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    val agg = sh.join(broadcast(bench), Seq("_s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_matched"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          col("n_matched").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)), 6).as("contamination"))
+  }
+
   /** Corpus vocabulary head: the `k` most frequent whitespace tokens with
     * a deterministic dense ordering (count desc, then token). The plan is
     * explode → one count aggregation → `TakeOrderedAndProject` (per-

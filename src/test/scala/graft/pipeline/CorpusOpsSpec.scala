@@ -119,6 +119,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("unigramLogPerplexity: mean -ln corpus frequency per doc") {
+    val df = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextOps.unigramLogPerplexity(df, "text", "doc_id")
+      .as[(Long, Double)].collect().toMap
+    // 4 tokens total; a appears 3x, b once
+    assert(math.abs(out(1L) - (-math.log(3.0 / 4.0))) < 1e-6)
+    assert(math.abs(out(2L) - (-math.log(1.0 / 4.0))) < 1e-6)
+  }
+
+  test("contaminationFraction: distinct n-gram overlap with the benchmark") {
+    val df = Seq(
+      (1L, "x y z w", "bench"), (2L, "x y z q", "train"), (3L, "p q", "train"),
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.contaminationFraction(df, "text", "doc_id",
+      col("source") === "bench", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) === ((2L, 2L, 1.0))) // benchmark docs self-match fully
+    assert(out(2L) === ((2L, 1L, 0.5))) // "x y z" shared, "y z q" not
+    assert(out(3L) === ((0L, 0L, 0.0))) // too short for 3-grams
+  }
+
   test("groupCentroids: component means per label") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 6.0f), 0),
