@@ -402,6 +402,16 @@ object SparkEntry {
         "value", iv, "lo", "hi", bucketWidth = 10.0)
         .select("event_id", "interval_id")
     }),
+    // per-key argmax (latest event per user): single max_by aggregation,
+    // no window/sort — the reference's timed-table "last per bucket" at
+    // per-key granularity
+    "q_argmax" -> ((s, dir) =>
+      table(s, dir, "events").groupBy("user_id")
+        .agg(max_by(col("event_type"), col("ts")).as("last_type"),
+          max_by(col("value"), col("ts")).as("last_value"),
+          // µs, not ns: DuckDB truncates TIMESTAMP(NANOS) to its µs
+          // internal type on read, so ns would never hash-match
+          expr("max(ts) div 1000").as("last_ts"))),
     // gap-based sessionization (12 h gap), one window pass per user
     "q_sessionize" -> ((s, dir) =>
       DfOps.sessionize(table(s, dir, "events").select("event_id", "user_id", "ts"),
@@ -788,6 +798,10 @@ object SparkEntry {
         |   value + CAST(5.0 AS DOUBLE) AS hi FROM events
         |  WHERE event_id % 97 = 0) m
         | ON e.value >= m.lo AND e.value < m.hi""".stripMargin.replace("\n", " "),
+    "q_argmax" ->
+      """SELECT user_id, arg_max(event_type, ts) AS last_type,
+        | arg_max(value, ts) AS last_value, max(epoch_us(ts)) AS last_ts
+        | FROM events GROUP BY user_id""".stripMargin.replace("\n", " "),
     "q_sessionize" ->
       s"""SELECT event_id, CAST(SUM(CASE WHEN g > $sessionGapNs THEN 1 ELSE 0 END)
          | OVER (PARTITION BY user_id ORDER BY ts
