@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.col
 
 import graft.binning.UniformAxis
 
@@ -35,6 +36,30 @@ class ContractSpec extends SparkSpec {
       executed)
     assert(!executed.contains("BatchEvalPython") && !executed.contains("ScalaUDF"),
       "hot path must stay UDF-free")
+  }
+
+  test("asofJoin and rangeJoin never plan a nested-loop or cartesian join") {
+    val left = Seq.tabulate(500)(i => (i.toLong, s"k${i % 3}", (i * 7 % 100).toLong))
+      .toDF("id", "k", "t")
+    val right = Seq.tabulate(50)(i => (s"k${i % 3}", (i * 13 % 100).toLong, i * 1.0))
+      .toDF("k", "t", "v")
+      .groupBy("k", "t").agg(org.apache.spark.sql.functions.max("v").as("v"))
+    val asof = dfops.DfOps.asofJoin(left, right, "t", "t", Seq("k"), Seq("v"))
+    asof.collect()
+    val range = dfops.DfOps.rangeJoin(
+      left.select(col("id"), col("t").cast("double").as("x")), "x",
+      right.select(col("t").cast("double").as("lo"),
+        (col("t") + 10.0).cast("double").as("hi"), col("v")),
+      "lo", "hi", bucketWidth = 10.0)
+    range.collect()
+    for (df <- Seq(asof, range)) {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other                    => other.toString
+      }
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+    }
   }
 
   test("histogram scan prunes to exactly the binned columns") {
