@@ -361,6 +361,92 @@ object DfOps {
         aggs.tail.map(a => a._3(col(a._1)).as(a._1)): _*)
   }
 
+  /** Per-group z-score standardization: `z = (x − mean) / stddev_pop`,
+    * computed from explicit first/second moments (`Σx`, `Σx²`) in ONE
+    * window pass per key — the formulation that stays a single shuffle on
+    * the group key and, on integer-valued inputs, is bit-reproducible
+    * across engines (both sums are exact in double, unlike streaming
+    * Welford updates whose association varies). Groups with zero variance
+    * yield null. The at-scale feature-normalization pass for training
+    * pipelines; keyed, so it parallelizes across groups.
+    */
+  def zscoreNormalize(
+      df: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String],
+      outCol: String = "z",
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val x = col(valueCol).cast("double")
+    val n = count(x).over(w).cast("double")
+    val mean = sum(x).over(w) / n
+    val variance = sum(x * x).over(w) / n - mean * mean
+    df.withColumn(outCol,
+      round(when(variance > 0.0, (x - mean) / sqrt(variance)), 6))
+  }
+
+  /** Rolling (trailing-window) mean per key: `avg(x)` over the
+    * `nPreceding` previous rows plus the current one, in `orderCol` order.
+    * One window shuffle keyed on `keyCols`; the frame is row-bounded so
+    * executors never buffer more than the frame. The smoothing companion
+    * to the reference's driver-side savgol (`sed/calibrator/energy.py:
+    * 1785-1823`) when the series lives in the events table itself.
+    */
+  def rollingMean(
+      df: DataFrame,
+      valueCol: String,
+      orderCol: String,
+      keyCols: Seq[String],
+      nPreceding: Int,
+      outCol: String = "rolling_mean",
+  ): DataFrame = {
+    val base =
+      if (keyCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(-nPreceding, Window.currentRow)
+    df.withColumn(outCol, avg(col(valueCol)).over(w))
+  }
+
+  /** Deterministic top-k per group by arbitrary ordering columns (e.g.
+    * highest-quality documents per domain). One window shuffle on the
+    * group key; always pass a total order (value desc + id tiebreak) so
+    * re-runs select identical rows. The descending complement of
+    * [[graft.pipeline.Sampling.capPerGroup]].
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      keyCols: Seq[String],
+      ordering: Seq[Column],
+      k: Int,
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Equi-depth (quantile) binning per key: `ntile(n)` in `(value,
+    * tiebreak)` order — every bin gets the same row count, the standard
+    * histogram-equalization companion to the uniform-width binning engine.
+    * Keyed so the window parallelizes across groups; for a single global
+    * key at 100 TB swap to `percentile_approx` cut points +
+    * [[graft.binning.Binning.edgesBinIndex]] (one pass, no global sort).
+    */
+  def equiDepthBins(
+      df: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String],
+      numBins: Int,
+      tiebreak: Seq[Column],
+      outCol: String = "bin",
+  ): DataFrame = {
+    val base =
+      if (keyCols.isEmpty) Window.orderBy(col(valueCol) +: tiebreak: _*)
+      else Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(valueCol) +: tiebreak: _*)
+    df.withColumn(outCol, ntile(numBins).over(base).cast("long"))
+  }
+
   /** T15 `add_time_stamped_data` (`sed/core/dfops.py:123-162`): linear
     * interpolation of an external `(timestamps, values)` series onto each
     * event's timestamp — `np.interp` semantics (clamped to the end values
