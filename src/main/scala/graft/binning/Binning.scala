@@ -40,7 +40,12 @@ object Binning {
     */
   def uniformBinIndex(c: Column, ax: UniformAxis): Column = {
     val jf = roundHalfAway((c - lit(ax.edgeLo)) * lit(ax.delta), 11)
-    when(jf >= 0 && jf <= ax.nBins, least(floor(jf), lit(ax.nBins - 1L)))
+    // explicit NaN guard: Spark orders NaN above every value (`NaN >= 0` is
+    // TRUE, unlike SQL null semantics) and `floor(NaN)` casts to 0L, so
+    // without it NaN events would silently land in bin 0 instead of being
+    // dropped like the reference kernel drops them
+    when(!isnan(c) && jf >= 0 && jf <= ax.nBins,
+      least(floor(jf), lit(ax.nBins - 1L)))
   }
 
   /** `round(v, digits)` with half-away-from-zero ties — the C

@@ -23,13 +23,17 @@ final class FlatBinKernel(
   /** Bin index of `x` on axis `i`, or -1 when out of range. */
   def axisIndex(i: Int, x: Double): Long =
     if (kinds(i) == 0) {
-      // j = round((x - lo)·delta, 11); right edge folds into the last bin
+      // j = round((x - lo)·delta, 11); right edge folds into the last bin.
+      // The rounded numerator stays a double so NaN propagates and fails the
+      // range check below (Long-casting it would map NaN — and anything past
+      // Long.MaxValue — to bin 0); in-range values are ≤ nBins·1e11 ≪ 2^53,
+      // so the double holds them exactly and matches the Long arithmetic.
       val v = (x - lo(i)) * delta(i)
       val y = v * 1.0e11
       val r =
-        if (v >= 0) Math.floor(y + 0.5).toLong
-        else -(Math.floor(-y + 0.5).toLong)
-      val jf = r.toDouble / 1.0e11
+        if (v >= 0) Math.floor(y + 0.5)
+        else -Math.floor(-y + 0.5)
+      val jf = r / 1.0e11
       if (jf >= 0 && jf <= nBins(i)) {
         val idx = Math.floor(jf).toLong
         val last = nBins(i) - 1L

@@ -184,12 +184,13 @@ object DfOps {
     * window per key fills each left row from the most recent right row. One
     * shuffle on `keyCols` (or one global sort when keyless), O(n log n),
     * identical to how a 1000-executor job would want it planned. Right rows
-    * at the exact same order value as a left row DO match (`<=`); if
-    * several right rows share one order value the one ordered last within
-    * `tieBreakCols` wins deterministically. Callers must make the right
-    * side unique per `(keyCols, rightOrder)` (aggregate first) — with
-    * duplicates the surviving row is tie-nondeterministic, as in any
-    * as-of engine.
+    * at the exact same order value as a left row DO match (`<=`). All
+    * `valueCols` are taken from the SAME matched right row (filled as one
+    * struct in a single window pass), so a null in that row's value column
+    * stays null — never silently replaced from an older row. Callers must
+    * make the right side unique per `(keyCols, rightOrder)` (aggregate
+    * first) — with duplicates the surviving row is tie-nondeterministic,
+    * as in any as-of engine.
     */
   def asofJoin(
       left: DataFrame,
@@ -223,9 +224,19 @@ object DfOps {
       else Window.partitionBy(keyCols.map(col): _*)
         .orderBy(col("_ord"), col("_isLeft"))
     val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(l.unionByName(r))((d, v) =>
-      d.withColumn(v, last(col(v), ignoreNulls = true).over(w)))
-    filled.filter(col("_isLeft") === 1).drop("_ord", "_isLeft")
+    // pack ALL value columns into one struct that is null on left rows, and
+    // fill with a single last(ignoreNulls) pass: every left row then unpacks
+    // values from ONE matched right row — a null field in that row stays
+    // null instead of falling back to an older right row (ASOF semantics
+    // for nullable value columns), and N value columns cost one window
+    // function instead of N.
+    val filled = l.unionByName(r)
+      .withColumn("_vals", when(col("_isLeft") === 0,
+        struct(valueCols.map(col): _*)))
+      .withColumn("_vals", last(col("_vals"), ignoreNulls = true).over(w))
+    filled.filter(col("_isLeft") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(v => col("_vals").getField(v).as(v)): _*)
   }
 
   /** Range (interval) join: pair every left row whose `pointCol` falls in

@@ -108,6 +108,19 @@ object StreamFixture {
     ts
   }
 
+  /** Canonical path key for matching driver-side input paths against the
+    * `path` Spark's binaryFile source reports: both go through the same
+    * URI normalization (`file:/x`, `file:///x` and a bare `/x` all map to
+    * `file:///x`), so file-id assignment cannot silently miss on scheme
+    * spelling. Non-local schemes keep their authority.
+    */
+  def normPath(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$scheme://$auth${u.getPath}"
+  }
+
   /** Ingest stream files into the event table (S3): `binaryFile` scan →
     * executor-side decode → one row per event with aliased channel
     * columns, synthesized `ts`, and the explicit global ordering
@@ -125,7 +138,7 @@ object StreamFixture {
       aliases: Seq[(String, String)],
   ): DataFrame = {
     val ordered = GenericLoader.naturalSort(paths)
-    val fileIds = ordered.zipWithIndex.toMap
+    val fileIds = ordered.map(normPath).zipWithIndex.toMap
     val outSchema = StructType(
       StructField("file_id", IntegerType, nullable = false) +:
         StructField("seq", LongType, nullable = false) +:
@@ -140,9 +153,11 @@ object StreamFixture {
         val as = aliasesB.value
         rows.flatMap { r =>
           val rawPath = r.getString(0)
-          val localPath = rawPath.stripPrefix("file:")
-          val fileId = fileIdsB.value.getOrElse(rawPath,
-            fileIdsB.value.getOrElse(localPath, -1))
+          val fileId = fileIdsB.value.getOrElse(normPath(rawPath), -1)
+          // fail loudly: a silent -1 would corrupt the global (file_id,
+          // seq) ordering every window fill depends on
+          require(fileId >= 0,
+            s"stream file $rawPath matches none of the input paths")
           val data = decode(r.getAs[Array[Byte]](1))
           val byName = data.channels.toMap
           val missing = as.map(_._1).filterNot(byName.contains)
@@ -170,7 +185,7 @@ object StreamFixture {
       aliases: Seq[(String, String)],
   ): DataFrame = {
     val ordered = GenericLoader.naturalSort(paths)
-    val fileIds = ordered.zipWithIndex.toMap
+    val fileIds = ordered.map(normPath).zipWithIndex.toMap
     val outSchema = StructType(
       StructField("file_id", IntegerType, nullable = false) +:
         StructField("ms", LongType, nullable = false) +:
@@ -185,8 +200,9 @@ object StreamFixture {
         val as = aliasesB.value
         rows.flatMap { r =>
           val rawPath = r.getString(0)
-          val fileId = fileIdsB.value.getOrElse(rawPath,
-            fileIdsB.value.getOrElse(rawPath.stripPrefix("file:"), -1))
+          val fileId = fileIdsB.value.getOrElse(normPath(rawPath), -1)
+          require(fileId >= 0,
+            s"stream file $rawPath matches none of the input paths")
           val data = decode(r.getAs[Array[Byte]](1))
           val byName = data.channels.toMap
           val cols = as.map { case (ds, _) => byName(ds) }

@@ -334,10 +334,14 @@ object Dedup {
     * Hybrid execution: the pair graph of a dedup run is orders of
     * magnitude smaller than the corpus (only documents that near-match
     * something), so when it fits comfortably on the driver
-    * (`<= driverEdgeLimit` edges, default 1e7 ≈ 160 MB) a single-pass
-    * union-find computes exact labels with zero Spark jobs beyond the
-    * collect — the iterative path costs O(diameter) full shuffle rounds,
-    * each with a fixed scheduling floor that dwarfs sub-second graphs.
+    * (`<= driverEdgeLimit` edges, default 2e6) a single-pass union-find
+    * computes exact labels with zero extra Spark jobs — the iterative path
+    * costs O(diameter) full shuffle rounds, each with a fixed scheduling
+    * floor that dwarfs sub-second graphs. Edges stream to the driver one
+    * partition at a time (typed `toLocalIterator`, no Row array) into a
+    * primitive open-addressing map (~17 B per node), so the limit costs
+    * ≤ ~150 MB of driver heap even with 2 nodes per edge — not the
+    * multi-GB a collected `Array[Row]` + boxed HashMap would.
     * Above the limit: distributed label propagation — each round joins
     * current labels across the (symmetrized) edge list and keeps the
     * per-node minimum, O(diameter) rounds of hash joins, all shuffles
@@ -352,7 +356,7 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, // columns id_a, id_b
       maxIter: Int = 10,
-      driverEdgeLimit: Long = 10000000L,
+      driverEdgeLimit: Long = 2000000L,
   ): DataFrame = {
     val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .cache()
@@ -364,14 +368,69 @@ object Dedup {
     out
   }
 
-  /** Exact union-find on the collected edge list (small-graph fast path
+  /** Primitive open-addressing Long→Long map (linear probing, power-of-two
+    * capacity, ≤0.5 load factor): ~17 B per entry in two long arrays + a
+    * flag array, vs the ~100+ B per entry of a boxed
+    * `java.util.HashMap[Long, Long]` — the difference between ~150 MB and
+    * multiple GB of driver heap at [[connectedComponents]]'s edge limit.
+    */
+  private final class LongLongMap(initialCap: Int = 1 << 16) {
+    private var keys = new Array[Long](java.lang.Integer.highestOneBit(
+      math.max(16, initialCap) - 1) << 1)
+    private var vals = new Array[Long](keys.length)
+    private var full = new Array[Boolean](keys.length)
+    private var n = 0
+    def size: Int = n
+    private def slot(k: Long): Int = {
+      val mask = keys.length - 1
+      // finalizer from splitmix64 — cheap, well-mixed for sequential ids
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      var i = h.toInt & mask
+      while (full(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    def contains(k: Long): Boolean = full(slot(k))
+    /** Value for `k`; `k` itself when absent (union-find identity). */
+    def get(k: Long): Long = {
+      val i = slot(k)
+      if (full(i)) vals(i) else k
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (full(i)) vals(i) = v
+      else {
+        full(i) = true; keys(i) = k; vals(i) = v; n += 1
+        if (n * 2 >= keys.length) grow()
+      }
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val of = full
+      keys = new Array[Long](ok.length * 2)
+      vals = new Array[Long](ok.length * 2)
+      full = new Array[Boolean](ok.length * 2)
+      n = 0
+      var j = 0
+      while (j < ok.length) { if (of(j)) put(ok(j), ov(j)); j += 1 }
+    }
+    /** Iterate keys; value-only `put`s on existing keys are safe mid-walk
+      * (no insertion → no rehash).
+      */
+    def foreachKey(f: Long => Unit): Unit = {
+      var j = 0
+      while (j < keys.length) { if (full(j)) f(keys(j)); j += 1 }
+    }
+  }
+
+  /** Exact union-find on the streamed edge list (small-graph fast path
     * of [[connectedComponents]]): path-compressed, roots always the
     * component minimum (union attaches the larger root under the
     * smaller).
     */
   private def ccOnDriver(pairsDf: DataFrame): DataFrame = {
     val spark = pairsDf.sparkSession
-    val parent = new java.util.HashMap[Long, Long]()
+    import spark.implicits._
+    val parent = new LongLongMap()
     def find(x: Long): Long = {
       var r = x
       while (parent.get(r) != r) r = parent.get(r)
@@ -379,18 +438,19 @@ object Dedup {
       while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    pairsDf.collect().foreach { row =>
-      val a = row.getLong(0); val b = row.getLong(1)
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
+    // stream edges one partition at a time — never the whole Row array
+    val edgeIt = pairsDf.as[(Long, Long)].toLocalIterator()
+    while (edgeIt.hasNext) {
+      val (a, b) = edgeIt.next()
+      if (!parent.contains(a)) parent.put(a, a)
+      if (!parent.contains(b)) parent.put(b, b)
       val ra = find(a); val rb = find(b)
       if (ra < rb) parent.put(rb, ra)
       else if (rb < ra) parent.put(ra, rb)
     }
-    val labels = new Array[(Long, Long)](parent.size())
-    val it = parent.keySet().iterator()
+    val labels = new Array[(Long, Long)](parent.size)
     var i = 0
-    while (it.hasNext) { val k = it.next(); labels(i) = (k, find(k)); i += 1 }
+    parent.foreachKey { k => labels(i) = (k, find(k)); i += 1 }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType, nullable = false),

@@ -102,6 +102,39 @@ class BinningProperties extends SparkSpec {
     }
   }
 
+  test("NaN events are dropped, not binned at 0 (flat kernel vs declarative)") {
+    // centers span [0,10) → kernel edges [-0.5, 9.5] (half-bin shift)
+    val ax = UniformAxis("x", 10, 0.0, 10.0)
+    val values = Seq(1.5, Double.NaN, 2.5, Double.NaN, 9.5, -1.0, 11.0, 0.2)
+    val df = values.toDF("x")
+    // flat fused-kernel path (histogram uses FlatBinIndexExpr at all arities)
+    val flat = Binning.histogram(df, Seq(ax)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat.values.sum === 4L) // NaN×2 and the out-of-range pair dropped
+    assert(flat.getOrElse(0L, 0L) === 1L) // only 0.2 — NOT the NaNs
+    // declarative parity (Spark NaN ordering: needs the explicit isnan guard)
+    val direct = df.select(Binning.uniformBinIndex(col("x"), ax).as("b"))
+      .filter(col("b").isNotNull).groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat === direct)
+    // dense fast path shares the declarative index — NaN drops there too
+    val dense = DenseHistogramAgg.denseHistogram(df, Seq(ax))
+    assert(dense.data.sum === 4L)
+    assert(dense.data(0) === 1L)
+    // multi-axis: NaN on either axis drops the event
+    val df2 = Seq((1.0, 1.0), (Double.NaN, 1.0), (1.0, Double.NaN))
+      .toDF("x0", "x1")
+    val axes = Seq(ax.copy(column = "x0"), ax.copy(column = "x1"))
+    assert(Binning.histogram(df2, axes).collect().map(_.getLong(2)).sum === 1L)
+    // interpreted eval path of the fused expression agrees with codegen
+    val ker = new FlatBinKernel(Array(0), Array(0.0), Array(1.0),
+      Array(10), Array(Array.emptyDoubleArray))
+    assert(ker.axisIndex(0, Double.NaN) === -1L)
+    assert(ker.axisIndex(0, Double.PositiveInfinity) === -1L)
+    assert(ker.axisIndex(0, Double.NegativeInfinity) === -1L)
+    assert(ker.axisIndex(0, 1e300) === -1L) // past Long range: no saturation wrap
+  }
+
   test("interp output is bounded by the knot value envelope (15 cases)") {
     cases(15, 5L) { r =>
       val xs = Seq.fill(5)(-100.0 + r.nextDouble() * 200.0).distinct.sorted.toArray

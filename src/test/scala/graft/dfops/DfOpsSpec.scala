@@ -163,6 +163,23 @@ class DfOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: nullable right values come from the matched row, never older") {
+    val left = Seq((1L, "u", 30L), (2L, "u", 15L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("u", 10L, Option(1.0), Option("a")),
+      ("u", 20L, Option.empty[Double], Option("b")), // mv NULL on the match
+    ).toDF("k", "t", "mv", "tag")
+    val out = DfOps.asofJoin(left, right, "t", "t", Seq("k"), Seq("mv", "tag"))
+      .select("id", "mv", "tag").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))), r.getString(2)))
+      .toMap
+    // id=1 matches t=20: mv stays NULL (not torn back to 1.0), tag from the
+    // SAME row; id=2 matches t=10 normally
+    assert(out(1L) === ((None, "b")))
+    assert(out(2L) === ((Some(1.0), "a")))
+  }
+
   test("rangeJoin: half-open semantics and brute-force parity") {
     val rnd = new scala.util.Random(11)
     val pts = (1 to 400).map(i => (i.toLong, rnd.nextDouble() * 100))
