@@ -15,14 +15,29 @@ import graft.dfops.DfOps
   * Timing discipline: the session is warmed up (JVM + codegen) with one
   * untimed run, then each workload executes to a noop sink — `count()`
   * would let Catalyst prune the projections being measured — and the best
-  * of two runs is reported (the reference reports min of 5,
-  * `benchmark_sed.py:57`).
+  * of five runs is reported, matching the reference's min-of-5
+  * (`benchmark_sed.py:57`). A single-thread CPU canary is timed before
+  * and after the suite and reported as `canary_sec`: on a quiet box it is
+  * stable run-to-run, so a recorded bench with an inflated canary is
+  * flagged as load-contaminated rather than a code regression.
   */
 object Bench {
 
   /** Force full computation of every column without collecting. */
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Fixed single-thread CPU-bound probe (~0.1 s quiet): measures machine
+    * load, independent of Spark.
+    */
+  private def canary(): Double = {
+    val t0 = System.nanoTime()
+    var s = 0.0
+    var i = 0
+    while (i < 20000000) { s += java.lang.Math.sqrt(i.toDouble); i += 1 }
+    if (s < 0) println(s) // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,13 +49,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // single-JVM bench posture (a real cluster keeps defaults for both):
       // shuffle bytes never cross a network, so compression is pure CPU
-      // cost here; and AQE's runtime re-planning only inserts stage-
-      // materialization barriers when every shuffle is ~10 MB — there is
-      // nothing to adaptively re-plan at bench scale (measured ~20 % of
-      // total). Verify and the test suite keep AQE ON (the at-scale plan
-      // shape the library is designed for, incl. its stage-reuse and
-      // skew handling).
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // cost here. AQE stays ON, same as Verify, the tests, and a real
+      // cluster: a recorded min-of-5 A/B at sf0.1/32 cpus measured
+      // off=2.54/2.06 s vs on=2.14/2.08 s total — a wash within noise —
+      // so the round-3 off-by-default (claimed ~20 % barrier cost from a
+      // min-of-2 run) did not reproduce and is reverted.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
@@ -62,6 +76,14 @@ object Bench {
     val lineitem = load("lineitem")
     val documents = load("documents")
     val embeddings = load("embeddings")
+    // A cached input breaks AQE exchange reuse in Spark 4.1 (cache query
+    // stages don't canonicalize equal), which would recompute minhash's
+    // shared signature exchange 4×. Feed minhash an uncached scan with an
+    // explicit hash repartition — a different plan than the cached one, so
+    // cache substitution doesn't re-inject it — which is also the honest
+    // at-scale shape: a lake scan, not an in-memory array.
+    val documentsScan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(nPart, col("doc_id"))
 
     /** The reference's canonical transform chain (benchmark_sed.py:124-129):
       * jitter → momentum correction (2048² inverse-dfield bilinear lookup)
@@ -131,7 +153,7 @@ object Bench {
       "dedup_exact" -> (() => exec(pipeline.Dedup.exactDuplicates(
         documents, "text", "doc_id"))),
       "dedup_minhash" -> (() => exec(pipeline.Dedup.minhashNearDuplicates(
-        documents, "text", "doc_id", threshold = 0.5))),
+        documentsScan, "text", "doc_id", threshold = 0.5))),
       "ann_brute_topk" -> (() => {
         val q = embeddings.filter(col("vec_id") === 0).select("embedding")
           .first().getSeq[Float](0).map(_.toDouble).toArray
@@ -141,12 +163,13 @@ object Bench {
         documents, "text"))),
     )
 
+    val canaryBefore = canary()
     val results = workloads.map { case (name, run) =>
       // per-workload untimed warm-up: whole-stage-codegen class generation
       // and its C2 compilation happen per distinct plan
       try run()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         try run()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
@@ -154,12 +177,13 @@ object Bench {
       }
       name -> times.min
     }
+    val canarySec = math.min(canaryBefore, canary())
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_sec":$canarySec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

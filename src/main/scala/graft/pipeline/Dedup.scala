@@ -115,10 +115,21 @@ object Dedup {
     *
     * Banding: the signature is cut into `bands` slices of `rows` hashes; a
     * pair is a candidate iff some slice hashes equal. The plan is
-    * `project(sig) → posexplode(bands) → shuffle(band_idx, band_hash) →
-    * self-join within buckets → estimate Jaccard from full signatures`.
-    * The only shuffle key is the band bucket, so skew is bounded by bucket
-    * size, and the candidate set — not n² — drives the join cost.
+    * `project(band hashes) → posexplode → shuffle(band_idx, band_hash) →
+    * self-join within buckets → distinct candidate pairs → attach full
+    * signatures by keyed join → estimate Jaccard`. The band exchange
+    * carries ONLY `(id, band_idx, band_hash)` — never the signature
+    * array — so shuffle volume is ~24 B × bands per document instead of
+    * `bands × numHashes × 8 B`, and a pair matching in several bands is
+    * deduplicated BEFORE the (comparatively expensive) signature
+    * agreement count instead of recomputing it per matching band. The
+    * signature projection runs exactly ONCE: `(id, sig)` is hash-
+    * repartitioned by id, and that single exchange is the shared input of
+    * the band explode and of both signature-attach joins (identical
+    * canonical subtree → ReuseExchange / AQE stage reuse), as well as the
+    * partitioning the attach joins need. The only bucket-shuffle key is
+    * the band hash, so skew is bounded by bucket size, and the candidate
+    * set — not n² — drives the join cost.
     *
     * Returns `(id_a, id_b, est_jaccard)` with `id_a < id_b`, distinct,
     * filtered to `est_jaccard >= threshold`.
@@ -136,30 +147,43 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // hash-repartition by id: this ONE exchange materializes the expensive
+    // signature projection and is the shared, reused input of the band
+    // explode and both attach joins below (and already satisfies the
+    // attach joins' partitioning requirement)
     val sigs = ensureParallelism(df)
       .select(col(idCol).as("id"),
         baseShingleHashes(col(textCol), k, portable).as("_base"))
       .select(col("id"), minhashFromBase(col("_base"), numHashes, seed).as("sig"))
+      .repartition(col("id"))
+    // band exchange carries (id, band_idx, band_hash) ONLY — no signatures
     val banded = sigs.select(
-      col("id"), col("sig"),
+      col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))),
       )),
     ).withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
-    banded.as("a")
+    val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx")
           && col("a.band_hash") === col("b.band_hash"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // a pair matching in >1 band is verified once, not per band
+    // attach sides stay alias-identical so their id-hash exchanges
+    // canonicalize to the same subtree and ReuseExchange computes the
+    // signature projection once for both joins
+    candidates
+      .join(sigs.as("sa"), col("id_a") === col("sa.id"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
         // native equal-position count: no per-pair array allocations
         (org.apache.spark.sql.GraftBridge.column(PositionalEqCount(
-          org.apache.spark.sql.GraftBridge.expression(col("a.sig")),
-          org.apache.spark.sql.GraftBridge.expression(col("b.sig"))))
+          org.apache.spark.sql.GraftBridge.expression(col("sa.sig")),
+          org.apache.spark.sql.GraftBridge.expression(col("sb.sig"))))
           .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct()
   }
 
   // ---- SimHash ----

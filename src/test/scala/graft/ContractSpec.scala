@@ -62,6 +62,45 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("minhash band exchange carries no signature arrays") {
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, s"the quick brown fox ${i % 20} jumps over the lazy dog " * 3))
+      .toDF("doc_id", "text")
+    // disable broadcast joins so the at-scale shuffle plan shape is what
+    // gets asserted (at test size AQE would broadcast the band join away)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val pairs =
+      try {
+        val p = pipeline.Dedup.minhashNearDuplicates(docs, "text", "doc_id")
+        p.collect()
+        p
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    val executed = pairs.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    // AQE query stages are leaves of the final plan — descend explicitly
+    def all(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        all(q.plan)
+      case _ => p.children.flatMap(all)
+    })
+    val bandExchanges = all(executed).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.outputPartitioning.toString.contains("band_hash") => e
+    }
+    assert(bandExchanges.nonEmpty, executed.toString)
+    bandExchanges.foreach { e =>
+      assert(!e.output.exists(_.name.contains("sig")),
+        s"band exchange must shuffle (id, band) only, got ${e.output}")
+    }
+  }
+
   test("histogram scan prunes to exactly the binned columns") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toFile.getPath + "/t"
     Seq.fill(100)((1.0, 2.0, 3.0, "pad")).toDF("a", "b", "c", "d")
