@@ -139,6 +139,14 @@ object SparkEntry {
         table(s, dir, "events")
           .withColumn("ts_us", expr("ts div 1000")),
         ax1dValue, "ts_us", "event_id")),
+    // A6 at scale: the partitioned-window form — lag runs per key (here
+    // user_id; per ingestion file in production), so no single-reducer
+    // global sort. This is the 100 TB-safe path of the same operator.
+    "q_norm_ts_part" -> ((s, dir) =>
+      Binning.normalizationHistogramFromTimestamps(
+        table(s, dir, "events")
+          .withColumn("ts_us", expr("ts div 1000")),
+        ax1dValue, "ts_us", "event_id", partitionCols = Seq("user_id"))),
 
     // ---- projections / filters ----
     // P1 apply_filter: open-interval range predicate
@@ -259,6 +267,15 @@ object SparkEntry {
           col("event_id"),
           when(col("event_type") === "click", col("value")).as("sparse")),
         Seq("sparse"), "event_id")),
+    // T16 at scale: per-key partitioned fill — one shuffle on the key,
+    // no global sort (the 100 TB-safe form; keys are ingestion files in
+    // production, user_id here)
+    "q_ffill_part" -> ((s, dir) =>
+      DfOps.forwardFill(
+        table(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          when(col("event_type") === "click", col("value")).as("sparse")),
+        Seq("sparse"), "event_id", partitionCols = Seq("user_id"))),
     // T16 backward_fill_lazy: next-non-null propagation (the mirror pass)
     "q_bfill" -> ((s, dir) =>
       DfOps.backwardFill(
@@ -537,6 +554,18 @@ object SparkEntry {
          |  WHERE ${OracleSql.uniformKeep("j0", ax1dValue)} AND dts IS NOT NULL
          |) GROUP BY bin_value""".stripMargin.replace("\n", " ")
     },
+    "q_norm_ts_part" -> {
+      val j = OracleSql.uniformJ("value", ax1dValue)
+      val idx = OracleSql.uniformIdx("j0", ax1dValue)
+      s"""SELECT bin_value, CAST(sum(dts) AS BIGINT) AS norm FROM (
+         |  SELECT $idx AS bin_value, dts FROM (
+         |    SELECT $j AS j0,
+         |      epoch_us(ts) - lag(epoch_us(ts))
+         |        OVER (PARTITION BY user_id ORDER BY event_id) AS dts
+         |    FROM events)
+         |  WHERE ${OracleSql.uniformKeep("j0", ax1dValue)} AND dts IS NOT NULL
+         |) GROUP BY bin_value""".stripMargin.replace("\n", " ")
+    },
     "q_filter_range" ->
       "SELECT event_id, value FROM events WHERE value > 100.0 AND value < 400.0",
     "q_tof2ev" -> {
@@ -654,6 +683,12 @@ object SparkEntry {
       """SELECT event_id,
         | first_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
         |   OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        | AS sparse FROM events""".stripMargin.replace("\n", " "),
+    "q_ffill_part" ->
+      """SELECT event_id, user_id,
+        | last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         | AS sparse FROM events""".stripMargin.replace("\n", " "),
     "q_timed_table" ->
       """SELECT epoch_ns(ts) // 1000000000 AS sec,
