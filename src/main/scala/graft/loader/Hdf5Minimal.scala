@@ -1,0 +1,560 @@
+package graft.loader
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/** Dependency-free reader/writer for the HDF5 subset the reference
+  * consumes and produces:
+  *
+  *  - the mpes loader's instrument files (`sed/loader/mpes/loader.py:
+  *    230-347`): root-level 1-D contiguous LE datasets (`Stream_N`
+  *    channels, `msMarkers`) with v1 string attributes (`Name`,
+  *    `FirstEventTimeStamp`);
+  *  - the binned-cube container (`sed/io/hdf5.py:84-190`): nested groups
+  *    `binned/BinnedData` (N-D) and `axes/ax{i}` (1-D) with `name`/
+  *    `unit` attributes.
+  *
+  * Format features implemented (HDF5 File Format Specification v1.x):
+  *  - superblock v0, 8-byte offsets/lengths
+  *  - version-1 object headers (+ continuation blocks on read)
+  *  - old-style groups, arbitrarily nested: symbol-table message → v1
+  *    B-tree (any level on read; single leaf level on write) → SNODs →
+  *    local heap
+  *  - dataspace v1 (v2 also parsed), any rank
+  *  - datatype classes: fixed-point (i32/i64), IEEE float (f32/f64),
+  *    null-terminated strings (attributes)
+  *  - data layout v3 contiguous
+  *  - attribute message v1
+  *
+  * Out of scope (rejected with a clear error on read): chunked/
+  * compressed layouts, new-style (fractal-heap) groups, superblock ≥ v2.
+  * Plain `h5py.create_dataset` without `chunks=`/`compression=` produces
+  * exactly the supported subset.
+  *
+  * Everything operates on byte arrays, so executor-side decode over
+  * Spark's `binaryFile` source works unchanged (one task per file, the
+  * same shape as the reference's one-dask-task-per-file ingestion).
+  */
+object Hdf5Minimal {
+
+  private val Signature =
+    Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
+  private val Undef = -1L // 0xFFFFFFFFFFFFFFFF: the HDF5 undefined address
+
+  // ---------------------------------------------------------------------
+  // data model
+  // ---------------------------------------------------------------------
+
+  sealed trait Hdf5Data {
+    def length: Int
+    def asDoubles: Array[Double]
+    def asLongs: Array[Long]
+  }
+  final case class F64(values: Array[Double]) extends Hdf5Data {
+    def length: Int = values.length
+    def asDoubles: Array[Double] = values
+    def asLongs: Array[Long] = values.map(_.toLong)
+  }
+  final case class F32(values: Array[Float]) extends Hdf5Data {
+    def length: Int = values.length
+    def asDoubles: Array[Double] = values.map(_.toDouble)
+    def asLongs: Array[Long] = values.map(_.toLong)
+  }
+  final case class I64(values: Array[Long]) extends Hdf5Data {
+    def length: Int = values.length
+    def asDoubles: Array[Double] = values.map(_.toDouble)
+    def asLongs: Array[Long] = values
+  }
+  final case class I32(values: Array[Int]) extends Hdf5Data {
+    def length: Int = values.length
+    def asDoubles: Array[Double] = values.map(_.toDouble)
+    def asLongs: Array[Long] = values.map(_.toLong)
+  }
+
+  /** A dataset: `shape` defaults to 1-D; N-D data is row-major flat. */
+  final case class Dataset(
+      name: String,
+      data: Hdf5Data,
+      attrs: Map[String, String] = Map.empty,
+      shape: Option[Seq[Long]] = None,
+  ) {
+    def dims: Seq[Long] = shape.getOrElse(Seq(data.length.toLong))
+    require(dims.product == data.length.toLong,
+      s"dataset $name: shape ${dims.mkString("x")} != ${data.length} values")
+  }
+
+  /** A group: named child datasets and subgroups. */
+  final case class Group(
+      datasets: Seq[Dataset] = Nil,
+      subgroups: Seq[(String, Group)] = Nil,
+      attrs: Map[String, String] = Map.empty,
+  ) {
+    def childNames: Seq[String] = datasets.map(_.name) ++ subgroups.map(_._1)
+    require(childNames.distinct.size == childNames.size,
+      s"duplicate child names: ${childNames.mkString(",")}")
+
+    def dataset(path: String): Dataset = path.split("/", 2) match {
+      case Array(n) => datasets.find(_.name == n).getOrElse(
+        throw new NoSuchElementException(
+          s"dataset $n not in [${childNames.mkString(",")}]"))
+      case Array(g, rest) => group(g).dataset(rest)
+    }
+    def group(name: String): Group =
+      subgroups.find(_._1 == name).map(_._2).getOrElse(
+        throw new NoSuchElementException(
+          s"group $name not in [${childNames.mkString(",")}]"))
+    def hasChild(name: String): Boolean = childNames.contains(name)
+  }
+
+  // ---------------------------------------------------------------------
+  // writer
+  // ---------------------------------------------------------------------
+
+  private def pad8(n: Int): Int = (n + 7) & ~7
+
+  /** Little-endian growable buffer with absolute-position patching. */
+  private final class Out {
+    private var buf = ByteBuffer.allocate(1 << 16).order(ByteOrder.LITTLE_ENDIAN)
+    private def ensure(n: Int): Unit =
+      if (buf.remaining() < n) {
+        val bigger = ByteBuffer
+          .allocate(math.max(buf.capacity * 2, buf.position() + n))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        buf.flip(); bigger.put(buf); buf = bigger
+      }
+    def pos: Int = buf.position()
+    def u8(v: Int): Unit = { ensure(1); buf.put(v.toByte) }
+    def u16(v: Int): Unit = { ensure(2); buf.putShort(v.toShort) }
+    def u32(v: Long): Unit = { ensure(4); buf.putInt(v.toInt) }
+    def u64(v: Long): Unit = { ensure(8); buf.putLong(v) }
+    def bytes(b: Array[Byte]): Unit = { ensure(b.length); buf.put(b) }
+    def zeros(n: Int): Unit = { ensure(n); (0 until n).foreach(_ => buf.put(0: Byte)) }
+    def padTo8(): Unit = zeros(pad8(pos) - pos)
+    def patch64(at: Int, v: Long): Unit = buf.putLong(at, v)
+    def result(): Array[Byte] = {
+      val out = new Array[Byte](buf.position())
+      val d = buf.duplicate(); d.flip(); d.get(out); out
+    }
+  }
+
+  private def dtypeBody(data: Hdf5Data): Array[Byte] = {
+    val b = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    data match {
+      case _: F64 =>
+        b.put(0x11.toByte) // version 1, class 1 (float)
+        b.put(0x20.toByte); b.put(63.toByte); b.put(0.toByte) // LE, implied norm, sign bit
+        b.putInt(8)
+        b.putShort(0); b.putShort(64) // bit offset / precision
+        b.put(52.toByte); b.put(11.toByte) // exponent location / size
+        b.put(0.toByte); b.put(52.toByte) // mantissa location / size
+        b.putInt(1023) // exponent bias
+      case _: F32 =>
+        b.put(0x11.toByte)
+        b.put(0x20.toByte); b.put(31.toByte); b.put(0.toByte)
+        b.putInt(4)
+        b.putShort(0); b.putShort(32)
+        b.put(23.toByte); b.put(8.toByte)
+        b.put(0.toByte); b.put(23.toByte)
+        b.putInt(127)
+      case _: I64 =>
+        b.put(0x10.toByte) // version 1, class 0 (fixed-point)
+        b.put(0x08.toByte); b.put(0.toByte); b.put(0.toByte) // LE, signed
+        b.putInt(8)
+        b.putShort(0); b.putShort(64)
+      case _: I32 =>
+        b.put(0x10.toByte)
+        b.put(0x08.toByte); b.put(0.toByte); b.put(0.toByte)
+        b.putInt(4)
+        b.putShort(0); b.putShort(32)
+    }
+    java.util.Arrays.copyOf(b.array(), b.position())
+  }
+
+  private def strDtypeBody(valueBytes: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x13.toByte) // version 1, class 3 (string)
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte) // null-terminated, ASCII
+    b.putInt(valueBytes)
+    b.array()
+  }
+
+  private def scalarDataspaceBody: Array[Byte] = {
+    val b = new Array[Byte](8)
+    b(0) = 1 // version 1, rank 0, flags 0, 5 reserved bytes
+    b
+  }
+
+  private def ndDataspaceBody(dims: Seq[Long]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + 8 * dims.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(dims.length.toByte); b.put(0.toByte) // v1, rank, no maxdims
+    b.put(new Array[Byte](5))
+    dims.foreach(b.putLong)
+    b.array()
+  }
+
+  /** v1 attribute message body: a null-terminated string attribute. */
+  private def attrBody(name: String, value: String): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8") :+ 0.toByte
+    val valueB = value.getBytes("UTF-8") :+ 0.toByte
+    val dt = strDtypeBody(valueB.length)
+    val ds = scalarDataspaceBody
+    val size = 8 + pad8(nameB.length) + pad8(dt.length) + pad8(ds.length) + valueB.length
+    val b = ByteBuffer.allocate(pad8(size)).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(0.toByte) // version 1, reserved
+    b.putShort(nameB.length.toShort)
+    b.putShort(dt.length.toShort)
+    b.putShort(ds.length.toShort)
+    b.put(nameB); b.position(8 + pad8(nameB.length))
+    b.put(dt); b.position(8 + pad8(nameB.length) + pad8(dt.length))
+    b.put(ds); b.position(8 + pad8(nameB.length) + pad8(dt.length) + pad8(ds.length))
+    b.put(valueB)
+    b.array()
+  }
+
+  private final case class Msg(tpe: Int, body: Array[Byte])
+
+  /** v1 object header: 16-byte prefix, then 8-byte-aligned messages.
+    * Returns the header's address.
+    */
+  private def writeObjectHeader(out: Out, msgs: Seq[Msg]): Long = {
+    val addr = out.pos.toLong
+    val bodies = msgs.map(m => (m.tpe, m.body, pad8(m.body.length)))
+    val msgBytes = bodies.map(8 + _._3).sum
+    out.u8(1); out.u8(0) // version, reserved
+    out.u16(msgs.length)
+    out.u32(1) // reference count
+    out.u32(msgBytes.toLong)
+    out.zeros(4) // prefix padding to the 8-byte message boundary
+    bodies.foreach { case (tpe, body, padded) =>
+      out.u16(tpe); out.u16(padded); out.u8(0); out.zeros(3)
+      out.bytes(body); out.zeros(padded - body.length)
+    }
+    addr
+  }
+
+  private def rawBytes(data: Hdf5Data): Array[Byte] = {
+    val sz = data match {
+      case _: F64 | _: I64 => 8
+      case _               => 4
+    }
+    val b = ByteBuffer.allocate(data.length * sz).order(ByteOrder.LITTLE_ENDIAN)
+    data match {
+      case F64(v) => v.foreach(b.putDouble)
+      case F32(v) => v.foreach(b.putFloat)
+      case I64(v) => v.foreach(b.putLong)
+      case I32(v) => v.foreach(b.putInt)
+    }
+    b.array()
+  }
+
+  /** Emit one dataset (header + contiguous raw data); returns header addr. */
+  private def writeDataset(out: Out, d: Dataset): Long = {
+    val raw = rawBytes(d.data)
+    val dsBody = ndDataspaceBody(d.dims)
+    val dtBody = dtypeBody(d.data)
+    // layout message is emitted third; its data-address field sits at
+    // byte 2 of its body
+    val layoutAddrOff = 16 + (8 + pad8(dsBody.length)) + (8 + pad8(dtBody.length)) + 8 + 2
+    val layout = {
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(1.toByte) // version 3, contiguous
+      b.putLong(0L) // data address, patched below
+      b.putLong(raw.length.toLong)
+      b.array()
+    }
+    val hdrAddr = writeObjectHeader(out,
+      Seq(Msg(0x0001, dsBody), Msg(0x0003, dtBody), Msg(0x0008, layout)) ++
+        d.attrs.toSeq.sortBy(_._1).map { case (k, v) => Msg(0x000C, attrBody(k, v)) })
+    out.padTo8()
+    val dataAddr = out.pos.toLong
+    out.bytes(raw)
+    out.padTo8()
+    out.patch64(hdrAddr.toInt + layoutAddrOff, dataAddr)
+    hdrAddr
+  }
+
+  /** Emit a group (children first, then heap/SNODs/B-tree/header);
+    * returns the group's object header address.
+    */
+  private def writeGroup(out: Out, g: Group): Long = {
+    require(g.childNames.size <= 64, "minimal writer: ≤64 children per group")
+    val childAddrs: Seq[(String, Long)] =
+      (g.datasets.map(d => d.name -> writeDataset(out, d)) ++
+        g.subgroups.map { case (n, sg) => n -> writeGroup(out, sg) })
+        .sortBy(_._1)
+
+    // local heap with the child names
+    val nameOffsets = collection.mutable.Map[String, Long]()
+    var heapDataSize = 8L // offset 0 = reserved empty entry
+    childAddrs.foreach { case (n, _) =>
+      nameOffsets(n) = heapDataSize
+      heapDataSize += pad8(n.getBytes("UTF-8").length + 1)
+    }
+    val heapAddr = out.pos.toLong
+    out.bytes("HEAP".getBytes("US-ASCII"))
+    out.u8(0); out.zeros(3)
+    out.u64(heapDataSize)
+    out.u64(Undef) // no free block
+    out.u64(heapAddr + 32) // data segment directly follows
+    out.zeros(8)
+    childAddrs.foreach { case (n, _) =>
+      val nb = n.getBytes("UTF-8")
+      out.bytes(nb); out.zeros(pad8(nb.length + 1) - nb.length)
+    }
+
+    // SNODs (≤ 2·leafK = 8 entries each)
+    val chunks = childAddrs.grouped(8).toSeq
+    val snodAddrs = chunks.map { chunk =>
+      val addr = out.pos.toLong
+      out.bytes("SNOD".getBytes("US-ASCII"))
+      out.u8(1); out.u8(0)
+      out.u16(chunk.length)
+      chunk.foreach { case (n, hdr) =>
+        out.u64(nameOffsets(n))
+        out.u64(hdr)
+        out.u32(0); out.u32(0); out.zeros(16) // cache type 0
+      }
+      out.zeros((8 - chunk.length) * 40) // allocate the full node
+      addr
+    }
+
+    // group B-tree: one leaf-level node pointing at the SNODs
+    val btreeAddr = out.pos.toLong
+    out.bytes("TREE".getBytes("US-ASCII"))
+    out.u8(0); out.u8(0) // node type group, level 0
+    out.u16(chunks.length)
+    out.u64(Undef); out.u64(Undef) // siblings
+    out.u64(0) // key 0: the empty string (sorts first)
+    chunks.zip(snodAddrs).foreach { case (chunk, sa) =>
+      out.u64(sa)
+      out.u64(nameOffsets(chunk.last._1)) // key i+1: largest name in child i
+    }
+
+    val symtab = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(btreeAddr); b.putLong(heapAddr)
+      b.array()
+    }
+    writeObjectHeader(out,
+      Msg(0x0011, symtab) +:
+        g.attrs.toSeq.sortBy(_._1).map { case (k, v) => Msg(0x000C, attrBody(k, v)) })
+  }
+
+  /** Serialize a full file from its root group. */
+  def writeBytes(root: Group): Array[Byte] = {
+    val out = new Out
+    // superblock v0 (96 bytes); EOF + root header patched afterwards
+    out.bytes(Signature)
+    out.u8(0); out.u8(0); out.u8(0); out.u8(0)
+    out.u8(0)
+    out.u8(8); out.u8(8); out.u8(0)
+    out.u16(4); out.u16(16) // group leaf K / internal K
+    out.u32(0)
+    out.u64(0) // base address
+    out.u64(Undef)
+    val eofAt = out.pos; out.u64(0)
+    out.u64(Undef)
+    out.u64(0) // root entry: link name offset
+    val rootHdrAt = out.pos; out.u64(0)
+    out.u32(0); out.u32(0) // cache type 0, reserved
+    out.zeros(16)
+
+    val rootAddr = writeGroup(out, root)
+    out.patch64(rootHdrAt, rootAddr)
+    out.patch64(eofAt, out.pos.toLong)
+    out.result()
+  }
+
+  /** Convenience: a flat file of root-level datasets (the mpes layout). */
+  def writeBytes(
+      datasets: Seq[Dataset],
+      rootAttrs: Map[String, String],
+  ): Array[Byte] = writeBytes(Group(datasets = datasets, attrs = rootAttrs))
+
+  def write(path: String, root: Group): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), writeBytes(root))
+
+  // ---------------------------------------------------------------------
+  // reader
+  // ---------------------------------------------------------------------
+
+  def isHdf5(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && Signature.indices.forall(i => bytes(i) == Signature(i))
+
+  /** Parse a file into its root [[Group]]. */
+  def parse(bytes: Array[Byte]): Group = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(isHdf5(bytes), "not an HDF5 file (bad signature)")
+    val sbVersion = buf.get(8) & 0xff
+    require(sbVersion <= 1,
+      s"superblock v$sbVersion unsupported (minimal reader handles v0/v1)")
+    require((buf.get(13) & 0xff) == 8 && (buf.get(14) & 0xff) == 8,
+      "only 8-byte offsets/lengths supported")
+    // root symbol-table entry: at 56 for v0; v1 adds 4 bytes before it
+    val rootEntry = if (sbVersion == 0) 56 else 60
+    val rootHdr = buf.getLong(rootEntry + 8)
+    readGroup(bytes, buf, rootHdr)
+  }
+
+  def read(path: String): Group =
+    parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  private def asciiTag(s: String): Int = {
+    val b = s.getBytes("US-ASCII")
+    (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+  }
+
+  private def readGroup(bytes: Array[Byte], buf: ByteBuffer, hdrAddr: Long): Group = {
+    val (msgs, attrs) = readObjectHeader(buf, hdrAddr)
+    val symtab = msgs.find(_._1 == 0x0011).getOrElse(
+      throw new IllegalArgumentException(
+        "group has no symbol-table message (new-style groups unsupported)"))
+    val sb = ByteBuffer.wrap(symtab._2).order(ByteOrder.LITTLE_ENDIAN)
+    val btreeAddr = sb.getLong(0)
+    val heapAddr = sb.getLong(8)
+    require(buf.getInt(heapAddr.toInt) == asciiTag("HEAP"), "bad local heap")
+    val heapData = buf.getLong(heapAddr.toInt + 24)
+    def heapName(off: Long): String = {
+      var i = (heapData + off).toInt
+      val s = new StringBuilder
+      while (bytes(i) != 0) { s.append(bytes(i).toChar); i += 1 }
+      s.toString
+    }
+
+    val entries = ArrayBuffer[(String, Long)]()
+    def walkBtree(addr: Long): Unit = {
+      require(buf.getInt(addr.toInt) == asciiTag("TREE"), "bad group B-tree node")
+      val level = buf.get(addr.toInt + 5) & 0xff
+      val used = buf.getShort(addr.toInt + 6) & 0xffff
+      var p = addr.toInt + 24 + 8 // skip header + key 0
+      (0 until used).foreach { _ =>
+        val child = buf.getLong(p); p += 16 // child + following key
+        if (level > 0) walkBtree(child)
+        else {
+          require(buf.getInt(child.toInt) == asciiTag("SNOD"), "bad symbol node")
+          val n = buf.getShort(child.toInt + 6) & 0xffff
+          (0 until n).foreach { i =>
+            val e = child.toInt + 8 + i * 40
+            entries += ((heapName(buf.getLong(e)), buf.getLong(e + 8)))
+          }
+        }
+      }
+    }
+    walkBtree(btreeAddr)
+
+    val datasets = ArrayBuffer[Dataset]()
+    val subgroups = ArrayBuffer[(String, Group)]()
+    entries.sortBy(_._1).foreach { case (name, hdr) =>
+      val (cmsgs, _) = readObjectHeader(buf, hdr)
+      if (cmsgs.exists(_._1 == 0x0011)) subgroups += ((name, readGroup(bytes, buf, hdr)))
+      else datasets += readDataset(bytes, buf, name, hdr)
+    }
+    Group(datasets.toSeq, subgroups.toSeq, attrs)
+  }
+
+  private def readDataset(
+      bytes: Array[Byte], buf: ByteBuffer, name: String, hdrAddr: Long,
+  ): Dataset = {
+    val (msgs, attrs) = readObjectHeader(buf, hdrAddr)
+    def msg(t: Int, what: String): Array[Byte] =
+      msgs.find(_._1 == t).map(_._2).getOrElse(
+        throw new IllegalArgumentException(s"dataset $name missing $what"))
+    val dims = parseDataspace(msg(0x0001, "dataspace"))
+    val n = dims.product
+    val (cls, size) = parseDatatype(msg(0x0003, "datatype"), name)
+    val lay = ByteBuffer.wrap(msg(0x0008, "data layout")).order(ByteOrder.LITTLE_ENDIAN)
+    require(lay.get(0) == 3 && lay.get(1) == 1,
+      s"dataset $name: only layout v3 contiguous supported " +
+        s"(got v${lay.get(0)} class ${lay.get(1)} — chunked/compressed data " +
+        "is out of the minimal reader's scope)")
+    val dataAddr = lay.getLong(2)
+    val dataSize = lay.getLong(10)
+    require(dataSize == n * size, s"dataset $name: layout/dataspace size mismatch")
+    val d = ByteBuffer.wrap(bytes, dataAddr.toInt, dataSize.toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val data: Hdf5Data = (cls, size) match {
+      case (1, 8) => F64(Array.fill(n.toInt)(d.getDouble))
+      case (1, 4) => F32(Array.fill(n.toInt)(d.getFloat))
+      case (0, 8) => I64(Array.fill(n.toInt)(d.getLong))
+      case (0, 4) => I32(Array.fill(n.toInt)(d.getInt))
+      case other  => throw new IllegalArgumentException(
+        s"dataset $name: unsupported datatype class/size $other")
+    }
+    Dataset(name, data, attrs, Some(dims))
+  }
+
+  /** All messages of a v1 object header, following continuation blocks.
+    * Returns (type, body) pairs plus decoded string attributes.
+    */
+  private def readObjectHeader(
+      buf: ByteBuffer,
+      addr: Long,
+  ): (Seq[(Int, Array[Byte])], Map[String, String]) = {
+    val version = buf.get(addr.toInt) & 0xff
+    require(version == 1,
+      s"object header v$version unsupported (minimal reader handles v1)")
+    val nMsgs = buf.getShort(addr.toInt + 2) & 0xffff
+    val msgs = ArrayBuffer[(Int, Array[Byte])]()
+    var blocks = List((addr + 16, buf.getInt(addr.toInt + 8).toLong))
+    var remaining = nMsgs
+    while (remaining > 0 && blocks.nonEmpty) {
+      var (p, left) = blocks.head
+      blocks = blocks.tail
+      while (remaining > 0 && left >= 8) {
+        val tpe = buf.getShort(p.toInt) & 0xffff
+        val size = buf.getShort(p.toInt + 2) & 0xffff
+        val body = new Array[Byte](size)
+        val d = buf.duplicate(); d.position(p.toInt + 8); d.get(body)
+        if (tpe == 0x0010) { // continuation: (offset, length)
+          val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+          blocks = (cb.getLong(0), cb.getLong(8)) :: blocks
+        } else msgs += ((tpe, body))
+        remaining -= 1
+        p += 8 + size
+        left -= 8 + size
+      }
+    }
+    val attrs = msgs.filter(_._1 == 0x000C).flatMap(m => parseAttr(m._2)).toMap
+    (msgs.toSeq, attrs)
+  }
+
+  /** v1 string attribute → (name, value); non-string attrs are skipped. */
+  private def parseAttr(body: Array[Byte]): Option[(String, String)] = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    if ((b.get(0) & 0xff) != 1) return None // v1 only
+    val nameSize = b.getShort(2) & 0xffff
+    val dtSize = b.getShort(4) & 0xffff
+    val dsSize = b.getShort(6) & 0xffff
+    val name = new String(body, 8, math.max(0, nameSize - 1), "UTF-8")
+    val dtOff = 8 + pad8(nameSize)
+    val cls = body(dtOff) & 0x0f
+    if (cls != 3) return None
+    val valueSize = ByteBuffer.wrap(body, dtOff + 4, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    val dataOff = dtOff + pad8(dtSize) + pad8(dsSize)
+    val raw = new String(body, dataOff, valueSize, "UTF-8")
+    Some((name, raw.takeWhile(_ != 0)))
+  }
+
+  /** Dimensions of a dataspace (v1 or v2 encoding); scalar → Seq(1). */
+  private def parseDataspace(body: Array[Byte]): Seq[Long] = {
+    val version = body(0) & 0xff
+    val rank = body(1) & 0xff
+    if (rank == 0) Seq(1L)
+    else {
+      val dimsOff = if (version == 1) 8 else 4 // v2: version,rank,flags,type
+      val b = ByteBuffer.wrap(body, dimsOff, 8 * rank).order(ByteOrder.LITTLE_ENDIAN)
+      Seq.fill(rank)(b.getLong)
+    }
+  }
+
+  /** (class, byte size) of a datatype message; validates little-endian. */
+  private def parseDatatype(body: Array[Byte], name: String): (Int, Int) = {
+    val cls = body(0) & 0x0f
+    val bitField0 = body(1) & 0xff
+    require((bitField0 & 0x01) == 0,
+      s"dataset $name: big-endian data unsupported")
+    val size = ByteBuffer.wrap(body, 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    (cls, size)
+  }
+}

@@ -65,8 +65,54 @@ object StreamFixture {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bos.toByteArray)
   }
 
-  /** Pure decoder — runs inside executor tasks on `binaryFile` content. */
+  /** Timestamp format of the mpes `FirstEventTimeStamp` attribute
+    * (`sed/loader/mpes/loader.py:312-316`, Python
+    * `"%Y-%m-%dT%H:%M:%S.%f%z"`).
+    */
+  private val TsFormat =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxx")
+
+  /** Write `data` as a REAL HDF5 file in the mpes instrument layout:
+    * one root-level 1-D dataset per channel (each with a `Name` alias
+    * attribute), an int64 `msMarkers` dataset, and the
+    * `FirstEventTimeStamp` root attribute. Readable by h5py /
+    * `hdf5_to_array` and by [[decode]] below.
+    */
+  def writeH5(path: String, data: StreamData): Unit = {
+    val ts = java.time.Instant.ofEpochSecond(
+      data.startTs.toLong, ((data.startTs % 1) * 1e9).toLong)
+      .atOffset(java.time.ZoneOffset.UTC).format(TsFormat)
+    val channelDs = data.channels.map { case (name, values) =>
+      Hdf5Minimal.Dataset(name, Hdf5Minimal.F64(values), Map("Name" -> name))
+    }
+    Hdf5Minimal.write(path, Hdf5Minimal.Group(
+      datasets = channelDs :+
+        Hdf5Minimal.Dataset("msMarkers", Hdf5Minimal.I64(data.msMarkers)),
+      attrs = Map("FirstEventTimeStamp" -> ts)))
+  }
+
+  /** Decode an mpes-layout HDF5 byte array into [[StreamData]]. */
+  def decodeH5(bytes: Array[Byte]): StreamData = {
+    val root = Hdf5Minimal.parse(bytes)
+    val markers = root.dataset("msMarkers").data.asLongs
+    val channels = root.datasets
+      .filterNot(_.name == "msMarkers")
+      .map(d => d.name -> d.data.asDoubles)
+    val startTs = root.attrs.get("FirstEventTimeStamp") match {
+      case Some(s) =>
+        val odt = java.time.OffsetDateTime.parse(s, TsFormat)
+        odt.toEpochSecond.toDouble + odt.getNano / 1e9
+      case None => 0.0
+    }
+    StreamData(startTs, channels, markers)
+  }
+
+  /** Pure decoder — runs inside executor tasks on `binaryFile` content.
+    * Dispatches on the container signature: real HDF5 (mpes layout) or
+    * the GSD1 byte fixture.
+    */
   def decode(bytes: Array[Byte]): StreamData = {
+    if (Hdf5Minimal.isHdf5(bytes)) return decodeH5(bytes)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val magic = new Array[Byte](4)
     buf.get(magic)

@@ -93,6 +93,27 @@ class ProcessorSpec extends SparkSpec {
     assert(back.axes.head.toSeq === Seq(0.5, 1.5))
   }
 
+  test("CubeIO HDF5 cube container round-trips in the reference layout") {
+    val cube = BinnedCube(
+      Seq("kx", "energy"),
+      Seq(Array(0.5, 1.5), Array(0.0, 1.0, 2.0)),
+      Array(1L, 2L, 3L, 4L, 5L, 6L),
+      Seq(2, 3),
+      Map("units" -> "counts", "long_name" -> "intensity", "run" -> "30"))
+    val path = Files.createTempDirectory("cubeh5").toFile.getPath + "/binned.h5"
+    CubeIO.writeH5(cube, path)
+    // the file IS HDF5 with the reference's group layout
+    val root = graft.loader.Hdf5Minimal.read(path)
+    assert(root.dataset("binned/BinnedData").dims === Seq(2L, 3L))
+    assert(root.dataset("axes/ax0").attrs("name") === "kx")
+    val back = CubeIO.readH5(path)
+    assert(back.data.toSeq === cube.data.toSeq)
+    assert(back.shape === cube.shape)
+    assert(back.axisNames === cube.axisNames)
+    assert(back.axes(1).toSeq === Seq(0.0, 1.0, 2.0))
+    assert(back.attrs === cube.attrs)
+  }
+
   test("CubeIO sparse round trip via parquet + sidecar") {
     val ax = UniformAxis("value", 10, 0.0, 500.0)
     val hist = Binning.histogram(events, Seq(ax))
