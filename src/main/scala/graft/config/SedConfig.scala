@@ -10,8 +10,9 @@ import scala.jdk.CollectionConverters._
 /** Layered configuration (`sed/core/config.py:19-141`): merge
   * folder > user > system > default config files, deep-merging nested
   * sections (higher layers win per-key). The reference reads YAML or
-  * JSON; this engine standardizes on JSON (Jackson ships on the Spark
-  * classpath; no extra dependency).
+  * JSON; this engine reads JSON natively (Jackson ships on the Spark
+  * classpath) and `.yaml`/`.yml` through the dependency-free subset
+  * converter [[YamlShim]], so real sed config files load unmodified.
   */
 object SedConfig {
 
@@ -31,8 +32,13 @@ object SedConfig {
     out
   }
 
-  /** Parse one JSON config file. */
-  def parse(path: Path): JsonNode = mapper.readTree(Files.readString(path))
+  /** Parse one config file: `.yaml`/`.yml` via [[YamlShim]], else JSON. */
+  def parse(path: Path): JsonNode = {
+    val text = Files.readString(path)
+    val name = path.getFileName.toString.toLowerCase
+    if (name.endsWith(".yaml") || name.endsWith(".yml")) YamlShim.parse(text)
+    else mapper.readTree(text)
+  }
 
   def parseString(json: String): JsonNode = mapper.readTree(json)
 

@@ -56,6 +56,64 @@ class ExtrasSpec extends SparkSpec {
     intercept[NoSuchElementException] { SedConfig.getString(cfg, "nope.deep") }
   }
 
+  test("YAML config shim: mpes-shaped YAML loads and layers with JSON") {
+    val dir = Files.createTempDirectory("yamlcfg")
+    val yaml = dir.resolve("base.yaml")
+    Files.writeString(yaml,
+      """core:
+        |  # loader selection
+        |  loader: mpes
+        |  use_copy_tool: False
+        |dataframe:
+        |  hdf5_groupnames: ["Stream_0", "Stream_1"]  # trailing comment
+        |  hdf5_aliases:
+        |    Stream_0: "X"
+        |    Stream_1: "t"
+        |  tof_binwidth: 4.125e-12
+        |  tof_binning: 2
+        |  units:
+        |    kx: '1/A'
+        |momentum:
+        |  ranges: [[-256, 1792], [132000, 136000]]
+        |  center: [730.0, 730.0]
+        |  flow: {a: 1, b: [2, 3]}
+        |  empty_key:
+        |  listy:
+        |    - one
+        |    - 2
+        |""".stripMargin)
+    val over = dir.resolve("user.json")
+    Files.writeString(over, """{"dataframe": {"tof_binning": 4}}""")
+    val cfg = SedConfig.load(Seq(yaml.toString, over.toString))
+    assert(SedConfig.getString(cfg, "core.loader") === "mpes")
+    assert(!cfg.at("/core/use_copy_tool").asBoolean(true))
+    assert(cfg.at("/dataframe/hdf5_groupnames/1").asText() === "Stream_1")
+    assert(SedConfig.getString(cfg, "dataframe.hdf5_aliases.Stream_0") === "X")
+    assert(SedConfig.getDouble(cfg, "dataframe.tof_binwidth") === 4.125e-12)
+    assert(SedConfig.getInt(cfg, "dataframe.tof_binning") === 4) // JSON layer wins
+    assert(SedConfig.getString(cfg, "dataframe.units.kx") === "1/A")
+    assert(cfg.at("/momentum/ranges/0/1").asInt() === 1792)
+    assert(cfg.at("/momentum/center/0").asDouble() === 730.0)
+    assert(cfg.at("/momentum/flow/b/1").asInt() === 3)
+    assert(cfg.at("/momentum/empty_key").isNull)
+    assert(cfg.at("/momentum/listy/0").asText() === "one")
+    assert(cfg.at("/momentum/listy/1").asInt() === 2)
+  }
+
+  test("YAML shim parses the reference's real mpes example config") {
+    val ref = java.nio.file.Paths.get(
+      "/root/reference/sed/config/mpes_example_config.yaml")
+    assume(Files.exists(ref), "reference config not present")
+    val cfg = SedConfig.parse(ref)
+    assert(SedConfig.getString(cfg, "core.loader") === "mpes")
+    assert(SedConfig.getString(cfg, "dataframe.hdf5_aliases.Stream_0") === "X")
+    assert(SedConfig.getDouble(cfg, "dataframe.tof_binwidth") === 4.125e-12)
+    assert(SedConfig.getString(cfg, "dataframe.units.kx") === "1/A")
+    assert(cfg.at("/energy/ranges/1").asInt() === 138000)
+    assert(cfg.at("/momentum/ranges/0/1").asInt() === 1792)
+    assert(SedConfig.resolveAxis(cfg, "@energy") === "energy")
+  }
+
   test("@alias axis indirection resolves through the dataframe section") {
     val cfg = SedConfig.parseString(
       """{"dataframe": {"energy_column": "energy"}}""")
