@@ -305,24 +305,51 @@ object DfOps {
         base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
-  /** Exact grouped quantiles (linear interpolation, the `quantile_cont` /
-    * numpy `percentile` definition) via Spark's exact `percentile`
-    * aggregate — the auto-ranging companion to binning (`bin_dataframe`
-    * computes axis ranges from data when unspecified,
-    * `sed/binning/utils.py`). For 100 TB inputs swap in
-    * `percentile_approx` (sketch-mergeable, one pass); the exact variant
-    * is the oracle-checkable contract.
+  /** Grouped quantiles (linear interpolation, the `quantile_cont` /
+    * numpy `percentile` definition) — the auto-ranging companion to
+    * binning (`bin_dataframe` computes axis ranges from data when
+    * unspecified, `sed/binning/utils.py`).
+    *
+    * `approx = false` (default): Spark's exact `percentile` aggregate —
+    * the oracle-checkable contract, but it buffers every group value.
+    * `approx = true`: `percentile_approx` (KLL-style mergeable sketch,
+    * one pass, bounded memory) — the 100 TB path; `accuracy` trades
+    * memory for rank error ≤ `1/accuracy` (property-tested bound).
     */
   def groupQuantiles(
       df: DataFrame,
       valueCol: String,
       keyCols: Seq[String],
       quantiles: Seq[(String, Double)],
+      approx: Boolean = false,
+      accuracy: Int = 10000,
   ): DataFrame = {
     val aggs = quantiles.map { case (name, q) =>
-      round(percentile(col(valueCol), lit(q)), 6).as(name)
+      val agg =
+        if (approx) percentile_approx(col(valueCol), lit(q), lit(accuracy))
+        else percentile(col(valueCol), lit(q))
+      round(agg, 6).as(name)
     }
     df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Grouped distinct cardinality. `approx = true` swaps the exact
+    * `count_distinct` (full shuffle of the distinct pairs) for
+    * HyperLogLog++ (`approx_count_distinct`, mergeable sketch, relative
+    * error ≤ `rsd`) — the 100 TB path for high-cardinality keys.
+    */
+  def groupCardinality(
+      df: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String],
+      outCol: String = "cardinality",
+      approx: Boolean = false,
+      rsd: Double = 0.05,
+  ): DataFrame = {
+    val agg =
+      if (approx) approx_count_distinct(col(valueCol), rsd)
+      else countDistinct(col(valueCol))
+    df.groupBy(keyCols.map(col): _*).agg(agg.as(outCol))
   }
 
   /** T7 `split_channel_bitwise` (`sed/loader/utils.py:99-197`): split an

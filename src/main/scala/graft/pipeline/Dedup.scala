@@ -278,6 +278,11 @@ object Dedup {
     * string hashing inside the join — `array_intersect` on string sets
     * measured ~4× slower at bench scale). Jaccard over 64-bit-hashed
     * shingle sets equals string-set Jaccard up to 2⁻⁶⁴ collisions.
+    *
+    * `maxBlockSize` (recommended at scale) auto-salts oversized blocks
+    * via [[saltBlocks]], capping the O(block²) pair work of any hot key;
+    * pairs straddling two salt shards of the same block are lost — the
+    * documented recall dial of every blocked joiner.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -286,14 +291,16 @@ object Dedup {
       blockCol: Column,
       n: Int = 3,
       threshold: Double = 0.0,
+      maxBlockSize: Option[Long] = None,
   ): DataFrame = {
-    val sets = df.select(
+    val raw = df.select(
       col(idCol).as("id"),
       blockCol.as("block"),
       array_sort(array_distinct(
         transform(TextOps.charShingles(col(textCol), n), s => xxhash64(s))))
         .as("sh"),
     )
+    val sets = maxBlockSize.fold(raw)(m => saltBlocks(raw, "block", "id", m))
     val inter = org.apache.spark.sql.GraftBridge.column(
       SortedLongIntersectCount(
         org.apache.spark.sql.GraftBridge.expression(col("a.sh")),
@@ -595,6 +602,10 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (label,
     * LSH bucket, …): `cos(a, b) >= threshold`, `id_a < id_b`.
+    *
+    * `maxBlockSize` auto-salts oversized blocks ([[saltBlocks]]) so a hot
+    * bucket cannot concentrate quadratic pair work on one task; cross-
+    * salt pairs of a split block are lost (documented recall dial).
     */
   def embeddingNearDuplicates(
       df: DataFrame,
@@ -602,8 +613,10 @@ object Dedup {
       idCol: String,
       blockCol: Column,
       threshold: Double,
+      maxBlockSize: Option[Long] = None,
   ): DataFrame = {
-    val v = df.select(col(idCol).as("id"), blockCol.as("block"), col(vecCol).as("v"))
+    val raw = df.select(col(idCol).as("id"), blockCol.as("block"), col(vecCol).as("v"))
+    val v = maxBlockSize.fold(raw)(m => saltBlocks(raw, "block", "id", m))
     // identical-plan self-join (see minhashNearDuplicates)
     v.as("a")
       .join(v.as("b"), col("a.block") === col("b.block"))

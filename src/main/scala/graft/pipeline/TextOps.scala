@@ -304,6 +304,66 @@ object TextOps {
         row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
   }
 
+  // ---- C4-style line-level filtering ----
+
+  /** Keep only the document lines that pass the C4 line rules (Raffel et
+    * al. 2020, "Exploring the Limits of Transfer Learning", §2.2): a kept
+    * line ends in terminal punctuation, has at least `minWords` words,
+    * and contains none of the `banned` lowercase markers (C4 drops lines
+    * with the word "javascript"). Pure higher-order expressions — the
+    * line array is filtered and re-joined with no UDF, so the whole
+    * cleanup runs inside codegen at scan parallelism.
+    */
+  def c4FilterLines(
+      text: Column,
+      minWords: Int = 3,
+      banned: Seq[String] = Seq("javascript"),
+  ): Column = {
+    val kept = filter(split(text, "\n"), line => c4LineKeep(line, minWords, banned))
+    array_join(kept, "\n")
+  }
+
+  /** The C4 keep-predicate for one line. */
+  private def c4LineKeep(line: Column, minWords: Int, banned: Seq[String]): Column = {
+    val t = trim(line)
+    val terminal = t.rlike("[.!?\"']$")
+    val words = size(split(t, "\\s+")) >= minWords
+    val clean = banned.map(b => !contains(lower(t), lit(b)))
+      .foldLeft(lit(true))(_ && _)
+    terminal && words && clean
+  }
+
+  /** Document-level C4 signals next to the filtered text:
+    * `c4_text` (kept lines re-joined), `c4_kept_lines` / `c4_total_lines`,
+    * `c4_kept_ratio` (char survival fraction, 1.0 for empty docs), and
+    * the page-level drop flags C4 applies after line filtering —
+    * `c4_flag_lorem` (placeholder text), `c4_flag_brace` (code, any `{`),
+    * `c4_flag_short` (fewer than `minSentences` kept sentences).
+    */
+  def c4Columns(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 3,
+      minSentences: Int = 5,
+      banned: Seq[String] = Seq("javascript"),
+  ): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val filtered = c4FilterLines(col(textCol), minWords, banned)
+    df.withColumn("c4_text", filtered)
+      .withColumn("c4_total_lines", size(lines))
+      .withColumn("c4_kept_lines",
+        size(filter(lines, l => c4LineKeep(l, minWords, banned))))
+      .withColumn("c4_kept_ratio",
+        when(length(col(textCol)) === 0, 1.0)
+          .otherwise(length(col("c4_text")).cast("double") /
+            length(col(textCol)).cast("double")))
+      .withColumn("c4_flag_lorem", contains(lower(col(textCol)), lit("lorem ipsum")))
+      .withColumn("c4_flag_brace", contains(col(textCol), lit("{")))
+      .withColumn("c4_flag_short",
+        size(filter(split(col("c4_text"), "[.!?]"),
+          s => length(trim(s)) > 0)) < minSentences)
+  }
+
   /** Character k-gram shingles of a string column (positions 1-based,
     * `length - k + 1` shingles; empty array when the text is shorter
     * than `k`).

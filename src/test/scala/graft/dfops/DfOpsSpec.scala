@@ -180,6 +180,42 @@ class DfOpsSpec extends SparkSpec {
     assert(out(2L) === ((Some(1.0), "a")))
   }
 
+  test("approx quantiles and cardinality stay within their error bounds") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 20000).map(i => (s"k${i % 3}", rnd.nextGaussian() * 100))
+    val df = rows.toDF("k", "v")
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95)
+    val accuracy = 1000
+    val approx = DfOps.groupQuantiles(df, "v", Seq("k"), qs,
+      approx = true, accuracy = accuracy).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // percentile_approx guarantees rank error <= 1/accuracy: the returned
+    // value's empirical rank must sit within q ± 1/accuracy (+ discreteness)
+    for ((k, vals) <- byKey; ((_, q), got) <- qs.zip(approx(k))) {
+      val rank = vals.count(_ <= got).toDouble / vals.length
+      val tol = 1.0 / accuracy + 1.0 / vals.length
+      assert(math.abs(rank - q) <= tol, s"key=$k q=$q rank=$rank got=$got")
+    }
+    // exact path remains quantile_cont (interpolated) — spot-check p50
+    val exact = DfOps.groupQuantiles(df, "v", Seq("k"), qs).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    for ((k, vals) <- byKey) {
+      assert(math.abs(exact(k) - vals(vals.length / 2)) < 1.0)
+    }
+    // cardinality: HLL++ within a few relative standard deviations
+    val cdf = (1 to 30000).map(i => (s"g${i % 2}", (i % 7919).toLong)).toDF("k", "u")
+    val exactCard = DfOps.groupCardinality(cdf, "u", Seq("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approxCard = DfOps.groupCardinality(cdf, "u", Seq("k"), approx = true, rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactCard.foreach { case (k, n) =>
+      assert(math.abs(approxCard(k) - n).toDouble / n <= 0.15,
+        s"key=$k exact=$n approx=${approxCard(k)}")
+    }
+  }
+
   test("rangeJoin: half-open semantics and brute-force parity") {
     val rnd = new scala.util.Random(11)
     val pts = (1 to 400).map(i => (i.toLong, rnd.nextDouble() * 100))

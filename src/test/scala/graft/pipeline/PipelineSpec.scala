@@ -272,6 +272,81 @@ class PipelineSpec extends SparkSpec {
     assert(again === sizes)
   }
 
+  test("maxBlockSize auto-salts a dominant block in the pair joiners") {
+    // one dominant block (80 of 90 docs share it) would drive O(80²) pair
+    // work onto one key without salting
+    val skewed = (1 to 90).map { i =>
+      val block = if (i <= 80) "common-crawl" else s"src${i % 5}"
+      (i.toLong, s"doc body number $i with shared words " * 2, block)
+    }.toDF("doc_id", "text", "source")
+    val unsalted = Dedup.ngramJaccardPairs(
+      skewed, "text", "doc_id", col("source"), threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val salted = Dedup.ngramJaccardPairs(
+      skewed, "text", "doc_id", col("source"), threshold = 0.3,
+      maxBlockSize = Some(20L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // salting only LOSES cross-salt pairs — never invents or rescores
+    assert(salted.subsetOf(unsalted))
+    assert(salted.nonEmpty)
+    // the dominant block's quadratic work is genuinely capped:
+    // ceil(80/20)=4 salts → within-shard pair count ≪ the unsalted 80²/2
+    val hotUnsalted = unsalted.count { case (a, b) => a <= 80 && b <= 80 }
+    val hotSalted = salted.count { case (a, b) => a <= 80 && b <= 80 }
+    assert(hotSalted < hotUnsalted)
+    // embeddings path: same salting contract
+    val vecs = (1 to 60).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (d + 1.0) * (1.0 + (i % 3) * 0.001)), "hot"))
+      .toDF("vec_id", "embedding", "bucket")
+    val eUnsalted = Dedup.embeddingNearDuplicates(
+      vecs, "embedding", "vec_id", col("bucket"), 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val eSalted = Dedup.embeddingNearDuplicates(
+      vecs, "embedding", "vec_id", col("bucket"), 0.999, maxBlockSize = Some(15L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(eSalted.subsetOf(eUnsalted))
+    assert(eSalted.nonEmpty)
+  }
+
+  test("C4 line filter keeps terminal-punct multi-word lines, flags pages") {
+    val page1 =
+      """This is a proper first sentence.
+        |short.
+        |This line has no terminal punctuation
+        |Please enable JavaScript to view the comments.
+        |Another proper sentence appears right here!
+        |
+        |The "quoted line" ends well."
+        |Menu Home About Contact""".stripMargin
+    val page2 = "function f() { return 1; }\nLorem ipsum dolor sit amet."
+    val df = Seq((1L, page1), (2L, page2), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.c4Columns(df, "text").orderBy("doc_id").collect()
+
+    val r1 = out(0)
+    assert(r1.getAs[String]("c4_text") ===
+      Seq("This is a proper first sentence.",
+        "Another proper sentence appears right here!",
+        "The \"quoted line\" ends well.\"").mkString("\n"))
+    assert(r1.getAs[Int]("c4_total_lines") === 8)
+    assert(r1.getAs[Int]("c4_kept_lines") === 3)
+    val ratio = r1.getAs[Double]("c4_kept_ratio")
+    assert(ratio > 0.3 && ratio < 0.6)
+    assert(!r1.getAs[Boolean]("c4_flag_lorem"))
+    assert(!r1.getAs[Boolean]("c4_flag_brace"))
+    assert(r1.getAs[Boolean]("c4_flag_short")) // 3 kept sentences < 5
+
+    val r2 = out(1)
+    assert(r2.getAs[Boolean]("c4_flag_lorem"))
+    assert(r2.getAs[Boolean]("c4_flag_brace"))
+    // the code line is dropped (no terminal punct after trim? it ends '}')
+    // but the lorem line survives the LINE rules — flags are what kill it
+    assert(r2.getAs[String]("c4_text") === "Lorem ipsum dolor sit amet.")
+
+    val r3 = out(2) // empty doc: zero lines kept, ratio defined as 1.0
+    assert(r3.getAs[String]("c4_text") === "")
+    assert(r3.getAs[Double]("c4_kept_ratio") === 1.0)
+  }
+
   test("polyHashFixed matches the hand-computed polynomial, OOB chars read 0") {
     val out = Seq("abc", "ab", "", "中x").toDF("s")
       .select(TextOps.polyHashFixed(col("s"), 3).as("h")).as[Long].collect()
