@@ -472,6 +472,15 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       pipeline.TextOps.repetitionColumns(table(s, dir, "documents"), "text")
         .select("doc_id", "dup_word_ratio", "dup_2gram_ratio")),
+    // C4-style line filtering signals (single-line corpus: exercises the
+    // keep predicate + page flags + survival ratio)
+    "q_c4" -> ((s, dir) =>
+      pipeline.TextOps.c4Columns(table(s, dir, "documents"), "text")
+        .select(col("doc_id"),
+          col("c4_kept_lines").cast("long").as("kept_lines"),
+          round(col("c4_kept_ratio"), 6).as("kept_ratio"),
+          col("c4_flag_lorem").cast("int").as("flag_lorem"),
+          col("c4_flag_short").cast("int").as("flag_short"))),
     // corpus vocabulary head: top-50 tokens, deterministic rank
     "q_vocab" -> ((s, dir) =>
       pipeline.TextOps.topTokens(table(s, dir, "documents"), "text", 50)
@@ -922,6 +931,22 @@ object SparkEntry {
            |   CAST(len(list_distinct(sh2)) AS DOUBLE) / CAST(len(sh2) AS DOUBLE), 6)
            |  ELSE 0.0 END AS dup_2gram_ratio
            |FROM s""".stripMargin.replace("\n", " "),
+    "q_c4" -> {
+      // single-line corpus: the keep predicate decides everything
+      val keep = raw"""(regexp_matches(trim(text), '[.!?"'']$$')
+           | AND len(regexp_split_to_array(trim(text), '\s+')) >= 3
+           | AND NOT contains(lower(text), 'javascript'))""".stripMargin
+        .replace("\n", " ")
+      raw"""SELECT doc_id,
+           | CAST(CASE WHEN $keep THEN 1 ELSE 0 END AS BIGINT) AS kept_lines,
+           | CASE WHEN length(text) = 0 OR $keep THEN CAST(1.0 AS DOUBLE)
+           |   ELSE CAST(0.0 AS DOUBLE) END AS kept_ratio,
+           | CAST(contains(lower(text), 'lorem ipsum') AS INTEGER) AS flag_lorem,
+           | CAST((len(list_filter(
+           |   regexp_split_to_array(CASE WHEN $keep THEN text ELSE '' END, '[.!?]'),
+           |   s -> length(trim(s)) > 0)) < 5) AS INTEGER) AS flag_short
+           |FROM documents""".stripMargin.replace("\n", " ")
+    },
     "q_vocab" ->
       raw"""SELECT token, cnt,
            | CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
