@@ -472,6 +472,12 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       pipeline.TextOps.repetitionColumns(table(s, dir, "documents"), "text")
         .select("doc_id", "dup_word_ratio", "dup_2gram_ratio")),
+    // C4 corpus-level duplicate-span removal (word units on the
+    // punctuation-free synthetic corpus; sentence mode is fixture-tested)
+    "q_span_dedup" -> ((s, dir) =>
+      pipeline.Dedup.dedupSpans(table(s, dir, "documents"), "text", "doc_id",
+        n = 5, unit = "word")
+        .select("doc_id", "cleaned")),
     // C4-style line filtering signals (single-line corpus: exercises the
     // keep predicate + page flags + survival ratio)
     "q_c4" -> ((s, dir) =>
@@ -931,6 +937,35 @@ object SparkEntry {
            |   CAST(len(list_distinct(sh2)) AS DOUBLE) / CAST(len(sh2) AS DOUBLE), 6)
            |  ELSE 0.0 END AS dup_2gram_ratio
            |FROM s""".stripMargin.replace("\n", " "),
+    "q_span_dedup" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+           |    t -> length(t) > 0) AS u FROM documents),
+           |spans AS (
+           |  SELECT doc_id, unnest([{'pos': i - 1,
+           |      'span': array_to_string(u[i:i+4], chr(1))}
+           |    for i in range(1, len(u) - 3)], recursive := true)
+           |  FROM toks),
+           |ranked AS (
+           |  SELECT doc_id, pos, span,
+           |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+           |  FROM spans),
+           |drops AS (
+           |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS uidx
+           |  FROM ranked WHERE rn > 1),
+           |units AS (
+           |  SELECT doc_id, unnest(u) AS unit, unnest(range(len(u))) AS uidx
+           |  FROM toks),
+           |kept AS (
+           |  SELECT un.doc_id, un.uidx, un.unit FROM units un
+           |  LEFT JOIN drops d ON un.doc_id = d.doc_id AND un.uidx = d.uidx
+           |  WHERE d.doc_id IS NULL),
+           |rebuilt AS (
+           |  SELECT doc_id, string_agg(unit, ' ' ORDER BY uidx) AS cleaned
+           |  FROM kept GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
+           |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id"""
+        .stripMargin.replace("\n", " "),
     "q_c4" -> {
       // single-line corpus: the keep predicate decides everything
       val keep = raw"""(regexp_matches(trim(text), '[.!?"'']$$')

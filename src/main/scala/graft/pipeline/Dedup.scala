@@ -323,6 +323,71 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- C4 corpus-level span dedup ----
+
+  /** C4's corpus-level duplicate-span removal (Raffel et al. 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once in the data set"): every `n`-unit span that appears more
+    * than once ACROSS the corpus is removed from all but its first
+    * occurrence (first = lowest `(id, position)`).
+    *
+    * `unit` is `"sentence"` (C4's choice — text split on `[.!?]`) or
+    * `"word"` (whitespace tokens). The returned `cleaned` column is the
+    * surviving units re-joined (`". "` / `" "`), i.e. normalized text —
+    * the same normalization C4's own pipeline applies. Single pass: spans
+    * formed by removal are NOT re-deduplicated (C4 likewise).
+    *
+    * Plan: span explode → ONE window keyed on the span value (the only
+    * wide shuffle; dedup-grade corpora keep span groups tiny so skew is
+    * bounded) → covered-unit drop set → anti-join → per-doc rebuild.
+    * All shuffles keyed; nothing driver-side.
+    */
+  def dedupSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      unit: String = "sentence",
+      cleanedCol: String = "cleaned",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(unit == "sentence" || unit == "word", s"unknown span unit $unit")
+    val units =
+      if (unit == "sentence")
+        filter(transform(split(col(textCol), "[.!?]"), s => trim(s)),
+          s => length(s) > 0)
+      else
+        filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val joiner = if (unit == "sentence") ". " else " "
+    val withUnits = df.select(col(idCol).as("id"), units.as("u"))
+    val spans = withUnits.select(col("id"),
+      posexplode(when(size(col("u")) >= n,
+        transform(sequence(lit(0), size(col("u")) - n),
+          // control-char-joined units as the span key: a plain concat
+          // would collide ("ab"+"c" vs "a"+"bc")
+          i => concat_ws("\u0001", slice(col("u"), i + 1, lit(n)))))
+        .otherwise(array())))
+      .withColumnRenamed("col", "span")
+    val firstOcc = min(struct(col("id"), col("pos")))
+      .over(Window.partitionBy("span"))
+    val drops = spans.withColumn("_first", firstOcc)
+      .filter(struct(col("id"), col("pos")) =!= col("_first"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("uidx"))
+      .distinct()
+    val exploded = withUnits.select(col("id"), posexplode(col("u")))
+      .withColumnsRenamed(Map("pos" -> "uidx", "col" -> "unit"))
+    val rebuilt = exploded.join(drops, Seq("id", "uidx"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("uidx"), col("unit")))),
+          s => s.getField("unit")),
+        joiner).as("_cleaned"))
+    df.join(rebuilt, df(idCol) === rebuilt("id"), "left")
+      .withColumn(cleanedCol, coalesce(col("_cleaned"), lit("")))
+      .drop("id", "_cleaned")
+  }
+
   // ---- skew mitigation for blocked self-joins ----
 
   /** Split oversized blocking keys by appending a deterministic salt, so

@@ -308,6 +308,29 @@ class PipelineSpec extends SparkSpec {
     assert(eSalted.nonEmpty)
   }
 
+  test("dedupSpans removes repeated 3-sentence spans from later occurrences") {
+    val shared = "Alpha one two. Beta three four. Gamma five six."
+    val docs = Seq(
+      (1L, s"Intro line here. $shared Outro unique one."),
+      (2L, s"$shared Completely different tail."),
+      (3L, "No duplicate content at all. Just this.")).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "text", "doc_id").orderBy("doc_id")
+      .select("cleaned").as[String].collect()
+    // doc1 holds the FIRST occurrence of the shared span: untouched
+    assert(out(0) === "Intro line here. Alpha one two. Beta three four. " +
+      "Gamma five six. Outro unique one")
+    // doc2's copy (sentences 0-2) is removed; its unique tail survives
+    assert(out(1) === "Completely different tail")
+    // doc3 has no duplicated span: only normalization applies
+    assert(out(2) === "No duplicate content at all. Just this")
+    // word-unit mode: 4-token span repeated across docs
+    val w = Seq((1L, "a b c d x"), (2L, "y a b c d"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val wOut = Dedup.dedupSpans(w, "text", "doc_id", n = 4, unit = "word")
+      .orderBy("doc_id").select("cleaned").as[String].collect()
+    assert(wOut.toSeq === Seq("a b c d x", "y", "p q r s t"))
+  }
+
   test("C4 line filter keeps terminal-punct multi-word lines, flags pages") {
     val page1 =
       """This is a proper first sentence.
