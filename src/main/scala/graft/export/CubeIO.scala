@@ -24,8 +24,13 @@ import graft.binning.{BinAxis, BinnedCube, Binning}
   *    (`np.fromfile(...).reshape(shape)`), kept for zero-tooling
   *    interchange ([[writeDense]]).
   *
-  * NeXus (K3) remains a JSON metadata sidecar: its writer toolchain is
-  * Python-only (documented gap, SURVEY §2.2).
+  *  - REAL NeXus/NXmpes HDF5 (K3, `sed/io/nexus.py:13-47` — the
+  *    reference shells out to pynxtools; here the NXmpes-shaped tree is
+  *    emitted directly with the same minimal writer): root `@default`,
+  *    `entry:NXentry` with a `definition` string dataset, `data:NXdata`
+  *    with `@signal`/`@axes`/`@{ax}_indices` plot annotations
+  *    ([[writeNexus]]/[[readNexus]]). A JSON metadata sidecar is still
+  *    written next to it for non-HDF5 consumers.
   */
 object CubeIO {
 
@@ -68,6 +73,88 @@ object CubeIO {
       bd.data.asLongs,
       bd.dims.map(_.toInt),
       meta ++ bd.attrs.view.filterKeys(Set("units", "long_name")).toMap,
+    )
+  }
+
+  /** K3: write the cube as a NeXus-style HDF5 file following the NXmpes
+    * application definition's plottable-data skeleton
+    * (`sed/io/nexus.py:13-47` routes through pynxtools to produce the
+    * same tree):
+    *
+    * {{{
+    * /                  @default="entry"
+    * /entry             @NX_class="NXentry", @default="data"
+    *   definition       = "NXmpes"            (string dataset)
+    *   title            = attrs("title")       (if present)
+    *   /data            @NX_class="NXdata", @signal="data",
+    *                    @axes="ax0:ax1:…" (legacy colon form — the
+    *                    minimal writer has scalar string attrs only),
+    *                    @{name}_indices per axis
+    *     data           int64 counts, shape = cube.shape
+    *     {axisName}     float64 bin centers, @units if known
+    * }}}
+    *
+    * Axis units ride in from `cube.attrs("units.<axisName>")`; remaining
+    * attrs land on `/entry/data@…`. Round-trips via [[readNexus]].
+    */
+  def writeNexus(cube: BinnedCube, path: String): Unit = {
+    val axisUnits: Map[String, String] =
+      cube.attrs.collect { case (k, v) if k.startsWith("units.") =>
+        k.stripPrefix("units.") -> v }
+    val plain = cube.attrs.view.filterKeys(k => !k.startsWith("units.") && k != "title")
+    val indices = cube.axisNames.zipWithIndex.map { case (n, i) =>
+      s"${n}_indices" -> i.toString }
+    val dataGroup = Hdf5Minimal.Group(
+      datasets =
+        Hdf5Minimal.Dataset("data", Hdf5Minimal.I64(cube.data),
+          shape = Some(cube.shape.map(_.toLong))) +:
+        cube.axisNames.zip(cube.axes).map { case (n, c) =>
+          Hdf5Minimal.Dataset(n, Hdf5Minimal.F64(c),
+            attrs = axisUnits.get(n).map("units" -> _).toMap)
+        },
+      attrs = Map(
+        "NX_class" -> "NXdata",
+        "signal" -> "data",
+        "axes" -> cube.axisNames.mkString(":"),
+      ) ++ indices ++ plain,
+    )
+    val entryDatasets =
+      Hdf5Minimal.Dataset("definition", Hdf5Minimal.Str("NXmpes")) +:
+        cube.attrs.get("title").map(t =>
+          Hdf5Minimal.Dataset("title", Hdf5Minimal.Str(t))).toSeq
+    val entry = Hdf5Minimal.Group(
+      datasets = entryDatasets,
+      subgroups = Seq("data" -> dataGroup),
+      attrs = Map("NX_class" -> "NXentry", "default" -> "data"),
+    )
+    Hdf5Minimal.write(path, Hdf5Minimal.Group(
+      subgroups = Seq("entry" -> entry),
+      attrs = Map("default" -> "entry")))
+  }
+
+  /** Round-trip loader for [[writeNexus]]: follows `@default` →
+    * `@signal`/`@axes` like a NeXus-aware plotter would.
+    */
+  def readNexus(path: String): BinnedCube = {
+    val root = Hdf5Minimal.read(path)
+    val entry = root.group(root.attrs.getOrElse("default", "entry"))
+    val data = entry.group(entry.attrs.getOrElse("default", "data"))
+    require(entry.dataset("definition").data.asInstanceOf[Hdf5Minimal.Str].value == "NXmpes",
+      s"$path: not an NXmpes file")
+    val signal = data.dataset(data.attrs("signal"))
+    val axisNames = data.attrs("axes").split(":").toSeq
+    val axisDs = axisNames.map(data.dataset)
+    val axisUnits = axisDs.flatMap(d => d.attrs.get("units").map(s"units.${d.name}" -> _))
+    val reserved = Set("NX_class", "signal", "axes") ++ axisNames.map(_ + "_indices")
+    val extra = data.attrs.view.filterKeys(!reserved.contains(_)).toMap
+    val title = entry.datasets.find(_.name == "title")
+      .map(d => "title" -> d.data.asInstanceOf[Hdf5Minimal.Str].value)
+    BinnedCube(
+      axisNames,
+      axisDs.map(_.data.asDoubles),
+      signal.data.asLongs,
+      signal.dims.map(_.toInt),
+      extra ++ axisUnits ++ title,
     )
   }
 

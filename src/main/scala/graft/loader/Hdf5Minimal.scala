@@ -70,6 +70,14 @@ object Hdf5Minimal {
     def asDoubles: Array[Double] = values.map(_.toDouble)
     def asLongs: Array[Long] = values.map(_.toLong)
   }
+  /** A scalar fixed-length string dataset (NeXus `definition`/`title`). */
+  final case class Str(value: String) extends Hdf5Data {
+    def length: Int = 1
+    def asDoubles: Array[Double] =
+      throw new UnsupportedOperationException("string dataset has no numeric view")
+    def asLongs: Array[Long] =
+      throw new UnsupportedOperationException("string dataset has no numeric view")
+  }
 
   /** A dataset: `shape` defaults to 1-D; N-D data is row-major flat. */
   final case class Dataset(
@@ -166,6 +174,8 @@ object Hdf5Minimal {
         b.put(0x08.toByte); b.put(0.toByte); b.put(0.toByte)
         b.putInt(4)
         b.putShort(0); b.putShort(32)
+      case s: Str =>
+        return strDtypeBody(s.value.getBytes("UTF-8").length + 1)
     }
     java.util.Arrays.copyOf(b.array(), b.position())
   }
@@ -233,6 +243,10 @@ object Hdf5Minimal {
   }
 
   private def rawBytes(data: Hdf5Data): Array[Byte] = {
+    data match {
+      case Str(v) => return v.getBytes("UTF-8") :+ 0.toByte
+      case _      =>
+    }
     val sz = data match {
       case _: F64 | _: I64 => 8
       case _               => 4
@@ -243,6 +257,7 @@ object Hdf5Minimal {
       case F32(v) => v.foreach(b.putFloat)
       case I64(v) => v.foreach(b.putLong)
       case I32(v) => v.foreach(b.putInt)
+      case _: Str => // handled above
     }
     b.array()
   }
@@ -250,7 +265,10 @@ object Hdf5Minimal {
   /** Emit one dataset (header + contiguous raw data); returns header addr. */
   private def writeDataset(out: Out, d: Dataset): Long = {
     val raw = rawBytes(d.data)
-    val dsBody = ndDataspaceBody(d.dims)
+    val dsBody = d.data match {
+      case _: Str => scalarDataspaceBody
+      case _      => ndDataspaceBody(d.dims)
+    }
     val dtBody = dtypeBody(d.data)
     // layout message is emitted third; its data-address field sits at
     // byte 2 of its body
@@ -477,6 +495,10 @@ object Hdf5Minimal {
       case (1, 4) => F32(Array.fill(n.toInt)(d.getFloat))
       case (0, 8) => I64(Array.fill(n.toInt)(d.getLong))
       case (0, 4) => I32(Array.fill(n.toInt)(d.getInt))
+      case (3, sz) =>
+        require(n == 1, s"dataset $name: only scalar string datasets supported")
+        val raw = new Array[Byte](sz); d.get(raw)
+        Str(new String(raw.takeWhile(_ != 0), "UTF-8"))
       case other  => throw new IllegalArgumentException(
         s"dataset $name: unsupported datatype class/size $other")
     }

@@ -114,6 +114,37 @@ class ProcessorSpec extends SparkSpec {
     assert(back.attrs === cube.attrs)
   }
 
+  test("CubeIO NeXus export writes an NXmpes tree that round-trips") {
+    val cube = BinnedCube(
+      Seq("kx", "energy"),
+      Seq(Array(0.5, 1.5), Array(0.0, 1.0, 2.0)),
+      Array(1L, 2L, 3L, 4L, 5L, 6L),
+      Seq(2, 3),
+      Map("title" -> "scan 30", "units.energy" -> "eV", "run" -> "30"))
+    val path = Files.createTempDirectory("nexus").toFile.getPath + "/scan.nxs"
+    CubeIO.writeNexus(cube, path)
+    // the file IS HDF5 with the NXmpes plottable-data skeleton
+    val root = graft.loader.Hdf5Minimal.read(path)
+    val entry = root.group("entry")
+    assert(entry.attrs("NX_class") === "NXentry")
+    assert(entry.dataset("definition").data ===
+      graft.loader.Hdf5Minimal.Str("NXmpes"))
+    assert(entry.dataset("title").data === graft.loader.Hdf5Minimal.Str("scan 30"))
+    val data = entry.group("data")
+    assert(data.attrs("NX_class") === "NXdata")
+    assert(data.attrs("signal") === "data")
+    assert(data.attrs("axes") === "kx:energy")
+    assert(data.attrs("energy_indices") === "1")
+    assert(data.dataset("data").dims === Seq(2L, 3L))
+    assert(data.dataset("energy").attrs("units") === "eV")
+    val back = CubeIO.readNexus(path)
+    assert(back.data.toSeq === cube.data.toSeq)
+    assert(back.shape === cube.shape)
+    assert(back.axisNames === cube.axisNames)
+    assert(back.axes(1).toSeq === Seq(0.0, 1.0, 2.0))
+    assert(back.attrs === cube.attrs)
+  }
+
   test("CubeIO sparse round trip via parquet + sidecar") {
     val ax = UniformAxis("value", 10, 0.0, 500.0)
     val hist = Binning.histogram(events, Seq(ax))
