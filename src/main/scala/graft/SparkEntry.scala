@@ -487,6 +487,37 @@ object SparkEntry {
           round(col("c4_kept_ratio"), 6).as("kept_ratio"),
           col("c4_flag_lorem").cast("int").as("flag_lorem"),
           col("c4_flag_short").cast("int").as("flag_short"))),
+    // PII detection + redaction over a deterministic contact-string corpus
+    // synthesized from events ids (the synthetic tables carry no real PII,
+    // so the corpus is built in-query identically on both engines; the
+    // oracle then cross-checks Java regex vs DuckDB RE2 on every class)
+    "q_pii" -> ((s, dir) => {
+      val base = table(s, dir, "events").select(col("event_id"),
+        concat_ws(" ",
+          lit("contact"),
+          concat(lit("user"), col("user_id"), lit("@example.com")),
+          lit("tel"),
+          concat(lit("555-"),
+            lpad(pmod(col("user_id"), lit(10000)).cast("string"), 4, "0")),
+          lit("ip"),
+          concat(lit("10.0."), pmod(col("user_id"), lit(256)).cast("string"),
+            lit("."), pmod(col("event_id"), lit(256)).cast("string")),
+          lit("ssn"),
+          concat(lpad(pmod(col("event_id"), lit(1000)).cast("string"), 3, "0"),
+            lit("-"), lpad(pmod(col("user_id"), lit(100)).cast("string"), 2, "0"),
+            lit("-"), lpad(pmod(col("event_id"), lit(10000)).cast("string"), 4, "0")),
+          lit("ref"),
+          concat(lit("https://example.com/item/"), col("event_id")),
+          lit("acct"),
+          lpad(pmod(col("user_id") * 31 + col("event_id"), lit(1000000000))
+            .cast("string"), 9, "0"),
+          col("props")).as("text"))
+      pipeline.TextOps.piiColumns(base, "text")
+        .select(col("event_id") +:
+          pipeline.TextOps.PiiClasses.map { case (n, _, _) =>
+            col(s"pii_$n").cast("long").as(s"n_$n") } :+
+          col("pii_redacted").as("redacted"): _*)
+    }),
     // corpus vocabulary head: top-50 tokens, deterministic rank
     "q_vocab" -> ((s, dir) =>
       pipeline.TextOps.topTokens(table(s, dir, "documents"), "text", 50)
@@ -981,6 +1012,34 @@ object SparkEntry {
            |   regexp_split_to_array(CASE WHEN $keep THEN text ELSE '' END, '[.!?]'),
            |   s -> length(trim(s)) > 0)) < 5) AS INTEGER) AS flag_short
            |FROM documents""".stripMargin.replace("\n", " ")
+    },
+    "q_pii" -> {
+      // same synthesized corpus; counts/redaction chained per class in
+      // the same priority order as TextOps.PiiClasses
+      val corpus = raw"""SELECT event_id, concat_ws(' ',
+           | 'contact', 'user' || CAST(user_id AS VARCHAR) || '@example.com',
+           | 'tel', '555-' || lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0'),
+           | 'ip', '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+           |   CAST(event_id % 256 AS VARCHAR),
+           | 'ssn', lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+           |   lpad(CAST(user_id % 100 AS VARCHAR), 2, '0') || '-' ||
+           |   lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0'),
+           | 'ref', 'https://example.com/item/' || CAST(event_id AS VARCHAR),
+           | 'acct', lpad(CAST((user_id * 31 + event_id) % 1000000000 AS VARCHAR), 9, '0'),
+           | props) AS text FROM events""".stripMargin.replace("\n", " ")
+      val stages = pipeline.TextOps.PiiClasses.zipWithIndex.map {
+        case ((n, pattern, tag), i) =>
+          val p = pattern.replace("'", "''")
+          s"t${i + 1} AS (SELECT event_id, " +
+            (1 to i).map(j => s"n_${pipeline.TextOps.PiiClasses(j - 1)._1}")
+              .map(c => s"$c, ").mkString +
+            s"len(regexp_extract_all(text, '$p')) AS n_$n, " +
+            s"regexp_replace(text, '$p', '$tag', 'g') AS text FROM t$i)"
+      }
+      val countCols = pipeline.TextOps.PiiClasses.map(c => s"n_${c._1}").mkString(", ")
+      s"WITH t0 AS ($corpus), ${stages.mkString(", ")} " +
+        s"SELECT event_id, $countCols, text AS redacted " +
+        s"FROM t${pipeline.TextOps.PiiClasses.size}"
     },
     "q_vocab" ->
       raw"""SELECT token, cnt,

@@ -390,4 +390,38 @@ object TextOps {
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))),
         )).otherwise(array())).getItem(0)
+
+  /** PII classes scrubbed by [[piiColumns]], in priority order: each class
+    * is counted and redacted on text where the EARLIER classes are already
+    * replaced, so a digit run inside a URL is a `<URL>`, not an `<ID>`,
+    * and an SSN is never double-counted as a phone number. Patterns stay
+    * in the syntax subset Java regex and RE2-style engines agree on
+    * (no lookarounds, no backrefs) so results are portable.
+    */
+  val PiiClasses: Seq[(String, String, String)] = Seq(
+    ("email", raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", raw"https?://[^\s]+", "<URL>"),
+    ("ipv4", raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", raw"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", raw"\b\d{3}[-.]\d{3}[-.]\d{4}\b|\b\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("idnum", raw"\b\d{6,}\b", "<ID>"),
+  )
+
+  /** PII detection + redaction (the scrub step every training-data
+    * pipeline runs before anything else): appends one `pii_<class>` count
+    * per [[PiiClasses]] entry plus `pii_redacted`, the text with each
+    * match replaced by its placeholder. Pure chained
+    * `regexp_extract_all`/`regexp_replace` — codegen'd, per-row, no
+    * shuffle; at 100 TB this is a map-only pass that fuses into whatever
+    * scan feeds it.
+    */
+  def piiColumns(df: DataFrame, textCol: String): DataFrame = {
+    val (out, redacted) = PiiClasses.foldLeft((df, col(textCol))) {
+      case ((acc, text), (name, pattern, tag)) =>
+        val counted = acc.withColumn(
+          s"pii_$name", size(regexp_extract_all(text, lit(pattern), lit(0))))
+        (counted, regexp_replace(text, pattern, tag))
+    }
+    out.withColumn("pii_redacted", redacted)
+  }
 }

@@ -152,4 +152,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === Map((0, 0) -> 2.0, (0, 1) -> 4.0,
       (1, 0) -> 10.0, (1, 1) -> 20.0))
   }
+
+  test("piiColumns: detects and redacts each class in priority order") {
+    val docs = Seq(
+      (1L, "mail alice.smith+x@corp.example.org or bob@ex.io today"),
+      (2L, "visit https://ex.com/a?id=1234567 from 192.168.0.1 now"),
+      (3L, "ssn 123-45-6789 tel 555-123-4567 or 555-0199"),
+      (4L, "account 123456789 ref 42 short 12345"),
+      (5L, "no pii here at all"),
+    ).toDF("id", "text")
+    val out = TextOps.piiColumns(docs, "text")
+      .select("id", "pii_email", "pii_url", "pii_ipv4", "pii_ssn",
+        "pii_phone", "pii_idnum", "pii_redacted")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1).getInt(1) === 2) // both emails
+    assert(out(1).getString(7) === "mail <EMAIL> or <EMAIL> today")
+    // the URL swallows its digits: no idnum counted on doc 2
+    assert(out(2).getInt(2) === 1 && out(2).getInt(3) === 1)
+    assert(out(2).getInt(6) === 0)
+    assert(out(2).getString(7) === "visit <URL> from <IP> now")
+    // SSN is not double-counted as a phone; both phone forms match
+    assert(out(3).getInt(4) === 1 && out(3).getInt(5) === 2)
+    assert(out(3).getString(7) === "ssn <SSN> tel <PHONE> or <PHONE>")
+    // >=6-digit runs only
+    assert(out(4).getInt(6) === 1)
+    assert(out(4).getString(7) === "account <ID> ref 42 short 12345")
+    assert(out(5).getString(7) === "no pii here at all")
+    assert((1 to 6).forall(i => out(5).getInt(i) === 0))
+  }
 }
