@@ -357,6 +357,17 @@ object SparkEntry {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       pipeline.Similarity.ivfTopK(emb, "embedding", "vec_id", seeds(0), seeds, 10)
     }),
+    // SemDeDup: nearest-centroid clustering (seed-vector quantizer,
+    // embeddings 0..7) + within-cluster cosine near-dup components,
+    // keeping the min-id representative of each component
+    "q_semdedup" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      pipeline.Dedup.semDedup(emb, "embedding", "vec_id", seeds, 0.4)
+        .select(col("vec_id"), col("sem_cluster").cast("int"))
+    }),
     // MinHash+LSH near-dup pairs (portable polynomial shingle hash → the
     // full signature/banding/estimate pipeline is oracle-checked)
     "q_minhash_pairs" -> ((s, dir) =>
@@ -812,6 +823,31 @@ object SparkEntry {
         | FROM x JOIN q ON x.i = q.i GROUP BY 1)
         |SELECT vec_id, ROUND(dot / (sqrt(nx) * sqrt(nq)), 6) AS cos FROM p
         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replace("\n", " "),
+    "q_semdedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < 8),
+        |rd AS (SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dd
+        |  FROM e JOIN c ON e.i = c.i GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM rd)
+        |  WHERE rn = 1),
+        |x AS (SELECT e.vec_id, asg.cid, e.i, e.v FROM e JOIN asg USING (vec_id)),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+        | FROM x a JOIN x b ON a.cid = b.cid AND a.i = b.i AND a.vec_id < b.vec_id
+        | GROUP BY 1, 2),
+        |pr AS (SELECT id_a, id_b FROM p
+        |  WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION SELECT id_b, id_a FROM pr),
+        |walk AS (SELECT src AS id, dst AS reach FROM edges
+        |  UNION SELECT w.id, e2.dst FROM walk w JOIN edges e2 ON w.reach = e2.src),
+        |lab AS (SELECT id, least(id, min(reach)) AS label FROM walk GROUP BY id)
+        |SELECT vec_id, CAST(cid AS INTEGER) AS sem_cluster FROM asg
+        |WHERE vec_id NOT IN (SELECT id FROM lab WHERE id != label)"""
+        .stripMargin.replace("\n", " "),
     "q_lsh_bucket" ->
       s"SELECT vec_id, ${OracleSql.lshBucketExprSql(lshPlanes)} AS bucket FROM embeddings",
     "q_lsh_topk" -> OracleSql.lshTopKSql("embeddings", lshPlanes, 10),

@@ -672,6 +672,42 @@ object Dedup {
     * bucket cannot concentrate quadratic pair work on one task; cross-
     * salt pairs of a split block are lost (documented recall dial).
     */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest fixed
+    * centroid ([[Similarity.ivfAssign]] — pure expressions, the cluster
+    * id doubles as the blocking key), find within-cluster cosine
+    * near-duplicate pairs above `threshold`, and keep ONE representative
+    * per duplicate component (the minimum id — the paper keeps the
+    * example farthest from the centroid; min-id is the deterministic,
+    * oracle-checkable variant, and which member survives is a recall
+    * no-op). Returns the survivors with their `sem_cluster` assignment.
+    *
+    * 100 TB shape: assignment is a map-only pass; the pair join shuffles
+    * once on the cluster id with `maxBlockSize` auto-salting available
+    * for hot clusters; component labeling runs through
+    * [[connectedComponents]] (driver under 2e6 edges, distributed label
+    * propagation above). Train centroids offline on a bounded sample
+    * ([[Similarity.kmeansCentroids]]) — the corpus never leaves the
+    * executors.
+    */
+  def semDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      maxBlockSize: Option[Long] = None,
+  ): DataFrame = {
+    val assigned = df.withColumn(
+      "sem_cluster", Similarity.ivfAssign(col(vecCol), centroids))
+    val pairs = embeddingNearDuplicates(
+      assigned, vecCol, idCol, col("sem_cluster"), threshold, maxBlockSize)
+    val losers = connectedComponents(pairs.select("id_a", "id_b"))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    assigned.join(losers, Seq(idCol), "left_anti")
+  }
+
   def embeddingNearDuplicates(
       df: DataFrame,
       vecCol: String,

@@ -157,6 +157,25 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("semDedup keeps one representative per within-cluster dup group") {
+    // two well-separated clusters; ids 0/1/2 are near-dups in cluster A,
+    // 3/4 near-dups in cluster B, 5 a loner in B
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (2L, Array(0.98f, -0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.01f, 0.99f, 0.0f)),
+      (5L, Array(0.0f, 0.6f, 0.1f, 0.7f)), // same cluster as 3/4, not a dup
+    ).toDF("vec_id", "embedding")
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val out = Dedup.semDedup(vecs, "embedding", "vec_id", centroids, 0.95)
+      .select("vec_id", "sem_cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(0L -> 0, 3L -> 1, 5L -> 1))
+  }
+
   test("ivfAssign expression matches the driver-side nearest centroid") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = Similarity.kmeansCentroids(df, "embedding", "vec_id", 4, iters = 5)
