@@ -357,6 +357,17 @@ object SparkEntry {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       pipeline.Similarity.ivfTopK(emb, "embedding", "vec_id", seeds(0), seeds, 10)
     }),
+    // Bloom-filter incremental dedup: fingerprint the even-id half of the
+    // corpus, keep batch rows not (probably) seen. Deterministic but not
+    // SQL-expressible (Spark xxhash64 + bloom bit layout) -> rows-only
+    // driver check; FN/FP bounds are property-tested in PipelineSpec
+    "q_bloom_new" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val fp = pipeline.Dedup.buildBloomFingerprint(
+        docs.filter(col("doc_id") % 2 === 0), "text",
+        expectedItems = 10000, fpp = 0.001)
+      pipeline.Dedup.dropBloomSeen(docs, "text", fp).select("doc_id")
+    }),
     // SemDeDup: nearest-centroid clustering (seed-vector quantizer,
     // embeddings 0..7) + within-cluster cosine near-dup components,
     // keeping the min-id representative of each component

@@ -38,6 +38,53 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  // ---- Bloom-filter incremental dedup ----
+
+  /** Build a Bloom-filter fingerprint of a corpus's content hashes — the
+    * Dolma-style incremental-dedup primitive: one distributed pass
+    * (`stat.bloomFilter` runs a treeAggregate; partial filters OR-merge
+    * on the way up), returning serialized bytes sized by
+    * `expectedItems`/`fpp`, NOT by corpus bytes (1e9 docs at 1% fpp ≈
+    * 1.2 GB of bits). New batches then probe it with [[bloomSeen]]
+    * without ever joining against the historical corpus.
+    *
+    * 100 TB sizing: the filter must fit on the driver and each executor
+    * once. For corpora beyond a few billion documents, shard the corpus
+    * by a stable hash prefix and keep one filter per shard, probing the
+    * matching shard's filter only.
+    */
+  def buildBloomFingerprint(
+      df: DataFrame,
+      textCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+  ): Array[Byte] = {
+    val filter = df.select(xxhash64(col(textCol)).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** `true` when the text's hash is (probably) in the fingerprint: no
+    * false negatives, `fpp` false positives. Codegen'd probe against the
+    * broadcast filter ([[BloomMightContain]]) — fuses into the scan.
+    */
+  def bloomSeen(df: DataFrame, textCol: String, filterBytes: Array[Byte]): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(filterBytes)
+    org.apache.spark.sql.GraftBridge.column(BloomMightContain(
+      org.apache.spark.sql.GraftBridge.expression(xxhash64(col(textCol))), bc))
+  }
+
+  /** Keep only rows of `batch` whose content was NOT seen by the corpus
+    * fingerprint (the incremental-ingest filter). A true-positive rate of
+    * `fpp` of genuinely-new rows is falsely dropped — acceptable for
+    * training-data dedup, where precision of "new" matters more than
+    * perfect recall; use [[dropExactDuplicates]] for the exact path.
+    */
+  def dropBloomSeen(batch: DataFrame, textCol: String, filterBytes: Array[Byte]): DataFrame =
+    batch.filter(!bloomSeen(batch, textCol, filterBytes))
+
   // ---- MinHash + LSH ----
 
   /** Deterministic per-function affine hash of a shingle:

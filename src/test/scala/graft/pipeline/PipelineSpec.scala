@@ -157,6 +157,21 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("bloom fingerprint: no false negatives, bounded false positives") {
+    val corpus = (0 until 2000).map(i => (i.toLong, s"corpus doc $i")).toDF("id", "text")
+    val fp = Dedup.buildBloomFingerprint(corpus, "text", expectedItems = 2000, fpp = 0.01)
+    // every corpus doc must probe as seen (bloom guarantees no FNs)
+    val fnCount = corpus.filter(!Dedup.bloomSeen(corpus, "text", fp)).count()
+    assert(fnCount === 0)
+    // a disjoint batch: only fpp-rate false positives get dropped
+    val batch = (0 until 2000).map(i => (i.toLong, s"fresh doc $i")).toDF("id", "text")
+    val kept = Dedup.dropBloomSeen(batch, "text", fp).count()
+    assert(kept >= 1900, s"kept only $kept of 2000 fresh docs (fpp blowup)")
+    // a mixed batch keeps exactly the fresh survivors
+    val mixed = corpus.limit(50).unionByName(batch.limit(50))
+    assert(Dedup.dropBloomSeen(mixed, "text", fp).count() <= 50)
+  }
+
   test("semDedup keeps one representative per within-cluster dup group") {
     // two well-separated clusters; ids 0/1/2 are near-dups in cluster A,
     // 3/4 near-dups in cluster B, 5 a loner in B
