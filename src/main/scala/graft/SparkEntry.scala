@@ -64,6 +64,12 @@ object SparkEntry {
   /** Sessionization gap: 12 h in nanoseconds (events.ts is Long nanos). */
   val sessionGapNs: Long = 12L * 3600 * 1000 * 1000 * 1000
 
+  /** Per-source sampling rates (permille) for the stratified-sample gate
+    * query; sources not listed drop out entirely.
+    */
+  val stratifiedRates: Map[String, Int] =
+    Map("src0" -> 900, "src1" -> 500, "src2" -> 250, "src3" -> 100)
+
   /** T8: analytic 2×9×9 inverse deformation field (node values derive
     * from closed-form polynomials so the oracle can recompute them; the
     * production path broadcasts measured grids the same way).
@@ -544,6 +550,31 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       pipeline.TextOps.topTokens(table(s, dir, "documents"), "text", 50)
         .withColumn("rank", col("rank").cast("long"))),
+    // exact dedup on the NORMALIZED text key (case/punct-insensitive)
+    "q_dedup_norm" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          pipeline.TextOps.normalizeText(col("text")).as("_norm"))
+        .groupBy("_norm")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .select(md5(col("_norm")).as("fp"), col("keep_id"), col("dup_count"))),
+    // context-window chunking: 64-token windows, stride 48 (overlapping)
+    "q_chunks" -> ((s, dir) =>
+      pipeline.TextOps.chunkTokens(table(s, dir, "documents"), "text",
+        "doc_id", window = 64, stride = 48)),
+    // concat-then-chunk sequence packing: 512-token packs, 16 hash groups
+    "q_pack" -> ((s, dir) =>
+      pipeline.TextOps.packSequences(table(s, dir, "documents"), "text",
+        "doc_id", budget = 512L, numGroups = 16)),
+    // data-mixture report per source (domain reweighting input)
+    "q_mixture" -> ((s, dir) =>
+      pipeline.Sampling.mixtureReport(table(s, dir, "documents"), "text",
+        Seq("source"))),
+    // per-stratum deterministic sampling rates (domain reweighting apply)
+    "q_stratified" -> ((s, dir) =>
+      pipeline.Sampling.stratifiedHashSample(table(s, dir, "documents"),
+        "doc_id", "source", stratifiedRates)
+        .select("doc_id", "source")),
     // grouped distinct cardinality (Expand-based two-phase distinct agg;
     // swap countDistinct -> approx_count_distinct at 100 TB)
     "q_user_card" -> ((s, dir) =>
@@ -1099,6 +1130,49 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         | count(*) AS n_events FROM events
         | GROUP BY event_type""".stripMargin.replace("\n", " "),
+    "q_dedup_norm" ->
+      raw"""SELECT md5(n) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+           |FROM (SELECT doc_id,
+           |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+           |  FROM documents)
+           |GROUP BY n""".stripMargin.replace("\n", " "),
+    "q_chunks" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+           |c AS (SELECT doc_id, toks,
+           |  unnest(range(0, ((len(toks) - 1) // 48) + 1)) AS chunk_idx FROM t)
+           |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |  CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
+           |    AS chunk_len,
+           |  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+           |    AS chunk_text
+           |FROM c""".stripMargin.replace("\n", " "),
+    "q_pack" ->
+      raw"""WITH d AS (SELECT doc_id,
+           |  (${OracleSql.portableTokenHashSql("CAST(doc_id AS VARCHAR)")}) % 16
+           |    AS pack_group,
+           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           |    AS n_tokens FROM documents),
+           |w AS (SELECT doc_id, pack_group, n_tokens,
+           |  SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id)
+           |    - n_tokens AS s FROM d)
+           |SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group, n_tokens,
+           |  CAST(s // 512 AS BIGINT) AS pack_id,
+           |  CAST(s % 512 AS BIGINT) AS pack_offset
+           |FROM w""".stripMargin.replace("\n", " "),
+    "q_mixture" ->
+      raw"""WITH g AS (SELECT source, COUNT(*) AS docs,
+           |  SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+           |    AS tokens FROM documents GROUP BY source)
+           |SELECT source, docs, CAST(tokens AS BIGINT) AS tokens,
+           |  ROUND(CAST(tokens AS DOUBLE)
+           |    / CAST((SELECT SUM(tokens) FROM g) AS DOUBLE), 6) AS token_share
+           |FROM g""".stripMargin.replace("\n", " "),
+    "q_stratified" ->
+      s"""SELECT doc_id, source FROM documents
+         | WHERE (${OracleSql.portableTokenHashSql("(source || chr(1) || CAST(doc_id AS VARCHAR))")}) % 1000 <
+         |  CASE ${stratifiedRates.map { case (k, v) => s"WHEN source = '$k' THEN $v" }.mkString(" ")}
+         |  ELSE 0 END""".stripMargin.replace("\n", " "),
     "q_electron_index" ->
       """SELECT trainId, CAST(pulseId AS DOUBLE) AS pulseId,
         | CAST(electronId AS BIGINT) AS electronId FROM (

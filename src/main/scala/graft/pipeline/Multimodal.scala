@@ -162,4 +162,87 @@ object Multimodal {
           sequence(lit(0), lit(nFrames - 1)),
           i => floor((length(col(binCol)).cast("long") * i) / nFrames).cast("long"),
         )))
+
+  /** Perceptual difference-hash (dHash) of an image binary: resample the
+    * decoded grayscale to a 9×8 grid, set bit (r,c) iff cell (r,c) is
+    * brighter than its right neighbor — 64 bits whose Hamming distance
+    * tracks visual similarity. The *decode* is the STUB (nearest-neighbor
+    * byte resample stands in for pixel luma — no codecs here); the grid
+    * comparison, bit packing, and the near-dup machinery on top are real
+    * and carry over unchanged to a real decoder.
+    */
+  def dHashStub(bytes: Array[Byte]): Long = {
+    val cells = new Array[Int](72)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < 72) {
+        cells(i) = bytes(((i.toLong * bytes.length) / 72).toInt) & 0xff
+        i += 1
+      }
+    }
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        h = (h << 1) | (if (cells(r * 9 + c) > cells(r * 9 + c + 1)) 1L else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Appends `dhash: long` — batched [[dHashStub]] over the binary column
+    * (iterator-to-iterator, constant memory, same shape as [[decodeMeta]]).
+    */
+  def dHash(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("dhash", LongType, nullable = false))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes =
+          Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray)
+        Row.fromSeq(r.toSeq :+ dHashStub(bytes))
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance: pigeonhole the
+    * 64-bit hash into `maxDistance + 1` blocks (≤ `maxDistance` differing
+    * bits can corrupt at most `maxDistance` blocks, so some block matches
+    * exactly), equi-join per block, verify with `bit_count(xor)`. Returns
+    * distinct `(id_a, id_b, distance)` with `id_a < id_b` — the image-side
+    * analog of SimHash text near-dup, same bounded-cardinality shuffle:
+    * never an all-pairs comparison.
+    */
+  def imageNearDuplicates(
+      df: DataFrame,
+      binCol: String,
+      idCol: String,
+      maxDistance: Int,
+  ): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 64, s"maxDistance=$maxDistance")
+    val nBlocks = maxDistance + 1
+    val blocks = (0 until nBlocks).map { b =>
+      val start = b * 64 / nBlocks
+      val width = (b + 1) * 64 / nBlocks - start
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("bidx"),
+        shiftrightunsigned(col("dhash"), start).bitwiseAND(lit(mask)).as("bval"))
+    }
+    val sides = dHash(df, binCol)
+      .select(col(idCol).as("id"), col("dhash"),
+        explode(array(blocks: _*)).as("_b"))
+      .select(col("id"), col("dhash"),
+        col("_b.bidx").as("bidx"), col("_b.bval").as("bval"))
+    sides.as("a").join(sides.as("b"), Seq("bidx", "bval"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("distance"))
+      .filter(col("distance") <= maxDistance)
+      .distinct()
+  }
 }

@@ -62,11 +62,37 @@ object Sampling {
   ): DataFrame = {
     val bucket = pmod(
       TextOps.portableTokenHash(
-        concat_ws("", col(stratumCol), col(keyCol).cast("string"))),
+        concat_ws("\u0001", col(stratumCol), col(keyCol).cast("string"))),
       lit(1000L))
     val rate = permilleByStratum.foldLeft(lit(0)) { case (acc, (s, p)) =>
       when(col(stratumCol) === s, lit(p)).otherwise(acc)
     }
     df.filter(bucket < rate)
+  }
+
+  /** Data-mixture report: per-group document count, token count, and the
+    * group's share of corpus tokens — the summary that drives domain
+    * reweighting decisions (what rates to feed [[stratifiedHashSample]]).
+    *
+    * Plan shape at scale: one keyed aggregation with map-side combine;
+    * the corpus total is a second 1-row aggregate over the (tiny) grouped
+    * result — never a second corpus scan — attached via broadcast cross
+    * join.
+    */
+  def mixtureReport(
+      df: DataFrame,
+      textCol: String,
+      groupCols: Seq[String],
+  ): DataFrame = {
+    val grouped = df
+      .select(col(textCol) :: groupCols.map(col).toList: _*)
+      .withColumn("_n", TextOps.tokenCount(col(textCol)).cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("docs"), sum(col("_n")).as("tokens"))
+    val total = grouped.agg(sum(col("tokens")).as("_tot"))
+    grouped.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        round(col("tokens").cast("double") / col("_tot"), 6))
+      .drop("_tot")
   }
 }

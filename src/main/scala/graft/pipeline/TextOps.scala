@@ -424,4 +424,87 @@ object TextOps {
     }
     out.withColumn("pii_redacted", redacted)
   }
+
+  /** ASCII dedup-key normalization: lowercase, collapse every
+    * non-alphanumeric run (punctuation, whitespace, unicode) to a single
+    * space, trim. The canonical form exact dedup should key on so that
+    * `"Hello,  World!"` and `"hello world"` collapse — raw-text exact
+    * dedup misses most boilerplate duplicates in web corpora. Kept to an
+    * ASCII character class so Java regex and RE2-style engines agree.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Fixed-size token windows with stride (context-window chunking): one
+    * output row per (doc, window start) with the chunk index, its token
+    * count (the last chunk may be short), and the space-rejoined chunk
+    * text. The standard pre-training step that turns documents into
+    * model-context-sized examples; `stride < window` yields overlapping
+    * windows for long-range-context training.
+    *
+    * Plan shape at scale: tokenize once (bound as a column before the
+    * explode, never re-split per window), explode the start sequence,
+    * slice — a map-only row amplification with no shuffle; fuses into the
+    * scan it reads from.
+    */
+  def chunkTokens(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int,
+      stride: Int,
+  ): DataFrame = {
+    require(window > 0, s"window=$window")
+    require(stride > 0, s"stride=$stride")
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0),
+          floor((size(col("_toks")) - 1) / stride).cast("int")))
+          .as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("_toks"), col("chunk_idx") * stride + 1, lit(window))
+          .as("_chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_chunk")).cast("long").as("chunk_len"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
+  /** Concat-then-chunk sequence packing: assign every document the pack
+    * (fixed `budget`-token training window) in which its first token
+    * lands when documents are concatenated in id order. Documents are
+    * first split into `numGroups` deterministic hash groups so the
+    * running sum is a KEYED window — each group packs independently in
+    * parallel (the global-concat order the single-threaded formulation
+    * implies is an arbitrary convention; any fixed order works, and the
+    * grouped one is the only shape that scales).
+    *
+    * Output per doc: `pack_group`, `n_tokens`, `pack_id` (which window in
+    * the group's concat stream the doc starts in) and `pack_offset` (token
+    * offset inside that window). Docs straddle pack boundaries exactly as
+    * GPT-style concat-and-chunk packing does — no padding waste.
+    *
+    * Plan shape at scale: one shuffle on `pack_group` + a per-group sort;
+    * size `numGroups` ≳ cluster parallelism so no reducer sees more than
+    * ~1/numGroups of the corpus.
+    */
+  def packSequences(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      budget: Long,
+      numGroups: Int,
+  ): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    require(numGroups > 0, s"numGroups=$numGroups")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pack_group").orderBy(col(idCol))
+    df.select(col(idCol),
+      pmod(portableTokenHash(col(idCol).cast("string")), lit(numGroups.toLong))
+        .as("pack_group"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col("pack_group"), col("n_tokens"),
+        floor(col("_start") / budget).as("pack_id"),
+        (col("_start") % budget).as("pack_offset"))
+  }
 }

@@ -181,4 +181,88 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(5).getString(7) === "no pii here at all")
     assert((1 to 6).forall(i => out(5).getInt(i) === 0))
   }
+
+  test("normalizeText collapses case/punct/whitespace variants to one key") {
+    val df = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "HELLO-WORLD..."),
+      (4L, "hello worlds"),
+    ).toDF("id", "text")
+    val keys = df.select(col("id"), TextOps.normalizeText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(keys(1) === "hello world")
+    assert(keys(1) === keys(2) && keys(2) === keys(3))
+    assert(keys(4) !== keys(1))
+  }
+
+  test("chunkTokens: windows tile the token stream; stride overlap exact") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("id", "text")
+    // window 4, stride 3 -> starts 0,3,6,9 (floor(9/3)=3 -> 4 chunks)
+    val out = TextOps.chunkTokens(df, "text", "id", window = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._3).toSeq === Seq(4L, 4L, 4L, 1L)) // last chunk short
+    assert(out(0)._4 === "t1 t2 t3 t4")
+    assert(out(1)._4 === "t4 t5 t6 t7") // 1-token overlap (stride < window)
+    assert(out(3)._4 === "t10")
+    // non-overlapping stride == window reconstructs the document exactly
+    val whole = TextOps.chunkTokens(df, "text", "id", window = 4, stride = 4)
+      .orderBy("chunk_idx").as[(Long, Long, Long, String)].collect()
+    assert(whole.map(_._4).mkString(" ") === text)
+    assert(whole.map(_._3).sum === 10L)
+  }
+
+  test("packSequences: contiguous concat-then-chunk assignment per group") {
+    val df = (1 to 60)
+      .map(i => (i.toLong, Seq.fill(i % 7 + 1)("w").mkString(" ")))
+      .toDF("id", "text")
+    val out = TextOps.packSequences(df, "text", "id", budget = 10L, numGroups = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 60)
+    out.foreach { case (_, grp, n, pack, off) =>
+      assert(grp >= 0 && grp < 4)
+      assert(off >= 0 && off < 10) // offset always inside the pack
+      assert(pack >= 0 && n >= 1)
+    }
+    // within each group, docs in id order fill packs contiguously:
+    // each doc starts exactly where the previous one ended
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (_, _, n, pack, off) =>
+        assert(pack === cum / 10, s"pack mismatch at cum=$cum")
+        assert(off === cum % 10, s"offset mismatch at cum=$cum")
+        cum += n
+      }
+    }
+  }
+
+  test("mixtureReport: shares sum to 1 and counts match a direct agg") {
+    val df = Seq(
+      ("a", "one two three"), ("a", "four five"),
+      ("b", "six"), ("c", "seven eight nine ten"),
+    ).toDF("src", "text")
+    val out = Sampling.mixtureReport(df, "text", Seq("src"))
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq("a", "b", "c"))
+    assert(out.map(_._2).toSeq === Seq(2L, 1L, 1L))
+    assert(out.map(_._3).toSeq === Seq(5L, 1L, 4L))
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-6)
+    assert(out.find(_._1 == "b").get._4 === 0.1)
+  }
+
+  test("stratifiedHashSample: listed strata sampled at their rate, rest drop") {
+    val df = (1 to 4000).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+    val out = Sampling.stratifiedHashSample(df, "id", "src",
+      Map("s0" -> 1000, "s1" -> 500, "s3" -> 0))
+      .as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse("s2", 0) === 0) // unlisted stratum drops
+    assert(bySrc.getOrElse("s3", 0) === 0) // zero-rate stratum drops
+    assert(bySrc("s0") === 1000)           // full rate keeps everything
+    assert(math.abs(bySrc("s1") - 500) < 150) // ~50 % of 1000
+  }
 }

@@ -506,4 +506,33 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getAs[Array[Byte]](1), r.getLong(2)))).toMap
     assert(resized(2L)._1.length === 4 && resized(2L)._2 === 0L)
   }
+
+  test("imageNearDuplicates: dHash banding finds near pairs, skips far ones") {
+    // deterministic pseudo-images: a base byte pattern, an identical copy,
+    // a lightly perturbed copy (few grid cells flip), and pure noise
+    def img(seed: Int, tweak: Int = 0): Array[Byte] =
+      Array.tabulate(720)(i => (((i * 31 + seed * 7) ^ (i >> 3)) +
+        (if (tweak > 0 && i % 200 == 0) tweak else 0)).toByte)
+    val rows = Seq(
+      (1L, img(1)), (2L, img(1)),            // exact dup -> distance 0
+      (3L, img(1, tweak = 40)),              // near dup  -> small distance
+      (4L, img(99)),                         // unrelated
+    )
+    val df = rows.toDF("id", "bin")
+    val d12 = java.lang.Long.bitCount(
+      Multimodal.dHashStub(rows(0)._2) ^ Multimodal.dHashStub(rows(2)._2))
+    assert(d12 > 0 && d12 <= 10, s"fixture drifted: near-dup distance $d12")
+    val pairs = Multimodal.imageNearDuplicates(df, "bin", "id", maxDistance = 10)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(pairs((1L, 3L)) === d12 && pairs((2L, 3L)) === d12)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // pigeonhole guarantee: every pair within maxDistance is found
+    val all = rows.combinations(2).collect {
+      case Seq((a, ba), (b, bb)) =>
+        (a, b) -> java.lang.Long.bitCount(
+          Multimodal.dHashStub(ba) ^ Multimodal.dHashStub(bb))
+    }.filter(_._2 <= 10).toMap
+    assert(pairs === all)
+  }
 }
