@@ -74,10 +74,11 @@ object Sampling {
     * group's share of corpus tokens — the summary that drives domain
     * reweighting decisions (what rates to feed [[stratifiedHashSample]]).
     *
-    * Plan shape at scale: one keyed aggregation with map-side combine;
-    * the corpus total is a second 1-row aggregate over the (tiny) grouped
-    * result — never a second corpus scan — attached via broadcast cross
-    * join.
+    * Plan shape at scale: ONE keyed aggregation over the corpus with
+    * map-side combine; the corpus total is a keyless window over the
+    * grouped result — whose cardinality is the number of groups (sources/
+    * domains: bounded and small by nature), so the single-partition window
+    * is free and the corpus is never scanned twice.
     */
   def mixtureReport(
       df: DataFrame,
@@ -89,10 +90,8 @@ object Sampling {
       .withColumn("_n", TextOps.tokenCount(col(textCol)).cast("long"))
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("docs"), sum(col("_n")).as("tokens"))
-    val total = grouped.agg(sum(col("tokens")).as("_tot"))
-    grouped.crossJoin(broadcast(total))
-      .withColumn("token_share",
-        round(col("tokens").cast("double") / col("_tot"), 6))
-      .drop("_tot")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    grouped.withColumn("token_share",
+      round(col("tokens").cast("double") / sum(col("tokens")).over(w), 6))
   }
 }
