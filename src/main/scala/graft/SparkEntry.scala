@@ -491,6 +491,10 @@ object SparkEntry {
     "q_unigram_ppl" -> ((s, dir) =>
       pipeline.TextOps.unigramLogPerplexity(
         table(s, dir, "documents"), "text", "doc_id")),
+    // bigram-LM log-perplexity (add-one smoothing, corpus-trained)
+    "q_bigram_ppl" -> ((s, dir) =>
+      pipeline.TextOps.bigramLogPerplexity(
+        table(s, dir, "documents"), "text", "doc_id")),
     // train/test contamination: distinct word-3gram overlap vs src0 docs
     "q_contamination" -> ((s, dir) =>
       pipeline.TextOps.contaminationFraction(
@@ -1013,6 +1017,27 @@ object SparkEntry {
            |    AS logppl
            |FROM toks JOIN vocab USING (token) CROSS JOIN tot
            |GROUP BY toks.doc_id""".stripMargin.replace("\n", " "),
+    "q_bigram_ppl" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+           |uni AS (SELECT unnest(toks) AS w1 FROM t),
+           |uc AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+           |v AS (SELECT count(*) AS v FROM uc),
+           |bg AS (SELECT doc_id, unnest(
+           |  [{'b': toks[i] || ' ' || toks[i+1], 'w1': toks[i]}
+           |   for i in range(1, len(toks))]) AS s
+           |  FROM t WHERE len(toks) >= 2),
+           |bgf AS (SELECT doc_id, s.b AS b, s.w1 AS w1 FROM bg),
+           |bc AS (SELECT b, count(*) AS c2 FROM bgf GROUP BY 1),
+           |agg AS (SELECT bgf.doc_id, count(*) AS n_bigrams,
+           |  ROUND(AVG(-ln((CAST(c2 AS DOUBLE) + 1.0)
+           |    / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))), 6) AS bigram_logppl
+           |  FROM bgf JOIN bc USING (b) JOIN uc USING (w1) CROSS JOIN v
+           |  GROUP BY bgf.doc_id)
+           |SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  COALESCE(bigram_logppl, 0.0) AS bigram_logppl
+           |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+        .replace("\n", " "),
     "q_contamination" ->
       raw"""WITH t AS (SELECT doc_id,
            |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

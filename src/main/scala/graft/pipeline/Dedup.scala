@@ -151,6 +151,12 @@ object Dedup {
     * whole signature pipeline to one task. No-op — no shuffle inserted —
     * whenever the scan already has enough splits, which at lake scale it
     * always does.
+    *
+    * The `df.rdd.getNumPartitions` probe plans the query once on the
+    * driver (no job runs, no data moves) — intentional: Spark exposes no
+    * cheaper pre-execution split count, and the probe cost is amortized
+    * over the signature pipeline it protects. At lake scale the branch is
+    * never taken; callers that know their input is wide can skip it.
     */
   private def ensureParallelism(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions

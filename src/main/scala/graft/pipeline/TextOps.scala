@@ -256,6 +256,52 @@ object TextOps {
         col("_tot").cast("double"))), 6).as("logppl"))
   }
 
+  /** Bigram-LM log-perplexity quality score: per document, the mean
+    * negative log of the add-one-smoothed conditional bigram probability
+    * `p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)` with counts and vocabulary
+    * size `V` taken from the corpus itself — the classic self-scored
+    * fluency signal one notch above [[unigramLogPerplexity]] (it catches
+    * shuffled-word salad that unigram statistics cannot). Documents with
+    * fewer than 2 tokens report 0 bigrams and score 0.
+    *
+    * Plan shape at scale: bigrams explode once; their corpus counts come
+    * back through a join keyed on the bigram (degrades gracefully to a
+    * sort-merge join at open-vocabulary scale, same story as the unigram
+    * scorer); unigram context counts join on the first word (vocab-sized,
+    * broadcast-friendly); `V` rides along as a broadcast 1-row aggregate.
+    */
+  def bigramLogPerplexity(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+  ): DataFrame = {
+    val bg = df.select(col(idCol),
+      explode(transform(array(tokens(col(textCol))), tks =>
+        when(size(tks) >= 2,
+          transform(sequence(lit(1), size(tks) - 1), i =>
+            struct(concat_ws(" ", element_at(tks, i), element_at(tks, i + 1))
+              .as("b"), element_at(tks, i).as("w1"))))
+          .otherwise(array().cast("array<struct<b:string,w1:string>>")))
+        .getItem(0)).as("_s"))
+      .select(col(idCol), col("_s.b").as("_bg"), col("_s.w1").as("_w1"))
+    val uni = df.select(explode(tokens(col(textCol))).as("_w1"))
+      .groupBy("_w1").agg(count(lit(1)).as("_c1"))
+    val vocab = uni.agg(count(lit(1)).as("_v"))
+    val bgc = bg.groupBy("_bg").agg(count(lit(1)).as("_c2"))
+    val scored = bg.join(bgc, Seq("_bg"))
+      .join(uni, Seq("_w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("_c2").cast("double") + 1.0) /
+          (col("_c1").cast("double") + col("_v").cast("double")))), 6)
+          .as("bigram_logppl"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bigram_logppl"), lit(0.0)).as("bigram_logppl"))
+  }
+
   /** Contamination fraction against a benchmark subset: per document, the
     * share of its distinct word `n`-grams that also occur anywhere in the
     * benchmark rows (`benchmarkFilter`) — the train/test-overlap

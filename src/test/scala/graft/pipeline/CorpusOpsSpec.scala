@@ -182,6 +182,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert((1 to 6).forall(i => out(5).getInt(i) === 0))
   }
 
+  test("bigramLogPerplexity matches hand-computed add-one smoothing") {
+    val df = Seq((1L, "a b a"), (2L, "a b"), (3L, "x")).toDF("id", "text")
+    val out = TextOps.bigramLogPerplexity(df, "text", "id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // corpus: c(a)=3 c(b)=2 c(x)=1, V=3; c("a b")=2 c("b a")=1
+    // doc1: avg(-ln(3/6), -ln(2/5)); doc2: -ln(3/6); doc3: no bigrams
+    val d1 = (-math.log(3.0 / 6) - math.log(2.0 / 5)) / 2
+    assert(out(1L)._1 === 2L)
+    assert(math.abs(out(1L)._2 - math.rint(d1 * 1e6) / 1e6) < 1e-9)
+    assert(out(2L)._1 === 1L)
+    assert(math.abs(out(2L)._2 - math.rint(-math.log(0.5) * 1e6) / 1e6) < 1e-9)
+    assert(out(3L) === ((0L, 0.0)))
+  }
+
   test("normalizeText collapses case/punct/whitespace variants to one key") {
     val df = Seq(
       (1L, "Hello,  World!"),
