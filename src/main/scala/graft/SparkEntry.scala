@@ -495,6 +495,11 @@ object SparkEntry {
     "q_bigram_ppl" -> ((s, dir) =>
       pipeline.TextOps.bigramLogPerplexity(
         table(s, dir, "documents"), "text", "doc_id")),
+    // Gopher composite quality rules (minTokens/minRequiredHits relaxed
+    // for the short synthetic word-soup docs so the flag discriminates)
+    "q_gopher" -> ((s, dir) =>
+      pipeline.TextOps.gopherColumns(table(s, dir, "documents"), "text",
+        "doc_id", minTokens = 10, minRequiredHits = 1)),
     // train/test contamination: distinct word-3gram overlap vs src0 docs
     "q_contamination" -> ((s, dir) =>
       pipeline.TextOps.contaminationFraction(
@@ -1038,6 +1043,33 @@ object SparkEntry {
            |  COALESCE(bigram_logppl, 0.0) AS bigram_logppl
            |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
         .replace("\n", " "),
+    "q_gopher" ->
+      raw"""WITH t AS (SELECT doc_id, text,
+           |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+           |s AS (SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+           |    / len(toks), 6) AS avg_token_len,
+           |  ROUND(CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+           |    / len(toks), 6) AS symbol_ratio,
+           |  ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+           |    AS DOUBLE) / len(toks), 6) AS alpha_ratio,
+           |  CAST(len(list_intersect(toks,
+           |    ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+           |    AS required_hits,
+           |  ROUND(CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE)
+           |    / len(toks), 6) AS dup_word_ratio,
+           |  CASE WHEN len(toks) >= 2 THEN ROUND(CAST(1.0 AS DOUBLE) -
+           |    CAST(len(list_distinct([array_to_string(toks[i : i + 1], ' ')
+           |      for i in range(1, len(toks))])) AS DOUBLE)
+           |    / (len(toks) - 1), 6) ELSE 0.0 END AS dup_2gram_ratio
+           |  FROM t)
+           |SELECT *, CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+           |  AND avg_token_len >= 3.0 AND avg_token_len <= 10.0
+           |  AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+           |  AND required_hits >= 1 AND dup_word_ratio <= 0.3
+           |  AND dup_2gram_ratio <= 0.2 THEN 1 ELSE 0 END AS INTEGER)
+           |  AS gopher_keep FROM s""".stripMargin.replace("\n", " "),
     "q_contamination" ->
       raw"""WITH t AS (SELECT doc_id,
            |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

@@ -256,6 +256,78 @@ object TextOps {
         col("_tot").cast("double"))), 6).as("logppl"))
   }
 
+  /** Required "common English words" for the Gopher document filter
+    * (Rae et al. 2021, appendix A1.1).
+    */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style composite document-quality filter (Rae et al. 2021,
+    * appendix A1.1): per-document signal columns — token count, mean
+    * token length, symbol-to-token ratio (`#`/`...`), alphabetic-token
+    * ratio, required-word hits, duplicate word/2-gram ratios — plus the
+    * composite `gopher_keep` flag evaluated on the ROUNDED signals (so
+    * the decision is reproducible across engines to 1e-6). Thresholds
+    * default to the published rules; tune per corpus.
+    *
+    * One tokenization bound per row, pure codegen expressions, no
+    * shuffle — at 100 TB this is a map-only pass like [[qualityColumns]].
+    */
+  def gopherColumns(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minAvgLen: Double = 3.0,
+      maxAvgLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaRatio: Double = 0.8,
+      minRequiredHits: Int = 2,
+      maxDupWord: Double = 0.3,
+      maxDup2gram: Double = 0.2,
+  ): DataFrame = {
+    val t = col(textCol)
+    val sig = transform(array(tokens(t)), toks => {
+      val n = size(toks)
+      val sh2 = when(n >= 2, transform(sequence(lit(1), n - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      struct(
+        n.cast("long").as("n"),
+        size(filter(toks, w => w.rlike("[A-Za-z]"))).as("nalpha"),
+        size(array_intersect(toks,
+          lit(GopherRequiredWords.toArray))).as("req"),
+        size(array_distinct(toks)).as("ndw"),
+        size(sh2).as("n2"),
+        size(array_distinct(sh2)).as("nd2"),
+      )
+    }).getItem(0)
+    val out = df.withColumn("_g", sig)
+      .select(col(idCol),
+        col("_g.n").as("n_tokens"),
+        round(length(regexp_replace(t, "\\s+", "")).cast("double") /
+          col("_g.n"), 6).as("avg_token_len"),
+        round(size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+          .cast("double") / col("_g.n"), 6).as("symbol_ratio"),
+        round(col("_g.nalpha").cast("double") / col("_g.n"), 6)
+          .as("alpha_ratio"),
+        col("_g.req").cast("long").as("required_hits"),
+        round(lit(1.0) - col("_g.ndw").cast("double") / col("_g.n"), 6)
+          .as("dup_word_ratio"),
+        when(col("_g.n2") > 0,
+          round(lit(1.0) - col("_g.nd2").cast("double") / col("_g.n2"), 6))
+          .otherwise(lit(0.0)).as("dup_2gram_ratio"))
+    out.withColumn("gopher_keep",
+      (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("avg_token_len") >= minAvgLen && col("avg_token_len") <= maxAvgLen &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("alpha_ratio") >= minAlphaRatio &&
+        col("required_hits") >= minRequiredHits &&
+        col("dup_word_ratio") <= maxDupWord &&
+        col("dup_2gram_ratio") <= maxDup2gram).cast("int"))
+  }
+
   /** Bigram-LM log-perplexity quality score: per document, the mean
     * negative log of the add-one-smoothed conditional bigram probability
     * `p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)` with counts and vocabulary

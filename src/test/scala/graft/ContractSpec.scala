@@ -106,6 +106,30 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("chunking is map-only; packing shuffles once, keyed on pack_group") {
+    val docs = Seq.tabulate(300)(i =>
+      (i.toLong, Seq.fill(i % 30 + 1)(s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other                    => other.toString
+      }
+    }
+    // context-window chunking: row amplification with NO exchange — it
+    // must fuse into whatever scan feeds it at 100 TB
+    val chunks = planOf(
+      pipeline.TextOps.chunkTokens(docs, "text", "doc_id", 16, 8))
+    assert(!chunks.contains("Exchange"), chunks)
+    // sequence packing: exactly one exchange, keyed on the hash group
+    val pack = planOf(
+      pipeline.TextOps.packSequences(docs, "text", "doc_id", 64L, 8))
+    assert("Exchange hashpartitioning\\(pack_group".r
+      .findAllIn(pack).length === 1, pack)
+    assert("Exchange".r.findAllIn(pack).length === 1, pack)
+  }
+
   test("histogram scan prunes to exactly the binned columns") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toFile.getPath + "/t"
     Seq.fill(100)((1.0, 2.0, 3.0, "pad")).toDF("a", "b", "c", "d")

@@ -196,6 +196,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0.0)))
   }
 
+  test("gopherColumns: each rule independently fails the composite flag") {
+    val good = "the cat sat with mat and dog ran far away today"   // 11 tokens
+    val docs = Seq(
+      (1L, good),
+      (2L, "the cat"),                                   // too few tokens
+      (3L, good.replace("cat", "## ... ### ...")),       // symbol ratio
+      (4L, "cat sat mat dog ran far away red hot sun"),  // no required word
+      (5L, ("the " * 10) + "cat sat"),                   // duplicate words
+      (6L, good.split(" ").map(w => w + " 123 456").mkString(" ")), // alpha
+    ).toDF("id", "text")
+    val out = TextOps.gopherColumns(docs, "text", "id",
+      minTokens = 5, minRequiredHits = 1, minAvgLen = 2.0)
+      .select("id", "gopher_keep").as[(Long, Int)].collect().toMap
+    assert(out(1L) === 1)
+    assert((2L to 6L).forall(i => out(i) === 0), out.toString)
+  }
+
   test("normalizeText collapses case/punct/whitespace variants to one key") {
     val df = Seq(
       (1L, "Hello,  World!"),
