@@ -56,6 +56,41 @@ class StreamingSpec extends SparkSpec {
     assert(sunk.select("t_ns").as[Double].head() === 100.0 * 1e9 * 2.0e-9 * 2.0)
   }
 
+  test("stateless text-pipeline ops (gopher, pii, chunking) stream unchanged") {
+    val dir = Files.createTempDirectory("stream-txt").toFile.getPath + "/data"
+    val rows = Seq(
+      (1L, "the cat sat with mat and dog ran far away today"),
+      (2L, "contact user7@example.com for the offer and more with that"),
+    )
+    rows.toDF("doc_id", "text").repartition(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    // map-only operators compose on a stream exactly as on a batch frame:
+    // redact -> chunk in one stateless chain
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextOps.chunkTokens(
+        graft.pipeline.TextOps.piiColumns(df, "text"),
+        "pii_redacted", "doc_id", window = 6, stride = 6)
+    val out = StreamingBinning.transform(stream, chain)
+    assert(out.isStreaming)
+    val sunk = StreamingBinning.runToMemorySink(out, "txt_sink", OutputMode.Append())
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Long, String)].collect().sortBy(t => (t._1, t._2))
+    val batch = chain(spark.read.parquet(dir))
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Long, String)].collect().sortBy(t => (t._1, t._2))
+    assert(sunk.toSeq === batch.toSeq)
+    assert(sunk.exists(_._3.contains("<EMAIL>"))) // redaction ran in-stream
+    // the composite quality flag is equally stream-safe (no state, no join)
+    val flags = StreamingBinning.runToMemorySink(
+      StreamingBinning.transform(stream, df =>
+        graft.pipeline.TextOps.gopherColumns(df, "text", "doc_id",
+          minTokens = 5, minRequiredHits = 1, minAvgLen = 2.0)),
+      "gopher_sink", OutputMode.Append())
+      .select("doc_id", "gopher_keep").as[(Long, Int)].collect().toMap
+    assert(flags === Map(1L -> 1, 2L -> 1))
+  }
+
   test("dedupWithinWatermark drops repeated keys on a stream") {
     val dir = Files.createTempDirectory("stream-in4").toFile.getPath + "/data"
     Seq(
