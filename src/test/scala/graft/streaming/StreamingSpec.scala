@@ -91,6 +91,28 @@ class StreamingSpec extends SparkSpec {
     assert(flags === Map(1L -> 1, 2L -> 1))
   }
 
+  test("bloom fingerprint dedupes a stream against a historical corpus") {
+    // the incremental-ingest pattern: fingerprint yesterday's corpus once
+    // (driver-side bytes, broadcast into the codegen probe), then drop
+    // already-seen documents from the live stream with a stateless filter
+    val history = Seq((1L, "seen before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    val fp = graft.pipeline.Dedup.buildBloomFingerprint(
+      history, "text", expectedItems = 1000, fpp = 0.001)
+    val dir = Files.createTempDirectory("stream-bloom").toFile.getPath + "/data"
+    Seq((10L, "seen before"), (11L, "genuinely new"), (12L, "also seen"),
+      (13L, "another fresh one"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = StreamingBinning.transform(stream,
+      df => graft.pipeline.Dedup.dropBloomSeen(df, "text", fp))
+    assert(out.isStreaming)
+    val kept = StreamingBinning.runToMemorySink(out, "bloom_sink", OutputMode.Append())
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(11L, 13L))
+  }
+
   test("dedupWithinWatermark drops repeated keys on a stream") {
     val dir = Files.createTempDirectory("stream-in4").toFile.getPath + "/data"
     Seq(
