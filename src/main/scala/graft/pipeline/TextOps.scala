@@ -611,18 +611,23 @@ object TextOps {
       idCol: String,
       budget: Long,
       numGroups: Int,
+      carryCols: Seq[String] = Nil,
   ): DataFrame = {
     require(budget > 0, s"budget=$budget")
     require(numGroups > 0, s"numGroups=$numGroups")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pack_group").orderBy(col(idCol))
-    df.select(col(idCol),
+    // carryCols ride the single window exchange so a downstream
+    // materialization (e.g. TrainingExport) never joins the corpus back
+    df.select(col(idCol) +:
       pmod(portableTokenHash(col(idCol).cast("string")), lit(numGroups.toLong))
-        .as("pack_group"),
-      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        .as("pack_group") +:
+      tokenCount(col(textCol)).cast("long").as("n_tokens") +:
+      carryCols.map(col): _*)
       .withColumn("_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .select(col(idCol), col("pack_group"), col("n_tokens"),
-        floor(col("_start") / budget).as("pack_id"),
-        (col("_start") % budget).as("pack_offset"))
+      .select(col(idCol) +: col("pack_group") +: col("n_tokens") +:
+        floor(col("_start") / budget).as("pack_id") +:
+        (col("_start") % budget).as("pack_offset") +:
+        carryCols.map(col): _*)
   }
 }

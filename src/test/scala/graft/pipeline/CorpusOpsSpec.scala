@@ -271,6 +271,31 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("writeTokenShards round-trips the corpus in trainer layout") {
+    val df = (1 to 80)
+      .map(i => (i.toLong, Seq.fill(i % 5 + 1)(s"w$i").mkString(" ")))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toFile.getPath
+    TrainingExport.writeTokenShards(df, "text", "id", dir,
+      budget = 16L, numGroups = 4)
+    val back = TrainingExport.readTokenShards(spark, dir)
+    // every document survives with its text and its pack assignment
+    assert(back.count() === 80)
+    val direct = TextOps.packSequences(df, "text", "id", 16L, 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4, r._5))).toMap
+    val rt = back.select("id", "pack_group", "pack_id", "pack_offset", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    rt.foreach { case (id, grp, pack, off, text) =>
+      assert(direct(id) === ((grp, pack, off)))
+      assert(text === Seq.fill((id % 5 + 1).toInt)(s"w$id").mkString(" "))
+    }
+    // layout: one directory per hash group
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("pack_group=")).map(_.getName).sorted
+    assert(dirs.length === rt.map(_._2).distinct.length)
+  }
+
   test("mixtureReport: shares sum to 1 and counts match a direct agg") {
     val df = Seq(
       ("a", "one two three"), ("a", "four five"),
