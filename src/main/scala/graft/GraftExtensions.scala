@@ -166,6 +166,14 @@ object GraftExtensions {
         graft.pipeline.PositionalEqCount(args.head, args(1))
       },
     ),
+    (
+      "graft_normalize_text",
+      new ExpressionInfo(classOf[graft.pipeline.TextOps.type].getName, "graft_normalize_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_normalize_text(text)")
+        ex(graft.pipeline.TextOps.normalizeText(col(args.head)))
+      },
+    ),
   )
 
   /** Register on an already-built session (tests, notebooks). */

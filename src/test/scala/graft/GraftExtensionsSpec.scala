@@ -48,7 +48,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |  graft_fingerprint('  A  b ') AS fp,
         |  graft_hamming(graft_simhash('a b c'), graft_simhash('a b c')) AS hd,
         |  graft_hash_bucket('42') AS bkt,
-        |  graft_sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS agr
+        |  graft_sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS agr,
+        |  graft_normalize_text('Hello,  World!') AS norm
         |""".stripMargin).collect().head
     assert(r.getAs[Double]("tns") === 10.0 * 1e9 * 2.0e-9 * 2.0)
     assert(math.abs(r.getAs[Double]("ps") - (25.6 - 25.3) / 0.15) < 1e-12)
@@ -62,6 +63,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("hd") === 0)
     assert(r.getAs[Long]("bkt") >= 0L && r.getAs[Long]("bkt") < 1000L)
     assert(r.getAs[Int]("agr") === 2)
+    assert(r.getAs[String]("norm") === "hello world")
   }
 
   test("non-literal parameters are rejected with a clear error") {
