@@ -271,6 +271,45 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("BPE: classic corpus learns suffix merges; encode reconstructs text") {
+    // Sennrich et al. toy corpus: low*5 lower*2 newest*6 widest*3
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, corpus)).toDF("id", "text")
+    val merges = Bpe.learnMerges(df, "text", numMerges = 10)
+    assert(merges.length === 10)
+    // the most frequent pair in the corpus is (e,s) from newest+widest (9)
+    assert(merges.head === (("e", "s")))
+    assert(merges(1) === (("es", "t"))) // then (es,t) with the same 9
+    val rank = Bpe.ranks(merges)
+    // reconstruction: pieces concatenate back to the word + marker
+    for (w <- Seq("low", "lower", "newest", "widest", "unseen"))
+      assert(Bpe.encodeWord(w, rank).mkString === w + Bpe.EndOfWord)
+    // a frequent word compresses to fewer pieces than its characters
+    assert(Bpe.encodeWord("newest", rank).length < "newest".length + 1)
+    // learning is deterministic
+    assert(Bpe.learnMerges(df, "text", 10) === merges)
+  }
+
+  test("BPE expression matches the driver-side encode and counts tokens") {
+    val train = Seq((1L, "the cat sat the cat ran the dog sat"))
+      .toDF("id", "text")
+    val merges = Bpe.learnMerges(train, "text", numMerges = 8)
+    val rank = Bpe.ranks(merges)
+    val docs = Seq(
+      (1L, "the cat"), (2L, "a völkerball match"), (3L, ""),
+    ).toDF("id", "text")
+    val out = docs
+      .withColumn("pieces", Bpe.bpeTokens(docs, "text", merges))
+      .withColumn("n", Bpe.bpeTokenCount(docs, "text", merges))
+      .select("id", "pieces", "n")
+      .as[(Long, Seq[String], Int)].collect().map(r => r._1 -> r).toMap
+    for ((id, text) <- Seq(1L -> "the cat", 2L -> "a völkerball match", 3L -> ""))
+      assert(out(id)._2 === Bpe.encode(text, rank).toSeq, s"doc $id")
+    assert(out(1L)._3 === out(1L)._2.length)
+    assert(out(3L)._2 === Seq.empty)
+  }
+
   test("writeTokenShards round-trips the corpus in trainer layout") {
     val df = (1 to 80)
       .map(i => (i.toLong, Seq.fill(i % 5 + 1)(s"w$i").mkString(" ")))
