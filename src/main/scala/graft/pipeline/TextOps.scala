@@ -612,17 +612,21 @@ object TextOps {
       budget: Long,
       numGroups: Int,
       carryCols: Seq[String] = Nil,
+      countTokens: Column => Column = tokenCount,
   ): DataFrame = {
     require(budget > 0, s"budget=$budget")
     require(numGroups > 0, s"numGroups=$numGroups")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pack_group").orderBy(col(idCol))
     // carryCols ride the single window exchange so a downstream
-    // materialization (e.g. TrainingExport) never joins the corpus back
+    // materialization (e.g. TrainingExport) never joins the corpus back;
+    // countTokens defaults to whitespace tokens — pass
+    // `size(Bpe.bpeTokens(df, textCol, merges))`-style counters for
+    // budget-true subword packing under a trained tokenizer
     df.select(col(idCol) +:
       pmod(portableTokenHash(col(idCol).cast("string")), lit(numGroups.toLong))
         .as("pack_group") +:
-      tokenCount(col(textCol)).cast("long").as("n_tokens") +:
+      countTokens(col(textCol)).cast("long").as("n_tokens") +:
       carryCols.map(col): _*)
       .withColumn("_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col(idCol) +: col("pack_group") +: col("n_tokens") +:

@@ -310,6 +310,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L)._2 === Seq.empty)
   }
 
+  test("packSequences budgets on BPE counts when given a subword counter") {
+    val df = Seq((1L, "aa aa"), (2L, "aa bb"), (3L, "cc")).toDF("id", "text")
+    val merges = Bpe.learnMerges(df, "text", numMerges = 4)
+    val rank = Bpe.ranks(merges)
+    val out = TextOps.packSequences(df, "text", "id", budget = 100L,
+      numGroups = 1, countTokens = _ => Bpe.bpeTokenCount(df, "text", merges))
+      .select("id", "n_tokens").as[(Long, Long)].collect().toMap
+    val expected = Seq(1L -> "aa aa", 2L -> "aa bb", 3L -> "cc")
+      .map { case (id, t) => id -> Bpe.encode(t, rank).length.toLong }.toMap
+    assert(out === expected)
+    // subword counts differ from whitespace counts, so the budget is real
+    assert(out(3L) !== 1L)
+  }
+
   test("writeTokenShards round-trips the corpus in trainer layout") {
     val df = (1 to 80)
       .map(i => (i.toLong, Seq.fill(i % 5 + 1)(s"w$i").mkString(" ")))
