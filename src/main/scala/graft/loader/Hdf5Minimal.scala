@@ -21,15 +21,21 @@ import scala.collection.mutable.ArrayBuffer
   *    B-tree (any level on read; single leaf level on write) → SNODs →
   *    local heap
   *  - dataspace v1 (v2 also parsed), any rank
-  *  - datatype classes: fixed-point (i32/i64), IEEE float (f32/f64),
-  *    null-terminated strings (attributes)
-  *  - data layout v3 contiguous
+  *  - datatype classes: fixed-point (signed/unsigned, 1/2/4/8 bytes),
+  *    IEEE float (f32/f64), null-terminated strings (attributes)
+  *  - data layout v3 contiguous AND v3 chunked (v1 chunk B-tree, any
+  *    level, edge-chunk clipping) — the layout the real instrument
+  *    files use (`tests/data/loader/mpes/Scan0030_2.h5`: 50000-element
+  *    chunks per stream)
+  *  - filter pipeline v1/v2: deflate (JDK `Inflater`), shuffle,
+  *    fletcher32 (checksum stripped) — the default h5py/gzip stack
   *  - attribute message v1
   *
-  * Out of scope (rejected with a clear error on read): chunked/
-  * compressed layouts, new-style (fractal-heap) groups, superblock ≥ v2.
-  * Plain `h5py.create_dataset` without `chunks=`/`compression=` produces
-  * exactly the supported subset.
+  * Out of scope (rejected with a clear error on read): new-style
+  * (fractal-heap) groups, superblock ≥ v2, filters beyond the three
+  * above (szip/lzf name the missing feature in the error). Anything
+  * h5py writes with default settings — with or without `chunks=` /
+  * `compression="gzip"` / `shuffle=True` — is readable.
   *
   * Everything operates on byte arrays, so executor-side decode over
   * Spark's `binaryFile` source works unchanged (one task per file, the
@@ -479,30 +485,202 @@ object Hdf5Minimal {
         throw new IllegalArgumentException(s"dataset $name missing $what"))
     val dims = parseDataspace(msg(0x0001, "dataspace"))
     val n = dims.product
-    val (cls, size) = parseDatatype(msg(0x0003, "datatype"), name)
+    val (cls, size, signed) = parseDatatype(msg(0x0003, "datatype"), name)
     val lay = ByteBuffer.wrap(msg(0x0008, "data layout")).order(ByteOrder.LITTLE_ENDIAN)
-    require(lay.get(0) == 3 && lay.get(1) == 1,
-      s"dataset $name: only layout v3 contiguous supported " +
-        s"(got v${lay.get(0)} class ${lay.get(1)} — chunked/compressed data " +
-        "is out of the minimal reader's scope)")
-    val dataAddr = lay.getLong(2)
-    val dataSize = lay.getLong(10)
-    require(dataSize == n * size, s"dataset $name: layout/dataspace size mismatch")
-    val d = ByteBuffer.wrap(bytes, dataAddr.toInt, dataSize.toInt)
-      .order(ByteOrder.LITTLE_ENDIAN)
+    require(lay.get(0) == 3,
+      s"dataset $name: only data-layout message v3 supported (got v${lay.get(0)})")
+    val raw: Array[Byte] = (lay.get(1) & 0xff) match {
+      case 1 => // contiguous
+        val dataAddr = lay.getLong(2)
+        val dataSize = lay.getLong(10)
+        if (dataAddr == Undef) new Array[Byte]((n * size).toInt) // never written
+        else {
+          require(dataSize == n * size,
+            s"dataset $name: layout/dataspace size mismatch")
+          java.util.Arrays.copyOfRange(
+            bytes, dataAddr.toInt, (dataAddr + dataSize).toInt)
+        }
+      case 2 => // chunked, v1 chunk B-tree
+        val filters = msgs.find(_._1 == 0x000B)
+          .map(m => parseFilterPipeline(m._2, name)).getOrElse(Nil)
+        readChunked(bytes, buf, name, lay, dims, size, filters)
+      case other => throw new IllegalArgumentException(
+        s"dataset $name: layout class $other unsupported " +
+          "(contiguous and chunked only; compact layout is out of scope)")
+    }
+    val d = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val data: Hdf5Data = (cls, size) match {
       case (1, 8) => F64(Array.fill(n.toInt)(d.getDouble))
       case (1, 4) => F32(Array.fill(n.toInt)(d.getFloat))
-      case (0, 8) => I64(Array.fill(n.toInt)(d.getLong))
-      case (0, 4) => I32(Array.fill(n.toInt)(d.getInt))
+      case (0, 8) => I64(Array.fill(n.toInt)(d.getLong)) // u64 > 2^63 unsupported
+      case (0, 4) =>
+        if (signed) I32(Array.fill(n.toInt)(d.getInt))
+        else I64(Array.fill(n.toInt)(d.getInt.toLong & 0xffffffffL)) // u32 widened
+      case (0, 2) =>
+        if (signed) I32(Array.fill(n.toInt)(d.getShort.toInt))
+        else I32(Array.fill(n.toInt)(d.getShort & 0xffff))
+      case (0, 1) =>
+        if (signed) I32(Array.fill(n.toInt)(d.get.toInt))
+        else I32(Array.fill(n.toInt)(d.get & 0xff))
       case (3, sz) =>
         require(n == 1, s"dataset $name: only scalar string datasets supported")
-        val raw = new Array[Byte](sz); d.get(raw)
-        Str(new String(raw.takeWhile(_ != 0), "UTF-8"))
+        Str(new String(raw.take(sz).takeWhile(_ != 0), "UTF-8"))
       case other  => throw new IllegalArgumentException(
         s"dataset $name: unsupported datatype class/size $other")
     }
     Dataset(name, data, attrs, Some(dims))
+  }
+
+  /** One entry of a dataset's filter pipeline, in application order. */
+  private[loader] final case class Filter(id: Int, clientData: Seq[Int])
+
+  /** Filter-pipeline message (0x000B), v1 or v2 encoding. */
+  private def parseFilterPipeline(body: Array[Byte], name: String): Seq[Filter] = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val version = body(0) & 0xff
+    val nFilters = body(1) & 0xff
+    val out = ArrayBuffer[Filter]()
+    var p = if (version == 1) 8 else 2
+    (0 until nFilters).foreach { _ =>
+      val id = b.getShort(p) & 0xffff
+      var nameLen = 0
+      if (version == 1) { nameLen = b.getShort(p + 2) & 0xffff; p += 2 }
+      else if (id >= 256) { nameLen = b.getShort(p + 2) & 0xffff; p += 2 }
+      val nClient = b.getShort(p + 4) & 0xffff
+      p += 6 + (if (version == 1) pad8(nameLen) else nameLen)
+      val cvals = (0 until nClient).map(i => b.getInt(p + 4 * i))
+      p += 4 * nClient
+      if (version == 1 && nClient % 2 == 1) p += 4
+      out += Filter(id, cvals)
+    }
+    out.toSeq
+  }
+
+  /** Undo a chunk's filter pipeline (reverse application order); bits set
+    * in `mask` mark filters that were skipped when the chunk was written.
+    */
+  private[loader] def defilter(
+      chunk: Array[Byte], filters: Seq[Filter], mask: Int,
+      chunkBytes: Int, name: String,
+  ): Array[Byte] = {
+    var cur = chunk
+    filters.zipWithIndex.reverse.foreach { case (f, i) =>
+      if ((mask & (1 << i)) == 0) f.id match {
+        case 1 => // deflate
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(cur)
+          val out = new Array[Byte](chunkBytes)
+          var off = 0
+          while (!inf.finished() && off < chunkBytes) {
+            val k = inf.inflate(out, off, chunkBytes - off)
+            require(k > 0 || !inf.needsInput,
+              s"dataset $name: truncated deflate chunk")
+            off += k
+          }
+          inf.end()
+          cur = out
+        case 2 => // shuffle: [all byte0][all byte1]... -> interleaved
+          val es = f.clientData.headOption.getOrElse(1)
+          if (es > 1) {
+            val nElem = cur.length / es
+            val out = new Array[Byte](cur.length)
+            var j = 0
+            while (j < nElem) {
+              var byte = 0
+              while (byte < es) {
+                out(j * es + byte) = cur(byte * nElem + j)
+                byte += 1
+              }
+              j += 1
+            }
+            cur = out
+          }
+        case 3 => // fletcher32: 4-byte checksum appended; strip
+          cur = java.util.Arrays.copyOf(cur, cur.length - 4)
+        case other => throw new IllegalArgumentException(
+          s"dataset $name: filter id $other unsupported " +
+            "(deflate/shuffle/fletcher32 only — szip/lzf out of scope)")
+      }
+    }
+    cur
+  }
+
+  /** Assemble a chunked dataset's raw bytes by walking its v1 chunk
+    * B-tree (node type 1). Keys carry (stored size, filter mask, element
+    * offsets); leaves point at chunk data. Edge chunks are clipped to the
+    * dataspace. Fill value for unwritten chunks is zero (the HDF5
+    * default; fill-value messages are not interpreted).
+    */
+  private def readChunked(
+      bytes: Array[Byte], buf: ByteBuffer, name: String,
+      lay: ByteBuffer, dims: Seq[Long], elemSize: Int, filters: Seq[Filter],
+  ): Array[Byte] = {
+    val ndims = lay.get(2) & 0xff // dataset rank + 1 (last dim = elem size)
+    val btAddr = lay.getLong(3)
+    val cdimsAll = (0 until ndims).map(i => lay.getInt(11 + 4 * i).toLong & 0xffffffffL)
+    require(ndims == dims.length + 1 && cdimsAll.last == elemSize,
+      s"dataset $name: chunk dimensionality ${cdimsAll.mkString("x")} " +
+        s"inconsistent with dataspace ${dims.mkString("x")} elem $elemSize")
+    val chunkDims = cdimsAll.init
+    val total = dims.product * elemSize
+    require(total <= Int.MaxValue, s"dataset $name: > 2 GiB in one file")
+    val out = new Array[Byte](total.toInt)
+    if (btAddr == Undef) return out // dataset allocated but never written
+
+    val rank = dims.length
+    // row-major element strides of the full dataspace / of one chunk
+    val dstStride = dims.scanRight(1L)(_ * _).tail
+    val srcStride = chunkDims.scanRight(1L)(_ * _).tail
+    val chunkBytes = (chunkDims.product * elemSize).toInt
+
+    def copyChunk(raw: Array[Byte], offs: Seq[Long]): Unit = {
+      def rec(d: Int, srcIdx: Long, dstIdx: Long): Unit = {
+        val run = math.min(chunkDims(d), dims(d) - offs(d))
+        if (run <= 0) return
+        if (d == rank - 1)
+          System.arraycopy(raw, (srcIdx * elemSize).toInt,
+            out, ((dstIdx + offs(d)) * elemSize).toInt, (run * elemSize).toInt)
+        else {
+          var c = 0L
+          while (c < run) {
+            rec(d + 1, srcIdx + c * srcStride(d), dstIdx + (offs(d) + c) * dstStride(d))
+            c += 1
+          }
+        }
+      }
+      rec(0, 0L, 0L)
+    }
+
+    val keySize = 8 + 8 * ndims
+    def walkChunkTree(addr: Long): Unit = {
+      require(buf.getInt(addr.toInt) == asciiTag("TREE") &&
+        (buf.get(addr.toInt + 4) & 0xff) == 1,
+        s"dataset $name: bad chunk B-tree node")
+      val level = buf.get(addr.toInt + 5) & 0xff
+      val used = buf.getShort(addr.toInt + 6) & 0xffff
+      var p = addr.toInt + 24
+      (0 until used).foreach { _ =>
+        val storedSize = buf.getInt(p).toLong & 0xffffffffL
+        val filterMask = buf.getInt(p + 4)
+        val offs = (0 until ndims).map(j => buf.getLong(p + 8 + 8 * j))
+        val child = buf.getLong(p + keySize)
+        if (level > 0) walkChunkTree(child)
+        else {
+          val stored = java.util.Arrays.copyOfRange(
+            bytes, child.toInt, (child + storedSize).toInt)
+          val raw =
+            if (filters.isEmpty) stored
+            else defilter(stored, filters, filterMask, chunkBytes, name)
+          require(raw.length >= chunkBytes,
+            s"dataset $name: chunk at ${offs.mkString(",")} decoded to " +
+              s"${raw.length} bytes, expected $chunkBytes")
+          copyChunk(raw, offs.init)
+        }
+        p += keySize + 8
+      }
+    }
+    walkChunkTree(btAddr)
+    out
   }
 
   /** All messages of a v1 object header, following continuation blocks.
@@ -570,13 +748,16 @@ object Hdf5Minimal {
     }
   }
 
-  /** (class, byte size) of a datatype message; validates little-endian. */
-  private def parseDatatype(body: Array[Byte], name: String): (Int, Int) = {
+  /** (class, byte size, signed) of a datatype message; validates
+    * little-endian. `signed` is bit 3 of the first bit field (fixed-point
+    * class only; meaningless for other classes).
+    */
+  private def parseDatatype(body: Array[Byte], name: String): (Int, Int, Boolean) = {
     val cls = body(0) & 0x0f
     val bitField0 = body(1) & 0xff
     require((bitField0 & 0x01) == 0,
       s"dataset $name: big-endian data unsupported")
     val size = ByteBuffer.wrap(body, 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-    (cls, size)
+    (cls, size, (bitField0 & 0x08) != 0)
   }
 }

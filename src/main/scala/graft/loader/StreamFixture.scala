@@ -72,6 +72,16 @@ object StreamFixture {
   private val TsFormat =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxx")
 
+  /** Lenient parse twin of [[TsFormat]]: Python's `%f` accepts 1-6
+    * fractional digits (the real `Scan0030_2.h5` carries 3), so reading
+    * must too; writing stays fixed-width 6.
+    */
+  private val TsParse = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd'T'HH:mm:ss")
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+    .appendPattern("xx")
+    .toFormatter
+
   /** Write `data` as a REAL HDF5 file in the mpes instrument layout:
     * one root-level 1-D dataset per channel (each with a `Name` alias
     * attribute), an int64 `msMarkers` dataset, and the
@@ -100,11 +110,27 @@ object StreamFixture {
       .map(d => d.name -> d.data.asDoubles)
     val startTs = root.attrs.get("FirstEventTimeStamp") match {
       case Some(s) =>
-        val odt = java.time.OffsetDateTime.parse(s, TsFormat)
+        val odt = java.time.OffsetDateTime.parse(s, TsParse)
         odt.toEpochSecond.toDouble + odt.getNano / 1e9
       case None => 0.0
     }
     StreamData(startTs, channels, markers)
+  }
+
+  /** Channel discovery on a raw instrument file (`get_groups_and_aliases`,
+    * `sed/loader/mpes/loader.py:232-263`): datasets whose name contains
+    * `searchPattern`, aliased by their `Name` attribute when present —
+    * yields e.g. `Stream_0 -> X, Stream_1 -> Y, Stream_2 -> t,
+    * Stream_4 -> ADC` on the real SPECS Metis files.
+    */
+  def groupsAndAliases(
+      bytes: Array[Byte],
+      searchPattern: String = "Stream",
+  ): Seq[(String, String)] = {
+    val root = Hdf5Minimal.parse(bytes)
+    root.datasets
+      .filter(_.name.contains(searchPattern))
+      .map(d => d.name -> d.attrs.getOrElse("Name", d.name))
   }
 
   /** Pure decoder — runs inside executor tasks on `binaryFile` content.
