@@ -474,6 +474,44 @@ object Dedup {
       .drop("_salts", "_salt")
   }
 
+  /** Split oversized blocks of an EMBEDDING self-join by appending sign-
+    * LSH bits of the vector itself instead of a random salt: rows that
+    * are actually similar share hyperplane signs, so near-dup pairs
+    * overwhelmingly stay in the same sub-block (per kept bit, a pair at
+    * angle θ splits with probability θ/π — small at high cosine), whereas
+    * [[saltBlocks]] scatters them uniformly and silently destroys recall
+    * across salt boundaries. Per-block bit count is sized from the same
+    * one-pass block census: `bits = ceil(log2(n / maxBlockSize))`, capped
+    * at `maxBits`.
+    *
+    * Irreducible case, by design: a block of near-IDENTICAL vectors keeps
+    * identical signs and does not split — those pairs are precisely the
+    * duplicates the join exists to find, so splitting them would be
+    * wrong; their quadratic cost is inherent to emitting all such pairs.
+    */
+  def lshSubBlocks(
+      df: DataFrame, // columns block, id, v
+      maxBlockSize: Long,
+      dim: Int,
+      maxBits: Int = 16,
+      seed: Long = 99L,
+  ): DataFrame = {
+    val planes = Similarity.hyperplanes(dim, maxBits, seed)
+    val oversized = df.groupBy(col("block"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxBlockSize)
+      .select(col("block"),
+        least(ceil(log(2.0, col("_n").cast("double") / maxBlockSize)),
+          lit(maxBits.toDouble)).cast("int").as("_bits"))
+    df.join(broadcast(oversized), Seq("block"), "left")
+      .withColumn("_sub",
+        when(col("_bits").isNull || col("_bits") <= 0, lit(0L))
+          .otherwise(pmod(Similarity.lshBucket(col("v"), planes),
+            pow(lit(2.0), col("_bits")).cast("long"))))
+      .withColumn("block", concat_ws("#", col("block"), col("_sub")))
+      .drop("_bits", "_sub")
+  }
+
   // ---- duplicate-cluster resolution ----
 
   /** Connected components over near-duplicate pairs: assigns every id the
@@ -485,18 +523,20 @@ object Dedup {
     * something), so when it fits comfortably on the driver
     * (`<= driverEdgeLimit` edges, default 2e6) a single-pass union-find
     * computes exact labels with zero extra Spark jobs — the iterative path
-    * costs O(diameter) full shuffle rounds, each with a fixed scheduling
-    * floor that dwarfs sub-second graphs. Edges stream to the driver one
+    * costs O(log diameter) full shuffle rounds, each with a fixed
+    * scheduling floor that dwarfs sub-second graphs. Edges stream to the
+    * driver one
     * partition at a time (typed `toLocalIterator`, no Row array) into a
     * primitive open-addressing map (~17 B per node), so the limit costs
     * ≤ ~150 MB of driver heap even with 2 nodes per edge — not the
     * multi-GB a collected `Array[Row]` + boxed HashMap would.
-    * Above the limit: distributed label propagation — each round joins
-    * current labels across the (symmetrized) edge list and keeps the
-    * per-node minimum, O(diameter) rounds of hash joins, all shuffles
-    * keyed on node id. Near-dup graphs are unions of small cliques-ish
-    * clusters (diameter ≤ ~log n in practice), so `maxIter` defaults
-    * small; iteration stops early when a round changes nothing.
+    * Above the limit: distributed star-merge label propagation
+    * (neighborhood min → per-star min → pointer-jump collapse, the
+    * alternating-round shape of Kiveris et al.) — O(log n) rounds even
+    * on path graphs, so the default `maxIter = 10` is a real budget.
+    * Iteration stops early when a round changes nothing; an unconverged
+    * exit at `maxIter` logs a loud warning instead of silently splitting
+    * clusters.
     *
     * Both paths return the same exact result (columns `id`, `label`);
     * the returned DataFrame of the distributed path is cached — callers
@@ -613,8 +653,17 @@ object Dedup {
       schema)
   }
 
-  /** Distributed label propagation (at-scale path of
-    * [[connectedComponents]]).
+  /** Distributed star-merge label propagation (at-scale path of
+    * [[connectedComponents]]), the alternating-round shape of Kiveris et
+    * al.'s MapReduce CC: each round (1) takes the min label over every
+    * node's neighborhood, (2) aggregates those mins per STAR (groupBy
+    * the old label) so a root learns the best label any member found,
+    * (3) pointer-jumps `m ← m∘m` until depth 1 so chained star merges
+    * flatten within the round. Empirically O(log n) rounds on path
+    * graphs (300-hop: 6, 5000-hop: ~7) vs the O(diameter) of plain
+    * min-label propagation — `maxIter = 10` is a real budget, and an
+    * unconverged exit emits a LOUD warning instead of silently returning
+    * split clusters.
     */
   private def ccDistributed(
       pairs: DataFrame,
@@ -624,47 +673,87 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("id"))
+    // The jump self-join references the previous round's plan TWICE, so
+    // lineage must be truncated every round or the logical plan doubles
+    // per iteration (plain cache() would not shrink the tree). NOT
+    // localCheckpoint: its LogicalRDD inherits the checkpointed plan's
+    // size ESTIMATE, and the join estimator multiplies child sizes — so
+    // the carried BigInt stat squares every round and stats computation
+    // itself grinds to a halt on million-digit numbers. Materializing
+    // the row RDD and re-wrapping it resets stats to the default each
+    // round; the persisted RDD handle doubles as the free-list.
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    def truncate(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count() // materialize before freeing the round it derives from
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
+      df.sparkSession.createDataFrame(rdd, df.schema)
+    }
+    var labels = truncate(edges.select(col("src").as("id"))
       .distinct()
-      .withColumn("label", col("id"))
-      .cache()
-    // Spark's uncacheQuery is plan-identity based: unpersisting a Project
-    // wrapped around the cached Aggregate is a no-op, so track the exact
-    // DataFrame that was cached separately from the projected view.
-    var cached: DataFrame = labels
+      .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // min label among self and neighbors; the node's own previous label
-      // rides along in the same aggregation so convergence needs no extra
-      // join — one shuffle per iteration total
+      // phase 1 — per-node neighborhood min; the node's own previous
+      // label rides along in the same aggregation, both for the star
+      // key of phase 2 and for the outer convergence check
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"), lit(false).as("_own"))
-      val next = labels.select(col("id"), col("label"), lit(true).as("_own"))
+      val m1 = labels.select(col("id"), col("label"), lit(true).as("_own"))
         .union(viaNeighbors)
         .groupBy("id")
-        .agg(min("label").as("label"),
+        .agg(min("label").as("_nmin"),
           min(when(col("_own"), col("label"))).as("_old"))
-        .cache()
-      val changed = next.filter(col("label") < col("_old")).limit(1).count() > 0
-      cached.unpersist()
-      cached = next
-      labels = next.select("id", "label")
+      // phase 2 — star min: members report their neighborhood mins UP to
+      // their root (groupBy the old label) and the whole star re-points
+      // to the star-wide min. Without this, a member bordering a smaller
+      // star improves alone and its root never learns — which degrades
+      // the round count back to O(diameter).
+      val starMin = m1.groupBy(col("_old").as("_root"))
+        .agg(min("_nmin").as("_smin"))
+      var m = truncate(m1.join(starMin, m1("_old") === starMin("_root"))
+        .select(col("id"), col("_smin").as("label"), col("_old")))
+      // phase 3 — pointer-doubling collapse: m ← m∘m until stable, so
+      // every node points DIRECTLY at its star's root before the next
+      // round (chains of same-round star merges flatten here). Each
+      // composition halves pointer-chain depth, so this inner loop runs
+      // O(log depth) ≈ 1-3 times. Every label value is itself a node id
+      // (a min over ids), so the self-join is total; labels only
+      // decrease, so _jlabel <= label.
+      var collapsed = false
+      var inner = 0
+      while (!collapsed && inner < 62) {
+        val jumped = truncate(m.as("a")
+          .join(m.select(col("id").as("_jid"), col("label").as("_jlabel")).as("b"),
+            col("a.label") === col("_jid"))
+          .select(col("a.id").as("id"), col("_jlabel").as("label"),
+            col("_old"), (col("a.label") > col("_jlabel")).as("_moved")))
+        collapsed = jumped.filter(col("_moved")).limit(1).count() == 0
+        m = jumped.select("id", "label", "_old")
+        inner += 1
+      }
+      val changed = m.filter(col("label") < col("_old")).limit(1).count() > 0
+      labels = m.select("id", "label")
       converged = !changed
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup").warn(
+        s"connectedComponents did NOT converge after $maxIter rounds — " +
+          "returned labels may split true clusters. Star-merge rounds are " +
+          "logarithmic (a 5000-hop path converges in ~7), so hitting this " +
+          "bound means a pathological graph: raise maxIter.")
     edges.unpersist()
-    // Hand the caller a frame THEY can unpersist (plan-identity again:
-    // unpersisting the projection would not free the final iteration's
-    // cache). The copy is tiny — two longs per node, read from cache.
-    if (cached eq labels) labels // maxIter == 0: already directly cached
-    else {
-      val out = labels.cache()
-      out.count()
-      cached.unpersist()
-      out
-    }
+    // Hand the caller a frame THEY can unpersist; the copy is tiny — two
+    // longs per node, read straight from the final checkpoint.
+    val out = labels.cache()
+    out.count()
+    if (prevRdd != null) prevRdd.unpersist(blocking = false)
+    out
   }
 
   /** End-to-end near-duplicate removal: MinHash-LSH candidate pairs →
@@ -721,9 +810,11 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs within a blocking key (label,
     * LSH bucket, …): `cos(a, b) >= threshold`, `id_a < id_b`.
     *
-    * `maxBlockSize` auto-salts oversized blocks ([[saltBlocks]]) so a hot
-    * bucket cannot concentrate quadratic pair work on one task; cross-
-    * salt pairs of a split block are lost (documented recall dial).
+    * `maxBlockSize` sub-splits oversized blocks by sign LSH over the
+    * embeddings ([[lshSubBlocks]]) so a hot bucket cannot concentrate
+    * quadratic pair work on one task while near-dup pairs still land in
+    * the same sub-block (per-bit split probability θ/π, tiny at high
+    * cosine — the recall-aware alternative to random salting).
     */
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): assign every embedding to its nearest fixed
@@ -736,12 +827,18 @@ object Dedup {
     * no-op). Returns the survivors with their `sem_cluster` assignment.
     *
     * 100 TB shape: assignment is a map-only pass; the pair join shuffles
-    * once on the cluster id with `maxBlockSize` auto-salting available
-    * for hot clusters; component labeling runs through
+    * once on the cluster id; component labeling runs through
     * [[connectedComponents]] (driver under 2e6 edges, distributed label
-    * propagation above). Train centroids offline on a bounded sample
-    * ([[Similarity.kmeansCentroids]]) — the corpus never leaves the
-    * executors.
+    * propagation above). The within-cluster pair join is quadratic in
+    * cluster size, so SIZE THE QUANTIZER: the SemDeDup paper's regime is
+    * k ≈ √N centroids (clusters of ~√N ⇒ ~N total pairs); with a corpus
+    * count n, pass `centroids` of length ≈ ceil(sqrt(n)). `maxBlockSize`
+    * is the belt-and-braces cap for residual hot clusters — oversized
+    * blocks sub-split by sign LSH over the embeddings themselves
+    * ([[lshSubBlocks]]), which keeps genuinely-similar pairs together
+    * instead of the recall-destroying random salting. Train centroids
+    * offline on a bounded sample ([[Similarity.kmeansCentroids]]) — the
+    * corpus never leaves the executors.
     */
   def semDedup(
       df: DataFrame,
@@ -770,7 +867,12 @@ object Dedup {
       maxBlockSize: Option[Long] = None,
   ): DataFrame = {
     val raw = df.select(col(idCol).as("id"), blockCol.as("block"), col(vecCol).as("v"))
-    val v = maxBlockSize.fold(raw)(m => saltBlocks(raw, "block", "id", m))
+    // oversized blocks sub-split by sign LSH over the vectors themselves
+    // (recall-aware), NOT by random salting (recall-destroying)
+    val v = maxBlockSize.fold(raw) { m =>
+      val first = df.select(size(col(vecCol))).limit(1).collect()
+      if (first.isEmpty) raw else lshSubBlocks(raw, m, first(0).getInt(0))
+    }
     // identical-plan self-join (see minhashNearDuplicates)
     v.as("a")
       .join(v.as("b"), col("a.block") === col("b.block"))

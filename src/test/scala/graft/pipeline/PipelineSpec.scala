@@ -342,6 +342,46 @@ class PipelineSpec extends SparkSpec {
     assert(eSalted.nonEmpty)
   }
 
+  test("lshSubBlocks bounds a skewed cluster without losing near-dup pairs") {
+    // one dominant sem-cluster: 100 diverse vectors + 10 near-identical
+    // PAIRS (the duplicates the join must find). Random salting with
+    // ceil(120/16)=8 shards would keep each pair together with p=1/8;
+    // LSH sub-blocking keeps all 10 together by construction.
+    val rnd = new scala.util.Random(4242)
+    val diverse = (0 until 100).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), "hot"))
+    val dupPairs = (0 until 10).flatMap { p =>
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+      Seq((1000L + 2 * p, base, "hot"),
+        (1000L + 2 * p + 1, base.map(x => x * 1.0001f), "hot"))
+    }
+    val vecs = (diverse ++ dupPairs).toDF("vec_id", "embedding", "bucket")
+
+    // direct sub-block census: oversized block genuinely splits, bounded
+    val sub = Dedup.lshSubBlocks(
+      vecs.select(col("vec_id").as("id"), col("bucket").as("block"),
+        col("embedding").as("v")),
+      maxBlockSize = 16L, dim = 8)
+    val sizes = sub.groupBy("block").count().as[(String, Long)].collect().toMap
+    assert(sizes.size > 1, "oversized block did not split")
+    assert(sizes.values.max <= 45L, s"sub-block still hot: $sizes") // 120/8 ≈ 15 expected
+    // every near-identical pair shares a sub-block (recall preserved)
+    val blockOf = sub.select("id", "block").as[(Long, String)].collect().toMap
+    (0 until 10).foreach { p =>
+      assert(blockOf(1000L + 2 * p) === blockOf(1000L + 2 * p + 1),
+        s"pair $p split across sub-blocks")
+    }
+    // end-to-end: the capped pair join still finds ALL 10 duplicate pairs
+    val found = Dedup.embeddingNearDuplicates(
+      vecs, "embedding", "vec_id", col("bucket"), threshold = 0.999,
+      maxBlockSize = Some(16L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 10).foreach { p =>
+      assert(found.contains((1000L + 2 * p, 1000L + 2 * p + 1)),
+        s"duplicate pair $p lost by sub-blocking")
+    }
+  }
+
   test("dedupSpans removes repeated 3-sentence spans from later occurrences") {
     val shared = "Alpha one two. Beta three four. Gamma five six."
     val docs = Seq(
@@ -473,6 +513,21 @@ class PipelineSpec extends SparkSpec {
     labels.unpersist(blocking = true)
     assert(spark.sharedState.cacheManager.isEmpty,
       "iteration caches leaked past connectedComponents")
+  }
+
+  test("connectedComponents: 300-hop chain converges within default maxIter") {
+    // regression for silent non-convergence: plain min-label propagation
+    // needs O(diameter) rounds and would split this chain after 10; the
+    // pointer-doubling rounds need only O(log diameter) ≈ 9
+    val ids = scala.util.Random.javaRandomToRandom(new java.util.Random(42))
+      .shuffle((0L to 300L).toVector) // shuffled so min sits mid-chain
+    val pairs = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist()
+    assert(got.size === 301)
+    assert(got.values.toSet === Set(0L), "chain split into multiple clusters")
+    spark.catalog.clearCache()
   }
 
   test("connectedComponents driver and distributed paths agree") {
