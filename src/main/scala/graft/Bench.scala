@@ -16,10 +16,12 @@ import graft.dfops.DfOps
   * untimed run, then each workload executes to a noop sink — `count()`
   * would let Catalyst prune the projections being measured — and the best
   * of five runs is reported, matching the reference's min-of-5
-  * (`benchmark_sed.py:57`). A single-thread CPU canary is timed before
-  * and after the suite and reported as `canary_sec`: on a quiet box it is
-  * stable run-to-run, so a recorded bench with an inflated canary is
-  * flagged as load-contaminated rather than a code regression.
+  * (`benchmark_sed.py:57`). A single-thread CPU canary (~0.03 s quiet)
+  * brackets EVERY query's timed reps and the worse of each pair is
+  * reported per query (`canaries`), plus a whole-suite minimum
+  * (`canary_sec`): a mid-suite load spike that inflates one query then
+  * visibly inflates that query's canary, so a contaminated artifact
+  * self-identifies at per-query resolution.
   */
 object Bench {
 
@@ -163,27 +165,36 @@ object Bench {
         documents, "text"))),
     )
 
+    // canary runs bracket EVERY query's timed reps (not just the suite):
+    // a load spike that inflates one query also inflates that query's
+    // canary pair, so a contaminated artifact is self-evidently
+    // contaminated at per-query resolution
     val canaryBefore = canary()
     val results = workloads.map { case (name, run) =>
       // per-workload untimed warm-up: whole-stage-codegen class generation
       // and its C2 compilation happen per distinct plan
       try run()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      val cBefore = canary()
       val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         try run()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      val cAfter = canary()
+      (name, times.min, math.max(cBefore, cAfter))
     }
     val canarySec = math.min(canaryBefore, canary())
 
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v }
+      .map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cs = results
+      .map { case (k, _, c) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_sec":$canarySec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_sec":$canarySec,"canaries":$cs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -364,9 +364,12 @@ object SparkEntry {
       pipeline.Similarity.ivfTopK(emb, "embedding", "vec_id", seeds(0), seeds, 10)
     }),
     // Bloom-filter incremental dedup: fingerprint the even-id half of the
-    // corpus, keep batch rows not (probably) seen. Deterministic but not
-    // SQL-expressible (Spark xxhash64 + bloom bit layout) -> rows-only
-    // driver check; FN/FP bounds are property-tested in PipelineSpec
+    // corpus, keep batch rows not (probably) seen. Oracle = the exact
+    // anti-join equivalent — sound because the FP budget rounds to zero
+    // at gate fill ratios (see oracleSql) and the filter is
+    // deterministic; FN/FP bounds are additionally property-tested in
+    // PipelineSpec, and the bloom-vs-exact subset contract under FORCED
+    // false positives in ContractSpec
     "q_bloom_new" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val fp = pipeline.Dedup.buildBloomFingerprint(
@@ -806,6 +809,16 @@ object SparkEntry {
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
     "q_dedup_drop" ->
       "SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))",
+    // exact-dedup equivalent of the bloom drop: rows whose text is not in
+    // the fingerprinted (even-id) half. Valid as the bloom oracle because
+    // the FP budget at gate fill ratios rounds to zero (m sized for 10k
+    // items at fpp=1e-3; inserting <=5k fills <18% of the bits, so the
+    // per-probe FP rate is ~0.18^10 < 1e-7) and the filter is
+    // deterministic — bloom == exact on every gate dataset
+    "q_bloom_new" ->
+      """SELECT doc_id FROM documents d WHERE NOT EXISTS
+        | (SELECT 1 FROM documents c WHERE c.doc_id % 2 = 0 AND c.text = d.text)"""
+        .stripMargin.replace("\n", " "),
     "q_fingerprint" ->
       raw"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents",
     "q_token_count" ->

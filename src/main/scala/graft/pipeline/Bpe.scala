@@ -43,8 +43,14 @@ object Bpe {
       numMerges: Int,
       sampleN: Int = 10000,
   ): Seq[(String, String)] = {
+    // top-N by a deterministic portable hash of the text: reproducible
+    // across runs yet UNBIASED — ordering by the raw text would train the
+    // merge table on the lexicographically-smallest documents (leading
+    // digits/punctuation/short docs), skewing learned merges on any real
+    // corpus
     val texts = df.select(col(textCol).cast("string"))
-      .orderBy(col(textCol)).limit(sampleN)
+      .orderBy(TextOps.portableTokenHash(col(textCol)), col(textCol))
+      .limit(sampleN)
       .collect().map(_.getString(0))
     val wordFreq = mutable.Map.empty[String, Long].withDefaultValue(0L)
     texts.foreach(t => t.trim.split("\\s+").filter(_.nonEmpty)
@@ -184,8 +190,16 @@ object Bpe {
 
   /** True subword token count under the learned tokenizer — the number a
     * packing/chunking budget should use once a merge table exists.
+    * When the pieces themselves are also needed, bind [[bpeTokens]] once
+    * and use the single-argument overload — this variant builds its own
+    * broadcast rank table and runs the greedy encode again.
     */
   def bpeTokenCount(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): Column =
     size(bpeTokens(df, textCol, merges))
+
+  /** Token count over an already-bound [[bpeTokens]] column — reuses that
+    * column's broadcast and encode instead of re-deriving both.
+    */
+  def bpeTokenCount(pieces: Column): Column = size(pieces)
 }

@@ -233,7 +233,10 @@ object Multimodal {
       struct(lit(b).as("bidx"),
         shiftrightunsigned(col("dhash"), start).bitwiseAND(lit(mask)).as("bval"))
     }
-    val sides = dHash(df, binCol)
+    // null/empty binaries all hash to 0 and would pair up as spurious
+    // exact duplicates of each other — exclude them from pairing
+    val present = df.filter(col(binCol).isNotNull && length(col(binCol)) > 0)
+    val sides = dHash(present, binCol)
       .select(col(idCol).as("id"), col("dhash"),
         explode(array(blocks: _*)).as("_b"))
       .select(col("id"), col("dhash"),

@@ -318,14 +318,16 @@ object TextOps {
         when(col("_g.n2") > 0,
           round(lit(1.0) - col("_g.nd2").cast("double") / col("_g.n2"), 6))
           .otherwise(lit(0.0)).as("dup_2gram_ratio"))
+    // coalesce pins NULL-text rows to 0 (reject), matching the oracle's
+    // CASE semantics — a bare cast would propagate NULL
     out.withColumn("gopher_keep",
-      (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+      coalesce((col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
         col("avg_token_len") >= minAvgLen && col("avg_token_len") <= maxAvgLen &&
         col("symbol_ratio") <= maxSymbolRatio &&
         col("alpha_ratio") >= minAlphaRatio &&
         col("required_hits") >= minRequiredHits &&
         col("dup_word_ratio") <= maxDupWord &&
-        col("dup_2gram_ratio") <= maxDup2gram).cast("int"))
+        col("dup_2gram_ratio") <= maxDup2gram).cast("int"), lit(0)))
   }
 
   /** Bigram-LM log-perplexity quality score: per document, the mean
@@ -629,8 +631,11 @@ object TextOps {
       countTokens(col(textCol)).cast("long").as("n_tokens") +:
       carryCols.map(col): _*)
       .withColumn("_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // integral division (SQL DIV), not floor-of-double: a group's
+      // running token sum can exceed 2^53 at the 100 TB design point,
+      // where double division would mis-bucket
       .select(col(idCol) +: col("pack_group") +: col("n_tokens") +:
-        floor(col("_start") / budget).as("pack_id") +:
+        expr(s"_start DIV CAST($budget AS BIGINT)").as("pack_id") +:
         (col("_start") % budget).as("pack_offset") +:
         carryCols.map(col): _*)
   }

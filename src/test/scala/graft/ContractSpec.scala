@@ -14,8 +14,9 @@ class ContractSpec extends SparkSpec {
 
   // Queries whose results are deterministic but not ANSI-SQL-expressible
   // (engine-internal hash layouts); the driver records a rows-only check
-  // for these. Additions here need a property test covering the semantics.
-  private val rowsOnlyQueries = Set("q_bloom_new")
+  // for these. Empty since q_bloom_new gained its exact-dedup oracle —
+  // additions here need a property test covering the semantics.
+  private val rowsOnlyQueries = Set.empty[String]
 
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
@@ -128,6 +129,30 @@ class ContractSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(pack_group".r
       .findAllIn(pack).length === 1, pack)
     assert("Exchange".r.findAllIn(pack).length === 1, pack)
+  }
+
+  test("bloom dedup = exact dedup minus a bounded FP budget (forced FPs)") {
+    // the q_bloom_new oracle equates bloom with the exact anti-join; this
+    // pins the semantic contract on the regime where they CAN differ — a
+    // deliberately undersized filter (expectedItems 500 for 1000 inserts,
+    // ~70% bit fill → per-probe FP ≈ 0.4) that forces false positives
+    val docs = (0 until 2000).map(i => (i.toLong, s"bloom contract doc $i"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val fp = pipeline.Dedup.buildBloomFingerprint(
+      corpus, "text", expectedItems = 500, fpp = 0.1)
+    val bloomKept = pipeline.Dedup.dropBloomSeen(docs, "text", fp)
+      .select("doc_id").as[Long].collect().toSet
+    val exactKept = docs.join(corpus.select(col("text")), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    // bloom can only DROP extra rows (false positives), never keep a seen one
+    assert(bloomKept.subsetOf(exactKept),
+      s"bloom kept rows exact dedup dropped: ${bloomKept -- exactKept}")
+    assert((exactKept -- bloomKept).nonEmpty,
+      "fixture failed to force any false positives — tighten it")
+    // and the FP budget is a budget, not a collapse
+    assert(bloomKept.size >= exactKept.size / 2,
+      s"FP blowup: kept ${bloomKept.size} of ${exactKept.size}")
   }
 
   test("histogram scan prunes to exactly the binned columns") {

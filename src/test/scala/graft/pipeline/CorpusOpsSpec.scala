@@ -301,7 +301,8 @@ class CorpusOpsSpec extends SparkSpec {
     ).toDF("id", "text")
     val out = docs
       .withColumn("pieces", Bpe.bpeTokens(docs, "text", merges))
-      .withColumn("n", Bpe.bpeTokenCount(docs, "text", merges))
+      // count from the bound pieces column: one broadcast, one encode
+      .withColumn("n", Bpe.bpeTokenCount(col("pieces")))
       .select("id", "pieces", "n")
       .as[(Long, Seq[String], Int)].collect().map(r => r._1 -> r).toMap
     for ((id, text) <- Seq(1L -> "the cat", 2L -> "a völkerball match", 3L -> ""))
