@@ -13,12 +13,16 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNo
   *  - scalars: single-/double-quoted strings, ints, floats (incl.
   *    `4.125e-12`), `True/False/true/false`, `None/null/~`, bare strings
   *  - `#` comments (full-line and trailing, quote-aware)
+  *  - anchors/aliases (`&name` / `*name`, on scalars, flow values, block
+  *    maps and sequence items; PyYAML's define-before-use rule) and merge
+  *    keys (`<<: *base`, `<<: [*a, *b]` — explicit keys win, earlier
+  *    merge sources take precedence over later ones)
   *
-  * Not YAML-complete by design (no anchors/aliases, tags, multi-line
-  * block scalars, or multi-document streams — none appear in sed
-  * configs); unsupported syntax falls back to a string scalar rather
-  * than failing, which matches how the configs are consumed (typed
-  * accessors in [[SedConfig]] coerce on read).
+  * Not YAML-complete by design (no tags, multi-line block scalars, or
+  * multi-document streams — none appear in sed configs); unsupported
+  * syntax falls back to a string scalar rather than failing, which
+  * matches how the configs are consumed (typed accessors in [[SedConfig]]
+  * coerce on read).
   */
 object YamlShim {
 
@@ -31,10 +35,15 @@ object YamlShim {
       .filter { case (l, _) => l.trim.nonEmpty }
       .map { case (l, i) => Line(indentOf(l), l.trim, i) }
     if (lines.isEmpty) F.objectNode()
-    else parseBlock(lines, 0, lines.head.indent)._1
+    else parseBlock(lines, 0, lines.head.indent,
+      collection.mutable.Map.empty[String, JsonNode])._1
   }
 
   private final case class Line(indent: Int, text: String, num: Int)
+  private type Anchors = collection.mutable.Map[String, JsonNode]
+
+  private val AnchorRe = "^&([A-Za-z0-9_-]+)\\s*(.*)$".r
+  private val AliasRe = "^\\*([A-Za-z0-9_-]+)$".r
 
   private def indentOf(l: String): Int = l.takeWhile(_ == ' ').length
 
@@ -55,47 +64,94 @@ object YamlShim {
   /** Parse the block starting at `start` whose lines share `indent`;
     * returns (node, index of first line past the block).
     */
-  private def parseBlock(lines: IndexedSeq[Line], start: Int, indent: Int): (JsonNode, Int) = {
+  private def parseBlock(
+      lines: IndexedSeq[Line], start: Int, indent: Int, anchors: Anchors,
+  ): (JsonNode, Int) = {
     if (lines(start).text.startsWith("- ") || lines(start).text == "-")
-      parseSeq(lines, start, indent)
-    else parseMap(lines, start, indent)
+      parseSeq(lines, start, indent, anchors)
+    else parseMap(lines, start, indent, anchors)
   }
 
-  private def parseSeq(lines: IndexedSeq[Line], start: Int, indent: Int): (JsonNode, Int) = {
+  private def parseSeq(
+      lines: IndexedSeq[Line], start: Int, indent: Int, anchors: Anchors,
+  ): (JsonNode, Int) = {
     val arr = F.arrayNode()
     var i = start
     while (i < lines.length && lines(i).indent == indent && (
       lines(i).text.startsWith("- ") || lines(i).text == "-")) {
-      val item = lines(i).text.drop(1).trim
-      if (item.isEmpty) {
-        val (child, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
+      var item = lines(i).text.drop(1).trim
+      // `- &name` introducing an anchored block item
+      var anchorName: Option[String] = None
+      item match {
+        case AnchorRe(n, rest) if rest.isEmpty => anchorName = Some(n); item = ""
+        case _                                 =>
+      }
+      if (item.isEmpty && i + 1 < lines.length && lines(i + 1).indent > indent) {
+        val (child, next) = parseBlock(lines, i + 1, lines(i + 1).indent, anchors)
+        anchorName.foreach(anchors(_) = child)
         arr.add(child); i = next
+      } else if (item.isEmpty) {
+        val n = F.nullNode()
+        anchorName.foreach(anchors(_) = n)
+        arr.add(n); i += 1
       } else {
-        arr.add(scalarOrFlow(item)); i += 1
+        arr.add(scalarOrFlow(item, anchors)); i += 1
       }
     }
     (arr, i)
   }
 
-  private def parseMap(lines: IndexedSeq[Line], start: Int, indent: Int): (JsonNode, Int) = {
+  private def parseMap(
+      lines: IndexedSeq[Line], start: Int, indent: Int, anchors: Anchors,
+  ): (JsonNode, Int) = {
     val obj = F.objectNode()
+    // merge-key sources accumulate and apply after the block closes, so
+    // explicit keys win regardless of where `<<` sits in the mapping
+    val mergeSources = collection.mutable.ArrayBuffer[ObjectNode]()
     var i = start
     while (i < lines.length && lines(i).indent == indent && !lines(i).text.startsWith("- ")) {
       val l = lines(i)
       val ci = keyColon(l.text)
       require(ci > 0, s"YAML line ${l.num + 1}: expected 'key: value', got '${l.text}'")
       val key = unquote(l.text.substring(0, ci).trim)
-      val rest = l.text.substring(ci + 1).trim
-      if (rest.nonEmpty) {
-        obj.set[JsonNode](key, scalarOrFlow(rest))
-        i += 1
-      } else if (i + 1 < lines.length && lines(i + 1).indent > indent) {
-        val (child, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
-        obj.set[JsonNode](key, child)
-        i = next
-      } else {
-        obj.set[JsonNode](key, F.nullNode()) // `key:` with no value
-        i += 1
+      var rest = l.text.substring(ci + 1).trim
+      // `key: &name ...` anchors whatever value follows (inline or block)
+      var anchorName: Option[String] = None
+      rest match {
+        case AnchorRe(n, r) => anchorName = Some(n); rest = r.trim
+        case _              =>
+      }
+      val value: JsonNode =
+        if (rest.nonEmpty) {
+          i += 1
+          scalarOrFlow(rest, anchors)
+        } else if (i + 1 < lines.length && lines(i + 1).indent > indent) {
+          val (child, next) = parseBlock(lines, i + 1, lines(i + 1).indent, anchors)
+          i = next
+          child
+        } else {
+          i += 1
+          F.nullNode() // `key:` with no value
+        }
+      anchorName.foreach(anchors(_) = value)
+      if (key == "<<") value match {
+        case o: ObjectNode => mergeSources += o
+        case a: ArrayNode  =>
+          a.forEach {
+            case o: ObjectNode => mergeSources += o
+            case other => throw new IllegalArgumentException(
+              s"YAML line ${l.num + 1}: merge key source must be a mapping, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"YAML line ${l.num + 1}: merge key source must be a mapping, got $other")
+      }
+      else obj.set[JsonNode](key, value)
+    }
+    mergeSources.foreach { src =>
+      val it = src.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        if (!obj.has(e.getKey)) obj.set[JsonNode](e.getKey, e.getValue.deepCopy())
       }
     }
     (obj, i)
@@ -126,9 +182,23 @@ object YamlShim {
   private val IntRe = "^[+-]?\\d+$".r
   private val FloatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
 
-  private def scalarOrFlow(s: String): JsonNode = s.head match {
-    case '[' => flowSeq(s)
-    case '{' => flowMap(s)
+  private def scalarOrFlow(s: String, anchors: Anchors): JsonNode = s.head match {
+    case '[' => flowSeq(s, anchors)
+    case '{' => flowMap(s, anchors)
+    case '*' => s match {
+      case AliasRe(n) => anchors.getOrElse(n,
+        throw new IllegalArgumentException(s"undefined YAML alias *$n"))
+        .deepCopy[JsonNode]()
+      case _ => scalar(s)
+    }
+    case '&' => s match {
+      // inline anchored value inside a flow collection: `[&a 1, *a]`
+      case AnchorRe(n, rest) if rest.nonEmpty =>
+        val v = scalarOrFlow(rest.trim, anchors)
+        anchors(n) = v
+        v
+      case _ => scalar(s)
+    }
     case _   => scalar(s)
   }
 
@@ -165,21 +235,22 @@ object YamlShim {
     parts.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  private def flowSeq(s: String): ArrayNode = {
+  private def flowSeq(s: String, anchors: Anchors): ArrayNode = {
     require(s.last == ']', s"unterminated flow sequence: $s")
     val arr = F.arrayNode()
-    splitFlow(s.substring(1, s.length - 1)).foreach(p => arr.add(scalarOrFlow(p)))
+    splitFlow(s.substring(1, s.length - 1))
+      .foreach(p => arr.add(scalarOrFlow(p, anchors)))
     arr
   }
 
-  private def flowMap(s: String): ObjectNode = {
+  private def flowMap(s: String, anchors: Anchors): ObjectNode = {
     require(s.last == '}', s"unterminated flow mapping: $s")
     val obj = F.objectNode()
     splitFlow(s.substring(1, s.length - 1)).foreach { p =>
       val ci = keyColon(p)
       require(ci > 0, s"bad flow mapping entry: $p")
       obj.set[JsonNode](unquote(p.substring(0, ci).trim),
-        scalarOrFlow(p.substring(ci + 1).trim))
+        scalarOrFlow(p.substring(ci + 1).trim, anchors))
     }
     obj
   }

@@ -100,6 +100,48 @@ class ExtrasSpec extends SparkSpec {
     assert(cfg.at("/momentum/listy/1").asInt() === 2)
   }
 
+  test("YAML anchors, aliases and merge keys resolve like PyYAML") {
+    val cfg = graft.config.YamlShim.parse(
+      """defaults: &defaults
+        |  binning: 2
+        |  ranges: &r [100, 200]
+        |  nested:
+        |    unit: eV
+        |channelA:
+        |  <<: *defaults
+        |  name: A
+        |channelB:
+        |  <<: *defaults
+        |  binning: 8        # explicit key beats the merged one
+        |scalars:
+        |  width: &w 4.125e-12
+        |  width_copy: *w
+        |  ranges_copy: *r
+        |seq:
+        |  - &item {k: 1}
+        |  - *item
+        |multi:
+        |  <<: [*defaults, *item]
+        |""".stripMargin)
+    assert(cfg.at("/channelA/binning").asInt() === 2)
+    assert(cfg.at("/channelA/name").asText() === "A")
+    assert(cfg.at("/channelA/nested/unit").asText() === "eV")
+    assert(cfg.at("/channelB/binning").asInt() === 8)
+    assert(cfg.at("/channelB/ranges/1").asInt() === 200)
+    assert(cfg.at("/scalars/width_copy").asDouble() === 4.125e-12)
+    assert(cfg.at("/scalars/ranges_copy/0").asInt() === 100)
+    assert(cfg.at("/seq/1/k").asInt() === 1)
+    assert(cfg.at("/multi/binning").asInt() === 2)
+    assert(cfg.at("/multi/k").asInt() === 1)
+    // aliased nodes are deep copies, not shared mutable structure
+    cfg.at("/channelA/nested").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("unit", "mutated")
+    assert(cfg.at("/channelB/nested/unit").asText() === "eV")
+    // undefined alias fails loudly
+    intercept[IllegalArgumentException](
+      graft.config.YamlShim.parse("a: *nope"))
+  }
+
   test("YAML shim parses the reference's real mpes example config") {
     val ref = java.nio.file.Paths.get(
       "/root/reference/sed/config/mpes_example_config.yaml")

@@ -262,6 +262,44 @@ class DfOpsSpec extends SparkSpec {
     assert(out("b") === ((10.0, 10.0)))
   }
 
+  test("EPICS archiver series attaches through the interp core (offline client)") {
+    // archiver-appliance payload shape: [{"data":[{secs,nanos,val},...]}]
+    val payload =
+      """[{"meta": {"name": "KTOF:Lens:Extr:I"}, "data": [
+        | {"secs": 1000, "nanos": 0,         "val": 10.0},
+        | {"secs": 1010, "nanos": 500000000, "val": 20.0},
+        | {"secs": 1900, "nanos": 0,         "val": 30.0},
+        | {"secs": 2100, "nanos": 0,         "val": 99.0}
+        |]}]""".stripMargin
+    val f = java.nio.file.Files.createTempFile("archiver", ".json")
+    java.nio.file.Files.writeString(f, payload)
+
+    val (ts, vals) = Epics.parsePayload(payload)
+    assert(ts.toSeq === Seq(1000.0, 1010.5, 1900.0, 2100.0))
+    assert(vals.toSeq === Seq(10.0, 20.0, 30.0, 99.0))
+
+    // events spanning [1000, 2000]: the file client's window (±5 s) keeps
+    // the first three samples and drops the 2100 one
+    val events = Seq(990.0, 1000.0, 1005.25, 1500.0, 2000.0).toDF("ts")
+    val out = Epics.addArchiverData(
+      events, "extractor_current", "ts",
+      Epics.fromFile(f.toString), "KTOF:Lens:Extr:I")
+      .select("ts", "extractor_current")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(990.0) === 10.0) // clamped before first knot
+    assert(out(1000.0) === 10.0)
+    assert(math.abs(out(1005.25) - 15.0) < 1e-9) // midway 1000 -> 1010.5
+    assert(math.abs(out(1500.0) - (20.0 + 10.0 * (1500.0 - 1010.5) / (1900.0 - 1010.5)))
+      < 1e-9)
+    assert(out(2000.0) === 30.0) // clamped: the 2100 sample fell outside the window
+
+    // request-URL format matches the reference's string construction
+    assert(Epics.requestUrl("http://aa.example/retrieval/data/getData.json?pv=",
+      "KTOF:Lens:Extr:I", 1661980582.0, 1661980600.5) ===
+      "http://aa.example/retrieval/data/getData.json?pv=KTOF:Lens:Extr:I" +
+        "&from=2022-08-31T21:16:22Z&to=2022-08-31T21:16:40.5Z")
+  }
+
   test("mapColumns2D: rotation round trip") {
     val df = Seq((1.0, 0.0), (0.0, 1.0)).toDF("x", "y")
     val c = math.cos(0.5); val s = math.sin(0.5)
