@@ -132,6 +132,78 @@ object CubeIO {
       attrs = Map("default" -> "entry")))
   }
 
+  /** Structural validation against the NXmpes application-definition
+    * skeleton (the checks `pynxtools.convert` enforces for the plottable
+    * part, `sed/io/nexus.py:13-47`): default-chain resolution, NXentry /
+    * NXdata classes, `definition = NXmpes`, signal/axes presence, per-
+    * axis `<axis>_indices` attrs that are integers in range, axis rank 1
+    * and length agreement with the signal dimension they index, and
+    * `units` on every axis. Returns the violations (empty = valid) so
+    * callers choose between failing and reporting.
+    */
+  def validateNexus(path: String): Seq[String] = {
+    val errs = scala.collection.mutable.ArrayBuffer[String]()
+    val root = Hdf5Minimal.read(path)
+    val entryName = root.attrs.getOrElse("default", "entry")
+    if (!root.hasChild(entryName)) return Seq(s"root @default -> missing group '$entryName'")
+    val entry = root.group(entryName)
+    if (!entry.attrs.get("NX_class").contains("NXentry"))
+      errs += s"/$entryName@NX_class must be NXentry (got ${entry.attrs.get("NX_class")})"
+    entry.datasets.find(_.name == "definition") match {
+      case None => errs += s"/$entryName/definition dataset missing"
+      case Some(d) => d.data match {
+        case Hdf5Minimal.Str("NXmpes") =>
+        case other => errs += s"/$entryName/definition must be the string NXmpes (got $other)"
+      }
+    }
+    val dataName = entry.attrs.getOrElse("default", "data")
+    if (!entry.hasChild(dataName))
+      return (errs += s"/$entryName@default -> missing group '$dataName'").toSeq
+    val data = entry.group(dataName)
+    val dpath = s"/$entryName/$dataName"
+    if (!data.attrs.get("NX_class").contains("NXdata"))
+      errs += s"$dpath@NX_class must be NXdata (got ${data.attrs.get("NX_class")})"
+    val signalDims: Option[Seq[Long]] = data.attrs.get("signal") match {
+      case None => errs += s"$dpath@signal attribute missing"; None
+      case Some(sig) if !data.datasets.exists(_.name == sig) =>
+        errs += s"$dpath@signal names missing dataset '$sig'"; None
+      case Some(sig) => Some(data.dataset(sig).dims)
+    }
+    data.attrs.get("axes") match {
+      case None => errs += s"$dpath@axes attribute missing"
+      case Some(axes) =>
+        val names = axes.split(":").toSeq
+        signalDims.foreach { dims =>
+          if (names.length != dims.length)
+            errs += s"$dpath@axes lists ${names.length} axes for a rank-${dims.length} signal"
+        }
+        names.foreach { n =>
+          if (!data.datasets.exists(_.name == n))
+            errs += s"$dpath: axis dataset '$n' missing"
+          else {
+            val ax = data.dataset(n)
+            if (ax.dims.length != 1)
+              errs += s"$dpath/$n: axis must be 1-D (got rank ${ax.dims.length})"
+            if (!ax.attrs.contains("units"))
+              errs += s"$dpath/$n@units missing"
+            data.attrs.get(s"${n}_indices") match {
+              case None => errs += s"$dpath@${n}_indices attribute missing"
+              case Some(v) => v.toIntOption match {
+                case None => errs += s"$dpath@${n}_indices must be an integer (got '$v')"
+                case Some(i) => signalDims.foreach { dims =>
+                  if (i < 0 || i >= dims.length)
+                    errs += s"$dpath@${n}_indices=$i out of range for rank ${dims.length}"
+                  else if (ax.dims.head != dims(i))
+                    errs += s"$dpath/$n has ${ax.dims.head} points but signal dim $i is ${dims(i)}"
+                }
+              }
+            }
+          }
+        }
+    }
+    errs.toSeq
+  }
+
   /** Round-trip loader for [[writeNexus]]: follows `@default` →
     * `@signal`/`@axes` like a NeXus-aware plotter would.
     */

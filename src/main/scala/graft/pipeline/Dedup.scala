@@ -858,6 +858,34 @@ object Dedup {
     assigned.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[semDedup]] with the paper's k ≈ √N quantizer regime ENFORCED
+    * rather than documented: counts the corpus, trains a
+    * `ceil(sqrt(n))`-centroid coarse quantizer on a bounded sample
+    * ([[Similarity.kmeansCentroids]]), and caps residual hot clusters at
+    * `hotClusterFactor × √n` via the recall-aware [[lshSubBlocks]].
+    * Expected cluster size is then ~√n, so the within-cluster pair join
+    * does ~n total work instead of n²/k. `k` is bounded by the training
+    * sample (`sampleN`); past `sampleN²` rows, train the quantizer
+    * offline and call [[semDedup]] directly.
+    */
+  def semDedupAuto(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      sampleN: Int = 10000,
+      hotClusterFactor: Long = 4L,
+  ): DataFrame = {
+    val n = df.count()
+    if (n == 0) return df.withColumn("sem_cluster", lit(0))
+    val k = math.max(1L, math.min(math.ceil(math.sqrt(n.toDouble)).toLong,
+      sampleN.toLong)).toInt
+    val centroids = Similarity.kmeansCentroids(df, vecCol, idCol, k,
+      sampleN = sampleN)
+    val cap = hotClusterFactor * math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    semDedup(df, vecCol, idCol, centroids, threshold, maxBlockSize = Some(cap))
+  }
+
   def embeddingNearDuplicates(
       df: DataFrame,
       vecCol: String,

@@ -145,6 +145,61 @@ class ProcessorSpec extends SparkSpec {
     assert(back.attrs === cube.attrs)
   }
 
+  test("CubeIO NXmpes validator: clean export passes, corruptions are named") {
+    import graft.loader.Hdf5Minimal
+    val cube = BinnedCube(
+      Seq("kx", "energy"),
+      Seq(Array(0.5, 1.5), Array(0.0, 1.0, 2.0)),
+      Array(1L, 2L, 3L, 4L, 5L, 6L),
+      Seq(2, 3),
+      Map("title" -> "scan 30", "units.kx" -> "1/A", "units.energy" -> "eV"))
+    val dir = Files.createTempDirectory("nxval").toFile.getPath
+    CubeIO.writeNexus(cube, s"$dir/good.nxs")
+    assert(CubeIO.validateNexus(s"$dir/good.nxs") === Seq.empty)
+
+    // hand-build violations and check each is reported by name
+    def dataGroup(attrs: Map[String, String], axLen: Int = 2) = Hdf5Minimal.Group(
+      datasets = Seq(
+        Hdf5Minimal.Dataset("data", Hdf5Minimal.I64(Array(1L, 2L, 3L, 4L, 5L, 6L)),
+          shape = Some(Seq(2L, 3L))),
+        Hdf5Minimal.Dataset("kx", Hdf5Minimal.F64(
+          Array.tabulate(axLen)(_.toDouble)), Map("units" -> "1/A")),
+        Hdf5Minimal.Dataset("energy", Hdf5Minimal.F64(
+          Array(0.0, 1.0, 2.0)), Map("units" -> "eV"))),
+      attrs = attrs)
+    def write(name: String, entryAttrs: Map[String, String],
+        dAttrs: Map[String, String], axLen: Int = 2, definition: String = "NXmpes") = {
+      Hdf5Minimal.write(s"$dir/$name", Hdf5Minimal.Group(
+        subgroups = Seq("entry" -> Hdf5Minimal.Group(
+          datasets = Seq(Hdf5Minimal.Dataset("definition", Hdf5Minimal.Str(definition))),
+          subgroups = Seq("data" -> dataGroup(dAttrs, axLen)),
+          attrs = entryAttrs)),
+        attrs = Map("default" -> "entry")))
+      CubeIO.validateNexus(s"$dir/$name")
+    }
+    val full = Map("NX_class" -> "NXdata", "signal" -> "data",
+      "axes" -> "kx:energy", "kx_indices" -> "0", "energy_indices" -> "1")
+    val entryOk = Map("NX_class" -> "NXentry", "default" -> "data")
+
+    assert(write("v0.nxs", entryOk, full) === Seq.empty)
+    assert(write("v1.nxs", entryOk, full - "signal")
+      .exists(_.contains("@signal attribute missing")))
+    assert(write("v2.nxs", entryOk, full - "axes")
+      .exists(_.contains("@axes attribute missing")))
+    assert(write("v3.nxs", entryOk, full - "energy_indices")
+      .exists(_.contains("energy_indices attribute missing")))
+    assert(write("v4.nxs", entryOk, full + ("kx_indices" -> "7"))
+      .exists(_.contains("out of range")))
+    assert(write("v5.nxs", entryOk, full, axLen = 5)
+      .exists(_.contains("kx has 5 points but signal dim 0 is 2")))
+    assert(write("v6.nxs", entryOk, full, definition = "NXarpes")
+      .exists(_.contains("must be the string NXmpes")))
+    assert(write("v7.nxs", entryOk - "NX_class", full)
+      .exists(_.contains("@NX_class must be NXentry")))
+    assert(write("v8.nxs", entryOk, full + ("NX_class" -> "NXlog"))
+      .exists(_.contains("@NX_class must be NXdata")))
+  }
+
   test("CubeIO sparse round trip via parquet + sidecar") {
     val ax = UniformAxis("value", 10, 0.0, 500.0)
     val hist = Binning.histogram(events, Seq(ax))

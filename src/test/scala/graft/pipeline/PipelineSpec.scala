@@ -191,6 +191,23 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map(0L -> 0, 3L -> 1, 5L -> 1))
   }
 
+  test("semDedupAuto derives a sqrt-N quantizer and keeps min-id reps") {
+    // duplicates are EXACT copies: identical vectors get identical
+    // nearest-centroid assignments whatever quantizer training produces,
+    // so the toy-scale k = ceil(sqrt(6)) = 3 cannot split a dup group
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.0f, 0.6f, 0.1f, 0.7f)),
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedupAuto(vecs, "embedding", "vec_id", threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out === Set(0L, 3L, 5L))
+  }
+
   test("ivfAssign expression matches the driver-side nearest centroid") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = Similarity.kmeansCentroids(df, "embedding", "vec_id", 4, iters = 5)
