@@ -174,6 +174,14 @@ object GraftExtensions {
         ex(graft.pipeline.TextOps.normalizeText(col(args.head)))
       },
     ),
+    (
+      "graft_char_entropy",
+      new ExpressionInfo(classOf[graft.pipeline.CharEntropyExpr].getName, "graft_char_entropy"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_char_entropy(text)")
+        graft.pipeline.CharEntropyExpr(args.head)
+      },
+    ),
   )
 
   /** Register on an already-built session (tests, notebooks). */

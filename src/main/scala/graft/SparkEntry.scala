@@ -319,6 +319,13 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
           "stopword_ratio")
         .withColumn("n_tokens", col("n_tokens").cast("long"))),
+    // per-document character Shannon entropy: native one-pass codegen
+    // kernel, map-only (the explode+groupBy formulation would shuffle
+    // len(text) rows per doc); oracle = DuckDB's entropy() aggregate
+    // over the split-character multiset
+    "q_entropy" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+        round(pipeline.TextOps.charEntropy(col("text")), 6).as("char_entropy"))),
     // language-ID heuristic
     "q_langid" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -826,6 +833,10 @@ object SparkEntry {
            | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
            | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
            | FROM documents""".stripMargin.replace("\n", " "),
+    "q_entropy" ->
+      """SELECT doc_id, round(entropy(ch), 6) AS char_entropy
+        | FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        | GROUP BY doc_id""".stripMargin.replace("\n", " "),
     "q_quality" -> {
       val sw = pipeline.TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
       raw"""SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,

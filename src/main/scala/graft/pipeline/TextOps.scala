@@ -555,6 +555,15 @@ object TextOps {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Per-document character Shannon entropy (bits) — gibberish / binary-
+    * noise / repeated-filler quality signal. Native one-pass codegen
+    * kernel ([[CharEntropyExpr]]): map-only, no explode/groupBy shuffle.
+    * Null text stays null; empty text is 0.0.
+    */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(CharEntropyExpr(
+      org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Fixed-size token windows with stride (context-window chunking): one
     * output row per (doc, window start) with the chunk index, its token
     * count (the last chunk may be short), and the space-rejoined chunk

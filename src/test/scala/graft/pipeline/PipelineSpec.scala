@@ -191,6 +191,37 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map(0L -> 0, 3L -> 1, 5L -> 1))
   }
 
+  test("charEntropy: hand-computed values, unicode, null/empty handling") {
+    val df = Seq(
+      (1L, Some("aab")),  // H({2/3, 1/3}) = 0.9182958...
+      (2L, Some("abcd")), // uniform over 4 -> exactly 2 bits
+      (3L, Some("aaaa")), // degenerate -> 0
+      (4L, Some("")),     // empty -> 0
+      (5L, None),         // null stays null
+      (6L, Some("naïve θ naïve θ")), // non-ASCII goes through the spill map
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextOps.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(math.abs(out(1L).get - 0.9182958340544896) < 1e-12)
+    assert(out(2L).get === 2.0)
+    assert(out(3L).get === 0.0)
+    assert(out(4L).get === 0.0)
+    assert(out(5L) === None)
+    // "naïve θ naïve θ": n,a,ï,v,e ×2 each, θ ×2, space ×3 -> 15 chars
+    val counts = Seq(2, 2, 2, 2, 2, 2, 3).map(_.toDouble)
+    val t = counts.sum
+    val expected = (math.log(t) - counts.map(c => c * math.log(c)).sum / t) / math.log(2)
+    assert(math.abs(out(6L).get - expected) < 1e-12)
+    // registered SQL surface agrees with the column API
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("ce_docs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_char_entropy(text) AS h FROM ce_docs WHERE id = 2")
+      .head().getDouble(1)
+    assert(viaSql === 2.0)
+  }
+
   test("semDedupAuto derives a sqrt-N quantizer and keeps min-id reps") {
     // duplicates are EXACT copies: identical vectors get identical
     // nearest-centroid assignments whatever quantizer training produces,
