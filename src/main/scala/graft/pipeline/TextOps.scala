@@ -564,6 +564,15 @@ object TextOps {
     org.apache.spark.sql.GraftBridge.column(CharEntropyExpr(
       org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** zlib compression ratio (compressed/raw bytes) — boilerplate ≲ 0.3,
+    * natural prose ~0.3-0.6, random noise ≳ 0.9. Catches the long-range
+    * repetition that [[charEntropy]]'s unigram view misses. Native
+    * map-only kernel ([[CompressionRatioExpr]]), deterministic per level.
+    */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    org.apache.spark.sql.GraftBridge.column(CompressionRatioExpr(
+      org.apache.spark.sql.GraftBridge.expression(text), level))
+
   /** Fixed-size token windows with stride (context-window chunking): one
     * output row per (doc, window start) with the chunk index, its token
     * count (the last chunk may be short), and the space-rejoined chunk

@@ -222,6 +222,34 @@ class PipelineSpec extends SparkSpec {
     assert(viaSql === 2.0)
   }
 
+  test("compressionRatio separates boilerplate, prose, and noise") {
+    val rnd = new scala.util.Random(99)
+    val noise = Array.fill(2000)((rnd.nextInt(94) + 33).toChar).mkString
+    val boiler = "lorem ipsum dolor sit amet " * 80
+    val prose = ("the quick brown fox jumps over the lazy dog while a " +
+      "committee of researchers measured compression behavior on " +
+      "heterogeneous web corpora with mixed results and open questions ") * 4
+    val df = Seq(
+      (1L, Some(boiler)), (2L, Some(prose)), (3L, Some(noise)),
+      (4L, Some("")), (5L, None),
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextOps.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).get < 0.1, s"boilerplate ratio ${out(1L)}")
+    assert(out(2L).get > out(1L).get && out(2L).get < 0.7, s"prose ${out(2L)}")
+    assert(out(3L).get > 0.8, s"noise ${out(3L)}")
+    assert(out(4L).get === 1.0)
+    assert(out(5L) === None)
+    // deterministic per level; coarser level compresses no better
+    val again = df.select(TextOps.compressionRatio(col("text")).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(again.toSeq === Seq(out(1L), out(2L), out(3L), out(4L), out(5L)))
+    val fast = df.filter(col("id") === 2L)
+      .select(TextOps.compressionRatio(col("text"), level = 1)).head().getDouble(0)
+    assert(fast >= out(2L).get)
+  }
+
   test("semDedupAuto derives a sqrt-N quantizer and keeps min-id reps") {
     // duplicates are EXACT copies: identical vectors get identical
     // nearest-centroid assignments whatever quantizer training produces,
