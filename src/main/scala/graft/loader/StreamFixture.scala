@@ -245,6 +245,24 @@ object StreamFixture {
       }(enc)
   }
 
+  /** [[ingest]] with the reference's default channel discovery
+    * (`hdf5_to_dataframe` with `group_names=[]`,
+    * `sed/loader/mpes/loader.py:93-101`): parse the FIRST file's
+    * structure, take every `Stream*` dataset aliased by its `Name`
+    * attribute, then ingest all files with that channel map.
+    */
+  def ingestAuto(
+      spark: SparkSession,
+      paths: Seq[String],
+      searchPattern: String = "Stream",
+  ): DataFrame = {
+    val ordered = GenericLoader.naturalSort(paths)
+    val aliases = groupsAndAliases(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ordered.head)), searchPattern)
+    require(aliases.nonEmpty, s"${ordered.head}: no $searchPattern datasets found")
+    ingest(spark, paths, aliases)
+  }
+
   /** Timed-table derivation from the same files (S5,
     * `hdf5_to_timed_dataframe`, `sed/loader/mpes/loader.py:143-229`): one
     * row per ms marker, sampling the LAST event recorded by that

@@ -84,6 +84,14 @@ class RealFixtureSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("real mpes fixture: ingestAuto discovers channels like the reference default") {
+    assume(exists(mpesPath))
+    val df = StreamFixture.ingestAuto(spark, Seq(mpesPath))
+    assert(df.columns.toSeq === Seq("file_id", "seq", "ts",
+      "X", "Y", "t", "MasterRstCtr", "ADC", "State Input"))
+    assert(df.count() === 297398L)
+  }
+
   test("real mpes fixture: timed table has one row per ms marker") {
     assume(exists(mpesPath))
     val timed = StreamFixture.ingestTimed(

@@ -56,6 +56,25 @@ class StreamingSpec extends SparkSpec {
     assert(sunk.select("t_ns").as[Double].head() === 100.0 * 1e9 * 2.0e-9 * 2.0)
   }
 
+  test("native quality kernels (entropy, compression ratio) stream unchanged") {
+    val dir = Files.createTempDirectory("stream-qk").toFile.getPath + "/data"
+    Seq((1L, "aab aab aab aab"), (2L, "mixed entropy content with words"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    def chain(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.pipeline.TextOps.charEntropy(col("text")).as("h"),
+      graft.pipeline.TextOps.compressionRatio(col("text")).as("cr"))
+    val out = StreamingBinning.transform(stream, chain)
+    assert(out.isStreaming)
+    val sunk = StreamingBinning.runToMemorySink(out, "qk_sink", OutputMode.Append())
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val batch = chain(spark.read.parquet(dir))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(sunk.toSeq === batch.toSeq)
+  }
+
   test("stateless text-pipeline ops (gopher, pii, chunking) stream unchanged") {
     val dir = Files.createTempDirectory("stream-txt").toFile.getPath + "/data"
     val rows = Seq(
