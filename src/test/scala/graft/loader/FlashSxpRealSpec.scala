@@ -104,6 +104,40 @@ class FlashSxpRealSpec extends SparkSpec {
     assert(L.countRate(events, "timeStamp") > 0.0)
   }
 
+  test("real flash fixture: one-call readDataframe builds events + timed") {
+    assume(exists(flashPath))
+    val (events, timedOpt) = InstrumentH5Loader.readDataframe(spark, Seq(flashPath))
+    val timed = timedOpt.get
+    val ev = events.cache()
+    try {
+      // 102240 = entries with non-NaN pulse, pulse-5 >= 0 (all have tof)
+      assert(ev.count() === 102240L)
+      assert(Set("trainId", "pulseId", "electronId", "dldPosX", "dldPosY",
+        "dldTimeSteps", "timeStamp", "gmdTunnel").subsetOf(ev.columns.toSet))
+      // per-train timestamp forward-filled onto every electron
+      assert(ev.filter(col("timeStamp").isNull).count() === 0L)
+      val span = ev.agg(max("timeStamp") - min("timeStamp")).head().getDouble(0)
+      assert(span > 0.0 && span < 10.0) // the file covers ~5 s of beam time
+      // timed frame: one row per (train, pulse) group (46291 of them),
+      // plus pulse rows that carried no electrons (full-outer attach)
+      assert(timed.filter(col("electronId") === 0).count() === 46291L)
+      assert(timed.count() >= 46291L)
+    } finally ev.unpersist()
+  }
+
+  test("real sxp fixture: one-call readDataframe with sxp channel geometry") {
+    assume(exists(sxpPath))
+    val (events, timed) = InstrumentH5Loader.readDataframe(
+      spark, Seq(sxpPath), InstrumentH5Loader.sxpDefaultChannels,
+      pulseChannel = "pulseId", tofChannel = "dldTimeSteps", ubidOffset = 0)
+    // zero-padded integer channels: no NaN drop, every entry survives
+    assert(events.count() === 50000L)
+    assert(Set("trainId", "pulseId", "electronId", "dldPosX", "dldPosY",
+      "dldTimeSteps", "timeStamp").subsetOf(events.columns.toSet))
+    assert(events.filter(col("timeStamp").isNull).count() === 0L)
+    assert(timed.filter(col("electronId") === 0).count() > 0L)
+  }
+
   test("real sxp fixture: electron index + macrobunch segmentation (S7)") {
     assume(exists(sxpPath))
     val root = Hdf5Minimal.read(sxpPath)
