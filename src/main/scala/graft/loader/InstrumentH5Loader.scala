@@ -21,10 +21,11 @@ import org.apache.spark.sql.types._
   *
   * Scale shape: one `binaryFile` task per file decodes ALL channels in
   * one pass (datasets memoized, so the flash block is decoded once for
-  * its four slices) into a long-format channel table — the analog of the
-  * reference's one-conversion-per-file parquet buffering (F6; persist
-  * the long table to parquet via [[ChannelLoader.bufferToParquet]] for
-  * reuse). Channel frames then pivot out of it, the per-electron frame
+  * its four slices) into a long-format channel table — pass `bufferDir`
+  * to convert it ONCE into a channel-partitioned parquet buffer (the
+  * reference's F6 design: later reads partition-prune per channel and
+  * never touch the raw files again; without it the table is cached for
+  * the session). Channel frames then pivot out of it, the per-electron frame
   * zip-explodes ONCE across all electron channels (one row amplification
   * instead of one explode + join per channel), and
   * [[ChannelLoader.assemble]] contributes the full-outer pulse/train
@@ -129,11 +130,28 @@ object InstrumentH5Loader extends Loader {
       pulseChannel: String,
       tofChannel: String,
       ubidOffset: Int,
+      bufferDir: Option[String] = None,
   ): (DataFrame, DataFrame) = {
     val pe = channels.filter(_.format == "per_electron")
     require(pe.exists(_.name == pulseChannel),
       s"pulse channel $pulseChannel must be per_electron")
-    val long = readChannelTable(spark, paths, channels)
+    // each channel frame filters the long table, so WITHOUT
+    // materialization every frame would re-run the binaryFile decode —
+    // buffer to parquet (the reference's own convert-once design, F6;
+    // survives the session and partition-prunes on `channel`) or, when
+    // no directory is given, cache for this session
+    val raw = readChannelTable(spark, paths, channels)
+    val long = bufferDir match {
+      case Some(dir) =>
+        if (!new java.io.File(dir).exists())
+          raw.write.partitionBy("channel").parquet(dir)
+        val buffered = spark.read.parquet(dir)
+        val missing = longSchema.fieldNames.toSet -- buffered.columns.toSet
+        require(missing.isEmpty,
+          s"existing buffer $dir does not match the channel-table schema: missing $missing")
+        buffered
+      case None => raw.cache()
+    }
 
     // per-electron frame: join channel arrays on trainId, ONE zip-explode
     val joined = ChannelLoader.concatenateChannels(

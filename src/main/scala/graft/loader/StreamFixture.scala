@@ -245,6 +245,21 @@ object StreamFixture {
       }(enc)
   }
 
+  /** S8 [[Loader]] contract over mpes stream files: channel map
+    * auto-discovered from the first file (the MpesLoader default), events
+    * from [[ingest]], timed table from [[ingestTimed]].
+    */
+  object MpesH5Loader extends Loader {
+    override def readDataframe(
+        spark: SparkSession, paths: Seq[String]): (DataFrame, Option[DataFrame]) = {
+      val ordered = GenericLoader.naturalSort(paths)
+      val aliases = groupsAndAliases(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ordered.head)))
+      require(aliases.nonEmpty, s"${ordered.head}: no Stream datasets found")
+      (ingest(spark, paths, aliases), Some(ingestTimed(spark, paths, aliases)))
+    }
+  }
+
   /** [[ingest]] with the reference's default channel discovery
     * (`hdf5_to_dataframe` with `group_names=[]`,
     * `sed/loader/mpes/loader.py:93-101`): parse the FIRST file's

@@ -125,6 +125,22 @@ class FlashSxpRealSpec extends SparkSpec {
     } finally ev.unpersist()
   }
 
+  test("real flash fixture: parquet buffer converts once and reloads") {
+    assume(exists(flashPath))
+    val dir = java.nio.file.Files.createTempDirectory("flashbuf").toFile.getPath + "/buf"
+    def load() = InstrumentH5Loader.readDataframe(
+      spark, Seq(flashPath), InstrumentH5Loader.flashDefaultChannels,
+      pulseChannel = "pulseId", tofChannel = "dldTimeSteps", ubidOffset = 5,
+      bufferDir = Some(dir))
+    assert(load()._1.count() === 102240L)
+    // buffer is channel-partitioned parquet; second call reuses it
+    val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("channel="))
+    assert(parts.toSet === InstrumentH5Loader.flashDefaultChannels.map(c => s"channel=${c.name}").toSet)
+    val mtime = new java.io.File(dir).lastModified()
+    assert(load()._1.count() === 102240L)
+    assert(new java.io.File(dir).lastModified() === mtime, "buffer was rewritten")
+  }
+
   test("real sxp fixture: one-call readDataframe with sxp channel geometry") {
     assume(exists(sxpPath))
     val (events, timed) = InstrumentH5Loader.readDataframe(

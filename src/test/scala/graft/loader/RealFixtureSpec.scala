@@ -90,6 +90,13 @@ class RealFixtureSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("file_id", "seq", "ts",
       "X", "Y", "t", "MasterRstCtr", "ADC", "State Input"))
     assert(df.count() === 297398L)
+    // S8 Loader contract wrapper: events + timed + count-rate/elapsed
+    val (events, timedOpt) = StreamFixture.MpesH5Loader.readDataframe(
+      spark, Seq(mpesPath))
+    assert(events.count() === 297398L)
+    assert(timedOpt.get.count() === 4007L)
+    assert(StreamFixture.MpesH5Loader.elapsedTime(events, "ts") > 4.0)
+    assert(StreamFixture.MpesH5Loader.countRate(events, "ts") > 50000.0)
   }
 
   test("real mpes fixture: timed table has one row per ms marker") {
