@@ -187,6 +187,41 @@ object Dedup {
     * Returns `(id_a, id_b, est_jaccard)` with `id_a < id_b`, distinct,
     * filtered to `est_jaccard >= threshold`.
     */
+  /** MinHash signature table `(id, sig)` — the reusable dedup index: at
+    * scale, compute ONCE per corpus and persist (parquet, bucketed by
+    * id) so every incremental batch ([[minhashNearDuplicatesAgainst]])
+    * reads it instead of re-shingling 100 TB of text.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      numHashes: Int = 32,
+      seed: Long = 42L,
+      portable: Boolean = false,
+  ): DataFrame =
+    ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        baseShingleHashes(col(textCol), k, portable).as("_base"))
+      .select(col("id"), minhashFromBase(col("_base"), numHashes, seed).as("sig"))
+
+  /** LSH band table `(id, band_idx, band_hash)` of a signature table —
+    * ~24 B per (doc, band). At scale, persist it bucketed by
+    * `(band_idx, band_hash)` so incremental probes join exchange-free.
+    */
+  def minhashBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sigs.select(
+      col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))),
+      )),
+    ).withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+  }
+
   def minhashNearDuplicates(
       df: DataFrame,
       textCol: String,
@@ -199,24 +234,14 @@ object Dedup {
       portable: Boolean = false,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // hash-repartition by id: this ONE exchange materializes the expensive
     // signature projection and is the shared, reused input of the band
     // explode and both attach joins below (and already satisfies the
     // attach joins' partitioning requirement)
-    val sigs = ensureParallelism(df)
-      .select(col(idCol).as("id"),
-        baseShingleHashes(col(textCol), k, portable).as("_base"))
-      .select(col("id"), minhashFromBase(col("_base"), numHashes, seed).as("sig"))
+    val sigs = minhashSignatures(df, textCol, idCol, k, numHashes, seed, portable)
       .repartition(col("id"))
     // band exchange carries (id, band_idx, band_hash) ONLY — no signatures
-    val banded = sigs.select(
-      col("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))),
-      )),
-    ).withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+    val banded = minhashBands(sigs, numHashes, bands)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx")
@@ -237,6 +262,75 @@ object Dedup {
           org.apache.spark.sql.GraftBridge.expression(col("sb.sig"))))
           .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup matching: candidate pairs between a NEW batch
+    * and an EXISTING corpus's precomputed signature table
+    * ([[minhashSignatures]]) — the daily-crawl-increment shape, where
+    * re-running corpus×corpus dedup per batch would redo 100 TB of
+    * shingling for a GB of new text. Corpus-side work per batch is one
+    * projection over the stored `(id, sig)` table (persist its
+    * [[minhashBands]] bucketed by `(band_idx, band_hash)` to remove even
+    * that exchange); batch×batch pairs are NOT emitted — run the
+    * self-join variant on the batch separately if needed.
+    *
+    * Returns `(batch_id, corpus_id, est_jaccard)` with the same
+    * candidate-generation and verification semantics as
+    * [[minhashNearDuplicates]] (same k/hashes/bands/seed must be used on
+    * both sides).
+    */
+  def minhashNearDuplicatesAgainst(
+      corpusSigs: DataFrame, // (id, sig) from minhashSignatures
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      portable: Boolean = false,
+  ): DataFrame = {
+    val batchSigs = minhashSignatures(batch, textCol, idCol, k, numHashes, seed, portable)
+      .repartition(col("id"))
+    val batchBands = minhashBands(batchSigs, numHashes, bands)
+    val corpusBands = minhashBands(corpusSigs, numHashes, bands)
+    val candidates = batchBands.as("a")
+      .join(corpusBands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
+      .distinct() // a pair matching in >1 band is verified once, not per band
+    candidates
+      .join(batchSigs.as("sa"), col("batch_id") === col("sa.id"))
+      .join(corpusSigs.as("sb"), col("corpus_id") === col("sb.id"))
+      .select(col("batch_id"), col("corpus_id"),
+        (org.apache.spark.sql.GraftBridge.column(PositionalEqCount(
+          org.apache.spark.sql.GraftBridge.expression(col("sa.sig")),
+          org.apache.spark.sql.GraftBridge.expression(col("sb.sig"))))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Keep only batch rows with NO near-duplicate in the corpus — the
+    * incremental-ingestion filter (near-dup analog of [[dropBloomSeen]]).
+    */
+  def dropNearSeen(
+      corpusSigs: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      portable: Boolean = false,
+  ): DataFrame = {
+    val seen = minhashNearDuplicatesAgainst(corpusSigs, batch, textCol, idCol,
+      k, numHashes, bands, threshold, seed, portable)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(seen, Seq(idCol), "left_anti")
   }
 
   // ---- SimHash ----

@@ -418,6 +418,40 @@ class PipelineSpec extends SparkSpec {
     assert(eSalted.nonEmpty)
   }
 
+  test("incremental minhash dedup equals the full self-join's cross pairs") {
+    val mk = (id: Long, t: String) => (id, t)
+    val corpus = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      mk(2L, "completely different corpus content about spark physics and beams"),
+      mk(3L, "a third document with its own unique words nothing shared here"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      mk(101L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of 1
+      mk(102L, "fresh never before seen text that matches nothing in the corpus"),
+      mk(103L, "completely different corpus content about spark physics and beams"), // dup of 2
+    ).toDF("doc_id", "text")
+
+    val corpusSigs = Dedup.minhashSignatures(corpus, "text", "doc_id")
+    val inc = Dedup.minhashNearDuplicatesAgainst(corpusSigs, batch, "text", "doc_id")
+      .select("batch_id", "corpus_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+
+    // ground truth: full self-join over corpus ∪ batch, restricted to
+    // cross (batch, corpus) pairs — identical params on both paths
+    val full = Dedup.minhashNearDuplicates(
+      corpus.unionByName(batch), "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .collect { case (a, b, j) if a <= 3 && b >= 101 => (b, a, j) }
+      .toSet
+    assert(inc === full)
+    assert(inc.map(p => (p._1, p._2)) === Set((101L, 1L), (103L, 2L)))
+
+    // the ingestion filter keeps exactly the genuinely-new batch rows
+    val kept = Dedup.dropNearSeen(corpusSigs, batch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(102L))
+  }
+
   test("lshSubBlocks bounds a skewed cluster without losing near-dup pairs") {
     // one dominant sem-cluster: 100 diverse vectors + 10 near-identical
     // PAIRS (the duplicates the join must find). Random salting with
