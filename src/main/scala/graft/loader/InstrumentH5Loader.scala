@@ -108,12 +108,14 @@ object InstrumentH5Loader extends Loader {
       }(enc)
   }
 
-  /** Pivot one channel's frame out of the long table. */
+  /** Pivot one channel's frame out of the long table. `file_id` stays in
+    * every key so trains that collide across files can never cross-join.
+    */
   private def channelFrame(long: DataFrame, c: Channel): DataFrame = {
     val base = long.filter(col("channel") === c.name)
     if (c.format == "per_train")
-      base.select(col("trainId"), col("values")(0).as(c.name))
-    else base.select(col("trainId"), col("values").as(c.name))
+      base.select(col("file_id"), col("trainId"), col("values")(0).as(c.name))
+    else base.select(col("file_id"), col("trainId"), col("values").as(c.name))
   }
 
   /** Full read: events + timed frames from real instrument files.
@@ -153,31 +155,34 @@ object InstrumentH5Loader extends Loader {
       case None => raw.cache()
     }
 
-    // per-electron frame: join channel arrays on trainId, ONE zip-explode
+    // per-electron frame: join channel arrays on (file, train), ONE
+    // zip-explode across all electron channels
+    val keys = Seq("file_id", "trainId")
     val joined = ChannelLoader.concatenateChannels(
-      pe.map(channelFrame(long, _)), Seq("trainId"))
+      pe.map(channelFrame(long, _)), keys)
     val elec = joined
-      .select(col("trainId"),
+      .select(col("file_id"), col("trainId"),
         posexplode(arrays_zip(pe.map(c => col(c.name)): _*)).as(Seq("_pos", "_z")))
-      .select(col("trainId") +: col("_pos") +:
+      .select(col("file_id") +: col("trainId") +: col("_pos") +:
         pe.map(c => col(s"_z.${c.name}").as(c.name)): _*)
       .withColumn(pulseChannel, col(pulseChannel) - ubidOffset)
       .filter(col(pulseChannel) >= 0)
       .withColumn("electronId", row_number().over(
-        Window.partitionBy(col("trainId"), col(pulseChannel))
+        Window.partitionBy(col("file_id"), col("trainId"), col(pulseChannel))
           .orderBy(col("_pos"))).cast("long") - 1)
       .withColumnRenamed(pulseChannel, "pulseId")
       .withColumn("pulseId", col("pulseId").cast("long"))
       .drop("_pos")
 
     val pulseFrames = channels.filter(_.format == "per_pulse").map { c =>
-      channelFrame(long, c).select(col("trainId"),
+      channelFrame(long, c).select(col("file_id"), col("trainId"),
         posexplode(col(c.name)).as(Seq("pulseId", c.name)))
         .withColumn("pulseId", col("pulseId").cast("long"))
     }
     val trainFrames = channels.filter(_.format == "per_train")
       .map(channelFrame(long, _))
-    ChannelLoader.assemble(elec, pulseFrames, trainFrames, tofChannel)
+    ChannelLoader.assemble(elec, pulseFrames, trainFrames, tofChannel,
+      trainKeys = keys)
   }
 
   /** [[Loader]] contract entry: flash HEXTOF channel geometry by default. */

@@ -192,23 +192,29 @@ object ChannelLoader {
 
   /** F6/F7 + T16: assemble the electron and timed ("pulse") dataframes
     * from channel tables. `perTrainCols` are forward-filled onto electrons
-    * in (trainId, pulseId, electronId) order; the timed frame keeps rows
+    * in (trainKeys, pulseId, electronId) order; the timed frame keeps rows
     * with `electronId == 0 or null` (`flash/loader.py:825-830`).
+    *
+    * `trainKeys` defaults to the reference's global-trainId indexing;
+    * multi-file loads whose train ids may collide across files pass
+    * `Seq("file_id", "trainId")` so channels never cross-join between
+    * files.
     */
   def assemble(
       electronFrame: DataFrame,
       pulseFrames: Seq[DataFrame],
       trainFrames: Seq[DataFrame],
       tofColumn: String,
+      trainKeys: Seq[String] = Seq("trainId"),
   ): (DataFrame, DataFrame) = {
     val withPulse = pulseFrames.foldLeft(electronFrame)(
-      (acc, f) => acc.join(f, Seq("trainId", "pulseId"), "full_outer"))
+      (acc, f) => acc.join(f, trainKeys :+ "pulseId", "full_outer"))
     val joined = trainFrames.foldLeft(withPulse)(
-      (acc, f) => acc.join(f, Seq("trainId"), "full_outer"))
-    val trainCols = trainFrames.flatMap(_.columns).filterNot(_ == "trainId")
+      (acc, f) => acc.join(f, trainKeys, "full_outer"))
+    val trainCols = trainFrames.flatMap(_.columns).filterNot(trainKeys.contains)
     val filled = graft.dfops.DfOps.forwardFill(
       joined.withColumn("_ord",
-        struct(col("trainId"), col("pulseId"), col("electronId"))),
+        struct(trainKeys.map(col) :+ col("pulseId") :+ col("electronId"): _*)),
       trainCols, "_ord").drop("_ord")
     val events = filled.na.drop(Seq(tofColumn))
     val timed = filled.filter(col("electronId") === 0 || col("electronId").isNull)

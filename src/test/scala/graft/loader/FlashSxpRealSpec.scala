@@ -125,6 +125,24 @@ class FlashSxpRealSpec extends SparkSpec {
     } finally ev.unpersist()
   }
 
+  test("multi-file load with colliding train ids never cross-joins") {
+    assume(exists(flashPath))
+    // two copies of the SAME file = every trainId collides across files;
+    // file_id in the join keys must keep them apart (2x events, not x²)
+    val dir = java.nio.file.Files.createTempDirectory("flash2").toFile.getPath
+    val c1 = s"$dir/copy_1.h5"
+    val c2 = s"$dir/copy_2.h5"
+    java.nio.file.Files.copy(java.nio.file.Paths.get(flashPath),
+      java.nio.file.Paths.get(c1))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(flashPath),
+      java.nio.file.Paths.get(c2))
+    val (events, _) = InstrumentH5Loader.readDataframe(spark, Seq(c1, c2))
+    assert(events.count() === 2 * 102240L)
+    // electron enumeration stays per (file, train, pulse)
+    assert(events.groupBy("file_id", "trainId", "pulseId", "electronId")
+      .count().filter(col("count") > 1).count() === 0L)
+  }
+
   test("real flash fixture: parquet buffer converts once and reloads") {
     assume(exists(flashPath))
     val dir = java.nio.file.Files.createTempDirectory("flashbuf").toFile.getPath + "/buf"
