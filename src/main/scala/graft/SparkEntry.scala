@@ -323,9 +323,13 @@ object SparkEntry {
     // kernel, map-only (the explode+groupBy formulation would shuffle
     // len(text) rows per doc); oracle = DuckDB's entropy() aggregate
     // over the split-character multiset
+    // NULL text filtered on BOTH sides: the oracle's unnest(string_split)
+    // drops a null doc's row entirely while a bare select would emit
+    // (doc_id, NULL) — filter explicitly so the surfaces can't diverge
     "q_entropy" -> ((s, dir) =>
-      table(s, dir, "documents").select(col("doc_id"),
-        round(pipeline.TextOps.charEntropy(col("text")), 6).as("char_entropy"))),
+      table(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          round(pipeline.TextOps.charEntropy(col("text")), 6).as("char_entropy"))),
     // language-ID heuristic
     "q_langid" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -835,7 +839,8 @@ object SparkEntry {
            | FROM documents""".stripMargin.replace("\n", " "),
     "q_entropy" ->
       """SELECT doc_id, round(entropy(ch), 6) AS char_entropy
-        | FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        | FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |       FROM documents WHERE text IS NOT NULL)
         | GROUP BY doc_id""".stripMargin.replace("\n", " "),
     "q_quality" -> {
       val sw = pipeline.TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")

@@ -573,8 +573,11 @@ object Hdf5Minimal {
           var off = 0
           while (!inf.finished() && off < chunkBytes) {
             val k = inf.inflate(out, off, chunkBytes - off)
-            require(k > 0 || !inf.needsInput,
-              s"dataset $name: truncated deflate chunk")
+            // zero progress while unfinished = truncated, dictionary-
+            // preset, or corrupt stream — fail, never spin
+            require(k > 0,
+              s"dataset $name: deflate chunk stalled at $off/$chunkBytes " +
+                "bytes (truncated, preset-dictionary, or corrupt stream)")
             off += k
           }
           inf.end()

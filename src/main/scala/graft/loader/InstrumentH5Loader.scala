@@ -151,6 +151,19 @@ object InstrumentH5Loader extends Loader {
         val missing = longSchema.fieldNames.toSet -- buffered.columns.toSet
         require(missing.isEmpty,
           s"existing buffer $dir does not match the channel-table schema: missing $missing")
+        // a stale buffer (different file list or channel set than this
+        // call) would otherwise be reused SILENTLY — missing files/
+        // channels simply produce fewer/empty frames, not errors
+        val state = buffered.agg(
+          collect_set(col("channel")), countDistinct(col("file_id"))).head()
+        val bufCh = state.getSeq[String](0).toSet
+        require(bufCh == channels.map(_.name).toSet,
+          s"buffer $dir holds channels ${bufCh.toSeq.sorted.mkString(",")} but " +
+            s"${channels.map(_.name).sorted.mkString(",")} were requested — " +
+            "use a fresh bufferDir")
+        require(state.getLong(1) == paths.length,
+          s"buffer $dir holds ${state.getLong(1)} files but ${paths.length} " +
+            "paths were requested — use a fresh bufferDir")
         buffered
       case None => raw.cache()
     }
@@ -166,7 +179,10 @@ object InstrumentH5Loader extends Loader {
       .select(col("file_id") +: col("trainId") +: col("_pos") +:
         pe.map(c => col(s"_z.${c.name}").as(c.name)): _*)
       .withColumn(pulseChannel, col(pulseChannel) - ubidOffset)
-      .filter(col(pulseChannel) >= 0)
+      // NaN pulse ids sort ABOVE every number in Spark, so a bare >= 0
+      // would keep them and cast them to pulse 0 — drop them explicitly
+      // (the reference dropna's the pulse column)
+      .filter(!isnan(col(pulseChannel)) && col(pulseChannel) >= 0)
       .withColumn("electronId", row_number().over(
         Window.partitionBy(col("file_id"), col("trainId"), col(pulseChannel))
           .orderBy(col("_pos"))).cast("long") - 1)

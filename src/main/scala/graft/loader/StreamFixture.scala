@@ -253,11 +253,27 @@ object StreamFixture {
     override def readDataframe(
         spark: SparkSession, paths: Seq[String]): (DataFrame, Option[DataFrame]) = {
       val ordered = GenericLoader.naturalSort(paths)
-      val aliases = groupsAndAliases(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(ordered.head)))
+      val aliases = groupsAndAliases(readFileBytes(spark, ordered.head))
       require(aliases.nonEmpty, s"${ordered.head}: no Stream datasets found")
       (ingest(spark, paths, aliases), Some(ingestTimed(spark, paths, aliases)))
     }
+  }
+
+  /** Driver-side whole-file read through the Hadoop filesystem layer, so
+    * channel discovery works on every scheme the `binaryFile` ingestion
+    * itself supports (hdfs://, s3a://, ...), not just local paths.
+    */
+  private def readFileBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 20)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
   }
 
   /** [[ingest]] with the reference's default channel discovery
@@ -272,8 +288,7 @@ object StreamFixture {
       searchPattern: String = "Stream",
   ): DataFrame = {
     val ordered = GenericLoader.naturalSort(paths)
-    val aliases = groupsAndAliases(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(ordered.head)), searchPattern)
+    val aliases = groupsAndAliases(readFileBytes(spark, ordered.head), searchPattern)
     require(aliases.nonEmpty, s"${ordered.head}: no $searchPattern datasets found")
     ingest(spark, paths, aliases)
   }

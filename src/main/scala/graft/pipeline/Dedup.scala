@@ -797,11 +797,15 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"), lit(false).as("_own"))
-      val m1 = labels.select(col("id"), col("label"), lit(true).as("_own"))
+      // truncated: m1 feeds BOTH starMin and the star join below, and
+      // ReuseExchange only shares the shuffle write, not the aggregation
+      // — without materialization the edges join + groupBy would run
+      // twice per round
+      val m1 = truncate(labels.select(col("id"), col("label"), lit(true).as("_own"))
         .union(viaNeighbors)
         .groupBy("id")
         .agg(min("label").as("_nmin"),
-          min(when(col("_own"), col("label"))).as("_old"))
+          min(when(col("_own"), col("label"))).as("_old")))
       // phase 2 — star min: members report their neighborhood mins UP to
       // their root (groupBy the old label) and the whole star re-points
       // to the star-wide min. Without this, a member bordering a smaller
@@ -969,11 +973,17 @@ object Dedup {
       threshold: Double,
       sampleN: Int = 10000,
       hotClusterFactor: Long = 4L,
+      maxK: Int = 512,
   ): DataFrame = {
     val n = df.count()
     if (n == 0) return df.withColumn("sem_cluster", lit(0))
+    // k is clamped at maxK: past it, driver-side Lloyd (k × sampleN × dim
+    // per iteration) and the O(k)-expression ivfAssign projection both
+    // degrade — train the quantizer offline (distributed k-means) and
+    // call semDedup directly for corpora where √n ≫ maxK; the LSH
+    // sub-block cap below still bounds the pair join there
     val k = math.max(1L, math.min(math.ceil(math.sqrt(n.toDouble)).toLong,
-      sampleN.toLong)).toInt
+      math.min(sampleN, maxK).toLong)).toInt
     val centroids = Similarity.kmeansCentroids(df, vecCol, idCol, k,
       sampleN = sampleN)
     val cap = hotClusterFactor * math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
@@ -992,7 +1002,10 @@ object Dedup {
     // oversized blocks sub-split by sign LSH over the vectors themselves
     // (recall-aware), NOT by random salting (recall-destroying)
     val v = maxBlockSize.fold(raw) { m =>
-      val first = df.select(size(col(vecCol))).limit(1).collect()
+      // dimension probe: one tiny job, only on the capped path; null
+      // vectors are skipped so the probe cannot NPE on a null first row
+      val first = df.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect()
       if (first.isEmpty) raw else lshSubBlocks(raw, m, first(0).getInt(0))
     }
     // identical-plan self-join (see minhashNearDuplicates)
