@@ -875,6 +875,38 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Near-duplicate removal keeping the BEST-scoring member of each
+    * duplicate cluster instead of the minimum id — the shape real
+    * pipelines want (rank cluster members by a quality signal such as
+    * [[TextOps.gopherColumns]]' composite or a model score; SemDeDup
+    * keeps by centroid distance the same way). Ties break on the id for
+    * determinism; documents that never paired keep themselves.
+    *
+    * Plan: the pair graph + components are the same bounded machinery as
+    * [[dropNearDuplicates]]; selection adds one window over clusters —
+    * partitioned by cluster label, so no global sort.
+    */
+  def dropNearDuplicatesKeepBest(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      scoreCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 8,
+  ): DataFrame = {
+    val pairs = minhashNearDuplicates(df, textCol, idCol,
+      numHashes = numHashes, bands = bands, threshold = threshold)
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val ranked = df.join(labels, Seq(idCol), "left")
+      .withColumn("_cluster", coalesce(col("label"), col(idCol)))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_cluster"))
+          .orderBy(col(scoreCol).desc_nulls_last, col(idCol))))
+    ranked.filter(col("_rk") === 1).drop("_rk", "_cluster", "label")
+  }
+
   // ---- embedding cosine near-dup ----
 
   /** Cosine similarity of two equal-length float-vector columns, computed

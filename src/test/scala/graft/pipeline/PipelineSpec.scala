@@ -418,6 +418,24 @@ class PipelineSpec extends SparkSpec {
     assert(eSalted.nonEmpty)
   }
 
+  test("dropNearDuplicatesKeepBest keeps the highest-scoring cluster member") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (0L, base, 0.2),
+      (1L, base, 0.9), // same cluster, best quality -> the survivor
+      (2L, base, 0.5),
+      (3L, "totally unrelated content about particle beams and detectors", 0.1),
+    ).toDF("doc_id", "text", "quality")
+    val kept = Dedup.dropNearDuplicatesKeepBest(
+      df, "text", "doc_id", "quality", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L)) // NOT the min id 0
+    // min-id variant on the same corpus keeps 0 — the two policies differ
+    val minKept = Dedup.dropNearDuplicates(df, "text", "doc_id", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minKept === Set(0L, 3L))
+  }
+
   test("incremental minhash dedup equals the full self-join's cross pairs") {
     val mk = (id: Long, t: String) => (id, t)
     val corpus = Seq(
