@@ -31,7 +31,10 @@ object Epics {
     */
   def requestUrl(archiverUrl: String, channel: String, tsFrom: Double, tsTo: Double): String = {
     def iso(ts: Double): String = java.time.LocalDateTime.ofEpochSecond(
-      math.floor(ts).toLong, ((ts - math.floor(ts)) * 1e9).round.toInt,
+      // the fraction can round up to a full second for ts within ~0.5 ns
+      // of the next tick — clamp, or ofEpochSecond throws DateTimeException
+      math.floor(ts).toLong,
+      math.min(((ts - math.floor(ts)) * 1e9).round, 999999999L).toInt,
       java.time.ZoneOffset.UTC)
       .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
     s"$archiverUrl$channel&from=${iso(tsFrom)}Z&to=${iso(tsTo)}Z"

@@ -512,7 +512,14 @@ object Hdf5Minimal {
     val data: Hdf5Data = (cls, size) match {
       case (1, 8) => F64(Array.fill(n.toInt)(d.getDouble))
       case (1, 4) => F32(Array.fill(n.toInt)(d.getFloat))
-      case (0, 8) => I64(Array.fill(n.toInt)(d.getLong)) // u64 > 2^63 unsupported
+      case (0, 8) =>
+        val a = Array.fill(n.toInt)(d.getLong)
+        // u64 values above 2^63 wrap negative under a signed decode —
+        // fail loudly like every other unsupported shape in this reader
+        if (!signed) require(a.forall(_ >= 0L),
+          s"dataset $name: unsigned 64-bit value exceeds 2^63 — " +
+            "not representable as a signed long")
+        I64(a)
       case (0, 4) =>
         if (signed) I32(Array.fill(n.toInt)(d.getInt))
         else I64(Array.fill(n.toInt)(d.getInt.toLong & 0xffffffffL)) // u32 widened

@@ -145,25 +145,33 @@ object InstrumentH5Loader extends Loader {
     val raw = readChannelTable(spark, paths, channels)
     val long = bufferDir match {
       case Some(dir) =>
-        if (!new java.io.File(dir).exists())
+        // a stale buffer (different file list or channel set than this
+        // call) would otherwise be reused SILENTLY — missing files/
+        // channels simply produce fewer/empty frames, not errors, and a
+        // same-length-but-reordered path list would permute the
+        // sorted-index file_id assignment. The manifest pins the EXACT
+        // (file_id -> normalized path) mapping + channel set the buffer
+        // was written from; reuse requires byte equality. (The leading
+        // underscore keeps Spark's parquet reader from listing it.)
+        val manifest = (channels.map(_.name).sorted.mkString("channels:", ",", "") +:
+          GenericLoader.naturalSort(paths).map(StreamFixture.normPath)
+            .zipWithIndex.map { case (p, i) => s"$i:$p" }).mkString("\n")
+        val mf = java.nio.file.Paths.get(dir, "_graft_manifest.txt")
+        if (!new java.io.File(dir).exists()) {
           raw.write.partitionBy("channel").parquet(dir)
+          java.nio.file.Files.write(mf, manifest.getBytes("UTF-8"))
+        }
+        require(java.nio.file.Files.exists(mf),
+          s"buffer $dir has no manifest (written by something else?) — " +
+            "use a fresh bufferDir")
+        val stored = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+        require(stored == manifest,
+          s"buffer $dir was written from a different (file, channel) set " +
+            "than this call requests — use a fresh bufferDir")
         val buffered = spark.read.parquet(dir)
         val missing = longSchema.fieldNames.toSet -- buffered.columns.toSet
         require(missing.isEmpty,
           s"existing buffer $dir does not match the channel-table schema: missing $missing")
-        // a stale buffer (different file list or channel set than this
-        // call) would otherwise be reused SILENTLY — missing files/
-        // channels simply produce fewer/empty frames, not errors
-        val state = buffered.agg(
-          collect_set(col("channel")), countDistinct(col("file_id"))).head()
-        val bufCh = state.getSeq[String](0).toSet
-        require(bufCh == channels.map(_.name).toSet,
-          s"buffer $dir holds channels ${bufCh.toSeq.sorted.mkString(",")} but " +
-            s"${channels.map(_.name).sorted.mkString(",")} were requested — " +
-            "use a fresh bufferDir")
-        require(state.getLong(1) == paths.length,
-          s"buffer $dir holds ${state.getLong(1)} files but ${paths.length} " +
-            "paths were requested — use a fresh bufferDir")
         buffered
       case None => raw.cache()
     }

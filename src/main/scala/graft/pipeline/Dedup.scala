@@ -839,7 +839,9 @@ object Dedup {
       converged = !changed
       iter += 1
     }
-    if (!converged)
+    // iter == 0 means the caller ASKED for zero rounds (maxIter = 0,
+    // identity labels) — non-convergence is the requested behavior then
+    if (!converged && iter > 0)
       org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup").warn(
         s"connectedComponents did NOT converge after $maxIter rounds — " +
           "returned labels may split true clusters. Star-merge rounds are " +
@@ -851,6 +853,23 @@ object Dedup {
     val out = labels.cache()
     out.count()
     if (prevRdd != null) prevRdd.unpersist(blocking = false)
+    out
+  }
+
+  /** Snapshot `df` into a lineage-free frame backed by a persisted row
+    * RDD, then unpersist `toFree` — so [[connectedComponents]]' cached
+    * labels (whose contract says callers should free them) don't leak
+    * out of the one-shot drop helpers. The snapshot RDD itself is
+    * reclaimed by Spark's ContextCleaner once the returned frame is
+    * unreferenced, unlike CacheManager entries which leak until an
+    * explicit unpersist().
+    */
+  private def snapshotAndFree(df: DataFrame, toFree: DataFrame): DataFrame = {
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // materialize before freeing what it derives from
+    val out = df.sparkSession.createDataFrame(rdd, df.schema)
+    toFree.unpersist()
     out
   }
 
@@ -869,9 +888,10 @@ object Dedup {
   ): DataFrame = {
     val pairs = minhashNearDuplicates(df, textCol, idCol,
       numHashes = numHashes, bands = bands, threshold = threshold)
-    val losers = connectedComponents(pairs)
-      .filter(col("id") =!= col("label"))
-      .select(col("id").as(idCol))
+    val labels = connectedComponents(pairs)
+    val losers = snapshotAndFree(
+      labels.filter(col("id") =!= col("label")).select(col("id").as(idCol)),
+      labels)
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -897,8 +917,8 @@ object Dedup {
   ): DataFrame = {
     val pairs = minhashNearDuplicates(df, textCol, idCol,
       numHashes = numHashes, bands = bands, threshold = threshold)
-    val labels = connectedComponents(pairs)
-      .withColumnRenamed("id", idCol)
+    val cc = connectedComponents(pairs)
+    val labels = snapshotAndFree(cc, cc).withColumnRenamed("id", idCol)
     val ranked = df.join(labels, Seq(idCol), "left")
       .withColumn("_cluster", coalesce(col("label"), col(idCol)))
       .withColumn("_rk", row_number().over(
