@@ -263,6 +263,25 @@ object OracleSql {
        |SELECT vec_id, ROUND(dot / (sqrt(nx) * sqrt(nq)), 6) AS cos FROM p
        |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** One Lloyd update step against the first-`nLists` seed embeddings as
+    * centroids: nearest-centroid assignment (ties to the lowest id, like
+    * the engine) then per-(cluster, dim) member count and mean.
+    */
+  def kmeansStepSql(table: String, nLists: Int): String =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM $table),
+       |c AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < $nLists),
+       |rd AS (SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dd
+       |  FROM e JOIN c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM rd)
+       |  WHERE rn = 1)
+       |SELECT CAST(a.cid AS INTEGER) AS cluster, CAST(e.i - 1 AS INTEGER) AS dim,
+       |  ROUND(avg(e.v), 6) AS mean_v, CAST(count(*) AS BIGINT) AS n
+       |FROM asg a JOIN e ON a.vec_id = e.vec_id
+       |GROUP BY a.cid, e.i""".stripMargin.replace("\n", " ")
+
   /** Full sparse-histogram oracle for a set of axes over `table`:
     * `SELECT bin_<c0>…, count(*) AS cnt GROUP BY all bins`, dropping
     * out-of-range events exactly as the kernel does.

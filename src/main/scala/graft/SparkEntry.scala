@@ -374,6 +374,19 @@ object SparkEntry {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       pipeline.Similarity.ivfTopK(emb, "embedding", "vec_id", seeds(0), seeds, 10)
     }),
+    // One distributed Lloyd update step (the full-corpus quantizer
+    // trainer behind KMeans.fit): seed-vector centroids, broadcast
+    // nearest-centroid assignment, per-cluster (count, per-dim mean)
+    // via the flat VectorSumAgg buffer. The iterated fit is
+    // property-tested (its centroids are data-derived, not
+    // SQL-expressible); this pins the one pass everything iterates on.
+    "q_kmeans_step" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      pipeline.KMeans.step(emb, "embedding", seeds)
+    }),
     // Bloom-filter incremental dedup: fingerprint the even-id half of the
     // corpus, keep batch rows not (probably) seen. Oracle = the exact
     // anti-join equivalent — sound because the FP budget rounds to zero
@@ -932,6 +945,7 @@ object SparkEntry {
       s"SELECT vec_id, ${OracleSql.lshBucketExprSql(lshPlanes)} AS bucket FROM embeddings",
     "q_lsh_topk" -> OracleSql.lshTopKSql("embeddings", lshPlanes, 10),
     "q_ivf_topk" -> OracleSql.ivfTopKSql("embeddings", nLists = 8, nProbe = 2, k = 10),
+    "q_kmeans_step" -> OracleSql.kmeansStepSql("embeddings", nLists = 8),
     "q_minhash_pairs" -> OracleSql.minhashPairsSql(
       "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2, seed = 42L),
     "q_simhash_pairs" -> OracleSql.simhashPairsSql("documents", maxDistance = 16),
