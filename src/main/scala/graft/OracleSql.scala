@@ -263,6 +263,22 @@ object OracleSql {
        |SELECT vec_id, ROUND(dot / (sqrt(nx) * sqrt(nq)), 6) AS cos FROM p
        |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** Hashed-linear quality score — mirrors
+    * [[graft.pipeline.QualityModel.scoreColumn]] with the deterministic
+    * formula weight table `w[b] = ((b·2654435761) mod 97 − 48)/100`:
+    * `σ(bias + mean_tok w[hash(tok) mod B])`, rounded to 6.
+    */
+  def qualityScoreSql(table: String, numBuckets: Int, bias: Double): String = {
+    val bk = s"((${portableTokenHashSql("t")}) % $numBuckets)"
+    s"""WITH toks AS (SELECT doc_id,
+       |  unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM $table),
+       |s AS (SELECT doc_id, count(*) AS n,
+       |  sum((CAST(($bk * 2654435761::BIGINT) % 97 AS DOUBLE) - 48) / 100) AS sw
+       |  FROM toks GROUP BY doc_id)
+       |SELECT doc_id, ROUND(1.0 / (1.0 + exp(-($bias + sw / n))), 6) AS q_score
+       |FROM s""".stripMargin.replace("\n", " ")
+  }
+
   /** One Lloyd update step against the first-`nLists` seed embeddings as
     * centroids: nearest-centroid assignment (ties to the lowest id, like
     * the engine) then per-(cluster, dim) member count and mean.

@@ -61,6 +61,12 @@ object SparkEntry {
   /** ANN: 8 seeded random hyperplanes over the 64-dim embeddings. */
   val lshPlanes: Array[Array[Double]] = pipeline.Similarity.hyperplanes(64, 8)
 
+  /** Deterministic formula weight table for the q_quality_score gate
+    * (mirrored literally in [[OracleSql.qualityScoreSql]]).
+    */
+  val qualityScoreWeights: Array[Double] =
+    Array.tabulate(64)(i => ((i.toLong * 2654435761L) % 97 - 48) / 100.0)
+
   /** Sessionization gap: 12 h in nanoseconds (events.ts is Long nanos). */
   val sessionGapNs: Long = 12L * 3600 * 1000 * 1000 * 1000
 
@@ -319,6 +325,14 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
           "stopword_ratio")
         .withColumn("n_tokens", col("n_tokens").cast("long"))),
+    // trained hashed-linear quality score (QualityModel): the gate pins
+    // the SCORING pass with a deterministic formula weight table —
+    // training itself is data-derived (driver-side logistic regression,
+    // spec-covered), but every corpus-side instruction is exercised here
+    "q_quality_score" -> ((s, dir) =>
+      pipeline.QualityModel.scoreQuality(
+        table(s, dir, "documents"), "text", qualityScoreWeights, 0.1)
+        .select(col("doc_id"), round(col("q_score"), 6).as("q_score"))),
     // per-document character Shannon entropy: native one-pass codegen
     // kernel, map-only (the explode+groupBy formulation would shuffle
     // len(text) rows per doc); oracle = DuckDB's entropy() aggregate
@@ -946,6 +960,8 @@ object SparkEntry {
     "q_lsh_topk" -> OracleSql.lshTopKSql("embeddings", lshPlanes, 10),
     "q_ivf_topk" -> OracleSql.ivfTopKSql("embeddings", nLists = 8, nProbe = 2, k = 10),
     "q_kmeans_step" -> OracleSql.kmeansStepSql("embeddings", nLists = 8),
+    "q_quality_score" ->
+      OracleSql.qualityScoreSql("documents", numBuckets = 64, bias = 0.1),
     "q_minhash_pairs" -> OracleSql.minhashPairsSql(
       "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2, seed = 42L),
     "q_simhash_pairs" -> OracleSql.simhashPairsSql("documents", maxDistance = 16),
