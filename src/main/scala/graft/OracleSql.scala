@@ -279,6 +279,18 @@ object OracleSql {
        |FROM s""".stripMargin.replace("\n", " ")
   }
 
+  /** Upper-triangle population covariance of the embedding dimensions —
+    * mirrors [[graft.pipeline.Pca.covariance]]'s
+    * `Σxy/n − mean·mean` arithmetic, rounded to 6.
+    */
+  def embedCovSql(table: String): String =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM $table)
+       |SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+       |  ROUND(sum(a.v * b.v) / count(*) - avg(a.v) * avg(b.v), 6) AS cov_v
+       |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |GROUP BY a.i, b.i""".stripMargin.replace("\n", " ")
+
   /** One Lloyd update step against the first-`nLists` seed embeddings as
     * centroids: nearest-centroid assignment (ties to the lowest id, like
     * the engine) then per-(cluster, dim) member count and mean.

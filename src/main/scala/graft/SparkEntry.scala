@@ -388,6 +388,18 @@ object SparkEntry {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       pipeline.Similarity.ivfTopK(emb, "embedding", "vec_id", seeds(0), seeds, 10)
     }),
+    // Embedding covariance matrix from Pca's one-pass moments aggregate
+    // (the distributed half of PCA; the driver-side Jacobi eigen half is
+    // spec-covered) — upper triangle as (i, j, cov_v) rows
+    "q_embed_cov" -> ((s, dir) => {
+      import s.implicits._
+      val (cov, _, _) = pipeline.Pca.covariance(
+        table(s, dir, "embeddings"), "embedding", 64)
+      val rows = for { i <- 0 until 64; j <- i until 64 }
+        yield (i, j, cov(i)(j))
+      rows.toDF("i", "j", "cov_v")
+        .withColumn("cov_v", round(col("cov_v"), 6))
+    }),
     // One distributed Lloyd update step (the full-corpus quantizer
     // trainer behind KMeans.fit): seed-vector centroids, broadcast
     // nearest-centroid assignment, per-cluster (count, per-dim mean)
@@ -959,6 +971,7 @@ object SparkEntry {
       s"SELECT vec_id, ${OracleSql.lshBucketExprSql(lshPlanes)} AS bucket FROM embeddings",
     "q_lsh_topk" -> OracleSql.lshTopKSql("embeddings", lshPlanes, 10),
     "q_ivf_topk" -> OracleSql.ivfTopKSql("embeddings", nLists = 8, nProbe = 2, k = 10),
+    "q_embed_cov" -> OracleSql.embedCovSql("embeddings"),
     "q_kmeans_step" -> OracleSql.kmeansStepSql("embeddings", nLists = 8),
     "q_quality_score" ->
       OracleSql.qualityScoreSql("documents", numBuckets = 64, bias = 0.1),

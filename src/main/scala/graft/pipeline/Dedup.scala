@@ -998,8 +998,11 @@ object Dedup {
       threshold: Double,
       maxBlockSize: Option[Long] = None,
   ): DataFrame = {
+    // broadcast nearest-centroid (tie-identical to ivfAssign's literal
+    // tree, which stops compiling around k ~ 100 — the sqrt-N regime
+    // routinely wants thousands)
     val assigned = df.withColumn(
-      "sem_cluster", Similarity.ivfAssign(col(vecCol), centroids))
+      "sem_cluster", KMeans.assign(df, vecCol, centroids))
     val pairs = embeddingNearDuplicates(
       assigned, vecCol, idCol, col("sem_cluster"), threshold, maxBlockSize)
     val losers = connectedComponents(pairs.select("id_a", "id_b"))
@@ -1009,14 +1012,17 @@ object Dedup {
   }
 
   /** [[semDedup]] with the paper's k ≈ √N quantizer regime ENFORCED
-    * rather than documented: counts the corpus, trains a
-    * `ceil(sqrt(n))`-centroid coarse quantizer on a bounded sample
-    * ([[Similarity.kmeansCentroids]]), and caps residual hot clusters at
+    * rather than documented: counts the corpus, seeds a
+    * `ceil(sqrt(n))`-centroid coarse quantizer from a bounded sample,
+    * refines it over the FULL corpus with `refineIters` distributed
+    * Lloyd rounds ([[KMeans.fit]] — one map pass + one k-buffer shuffle
+    * per round), and caps residual hot clusters at
     * `hotClusterFactor × √n` via the recall-aware [[lshSubBlocks]].
     * Expected cluster size is then ~√n, so the within-cluster pair join
-    * does ~n total work instead of n²/k. `k` is bounded by the training
-    * sample (`sampleN`); past `sampleN²` rows, train the quantizer
-    * offline and call [[semDedup]] directly.
+    * does ~n total work instead of n²/k. `k` tops out at
+    * `min(sampleN, maxK)` — the init needs one seed vector per
+    * centroid; past that, train offline ([[KMeans.fitAuto]] with a
+    * bigger sample) and call [[semDedup]] directly.
     */
   def semDedupAuto(
       df: DataFrame,
@@ -1025,19 +1031,25 @@ object Dedup {
       threshold: Double,
       sampleN: Int = 10000,
       hotClusterFactor: Long = 4L,
-      maxK: Int = 512,
+      maxK: Int = 4096,
+      refineIters: Int = 3,
   ): DataFrame = {
     val n = df.count()
     if (n == 0) return df.withColumn("sem_cluster", lit(0))
-    // k is clamped at maxK: past it, driver-side Lloyd (k × sampleN × dim
-    // per iteration) and the O(k)-expression ivfAssign projection both
-    // degrade — train the quantizer offline (distributed k-means) and
-    // call semDedup directly for corpora where √n ≫ maxK; the LSH
-    // sub-block cap below still bounds the pair join there
+    // k follows sqrt(n) up to maxK (bounded by the init sample size);
+    // assignment is the broadcast expression, so large k costs only the
+    // k × dim distance loop per row
     val k = math.max(1L, math.min(math.ceil(math.sqrt(n.toDouble)).toLong,
       math.min(sampleN, maxK).toLong)).toInt
-    val centroids = Similarity.kmeansCentroids(df, vecCol, idCol, k,
-      sampleN = sampleN)
+    // init from the bounded driver sample: full driver Lloyd while its
+    // k × sampleN × dim per-iteration cost is trivial, evenly-spaced
+    // sample picks past that — distributed refinement does the placing
+    val init = Similarity.kmeansCentroids(df, vecCol, idCol, k,
+      iters = if (k <= 512) 10 else 0, sampleN = sampleN)
+    val centroids =
+      if (refineIters > 0)
+        KMeans.fit(df, vecCol, init, maxIter = refineIters, tol = 1e-4)._1
+      else init
     val cap = hotClusterFactor * math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     semDedup(df, vecCol, idCol, centroids, threshold, maxBlockSize = Some(cap))
   }

@@ -1,0 +1,222 @@
+package graft.pipeline
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass second-moment aggregate of a float/double vector column:
+  * upper-triangle `Σ x_i x_j`, per-dim `Σ x_i`, and the row count in a
+  * SINGLE flat buffer — everything a covariance matrix needs from ONE
+  * scan with no shuffle beyond `partitions` flat buffers
+  * (`dim(dim+1)/2 + dim + 1` doubles each; 64-dim ⇒ ~17 KB). The
+  * per-row cost is the inherent dim²/2 multiply-adds of covariance.
+  */
+case class VectorMomentsAgg(
+    child: Expression, // array<float> | array<double>
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private val tri = dim * (dim + 1) / 2
+  // layout: [0, tri) = Σ x_i·x_j (row-major, i ≤ j), [tri, tri+dim) = Σ x_i,
+  // last slot = count
+  override def createAggregationBuffer(): Array[Double] =
+    new Array[Double](tri + dim + 1)
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() == dim,
+        s"vector of length ${arr.numElements()} in a dim-$dim aggregation")
+      val x = new Array[Double](dim)
+      var i = 0
+      if (isFloat) while (i < dim) { x(i) = arr.getFloat(i); i += 1 }
+      else while (i < dim) { x(i) = arr.getDouble(i); i += 1 }
+      var p = 0
+      i = 0
+      while (i < dim) {
+        val xi = x(i)
+        var j = i
+        while (j < dim) { buffer(p) += xi * x(j); j += 1; p += 1 }
+        buffer(tri + i) += xi
+        i += 1
+      }
+      buffer(tri + dim) += 1.0
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Double]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.asDoubleBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](tri + dim + 1)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorMomentsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorMomentsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorMomentsAgg =
+    copy(child = newChild)
+}
+
+/** PCA over an embedding column — the standard preprocessing in front of
+  * embedding dedup/ANN (SemDeDup whitens; IVF quantizers train better in
+  * a decorrelated basis) and a dimensionality-reduction lever in its own
+  * right. Distribution of labor: the dim×dim covariance comes from ONE
+  * corpus pass ([[VectorMomentsAgg]]); the eigendecomposition of that
+  * tiny symmetric matrix runs driver-side (cyclic Jacobi — dim ≤ a few
+  * thousand is microseconds-to-seconds, and no cluster round can beat a
+  * dim² local solve); the projection back over the corpus is a map-only
+  * expression pass against the literal component matrix.
+  */
+object Pca {
+
+  /** Population covariance matrix (divide by n, matching `numpy.cov
+    * (bias=True)` / DuckDB `covar_pop`) plus the mean vector and count,
+    * from one corpus pass. Null vectors are dropped.
+    */
+  def covariance(df: DataFrame, vecCol: String, dim: Int)
+      : (Array[Array[Double]], Array[Double], Long) = {
+    val vecs = df.filter(col(vecCol).isNotNull)
+    val momentsCol = GraftBridge.column(VectorMomentsAgg(
+      GraftBridge.expression(vecs.col(vecCol)), dim).toAggregateExpression())
+    val m = vecs.agg(momentsCol.as("m")).head().getSeq[Double](0).toArray
+    val tri = dim * (dim + 1) / 2
+    val n = m(tri + dim).toLong
+    require(n > 0, "covariance of an empty corpus")
+    val mean = Array.tabulate(dim)(i => m(tri + i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var p = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = m(p) / n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        j += 1
+        p += 1
+      }
+      i += 1
+    }
+    (cov, mean, n)
+  }
+
+  /** Eigen-decomposition of a symmetric matrix by cyclic Jacobi
+    * rotations: returns `(eigenvalues, eigenvectors)` sorted by
+    * descending eigenvalue, eigenvectors as rows. Deterministic; for
+    * the dim ≤ few-thousand matrices PCA meets, convergence is a few
+    * sweeps.
+    */
+  def symmetricEigen(a: Array[Array[Double]], sweeps: Int = 50,
+      tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val n = a.length
+    val m = a.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = m(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > tol) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
+            // θ = 0 means a 45° rotation — signum(0) = 0 would no-op it
+            val t = (if (theta == 0.0) 1.0 else math.signum(theta)) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val mkp = m(k)(p); val mkq = m(k)(q)
+              m(k)(p) = c * mkp - s * mkq
+              m(k)(q) = s * mkp + c * mkq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val mpk = m(p)(k); val mqk = m(q)(k)
+              m(p)(k) = c * mpk - s * mqk
+              m(q)(k) = s * mpk + c * mqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => -m(i)(i))
+    (order.map(i => m(i)(i)).toArray,
+      order.map(i => Array.tabulate(n)(k => v(k)(i))).toArray)
+  }
+
+  /** Fit a `k`-component PCA: `(mean, components (k rows), eigenvalues)`. */
+  def fit(df: DataFrame, vecCol: String, dim: Int, k: Int)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    require(k >= 1 && k <= dim, s"k=$k out of range for dim=$dim")
+    val (cov, mean, _) = covariance(df, vecCol, dim)
+    val (vals, vecs) = symmetricEigen(cov)
+    (mean, vecs.take(k), vals.take(k))
+  }
+
+  /** Project the vector column onto literal `components` (rows) after
+    * centering on `mean`: an `array<double>` of length k, pure
+    * expressions (k × dim multiply-adds per row), map-only.
+    */
+  def projectColumn(vec: Column, mean: Array[Double],
+      components: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.functions.{transform => arrTransform}
+    val centered = zip_with(vec, lit(mean), (x, mu) => x.cast("double") - mu)
+    val compLit = typedLit(components.map(_.toSeq).toSeq)
+    // bind the centered array ONCE as a lambda variable — referencing the
+    // subtree per component would re-evaluate the centering k times
+    arrTransform(array(centered), c =>
+      arrTransform(compLit, comp =>
+        aggregate(zip_with(c, comp, (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x))).getItem(0)
+  }
+
+  /** `df` plus `pca` (length-k array<double>) from a fitted model. */
+  def addProjection(df: DataFrame, vecCol: String, mean: Array[Double],
+      components: Array[Array[Double]]): DataFrame =
+    df.withColumn("pca", projectColumn(col(vecCol), mean, components))
+}
