@@ -929,10 +929,21 @@ object Dedup {
 
   // ---- embedding cosine near-dup ----
 
-  /** Cosine similarity of two equal-length float-vector columns, computed
-    * as a strict left fold (deterministic summation order) in double.
+  /** Cosine similarity of two equal-length float/double vector columns —
+    * the native fused-loop kernel ([[CosineSimExpr]]), value-identical
+    * to [[cosineDeclarative]] (same index-order accumulation) except
+    * that a zero-norm side yields null instead of ANSI's
+    * DIVIDE_BY_ZERO error.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(CosineSimExpr(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** The higher-order-function composition [[cosine]] replaced; kept as
+    * the parity reference (three strict left folds in double).
+    */
+  def cosineDeclarative(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)

@@ -690,6 +690,34 @@ class PipelineSpec extends SparkSpec {
     assert(resized(2L)._1.length === 4 && resized(2L)._2 === 0L)
   }
 
+  test("native cosine kernel matches the declarative composition it replaced") {
+    val rows = (0 until 50).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Seq.fill(16)(r.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("id", "a")
+      .withColumn("b", reverse(col("a")))
+    val both = df.select(
+      Dedup.cosine(col("a"), col("b")).as("native"),
+      Dedup.cosineDeclarative(col("a"), col("b")).as("decl"))
+    // bit-identical (same index-order accumulation)
+    assert(both.filter(col("native") =!= col("decl")).count() === 0L)
+    // zero-norm -> NULL (the declarative form under ANSI throws
+    // DIVIDE_BY_ZERO; NULL is the try_divide semantic and the useful one)
+    val zero = Seq((0L, Seq.fill(4)(0.0f), Seq.fill(4)(1.0f))).toDF("id", "a", "b")
+    assert(zero.select(Dedup.cosine(col("a"), col("b")).as("c"))
+      .filter(col("c").isNull).count() === 1L)
+    // interpreted path agrees too
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(both.filter(col("native").isNotNull &&
+      col("native") =!= col("decl")).count() === 0L)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // mixed float/double (literal query side) works
+    val q = Array.fill(16)(0.5)
+    assert(df.select(Dedup.cosine(col("a"), lit(q)).as("c"))
+      .filter(col("c").isNull).count() === 0L)
+  }
+
   test("imageNearDuplicates: dHash banding finds near pairs, skips far ones") {
     // deterministic pseudo-images: a base byte pattern, an identical copy,
     // a lightly perturbed copy (few grid cells flip), and pure noise
