@@ -291,6 +291,23 @@ object OracleSql {
        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
        |GROUP BY a.i, b.i""".stripMargin.replace("\n", " ")
 
+  /** PQ encoding against seed-sliced codebooks: per (vector, subspace),
+    * the index of the nearest seed sub-vector (ties to the lowest id) —
+    * mirrors [[graft.pipeline.Pq.encode]] with seed codebooks.
+    */
+  def pqEncodeSql(table: String, nSeeds: Int, subDim: Int): String =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM $table),
+       |c AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < $nSeeds),
+       |rd AS (SELECT a.vec_id, CAST((a.i - 1) // $subDim AS INTEGER) AS sub,
+       |  c.cid, sum((a.v - c.v) * (a.v - c.v)) AS dd
+       |  FROM e a JOIN c ON a.i = c.i
+       |  GROUP BY a.vec_id, ((a.i - 1) // $subDim), c.cid)
+       |SELECT vec_id, sub, CAST(cid AS INTEGER) AS code FROM (
+       |  SELECT vec_id, sub, cid,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
+       |  FROM rd) WHERE rn = 1""".stripMargin.replace("\n", " ")
+
   /** One Lloyd update step against the first-`nLists` seed embeddings as
     * centroids: nearest-centroid assignment (ties to the lowest id, like
     * the engine) then per-(cluster, dim) member count and mean.

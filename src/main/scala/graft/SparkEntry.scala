@@ -400,6 +400,20 @@ object SparkEntry {
       rows.toDF("i", "j", "cov_v")
         .withColumn("cov_v", round(col("cov_v"), 6))
     }),
+    // Product-quantization encoding (the corpus-scale pass of IVF-PQ):
+    // seed-sliced codebooks, one broadcast nearest-centroid per
+    // subspace, map-only. Codebook training and ADC search are
+    // spec-covered (data-derived / ordering-sensitive)
+    "q_pq_encode" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val model = pipeline.Pq.Model(64, 8,
+        Array.tabulate(8)(sub => seeds.map(_.slice(sub * 8, (sub + 1) * 8))))
+      pipeline.Pq.encode(emb, "embedding", model)
+        .select(col("vec_id"), posexplode(col("pq_code")).as(Seq("sub", "code")))
+    }),
     // One distributed Lloyd update step (the full-corpus quantizer
     // trainer behind KMeans.fit): seed-vector centroids, broadcast
     // nearest-centroid assignment, per-cluster (count, per-dim mean)
@@ -972,6 +986,7 @@ object SparkEntry {
     "q_lsh_topk" -> OracleSql.lshTopKSql("embeddings", lshPlanes, 10),
     "q_ivf_topk" -> OracleSql.ivfTopKSql("embeddings", nLists = 8, nProbe = 2, k = 10),
     "q_embed_cov" -> OracleSql.embedCovSql("embeddings"),
+    "q_pq_encode" -> OracleSql.pqEncodeSql("embeddings", nSeeds = 8, subDim = 8),
     "q_kmeans_step" -> OracleSql.kmeansStepSql("embeddings", nLists = 8),
     "q_quality_score" ->
       OracleSql.qualityScoreSql("documents", numBuckets = 64, bias = 0.1),
