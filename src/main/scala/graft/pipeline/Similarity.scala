@@ -24,10 +24,21 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket id: bit b set iff `v · plane_b > 0`.
-    * Pure expressions over the array column (dot product unrolled per
-    * plane via a strict fold) — no UDF.
+    * Native one-pass kernel ([[LshBucketExpr]], planes broadcast) —
+    * value-identical to [[lshBucketDeclarative]] (same per-plane
+    * index-order accumulation).
     */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(planes)
+    org.apache.spark.sql.GraftBridge.column(LshBucketExpr(
+      org.apache.spark.sql.GraftBridge.expression(vec), bc))
+  }
+
+  /** The per-plane higher-order composition [[lshBucket]] replaced;
+    * kept as the parity reference.
+    */
+  def lshBucketDeclarative(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, b) =>
       val dot = aggregate(
         zip_with(vec, lit(p), (x, w) => x.cast("double") * w),

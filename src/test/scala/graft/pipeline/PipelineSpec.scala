@@ -718,6 +718,22 @@ class PipelineSpec extends SparkSpec {
       .filter(col("c").isNull).count() === 0L)
   }
 
+  test("native lsh bucket matches the per-plane declarative composition") {
+    val planes = Similarity.hyperplanes(16, 10)
+    val df = (0 until 80).map { i =>
+      val r = new scala.util.Random(i + 7)
+      (i.toLong, Seq.fill(16)(r.nextGaussian().toFloat))
+    }.toDF("id", "v")
+    val both = df.select(
+      Similarity.lshBucket(col("v"), planes).as("native"),
+      Similarity.lshBucketDeclarative(col("v"), planes).as("decl"))
+    assert(both.filter(col("native") =!= col("decl")).count() === 0L)
+    assert(both.select(countDistinct(col("native"))).first().getLong(0) > 1L)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(both.filter(col("native") =!= col("decl")).count() === 0L)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("imageNearDuplicates: dHash banding finds near pairs, skips far ones") {
     // deterministic pseudo-images: a base byte pattern, an identical copy,
     // a lightly perturbed copy (few grid cells flip), and pure noise
