@@ -170,4 +170,41 @@ object Pq {
       .orderBy(col("adc_dist"), col(idCol))
       .limit(n)
   }
+
+  /** Build the at-rest IVF-PQ index frame: `ivf_list` (coarse quantizer
+    * cell — partition the lake by it) + `pq_code`. One map-only pass;
+    * persist this instead of the float vectors. PQ here encodes raw
+    * vectors, not per-list residuals (the FAISS default) — a documented
+    * simplification that trades a little precision for a list-independent
+    * codebook, so codes survive coarse-quantizer retraining.
+    */
+  def ivfPqIndex(
+      df: DataFrame,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      model: Model,
+  ): DataFrame =
+    df.withColumn("ivf_list", KMeans.assign(df, vecCol, coarse))
+      .withColumn("pq_code", encodeColumn(df, vecCol, model))
+
+  /** IVF-PQ search: prune to the `nProbe` coarse lists nearest the
+    * query (driver-side — the coarse table is tiny), then ADC-scan only
+    * their members. With the lake partitioned by `ivf_list`, the filter
+    * is partition pruning: a probe touches nProbe/k_coarse of storage.
+    */
+  def ivfPqTopK(
+      index: DataFrame, // from ivfPqIndex
+      idCol: String,
+      query: Array[Double],
+      coarse: Array[Array[Double]],
+      model: Model,
+      nProbe: Int,
+      n: Int,
+  ): DataFrame = {
+    val probes = coarse.zipWithIndex.map { case (c, i) =>
+      (i, c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
+    adcTopK(index.filter(col("ivf_list").isin(probes.toIndexedSeq: _*)),
+      "pq_code", idCol, query, model, n)
+  }
 }

@@ -75,6 +75,27 @@ class PqSpec extends SparkSpec {
     assert(same.map(_._2).max < cross.map(_._2).min)
   }
 
+  test("IVF-PQ probe agrees with the full ADC scan when it covers the list") {
+    val df = corpus()
+    val model = Pq.fitOnSample(df, "embedding", "vec_id", dim = 16, m = 4, k = 8)
+    // coarse quantizer = distributed k-means over the corpus
+    val (coarse, _, _) = KMeans.fitAuto(df, "embedding", "vec_id", k = 8)
+    val index = Pq.ivfPqIndex(df, "embedding", coarse, model)
+    val query = df.filter(col("vec_id") === 3).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble).toArray
+    val probed = Pq.ivfPqTopK(index, "vec_id", query, coarse, model,
+      nProbe = 2, n = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Pq.adcTopK(Pq.encode(df, "embedding", model),
+      "pq_code", "vec_id", query, model, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.toSeq === full.toSeq,
+      "nProbe=2 on 8 tight blobs must cover the winning list")
+    // nProbe = all lists is exhaustive by construction
+    val all = Pq.ivfPqTopK(index, "vec_id", query, coarse, model,
+      nProbe = 8, n = 10).collect().map(_.getLong(0))
+    assert(all.toSeq === full.map(_._1).toSeq)
+  }
+
   test("model validation fails loudly") {
     val df = corpus(20)
     val e = intercept[IllegalArgumentException] {

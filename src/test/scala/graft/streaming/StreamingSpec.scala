@@ -110,6 +110,35 @@ class StreamingSpec extends SparkSpec {
     assert(flags === Map(1L -> 1, 2L -> 1))
   }
 
+  test("model-apply passes (quality score, kmeans assign, pq encode) stream unchanged") {
+    // the train-offline / score-on-stream split: all three apply passes
+    // are stateless map-only expressions, so they run on a live stream
+    // exactly as on the batch frame they were validated against
+    val dir = Files.createTempDirectory("stream-model").toFile.getPath + "/data"
+    Seq((1L, "the quick brown fox", Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, "zzzz zzzz zzzz", Seq(0.0f, 0.0f, 9.0f, 9.0f)))
+      .toDF("doc_id", "text", "embedding").repartition(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val w = Array.tabulate(32)(i => (i % 5 - 2) / 10.0)
+    val cents = Array(Array(0.5, 0.0, 0.0, 0.0), Array(0.0, 0.0, 9.0, 9.0))
+    val model = graft.pipeline.Pq.Model(4, 2,
+      Array.tabulate(2)(s => cents.map(_.slice(s * 2, (s + 1) * 2))))
+    def chain(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.pipeline.QualityModel.scoreColumn(col("text"), w, 0.0).as("q"),
+      graft.pipeline.KMeans.assign(df, "embedding", cents).as("cluster"),
+      graft.pipeline.Pq.encodeColumn(df, "embedding", model).as("code"))
+    val out = StreamingBinning.transform(stream, chain)
+    assert(out.isStreaming)
+    val sunk = StreamingBinning.runToMemorySink(out, "model_sink", OutputMode.Append())
+      .as[(Long, Double, Int, Seq[Int])].collect().sortBy(_._1)
+    val batch = chain(spark.read.parquet(dir))
+      .as[(Long, Double, Int, Seq[Int])].collect().sortBy(_._1)
+    assert(sunk.toSeq === batch.toSeq)
+    assert(sunk.map(_._3).toSeq === Seq(0, 1))
+  }
+
   test("bloom fingerprint dedupes a stream against a historical corpus") {
     // the incremental-ingest pattern: fingerprint yesterday's corpus once
     // (driver-side bytes, broadcast into the codegen probe), then drop
