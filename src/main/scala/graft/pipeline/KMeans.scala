@@ -77,8 +77,10 @@ case class VectorSumAgg(
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  // slots 0..dim-1 = element sums, slot dim = row count
-  override def createAggregationBuffer(): Array[Double] = new Array[Double](dim + 1)
+  // slots 0..dim-1 = element sums, slot dim = row count,
+  // slot dim+1 = Σ|x|² (buys the within-cluster SSE — the k-means
+  // inertia/elbow diagnostic — for free in the same pass)
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](dim + 2)
 
   override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
@@ -87,8 +89,12 @@ case class VectorSumAgg(
       require(arr.numElements() == dim,
         s"vector of length ${arr.numElements()} in a dim-$dim aggregation")
       var i = 0
-      if (isFloat) while (i < dim) { buffer(i) += arr.getFloat(i); i += 1 }
-      else while (i < dim) { buffer(i) += arr.getDouble(i); i += 1 }
+      while (i < dim) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        buffer(i) += x
+        buffer(dim + 1) += x * x
+        i += 1
+      }
       buffer(dim) += 1.0
     }
     buffer
@@ -96,20 +102,20 @@ case class VectorSumAgg(
 
   override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
     var i = 0
-    while (i <= dim) { buffer(i) += other(i); i += 1 }
+    while (i <= dim + 1) { buffer(i) += other(i); i += 1 }
     buffer
   }
 
   override def eval(buffer: Array[Double]): Any = new GenericArrayData(buffer)
 
   override def serialize(buffer: Array[Double]): Array[Byte] = {
-    val bb = ByteBuffer.allocate((dim + 1) * 8).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.allocate((dim + 2) * 8).order(ByteOrder.LITTLE_ENDIAN)
     bb.asDoubleBuffer().put(buffer)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Double] = {
-    val out = new Array[Double](dim + 1)
+    val out = new Array[Double](dim + 2)
     ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer().get(out)
     out
   }
@@ -210,6 +216,25 @@ object KMeans {
       .select(col("cluster"), col("dim").cast("int").as("dim"),
         round(col("mean_sum") / col("_n"), 6).as("mean_v"),
         col("_n").cast("long").as("n"))
+  }
+
+  /** Within-cluster sum of squared distances (k-means inertia, the
+    * elbow-method diagnostic) of the corpus against `centroids` — ONE
+    * [[clusterStats]] pass: per cluster,
+    * `Σ|x|² − 2·c·Σx + n·|c|²`, no second corpus scan.
+    */
+  def inertia(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): Double = {
+    val dim = centroids(0).length
+    clusterStats(df, vecCol, centroids).collect().map { row =>
+      val c = centroids(row.getInt(0))
+      val s = row.getSeq[Double](1)
+      val n = s(dim)
+      val sumSq = s(dim + 1)
+      val dot = (0 until dim).map(i => c(i) * s(i)).sum
+      val cNorm = c.map(x => x * x).sum
+      sumSq - 2.0 * dot + n * cNorm
+    }.sum
   }
 
   /** Iterate Lloyd updates from `init` until the largest centroid L2

@@ -219,4 +219,17 @@ object Pca {
   def addProjection(df: DataFrame, vecCol: String, mean: Array[Double],
       components: Array[Array[Double]]): DataFrame =
     df.withColumn("pca", projectColumn(col(vecCol), mean, components))
+
+  /** Whitening matrix: component rows scaled by `1/√(λ + eps)`, so the
+    * projected coordinates are decorrelated AND unit-variance — the
+    * PCA-whitening preprocessing embedding-dedup recipes (SemDeDup et
+    * al.) apply before cosine thresholds, folded into the same map-only
+    * projection pass.
+    */
+  def whiteningComponents(components: Array[Array[Double]],
+      eigenvalues: Array[Double], eps: Double = 1e-9): Array[Array[Double]] =
+    components.zip(eigenvalues).map { case (c, ev) =>
+      val s = 1.0 / math.sqrt(ev + eps)
+      c.map(_ * s)
+    }
 }

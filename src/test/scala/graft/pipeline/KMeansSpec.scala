@@ -86,7 +86,26 @@ class KMeansSpec extends SparkSpec {
     val (fitted, _, _) = KMeans.fit(df, "embedding", far, maxIter = 3)
     assert(fitted(1).toSeq === Seq(100.0, 100.0), "empty cluster moved")
     val stats = KMeans.clusterStats(df, "embedding", far).collect()
-    assert(stats.map(_.getSeq[Double](1).last.toLong).sum === 2L, "null row counted")
+    // count slot is index `dim` (the buffer carries Σ|x|² after it)
+    assert(stats.map(_.getSeq[Double](1)(2).toLong).sum === 2L, "null row counted")
+  }
+
+  test("inertia matches driver SSE and decreases under fit") {
+    val (df, centers) = blobs()
+    val init = Array(
+      Array(1.0, 1.0, 1.0, 1.0), Array(8.0, 8.0, 1.0, 1.0),
+      Array(1.0, 1.0, 8.0, 8.0))
+    val before = KMeans.inertia(df, "embedding", init)
+    val (fitted, _, _) = KMeans.fit(df, "embedding", init, maxIter = 10)
+    val after = KMeans.inertia(df, "embedding", fitted)
+    assert(after < before, s"fit should reduce inertia: $before -> $after")
+    // driver-side SSE against the fitted centroids agrees
+    val data = df.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sse = data.map { v =>
+      fitted.map(c => v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+    }.sum
+    assert(math.abs(after - sse) / sse < 1e-9, s"inertia $after vs SSE $sse")
   }
 
   test("step emits per-(cluster, dim) means consistent with fit's first round") {

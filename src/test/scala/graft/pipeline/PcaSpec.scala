@@ -67,6 +67,19 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(c01) < 1e-6 * vals(0))
   }
 
+  test("whitened projection has unit variance per coordinate") {
+    val df = stretched()
+    val (mean, comps, vals) = Pca.fit(df, "embedding", dim = 3, k = 2)
+    val white = Pca.whiteningComponents(comps, vals)
+    val proj = Pca.addProjection(df, "embedding", mean, white)
+      .select("pca").collect().map(_.getSeq[Double](0).toArray)
+    (0 until 2).foreach { d =>
+      val m = proj.map(_(d)).sum / proj.length
+      val v = proj.map(p => (p(d) - m) * (p(d) - m)).sum / proj.length
+      assert(math.abs(v - 1.0) < 1e-6, s"coordinate $d variance $v")
+    }
+  }
+
   test("null vectors are dropped; wrong length fails loudly") {
     val df = Seq(
       (0L, Some(Seq(1.0f, 2.0f))), (1L, Some(Seq(3.0f, 4.0f))),
