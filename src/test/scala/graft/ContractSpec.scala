@@ -131,6 +131,36 @@ class ContractSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(pack).length === 1, pack)
   }
 
+  test("model-apply passes are map-only; kmeans stats shuffle exactly once") {
+    val docs = Seq.tabulate(100)(i => (i.toLong, s"tok$i word$i more$i"))
+      .toDF("doc_id", "text")
+    val vecs = Seq.tabulate(100)(i =>
+      (i.toLong, Seq.fill(8)((i % 7).toFloat))).toDF("vec_id", "embedding")
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other                    => other.toString
+      }
+    }
+    // classifier scoring: pure projection, no exchange, no UDF nodes
+    val score = planOf(pipeline.QualityModel.scoreQuality(
+      docs, "text", Array.fill(32)(0.1), 0.0))
+    assert(!score.contains("Exchange") && !score.contains("BatchEvalPython")
+      && !score.contains("ScalaUDF"), score)
+    // PQ encoding: map-only as well
+    val model = pipeline.Pq.Model(8, 2,
+      Array.tabulate(2)(s => Array.tabulate(4)(c =>
+        Array.fill(4)(c.toDouble))))
+    val enc = planOf(pipeline.Pq.encode(vecs, "embedding", model))
+    assert(!enc.contains("Exchange") && !enc.contains("ScalaUDF"), enc)
+    // one Lloyd stats pass: partial agg -> ONE exchange on cluster -> final
+    val cents = Array(Array.fill(8)(0.0), Array.fill(8)(6.0))
+    val stats = planOf(pipeline.KMeans.clusterStats(vecs, "embedding", cents))
+    assert("Exchange".r.findAllIn(stats).length === 1, stats)
+    assert(stats.contains("partial_vectorsumagg"), stats)
+  }
+
   test("bloom dedup = exact dedup minus a bounded FP budget (forced FPs)") {
     // the q_bloom_new oracle equates bloom with the exact anti-join; this
     // pins the semantic contract on the regime where they CAN differ — a
