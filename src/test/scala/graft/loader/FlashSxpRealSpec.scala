@@ -159,6 +159,27 @@ class FlashSxpRealSpec extends SparkSpec {
     assert(new java.io.File(dir).lastModified() === mtime, "buffer was rewritten")
   }
 
+  test("buffer reuse rejects a different file set of the same size") {
+    assume(exists(flashPath))
+    // two copies of the fixture under different names: same channel set,
+    // same file COUNT — only the manifest's path mapping can tell them
+    // apart (the pre-manifest checks silently served stale data here)
+    val tmp = java.nio.file.Files.createTempDirectory("flashbuf2")
+    val a = tmp.resolve("run_a.h5"); val b = tmp.resolve("run_b.h5")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(flashPath), a)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(flashPath), b)
+    val dir = tmp.toString + "/buf"
+    def load(p: String) = InstrumentH5Loader.readDataframe(
+      spark, Seq(p), InstrumentH5Loader.flashDefaultChannels,
+      pulseChannel = "pulseId", tofChannel = "dldTimeSteps", ubidOffset = 5,
+      bufferDir = Some(dir))
+    assert(load(a.toString)._1.count() === 102240L)
+    val e = intercept[IllegalArgumentException] { load(b.toString) }
+    assert(e.getMessage.contains("different (file, channel) set"))
+    // the original call still reuses its buffer cleanly
+    assert(load(a.toString)._1.count() === 102240L)
+  }
+
   test("real sxp fixture: one-call readDataframe with sxp channel geometry") {
     assume(exists(sxpPath))
     val (events, timed) = InstrumentH5Loader.readDataframe(
