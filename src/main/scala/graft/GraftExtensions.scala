@@ -182,6 +182,14 @@ object GraftExtensions {
         graft.pipeline.CharEntropyExpr(args.head)
       },
     ),
+    (
+      "graft_cosine",
+      new ExpressionInfo(classOf[graft.pipeline.CosineSimExpr].getName, "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine(vecA, vecB)")
+        graft.pipeline.CosineSimExpr(args.head, args(1))
+      },
+    ),
   )
 
   /** Register on an already-built session (tests, notebooks). */
