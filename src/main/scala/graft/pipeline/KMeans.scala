@@ -185,15 +185,23 @@ object KMeans {
   }
 
   /** One Lloyd statistics pass: `(cluster, stats)` with `stats` the
-    * [[VectorSumAgg]] flat buffer (dim sums + count). Exactly one
-    * exchange of k flat buffers per task; null vectors are dropped.
+    * [[VectorSumAgg]] flat buffer (dim sums + count + Σ|x|²). Exactly
+    * one exchange of k flat buffers per task; null vectors are dropped.
     */
   def clusterStats(df: DataFrame, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val dim = centroids(0).length
+      centroids: Array[Array[Double]]): DataFrame =
+    clusterStatsWithBc(df, vecCol,
+      df.sparkSession.sparkContext.broadcast(centroids),
+      centroids(0).length)
+
+  private def clusterStatsWithBc(df: DataFrame, vecCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      dim: Int): DataFrame = {
     val vecs = df.filter(col(vecCol).isNotNull)
     val assigned = vecs.select(
-      assign(vecs, vecCol, centroids).as("cluster"), col(vecCol).as("_v"))
+      GraftBridge.column(NearestCentroidExpr(
+        GraftBridge.expression(vecs.col(vecCol)), bc)).as("cluster"),
+      col(vecCol).as("_v"))
     assigned.groupBy("cluster").agg(
       GraftBridge.column(VectorSumAgg(
         GraftBridge.expression(assigned.col("_v")), dim)
@@ -254,7 +262,12 @@ object KMeans {
     var iter = 0
     var shift = Double.MaxValue
     while (iter < maxIter && shift > tol) {
-      val stats = clusterStats(df, vecCol, centroids).collect()
+      // per-round broadcast destroyed after its one job — iterated fits
+      // must not leave executor copies to the ContextCleaner's mercy
+      val bc = df.sparkSession.sparkContext.broadcast(centroids)
+      val stats =
+        try clusterStatsWithBc(df, vecCol, bc, dim).collect()
+        finally bc.destroy()
       val next = centroids.map(_.clone()) // empty clusters keep their centroid
       stats.foreach { row =>
         val c = row.getInt(0)
