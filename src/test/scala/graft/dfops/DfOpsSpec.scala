@@ -298,6 +298,12 @@ class DfOpsSpec extends SparkSpec {
       "KTOF:Lens:Extr:I", 1661980582.0, 1661980600.5) ===
       "http://aa.example/retrieval/data/getData.json?pv=KTOF:Lens:Extr:I" +
         "&from=2022-08-31T21:16:22Z&to=2022-08-31T21:16:40.5Z")
+    // a fraction within half a nanosecond of the next second must clamp,
+    // not round to nanos=1e9 and throw DateTimeException (reachable only
+    // at small magnitudes, where doubles still resolve sub-nanoseconds)
+    val url = Epics.requestUrl("http://aa.example/?pv=", "CH",
+      0.99999999999, 1.0)
+    assert(url.contains("from=1970-01-01T00:00:00.999999999Z"), url)
   }
 
   test("mapColumns2D: rotation round trip") {
