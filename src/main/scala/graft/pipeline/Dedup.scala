@@ -462,9 +462,19 @@ object Dedup {
     // and SMJ at scale needs this exchange anyway.
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val parts = sets.repartition(p, col("block"))
-    parts.as("a")
+    val joined = parts.as("a")
       .join(parts.as("b"), col("a.block") === col("b.block"))
       .filter(col("a.id") < col("b.id"))
+    // PPJoin-style length filter (exact, never drops a qualifying pair):
+    // |A∩B| ≤ min(|A|,|B|) and jaccard ≥ t force min ≥ t·max, so the
+    // two int comparisons prune a pair BEFORE the O(|A|+|B|) intersect
+    // kernel ever runs on it
+    val prefiltered =
+      if (threshold <= 0) joined
+      else joined.filter(
+        size(col("a.sh")).cast("double") >= lit(threshold) * size(col("b.sh")) &&
+          size(col("b.sh")).cast("double") >= lit(threshold) * size(col("a.sh")))
+    prefiltered
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (inter / union).as("jaccard"))
       .filter(col("jaccard") >= threshold)

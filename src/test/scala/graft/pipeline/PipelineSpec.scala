@@ -60,6 +60,12 @@ class PipelineSpec extends SparkSpec {
     assert(out((0L, 2L)) < 1.0)
     // cross-block pairs never produced
     assert(!out.keySet.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 1 })
+    // the PPJoin length prefilter is exact: thresholded results equal
+    // post-filtering the unthresholded ones
+    val thresholded = Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", col("source"), threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(thresholded === out.filter(_._2 >= 0.6))
   }
 
   test("rollingHashFingerprint: identical docs same fp, overlap for near dups") {
