@@ -193,6 +193,67 @@ object Multimodal {
     h
   }
 
+  /** REAL pixel-level image features for containers the dependency-free
+    * codec decodes (PNG — [[PixelCodec.decodePng]]): appends nullable
+    * `img_width, img_height, img_channels, mean_luma, img_dhash`, null
+    * for undecodable rows (JPEG/video stay behind the documented stub —
+    * entropy coding needs codec libraries). Same iterator-to-iterator
+    * batch shape as [[decodeMeta]]; decode failures null the row's
+    * features instead of failing the task.
+    */
+  def imageColumns(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("img_width", IntegerType, nullable = true),
+      StructField("img_height", IntegerType, nullable = true),
+      StructField("img_channels", IntegerType, nullable = true),
+      StructField("mean_luma", DoubleType, nullable = true),
+      StructField("img_dhash", LongType, nullable = true)))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray)
+        val feats =
+          try {
+            val img = PixelCodec.decodePng(bytes)
+            val g = PixelCodec.grayscale(img)
+            var s = 0.0
+            g.pixels.foreach(b => s += (b & 0xff))
+            Seq[Any](img.width, img.height, img.channels,
+              s / g.pixels.length, PixelCodec.dHash(img))
+          } catch { case _: Exception => Seq[Any](null, null, null, null, null) }
+        Row.fromSeq(r.toSeq ++ feats)
+      }
+    }(enc)
+  }
+
+  /** REAL signal-level audio features for PCM WAV
+    * ([[PixelCodec.decodeWav]]): appends nullable `sample_rate,
+    * audio_channels, duration_s, rms, zcr`; null for undecodable rows.
+    */
+  def audioColumns(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("audio_channels", IntegerType, nullable = true),
+      StructField("duration_s", DoubleType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("zcr", DoubleType, nullable = true)))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray)
+        val feats =
+          try {
+            val a = PixelCodec.decodeWav(bytes)
+            val (dur, rms, zcr) = PixelCodec.audioFeatures(a)
+            Seq[Any](a.sampleRate, a.nChannels, dur, rms, zcr)
+          } catch { case _: Exception => Seq[Any](null, null, null, null, null) }
+        Row.fromSeq(r.toSeq ++ feats)
+      }
+    }(enc)
+  }
+
   /** Appends `dhash: long` — batched [[dHashStub]] over the binary column
     * (iterator-to-iterator, constant memory, same shape as [[decodeMeta]]).
     */

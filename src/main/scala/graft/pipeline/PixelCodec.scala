@@ -1,0 +1,287 @@
+package graft.pipeline
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Dependency-free 8-bit PNG codec and WAV-PCM decode — the REAL decode
+  * step behind [[Multimodal]]'s image/audio feature extraction for the
+  * two container formats that need no external codec: PNG is zlib
+  * (`java.util.zip`) + five per-row unfilters, WAV is raw little-endian
+  * PCM. (JPEG/video stay behind the documented stub — entropy coding
+  * needs codec libraries this environment doesn't ship.)
+  *
+  * Supported PNG subset: bit depth 8, non-interlaced, color types
+  * 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA). Palette and 16-bit
+  * reject loudly.
+  */
+object PixelCodec {
+
+  /** Row-major 8-bit interleaved pixels. */
+  final case class Image(width: Int, height: Int, channels: Int, pixels: Array[Byte]) {
+    require(pixels.length == width * height * channels,
+      s"pixel buffer ${pixels.length} != $width×$height×$channels")
+  }
+
+  /** Mono float samples in [-1, 1] plus the sample rate. */
+  final case class Audio(sampleRate: Int, nChannels: Int, samples: Array[Double])
+
+  private def u32be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  // ---- PNG decode ----
+
+  def decodePng(bytes: Array[Byte]): Image = {
+    require(bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G', "not a PNG")
+    var i = 8
+    var width = 0; var height = 0; var channels = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && i + 8 <= bytes.length) {
+      val len = u32be(bytes, i)
+      val typ = new String(bytes, i + 4, 4, "US-ASCII")
+      val data = i + 8
+      typ match {
+        case "IHDR" =>
+          width = u32be(bytes, data)
+          height = u32be(bytes, data + 4)
+          val bitDepth = bytes(data + 8) & 0xff
+          val colorType = bytes(data + 9) & 0xff
+          val interlace = bytes(data + 12) & 0xff
+          require(bitDepth == 8, s"unsupported PNG bit depth $bitDepth")
+          require(interlace == 0, "interlaced PNG unsupported")
+          channels = colorType match {
+            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+            case other => throw new IllegalArgumentException(
+              s"unsupported PNG color type $other (palette/16-bit out of scope)")
+          }
+        case "IDAT" => idat.write(bytes, data, len)
+        case "IEND" => done = true
+        case _      => // ancillary chunk — skip
+      }
+      i = data + len + 4 // skip CRC
+    }
+    require(width > 0 && height > 0 && channels > 0, "missing IHDR")
+    val raw = inflateAll(idat.toByteArray, height * (1 + width * channels))
+    Image(width, height, channels, unfilter(raw, width, height, channels))
+  }
+
+  private def inflateAll(z: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(z)
+    val out = new Array[Byte](expected)
+    var off = 0
+    while (off < expected && !inf.finished()) {
+      val k = inf.inflate(out, off, expected - off)
+      require(k > 0 || inf.finished(), "truncated or corrupt PNG stream")
+      off += k
+    }
+    inf.end()
+    require(off == expected, s"PNG stream yielded $off of $expected bytes")
+    out
+  }
+
+  /** The five PNG row filters, reversed in place. */
+  private def unfilter(raw: Array[Byte], w: Int, h: Int, ch: Int): Array[Byte] = {
+    val stride = w * ch
+    val out = new Array[Byte](h * stride)
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * (stride + 1)) & 0xff
+      val src = r * (stride + 1) + 1
+      val dst = r * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(src + x) & 0xff
+        val left = if (x >= ch) out(dst + x - ch) & 0xff else 0
+        val up = if (r > 0) out(dst - stride + x) & 0xff else 0
+        val ul = if (r > 0 && x >= ch) out(dst - stride + x - ch) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case other => throw new IllegalArgumentException(s"bad PNG filter $other")
+        }
+        out(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  // ---- PNG encode (filter 0, one IDAT) — for tests and cube/image sinks ----
+
+  def encodePng(img: Image): Array[Byte] = {
+    val colorType = img.channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case other => throw new IllegalArgumentException(s"$other channels")
+    }
+    val stride = img.width * img.channels
+    val raw = new Array[Byte](img.height * (stride + 1))
+    (0 until img.height).foreach { r =>
+      System.arraycopy(img.pixels, r * stride, raw, r * (stride + 1) + 1, stride)
+    }
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) zbuf.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(be(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new CRC32(); crc.update(tb); crc.update(data)
+      out.write(be(crc.getValue.toInt))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(img.width).putInt(img.height)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  // ---- pixel ops ----
+
+  /** Nearest-neighbor resample (the thumbnail/feature-prep primitive). */
+  def resizeNearest(img: Image, w: Int, h: Int): Image = {
+    val out = new Array[Byte](w * h * img.channels)
+    var y = 0
+    while (y < h) {
+      val sy = math.min(img.height - 1, y * img.height / h)
+      var x = 0
+      while (x < w) {
+        val sx = math.min(img.width - 1, x * img.width / w)
+        var c = 0
+        while (c < img.channels) {
+          out((y * w + x) * img.channels + c) =
+            img.pixels((sy * img.width + sx) * img.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, img.channels, out)
+  }
+
+  /** Rec.601 luma (alpha ignored); gray passthrough. */
+  def grayscale(img: Image): Image = {
+    if (img.channels == 1) return img
+    val out = new Array[Byte](img.width * img.height)
+    var p = 0
+    while (p < out.length) {
+      val base = p * img.channels
+      val v = img.channels match {
+        case 2 => img.pixels(base) & 0xff // gray+alpha
+        case _ =>
+          (0.299 * (img.pixels(base) & 0xff) +
+            0.587 * (img.pixels(base + 1) & 0xff) +
+            0.114 * (img.pixels(base + 2) & 0xff)).round.toInt
+      }
+      out(p) = (v & 0xff).toByte
+      p += 1
+    }
+    Image(img.width, img.height, 1, out)
+  }
+
+  /** Difference hash over REAL pixels: grayscale → 9×8 nearest resample
+    * → 64 horizontal-gradient bits. Same banding/verify machinery as
+    * [[Multimodal.dHashStub]], but content-derived.
+    */
+  def dHash(img: Image): Long = {
+    val g = resizeNearest(grayscale(img), 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((g.pixels(y * 9 + x) & 0xff) < (g.pixels(y * 9 + x + 1) & 0xff))
+          bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  // ---- WAV PCM ----
+
+  /** Decode a RIFF/WAVE file with 16-bit or 8-bit PCM samples; channels
+    * are averaged to mono in [-1, 1].
+    */
+  def decodeWav(bytes: Array[Byte]): Audio = {
+    def u32le(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+      ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+    def u16le(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    require(bytes.length > 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(8) == 'W' && bytes(9) == 'A', "not a WAV")
+    var i = 12
+    var rate = 0; var ch = 0; var bits = 0
+    var audio: Array[Double] = null
+    while (audio == null && i + 8 <= bytes.length) {
+      val typ = new String(bytes, i, 4, "US-ASCII")
+      val len = u32le(i + 4)
+      if (typ == "fmt ") {
+        val fmt = u16le(i + 8)
+        require(fmt == 1, s"non-PCM WAV (format $fmt) unsupported")
+        ch = u16le(i + 10); rate = u32le(i + 12); bits = u16le(i + 22)
+        require(bits == 16 || bits == 8, s"$bits-bit PCM unsupported")
+      } else if (typ == "data") {
+        require(rate > 0, "WAV data chunk before fmt")
+        val bytesPer = bits / 8
+        val n = len / (ch * bytesPer)
+        val out = new Array[Double](n)
+        var s = 0
+        while (s < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = i + 8 + (s * ch + c) * bytesPer
+            acc += (if (bits == 16)
+              ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort / 32768.0
+            else ((bytes(off) & 0xff) - 128) / 128.0)
+            c += 1
+          }
+          out(s) = acc / ch
+          s += 1
+        }
+        audio = out
+      }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(audio != null, "WAV has no data chunk")
+    Audio(rate, ch, audio)
+  }
+
+  /** Signal features: duration, RMS level, zero-crossing rate (the
+    * speech/music/silence discriminators corpus filters use).
+    */
+  def audioFeatures(a: Audio): (Double, Double, Double) = {
+    val n = a.samples.length
+    if (n == 0) return (0.0, 0.0, 0.0)
+    var sq = 0.0
+    var zc = 0
+    var i = 0
+    while (i < n) {
+      sq += a.samples(i) * a.samples(i)
+      if (i > 0 && (a.samples(i) >= 0) != (a.samples(i - 1) >= 0)) zc += 1
+      i += 1
+    }
+    (n.toDouble / a.sampleRate, math.sqrt(sq / n),
+      if (n > 1) zc.toDouble / (n - 1) else 0.0)
+  }
+}

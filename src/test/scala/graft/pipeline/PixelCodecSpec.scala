@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import java.util.zip.{CRC32, Deflater}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PixelCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def testImage(w: Int, h: Int, ch: Int, seed: Int = 1): PixelCodec.Image = {
+    val r = new scala.util.Random(seed)
+    PixelCodec.Image(w, h, ch, Array.fill(w * h * ch)(r.nextInt(256).toByte))
+  }
+
+  test("PNG round-trips random images across all channel layouts") {
+    Seq(1, 2, 3, 4).foreach { ch =>
+      val img = testImage(13, 7, ch, seed = ch)
+      val dec = PixelCodec.decodePng(PixelCodec.encodePng(img))
+      assert(dec.width === 13 && dec.height === 7 && dec.channels === ch)
+      assert(dec.pixels.toSeq === img.pixels.toSeq, s"channels=$ch")
+    }
+  }
+
+  /** Build a PNG whose rows use a CHOSEN filter type, filtering the
+    * reference pixels by hand — exercises all five unfilter paths.
+    */
+  private def pngWithFilters(img: PixelCodec.Image, filters: Seq[Int]): Array[Byte] = {
+    val stride = img.width * img.channels
+    val ch = img.channels
+    val raw = new Array[Byte](img.height * (stride + 1))
+    (0 until img.height).foreach { r =>
+      val ft = filters(r % filters.length)
+      raw(r * (stride + 1)) = ft.toByte
+      (0 until stride).foreach { x =>
+        val cur = img.pixels(r * stride + x) & 0xff
+        val left = if (x >= ch) img.pixels(r * stride + x - ch) & 0xff else 0
+        val up = if (r > 0) img.pixels((r - 1) * stride + x) & 0xff else 0
+        val ul = if (r > 0 && x >= ch) img.pixels((r - 1) * stride + x - ch) & 0xff else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        raw(r * (stride + 1) + 1 + x) = (f & 0xff).toByte
+      }
+    }
+    val d = new Deflater(); d.setInput(raw); d.finish()
+    val zb = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) zb.write(tmp, 0, d.deflate(tmp))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(be(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new CRC32(); crc.update(tb); crc.update(data)
+      out.write(be(crc.getValue.toInt))
+    }
+    val colorType = Map(1 -> 0, 2 -> 4, 3 -> 2, 4 -> 6)(ch)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(img.width).putInt(img.height)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array()); chunk("IDAT", zb.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  test("decode reverses every PNG filter type (sub/up/average/paeth)") {
+    val img = testImage(11, 10, 3, seed = 9)
+    Seq(Seq(1), Seq(2), Seq(3), Seq(4), Seq(0, 1, 2, 3, 4)).foreach { fs =>
+      val dec = PixelCodec.decodePng(pngWithFilters(img, fs))
+      assert(dec.pixels.toSeq === img.pixels.toSeq, s"filters $fs")
+    }
+  }
+
+  test("palette and 16-bit PNGs reject loudly") {
+    val img = testImage(4, 4, 3)
+    val good = PixelCodec.encodePng(img)
+    val palette = good.clone(); palette(8 + 8 + 9) = 3 // IHDR color type
+    val e = intercept[IllegalArgumentException] { PixelCodec.decodePng(palette) }
+    assert(e.getMessage.contains("color type"))
+  }
+
+  test("resize and dHash behave on real pixels") {
+    val img = testImage(32, 24, 3, seed = 4)
+    val small = PixelCodec.resizeNearest(img, 8, 6)
+    assert(small.width === 8 && small.height === 6 && small.channels === 3)
+    // identical content -> identical hash; small perturbation -> small distance
+    val h1 = PixelCodec.dHash(img)
+    assert(PixelCodec.dHash(PixelCodec.decodePng(PixelCodec.encodePng(img))) === h1)
+    val tweaked = img.pixels.clone()
+    (0 until 30).foreach(i => tweaked(i * 7) = (tweaked(i * 7) + 3).toByte)
+    val d = java.lang.Long.bitCount(
+      h1 ^ PixelCodec.dHash(PixelCodec.Image(32, 24, 3, tweaked)))
+    assert(d <= 12, s"perturbation moved $d dHash bits")
+  }
+
+  private def sineWav(rate: Int, hz: Double, seconds: Double,
+      amp: Double = 0.5, channels: Int = 1): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val data = new Array[Byte](n * channels * 2)
+    (0 until n).foreach { i =>
+      val v = (amp * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt
+      (0 until channels).foreach { c =>
+        data((i * channels + c) * 2) = (v & 0xff).toByte
+        data((i * channels + c) * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+    }
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16).putShort(1)
+      .putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    out.put("data".getBytes).putInt(data.length).put(data)
+    out.array()
+  }
+
+  test("WAV decode recovers sine-wave signal features") {
+    val wav = sineWav(8000, 440.0, 0.5)
+    val a = PixelCodec.decodeWav(wav)
+    assert(a.sampleRate === 8000 && a.nChannels === 1)
+    val (dur, rms, zcr) = PixelCodec.audioFeatures(a)
+    assert(math.abs(dur - 0.5) < 1e-9)
+    // sine RMS = amp/sqrt(2); zero crossings = 2 per cycle
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01, s"rms $rms")
+    assert(math.abs(zcr - 2.0 * 440 / 8000) < 0.01, s"zcr $zcr")
+    // stereo averages to the same mono signal
+    val st = PixelCodec.decodeWav(sineWav(8000, 440.0, 0.5, channels = 2))
+    assert(st.nChannels === 2)
+    assert(math.abs(PixelCodec.audioFeatures(st)._2 - rms) < 1e-3)
+  }
+
+  test("imageColumns / audioColumns decode real assets, null undecodables") {
+    val png = PixelCodec.encodePng(testImage(16, 8, 3, seed = 2))
+    val wav = sineWav(8000, 200.0, 0.1)
+    val junk = Array.tabulate[Byte](50)(_.toByte)
+    val df = Seq((1L, png), (2L, wav), (3L, junk)).toDF("id", "bin")
+    val img = Multimodal.imageColumns(df, "bin")
+      .select("id", "img_width", "img_height", "mean_luma").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(img(1L).getInt(1) === 16 && img(1L).getInt(2) === 8)
+    assert(!img(1L).isNullAt(3))
+    assert(img(2L).isNullAt(1) && img(3L).isNullAt(1))
+    val aud = Multimodal.audioColumns(df, "bin")
+      .select("id", "sample_rate", "duration_s", "rms").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(aud(2L).getInt(1) === 8000)
+    assert(math.abs(aud(2L).getDouble(2) - 0.1) < 1e-9)
+    assert(aud(1L).isNullAt(1) && aud(3L).isNullAt(1))
+  }
+}
