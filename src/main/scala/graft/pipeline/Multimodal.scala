@@ -254,10 +254,21 @@ object Multimodal {
     }(enc)
   }
 
-  /** Appends `dhash: long` — batched [[dHashStub]] over the binary column
-    * (iterator-to-iterator, constant memory, same shape as [[decodeMeta]]).
+  /** Content dHash for PNG bytes via the real codec, falling back to
+    * the byte-level [[dHashStub]] for containers the dependency-free
+    * codec can't decode — so mixed corpora still hash every asset.
     */
-  def dHash(df: DataFrame, binCol: String): DataFrame = {
+  def dHashAuto(bytes: Array[Byte]): Long =
+    try PixelCodec.dHash(PixelCodec.decodePng(bytes))
+    catch { case _: Exception => dHashStub(bytes) }
+
+  /** Appends `dhash: long` — batched `hasher` over the binary column
+    * (iterator-to-iterator, constant memory, same shape as
+    * [[decodeMeta]]). Default [[dHashStub]]; pass [[dHashAuto]] to hash
+    * decodable assets by CONTENT (real pixels) instead of raw bytes.
+    */
+  def dHash(df: DataFrame, binCol: String,
+      hasher: Array[Byte] => Long = dHashStub): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("dhash", LongType, nullable = false))
     val enc: Encoder[Row] = Encoders.row(outSchema)
@@ -266,7 +277,7 @@ object Multimodal {
       rows.map { r =>
         val bytes =
           Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray)
-        Row.fromSeq(r.toSeq :+ dHashStub(bytes))
+        Row.fromSeq(r.toSeq :+ hasher(bytes))
       }
     }(enc)
   }
@@ -284,6 +295,7 @@ object Multimodal {
       binCol: String,
       idCol: String,
       maxDistance: Int,
+      hasher: Array[Byte] => Long = dHashStub,
   ): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64, s"maxDistance=$maxDistance")
     val nBlocks = maxDistance + 1
@@ -297,7 +309,7 @@ object Multimodal {
     // null/empty binaries all hash to 0 and would pair up as spurious
     // exact duplicates of each other — exclude them from pairing
     val present = df.filter(col(binCol).isNotNull && length(col(binCol)) > 0)
-    val sides = dHash(present, binCol)
+    val sides = dHash(present, binCol, hasher)
       .select(col(idCol).as("id"), col("dhash"),
         explode(array(blocks: _*)).as("_b"))
       .select(col("id"), col("dhash"),

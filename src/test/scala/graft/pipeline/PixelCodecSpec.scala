@@ -141,6 +141,25 @@ class PixelCodecSpec extends SparkSpec {
     assert(math.abs(PixelCodec.audioFeatures(st)._2 - rms) < 1e-3)
   }
 
+  test("content-hash near-dup finds a re-encoded image via dHashAuto") {
+    // same pixels encoded twice (filter-0 encoder vs hand-filtered
+    // stream): byte-level hashing sees different files, content hashing
+    // sees the same image
+    val img = testImage(24, 16, 3, seed = 11)
+    val enc1 = PixelCodec.encodePng(img)
+    val enc2 = pngWithFilters(img, Seq(1, 2))
+    assert(!java.util.Arrays.equals(enc1, enc2))
+    val df = Seq((1L, enc1), (2L, enc2),
+      (3L, PixelCodec.encodePng(testImage(24, 16, 3, seed = 99))))
+      .toDF("id", "bin")
+    val pairs = Multimodal.imageNearDuplicates(df, "bin", "id",
+      maxDistance = 4, hasher = Multimodal.dHashAuto)
+      .select("id_a", "id_b", "distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)) === Some(0), s"pairs=$pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("imageColumns / audioColumns decode real assets, null undecodables") {
     val png = PixelCodec.encodePng(testImage(16, 8, 3, seed = 2))
     val wav = sineWav(8000, 200.0, 0.1)
