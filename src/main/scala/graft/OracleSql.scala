@@ -308,6 +308,46 @@ object OracleSql {
        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
        |  FROM rd) WHERE rn = 1""".stripMargin.replace("\n", " ")
 
+  /** ADC top-k with seed codebooks and the vec_id=0 query: per-vector
+    * approximate distance = Σ_sub lut[sub][code], the lookup table being
+    * the query-to-sub-centroid distances — mirrors
+    * [[graft.pipeline.Pq.adcTopK]] over [[graft.pipeline.Pq.encode]].
+    */
+  def pqAdcSql(table: String, nSeeds: Int, subDim: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM $table),
+       |c AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < $nSeeds),
+       |rd AS (SELECT a.vec_id, CAST((a.i - 1) // $subDim AS INTEGER) AS sub,
+       |  c.cid, sum((a.v - c.v) * (a.v - c.v)) AS dd
+       |  FROM e a JOIN c ON a.i = c.i
+       |  GROUP BY a.vec_id, ((a.i - 1) // $subDim), c.cid),
+       |asg AS (SELECT vec_id, sub, cid FROM (
+       |  SELECT vec_id, sub, cid,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
+       |  FROM rd) WHERE rn = 1),
+       |q AS (SELECT i, v FROM e WHERE vec_id = 0),
+       |lut AS (SELECT CAST((c.i - 1) // $subDim AS INTEGER) AS sub, c.cid,
+       |  sum((q.v - c.v) * (q.v - c.v)) AS d
+       |  FROM c JOIN q ON c.i = q.i GROUP BY ((c.i - 1) // $subDim), c.cid)
+       |SELECT a.vec_id, ROUND(sum(l.d), 6) AS adc_dist
+       |FROM asg a JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+       |GROUP BY a.vec_id ORDER BY adc_dist, a.vec_id LIMIT $k""".stripMargin
+      .replace("\n", " ")
+
+  /** Mean k-means inertia against the seed centroids:
+    * `avg_vec min_cid ||v − c||²` — mirrors
+    * [[graft.pipeline.KMeans.inertia]] normalized by the corpus count.
+    */
+  def kmeansInertiaSql(table: String, nLists: Int): String =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM $table),
+       |c AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < $nLists),
+       |rd AS (SELECT a.vec_id, c.cid, sum((a.v - c.v) * (a.v - c.v)) AS dd
+       |  FROM e a JOIN c ON a.i = c.i GROUP BY a.vec_id, c.cid),
+       |m AS (SELECT vec_id, min(dd) AS mind FROM rd GROUP BY vec_id)
+       |SELECT ROUND(avg(mind), 6) AS mean_inertia FROM m""".stripMargin
+      .replace("\n", " ")
+
   /** One Lloyd update step against the first-`nLists` seed embeddings as
     * centroids: nearest-centroid assignment (ties to the lowest id, like
     * the engine) then per-(cluster, dim) member count and mean.

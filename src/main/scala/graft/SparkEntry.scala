@@ -414,6 +414,33 @@ object SparkEntry {
       pipeline.Pq.encode(emb, "embedding", model)
         .select(col("vec_id"), posexplode(col("pq_code")).as(Seq("sub", "code")))
     }),
+    // ADC search over the encoded corpus (the query half of PQ): seed
+    // codebooks, vec_id=0 query, top-10 by the m-lookup approximate
+    // distance
+    "q_pq_adc" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val model = pipeline.Pq.Model(64, 8,
+        Array.tabulate(8)(sub => seeds.map(_.slice(sub * 8, (sub + 1) * 8))))
+      pipeline.Pq.adcTopK(pipeline.Pq.encode(emb, "embedding", model),
+        "pq_code", "vec_id", seeds(0), model, 10)
+    }),
+    // mean within-cluster SSE against the seed quantizer — the inertia
+    // scalar KMeans.fit's elbow diagnostic is built on (moment-form
+    // Σ|x|²−2c·Σx+n|c|² vs the oracle's direct min-distance sum)
+    "q_kmeans_inertia" -> ((s, dir) => {
+      import s.implicits._
+      val emb = table(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val total = pipeline.KMeans.inertia(emb, "embedding", seeds)
+      val n = emb.filter(col("embedding").isNotNull).count()
+      Seq(total / n).toDF("mean_inertia")
+        .select(round(col("mean_inertia"), 6).as("mean_inertia"))
+    }),
     // One distributed Lloyd update step (the full-corpus quantizer
     // trainer behind KMeans.fit): seed-vector centroids, broadcast
     // nearest-centroid assignment, per-cluster (count, per-dim mean)
@@ -987,6 +1014,8 @@ object SparkEntry {
     "q_ivf_topk" -> OracleSql.ivfTopKSql("embeddings", nLists = 8, nProbe = 2, k = 10),
     "q_embed_cov" -> OracleSql.embedCovSql("embeddings"),
     "q_pq_encode" -> OracleSql.pqEncodeSql("embeddings", nSeeds = 8, subDim = 8),
+    "q_pq_adc" -> OracleSql.pqAdcSql("embeddings", nSeeds = 8, subDim = 8, k = 10),
+    "q_kmeans_inertia" -> OracleSql.kmeansInertiaSql("embeddings", nLists = 8),
     "q_kmeans_step" -> OracleSql.kmeansStepSql("embeddings", nLists = 8),
     "q_quality_score" ->
       OracleSql.qualityScoreSql("documents", numBuckets = 64, bias = 0.1),
