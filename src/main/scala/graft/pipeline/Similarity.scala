@@ -186,7 +186,9 @@ object Similarity {
         }.sum
       }
       .take(nProbe)
-    df.withColumn("_list", ivfAssign(col(vecCol), centroids))
+    // broadcast assignment (tie-identical to the literal ivfAssign tree,
+    // which stops compiling around k ~ 100)
+    df.withColumn("_list", KMeans.assign(df, vecCol, centroids))
       .filter(col("_list").isin(probes: _*))
       .select(col(idCol),
         round(Dedup.cosine(col(vecCol), lit(query)), 6).as("cos"))
