@@ -325,6 +325,12 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
           "stopword_ratio")
         .withColumn("n_tokens", col("n_tokens").cast("long"))),
+    // Okapi BM25 relevance against a literal query-term set (tokens
+    // pre-filtered to the query before any aggregation)
+    "q_bm25" -> ((s, dir) =>
+      pipeline.TextOps.bm25(table(s, dir, "documents"), "text", "doc_id",
+        Seq("join", "spark", "vector"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))),
     // trained hashed-linear quality score (QualityModel): the gate pins
     // the SCORING pass with a deterministic formula weight table —
     // training itself is data-derived (driver-side logistic regression,
@@ -1019,6 +1025,22 @@ object SparkEntry {
     "q_kmeans_step" -> OracleSql.kmeansStepSql("embeddings", nLists = 8),
     "q_quality_score" ->
       OracleSql.qualityScoreSql("documents", numBuckets = 64, bias = 0.1),
+    "q_bm25" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           |  unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+           |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+           |sc AS (SELECT count(*) AS n, avg(CAST(len AS DOUBLE)) AS avgl FROM lens),
+           |tf AS (SELECT doc_id, t, count(*) AS tfc FROM toks
+           |  WHERE t IN ('join', 'spark', 'vector') GROUP BY doc_id, t),
+           |dfq AS (SELECT t, count(*) AS dfr FROM tf GROUP BY t)
+           |SELECT tf.doc_id, ROUND(sum(
+           |  ln(CAST(1 AS DOUBLE) +
+           |    (CAST(sc.n AS DOUBLE) - dfr + 0.5) / (CAST(dfr AS DOUBLE) + 0.5)) *
+           |  (CAST(tfc AS DOUBLE) * 2.2) /
+           |  (CAST(tfc AS DOUBLE) +
+           |    1.2 * (0.25 + 0.75 * CAST(lens.len AS DOUBLE) / sc.avgl))), 6) AS bm25
+           |FROM tf JOIN dfq USING (t) JOIN lens USING (doc_id) CROSS JOIN sc
+           |GROUP BY tf.doc_id""".stripMargin.replace("\n", " "),
     "q_minhash_pairs" -> OracleSql.minhashPairsSql(
       "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2, seed = 42L),
     "q_simhash_pairs" -> OracleSql.simhashPairsSql("documents", maxDistance = 16),

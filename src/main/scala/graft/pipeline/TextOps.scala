@@ -65,6 +65,44 @@ object TextOps {
       .select(col(idCol), col("token"), col("tf"), col("tfidf"))
   }
 
+  /** Okapi BM25 relevance of every document against a literal query-term
+    * set (Robertson & Zaragoza 2009) — the standard retrieval scorer
+    * behind contamination sweeps and quality-targeted sampling. Uses the
+    * Lucene-style positive idf `ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    *
+    * Plan: tokens are FILTERED to the query terms before the (doc,
+    * term) aggregation, so the full term dictionary never materializes;
+    * document lengths ride a second small agg; corpus N and average
+    * length attach as a broadcast 1-row scalar. Returns `(idCol, bm25)`
+    * for documents containing ≥ 1 query term.
+    */
+  def bm25(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "empty BM25 query")
+    val lens = df.select(col(idCol), tokenCount(col(textCol)).as("_len"))
+    val scalars = lens.agg(count(lit(1)).as("_n"), avg(col("_len")).as("_avg"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .filter(col("_t").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    tf.join(dfreq, Seq("_t"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(scalars))
+      .withColumn("_idf", log(lit(1.0) +
+        (col("_n").cast("double") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_s", col("_idf") *
+        (col("_tf").cast("double") * (lit(k1) + 1.0)) /
+        (col("_tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("_len") / col("_avg"))))
+      .groupBy(col(idCol)).agg(sum(col("_s")).as("bm25"))
+  }
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))

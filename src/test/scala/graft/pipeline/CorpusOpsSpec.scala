@@ -65,6 +65,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.size === 4) // (1,a) (1,b) (2,a) (2,c)
   }
 
+  test("bm25: hand-computed scores on a tiny corpus") {
+    // docs: 1 = "a b a" (len 3), 2 = "a c" (len 2); query = (a, c)
+    // N = 2, avg len = 2.5; df: a -> 2, c -> 1
+    val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.bm25(df, "text", "doc_id", Seq("a", "c"))
+      .as[(Long, Double)].collect().toMap
+    val k1 = 1.2; val b = 0.75
+    def idf(dfr: Int) = math.log(1.0 + (2 - dfr + 0.5) / (dfr + 0.5))
+    def term(tf: Int, len: Int, dfr: Int) =
+      idf(dfr) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len / 2.5))
+    assert(math.abs(out(1L) - term(2, 3, 2)) < 1e-12)
+    assert(math.abs(out(2L) - (term(1, 2, 2) + term(1, 2, 1))) < 1e-12)
+    // a doc with no query term is absent, not zero
+    val none = TextOps.bm25(df, "text", "doc_id", Seq("z"))
+    assert(none.count() === 0L)
+  }
+
   test("repetitionColumns: duplicate word / 2-gram fractions") {
     val df = Seq((1L, "a a b"), (2L, "x y"), (3L, "c c c")).toDF("doc_id", "text")
     val out = TextOps.repetitionColumns(df, "text")
