@@ -562,6 +562,13 @@ object SparkEntry {
       DfOps.sessionize(table(s, dir, "events").select("event_id", "user_id", "ts"),
         "ts", lit(sessionGapNs), Seq("user_id"))
         .select("event_id", "session_id")),
+    // ordered funnel over the event stream (chained strict-min
+    // semantics — one shuffle + per-user sorted-array fold, no
+    // per-step join chain)
+    "q_funnel" -> ((s, dir) =>
+      DfOps.funnelReport(table(s, dir, "events"), "ts", "event_type",
+        Seq("user_id"), Seq("view", "click", "purchase"))
+        .select(col("step"), col("step_name"), col("users"))),
     // corpus TF-IDF (smoothed idf), two chained aggregations
     "q_tfidf" -> ((s, dir) =>
       pipeline.TextOps.tfidf(table(s, dir, "documents"), "text", "doc_id")
@@ -1116,6 +1123,19 @@ object SparkEntry {
          |   epoch_ns(ts) - lag(epoch_ns(ts))
          |     OVER (PARTITION BY user_id ORDER BY ts) AS g
          |  FROM events)""".stripMargin.replace("\n", " "),
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t GROUP BY e.user_id)
+        |SELECT 1 AS step, 'view' AS step_name, count(*) AS users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3""".stripMargin
+        .replace("\n", " "),
     "q_tfidf" ->
       raw"""WITH toks AS (SELECT doc_id,
            |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token

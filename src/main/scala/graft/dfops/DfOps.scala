@@ -305,6 +305,72 @@ object DfOps {
         base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Ordered funnel depth per key (the product-analytics / event-flow
+    * staple, ClickHouse `windowFunnel` semantics): the number of funnel
+    * `steps` completed in order, where step i+1 must occur strictly
+    * AFTER step i's completion time (equivalently: chained strict-min
+    * times — a greedy scan of the ts-sorted events matches exactly that,
+    * independent of tie order). `maxSpan` (same unit as `tsCol`) bounds
+    * the whole funnel relative to the first step's time.
+    *
+    * Plan: events filtered to the step types (pushdown-friendly), ONE
+    * shuffle on the key, per-key sorted array folded by a single
+    * `aggregate` expression — no per-step join or shuffle chain. The
+    * collected per-key array holds only step-typed events; for power
+    * keys at 100 TB, pre-dedupe (key, type, ts) or sessionize first.
+    */
+  def funnelDepth(
+      df: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      keyCols: Seq[String],
+      steps: Seq[String],
+      maxSpan: Option[Long] = None,
+      depthCol: String = "funnel_depth",
+  ): DataFrame = {
+    require(steps.nonEmpty, "empty funnel")
+    val stepsLit = lit(steps.toArray)
+    val sorted = df.filter(col(typeCol).isin(steps: _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(
+        struct(col(tsCol).cast("long").as("ts"), col(typeCol).as("t")))).as("_evs"))
+    val acc0 = struct(lit(0).as("d"), lit(0L).as("last"), lit(0L).as("t0"))
+    val folded = aggregate(col("_evs"), acc0, (a, e) => {
+      val expect = element_at(stepsLit, a("d") + 1)
+      val inSpan = maxSpan.fold(lit(true))(s =>
+        a("d") === 0 || e("ts") - a("t0") <= lit(s))
+      val advance = a("d") < steps.length && e("t") === expect &&
+        (a("d") === 0 || e("ts") > a("last")) && inSpan
+      struct(
+        when(advance, a("d") + 1).otherwise(a("d")).as("d"),
+        when(advance, e("ts")).otherwise(a("last")).as("last"),
+        when(advance && a("d") === 0, e("ts")).otherwise(a("t0")).as("t0"))
+    })
+    sorted.select(keyCols.map(col) :+ folded("d").as(depthCol): _*)
+  }
+
+  /** Funnel report: `(step, step_name, users)` with `users` = number of
+    * keys reaching AT LEAST that step. The per-step totals are a handful
+    * of rows — assembled driver-side from the depth histogram.
+    */
+  def funnelReport(
+      df: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      keyCols: Seq[String],
+      steps: Seq[String],
+      maxSpan: Option[Long] = None,
+  ): DataFrame = {
+    val counts = funnelDepth(df, tsCol, typeCol, keyCols, steps, maxSpan)
+      .groupBy("funnel_depth").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = steps.indices.map { i =>
+      val atLeast = counts.filter(_._1 > i).values.sum
+      (i + 1, steps(i), atLeast)
+    }
+    df.sparkSession.createDataFrame(rows).toDF("step", "step_name", "users")
+  }
+
   /** Grouped quantiles (linear interpolation, the `quantile_cont` /
     * numpy `percentile` definition) — the auto-ranging companion to
     * binning (`bin_dataframe` computes axis ranges from data when

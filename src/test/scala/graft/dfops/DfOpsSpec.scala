@@ -306,6 +306,32 @@ class DfOpsSpec extends SparkSpec {
     assert(url.contains("from=1970-01-01T00:00:00.999999999Z"), url)
   }
 
+  test("funnelDepth: ordered steps, strict time progression, span cap") {
+    val steps = Seq("A", "B", "C")
+    val df = Seq(
+      // u1 completes A(1) B(5) C(9)
+      (1L, 1L, "A"), (1L, 5L, "B"), (1L, 9L, "C"),
+      // u2: B before A never counts; B at A's exact ts doesn't either
+      (2L, 3L, "B"), (2L, 4L, "A"), (2L, 4L, "B"),
+      // u3: out-of-order completion (C first) stalls at A
+      (3L, 1L, "C"), (3L, 2L, "A"),
+      // u4: never starts
+      (4L, 7L, "X"),
+    ).toDF("user_id", "ts", "event_type")
+    val d = DfOps.funnelDepth(df, "ts", "event_type", Seq("user_id"), steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d === Map(1L -> 3, 2L -> 1, 3L -> 1)) // u4 filtered out entirely
+    // span cap: u1's funnel takes 8 ticks; capping at 5 stops before C
+    val capped = DfOps.funnelDepth(df, "ts", "event_type", Seq("user_id"),
+      steps, maxSpan = Some(5L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped(1L) === 2)
+    // report counts keys reaching AT LEAST each step (absent keys = 0)
+    val rep = DfOps.funnelReport(df, "ts", "event_type", Seq("user_id"), steps)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rep.toSeq === Seq((1, "A", 3L), (2, "B", 1L), (3, "C", 1L)))
+  }
+
   test("mapColumns2D: rotation round trip") {
     val df = Seq((1.0, 0.0), (0.0, 1.0)).toDF("x", "y")
     val c = math.cos(0.5); val s = math.sin(0.5)
