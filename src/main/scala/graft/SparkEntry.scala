@@ -562,6 +562,11 @@ object SparkEntry {
       DfOps.sessionize(table(s, dir, "events").select("event_id", "user_id", "ts"),
         "ts", lit(sessionGapNs), Seq("user_id"))
         .select("event_id", "session_id")),
+    // daily cohort retention matrix (distinct-active cells, integral
+    // DIV periods)
+    "q_retention" -> ((s, dir) =>
+      DfOps.retention(table(s, dir, "events"), "ts", Seq("user_id"),
+        86400000000000L)),
     // ordered funnel over the event stream (chained strict-min
     // semantics — one shuffle + per-user sorted-array fold, no
     // per-step join chain)
@@ -1123,6 +1128,13 @@ object SparkEntry {
          |   epoch_ns(ts) - lag(epoch_ns(ts))
          |     OVER (PARTITION BY user_id ORDER BY ts) AS g
          |  FROM events)""".stripMargin.replace("\n", " "),
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  epoch_ns(ts) // 86400000000000 AS p FROM events),
+        |c AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY user_id)
+        |SELECT c.cohort, a.p - c.cohort AS "offset", count(*) AS users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY c.cohort, a.p - c.cohort""".stripMargin.replace("\n", " "),
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

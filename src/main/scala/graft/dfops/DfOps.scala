@@ -371,6 +371,35 @@ object DfOps {
     df.sparkSession.createDataFrame(rows).toDF("step", "step_name", "users")
   }
 
+  /** Cohort retention over an event stream: keys are cohorted by the
+    * period of their FIRST event, and each `(cohort, offset)` cell
+    * counts the distinct keys active `offset` periods after their
+    * cohort period — the other product-analytics staple next to
+    * [[funnelDepth]].
+    *
+    * Plan: one `(key, period)` distinct + one per-key min, both keyed on
+    * the same column (co-partitioned join, one logical shuffle family),
+    * then a count per (cohort, offset) — shuffle cardinality is active
+    * cells, never raw events. Periods use integral DIV on the long
+    * timestamp (exact past 2^53, where floor-of-double drifts).
+    */
+  def retention(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      periodLength: Long,
+  ): DataFrame = {
+    require(periodLength > 0, "periodLength must be positive")
+    val period = expr(s"CAST($tsCol AS BIGINT) DIV CAST($periodLength AS BIGINT)")
+    val active = df.select(keyCols.map(col) :+ period.as("_p"): _*).distinct()
+    val cohorts = active.groupBy(keyCols.map(col): _*)
+      .agg(min(col("_p")).as("_cohort"))
+    active.join(cohorts, keyCols)
+      .groupBy(col("_cohort").as("cohort"), (col("_p") - col("_cohort")).as("offset"))
+      .agg(count(lit(1)).as("users"))
+      .select(col("cohort"), col("offset"), col("users"))
+  }
+
   /** Grouped quantiles (linear interpolation, the `quantile_cont` /
     * numpy `percentile` definition) — the auto-ranging companion to
     * binning (`bin_dataframe` computes axis ranges from data when

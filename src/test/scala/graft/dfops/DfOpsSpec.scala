@@ -332,6 +332,21 @@ class DfOpsSpec extends SparkSpec {
     assert(rep.toSeq === Seq((1, "A", 3L), (2, "B", 1L), (3, "C", 1L)))
   }
 
+  test("retention: cohort by first period, distinct-active offsets") {
+    // period length 10: u1 active periods {0, 1, 3}, u2 {1, 1, 2}, u3 {3}
+    val df = Seq(
+      (1L, 2L), (1L, 5L), (1L, 12L), (1L, 31L),
+      (2L, 10L), (2L, 19L), (2L, 25L),
+      (3L, 30L),
+    ).toDF("user_id", "ts")
+    val out = DfOps.retention(df, "ts", Seq("user_id"), 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L, // u1 cohort 0
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L,                 // u2 cohort 1
+      (3L, 0L) -> 1L))                                // u3 cohort 3
+  }
+
   test("mapColumns2D: rotation round trip") {
     val df = Seq((1.0, 0.0), (0.0, 1.0)).toDF("x", "y")
     val c = math.cos(0.5); val s = math.sin(0.5)
