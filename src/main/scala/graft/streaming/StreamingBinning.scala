@@ -86,6 +86,57 @@ object StreamingBinning {
       .toDF()
   }
 
+  /** Streaming ordered funnel — the `mapGroupsWithState` form of
+    * [[graft.dfops.DfOps.funnelDepth]]: per-key state is just
+    * `(depth, lastStepTs, firstStepTs)`, each micro-batch's events are
+    * sorted and folded with the SAME advance rule as the batch
+    * operator, and every batch emits the key's current depth
+    * (`OutputMode.Update`). Exactly batch-equivalent when events arrive
+    * in timestamp order across batches (within a batch, order is
+    * irrelevant — the fold sorts); an event older than an
+    * already-consumed step is the documented trade-off, same as every
+    * watermarkless running-state stream here.
+    */
+  case class FunnelState(depth: Int, last: Long, t0: Long)
+  case class FunnelUpdate(key: Long, funnel_depth: Int)
+
+  def funnelStream(
+      stream: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      keyCol: String,
+      steps: Seq[String],
+      maxSpan: Option[Long] = None,
+  ): DataFrame = {
+    import stream.sparkSession.implicits._
+    require(steps.nonEmpty, "empty funnel")
+    stream
+      .select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("long").as("ts"), col(typeCol).cast("string").as("t"))
+      .filter(col("t").isin(steps: _*))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+          var d = prev.depth; var last = prev.last; var t0 = prev.t0
+          // sort mirrors the batch operator's array_sort struct(ts, t)
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, t) =>
+            val inSpan = maxSpan.forall(s => d == 0 || ts - t0 <= s)
+            if (d < steps.length && t == steps(d) &&
+              (d == 0 || ts > last) && inSpan) {
+              if (d == 0) t0 = ts
+              d += 1
+              last = ts
+            }
+          }
+          state.update(FunnelState(d, last, t0))
+          FunnelUpdate(key, d)
+      }
+      .toDF()
+  }
+
   /** Streaming exact dedup: drop events whose fingerprint was already
     * seen within the watermark horizon — the incremental form of
     * [[graft.pipeline.Dedup.exactDuplicates]] for ingestion pipelines.

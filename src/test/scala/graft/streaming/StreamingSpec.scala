@@ -272,6 +272,39 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get(2) === 2L) // 15.x → bin 2
   }
 
+  test("funnelStream matches the batch funnel and carries state across batches") {
+    val steps = Seq("A", "B", "C")
+    val rows = Seq(
+      (1L, 1L, "A"), (1L, 5L, "B"), (1L, 9L, "C"), // completes
+      (2L, 3L, "B"), (2L, 4L, "A"), (2L, 4L, "B"), // stalls at A
+      (3L, 1L, "C"), (3L, 2L, "A"))                // stalls at A
+    val dir = Files.createTempDirectory("stream-funnel").toFile.getPath + "/data"
+    // two ts-ordered batches: file boundaries become micro-batches
+    // (maxFilesPerTrigger = 1), so state must carry across them
+    rows.filter(_._2 <= 4).toDF("user_id", "ts", "event_type")
+      .repartition(1).write.parquet(dir)
+    rows.filter(_._2 > 4).toDF("user_id", "ts", "event_type")
+      .repartition(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = StreamingBinning.funnelStream(stream, "ts", "event_type",
+      "user_id", steps)
+    val sunk = StreamingBinning.runToMemorySink(out, "funnel_sink",
+      OutputMode.Update())
+    // memory sink in Update mode appends every emission; the LAST one
+    // per key is the final state
+    val finalDepth = sunk.collect().zipWithIndex
+      .groupBy(_._1.getLong(0))
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._1.getInt(1) }
+    val batch = graft.dfops.DfOps.funnelDepth(
+      rows.toDF("user_id", "ts", "event_type"),
+      "ts", "event_type", Seq("user_id"), steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(finalDepth === batch, s"stream $finalDepth vs batch $batch")
+    assert(finalDepth === Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
   test("runningSectorMeans keeps per-key state across micro-batches") {
     val dir = Files.createTempDirectory("stream-in3").toFile.getPath + "/data"
     Seq((0L, 10.0), (0L, 20.0), (1L, 5.0)).toDF("sector", "v").write.parquet(dir)
