@@ -557,6 +557,22 @@ object SparkEntry {
           // µs, not ns: DuckDB truncates TIMESTAMP(NANOS) to its µs
           // internal type on read, so ns would never hash-match
           expr("max(ts) div 1000").as("last_ts"))),
+    // per-key rolling mean over a bounded ROWS frame (the ordered
+    // window-frame contract: one shuffle on the key, no self-join)
+    "q_rolling_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+      table(s, dir, "events")
+        .select(col("event_id"),
+          round(avg(col("value")).over(w), 6).as("rolling_avg"))
+    }),
+    // per-key event-type pivot (conditional aggregation; fixed literal
+    // column set, so the plan is one agg — no two-phase pivot scan)
+    "q_pivot" -> ((s, dir) =>
+      table(s, dir, "events").groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .count().na.fill(0L)),
     // gap-based sessionization (12 h gap), one window pass per user
     "q_sessionize" -> ((s, dir) =>
       DfOps.sessionize(table(s, dir, "events").select("event_id", "user_id", "ts"),
@@ -1119,6 +1135,19 @@ object SparkEntry {
     "q_argmax" ->
       """SELECT user_id, arg_max(event_type, ts) AS last_type,
         | arg_max(value, ts) AS last_value, max(epoch_us(ts)) AS last_ts
+        | FROM events GROUP BY user_id""".stripMargin.replace("\n", " "),
+    "q_rolling_avg" ->
+      """SELECT event_id, ROUND(avg(value) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+        | FROM events""".stripMargin.replace("\n", " "),
+    "q_pivot" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         | FROM events GROUP BY user_id""".stripMargin.replace("\n", " "),
     "q_sessionize" ->
       s"""SELECT event_id, CAST(SUM(CASE WHEN g > $sessionGapNs THEN 1 ELSE 0 END)
