@@ -159,6 +159,14 @@ class ContractSpec extends SparkSpec {
     val stats = planOf(pipeline.KMeans.clusterStats(vecs, "embedding", cents))
     assert("Exchange".r.findAllIn(stats).length === 1, stats)
     assert(stats.contains("partial_vectorsumagg"), stats)
+    // funnel: ONE key exchange + sorted-array fold, never a per-step
+    // join chain (the report wrapper is driver-side and trivially flat)
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 1L, "A"))
+      .toDF("user_id", "ts", "event_type")
+    val funnel = planOf(dfops.DfOps.funnelDepth(
+      ev, "ts", "event_type", Seq("user_id"), Seq("A", "B")))
+    assert("Exchange".r.findAllIn(funnel).length === 1, funnel)
+    assert(!funnel.contains("Join"), funnel)
   }
 
   test("bloom dedup = exact dedup minus a bounded FP budget (forced FPs)") {
