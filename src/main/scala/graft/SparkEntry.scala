@@ -590,6 +590,10 @@ object SparkEntry {
       DfOps.funnelReport(table(s, dir, "events"), "ts", "event_type",
         Seq("user_id"), Seq("view", "click", "purchase"))
         .select(col("step"), col("step_name"), col("users"))),
+    // the per-key depth the report aggregates — pins the fold itself
+    "q_funnel_depth" -> ((s, dir) =>
+      DfOps.funnelDepth(table(s, dir, "events"), "ts", "event_type",
+        Seq("user_id"), Seq("view", "click", "purchase"))),
     // corpus TF-IDF (smoothed idf), two chained aggregations
     "q_tfidf" -> ((s, dir) =>
       pipeline.TextOps.tfidf(table(s, dir, "documents"), "text", "doc_id")
@@ -1164,6 +1168,23 @@ object SparkEntry {
         |SELECT c.cohort, a.p - c.cohort AS "offset", count(*) AS users
         |FROM a JOIN c USING (user_id)
         |GROUP BY c.cohort, a.p - c.cohort""".stripMargin.replace("\n", " "),
+    "q_funnel_depth" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t GROUP BY e.user_id)
+        |SELECT u.user_id, CAST(CASE WHEN s3.t IS NOT NULL THEN 3
+        |  WHEN s2.t IS NOT NULL THEN 2
+        |  WHEN s1.t IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS funnel_depth
+        |FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id""".stripMargin.replace("\n", " "),
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
