@@ -336,7 +336,10 @@ object DfOps {
         struct(col(tsCol).cast("long").as("ts"), col(typeCol).as("t")))).as("_evs"))
     val acc0 = struct(lit(0).as("d"), lit(0L).as("last"), lit(0L).as("t0"))
     val folded = aggregate(col("_evs"), acc0, (a, e) => {
-      val expect = element_at(stepsLit, a("d") + 1)
+      // clamp the lookup: at full depth the d < n conjunct already
+      // blocks advancing, but ANSI element_at would error on n+1 if a
+      // rewrite ever broke And's short-circuit
+      val expect = element_at(stepsLit, least(a("d") + 1, lit(steps.length)))
       val inSpan = maxSpan.fold(lit(true))(s =>
         a("d") === 0 || e("ts") - a("t0") <= lit(s))
       val advance = a("d") < steps.length && e("t") === expect &&

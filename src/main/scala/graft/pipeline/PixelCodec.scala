@@ -41,6 +41,9 @@ object PixelCodec {
       val len = u32be(bytes, i)
       val typ = new String(bytes, i + 4, 4, "US-ASCII")
       val data = i + 8
+      // a corrupt (negative / past-EOF) length must fail, not loop
+      require(len >= 0 && data.toLong + len + 4 <= bytes.length,
+        s"corrupt PNG chunk $typ: length $len at offset $i")
       typ match {
         case "IHDR" =>
           width = u32be(bytes, data)
@@ -235,6 +238,8 @@ object PixelCodec {
     while (audio == null && i + 8 <= bytes.length) {
       val typ = new String(bytes, i, 4, "US-ASCII")
       val len = u32le(i + 4)
+      require(len >= 0 && i.toLong + 8 + len <= bytes.length,
+        s"corrupt WAV chunk $typ: length $len at offset $i")
       if (typ == "fmt ") {
         val fmt = u16le(i + 8)
         require(fmt == 1, s"non-PCM WAV (format $fmt) unsupported")

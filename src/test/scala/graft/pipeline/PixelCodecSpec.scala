@@ -91,6 +91,20 @@ class PixelCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("color type"))
   }
 
+  test("corrupt chunk lengths fail loudly instead of looping") {
+    val good = PixelCodec.encodePng(testImage(4, 4, 3))
+    val bad = good.clone()
+    bad(8) = 0xff.toByte // IHDR length -> huge/negative
+    val e = intercept[IllegalArgumentException] { PixelCodec.decodePng(bad) }
+    assert(e.getMessage.contains("corrupt PNG chunk"))
+    val wav = sineWav(8000, 100.0, 0.01)
+    val badWav = wav.clone()
+    badWav(16) = 0xff.toByte; badWav(17) = 0xff.toByte
+    badWav(18) = 0xff.toByte; badWav(19) = 0x7f.toByte // fmt length past EOF
+    val e2 = intercept[IllegalArgumentException] { PixelCodec.decodeWav(badWav) }
+    assert(e2.getMessage.contains("corrupt WAV chunk"))
+  }
+
   test("resize and dHash behave on real pixels") {
     val img = testImage(32, 24, 3, seed = 4)
     val small = PixelCodec.resizeNearest(img, 8, 6)
