@@ -627,6 +627,11 @@ object SparkEntry {
     "q_bigram_ppl" -> ((s, dir) =>
       pipeline.TextOps.bigramLogPerplexity(
         table(s, dir, "documents"), "text", "doc_id")),
+    // CCNet head/middle/tail perplexity tiers (threshold agg + map-only
+    // assignment — no keyless window)
+    "q_ppl_buckets" -> ((s, dir) =>
+      pipeline.TextOps.perplexityBuckets(
+        table(s, dir, "documents"), "text", "doc_id")),
     // Gopher composite quality rules (minTokens/minRequiredHits relaxed
     // for the short synthetic word-soup docs so the flag discriminates)
     "q_gopher" -> ((s, dir) =>
@@ -1231,6 +1236,24 @@ object SparkEntry {
         | SELECT doc_id, source,
         |   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         | FROM documents) WHERE rn <= 10""".stripMargin.replace("\n", " "),
+    "q_ppl_buckets" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           |  FROM documents),
+           |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+           |tot AS (SELECT count(*) AS tot FROM toks),
+           |p AS (SELECT toks.doc_id,
+           |  ROUND(AVG(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))), 6)
+           |    AS logppl
+           |  FROM toks JOIN vocab USING (token) CROSS JOIN tot
+           |  GROUP BY toks.doc_id),
+           |t AS (SELECT quantile_cont(logppl, CAST(1 AS DOUBLE)/3) AS t1,
+           |  quantile_cont(logppl, CAST(2 AS DOUBLE)/3) AS t2 FROM p)
+           |SELECT doc_id, logppl,
+           |  CAST(1 + (CASE WHEN logppl > t1 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN logppl > t2 THEN 1 ELSE 0 END) AS INTEGER)
+           |    AS ppl_bucket
+           |FROM p CROSS JOIN t""".stripMargin.replace("\n", " "),
     "q_unigram_ppl" ->
       raw"""WITH toks AS (SELECT doc_id,
            |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token

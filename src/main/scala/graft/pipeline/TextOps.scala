@@ -103,6 +103,32 @@ object TextOps {
       .groupBy(col(idCol)).agg(sum(col("_s")).as("bm25"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    * corpus into `n` LM-perplexity bands (head/middle/tail for n = 3 —
+    * the standard quality-tiering step before mixing). NOT a keyless
+    * NTILE window (that single-partitions the corpus): thresholds come
+    * from one exact `percentile` aggregation (n−1 doubles to the
+    * driver), assignment is a map-only comparison chain. At 100 TB swap
+    * the threshold agg for `percentile_approx` — assignment is
+    * unchanged.
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+  ): DataFrame = {
+    require(n >= 2, "need at least 2 buckets")
+    val ppl = unigramLogPerplexity(df, textCol, idCol)
+    val thresholds = ppl.agg(
+      percentile(col("logppl"),
+        lit((1 until n).map(_.toDouble / n).toArray)).as("t"))
+      .head().getSeq[Double](0)
+    val bucket = thresholds.foldLeft(lit(1))((acc, t) =>
+      acc + when(col("logppl") > t, 1).otherwise(0))
+    ppl.withColumn("ppl_bucket", bucket)
+  }
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))
