@@ -148,10 +148,10 @@ object YamlShim {
       else obj.set[JsonNode](key, value)
     }
     mergeSources.foreach { src =>
-      val it = src.fields()
+      val it = src.fieldNames()
       while (it.hasNext) {
-        val e = it.next()
-        if (!obj.has(e.getKey)) obj.set[JsonNode](e.getKey, e.getValue.deepCopy())
+        val k = it.next()
+        if (!obj.has(k)) obj.set[JsonNode](k, src.get(k).deepCopy())
       }
     }
     (obj, i)
