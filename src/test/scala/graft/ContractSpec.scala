@@ -167,6 +167,13 @@ class ContractSpec extends SparkSpec {
       ev, "ts", "event_type", Seq("user_id"), Seq("A", "B")))
     assert("Exchange".r.findAllIn(funnel).length === 1, funnel)
     assert(!funnel.contains("Join"), funnel)
+    // ADC top-k: per-partition top-k (TakeOrderedAndProject), never a
+    // global sort of the encoded corpus
+    val adc = planOf(pipeline.Pq.adcTopK(
+      pipeline.Pq.encode(vecs, "embedding", model),
+      "pq_code", "vec_id", Array.fill(8)(0.5), model, 5))
+    assert(adc.contains("TakeOrderedAndProject"), adc)
+    assert(!adc.contains("Exchange rangepartitioning"), adc)
   }
 
   test("bloom dedup = exact dedup minus a bounded FP budget (forced FPs)") {
