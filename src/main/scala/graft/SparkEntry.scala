@@ -603,6 +603,38 @@ object SparkEntry {
       DfOps.groupQuantiles(table(s, dir, "lineitem"), "l_extendedprice",
         Seq("l_returnflag"),
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))),
+    // deterministic top-3 documents per source (one key-window shuffle,
+    // total order via the doc_id tiebreak)
+    "q_topn_group" -> ((s, dir) =>
+      DfOps.topKPerGroup(table(s, dir, "documents"), Seq("source"),
+        Seq(col("n_chars").desc, col("doc_id").asc), 3)
+        .select("doc_id", "source", "n_chars")),
+    // per-type z-score normalization (moment-form, single window pass)
+    "q_zscore" -> ((s, dir) =>
+      DfOps.zscoreNormalize(table(s, dir, "events"), "value",
+        Seq("event_type"))
+        .select("event_id", "z")),
+    // per-key equi-depth (quantile) bins: ntile(4) in a total order
+    "q_equidepth" -> ((s, dir) =>
+      DfOps.equiDepthBins(table(s, dir, "lineitem"), "l_extendedprice",
+        Seq("l_returnflag"), 4,
+        Seq(col("l_orderkey"), col("l_linenumber")))
+        .select("l_orderkey", "l_linenumber", "bin")),
+    // hierarchical mixture census: one rollup agg, grouping_id-tagged
+    "q_rollup" -> ((s, dir) =>
+      pipeline.Sampling.mixtureRollup(table(s, dir, "documents"),
+        Seq("source", "lang"), col("n_chars"))),
+    // median/MAD robust outlier scores (two exact percentile windows
+    // over ONE exchange; flag on the rounded score)
+    "q_mad_outliers" -> ((s, dir) =>
+      DfOps.robustOutliers(table(s, dir, "events"), "value",
+        Seq("event_type"))
+        .select("event_id", "mad_z", "is_outlier")),
+    // two-pass exact heavy hitters: Misra-Gries candidate sweep (one
+    // O(k)-state agg) + exact re-count of candidates only
+    "q_heavy_hitters" -> ((s, dir) =>
+      pipeline.HeavyHitters.heavyHitterTokens(
+        table(s, dir, "documents"), "text", minFrac = 0.005)),
     // per-label embedding centroids: one agg keyed (label, dim)
     "q_centroid" -> ((s, dir) =>
       pipeline.Similarity.groupCentroids(table(s, dir, "embeddings"),
@@ -1221,6 +1253,54 @@ object SparkEntry {
         | ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
         | ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
         | FROM lineitem GROUP BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q_topn_group" ->
+      """SELECT doc_id, source, n_chars FROM (
+        | SELECT doc_id, source, n_chars,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents) WHERE rn <= 3""".stripMargin.replace("\n", " "),
+    "q_zscore" ->
+      // mirror the engine's moment formula term-for-term (sum/n, not
+      // stddev_pop) so both engines round the same double
+      """SELECT event_id,
+        | ROUND(CASE WHEN sx2 / n - (sx / n) * (sx / n) > 0 THEN
+        |   (value - sx / n) / sqrt(sx2 / n - (sx / n) * (sx / n)) END, 6) AS z
+        | FROM (SELECT event_id, value,
+        |   sum(value) OVER w AS sx,
+        |   sum(value * value) OVER w AS sx2,
+        |   CAST(count(value) OVER w AS DOUBLE) AS n
+        | FROM events WINDOW w AS (PARTITION BY event_type))""".stripMargin
+        .replace("\n", " "),
+    "q_equidepth" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(ntile(4) OVER (PARTITION BY l_returnflag
+        |   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
+        |   AS bin
+        | FROM lineitem""".stripMargin.replace("\n", " "),
+    "q_rollup" ->
+      """SELECT source, lang,
+        | CAST(grouping(source, lang) AS BIGINT) AS gid,
+        | count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS weight
+        | FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin
+        .replace("\n", " "),
+    "q_mad_outliers" ->
+      """SELECT event_id,
+        | CASE WHEN mad > 0 THEN ROUND(dev / mad, 6) END AS mad_z,
+        | CASE WHEN mad > 0 THEN ROUND(dev / mad, 6) > 3.5 END AS is_outlier
+        | FROM (SELECT event_id, dev,
+        |   quantile_cont(dev, 0.5) OVER (PARTITION BY event_type) AS mad
+        | FROM (SELECT event_id, event_type,
+        |   abs(value - quantile_cont(value, 0.5)
+        |     OVER (PARTITION BY event_type)) AS dev
+        | FROM events))""".stripMargin.replace("\n", " "),
+    "q_heavy_hitters" ->
+      raw"""WITH toks AS (SELECT
+           |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           |  FROM documents)
+           |SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+           |HAVING count(*) >=
+           |  ceil(0.005 * (SELECT count(*) FROM toks))""".stripMargin
+        .replace("\n", " "),
     "q_centroid" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
         | ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid

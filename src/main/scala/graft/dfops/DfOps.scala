@@ -521,6 +521,45 @@ object DfOps {
       round(when(variance > 0.0, (x - mean) / sqrt(variance)), 6))
   }
 
+  /** Robust (median/MAD) outlier scoring per key: the modified z-score
+    * `|x − median| / MAD` with a flag at `cutoff` (3.5 is the classic
+    * Iglewicz–Hoaglin default, sans the 0.6745 normal-consistency factor
+    * — documented divergence: we score in raw MAD units). The
+    * heavy-tail-safe companion to [[zscoreNormalize]] for quality-signal
+    * outlier sweeps, where means/variances are themselves dragged by the
+    * outliers being hunted.
+    *
+    * Plan shape: both medians are exact `percentile` aggregates evaluated
+    * as windows over the SAME `keyCols` partitioning — Catalyst plans two
+    * Window operators above ONE exchange, so the corpus shuffles once and
+    * is never joined back to itself. Score and flag are computed on the
+    * ROUNDED score so threshold comparisons are reproducible across
+    * engines. A zero-MAD group (> 50 % of values identical) yields null
+    * score/flag rather than an ANSI divide-by-zero. At 100 TB swap the
+    * exact `percentile` for `percentile_approx` (mergeable KLL sketch)
+    * — same shape, bounded state.
+    */
+  def robustOutliers(
+      df: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String],
+      cutoff: Double = 3.5,
+      scoreCol: String = "mad_z",
+      flagCol: String = "is_outlier",
+  ): DataFrame = {
+    val w =
+      if (keyCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keyCols.map(col): _*)
+    val x = col(valueCol).cast("double")
+    val dev = abs(x - percentile(x, lit(0.5)).over(w))
+    df.withColumn("_dev", dev)
+      .withColumn("_mad", percentile(col("_dev"), lit(0.5)).over(w))
+      .withColumn(scoreCol,
+        when(col("_mad") > 0.0, round(col("_dev") / col("_mad"), 6)))
+      .withColumn(flagCol, col(scoreCol) > lit(cutoff))
+      .drop("_dev", "_mad")
+  }
+
   /** Rolling (trailing-window) mean per key: `avg(x)` over the
     * `nPreceding` previous rows plus the current one, in `orderCol` order.
     * One window shuffle keyed on `keyCols`; the frame is row-bounded so

@@ -94,4 +94,24 @@ object Sampling {
     grouped.withColumn("token_share",
       round(col("tokens").cast("double") / sum(col("tokens")).over(w), 6))
   }
+
+  /** Hierarchical mixture report: [[mixtureReport]]'s census with
+    * subtotal rows at every rollup level (per (dim1, dim2, …), per dim1
+    * prefix, grand total), each tagged with Spark's `grouping_id` bit
+    * vector so consumers can split levels without null-sniffing the
+    * dimension columns.
+    *
+    * Plan shape: ONE `rollup` aggregation — Catalyst expands the
+    * grouping sets map-side (`Expand`), so the corpus is scanned once
+    * and the exchange carries `levels × groups` rows, not events.
+    */
+  def mixtureRollup(
+      df: DataFrame,
+      dims: Seq[String],
+      weight: Column,
+  ): DataFrame =
+    df.rollup(dims.map(col): _*)
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("docs"),
+        sum(weight.cast("long")).as("weight"))
 }

@@ -347,6 +347,54 @@ class DfOpsSpec extends SparkSpec {
       (3L, 0L) -> 1L))                                // u3 cohort 3
   }
 
+  test("robustOutliers: hand-computed median/MAD scores and flag") {
+    // group g: values 1..5 plus a wild 100 → med 4.5? no: {1,2,3,4,5,100}
+    // even count: med = (3+4)/2 = 3.5; devs {2.5,1.5,0.5,0.5,1.5,96.5}
+    // → MAD = (1.5+1.5)/2 = 1.5; score(100) = 96.5/1.5 = 64.33… > 3.5
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).map(("g", _))
+      .toDF("k", "v")
+    val out = DfOps.robustOutliers(df, "v", Seq("k"))
+      .collect().map(r => r.getDouble(1) -> (r.get(2), r.get(3))).toMap
+    assert(out(100.0) === (math.rint(96.5 / 1.5 * 1e6) / 1e6, true))
+    assert(out(3.0) === (math.rint(0.5 / 1.5 * 1e6) / 1e6, false))
+    assert(out(1.0) === (math.rint(2.5 / 1.5 * 1e6) / 1e6, false))
+  }
+
+  test("robustOutliers: zero-MAD group yields null score and flag") {
+    // >50 % identical values → MAD = 0; must NOT throw under ANSI mode
+    val df = Seq(5.0, 5.0, 5.0, 9.0).map(("g", _)).toDF("k", "v")
+    val rows = DfOps.robustOutliers(df, "v", Seq("k")).collect()
+    assert(rows.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
+  test("robustOutliers: one exchange feeds both percentile windows") {
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val plan = DfOps.robustOutliers(df, "v", Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert("(?s)Exchange".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("topKPerGroup: deterministic under ties via the tiebreak column") {
+    val df = Seq(("g", 10.0, 1L), ("g", 10.0, 2L), ("g", 10.0, 3L),
+      ("h", 1.0, 9L)).toDF("k", "v", "id")
+    val got = DfOps.topKPerGroup(df, Seq("k"),
+      Seq(col("v").desc, col("id").asc), 2)
+      .select("k", "id").as[(String, Long)].collect().toSet
+    assert(got === Set(("g", 1L), ("g", 2L), ("h", 9L)))
+  }
+
+  test("equiDepthBins: equal-count bins in value order") {
+    val df = (1 to 20).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("k", "v", "id")
+    val out = DfOps.equiDepthBins(df, "v", Seq("k"), 4, Seq(col("id")))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(out === Map(1L -> ((5L, 1.0, 5.0)), 2L -> ((5L, 6.0, 10.0)),
+      3L -> ((5L, 11.0, 15.0)), 4L -> ((5L, 16.0, 20.0))))
+  }
+
   test("mapColumns2D: rotation round trip") {
     val df = Seq((1.0, 0.0), (0.0, 1.0)).toDF("x", "y")
     val c = math.cos(0.5); val s = math.sin(0.5)

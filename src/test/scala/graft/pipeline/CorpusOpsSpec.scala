@@ -381,6 +381,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.find(_._1 == "b").get._4 === 0.1)
   }
 
+  test("mixtureRollup: subtotal rows at every level, grouping_id-tagged") {
+    val df = Seq(
+      ("a", "en", 10L), ("a", "en", 20L), ("a", "de", 5L),
+      ("b", "en", 7L),
+    ).toDF("src", "lang", "w")
+    val out = Sampling.mixtureRollup(df, Seq("src", "lang"), col("w"))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // leaf rows: gid 0
+    assert(out((Some("a"), Some("en"))) === ((0L, 2L, 30L)))
+    assert(out((Some("a"), Some("de"))) === ((0L, 1L, 5L)))
+    assert(out((Some("b"), Some("en"))) === ((0L, 1L, 7L)))
+    // per-src subtotals: lang rolled up → gid 1
+    assert(out((Some("a"), None)) === ((1L, 3L, 35L)))
+    assert(out((Some("b"), None)) === ((1L, 1L, 7L)))
+    // grand total: gid 3
+    assert(out((None, None)) === ((3L, 4L, 42L)))
+    assert(out.size === 6)
+  }
+
   test("stratifiedHashSample: listed strata sampled at their rate, rest drop") {
     val df = (1 to 4000).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
     val out = Sampling.stratifiedHashSample(df, "id", "src",
