@@ -630,6 +630,17 @@ object SparkEntry {
       DfOps.robustOutliers(table(s, dir, "events"), "value",
         Seq("event_type"))
         .select("event_id", "mad_z", "is_outlier")),
+    // first-order event-transition matrix (one key window + one agg;
+    // normalizer windows over the |types|^2 grouped result)
+    "q_transition" -> ((s, dir) =>
+      DfOps.transitionMatrix(table(s, dir, "events"), "ts", "event_type",
+        Seq("user_id"), Seq(col("event_id")))),
+    // Efraimidis-Spirakis weighted sample (portable-hash draws): 5 docs
+    // per source, n_chars-weighted, reproducible
+    "q_wsample" -> ((s, dir) =>
+      pipeline.Sampling.weightedHashSample(table(s, dir, "documents"),
+        "doc_id", "n_chars", Seq("source"), 5)
+        .select("doc_id", "source")),
     // two-pass exact heavy hitters: Misra-Gries candidate sweep (one
     // O(k)-state agg) + exact re-count of candidates only
     "q_heavy_hitters" -> ((s, dir) =>
@@ -1293,6 +1304,24 @@ object SparkEntry {
         |   abs(value - quantile_cont(value, 0.5)
         |     OVER (PARTITION BY event_type)) AS dev
         | FROM events))""".stripMargin.replace("\n", " "),
+    "q_transition" ->
+      """WITH p AS (SELECT event_type AS ft,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS tt
+        | FROM events)
+        | SELECT ft AS from_type, tt AS to_type, count(*) AS cnt,
+        |   ROUND(CAST(count(*) AS DOUBLE) /
+        |     sum(count(*)) OVER (PARTITION BY ft), 6) AS prob
+        | FROM p WHERE tt IS NOT NULL GROUP BY 1, 2""".stripMargin
+        .replace("\n", " "),
+    "q_wsample" ->
+      s"""SELECT doc_id, source FROM (
+         | SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |   ORDER BY pow(((
+         |     (${OracleSql.portableTokenHashSql("CAST(doc_id AS VARCHAR)")})
+         |       % 1000003) + 0.5) / 1000003.0,
+         |     1.0 / n_chars) DESC, doc_id) AS rn
+         | FROM documents) WHERE rn <= 5""".stripMargin.replace("\n", " "),
     "q_heavy_hitters" ->
       raw"""WITH toks AS (SELECT
            |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -521,6 +521,38 @@ object DfOps {
       round(when(variance > 0.0, (x - mean) / sqrt(variance)), 6))
   }
 
+  /** First-order event-transition matrix (the Markov-chain / clickstream
+    * census): per key, consecutive `(from → to)` event pairs in time
+    * order, aggregated to counts plus the per-source-state transition
+    * probability. `tiebreak` must complete a total order within a key so
+    * simultaneous events pair deterministically.
+    *
+    * Plan shape: ONE key-window shuffle pairs the events (`lead`, no
+    * self-join), one aggregation reduces pairs to the `|types|²`-bounded
+    * matrix, and the probability normalizer is a window over THAT tiny
+    * grouped result — the corpus is scanned once and never joined to
+    * itself.
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      keyCols: Seq[String],
+      tiebreak: Seq[Column] = Nil,
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol) +: tiebreak: _*)
+    val pairs = df
+      .withColumn("_to", lead(col(typeCol), 1).over(w))
+      .filter(col("_to").isNotNull)
+    pairs
+      .groupBy(col(typeCol).as("from_type"), col("_to").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob",
+        round(col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy(col("from_type"))), 6))
+  }
+
   /** Robust (median/MAD) outlier scoring per key: the modified z-score
     * `|x − median| / MAD` with a flag at `cutoff` (3.5 is the classic
     * Iglewicz–Hoaglin default, sans the 0.6745 normal-consistency factor

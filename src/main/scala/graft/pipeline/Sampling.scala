@@ -95,6 +95,35 @@ object Sampling {
       round(col("tokens").cast("double") / sum(col("tokens")).over(w), 6))
   }
 
+  /** Deterministic weighted sampling without replacement, k per group
+    * (Efraimidis–Spirakis A-ES): each row draws `u ∈ (0,1)` from the
+    * PORTABLE hash of its key and survives if its priority `u^(1/w)` ranks
+    * in the group's top k — higher weight ⇒ priority closer to 1 ⇒ more
+    * likely kept, and the same corpus always yields the same sample
+    * (reproducible training mixtures). Weights must be positive.
+    *
+    * Plan shape: the priority is a map-side projection; selection is one
+    * `row_number` window per group — a single key shuffle, no global
+    * sort. Cross-engine note: `pow` may differ from another engine's libm
+    * in the last ulp; a rank flip needs two priorities within ~1e-16 at
+    * the cut, which hash-derived draws make vanishingly unlikely.
+    */
+  def weightedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      groupCols: Seq[String],
+      k: Int,
+  ): DataFrame = {
+    val u = (pmod(TextOps.portableTokenHash(col(keyCol).cast("string")),
+      lit(1000003L)).cast("double") + 0.5) / 1000003.0
+    val pri = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    graft.dfops.DfOps.topKPerGroup(
+      df.withColumn("_pri", pri), groupCols,
+      Seq(col("_pri").desc, col(keyCol)), k)
+      .drop("_pri")
+  }
+
   /** Hierarchical mixture report: [[mixtureReport]]'s census with
     * subtotal rows at every rollup level (per (dim1, dim2, …), per dim1
     * prefix, grand total), each tagged with Spark's `grouping_id` bit

@@ -187,6 +187,37 @@ object StreamingBinning {
       .dropDuplicatesWithinWatermark(Seq("_sig"))
       .drop("_sig")
 
+  /** Stream-stream interval join (click attribution): pair each left
+    * event with right events sharing its keys whose timestamp lands in
+    * `[leftTs, leftTs + maxLag]`. Both sides carry event-time watermarks,
+    * so Spark bounds the join state to `watermark + maxLag` of buffered
+    * rows per side — the state-safe form of [[graft.dfops.DfOps.rangeJoin]]
+    * for live pipelines. Column names must be disjoint across the sides
+    * except for `joinKeys` (reference the output via the `l`/`r`
+    * aliases). Inner by default; outer stream-stream joins emit their
+    * null rows only once the watermark closes the window — semantics,
+    * not a bug, but documented here because batch-parity tests must
+    * wait for it.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      joinKeys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      maxLag: String,
+      watermark: String,
+      joinType: String = "inner",
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).as("l")
+    val r = right.withWatermark(rightTs, watermark).as("r")
+    val keyCond = joinKeys.map(k => col(s"l.$k") === col(s"r.$k"))
+    val timeCond =
+      col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxLag")
+    l.join(r, (keyCond :+ timeCond).reduce(_ && _), joinType)
+  }
+
   /** Streaming gap-based sessionization: per-key session aggregates via
     * Spark's native `session_window` (sessions close when no event
     * arrives within `gap`; watermark bounds open-session state). The

@@ -347,6 +347,29 @@ class DfOpsSpec extends SparkSpec {
       (3L, 0L) -> 1L))                                // u3 cohort 3
   }
 
+  test("transitionMatrix: consecutive pairs per key, per-from probabilities") {
+    // u1: a→b→b→c ; u2: a→c — pairs: (a,b),(b,b),(b,c),(a,c)
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "b"), (1L, 40L, "c"),
+      (2L, 10L, "a"), (2L, 15L, "c"),
+    ).toDF("u", "ts", "et")
+    val out = DfOps.transitionMatrix(df, "ts", "et", Seq("u"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "b") -> ((1L, 0.5)), ("b", "c") -> ((1L, 0.5))))
+  }
+
+  test("transitionMatrix: simultaneous events pair via the tiebreak") {
+    val df = Seq((1L, 10L, 1L, "x"), (1L, 10L, 2L, "y"), (1L, 20L, 3L, "z"))
+      .toDF("u", "ts", "id", "et")
+    val out = DfOps.transitionMatrix(df, "ts", "et", Seq("u"),
+      Seq(col("id")))
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+    assert(out === Set(("x", "y"), ("y", "z")))
+  }
+
   test("robustOutliers: hand-computed median/MAD scores and flag") {
     // group g: values 1..5 plus a wild 100 → med 4.5? no: {1,2,3,4,5,100}
     // even count: med = (3+4)/2 = 3.5; devs {2.5,1.5,0.5,0.5,1.5,96.5}

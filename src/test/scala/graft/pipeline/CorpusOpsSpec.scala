@@ -381,6 +381,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.find(_._1 == "b").get._4 === 0.1)
   }
 
+  test("weightedHashSample: reproducible, k per group, weight-monotone") {
+    val df = (1 to 2000).map { i =>
+      // weights: ids ≤ 100 get weight 1000, the rest weight 1
+      (i.toLong, s"g${i % 2}", if (i <= 100) 1000.0 else 1.0)
+    }.toDF("id", "grp", "w")
+    val s1 = Sampling.weightedHashSample(df, "id", "w", Seq("grp"), 20)
+      .select("id").as[Long].collect().sorted.toSeq
+    val s2 = Sampling.weightedHashSample(df, "id", "w", Seq("grp"), 20)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s1 === s2)                 // deterministic
+    assert(s1.length === 40)          // 20 per group
+    // heavy-weight ids (5 % of rows, 1000× weight) should dominate the
+    // sample: u^(1/1000) ≈ 1 for any u, u^1 = u for the tail
+    assert(s1.count(_ <= 100) >= 30, s"heavy ids in sample: ${s1.count(_ <= 100)}")
+  }
+
   test("mixtureRollup: subtotal rows at every level, grouping_id-tagged") {
     val df = Seq(
       ("a", "en", 10L), ("a", "en", 20L), ("a", "de", 5L),

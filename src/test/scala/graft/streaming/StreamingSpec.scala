@@ -248,6 +248,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch === Map("u" -> 2L, "v" -> 1L))
   }
 
+  test("intervalJoin: stream-stream attribution matches the batch join") {
+    val t0 = 1704067200000L
+    def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+    // impressions for u/v; clicks: one in-window (8s after imp1), one
+    // too late (120s after imp1), one for a user with no impression
+    val imps = Seq(("u", ts(0), "i1"), ("u", ts(60), "i2"), ("v", ts(5), "i3"))
+    val clicks = Seq(("u", ts(8), "c1"), ("u", ts(125), "c2"), ("w", ts(9), "c3"))
+    val impDir = Files.createTempDirectory("stream-ij").toFile.getPath + "/imps"
+    val clkDir = Files.createTempDirectory("stream-ij").toFile.getPath + "/clicks"
+    imps.toDF("user", "imp_ts", "imp_id").write.parquet(impDir)
+    clicks.toDF("user", "clk_ts", "clk_id").write.parquet(clkDir)
+    val impStream = spark.readStream
+      .schema(spark.read.parquet(impDir).schema).parquet(impDir)
+    val clkStream = spark.readStream
+      .schema(spark.read.parquet(clkDir).schema).parquet(clkDir)
+    val joined = StreamingBinning.intervalJoin(
+      impStream, clkStream, Seq("user"), "imp_ts", "clk_ts",
+      maxLag = "30 seconds", watermark = "0 seconds")
+    assert(joined.isStreaming)
+    val got = StreamingBinning.runToMemorySink(
+      joined.select(col("imp_id"), col("clk_id")),
+      "ij_sink", OutputMode.Append())
+      .as[(String, String)].collect().toSet
+    // c1 (t=8) attributes to i1 (t=0, within 30s) only: i2 is later than
+    // the click; c2 is beyond every window; c3 has no impression
+    assert(got === Set(("i1", "c1")))
+    // batch parity: the same operator composes on static frames
+    val batch = StreamingBinning.intervalJoin(
+      imps.toDF("user", "imp_ts", "imp_id"),
+      clicks.toDF("user", "clk_ts", "clk_id"),
+      Seq("user"), "imp_ts", "clk_ts", "30 seconds", "0 seconds")
+      .select(col("imp_id"), col("clk_id"))
+      .as[(String, String)].collect().toSet
+    assert(batch === got)
+  }
+
   test("cubeSnapshotSink densifies each micro-batch's windows") {
     val dir = Files.createTempDirectory("stream-in5").toFile.getPath + "/data"
     Seq(
