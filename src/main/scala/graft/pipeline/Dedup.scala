@@ -1101,4 +1101,46 @@ object Dedup {
         round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // --- distinct-cardinality sketches (dedup-rate planning) -------------
+
+  /** Per-group HLL distinct sketches (Apache DataSketches HllSketch via
+    * Spark's `hll_sketch_agg`): one mergeable binary sketch per group —
+    * the planning primitive for dedup at 100 TB, where "how many
+    * distinct fingerprints does each shard/day/source hold, and what
+    * does their union look like" must be answerable WITHOUT a global
+    * `countDistinct` shuffle of the keys themselves. Sketches are
+    * `O(2^lgK)` bytes each regardless of corpus size and union losslessly
+    * ([[unionCardinality]]); standard error ≈ 1.04/√2^lgK (~0.8 % at the
+    * default lgK = 14).
+    */
+  def distinctSketches(
+      df: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      lgK: Int = 14,
+  ): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("sketch"),
+        count(lit(1)).as("rows"))
+      .withColumn("distinct_est",
+        hll_sketch_estimate(col("sketch")).cast("long"))
+
+  /** Union the per-group sketches of [[distinctSketches]] down to the
+    * global distinct estimate — with total rows alongside, the corpus
+    * duplicate fraction (`1 − distinct/rows`) drops out of sketch-sized
+    * state. Crucially `estimate(union(sketches)) ==
+    * estimate(sketch(all))`: sketching shards independently (per
+    * ingestion day, per source) loses nothing vs one monolithic pass.
+    */
+  def unionCardinality(sketches: DataFrame): DataFrame =
+    sketches
+      .agg(hll_union_agg(col("sketch")).as("sketch"),
+        sum(col("rows")).as("rows"))
+      .select(
+        hll_sketch_estimate(col("sketch")).cast("long").as("distinct_est"),
+        col("rows"),
+        round(lit(1.0) -
+          hll_sketch_estimate(col("sketch")) / col("rows").cast("double"), 6)
+          .as("dup_frac_est"))
 }

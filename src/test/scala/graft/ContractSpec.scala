@@ -200,6 +200,41 @@ class ContractSpec extends SparkSpec {
       s"FP blowup: kept ${bloomKept.size} of ${exactKept.size}")
   }
 
+  test("heavy-hitter re-count prunes to candidates; rollup expands map-side") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other                    => other.toString
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("hh").toFile.getPath + "/t"
+    ((1 to 200).map(_ => "hot") ++ (1 to 50).map(i => s"cold$i"))
+      .toDF("item").write.parquet(dir)
+    // pass 2 of the two-pass recipe: the exchange must sit ABOVE a
+    // candidate filter pushed at the scan (partial agg of filtered
+    // rows), never shuffle the full dictionary
+    val hh = planOf(pipeline.HeavyHitters.heavyHitters(
+      spark.read.parquet(dir), "item", minFrac = 0.5, sketchK = 8))
+    assert("(?i)item.* IN |INSET".r.findFirstIn(hh).isDefined, hh)
+    assert("PushedFilters: \\[.*In\\(item".r.findFirstIn(hh).isDefined, hh)
+    assert("Exchange".r.findAllIn(hh).length === 1, hh)
+    // rollup: ONE aggregation over a map-side Expand — a second corpus
+    // scan or per-level union would show up as extra exchanges
+    val docs = Seq(("a", "en", 1L), ("b", "de", 2L)).toDF("s", "l", "w")
+    val ru = planOf(pipeline.Sampling.mixtureRollup(docs, Seq("s", "l"),
+      org.apache.spark.sql.functions.col("w")))
+    assert(ru.contains("Expand"), ru)
+    assert("Exchange".r.findAllIn(ru).length === 1, ru)
+    // transition matrix: lead-window exchange + matrix agg exchange +
+    // the normalizer's re-key of the |types|²-row grouped result — and
+    // never a self-join of the corpus
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B")).toDF("u", "ts", "et")
+    val tm = planOf(dfops.DfOps.transitionMatrix(ev, "ts", "et", Seq("u")))
+    assert(!tm.contains("Join"), tm)
+    assert("Exchange".r.findAllIn(tm).length <= 3, tm)
+  }
+
   test("histogram scan prunes to exactly the binned columns") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toFile.getPath + "/t"
     Seq.fill(100)((1.0, 2.0, 3.0, "pad")).toDF("a", "b", "c", "d")

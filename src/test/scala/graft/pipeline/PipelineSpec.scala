@@ -768,4 +768,29 @@ class PipelineSpec extends SparkSpec {
     }.filter(_._2 <= 10).toMap
     assert(pairs === all)
   }
+
+  test("distinctSketches: sharded union == monolithic sketch, bounded error") {
+    // 30k rows, 10007 distinct keys spread over 3 overlapping shards
+    val df = (1 to 30000).map(i => (s"k${i % 10007}", i % 3))
+      .toDF("key", "shard").repartition(6)
+    val perShard = Dedup.distinctSketches(df, "key", Seq("shard"))
+    val shardRows = perShard.select("shard", "distinct_est", "rows")
+      .as[(Int, Long, Long)].collect()
+    assert(shardRows.length === 3)
+    shardRows.foreach { case (_, est, rows) =>
+      assert(rows === 10000L)
+      // each shard holds 10000 distinct keys; lgK=14 → ~0.8 % σ
+      assert(math.abs(est - 10000L) < 300, s"shard est $est")
+    }
+    val u = Dedup.unionCardinality(perShard).head()
+    val (est, rows, dup) = (u.getLong(0), u.getLong(1), u.getDouble(2))
+    assert(rows === 30000L)
+    assert(math.abs(est - 10007L) < 300, s"union est $est")
+    assert(math.abs(dup - (1.0 - est.toDouble / 30000)) < 1e-6)
+    // sketching shards independently loses nothing: union of the three
+    // == one monolithic global sketch, estimate-for-estimate
+    val mono = Dedup.unionCardinality(
+      Dedup.distinctSketches(df, "key", Seq.empty)).head().getLong(0)
+    assert(est === mono)
+  }
 }

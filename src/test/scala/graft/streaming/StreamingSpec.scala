@@ -248,6 +248,29 @@ class StreamingSpec extends SparkSpec {
     assert(batch === Map("u" -> 2L, "v" -> 1L))
   }
 
+  test("Misra-Gries sketch aggregates over a stream (complete mode)") {
+    import org.apache.spark.sql.GraftBridge
+    val dir = Files.createTempDirectory("stream-mg").toFile.getPath + "/data"
+    // heavy item ×60 + 40 singletons, across two files
+    val items = (Seq.fill(30)("heavy") ++ (0 until 20).map(i => s"t$i")) ++
+      (Seq.fill(30)("heavy") ++ (20 until 40).map(i => s"t$i"))
+    items.take(50).toDF("item").coalesce(1).write.mode("append").parquet(dir)
+    items.drop(50).toDF("item").coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val agg = graft.pipeline.MisraGriesAgg(
+      GraftBridge.expression(stream.col("item")), 8).toAggregateExpression()
+    val out = stream.agg(GraftBridge.column(agg).as("mg"))
+    assert(out.isStreaming)
+    val row = StreamingBinning.runToMemorySink(
+      out, "mg_sink", OutputMode.Complete()).head().getStruct(0)
+    assert(row.getLong(0) === 100L)
+    val cand = row.getMap[String, Long](1)
+    // n/(k+1) = 100/9 ≈ 11.1 < 60 → "heavy" must survive the stream too
+    assert(cand.contains("heavy"), cand.toString)
+    assert(cand.size <= 8)
+  }
+
   test("intervalJoin: stream-stream attribution matches the batch join") {
     val t0 = 1704067200000L
     def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
