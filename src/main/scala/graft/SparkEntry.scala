@@ -630,6 +630,15 @@ object SparkEntry {
       DfOps.robustOutliers(table(s, dir, "events"), "value",
         Seq("event_type"))
         .select("event_id", "mad_z", "is_outlier")),
+    // PSI distribution drift between two event populations: two sparse
+    // histograms + a <=nBins-row join, corpus never co-shuffled
+    "q_psi" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      pipeline.Drift.psiReport(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"),
+        ax1dValue)
+    }),
     // first-order event-transition matrix (one key window + one agg;
     // normalizer windows over the |types|^2 grouped result)
     "q_transition" -> ((s, dir) =>
@@ -1304,6 +1313,30 @@ object SparkEntry {
         |   abs(value - quantile_cont(value, 0.5)
         |     OVER (PARTITION BY event_type)) AS dev
         | FROM events))""".stripMargin.replace("\n", " "),
+    "q_psi" -> {
+      val j = OracleSql.uniformJ("value", ax1dValue)
+      val idx = OracleSql.uniformIdx("j0", ax1dValue)
+      val keep = OracleSql.uniformKeep("j0", ax1dValue)
+      val nb = ax1dValue.nBins
+      def hist(et: String, cnt: String) =
+        s"""SELECT $idx AS bin, count(*) AS $cnt FROM
+           | (SELECT $j AS j0 FROM events WHERE event_type = '$et')
+           | WHERE $keep GROUP BY 1""".stripMargin.replace("\n", " ")
+      s"""WITH a AS (${hist("view", "cnt_a")}),
+         | b AS (${hist("click", "cnt_b")}),
+         | j AS (SELECT COALESCE(a.bin, b.bin) AS bin,
+         |   COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+         |   FROM a FULL JOIN b ON a.bin = b.bin),
+         | p AS (SELECT bin, cnt_a, cnt_b,
+         |   ((cnt_a + 0.5) / (sum(cnt_a) OVER () + 0.5 * $nb)
+         |     - (cnt_b + 0.5) / (sum(cnt_b) OVER () + 0.5 * $nb))
+         |   * ln(((cnt_a + 0.5) / (sum(cnt_a) OVER () + 0.5 * $nb))
+         |     / ((cnt_b + 0.5) / (sum(cnt_b) OVER () + 0.5 * $nb))) AS c
+         |   FROM j)
+         | SELECT bin, cnt_a, cnt_b, ROUND(c, 6) AS psi_bin,
+         |   ROUND(sum(c) OVER (), 6) AS psi FROM p""".stripMargin
+        .replace("\n", " ")
+    },
     "q_transition" ->
       """WITH p AS (SELECT event_type AS ft,
         |   lead(event_type) OVER (PARTITION BY user_id

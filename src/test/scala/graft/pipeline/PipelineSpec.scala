@@ -769,6 +769,32 @@ class PipelineSpec extends SparkSpec {
     assert(pairs === all)
   }
 
+  test("psiReport: zero on identical populations, grows with shift, finite on one-sided bins") {
+    import graft.binning.UniformAxis
+    val ax = UniformAxis("v", 10, 0.0, 10.0)
+    // axis range is CENTERS (half-bin pre-shift): integer values 0..9
+    // land exactly on the 10 bin centers
+    val base = (0 until 1000).map(i => (i % 10).toDouble).toDF("v")
+    val same = Drift.psiReport(base, base, ax)
+    // identical histograms → pa = pb in every bin → psi exactly 0
+    assert(same.select("psi").head().getDouble(0) === 0.0)
+    assert(same.count() === 10)
+    // mild shift vs wholesale shift: PSI must rank them
+    val mild = (0 until 1000).map(i => (i % 10) * 0.9).toDF("v")
+    val wild = (0 until 1000).map(i => (i % 3).toDouble).toDF("v")
+    val psiMild = Drift.psiReport(base, mild, ax).select("psi").head().getDouble(0)
+    val psiWild = Drift.psiReport(base, wild, ax).select("psi").head().getDouble(0)
+    assert(psiMild > 0.0 && psiWild > psiMild, s"$psiMild vs $psiWild")
+    assert(psiWild > 0.25) // classic "shifted" threshold
+    // bins occupied on one side only stay finite via the 0.5 smoothing
+    val disjoint = (0 until 100).map(_ => 9.0).toDF("v")
+    val oneSided = Drift.psiReport((0 until 100).map(_ => 0.0).toDF("v"),
+      disjoint, ax)
+    assert(oneSided.count() === 2)
+    assert(oneSided.collect().forall(r => !r.getDouble(4).isNaN
+      && !r.getDouble(4).isInfinite))
+  }
+
   test("distinctSketches: sharded union == monolithic sketch, bounded error") {
     // 30k rows, 10007 distinct keys spread over 3 overlapping shards
     val df = (1 to 30000).map(i => (s"k${i % 10007}", i % 3))
