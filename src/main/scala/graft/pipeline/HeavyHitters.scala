@@ -108,7 +108,11 @@ case class MisraGriesAgg(
     out.writeLong(buffer.n)
     out.writeInt(buffer.counts.size)
     buffer.counts.foreach { case (item, c) =>
-      out.writeUTF(item)
+      // length-prefixed UTF-8, NOT writeUTF: items are arbitrary corpus
+      // strings and writeUTF caps at 64 KB encoded bytes
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
       out.writeLong(c)
     }
     out.flush()
@@ -121,7 +125,13 @@ case class MisraGriesAgg(
     val size = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < size) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < size) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     new MGState(n, m)
   }
 

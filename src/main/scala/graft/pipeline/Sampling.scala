@@ -107,6 +107,12 @@ object Sampling {
     * sort. Cross-engine note: `pow` may differ from another engine's libm
     * in the last ulp; a rank flip needs two priorities within ~1e-16 at
     * the cut, which hash-derived draws make vanishingly unlikely.
+    *
+    * Rows with non-positive (or null) weight draw a null priority and
+    * rank behind every weighted row, so they are only emitted when a
+    * group has fewer than `k` positively-weighted members — NOT an ANSI
+    * divide-by-zero error mid-job (Spark 4 ANSI `Divide` throws on
+    * zero even for doubles).
     */
   def weightedHashSample(
       df: DataFrame,
@@ -117,7 +123,8 @@ object Sampling {
   ): DataFrame = {
     val u = (pmod(TextOps.portableTokenHash(col(keyCol).cast("string")),
       lit(1000003L)).cast("double") + 0.5) / 1000003.0
-    val pri = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    val w = col(weightCol).cast("double")
+    val pri = when(w > 0.0, pow(u, lit(1.0) / w))
     graft.dfops.DfOps.topKPerGroup(
       df.withColumn("_pri", pri), groupCols,
       Seq(col("_pri").desc, col(keyCol)), k)

@@ -397,6 +397,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(s1.count(_ <= 100) >= 30, s"heavy ids in sample: ${s1.count(_ <= 100)}")
   }
 
+  test("weightedHashSample: non-positive weights fill shortfall only, no ANSI error") {
+    val df = Seq(
+      (1L, "g", 2.0), (2L, "g", 0.0), (3L, "g", -1.0), (4L, "g", 5.0),
+    ).toDF("id", "grp", "w")
+    // k=3 but only two positively-weighted rows: they must come first,
+    // one zero/negative-weight row fills the shortfall, and the zero
+    // weight must NOT raise Spark 4's ANSI divide-by-zero
+    val got = Sampling.weightedHashSample(df, "id", "w", Seq("grp"), 3)
+      .select("id").as[Long].collect().toSet
+    assert(got.size === 3)
+    assert(Set(1L, 4L).subsetOf(got))
+  }
+
   test("mixtureRollup: subtotal rows at every level, grouping_id-tagged") {
     val df = Seq(
       ("a", "en", 10L), ("a", "en", 20L), ("a", "de", 5L),

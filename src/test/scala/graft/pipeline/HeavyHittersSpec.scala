@@ -82,6 +82,19 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got === Map("the" -> 4L))
   }
 
+  test("buffer serialization round-trips items beyond the 64 KB writeUTF cap") {
+    val agg = MisraGriesAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 4)
+    val st = agg.createAggregationBuffer()
+    val big = "é" * 70000 // 140 KB UTF-8
+    st.n = 5L
+    st.counts.update(big, 3L)
+    st.counts.update("small", 2L)
+    val back = agg.deserialize(agg.serialize(st))
+    assert(back.n === 5L)
+    assert(back.counts === st.counts)
+  }
+
   test("non-string items are cast before sketching") {
     val df = spark.range(100).select((col("id") % 3).as("item"))
     val got = HeavyHitters.heavyHitters(df, "item", minFrac = 0.3)
