@@ -76,6 +76,12 @@ object SparkEntry {
   val stratifiedRates: Map[String, Int] =
     Map("src0" -> 900, "src1" -> 500, "src2" -> 250, "src3" -> 100)
 
+  /** Target language mixture for `q_resample` (shares sum to 1; `zh`
+    * deliberately unlisted so the drop-out path is exercised).
+    */
+  val resampleShares: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1)
+
   /** T8: analytic 2×9×9 inverse deformation field (node values derive
     * from closed-form polynomials so the oracle can recompute them; the
     * production path broadcasts measured grids the same way).
@@ -773,6 +779,16 @@ object SparkEntry {
       pipeline.Sampling.stratifiedHashSample(table(s, dir, "documents"),
         "doc_id", "source", stratifiedRates)
         .select("doc_id", "source")),
+    // deterministic resampling to a target language mixture (largest
+    // exact-mix downsample; broadcast rate table, corpus never shuffled)
+    "q_resample" -> ((s, dir) =>
+      pipeline.Sampling.resampleToMixture(table(s, dir, "documents"),
+        "doc_id", "lang", resampleShares)
+        .select("doc_id", "lang")),
+    // cross-document duplicated passages (winnowing fp doc frequency)
+    "q_dup_passages" -> ((s, dir) =>
+      pipeline.Dedup.duplicatePassages(table(s, dir, "documents"),
+        "doc_id", "text")),
     // grouped distinct cardinality (Expand-based two-phase distinct agg;
     // swap countDistinct -> approx_count_distinct at 100 TB)
     "q_user_card" -> ((s, dir) =>
@@ -1615,6 +1631,22 @@ object SparkEntry {
          | WHERE (${OracleSql.portableTokenHashSql("(source || chr(1) || CAST(doc_id AS VARCHAR))")}) % 1000 <
          |  CASE ${stratifiedRates.map { case (k, v) => s"WHEN source = '$k' THEN $v" }.mkString(" ")}
          |  ELSE 0 END""".stripMargin.replace("\n", " "),
+    "q_resample" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS cnt,
+         |    CASE ${resampleShares.toSeq.sortBy(_._1).map { case (k, v) =>
+                 s"WHEN lang = '$k' THEN CAST($v AS DOUBLE)" }.mkString(" ")} END AS share
+         |  FROM documents
+         |  WHERE lang IN (${resampleShares.keys.toSeq.sorted.map(l => s"'$l'").mkString(", ")})
+         |  GROUP BY lang),
+         | r AS (SELECT lang, cnt, share,
+         |    FLOOR(MIN(CAST(cnt AS DOUBLE) / share) OVER ()) AS n_out FROM c)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE (CAST((${OracleSql.portableTokenHashSql("(d.lang || chr(1) || CAST(d.doc_id AS VARCHAR))")}) % 1000003 AS DOUBLE) + 0.5) / 1000003.0
+         |  < (r.share * r.n_out) / CAST(r.cnt AS DOUBLE)""".stripMargin.replace("\n", " "),
+    "q_dup_passages" ->
+      s"""WITH fps AS (${OracleSql.rollingFpSql("documents", k = 7, window = 4)})
+         |SELECT fp, COUNT(*) AS ndocs FROM fps
+         |GROUP BY fp HAVING COUNT(*) >= 2""".stripMargin.replace("\n", " "),
     "q_electron_index" ->
       """SELECT trainId, CAST(pulseId AS DOUBLE) AS pulseId,
         | CAST(electronId AS BIGINT) AS electronId FROM (

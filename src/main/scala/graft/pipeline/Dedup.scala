@@ -1143,4 +1143,71 @@ object Dedup {
         round(lit(1.0) -
           hll_sketch_estimate(col("sketch")) / col("rows").cast("double"), 6)
           .as("dup_frac_est"))
+
+  // --- cross-document duplicated passages ------------------------------
+
+  /** Passages repeated ACROSS documents (the sub-document dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": boilerplate, licenses, templates that whole-doc dedup never
+    * sees). A passage is represented by a winnowing fingerprint hash
+    * ([[TextOps.winnowingFingerprintPortable]] — robust to passage
+    * position); a fingerprint appearing in ≥ `minDocs` distinct documents
+    * is reported with its document frequency.
+    *
+    * Plan shape at scale: per-doc fingerprints are already distinct, so
+    * `count(*)` per hash IS the document frequency — one partial-agg
+    * shuffle keyed on the 62-bit hash (near-uniform, no skew salt
+    * needed), carrying (hash) pairs only, never text. The `minDocs`
+    * cut applies in the final aggregate, so the result is bounded by the
+    * number of genuinely repeated passages.
+    */
+  def duplicatePassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 7,
+      window: Int = 4,
+      minDocs: Int = 2,
+  ): DataFrame = {
+    require(minDocs >= 1, s"minDocs=$minDocs")
+    df.select(col(idCol),
+      explode(TextOps.winnowingFingerprintPortable(col(textCol), k, window))
+        .as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+  }
+
+  /** Per-document duplicated-passage exposure: the fraction of a
+    * document's fingerprints that are shared with ≥ `minDocs − 1` other
+    * documents — the per-row score used to DROP heavily boilerplate
+    * documents (or route them to passage-level cleaning). Reuses the
+    * [[duplicatePassages]] aggregate; the (small) repeated-fingerprint
+    * set joins back map-side via broadcast, so the corpus fingerprint
+    * stream is shuffled once (the count) and the corpus itself only by
+    * doc id for the final ratio.
+    */
+  def duplicatePassageExposure(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 7,
+      window: Int = 4,
+      minDocs: Int = 2,
+  ): DataFrame = {
+    val repeated = duplicatePassages(df, idCol, textCol, k, window, minDocs)
+      .select(col("fp"))
+    val fps = df.select(col(idCol),
+      explode(TextOps.winnowingFingerprintPortable(col(textCol), k, window))
+        .as("fp"))
+    fps.join(broadcast(repeated), Seq("fp"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("shared_fps"))
+      .join(fps.groupBy(col(idCol)).agg(count(lit(1)).as("total_fps")),
+        Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("shared_fps"), lit(0L)).as("shared_fps"),
+        col("total_fps"),
+        round(coalesce(col("shared_fps"), lit(0L)).cast("double") /
+          col("total_fps").cast("double"), 6).as("shared_frac"))
+  }
 }

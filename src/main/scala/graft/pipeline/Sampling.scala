@@ -70,6 +70,53 @@ object Sampling {
     df.filter(bucket < rate)
   }
 
+  /** Deterministically resample a corpus to a target domain mixture
+    * (DoReMi/Pile-style: "train on 30 % web, 20 % code, …"). Produces the
+    * LARGEST corpus achievable by pure downsampling with exactly the
+    * target shares: the output size is `N = floor(min_d count_d /
+    * share_d)` and each domain keeps `share_d · N` rows in expectation,
+    * selected by the salted portable content hash — so the same corpus
+    * always resamples identically, and domains not listed drop out.
+    *
+    * Plan shape at scale: ONE tiny keyed agg for the per-domain counts
+    * (map-side combine; |domains| rows), the binding-constraint `N` as a
+    * keyless window over those few rows, then the rate table broadcast
+    * back onto the corpus scan — the corpus itself is filtered map-side
+    * and never shuffled.
+    */
+  def resampleToMixture(
+      df: DataFrame,
+      keyCol: String,
+      domainCol: String,
+      targetShares: Map[String, Double],
+  ): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares is empty")
+    require(targetShares.values.forall(_ > 0), s"shares must be positive: $targetShares")
+    val tot = targetShares.values.sum
+    require(math.abs(tot - 1.0) < 1e-9, s"shares must sum to 1, got $tot")
+    val shares = targetShares.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (dom, s)) => when(col(domainCol) === dom, lit(s)).otherwise(acc)
+    }
+    val counts = df
+      .select(col(domainCol)).filter(shares.isNotNull)
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_share", shares)
+    val w = Window.partitionBy()
+    // binding constraint: the domain whose inventory runs out first
+    val rates = counts.withColumn("_n_out",
+      floor(min(col("_cnt").cast("double") / col("_share")).over(w)))
+    // salted per-row uniform draw, exactly the stratifiedHashSample form
+    val u = (pmod(
+      TextOps.portableTokenHash(
+        concat_ws("\u0001", col(domainCol), col(keyCol).cast("string"))),
+      lit(1000003L)).cast("double") + 0.5) / 1000003.0
+    df.join(broadcast(rates.select(col(domainCol), col("_cnt"), col("_share"),
+        col("_n_out"))), Seq(domainCol))
+      .filter(u < col("_share") * col("_n_out") / col("_cnt").cast("double"))
+      .drop("_cnt", "_share", "_n_out")
+  }
+
   /** Data-mixture report: per-group document count, token count, and the
     * group's share of corpus tokens — the summary that drives domain
     * reweighting decisions (what rates to feed [[stratifiedHashSample]]).

@@ -721,4 +721,5 @@ object TextOps {
         (col("_start") % budget).as("pack_offset") +:
         carryCols.map(col): _*)
   }
+
 }

@@ -410,6 +410,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Set(1L, 4L).subsetOf(got))
   }
 
+  test("resampleToMixture: exact target mix, deterministic, unlisted domain drops") {
+    val df = ((1 to 1500).map(i => (i.toLong, "a")) ++
+      (1 to 1000).map(i => (5000L + i, "b")) ++
+      (1 to 500).map(i => (9000L + i, "c")) ++
+      (1 to 300).map(i => (12000L + i, "d"))).toDF("id", "dom")
+    val target = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val out = Sampling.resampleToMixture(df, "id", "dom", target)
+    val counts = out.groupBy("dom").count()
+      .as[(String, Long)].collect().toMap
+    // N = floor(min(1500/.5, 1000/.3, 500/.2)) = 2500; "c" is the binding
+    // domain (rate exactly 1.0) so it survives in full; a/b are binomial
+    // around share·N
+    assert(!counts.contains("d"))
+    assert(counts("c") === 500L)
+    assert(math.abs(counts("a") - 1250L) < 80, s"a=${counts("a")}")
+    assert(math.abs(counts("b") - 750L) < 80, s"b=${counts("b")}")
+    val again = Sampling.resampleToMixture(df, "id", "dom", target)
+      .select("id").as[Long].collect().toSet
+    assert(again === out.select("id").as[Long].collect().toSet)
+  }
+
+  test("duplicatePassages: cross-doc passage found; exposure ranks boilerplate") {
+    val boiler =
+      "This license text is identical across documents and long enough."
+    val corpus = Seq(
+      (1L, s"alpha bravo unique content one. $boiler"),
+      (2L, s"$boiler Totally different tail content two."),
+      (3L, "qqqq zzzz jjjj xxxx vvvv wwww kkkk yyyy qqqq zzzz jjjj xxxx"),
+    ).toDF("doc_id", "text")
+    val dup = Dedup.duplicatePassages(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    assert(dup.nonEmpty)
+    assert(dup.forall(_._2 >= 2L))
+    val exp = Dedup.duplicatePassageExposure(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // the shared license passage dominates docs 1/2; doc 3's alphabet is
+    // disjoint from both, so none of its fingerprints repeat
+    assert(exp(1L) > 0.0 && exp(2L) > 0.0)
+    assert(exp(3L) === 0.0)
+  }
+
   test("mixtureRollup: subtotal rows at every level, grouping_id-tagged") {
     val df = Seq(
       ("a", "en", 10L), ("a", "en", 20L), ("a", "de", 5L),
