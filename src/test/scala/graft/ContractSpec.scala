@@ -235,6 +235,37 @@ class ContractSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(tm).length <= 3, tm)
   }
 
+  test("resample broadcasts rates onto the corpus; dup-passages shuffles once") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other                    => other.toString
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("rs").toFile.getPath + "/t"
+    Seq.tabulate(300)(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", s"some repeated text body $i"))
+      .toDF("id", "dom", "text").write.parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    // the corpus output path is map-only: rates arrive by broadcast, and
+    // the only shuffles in the plan belong to the tiny rate-table
+    // derivation (domain-count agg + its keyless window)
+    val rs = planOf(pipeline.Sampling.resampleToMixture(
+      corpus, "id", "dom", Map("a" -> 0.6, "b" -> 0.4)))
+    assert(rs.contains("BroadcastHashJoin"), rs)
+    assert(!rs.contains("SortMergeJoin"), rs)
+    assert("Exchange (hashpartitioning|SinglePartition)".r
+      .findAllIn(rs).length <= 2, rs)
+    // duplicated passages: explode → partial agg → ONE fp-keyed exchange;
+    // never a join, never a second corpus pass
+    val dp = planOf(pipeline.Dedup.duplicatePassages(corpus, "id", "text"))
+    assert(!dp.contains("Join"), dp)
+    assert("Exchange hashpartitioning\\(fp".r.findAllIn(dp).length === 1, dp)
+    assert("Exchange (hashpartitioning|SinglePartition)".r
+      .findAllIn(dp).length === 1, dp)
+  }
+
   test("histogram scan prunes to exactly the binned columns") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toFile.getPath + "/t"
     Seq.fill(100)((1.0, 2.0, 3.0, "pad")).toDF("a", "b", "c", "d")
