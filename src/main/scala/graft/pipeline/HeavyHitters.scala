@@ -215,4 +215,58 @@ object HeavyHitters {
       df.select(explode(TextOps.tokens(col(textCol))).as("token")),
       "token", minFrac, sketchK)
       .withColumnRenamed("item", "token")
+
+  // --- count-min point-frequency sketches ------------------------------
+
+  /** Per-group count-min frequency sketches (Cormode & Muthukrishnan CM
+    * sketch via Spark's `count_min_sketch` aggregate): one
+    * `O(depth × width)`-byte binary summary per group that answers "how
+    * often does key X occur" for keys chosen AFTER the scan, with
+    * one-sided error — estimates only ever overcount, by at most
+    * `eps · rows` with probability `confidence`. Completes the sketch
+    * triad beside HLL distinct counts ([[Dedup.distinctSketches]]) and
+    * Misra–Gries top items ([[MisraGriesAgg]]). Shuffle volume is one
+    * sketch per partition per group, independent of corpus size.
+    */
+  def freqSketches(
+      df: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      seed: Int = 42,
+  ): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count_min_sketch(col(keyCol).cast("string"), lit(eps),
+          lit(confidence), lit(seed)).as("cms"),
+        count(col(keyCol)).as("rows"))
+
+  /** Driver-side union of a (small — one row per shard/group) sketch
+    * column: CM counters ADD, so the merged sketch answers every query
+    * exactly as a monolithic sketch of the concatenated shards would —
+    * per-day or per-source sketches roll up to the corpus answer without
+    * rescanning. Requires equal eps/confidence/seed across shards
+    * (`mergeInPlace` throws on incompatible geometry).
+    */
+  def freqUnion(
+      sketches: DataFrame,
+      sketchCol: String = "cms",
+  ): org.apache.spark.util.sketch.CountMinSketch = {
+    val rows = sketches.select(col(sketchCol)).collect()
+    require(rows.nonEmpty, "no sketches to union")
+    rows.iterator
+      .map(r => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(r.getAs[Array[Byte]](0)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+  }
+
+  /** Point-frequency estimates for `items` (each `>= ` the true count;
+    * within `eps · n` of it with the sketch's confidence).
+    */
+  def freqEstimates(
+      sketch: org.apache.spark.util.sketch.CountMinSketch,
+      items: Seq[String],
+  ): Seq[(String, Long)] =
+    items.map(i => i -> sketch.estimateCount(i))
 }

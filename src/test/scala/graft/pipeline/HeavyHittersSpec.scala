@@ -95,6 +95,39 @@ class HeavyHittersSpec extends SparkSpec {
     assert(back.counts === st.counts)
   }
 
+  test("count-min sketches: overcount-only, sharded union == monolithic") {
+    // zipf-ish: item i appears 401-i times, i in 1..400, over 8 shards
+    val rows = for { i <- 1 to 400; _ <- 1 to (401 - i) } yield
+      (s"item$i", s"shard${i % 8}")
+    val df = rows.toDF("item", "shard")
+    val truth = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val probes = (1 to 400 by 7).map(i => s"item$i") :+ "never-seen"
+
+    // wide sketch (small eps): every estimate exact — also proves the
+    // driver-side estimateCount hashes strings the same way the
+    // executor-side aggregate did
+    val wide = HeavyHitters.freqUnion(
+      HeavyHitters.freqSketches(df, "item", Seq("shard"), eps = 1e-4))
+    for ((item, est) <- HeavyHitters.freqEstimates(wide, probes))
+      assert(est === truth.getOrElse(item, 0L), item)
+
+    // narrow sketch: one-sided error within eps·n
+    val n = rows.size.toLong
+    val narrow = HeavyHitters.freqUnion(
+      HeavyHitters.freqSketches(df, "item", Seq("shard"), eps = 0.01))
+    for ((item, est) <- HeavyHitters.freqEstimates(narrow, probes)) {
+      val t = truth.getOrElse(item, 0L)
+      assert(est >= t, s"$item undercounted: $est < $t")
+      assert(est - t <= (0.01 * n).toLong + 1, s"$item: $est vs $t")
+    }
+
+    // union of per-shard sketches answers exactly like one global sketch
+    val mono = HeavyHitters.freqUnion(
+      HeavyHitters.freqSketches(df, "item", Seq.empty, eps = 0.01))
+    assert(HeavyHitters.freqEstimates(narrow, probes) ===
+      HeavyHitters.freqEstimates(mono, probes))
+  }
+
   test("non-string items are cast before sketching") {
     val df = spark.range(100).select((col("id") % 3).as("item"))
     val got = HeavyHitters.heavyHitters(df, "item", minFrac = 0.3)
