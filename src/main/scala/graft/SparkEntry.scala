@@ -82,6 +82,10 @@ object SparkEntry {
   val resampleShares: Map[String, Double] =
     Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1)
 
+  /** Split layout for `q_split` (5 % held out past the last range). */
+  val splitRanges: Seq[(String, Int)] =
+    Seq("train" -> 800, "val" -> 100, "test" -> 50)
+
   /** T8: analytic 2×9×9 inverse deformation field (node values derive
     * from closed-form polynomials so the oracle can recompute them; the
     * production path broadcasts measured grids the same way).
@@ -779,6 +783,12 @@ object SparkEntry {
       pipeline.Sampling.stratifiedHashSample(table(s, dir, "documents"),
         "doc_id", "source", stratifiedRates)
         .select("doc_id", "source")),
+    // deterministic train/val/test split labels (content-hash ranges;
+    // map-only projection, stable under corpus growth)
+    "q_split" -> ((s, dir) =>
+      pipeline.Sampling.assignSplit(table(s, dir, "documents"),
+        "doc_id", splitRanges)
+        .select("doc_id", "split")),
     // deterministic resampling to a target language mixture (largest
     // exact-mix downsample; broadcast rate table, corpus never shuffled)
     "q_resample" -> ((s, dir) =>
@@ -1631,6 +1641,15 @@ object SparkEntry {
          | WHERE (${OracleSql.portableTokenHashSql("(source || chr(1) || CAST(doc_id AS VARCHAR))")}) % 1000 <
          |  CASE ${stratifiedRates.map { case (k, v) => s"WHEN source = '$k' THEN $v" }.mkString(" ")}
          |  ELSE 0 END""".stripMargin.replace("\n", " "),
+    "q_split" -> {
+      val cuts = splitRanges.scanLeft(0)(_ + _._2).tail
+      s"""SELECT doc_id,
+         |  CASE ${splitRanges.zip(cuts).map { case ((name, _), hi) =>
+               s"WHEN b < $hi THEN '$name'" }.mkString(" ")} END AS split
+         |FROM (SELECT doc_id,
+         |  (${OracleSql.portableTokenHashSql("CAST(doc_id AS VARCHAR)")}) % 1000 AS b
+         |  FROM documents)""".stripMargin.replace("\n", " ")
+    },
     "q_resample" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS cnt,
          |    CASE ${resampleShares.toSeq.sortBy(_._1).map { case (k, v) =>

@@ -31,6 +31,33 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < permille)
   }
 
+  /** Deterministic dataset split assignment (train/val/test): label each
+    * row by where its [[hashBucket]] falls among the cumulative
+    * per-mille ranges, in the order given. Content-hashed, so the split
+    * is stable under re-partitioning, re-ordering, and corpus growth
+    * (an existing row never changes split when new rows arrive — the
+    * invariant eval-set hygiene depends on), and a pure codegen'd
+    * projection: no shuffle, no sampling job. Ranges must sum to ≤ 1000;
+    * rows hashing past the last range get NULL (holdout drop).
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Int)],
+      splitCol: String = "split",
+  ): DataFrame = {
+    require(splits.nonEmpty, "splits is empty")
+    require(splits.forall(_._2 > 0), s"per-mille widths must be positive: $splits")
+    require(splits.map(_._2).sum <= 1000,
+      s"split widths sum to ${splits.map(_._2).sum} > 1000")
+    val bucket = hashBucket(col(keyCol))
+    val cuts = splits.scanLeft(0)(_ + _._2).tail
+    val label = splits.zip(cuts).reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), hi)) => when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, label)
+  }
+
   /** Per-group cap (class rebalancing / boilerplate-source down-weighting):
     * keep at most `maxPerGroup` rows per key, chosen deterministically as
     * the lowest `orderCol` values. One window shuffle keyed on the group

@@ -410,6 +410,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Set(1L, 4L).subsetOf(got))
   }
 
+  test("assignSplit: calibrated ranges, growth-stable, holdout null") {
+    val df = docs(4000)
+    val splits = Seq("train" -> 800, "val" -> 100, "test" -> 50)
+    val out = Sampling.assignSplit(df, "id", splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    // 5 % of buckets (950..999) fall past the last range -> NULL
+    assert(out.keySet === Set("train", "val", "test", null))
+    assert(math.abs(out("train") - 3200L) < 200, out.toString)
+    assert(math.abs(out("val") - 400L) < 100, out.toString)
+    // a row's split never changes when the corpus grows
+    val small = Sampling.assignSplit(docs(1000), "id", splits)
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    val big = Sampling.assignSplit(df, "id", splits)
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(small.forall { case (id, s) => big(id) == s })
+    // widths over 1000 per-mille are rejected
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, "id", Seq("a" -> 800, "b" -> 300))
+    }
+  }
+
   test("resampleToMixture: exact target mix, deterministic, unlisted domain drops") {
     val df = ((1 to 1500).map(i => (i.toLong, "a")) ++
       (1 to 1000).map(i => (5000L + i, "b")) ++
