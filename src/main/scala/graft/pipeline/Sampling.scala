@@ -105,6 +105,11 @@ object Sampling {
     * selected by the salted portable content hash — so the same corpus
     * always resamples identically, and domains not listed drop out.
     *
+    * A listed domain with NO rows in the corpus is ignored: the mix is
+    * achieved over the domains actually present (their relative shares
+    * renormalize implicitly). Callers needing strictness should compare
+    * the output's domain set against `targetShares.keySet`.
+    *
     * Plan shape at scale: ONE tiny keyed agg for the per-domain counts
     * (map-side combine; |domains| rows), the binding-constraint `N` as a
     * keyless window over those few rows, then the rate table broadcast
