@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed corpus curation: one call chains the standard cleaning
+  * stages the individual operators implement, in the canonical order —
+  * cheap row-local filters first (shrink the corpus before anything
+  * shuffles), fingerprint machinery next, sizing last:
+  *
+  *  1. language filter (map-only predicate on the lang column)
+  *  2. Gopher quality rules ([[TextOps.gopherColumns]] composite; the
+  *     keep-set semi-joins back by id — at the 100 TB design point the
+  *     signal aggregation is one pass and the join keys are ids only)
+  *  3. exact dedup on normalized text ([[Dedup.dropExactDuplicates]])
+  *  4. near-dup cluster drop (optional; MinHash+LSH banding →
+  *     connected components, [[Dedup.dropNearDuplicates]])
+  *  5. mixture resampling to target domain shares
+  *     ([[Sampling.resampleToMixture]], broadcast rate table)
+  *  6. train/val/test split labels ([[Sampling.assignSplit]], map-only)
+  *
+  * This is the LLM-data counterpart of [[graft.Processor]]'s
+  * load→transform→bin orchestration: each stage stays an independently
+  * tested operator; `curate` only fixes the composition order and
+  * threads the id/text/lang/domain columns through.
+  *
+  * Every stage is deterministic (content hashing throughout), so the
+  * curated corpus — including its split labels — is a pure function of
+  * the input corpus and the config.
+  */
+object Curation {
+
+  /** Which stages run and with what knobs. Defaults: quality + exact
+    * dedup on, everything else opt-in.
+    *
+    * @param keepLanguages  empty = keep all languages
+    * @param gopher         apply [[TextOps.gopherColumns]]' composite flag
+    * @param dropExact      exact dedup on normalized text
+    * @param nearDupThreshold Jaccard threshold for MinHash cluster drop
+    *                         (None = skip the near-dup stage)
+    * @param resampleTo     target domain shares (empty = skip)
+    * @param splits         per-mille split ranges (empty = no split column)
+    */
+  final case class CurationConfig(
+      keepLanguages: Set[String] = Set.empty,
+      gopher: Boolean = true,
+      dropExact: Boolean = true,
+      nearDupThreshold: Option[Double] = None,
+      resampleTo: Map[String, Double] = Map.empty,
+      splits: Seq[(String, Int)] = Nil,
+  )
+
+  /** Run the configured stages over `df`. Returns the curated corpus
+    * (original columns, plus a split column when `splits` is set) and,
+    * when `report = true`, the per-stage surviving row counts — each
+    * count is a separate action, so reporting mode trades extra jobs
+    * for the funnel diagnostic (leave it off in production and read
+    * counts from the final materialization instead).
+    */
+  def curate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      domainCol: String,
+      cfg: CurationConfig,
+      report: Boolean = false,
+  ): (DataFrame, Seq[(String, Long)]) = {
+    val funnel = Seq.newBuilder[(String, Long)]
+    def step(name: String, d: DataFrame): DataFrame = {
+      if (report) funnel += name -> d.count()
+      d
+    }
+    var cur = step("input", df)
+    if (cfg.keepLanguages.nonEmpty)
+      cur = step("language",
+        cur.filter(col(langCol).isin(cfg.keepLanguages.toSeq: _*)))
+    if (cfg.gopher) {
+      val keep = TextOps.gopherColumns(cur, textCol, idCol)
+        .filter(col("gopher_keep") === 1).select(col(idCol))
+      cur = step("gopher", cur.join(keep, Seq(idCol), "left_semi"))
+    }
+    if (cfg.dropExact)
+      cur = step("exact_dedup", Dedup.dropExactDuplicates(cur, textCol, idCol))
+    cfg.nearDupThreshold.foreach { th =>
+      cur = step("near_dedup",
+        Dedup.dropNearDuplicates(cur, textCol, idCol, threshold = th))
+    }
+    if (cfg.resampleTo.nonEmpty)
+      cur = step("resample",
+        Sampling.resampleToMixture(cur, idCol, domainCol, cfg.resampleTo))
+    if (cfg.splits.nonEmpty)
+      cur = step("split", Sampling.assignSplit(cur, idCol, cfg.splits))
+    (cur, funnel.result())
+  }
+}

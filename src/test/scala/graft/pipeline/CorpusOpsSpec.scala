@@ -410,6 +410,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Set(1L, 4L).subsetOf(got))
   }
 
+  test("curate: stages chain in order and the funnel reports each cut") {
+    // 53 tokens, all distinct, required words present, avg len in range
+    def goodText(prefix: String) =
+      (TextOps.GopherRequiredWords ++
+        (1 to 45).map(i => f"$prefix$i%02d")).mkString(" ")
+    val corpus = Seq(
+      (1L, goodText("word"), "en"),
+      (2L, goodText("item"), "en"),
+      (3L, goodText("word"), "en"), // exact duplicate of doc 1
+      (4L, goodText("unit"), "xx"), // language-filtered
+      (5L, "the cat", "en"),        // gopher-filtered (too short)
+      (6L, goodText("word").replace("word07", "swapped"), "en"), // near-dup of 1
+    ).toDF("doc_id", "text", "lang")
+    val cfg = Curation.CurationConfig(
+      keepLanguages = Set("en"),
+      nearDupThreshold = Some(0.6),
+      splits = Seq("train" -> 500, "val" -> 500))
+    val (out, funnel) = Curation.curate(
+      corpus, "doc_id", "text", "lang", "lang", cfg, report = true)
+    assert(funnel === Seq(
+      "input" -> 6L, "language" -> 5L, "gopher" -> 4L,
+      "exact_dedup" -> 3L, "near_dedup" -> 2L, "split" -> 2L))
+    val rows = out.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(rows.keySet === Set(1L, 2L)) // lowest id survives each cluster
+    assert(rows.values.forall(s => s == "train" || s == "val"))
+    // determinism: the curated corpus is a pure function of (input, cfg)
+    val (again, _) = Curation.curate(
+      corpus, "doc_id", "text", "lang", "lang", cfg)
+    assert(again.select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
   test("assignSplit: calibrated ranges, growth-stable, holdout null") {
     val df = docs(4000)
     val splits = Seq("train" -> 800, "val" -> 100, "test" -> 50)
