@@ -799,6 +799,11 @@ object SparkEntry {
     "q_dup_passages" -> ((s, dir) =>
       pipeline.Dedup.duplicatePassages(table(s, dir, "documents"),
         "doc_id", "text")),
+    // per-document duplicated-passage exposure (fraction of a doc's
+    // fingerprints shared corpus-wide; sub-document boilerplate score)
+    "q_dup_exposure" -> ((s, dir) =>
+      pipeline.Dedup.duplicatePassageExposure(table(s, dir, "documents"),
+        "doc_id", "text")),
     // grouped distinct cardinality (Expand-based two-phase distinct agg;
     // swap countDistinct -> approx_count_distinct at 100 TB)
     "q_user_card" -> ((s, dir) =>
@@ -1666,6 +1671,14 @@ object SparkEntry {
       s"""WITH fps AS (${OracleSql.rollingFpSql("documents", k = 7, window = 4)})
          |SELECT fp, COUNT(*) AS ndocs FROM fps
          |GROUP BY fp HAVING COUNT(*) >= 2""".stripMargin.replace("\n", " "),
+    "q_dup_exposure" ->
+      s"""WITH fps AS (${OracleSql.rollingFpSql("documents", k = 7, window = 4)}),
+         | rep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) >= 2)
+         |SELECT f.doc_id, COUNT(r.fp) AS shared_fps, COUNT(*) AS total_fps,
+         | ROUND(CAST(COUNT(r.fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |   AS shared_frac
+         |FROM fps f LEFT JOIN rep r ON f.fp = r.fp
+         |GROUP BY f.doc_id""".stripMargin.replace("\n", " "),
     "q_electron_index" ->
       """SELECT trainId, CAST(pulseId AS DOUBLE) AS pulseId,
         | CAST(electronId AS BIGINT) AS electronId FROM (

@@ -1181,11 +1181,16 @@ object Dedup {
   /** Per-document duplicated-passage exposure: the fraction of a
     * document's fingerprints that are shared with ≥ `minDocs − 1` other
     * documents — the per-row score used to DROP heavily boilerplate
-    * documents (or route them to passage-level cleaning). Reuses the
-    * [[duplicatePassages]] aggregate; the (small) repeated-fingerprint
-    * set joins back map-side via broadcast, so the corpus fingerprint
-    * stream is shuffled once (the count) and the corpus itself only by
-    * doc id for the final ratio.
+    * documents (or route them to passage-level cleaning).
+    *
+    * Plan shape at scale: ONE fingerprint explode feeds a left join
+    * against the [[duplicatePassages]] census (NO broadcast hint — on a
+    * clean corpus the repeated set is tiny and AQE broadcasts it, but a
+    * boilerplate-heavy corpus can repeat most of its passages, where a
+    * forced broadcast would OOM the driver; the join key is the
+    * near-uniform 62-bit hash either way), then a single id-keyed
+    * aggregate computes shared and total counts together. Documents too
+    * short to fingerprint (< k chars) are absent from the result.
     */
   def duplicatePassageExposure(
       df: DataFrame,
@@ -1196,18 +1201,16 @@ object Dedup {
       minDocs: Int = 2,
   ): DataFrame = {
     val repeated = duplicatePassages(df, idCol, textCol, k, window, minDocs)
-      .select(col("fp"))
-    val fps = df.select(col(idCol),
+      .select(col("fp"), lit(1).as("_rep"))
+    df.select(col(idCol),
       explode(TextOps.winnowingFingerprintPortable(col(textCol), k, window))
         .as("fp"))
-    fps.join(broadcast(repeated), Seq("fp"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("shared_fps"))
-      .join(fps.groupBy(col(idCol)).agg(count(lit(1)).as("total_fps")),
-        Seq(idCol), "right")
-      .select(col(idCol),
-        coalesce(col("shared_fps"), lit(0L)).as("shared_fps"),
-        col("total_fps"),
-        round(coalesce(col("shared_fps"), lit(0L)).cast("double") /
+      .join(repeated, Seq("fp"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("_rep")).as("shared_fps"),
+        count(lit(1)).as("total_fps"))
+      .select(col(idCol), col("shared_fps"), col("total_fps"),
+        round(col("shared_fps").cast("double") /
           col("total_fps").cast("double"), 6).as("shared_frac"))
   }
 }
