@@ -804,6 +804,11 @@ object SparkEntry {
     "q_dup_exposure" -> ((s, dir) =>
       pipeline.Dedup.duplicatePassageExposure(table(s, dir, "documents"),
         "doc_id", "text")),
+    // DSIR importance weights (hashed n-gram log-ratio vs the src0
+    // target slice; one-pass λ estimation + map-only scoring)
+    "q_dsir" -> ((s, dir) =>
+      pipeline.Dsir.importanceWeights(table(s, dir, "documents"),
+        "doc_id", "text", col("source") === "src0", numBuckets = 256)),
     // grouped distinct cardinality (Expand-based two-phase distinct agg;
     // swap countDistinct -> approx_count_distinct at 100 TB)
     "q_user_card" -> ((s, dir) =>
@@ -1671,6 +1676,31 @@ object SparkEntry {
       s"""WITH fps AS (${OracleSql.rollingFpSql("documents", k = 7, window = 4)})
          |SELECT fp, COUNT(*) AS ndocs FROM fps
          |GROUP BY fp HAVING COUNT(*) >= 2""".stripMargin.replace("\n", " "),
+    "q_dsir" -> {
+      val b = 256
+      val uni = OracleSql.portableTokenHashSql("l[i]")
+      val bi = OracleSql.portableTokenHashSql("(l[i] || ' ' || l[i+1])")
+      raw"""WITH tk AS (SELECT doc_id, source,
+           |    regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
+           | feats AS (SELECT doc_id, source, unnest(
+           |    [ ($uni) % $b for i in range(1, len(l) + 1) ] ||
+           |    [ ($bi) % $b for i in range(1, len(l)) ]) AS bucket FROM tk),
+           | raw AS (SELECT bucket, COUNT(*) AS c FROM feats GROUP BY 1),
+           | rt AS (SELECT COUNT(*) AS t FROM feats),
+           | tgt AS (SELECT bucket, COUNT(*) AS c FROM feats
+           |   WHERE source = 'src0' GROUP BY 1),
+           | tt AS (SELECT COUNT(*) AS t FROM feats WHERE source = 'src0'),
+           | lam AS (SELECT r.bucket,
+           |    (ln((CAST(COALESCE(g.c, 0) AS DOUBLE) + 0.5) /
+           |        (CAST(tt.t AS DOUBLE) + 0.5 * $b)) -
+           |     ln((CAST(r.c AS DOUBLE) + 0.5) /
+           |        (CAST(rt.t AS DOUBLE) + 0.5 * $b))) AS lam
+           |  FROM raw r LEFT JOIN tgt g USING (bucket)
+           |  CROSS JOIN rt CROSS JOIN tt)
+           |SELECT f.doc_id, ROUND(SUM(lam.lam), 6) AS dsir_logw
+           |FROM feats f JOIN lam USING (bucket)
+           |GROUP BY f.doc_id""".stripMargin.replace("\n", " ")
+    },
     "q_dup_exposure" ->
       s"""WITH fps AS (${OracleSql.rollingFpSql("documents", k = 7, window = 4)}),
          | rep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) >= 2)
