@@ -86,6 +86,12 @@ object SparkEntry {
   val splitRanges: Seq[(String, Int)] =
     Seq("train" -> 800, "val" -> 100, "test" -> 50)
 
+  /** Epoch multipliers for `q_epochs`: exact-integer, fractional, drop,
+    * and (for unlisted sources) the pass-through default of 1.0.
+    */
+  val epochMap: Map[String, Double] =
+    Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0, "src3" -> 2.0)
+
   /** T8: analytic 2×9×9 inverse deformation field (node values derive
     * from closed-form polynomials so the oracle can recompute them; the
     * production path broadcasts measured grids the same way).
@@ -809,6 +815,13 @@ object SparkEntry {
     "q_dsir" -> ((s, dir) =>
       pipeline.Dsir.importanceWeights(table(s, dir, "documents"),
         "doc_id", "text", col("source") === "src0", numBuckets = 256)),
+    // epoch-style mixture upsampling (fractional epochs via the salted
+    // hash coin; map-side generator, no shuffle)
+    "q_epochs" -> ((s, dir) =>
+      pipeline.Sampling.upsampleEpochs(table(s, dir, "documents"),
+        "doc_id", "source", epochMap)
+        .select(col("doc_id"), col("source"),
+          col("epoch_copy").cast("long").as("epoch_copy"))),
     // grouped distinct cardinality (Expand-based two-phase distinct agg;
     // swap countDistinct -> approx_count_distinct at 100 TB)
     "q_user_card" -> ((s, dir) =>
@@ -1701,6 +1714,20 @@ object SparkEntry {
            |FROM feats f JOIN lam USING (bucket)
            |GROUP BY f.doc_id""".stripMargin.replace("\n", " ")
     },
+    "q_epochs" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CASE ${epochMap.toSeq.sortBy(_._1).map { case (k, v) =>
+                 s"WHEN source = '$k' THEN CAST($v AS DOUBLE)" }.mkString(" ")}
+         |      ELSE CAST(1.0 AS DOUBLE) END AS e,
+         |    (CAST((${OracleSql.portableTokenHashSql(
+                 "(source || chr(1) || CAST(doc_id AS VARCHAR))")}) % 1000003
+         |      AS DOUBLE) + 0.5) / 1000003.0 AS u
+         |  FROM documents),
+         | c AS (SELECT doc_id, source,
+         |    CAST(FLOOR(e) AS INTEGER) +
+         |    (CASE WHEN u < e - FLOOR(e) THEN 1 ELSE 0 END) AS n FROM d)
+         |SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT)
+         |  AS epoch_copy FROM c""".stripMargin.replace("\n", " "),
     "q_dup_exposure" ->
       s"""WITH fps AS (${OracleSql.rollingFpSql("documents", k = 7, window = 4)}),
          | rep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) >= 2)

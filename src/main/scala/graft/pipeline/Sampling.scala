@@ -210,6 +210,43 @@ object Sampling {
       .drop("_pri")
   }
 
+  /** Epoch-style mixture upsampling: materialize each group's rows
+    * `epochs(group)` times — the "n epochs of Wikipedia" knob of
+    * published pretraining mixtures. The integer part replicates
+    * exactly; the fractional part keeps one extra copy per row via the
+    * salted deterministic hash coin (the [[resampleToMixture]] draw),
+    * so the realized size hits the target in expectation and is
+    * reproducible from the data alone. Copies carry a 0-based
+    * `epoch_copy` index so downstream packing/shuffling treats them as
+    * distinct sequences. Groups absent from the map pass through once;
+    * a `0.0` entry drops its group entirely.
+    *
+    * Plan shape at scale: a map-side `sequence`+`explode` generator
+    * only — no shuffle, no join; output rows ≈ Σ_g n_g·epochs(g).
+    */
+  def upsampleEpochs(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      epochs: Map[String, Double],
+  ): DataFrame = {
+    require(epochs.values.forall(e => e >= 0 && !e.isNaN && !e.isInfinite),
+      s"epochs must be finite and >= 0: $epochs")
+    val e = epochs.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
+      case (acc, (g, v)) => when(col(groupCol) === g, lit(v)).otherwise(acc)
+    }
+    val u = (pmod(
+      TextOps.portableTokenHash(
+        concat_ws("\u0001", col(groupCol), col(keyCol).cast("string"))),
+      lit(1000003L)).cast("double") + 0.5) / 1000003.0
+    val n = floor(e).cast("int") + when(u < e - floor(e), 1).otherwise(0)
+    df.withColumn("_n_copies", n)
+      .filter(col("_n_copies") > 0)
+      .withColumn("epoch_copy",
+        explode(sequence(lit(0), col("_n_copies") - 1)))
+      .drop("_n_copies")
+  }
+
   /** Hierarchical mixture report: [[mixtureReport]]'s census with
     * subtotal rows at every rollup level (per (dim1, dim2, …), per dim1
     * prefix, grand total), each tagged with Spark's `grouping_id` bit

@@ -536,4 +536,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bySrc("s0") === 1000)           // full rate keeps everything
     assert(math.abs(bySrc("s1") - 500) < 150) // ~50 % of 1000
   }
+
+  test("upsampleEpochs: integer exact, fractional in expectation, 0 drops," +
+      " unlisted passes through") {
+    val df = (1 to 1000).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+    val out = Sampling.upsampleEpochs(df, "id", "src",
+      Map("s0" -> 2.0, "s1" -> 0.5, "s2" -> 0.0))
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("s0") === 500L) // 250 × 2 exactly, no coin involved
+    assert(math.abs(bySrc("s1") - 125L) < 60) // 250 × 0.5 in expectation
+    assert(!bySrc.contains("s2")) // zero epochs drops the group
+    assert(bySrc("s3") === 250L) // unlisted: one copy
+    // integer-part copies are indexed 0..k-1 per source row
+    val s0 = out.filter(col("src") === "s0")
+      .groupBy("id").agg(sort_array(collect_list("epoch_copy")).as("c"))
+      .as[(Long, Seq[Int])].collect()
+    assert(s0.length === 250)
+    s0.foreach { case (_, c) => assert(c === Seq(0, 1)) }
+    // reproducible from data alone
+    val again = Sampling.upsampleEpochs(df, "id", "src",
+      Map("s0" -> 2.0, "s1" -> 0.5, "s2" -> 0.0))
+      .select("id", "src", "epoch_copy").collect().toSet
+    assert(again === out.select("id", "src", "epoch_copy").collect().toSet)
+  }
+
+  test("upsampleEpochs: fractional coin is per-row deterministic and" +
+      " growth-stable") {
+    val df = (1 to 500).map(i => (i.toLong, "w")).toDF("id", "src")
+    val kept = Sampling.upsampleEpochs(df, "id", "src", Map("w" -> 1.5))
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    // every row kept at least once; extra copy on ~half
+    assert(kept.size === 500)
+    assert(kept.values.forall(c => c == 1L || c == 2L))
+    val doubled = kept.count(_._2 == 2L)
+    assert(math.abs(doubled - 250) < 80)
+    // growing the corpus never changes an existing row's copy count
+    val grown = (1 to 800).map(i => (i.toLong, "w")).toDF("id", "src")
+    val kept2 = Sampling.upsampleEpochs(grown, "id", "src", Map("w" -> 1.5))
+      .filter(col("id") <= 500)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(kept2 === kept)
+  }
 }
