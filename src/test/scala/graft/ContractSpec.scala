@@ -266,6 +266,41 @@ class ContractSpec extends SparkSpec {
       .findAllIn(dp).length === 1, dp)
   }
 
+  test("dsir scoring and epoch upsampling never shuffle the corpus") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other                    => other.toString
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ds").toFile.getPath + "/t"
+    Seq.tabulate(200)(i =>
+      (i.toLong, s"s${i % 3}", s"token$i words about topic ${i % 9}"))
+      .toDF("id", "src", "text").write.parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    // DSIR scoring: λ already estimated (that pass is its own agg job) —
+    // the corpus-wide weight pass must be a pure projection
+    val lambda = pipeline.Dsir.importanceTable(
+      corpus, "text", col("src") === "s0", 64)
+    val score = planOf(corpus.select(col("id"),
+      pipeline.Dsir.importanceWeightColumn(col("text"), lambda).as("w")))
+    assert(!score.contains("Exchange"), score)
+    assert(!score.contains("Join"), score)
+    // epoch upsampling: map-side generator only
+    val ep = planOf(pipeline.Sampling.upsampleEpochs(
+      corpus, "id", "src", Map("s0" -> 2.5, "s1" -> 0.0)))
+    assert(ep.contains("Generate"), ep)
+    assert(!ep.contains("Exchange"), ep)
+    assert(!ep.contains("Join"), ep)
+    // passage exposure: equi-joins only (no forced broadcast of the
+    // repeated set — it can be corpus-sized on boilerplate-heavy input)
+    val exp = planOf(pipeline.Dedup.duplicatePassageExposure(
+      corpus, "id", "text"))
+    assert(!exp.contains("BroadcastNestedLoopJoin"), exp)
+    assert(!exp.contains("CartesianProduct"), exp)
+  }
+
   test("histogram scan prunes to exactly the binned columns") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toFile.getPath + "/t"
     Seq.fill(100)((1.0, 2.0, 3.0, "pad")).toDF("a", "b", "c", "d")
