@@ -124,19 +124,24 @@ class StreamingSpec extends SparkSpec {
     val cents = Array(Array(0.5, 0.0, 0.0, 0.0), Array(0.0, 0.0, 9.0, 9.0))
     val model = graft.pipeline.Pq.Model(4, 2,
       Array.tabulate(2)(s => cents.map(_.slice(s * 2, (s + 1) * 2))))
+    // DSIR λ estimated offline on the batch frame, applied on-stream
+    val lambda = graft.pipeline.Dsir.importanceTable(
+      spark.read.parquet(dir), "text", col("doc_id") === 1L, 32)
     def chain(df: org.apache.spark.sql.DataFrame) = df.select(
       col("doc_id"),
       graft.pipeline.QualityModel.scoreColumn(col("text"), w, 0.0).as("q"),
       graft.pipeline.KMeans.assign(df, "embedding", cents).as("cluster"),
-      graft.pipeline.Pq.encodeColumn(df, "embedding", model).as("code"))
+      graft.pipeline.Pq.encodeColumn(df, "embedding", model).as("code"),
+      graft.pipeline.Dsir.importanceWeightColumn(col("text"), lambda).as("dsir"))
     val out = StreamingBinning.transform(stream, chain)
     assert(out.isStreaming)
     val sunk = StreamingBinning.runToMemorySink(out, "model_sink", OutputMode.Append())
-      .as[(Long, Double, Int, Seq[Int])].collect().sortBy(_._1)
+      .as[(Long, Double, Int, Seq[Int], Double)].collect().sortBy(_._1)
     val batch = chain(spark.read.parquet(dir))
-      .as[(Long, Double, Int, Seq[Int])].collect().sortBy(_._1)
+      .as[(Long, Double, Int, Seq[Int], Double)].collect().sortBy(_._1)
     assert(sunk.toSeq === batch.toSeq)
     assert(sunk.map(_._3).toSeq === Seq(0, 1))
+    assert(sunk(0)._5 > sunk(1)._5) // target-slice doc scores higher
   }
 
   test("bloom fingerprint dedupes a stream against a historical corpus") {
