@@ -822,6 +822,21 @@ object SparkEntry {
         "doc_id", "source", epochMap)
         .select(col("doc_id"), col("source"),
           col("epoch_copy").cast("long").as("epoch_copy"))),
+    // corpus snapshot diff (added/removed/changed/unchanged by content
+    // digest; digests shuffle, not document bodies)
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      pipeline.Curation.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+    }),
+    // per-source KL divergence from the corpus blend (hashed-feature
+    // distributions; corpus shuffled once into (source, bucket) space)
+    "q_domain_kl" -> ((s, dir) =>
+      pipeline.Drift.domainDivergence(table(s, dir, "documents"),
+        "text", "source", numBuckets = 256)),
     // grouped distinct cardinality (Expand-based two-phase distinct agg;
     // swap countDistinct -> approx_count_distinct at 100 TB)
     "q_user_card" -> ((s, dir) =>
@@ -1728,6 +1743,38 @@ object SparkEntry {
          |    (CASE WHEN u < e - FLOOR(e) THEN 1 ELSE 0 END) AS n FROM d)
          |SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT)
          |  AS epoch_copy FROM c""".stripMargin.replace("\n", " "),
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        | n AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.doc_id IS NULL THEN 'added'
+        |      WHEN n.doc_id IS NULL THEN 'removed'
+        |      WHEN o.text = n.text THEN 'unchanged'
+        |      ELSE 'changed' END AS diff_status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+      .stripMargin.replace("\n", " "),
+    "q_domain_kl" -> {
+      val b = 256
+      val uni = OracleSql.portableTokenHashSql("l[i]")
+      val bi = OracleSql.portableTokenHashSql("(l[i] || ' ' || l[i+1])")
+      raw"""WITH tk AS (SELECT source,
+           |    regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
+           | feats AS (SELECT source, unnest(
+           |    [ ($uni) % $b for i in range(1, len(l) + 1) ] ||
+           |    [ ($bi) % $b for i in range(1, len(l)) ]) AS bucket FROM tk),
+           | g AS (SELECT source, bucket, COUNT(*) AS c FROM feats GROUP BY 1, 2),
+           | t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tg FROM g GROUP BY 1),
+           | q AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cb FROM g GROUP BY 1),
+           | nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM g)
+           |SELECT g.source, t.tg AS n_feats,
+           | ROUND(SUM((CAST(g.c AS DOUBLE) / CAST(t.tg AS DOUBLE)) *
+           |   ln((CAST(g.c AS DOUBLE) / CAST(t.tg AS DOUBLE)) /
+           |      (CAST(q.cb AS DOUBLE) / CAST(nt.nn AS DOUBLE)))), 6) AS kl_nats
+           |FROM g JOIN t USING (source) JOIN q USING (bucket) CROSS JOIN nt
+           |GROUP BY g.source, t.tg""".stripMargin.replace("\n", " ")
+    },
     "q_dup_exposure" ->
       s"""WITH fps AS (${OracleSql.rollingFpSql("documents", k = 7, window = 4)}),
          | rep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) >= 2)

@@ -55,4 +55,44 @@ object Drift {
         round(col("_c"), 6).as("psi_bin"),
         round(sum(col("_c")).over(w), 6).as("psi"))
   }
+
+  /** Per-group KL divergence of the hashed unigram+bigram feature
+    * distribution ([[Dsir.featureBuckets]]) from the corpus-wide
+    * distribution — the text-side mixture-skew monitor complementing
+    * the numeric [[psiReport]]: which sources' language diverges most
+    * from the blend the model actually trains on. The MLE estimate
+    * `Σ_b p_gb · ln(p_gb / q_b)` runs over the group's OBSERVED
+    * buckets, so it is finite without smoothing (every group bucket is
+    * also a corpus bucket) and exactly mirrorable in SQL.
+    *
+    * Output: one row per group — `(groupCol, n_feats, kl_nats)`.
+    *
+    * Plan shape at scale: the corpus is scanned once and shuffled once
+    * into (group, bucket) partial-agg space (≤ groups × numBuckets
+    * rows); the per-group totals, global bucket counts, and grand
+    * total are windows/aggs over that bounded grouped result — never a
+    * second corpus pass.
+    */
+  def domainDivergence(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      numBuckets: Int = 1 << 13,
+  ): DataFrame = {
+    val counts = df
+      .select(col(groupCol),
+        explode(Dsir.featureBuckets(col(textCol), numBuckets)).as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val enriched = counts
+      .withColumn("_tg", sum("c").over(Window.partitionBy(groupCol)))
+      .withColumn("_cb", sum("c").over(Window.partitionBy("bucket")))
+      .withColumn("_n", sum("c").over(Window.partitionBy()))
+    val p = col("c").cast("double") / col("_tg").cast("double")
+    val q = col("_cb").cast("double") / col("_n").cast("double")
+    enriched
+      .groupBy(col(groupCol))
+      .agg(max(col("_tg")).as("n_feats"),
+        round(sum(p * log(p / q)), 6).as("kl_nats"))
+  }
 }

@@ -795,6 +795,42 @@ class PipelineSpec extends SparkSpec {
       && !r.getDouble(4).isInfinite))
   }
 
+  test("domainDivergence: zero for groups drawn from the corpus blend," +
+      " positive and ranked for skewed groups") {
+    // two groups with the same text multiset → both distributions equal
+    // the corpus distribution → KL exactly 0
+    val even = (1 to 100).map(i => (s"g${i % 2}", s"common words here ${i % 5}"))
+      .toDF("src", "text")
+    val zero = Drift.domainDivergence(even, "text", "src", 64)
+      .as[(String, Long, Double)].collect()
+    assert(zero.length === 2)
+    zero.foreach { case (_, n, kl) => assert(n > 0 && kl === 0.0) }
+    // the dominant group defines the blend; "mild" deviates on ~25 % of
+    // rows, "alien" uses a disjoint vocabulary — KL must rank them
+    val mixed = ((1 to 800).map(i => ("conform", s"shared tokens alpha ${i % 4}")) ++
+      (1 to 100).map(i => ("mild", if (i % 4 == 0) "rare drift term"
+        else s"shared tokens alpha ${i % 4}")) ++
+      (1 to 100).map(i => ("alien", s"utterly disjoint lexicon ${i % 4}")))
+      .toDF("src", "text")
+    val kl = Drift.domainDivergence(mixed, "text", "src", 64)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(kl("conform") < kl("mild"), kl.toString)
+    assert(kl("mild") < kl("alien"), kl.toString)
+    assert(kl.values.forall(v => v >= 0.0 && !v.isNaN && !v.isInfinite))
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged partition the id union") {
+    val oldSnap = Seq((1L, "stays"), (2L, "gets edited"), (3L, "goes away"))
+      .toDF("id", "text")
+    val newSnap = Seq((1L, "stays"), (2L, "gets edited v2"), (4L, "brand new"))
+      .toDF("id", "text")
+    val got = Curation.corpusDiff(oldSnap, newSnap, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("distinctSketches: sharded union == monolithic sketch, bounded error") {
     // 30k rows, 10007 distinct keys spread over 3 overlapping shards
     val df = (1 to 30000).map(i => (s"k${i % 10007}", i % 3))
