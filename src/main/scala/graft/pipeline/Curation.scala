@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *  3. exact dedup on normalized text ([[Dedup.dropExactDuplicates]])
   *  4. near-dup cluster drop (optional; MinHash+LSH banding →
   *     connected components, [[Dedup.dropNearDuplicates]])
-  *  5. mixture resampling to target domain shares
+  *  5. DSIR target-distribution selection (optional;
+  *     [[Dsir.select]] on the cleaned corpus — λ estimated after
+  *     dedup so boilerplate repeats don't skew the raw distribution)
+  *  6. mixture resampling to target domain shares
   *     ([[Sampling.resampleToMixture]], broadcast rate table)
-  *  6. train/val/test split labels ([[Sampling.assignSplit]], map-only)
+  *  7. train/val/test split labels ([[Sampling.assignSplit]], map-only)
   *
   * This is the LLM-data counterpart of [[graft.Processor]]'s
   * load→transform→bin orchestration: each stage stays an independently
@@ -38,6 +41,10 @@ object Curation {
     * @param dropExact      exact dedup on normalized text
     * @param nearDupThreshold Jaccard threshold for MinHash cluster drop
     *                         (None = skip the near-dup stage)
+    * @param dsirTargetExpr SQL predicate naming the target slice for
+    *                       DSIR selection (None = skip; set with dsirKeepN)
+    * @param dsirKeepN      DSIR resample size (rows kept)
+    * @param dsirBuckets    DSIR hashed-feature bucket count
     * @param resampleTo     target domain shares (empty = skip)
     * @param splits         per-mille split ranges (empty = no split column)
     */
@@ -46,9 +53,15 @@ object Curation {
       gopher: Boolean = true,
       dropExact: Boolean = true,
       nearDupThreshold: Option[Double] = None,
+      dsirTargetExpr: Option[String] = None,
+      dsirKeepN: Option[Int] = None,
+      dsirBuckets: Int = 1 << 13,
       resampleTo: Map[String, Double] = Map.empty,
       splits: Seq[(String, Int)] = Nil,
-  )
+  ) {
+    require(dsirTargetExpr.isDefined == dsirKeepN.isDefined,
+      "dsirTargetExpr and dsirKeepN must be set together")
+  }
 
   /** Run the configured stages over `df`. Returns the curated corpus
     * (original columns, plus a split column when `splits` is set) and,
@@ -86,6 +99,11 @@ object Curation {
       cur = step("near_dedup",
         Dedup.dropNearDuplicates(cur, textCol, idCol, threshold = th))
     }
+    // DSIR runs on the CLEANED corpus (λ estimated after dedup/quality,
+    // so boilerplate repeats don't dominate the raw distribution) and
+    // before mixture sizing; the kept rows carry their dsir_logw
+    for { t <- cfg.dsirTargetExpr; n <- cfg.dsirKeepN } cur = step("dsir",
+      Dsir.select(cur, idCol, textCol, expr(t), n, cfg.dsirBuckets))
     if (cfg.resampleTo.nonEmpty)
       cur = step("resample",
         Sampling.resampleToMixture(cur, idCol, domainCol, cfg.resampleTo))

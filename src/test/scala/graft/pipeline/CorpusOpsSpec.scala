@@ -442,6 +442,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again.select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("curate: optional DSIR stage selects target-like docs on the" +
+      " cleaned corpus") {
+    val corpus = ((1 to 60).map(i =>
+      (i.toLong, "careful encyclopedia prose about science", "en")) ++
+      (61 to 120).map(i =>
+        (i.toLong, "free casino bonus click winner prize", "en")))
+      .toDF("doc_id", "text", "lang")
+    val cfg = Curation.CurationConfig(
+      gopher = false, dropExact = false, // keep both modes intact
+      dsirTargetExpr = Some("doc_id <= 60"), dsirKeepN = Some(40),
+      dsirBuckets = 64)
+    val (out, funnel) = Curation.curate(
+      corpus, "doc_id", "text", "lang", "lang", cfg, report = true)
+    assert(funnel === Seq("input" -> 120L, "dsir" -> 40L))
+    val kept = out.select("doc_id").as[Long].collect()
+    assert(kept.length === 40)
+    assert(kept.count(_ <= 60) > 36) // near-all target-like
+    assert(out.columns.contains("dsir_logw"))
+    // config validation: target and size must travel together
+    intercept[IllegalArgumentException] {
+      Curation.CurationConfig(dsirTargetExpr = Some("lang = 'en'"))
+    }
+  }
+
   test("assignSplit: calibrated ranges, growth-stable, holdout null") {
     val df = docs(4000)
     val splits = Seq("train" -> 800, "val" -> 100, "test" -> 50)
