@@ -28,12 +28,24 @@ object Dsir {
 
   /** Hashed unigram+bigram feature buckets of a text column as
     * `array<int>` (the DSIR paper's feature map: all n-grams share one
-    * bucket space). The token array is bound ONCE as a lambda variable —
-    * referencing the raw `split` subtree inside per-element lambdas
-    * would re-evaluate it per element (the O(len²) trap documented on
-    * [[TextOps.rollingHashFingerprint]]).
+    * bucket space). Computed by the native one-pass
+    * [[FeatureBucketsExpr]] kernel — bit-identical to
+    * [[featureBucketsComposed]] (property-tested) and to the oracle
+    * SQL, without the ~80-expression-node polynomial per feature.
     */
   def featureBuckets(text: Column, numBuckets: Int): Column = {
+    require(numBuckets > 0, s"numBuckets=$numBuckets")
+    org.apache.spark.sql.GraftBridge.column(FeatureBucketsExpr(
+      org.apache.spark.sql.GraftBridge.expression(text), numBuckets))
+  }
+
+  /** Expression-composed reference form of [[featureBuckets]] — kept as
+    * the kernel's parity oracle. The token array is bound ONCE as a
+    * lambda variable — referencing the raw `split` subtree inside
+    * per-element lambdas would re-evaluate it per element (the O(len²)
+    * trap documented on [[TextOps.rollingHashFingerprint]]).
+    */
+  def featureBucketsComposed(text: Column, numBuckets: Int): Column = {
     require(numBuckets > 0, s"numBuckets=$numBuckets")
     val b = numBuckets.toLong
     def bucketOf(t: Column): Column =

@@ -39,6 +39,32 @@ class KernelProperties extends SparkSpec {
     assert(out.filter(abs(col("self") - 1.0) > 1e-9).count() === 0L)
   }
 
+  test("feature-buckets kernel == composed form across random corpora" +
+      " and whitespace/unicode edge cases") {
+    val r = new scala.util.Random(7)
+    val alphabet = "abcdefghij αβγ日本語🌍xyz"
+    def randText(): String = {
+      val n = r.nextInt(12)
+      (0 until n).map { _ =>
+        val wordLen = 1 + r.nextInt(12)
+        (0 until wordLen).map(_ => alphabet(r.nextInt(alphabet.length)))
+          .mkString
+      }.mkString(Seq(" ", "  ", "\t", " \t ")(r.nextInt(4)))
+    }
+    val edge = Seq("", " ", "  ", "\t", "a\t", "\ta", " a ", "a  b",
+      "solo", "ab\ncd", "x", "exactly8", "ninechars", "🌍🌍🌍",
+      "a 🌍 b", "x\r\ny")
+    val texts = (edge ++ Seq.fill(400)(randText())).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    (Seq(1, 7, 64, 1 << 13)).foreach { b =>
+      val bad = texts.toDF("id", "text").select(
+        Dsir.featureBuckets(col("text"), b).as("n"),
+        Dsir.featureBucketsComposed(col("text"), b).as("d"))
+        .filter(not(col("n") <=> col("d"))).count()
+      assert(bad === 0L, s"numBuckets=$b")
+    }
+  }
+
   test("lsh bucket kernel == declarative across random plane sets") {
     (1 to 6).foreach { c =>
       val dim = 4 + c * 5
