@@ -190,6 +190,25 @@ object GraftExtensions {
         graft.pipeline.CosineSimExpr(args.head, args(1))
       },
     ),
+    (
+      "graft_feature_buckets",
+      new ExpressionInfo(
+        classOf[graft.pipeline.FeatureBucketsExpr].getName,
+        "graft_feature_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_feature_buckets(text, numBuckets)")
+        val b = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null =>
+            v.toString.toInt
+          case other =>
+            throw new IllegalArgumentException(
+              s"numBuckets must be an integer literal, got $other")
+        }
+        graft.pipeline.FeatureBucketsExpr(args.head, b)
+      },
+    ),
   )
 
   /** Register on an already-built session (tests, notebooks). */

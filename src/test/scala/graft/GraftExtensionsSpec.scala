@@ -51,10 +51,15 @@ class GraftExtensionsSpec extends SparkSpec {
         |  graft_sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS agr,
         |  graft_normalize_text('Hello,  World!') AS norm,
         |  graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS cosz,
-        |  graft_cosine(array(2.0D, 0.0D), array(1.0D, 0.0D)) AS cos1
+        |  graft_cosine(array(2.0D, 0.0D), array(1.0D, 0.0D)) AS cos1,
+        |  graft_feature_buckets('a b', 64) AS fb
         |""".stripMargin).collect().head
     assert(r.getAs[Double]("cosz") === 0.0)
     assert(r.getAs[Double]("cos1") === 1.0)
+    // 2 unigrams + 1 bigram, every bucket in range
+    val fb = r.getAs[scala.collection.Seq[Int]]("fb")
+    assert(fb.length === 3)
+    assert(fb.forall(b => b >= 0 && b < 64))
     assert(r.getAs[Double]("tns") === 10.0 * 1e9 * 2.0e-9 * 2.0)
     assert(math.abs(r.getAs[Double]("ps") - (25.6 - 25.3) / 0.15) < 1e-12)
     assert(r.getAs[Long]("h") ===
