@@ -47,4 +47,37 @@ object TrainingExport {
     val df = spark.read.parquet(dir)
     df.withColumn("pack_group", col("pack_group").cast("long"))
   }
+
+  /** Write the corpus as JSONL shards — the lingua-franca interchange
+    * format of LLM data tooling (one JSON object per line; any loader
+    * can stream it). The corpus is hash-repartitioned on `idCol` into
+    * exactly `numShards` writer tasks, one (optionally gzipped) part
+    * file each — size shards so a file is a convenient dataloader unit
+    * (hundreds of MB), not thousands of tiny files. The JSON encode is
+    * a map-only pass; the explicit repartition is the only exchange.
+    */
+  def writeJsonl(
+      df: DataFrame,
+      idCol: String,
+      dir: String,
+      numShards: Int,
+      compress: Boolean = true,
+  ): Unit = {
+    require(numShards > 0, s"numShards=$numShards")
+    val w = df.repartition(numShards, col(idCol)).write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(dir)
+  }
+
+  /** Read JSONL shards. Pass the schema whenever it is known: without
+    * it, Spark runs a full inference pass over every file before the
+    * real scan — at 100 TB that is a second read of the corpus.
+    */
+  def readJsonl(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+  ): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(dir)
+  }
 }

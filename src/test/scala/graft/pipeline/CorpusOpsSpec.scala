@@ -367,6 +367,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dirs.length === rt.map(_._2).distinct.length)
   }
 
+  test("writeJsonl round-trips the corpus with exact shard count") {
+    val df = (1 to 200)
+      .map(i => (i.toLong, s"text $i with unicode α🌍 and \"quotes\"",
+        if (i % 4 == 0) null else s"src${i % 3}"))
+      .toDF("id", "text", "src")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toFile.getPath
+    TrainingExport.writeJsonl(df, "id", dir, numShards = 5)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.length === 5) // one gzipped part per shard
+    val back = TrainingExport.readJsonl(spark, dir, Some(df.schema))
+    assert(back.count() === 200)
+    val got = back.as[(Long, String, String)].collect().sortBy(_._1)
+    val exp = df.as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq === exp.toSeq) // unicode, quotes, nulls survive
+    // schema-less read infers the same columns (small data only)
+    assert(TrainingExport.readJsonl(spark, dir).columns.sorted.toSeq ===
+      Seq("id", "src", "text"))
+  }
+
   test("mixtureReport: shares sum to 1 and counts match a direct agg") {
     val df = Seq(
       ("a", "one two three"), ("a", "four five"),
