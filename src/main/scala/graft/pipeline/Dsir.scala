@@ -162,7 +162,10 @@ object Dsir {
 
   /** End-to-end DSIR: weight against the in-corpus target slice, then
     * Gumbel-top-k down to `n` rows. Returns the kept rows with their
-    * `dsir_logw` attached.
+    * `dsir_logw` attached. The weight is computed as a column directly
+    * on `df` (no id join — joining the weight frame back would re-scan
+    * the corpus and shuffle it by id for nothing), so the whole
+    * selection is the λ pass plus ONE map-scored top-k pass.
     */
   def select(
       df: DataFrame,
@@ -173,7 +176,9 @@ object Dsir {
       numBuckets: Int = 1 << 13,
       alpha: Double = 0.5,
   ): DataFrame = {
-    val w = importanceWeights(df, idCol, textCol, targetFilter, numBuckets, alpha)
-    resampleByWeight(df.join(w, Seq(idCol)), idCol, "dsir_logw", n)
+    val lambda = importanceTable(df, textCol, targetFilter, numBuckets, alpha)
+    val scored = df.withColumn("dsir_logw",
+      round(importanceWeightColumn(col(textCol), lambda), 6))
+    resampleByWeight(scored, idCol, "dsir_logw", n)
   }
 }

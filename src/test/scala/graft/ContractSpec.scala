@@ -287,6 +287,13 @@ class ContractSpec extends SparkSpec {
       pipeline.Dsir.importanceWeightColumn(col("text"), lambda).as("w")))
     assert(!score.contains("Exchange"), score)
     assert(!score.contains("Join"), score)
+    // end-to-end DSIR selection: one map-scored top-k pass — weights
+    // are a column on the corpus scan (no id join), top-k is
+    // per-partition (no global sort)
+    val sel = planOf(pipeline.Dsir.select(
+      corpus, "id", "text", col("src") === "s0", 20, 64))
+    assert(!sel.contains("Join"), sel)
+    assert(sel.contains("TakeOrderedAndProject"), sel)
     // epoch upsampling: map-side generator only
     val ep = planOf(pipeline.Sampling.upsampleEpochs(
       corpus, "id", "src", Map("s0" -> 2.5, "s1" -> 0.0)))
