@@ -822,6 +822,14 @@ object SparkEntry {
         "doc_id", "source", epochMap)
         .select(col("doc_id"), col("source"),
           col("epoch_copy").cast("long").as("epoch_copy"))),
+    // Gumbel-top-k weighted resample (deterministic per-key Gumbel draw
+    // + log-weight; plans as per-partition top-k, no global sort)
+    "q_gumbel" -> ((s, dir) =>
+      pipeline.Dsir.resampleByWeight(
+        table(s, dir, "documents")
+          .select(col("doc_id"), log(col("n_chars").cast("double")).as("logw")),
+        "doc_id", "logw", 100)
+        .select(col("doc_id"), round(col("logw"), 6).as("logw"))),
     // corpus snapshot diff (added/removed/changed/unchanged by content
     // digest; digests shuffle, not document bodies)
     "q_corpus_diff" -> ((s, dir) => {
@@ -1743,6 +1751,15 @@ object SparkEntry {
          |    (CASE WHEN u < e - FLOOR(e) THEN 1 ELSE 0 END) AS n FROM d)
          |SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT)
          |  AS epoch_copy FROM c""".stripMargin.replace("\n", " "),
+    "q_gumbel" ->
+      s"""SELECT doc_id, ROUND(logw, 6) AS logw FROM (
+         | SELECT doc_id, ln(CAST(n_chars AS DOUBLE)) AS logw,
+         |  (ln(CAST(n_chars AS DOUBLE)) +
+         |   -ln(-ln((CAST((${OracleSql.portableTokenHashSql(
+               "CAST(doc_id AS VARCHAR)")}) % 1000003 AS DOUBLE) + 0.5)
+         |     / 1000003.0))) AS pri
+         | FROM documents)
+         |ORDER BY pri DESC, doc_id LIMIT 100""".stripMargin.replace("\n", " "),
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
         | n AS (SELECT doc_id,
