@@ -261,6 +261,27 @@ object StreamingBinning {
         onBatch(cube, id)
       }
 
+  /** Per-micro-batch drift monitor: each batch's histogram over `ax` is
+    * PSI-compared against the FIXED `baseline` frame
+    * ([[graft.pipeline.Drift.psiReport]]) and handed to `onReport` with
+    * the batch id — the live gate for "did the incoming shard shift
+    * under the distribution we validated". The baseline side is
+    * re-aggregated per batch; cache it (its histogram is ≤ nBins rows,
+    * but the SCAN repeats) or pre-reduce it to a histogram frame when
+    * batches are frequent.
+    */
+  def psiStream(
+      stream: DataFrame,
+      baseline: DataFrame,
+      ax: graft.binning.UniformAxis,
+      onReport: (Long, DataFrame) => Unit,
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onReport(id, graft.pipeline.Drift.psiReport(baseline, batch, ax))
+      }
+
   /** Convenience: run a streaming query over a bounded in-memory source to
     * completion and return the sink table (used by tests and batch-parity
     * checks).

@@ -369,6 +369,40 @@ class StreamingSpec extends SparkSpec {
     assert(finalDepth === Map(1L -> 3, 2L -> 1, 3L -> 1))
   }
 
+  test("psiStream reports per-micro-batch drift equal to the batch PSI") {
+    import graft.binning.UniformAxis
+    val ax = UniformAxis("v", 10, 0.0, 10.0)
+    val baseline = (0 until 1000).map(i => (i % 10).toDouble).toDF("v")
+    val dir = Files.createTempDirectory("stream-psi").toFile.getPath + "/data"
+    // batch 0 matches the baseline; batch 1 is concentrated (drifted)
+    val b0 = (0 until 500).map(i => (i % 10).toDouble)
+    val b1 = (0 until 500).map(i => (i % 2).toDouble)
+    b0.toDF("v").repartition(1).write.parquet(dir)
+    b1.toDF("v").repartition(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val reports = scala.collection.mutable.Map.empty[Long, Double]
+    val q = StreamingBinning.psiStream(stream, baseline, ax,
+      (id, rep) => reports.synchronized {
+        reports(id) = rep.select("psi").head().getDouble(0)
+      })
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(reports.keySet === Set(0L, 1L))
+    // micro-batch order is file order (parquet part files sort by name);
+    // match each stream report to its batch-computed counterpart
+    val expect = Seq(b0, b1).map(rows =>
+      graft.pipeline.Drift.psiReport(baseline, rows.toDF("v"), ax)
+        .select("psi").head().getDouble(0)).sorted
+    assert(reports.values.toSeq.sorted === expect)
+    // and the drifted batch reads as "shifted" while the matching one
+    // is near zero
+    assert(reports.values.min < 0.01)
+    assert(reports.values.max > 0.25)
+  }
+
   test("runningSectorMeans keeps per-key state across micro-batches") {
     val dir = Files.createTempDirectory("stream-in3").toFile.getPath + "/data"
     Seq((0L, 10.0), (0L, 20.0), (1L, 5.0)).toDF("sector", "v").write.parquet(dir)
