@@ -822,6 +822,19 @@ object SparkEntry {
         "doc_id", "source", epochMap)
         .select(col("doc_id"), col("source"),
           col("epoch_copy").cast("long").as("epoch_copy"))),
+    // line-level structural signals (Dolma/C4); multi-line fixture
+    // synthesized by word->line translation so the rules actually bite
+    "q_line_signals" -> ((s, dir) =>
+      pipeline.TextOps.lineSignals(
+        table(s, dir, "documents")
+          .withColumn("text", translate(col("text"), " ", "\n")),
+        "text", "doc_id")),
+    // per-line cleaning with first-occurrence line dedupe (map-only)
+    "q_clean_lines" -> ((s, dir) =>
+      pipeline.TextOps.cleanLines(
+        table(s, dir, "documents")
+          .withColumn("text", translate(col("text"), " ", "\n")),
+        "text", "doc_id", minWords = 1, dedupe = true)),
     // Gumbel-top-k weighted resample (deterministic per-key Gumbel draw
     // + log-weight; plans as per-partition top-k, no global sort)
     "q_gumbel" -> ((s, dir) =>
@@ -1751,6 +1764,29 @@ object SparkEntry {
          |    (CASE WHEN u < e - FLOOR(e) THEN 1 ELSE 0 END) AS n FROM d)
          |SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT)
          |  AS epoch_copy FROM c""".stripMargin.replace("\n", " "),
+    "q_line_signals" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        | ROUND(CAST(1 AS DOUBLE) -
+        |   CAST(len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE),
+        |   6) AS dup_line_frac,
+        | ROUND(CAST(len([ l for l in ls
+        |     if right(rtrim(l), 1) IN ('.', '!', '?', '"') ]) AS DOUBLE)
+        |   / CAST(len(ls) AS DOUBLE), 6) AS punct_line_frac
+        |FROM t""".stripMargin.replace("\n", " "),
+    "q_clean_lines" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+        |  FROM documents),
+        | k AS (SELECT doc_id, ls,
+        |    [ ls[i] for i in range(1, len(ls) + 1)
+        |      if list_position(ls[1:i-1], ls[i]) = 0 ] AS kept FROM t)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        | CAST(len(ls) AS BIGINT) AS n_lines,
+        | CAST(len(kept) AS BIGINT) AS n_kept
+        |FROM k""".stripMargin.replace("\n", " "),
     "q_gumbel" ->
       s"""SELECT doc_id, ROUND(logw, 6) AS logw FROM (
          | SELECT doc_id, ln(CAST(n_chars AS DOUBLE)) AS logw,

@@ -157,6 +157,70 @@ object TextOps {
       .drop("_q")
   }
 
+  /** Per-line structural signals (Dolma/C4 line statistics): line count,
+    * duplicated-line fraction (1 − distinct/total — boilerplate menus
+    * and nav bars repeat lines), and terminal-punctuation line fraction
+    * (prose lines end in `.!?"`; listings and markup don't). Map-only;
+    * the line array is bound once per row.
+    */
+  def lineSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sig = transform(array(split(col(textCol), "\n")), ls => struct(
+      size(ls).cast("long").as("n_lines"),
+      round(lit(1.0) -
+        size(array_distinct(ls)).cast("double") / size(ls).cast("double"), 6)
+        .as("dup_line_frac"),
+      round(size(filter(ls, l =>
+        substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"")))
+        .cast("double") / size(ls).cast("double"), 6)
+        .as("punct_line_frac"),
+    )).getItem(0)
+    df.select(col(idCol), sig.as("_l"))
+      .select(col(idCol), col("_l.n_lines"), col("_l.dup_line_frac"),
+        col("_l.punct_line_frac"))
+  }
+
+  /** C4/Dolma-style per-line cleaning: keep lines with ≥ `minWords`
+    * words, optionally require terminal punctuation (the C4 rule),
+    * drop lines containing any lowercase `banned` marker ("javascript",
+    * "cookie policy", …), optionally dedupe surviving lines (first
+    * occurrence wins — nav/menu boilerplate), and reassemble the
+    * document. Returns `(idCol, clean_text, n_lines, n_kept)`. A pure
+    * map-only projection — per-line work happens inside one bound
+    * lambda, nothing shuffles.
+    */
+  def cleanLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minWords: Int = 1,
+      requirePunct: Boolean = false,
+      banned: Seq[String] = Nil,
+      dedupe: Boolean = false,
+  ): DataFrame = {
+    require(minWords >= 0, s"minWords=$minWords")
+    def pred(l: Column): Column = {
+      val words = size(split(trim(l), "\\s+")) >= minWords
+      val punct =
+        if (requirePunct)
+          substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"")
+        else lit(true)
+      banned.foldLeft(words && punct) { (acc, b) =>
+        acc && !lower(l).contains(b.toLowerCase)
+      }
+    }
+    val out = transform(array(split(col(textCol), "\n")), ls => {
+      val kept0 = filter(ls, l => pred(l))
+      val kept = if (dedupe) array_distinct(kept0) else kept0
+      struct(
+        concat_ws("\n", kept).as("clean_text"),
+        size(ls).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"))
+    }).getItem(0)
+    df.select(col(idCol), out.as("_c"))
+      .select(col(idCol), col("_c.clean_text"), col("_c.n_lines"),
+        col("_c.n_kept"))
+  }
+
   /** Tiny per-language stopword profiles for the n-gram/stopword language
     * heuristic. Order matters: it is the deterministic tie-break priority.
     */

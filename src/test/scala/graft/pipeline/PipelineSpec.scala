@@ -795,6 +795,49 @@ class PipelineSpec extends SparkSpec {
       && !r.getDouble(4).isInfinite))
   }
 
+  test("cleanLines: C4 rules — punctuation, min words, banned markers," +
+      " line dedupe") {
+    val doc = Seq(
+      "This is a proper sentence.",
+      "short",                          // < 3 words
+      "Enable JavaScript to continue.", // banned marker
+      "Another good sentence stays!",
+      "a list item without punctuation", // no terminal punct
+      "This is a proper sentence.",     // duplicate of line 1
+    ).mkString("\n")
+    val df = Seq((1L, doc)).toDF("id", "text")
+    val strict = TextOps.cleanLines(df, "text", "id", minWords = 3,
+      requirePunct = true, banned = Seq("javascript"), dedupe = true)
+      .as[(Long, String, Long, Long)].head()
+    assert(strict._2 ===
+      "This is a proper sentence.\nAnother good sentence stays!")
+    assert(strict._3 === 6L) // n_lines
+    assert(strict._4 === 2L) // n_kept
+    // without dedupe the duplicate survives
+    val noDedupe = TextOps.cleanLines(df, "text", "id", minWords = 3,
+      requirePunct = true, banned = Seq("javascript"))
+      .as[(Long, String, Long, Long)].head()
+    assert(noDedupe._4 === 3L)
+    assert(noDedupe._2.endsWith("This is a proper sentence."))
+    // permissive defaults keep everything
+    val all = TextOps.cleanLines(df, "text", "id")
+      .as[(Long, String, Long, Long)].head()
+    assert(all._2 === doc)
+    assert(all._4 === 6L)
+  }
+
+  test("lineSignals: duplicated-line and punctuation-line fractions") {
+    val df = Seq(
+      (1L, "Nav menu\nNav menu\nNav menu\nReal sentence here."),
+      (2L, "All prose lines end well.\nSecond one too!"),
+    ).toDF("id", "text")
+    val got = TextOps.lineSignals(df, "text", "id")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((4L, 0.5, 0.25))) // 2 dup copies of 4; 1 punct line
+    assert(got(2L) === ((2L, 0.0, 1.0)))
+  }
+
   test("domainDivergence: zero for groups drawn from the corpus blend," +
       " positive and ranked for skewed groups") {
     // two groups with the same text multiset → both distributions equal
