@@ -130,15 +130,17 @@ object Curation {
       idCol: String,
       textCol: String,
   ): DataFrame = {
+    // presence flags, not digest nullity: a null text must not
+    // masquerade as an absent row (null-safe digest compare below)
     val o = oldDf.select(col(idCol),
-      md5(col(textCol).cast("binary")).as("_old_h"))
+      md5(col(textCol).cast("binary")).as("_old_h"), lit(1).as("_old_p"))
     val n = newDf.select(col(idCol),
-      md5(col(textCol).cast("binary")).as("_new_h"))
+      md5(col(textCol).cast("binary")).as("_new_h"), lit(1).as("_new_p"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("_old_h").isNull, lit("added"))
-          .when(col("_new_h").isNull, lit("removed"))
-          .when(col("_old_h") === col("_new_h"), lit("unchanged"))
+        when(col("_old_p").isNull, lit("added"))
+          .when(col("_new_p").isNull, lit("removed"))
+          .when(col("_old_h") <=> col("_new_h"), lit("unchanged"))
           .otherwise(lit("changed")).as("diff_status"))
   }
 }

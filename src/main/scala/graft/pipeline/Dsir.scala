@@ -80,6 +80,8 @@ object Dsir {
       numBuckets: Int,
       alpha: Double = 0.5,
   ): Array[Double] = {
+    require(alpha > 0, s"alpha=$alpha must be positive (an empty slice " +
+      "or bucket would make the log-probability undefined)")
     val rows = df
       .select(explode(featureBuckets(col(textCol), numBuckets)).as("bucket"),
         targetFilter.cast("boolean").as("is_target"))
@@ -105,6 +107,8 @@ object Dsir {
       numBuckets: Int,
       alpha: Double,
   ): Array[Double] = {
+    require(alpha > 0, s"alpha=$alpha must be positive (an empty corpus " +
+      "or bucket would make the log-probability undefined)")
     def counts(d: DataFrame): Map[Int, Long] = d
       .select(explode(featureBuckets(col(textCol), numBuckets)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))

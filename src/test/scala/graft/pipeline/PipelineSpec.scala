@@ -864,14 +864,18 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("corpusDiff: added/removed/changed/unchanged partition the id union") {
-    val oldSnap = Seq((1L, "stays"), (2L, "gets edited"), (3L, "goes away"))
+    val oldSnap = Seq((1L, "stays"), (2L, "gets edited"), (3L, "goes away"),
+      (5L, null), (6L, null))
       .toDF("id", "text")
-    val newSnap = Seq((1L, "stays"), (2L, "gets edited v2"), (4L, "brand new"))
+    val newSnap = Seq((1L, "stays"), (2L, "gets edited v2"), (4L, "brand new"),
+      (5L, null), (6L, "text appeared"))
       .toDF("id", "text")
     val got = Curation.corpusDiff(oldSnap, newSnap, "id", "text")
       .as[(Long, String)].collect().toMap
     assert(got === Map(1L -> "unchanged", 2L -> "changed",
-      3L -> "removed", 4L -> "added"))
+      3L -> "removed", 4L -> "added",
+      // null text is a present row, not an absent one
+      5L -> "unchanged", 6L -> "changed"))
   }
 
   test("distinctSketches: sharded union == monolithic sketch, bounded error") {
