@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility (like BenchProf/TimeProbe): scaling-shape probe for the
+  * heavy pipeline operators. Inflates the sf0.1 documents table by
+  * 1×/4×/16× with NEAR-DUPLICATE copies (distinct ids, one extra token
+  * per copy — a worst-realistic case for dedup: every document sits in
+  * an f-clique), then times the operators whose cost could in principle
+  * grow super-linearly. Read the per-factor timings for the cliff: a
+  * healthy operator scales ~linearly in rows (pair outputs scale with
+  * true duplicate mass, which here grows ~f² by construction — the
+  * output row count is printed so the two effects can be separated).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+
+    def inflate(f: Int): DataFrame =
+      base
+        .withColumn("copy", explode(sequence(lit(0), lit(f - 1))))
+        .withColumn("doc_id", col("doc_id") * 64 + col("copy"))
+        .withColumn("text",
+          concat_ws(" ", col("text"), concat(lit("tail"), col("copy"))))
+        .drop("copy")
+
+    def timed(name: String, f: Int)(run: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = run
+      println(f"SCALE $name%-16s x$f%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+    }
+
+    Seq(1, 4, 16).foreach { f =>
+      val df = inflate(f).cache()
+      val n = df.count()
+      println(s"-- factor $f: $n docs --")
+      timed("exact_dup", f)(
+        pipeline.Dedup.exactDuplicates(df, "text", "doc_id").count())
+      timed("minhash_pairs", f)(
+        pipeline.Dedup.minhashNearDuplicates(df, "text", "doc_id",
+          threshold = 0.7).count())
+      timed("dedup_drop", f)(
+        pipeline.Dedup.dropNearDuplicates(df, "text", "doc_id",
+          threshold = 0.7).count())
+      timed("dsir_weights", f)(
+        pipeline.Dsir.importanceWeights(df, "doc_id", "text",
+          col("source") === "src0").count())
+      timed("domain_kl", f)(
+        pipeline.Drift.domainDivergence(df, "text", "source").count())
+      timed("dup_passages", f)(
+        pipeline.Dedup.duplicatePassages(df, "doc_id", "text").count())
+      df.unpersist()
+    }
+    spark.stop()
+  }
+}
