@@ -834,7 +834,8 @@ object SparkEntry {
       pipeline.TextOps.cleanLines(
         table(s, dir, "documents")
           .withColumn("text", translate(col("text"), " ", "\n")),
-        "text", "doc_id", minWords = 1, dedupe = true)),
+        "text", "doc_id", minWords = 1, dedupe = true)
+        .select("doc_id", "clean_text", "n_lines", "n_kept")),
     // Gumbel-top-k weighted resample (deterministic per-key Gumbel draw
     // + log-weight; plans as per-partition top-k, no global sort)
     "q_gumbel" -> ((s, dir) =>

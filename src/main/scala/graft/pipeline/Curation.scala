@@ -9,6 +9,9 @@ import org.apache.spark.sql.functions._
   * shuffles), fingerprint machinery next, sizing last:
   *
   *  1. language filter (map-only predicate on the lang column)
+  *  1b. line-level cleaning (optional; [[TextOps.cleanLines]] C4 rules —
+  *     runs BEFORE document-level heuristics so they judge the cleaned
+  *     text; docs whose lines all fail drop out)
   *  2. Gopher quality rules ([[TextOps.gopherColumns]] composite; the
   *     keep-set semi-joins back by id — at the 100 TB design point the
   *     signal aggregation is one pass and the join keys are ids only)
@@ -37,6 +40,8 @@ object Curation {
     * dedup on, everything else opt-in.
     *
     * @param keepLanguages  empty = keep all languages
+    * @param lineClean      C4 line-level cleaning before doc heuristics
+    *                       (None = skip)
     * @param gopher         apply [[TextOps.gopherColumns]]' composite flag
     * @param dropExact      exact dedup on normalized text
     * @param nearDupThreshold Jaccard threshold for MinHash cluster drop
@@ -48,8 +53,17 @@ object Curation {
     * @param resampleTo     target domain shares (empty = skip)
     * @param splits         per-mille split ranges (empty = no split column)
     */
+  /** Knobs for the optional line-cleaning stage (C4 defaults). */
+  final case class LineCleanConfig(
+      minWords: Int = 3,
+      requirePunct: Boolean = true,
+      banned: Seq[String] = Nil,
+      dedupe: Boolean = true,
+  )
+
   final case class CurationConfig(
       keepLanguages: Set[String] = Set.empty,
+      lineClean: Option[LineCleanConfig] = None,
       gopher: Boolean = true,
       dropExact: Boolean = true,
       nearDupThreshold: Option[Double] = None,
@@ -88,6 +102,14 @@ object Curation {
     if (cfg.keepLanguages.nonEmpty)
       cur = step("language",
         cur.filter(col(langCol).isin(cfg.keepLanguages.toSeq: _*)))
+    cfg.lineClean.foreach { lc =>
+      cur = step("line_clean",
+        TextOps.cleanLines(cur, textCol, idCol,
+          lc.minWords, lc.requirePunct, lc.banned, lc.dedupe)
+          .filter(col("n_kept") > 0)
+          .withColumn(textCol, col("clean_text"))
+          .drop("clean_text", "n_lines", "n_kept"))
+    }
     if (cfg.gopher) {
       val keep = TextOps.gopherColumns(cur, textCol, idCol)
         .filter(col("gopher_keep") === 1).select(col(idCol))

@@ -184,9 +184,10 @@ object TextOps {
     * drop lines containing any lowercase `banned` marker ("javascript",
     * "cookie policy", …), optionally dedupe surviving lines (first
     * occurrence wins — nav/menu boilerplate), and reassemble the
-    * document. Returns `(idCol, clean_text, n_lines, n_kept)`. A pure
-    * map-only projection — per-line work happens inside one bound
-    * lambda, nothing shuffles.
+    * document. Appends `clean_text`, `n_lines`, `n_kept` to the input
+    * columns (composable: swap `clean_text` in for the text column and
+    * drop `n_kept == 0` docs). A pure map-only projection — per-line
+    * work happens inside one bound lambda, nothing shuffles.
     */
   def cleanLines(
       df: DataFrame,
@@ -216,9 +217,12 @@ object TextOps {
         size(ls).cast("long").as("n_lines"),
         size(kept).cast("long").as("n_kept"))
     }).getItem(0)
-    df.select(col(idCol), out.as("_c"))
-      .select(col(idCol), col("_c.clean_text"), col("_c.n_lines"),
-        col("_c.n_kept"))
+    df.withColumn("_c", out)
+      .withColumns(Map(
+        "clean_text" -> col("_c.clean_text"),
+        "n_lines" -> col("_c.n_lines"),
+        "n_kept" -> col("_c.n_kept")))
+      .drop("_c")
   }
 
   /** Tiny per-language stopword profiles for the n-gram/stopword language

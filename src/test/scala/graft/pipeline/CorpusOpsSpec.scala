@@ -462,6 +462,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again.select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("curate: line cleaning rewrites texts before doc heuristics and" +
+      " drops all-boilerplate docs") {
+    val corpus = Seq(
+      (1L, "A good first sentence here.\njs junk\nAnother keeper line stays.", "en"),
+      (2L, "only\nshort\nfragments", "en"), // every line fails -> doc drops
+    ).toDF("doc_id", "text", "lang")
+    val cfg = Curation.CurationConfig(
+      lineClean = Some(Curation.LineCleanConfig(minWords = 3,
+        requirePunct = true)),
+      gopher = false, dropExact = false)
+    val (out, funnel) = Curation.curate(
+      corpus, "doc_id", "text", "lang", "lang", cfg, report = true)
+    assert(funnel === Seq("input" -> 2L, "line_clean" -> 1L))
+    val kept = out.as[(Long, String, String)].collect()
+    assert(kept.map(_._1).toSeq === Seq(1L))
+    assert(kept.head._2 ===
+      "A good first sentence here.\nAnother keeper line stays.")
+  }
+
   test("curate: optional DSIR stage selects target-like docs on the" +
       " cleaned corpus") {
     val corpus = ((1 to 60).map(i =>

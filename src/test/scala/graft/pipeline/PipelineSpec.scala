@@ -808,6 +808,7 @@ class PipelineSpec extends SparkSpec {
     val df = Seq((1L, doc)).toDF("id", "text")
     val strict = TextOps.cleanLines(df, "text", "id", minWords = 3,
       requirePunct = true, banned = Seq("javascript"), dedupe = true)
+      .select("id", "clean_text", "n_lines", "n_kept")
       .as[(Long, String, Long, Long)].head()
     assert(strict._2 ===
       "This is a proper sentence.\nAnother good sentence stays!")
@@ -816,11 +817,13 @@ class PipelineSpec extends SparkSpec {
     // without dedupe the duplicate survives
     val noDedupe = TextOps.cleanLines(df, "text", "id", minWords = 3,
       requirePunct = true, banned = Seq("javascript"))
+      .select("id", "clean_text", "n_lines", "n_kept")
       .as[(Long, String, Long, Long)].head()
     assert(noDedupe._4 === 3L)
     assert(noDedupe._2.endsWith("This is a proper sentence."))
     // permissive defaults keep everything
     val all = TextOps.cleanLines(df, "text", "id")
+      .select("id", "clean_text", "n_lines", "n_kept")
       .as[(Long, String, Long, Long)].head()
     assert(all._2 === doc)
     assert(all._4 === 6L)
