@@ -130,6 +130,46 @@ object OracleSql {
        |WHERE $est >= ${d(threshold)}""".stripMargin.replace("\n", " ")
   }
 
+  /** Cross-corpus MinHash probe — mirrors
+    * [[graft.pipeline.Dedup.minhashNearDuplicatesAgainst]] with
+    * `portable = true`. Signatures are per-doc (independent of the rest of
+    * the table), so the oracle computes them over the whole table and
+    * restricts the band join by the batch/corpus membership predicates
+    * (`a` = batch side, `b` = corpus side).
+    */
+  def minhashAgainstSql(
+      table: String,
+      k: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      seed: Long,
+      batchPred: String,
+      corpusPred: String,
+  ): String = {
+    val rows = numHashes / bands
+    val coeffs = pipeline.Dedup.hashCoeffs(numHashes, seed)
+    val sigEntries = coeffs.map { case (a, b) =>
+      s"list_min([ ((h * $a::BIGINT) + $b) % $P for h in hs ])"
+    }
+    val est =
+      s"CAST(len([i for i in range(1, ${numHashes + 1}) if a.sig[i] = b.sig[i]]) AS DOUBLE) / ${d(numHashes.toDouble)}"
+    val bandIdx = (0 until bands).mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct([ ${polyShingleSql("text", "i", k)}
+       |      for i in range(1, length(text) - ${k - 2}) ]) AS hs
+       |  FROM $table WHERE length(text) >= $k),
+       |sigs AS (SELECT id, [ ${sigEntries.mkString(", ")} ] AS sig FROM base),
+       |banded AS (
+       |  SELECT id, sig, bi, sig[$rows * bi + 1 : $rows * bi + $rows] AS band
+       |  FROM sigs CROSS JOIN (SELECT unnest($bandIdx) AS bi) bs)
+       |SELECT DISTINCT a.id AS batch_id, b.id AS corpus_id, $est AS est_jaccard
+       |FROM banded a JOIN banded b
+       |  ON a.bi = b.bi AND a.band = b.band AND ($batchPred) AND ($corpusPred)
+       |WHERE $est >= ${d(threshold)}""".stripMargin.replace("\n", " ")
+  }
+
   /** SimHash near-dup pairs — mirrors
     * [[graft.pipeline.Dedup.simhashNearDuplicates]] with `portable = true`
     * (62-bit token hash, pigeonhole banding, Hamming filter).

@@ -386,6 +386,15 @@ object SparkEntry {
       pipeline.Similarity.bruteForceTopK(
         table(s, dir, "embeddings"), "embedding", "vec_id", q, 20)
     }),
+    // per-vector int8 quantization codes (min-max affine, exploded so
+    // the scalar compare pins every component)
+    "q_embed_quant" -> ((s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(pipeline.Similarity.quantizeInt8(col("embedding"))
+            .getField("codes")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").as("code"))),
     // LSH bucket assignment (the ANN indexing pass)
     "q_lsh_bucket" -> ((s, dir) =>
       pipeline.Similarity.lshBuckets(
@@ -507,6 +516,17 @@ object SparkEntry {
       pipeline.Dedup.minhashNearDuplicates(
         table(s, dir, "documents"), "text", "doc_id", threshold = 0.2,
         portable = true)),
+    // incremental ingestion: near-dup probe of a new batch (odd doc_ids)
+    // against a pre-signed corpus (even doc_ids) — the minhashAgainst path
+    "q_cross_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val corpusSigs = pipeline.Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+        portable = true)
+      pipeline.Dedup.minhashNearDuplicatesAgainst(
+        corpusSigs, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id",
+        threshold = 0.2, portable = true)
+    }),
     // SimHash near-dup pairs (portable 62-bit token hash)
     "q_simhash_pairs" -> ((s, dir) =>
       pipeline.Dedup.simhashNearDuplicates(
@@ -589,6 +609,12 @@ object SparkEntry {
       table(s, dir, "events").groupBy("user_id")
         .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
         .count().na.fill(0L)),
+    // Morton (Z-order) code of two binned keys — the multi-dimensional
+    // lake-layout key behind stats-pruned scans (Lake.writeZOrdered)
+    "q_zorder" -> ((s, dir) =>
+      table(s, dir, "events").select(col("event_id"),
+        loader.Lake.zValue(
+          Seq(col("event_id") % 256, col("user_id") % 256), 8).as("z"))),
     // gap-based sessionization (12 h gap), one window pass per user
     "q_sessionize" -> ((s, dir) =>
       DfOps.sessionize(table(s, dir, "events").select("event_id", "user_id", "ts"),
@@ -815,6 +841,12 @@ object SparkEntry {
     "q_dsir" -> ((s, dir) =>
       pipeline.Dsir.importanceWeights(table(s, dir, "documents"),
         "doc_id", "text", col("source") === "src0", numBuckets = 256)),
+    // contiguous sequential ids in doc_id order (range repartition +
+    // zipWithIndex offsets — no single-partition global window)
+    "q_seq_ids" -> ((s, dir) =>
+      pipeline.Sampling.withSequentialIds(
+        table(s, dir, "documents"), Seq("doc_id"))
+        .select("doc_id", "seq_id")),
     // epoch-style mixture upsampling (fractional epochs via the salted
     // hash coin; map-side generator, no shuffle)
     "q_epochs" -> ((s, dir) =>
@@ -1189,6 +1221,17 @@ object SparkEntry {
         |SELECT vec_id, CAST(cid AS INTEGER) AS sem_cluster FROM asg
         |WHERE vec_id NOT IN (SELECT id FROM lab WHERE id != label)"""
         .stripMargin.replace("\n", " "),
+    "q_embed_quant" ->
+      """WITH q AS (SELECT vec_id, embedding,
+        |  CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |  CASE WHEN list_max(embedding) = list_min(embedding) THEN 1.0
+        |    ELSE (CAST(list_max(embedding) AS DOUBLE) -
+        |          CAST(list_min(embedding) AS DOUBLE)) / 255.0 END AS s
+        | FROM embeddings)
+        |SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+        | unnest([ CAST(round((CAST(x AS DOUBLE) - lo) / s) AS INTEGER)
+        |   for x in embedding ]) AS code
+        |FROM q""".stripMargin.replace("\n", " "),
     "q_lsh_bucket" ->
       s"SELECT vec_id, ${OracleSql.lshBucketExprSql(lshPlanes)} AS bucket FROM embeddings",
     "q_lsh_topk" -> OracleSql.lshTopKSql("embeddings", lshPlanes, 10),
@@ -1218,6 +1261,9 @@ object SparkEntry {
            |GROUP BY tf.doc_id""".stripMargin.replace("\n", " "),
     "q_minhash_pairs" -> OracleSql.minhashPairsSql(
       "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2, seed = 42L),
+    "q_cross_dedup" -> OracleSql.minhashAgainstSql(
+      "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2,
+      seed = 42L, batchPred = "a.id % 2 = 1", corpusPred = "b.id % 2 = 0"),
     "q_simhash_pairs" -> OracleSql.simhashPairsSql("documents", maxDistance = 16),
     "q_rolling_fp" -> OracleSql.rollingFpSql("documents", k = 7, window = 4),
     "q_word_shingles" ->
@@ -1296,6 +1342,13 @@ object SparkEntry {
         | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         | FROM events GROUP BY user_id""".stripMargin.replace("\n", " "),
+    "q_zorder" -> {
+      val terms = for {
+        j <- 0 until 8
+        (c, ci) <- Seq("(event_id % 256)" -> 0, "(user_id % 256)" -> 1)
+      } yield s"((($c >> $j) & 1) << ${j * 2 + ci})"
+      s"SELECT event_id, (${terms.mkString(" | ")}) AS z FROM events"
+    },
     "q_sessionize" ->
       s"""SELECT event_id, CAST(SUM(CASE WHEN g > $sessionGapNs THEN 1 ELSE 0 END)
          | OVER (PARTITION BY user_id ORDER BY ts
@@ -1751,6 +1804,8 @@ object SparkEntry {
            |FROM feats f JOIN lam USING (bucket)
            |GROUP BY f.doc_id""".stripMargin.replace("\n", " ")
     },
+    "q_seq_ids" ->
+      "SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS seq_id FROM documents",
     "q_epochs" ->
       s"""WITH d AS (SELECT doc_id, source,
          |    CASE ${epochMap.toSeq.sortBy(_._1).map { case (k, v) =>

@@ -1,6 +1,7 @@
 package graft.loader
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Lake-layout utilities for 100 TB deployments: pre-bucketed tables make
   * repeated equi-joins and aggregations on the bucket key exchange-free —
@@ -42,6 +43,68 @@ object Lake {
 
   def readTable(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
+
+  /** Morton (Z-order) code of already-binned non-negative integer columns:
+    * bit `j` of column `c` lands at position `j * nCols + c`, so the
+    * curve alternates dimensions bit by bit. All terms are disjoint
+    * single bits, OR-folded — one codegen'd projection, no UDF.
+    *
+    * Callers bin/scale columns first (e.g. [[writeZOrdered]]'s min-max
+    * scaling, or any rank/uniform binning); `nCols * bitsPerCol` must fit
+    * a positive Long.
+    */
+  def zValue(cols: Seq[Column], bitsPerCol: Int): Column = {
+    val n = cols.size
+    require(n > 0 && bitsPerCol > 0 && n * bitsPerCol <= 62,
+      s"zValue: $n cols x $bitsPerCol bits exceeds 62 bits")
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      j <- 0 until bitsPerCol
+    } yield shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)),
+      j * n + ci)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` as parquet laid out along the Z-order curve of `zCols`:
+    * each column is min-max scaled to `bitsPerCol` bits (one tiny agg
+    * job), rows are range-partitioned by the interleaved [[zValue]] into
+    * `numFiles` output files and sorted within each, then the helper
+    * column is dropped before writing.
+    *
+    * Why this matters at 100 TB: parquet keeps per-file and per-row-group
+    * min/max stats for every column, and the scan skips units whose
+    * stats exclude the predicate. A single-column sort makes only that
+    * column's ranges narrow per file; the Z-curve keeps EVERY zCol's
+    * range narrow simultaneously, so multi-dimensional box predicates
+    * (and single-column predicates on any of the zCols) prune files
+    * without reading them. This is the same layout trick Delta/Iceberg
+    * expose as `OPTIMIZE ZORDER BY`.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      bitsPerCol: Int = 16,
+      numFiles: Int = 64,
+  ): Unit = {
+    val statsRow = df.agg(
+      array(zCols.map(c => min(col(c)).cast("double")): _*).as("lo"),
+      array(zCols.map(c => max(col(c)).cast("double")): _*).as("hi"),
+    ).head()
+    val lo = statsRow.getSeq[Double](0)
+    val hi = statsRow.getSeq[Double](1)
+    val levels = (1L << bitsPerCol).toDouble
+    val binned = zCols.zipWithIndex.map { case (c, i) =>
+      val span = math.max(hi(i) - lo(i), java.lang.Double.MIN_NORMAL)
+      least(floor((col(c).cast("double") - lit(lo(i))) / lit(span) * lit(levels)),
+        lit(levels - 1)).cast("long")
+    }
+    df.withColumn("_graft_z", zValue(binned, bitsPerCol))
+      .repartitionByRange(numFiles, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** True iff the (AQE-finalized) executed plan of `df` contains a
     * shuffle exchange — the assertion hook for "this join is co-located".

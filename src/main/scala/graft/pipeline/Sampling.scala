@@ -266,4 +266,44 @@ object Sampling {
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("docs"),
         sum(weight.cast("long")).as("weight"))
+
+  /** Contiguous 0-based sequential ids in the global sort order of
+    * `orderCols` — the scalable replacement for
+    * `row_number() OVER (ORDER BY …)`, whose empty-PARTITION-BY window
+    * funnels the whole corpus through ONE task. Here the corpus is
+    * range-repartitioned on the keys (globally ordered partitions),
+    * sorted within each, and ids attach via the zipWithIndex recipe: a
+    * lightweight per-partition count job (its shuffle output is reused,
+    * not recomputed) turns into starting offsets, and the id map is pure
+    * per-partition arithmetic. Driver traffic is one Long per partition.
+    *
+    * Ids are deterministic iff `orderCols` is a total order (e.g.
+    * includes a unique key); ties otherwise get arbitrary-but-contiguous
+    * ids. The RDD hop is deliberate: this is genuine per-partition
+    * imperative logic (offset + running counter) that no Catalyst window
+    * can express without collapsing to a single partition.
+    */
+  def withSequentialIds(
+      df: DataFrame,
+      orderCols: Seq[String],
+      idCol: String = "seq_id",
+      numPartitions: Int = 0,
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          idCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val zipped = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(zipped, schema)
+  }
 }

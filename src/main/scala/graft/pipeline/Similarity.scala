@@ -63,6 +63,29 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
+  /** Per-vector int8 quantization: min-max affine codes
+    * `round((x - lo) / scale)` in 0..255 plus the `(lo, scale)` pair
+    * needed to invert — a 4× memory cut for ANN shortlists and re-rank
+    * buffers. Flat vectors (`hi == lo`) quantize to all-zero codes with
+    * `scale = 1` so the ANSI divide never sees 0. All arithmetic is
+    * DOUBLE (the float inputs widen exactly), one codegen'd projection.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val lo = array_min(vec).cast("double")
+    val hi = array_max(vec).cast("double")
+    val scale = when(hi === lo, lit(1.0)).otherwise((hi - lo) / 255.0)
+    struct(
+      transform(vec, x => round((x.cast("double") - lo) / scale).cast("int"))
+        .as("codes"),
+      lo.as("lo"),
+      scale.as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `code * scale + lo` per component. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => c.cast("double") * q.getField("scale") + q.getField("lo"))
+
   /** Per-group embedding centroids: one row per `(keyCols, dim)` with the
     * component mean — the cluster-summary / class-prototype primitive
     * (IVF list retraining, semantic-dedup cluster centers, drift checks).

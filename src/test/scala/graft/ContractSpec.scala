@@ -319,4 +319,33 @@ class ContractSpec extends SparkSpec {
     val schema = scan.split("ReadSchema: ").last
     assert(schema === "struct<a:double,c:double>", scan)
   }
+
+  test("zValue and int8 quantization are map-only; seq ids shuffle once") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other                    => other.toString
+      }
+    }
+    val df = spark.range(2000).select(
+      (col("id") % 97).as("x"), (col("id") % 89).as("y"))
+    val z = planOf(df.select(
+      loader.Lake.zValue(Seq(col("x"), col("y")), 8).as("z")))
+    assert(!z.contains("Exchange") && !z.contains("Join"), z)
+    val vecs = Seq.tabulate(100)(i =>
+      (i.toLong, Array.tabulate(8)(j => (i * j).toFloat))).toDF("id", "v")
+    val q = planOf(vecs.select(
+      pipeline.Similarity.quantizeInt8(col("v")).as("q")))
+    assert(!q.contains("Exchange") && !q.contains("Join"), q)
+    // withSequentialIds: ONE range exchange feeds both the count job and
+    // the id-attach job (zipWithIndex reuses the shuffle); in particular
+    // there is no single-partition global-window stage
+    val ids = pipeline.Sampling.withSequentialIds(df, Seq("x", "y"),
+      numPartitions = 4)
+    ids.collect()
+    val plan = ids.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(ids.rdd.getNumPartitions === 4)
+  }
 }

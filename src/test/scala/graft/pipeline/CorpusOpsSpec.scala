@@ -640,4 +640,52 @@ class CorpusOpsSpec extends SparkSpec {
       .groupBy("id").count().as[(Long, Long)].collect().toMap
     assert(kept2 === kept)
   }
+
+  test("withSequentialIds: contiguous 0-based ids in key order, distributed") {
+    val n = 5000
+    // scrambled input order + a carried payload column
+    val df = spark.range(n.toLong)
+      .select((col("id") * 2654435761L % n).as("k"), col("id").as("payload"))
+      .repartition(8)
+    val out = Sampling.withSequentialIds(df, Seq("k"), numPartitions = 8)
+    assert(out.rdd.getNumPartitions === 8) // not a single-partition window
+    val rows = out.select("k", "seq_id", "payload").collect()
+    assert(rows.length === df.distinct().count().toInt)
+    // ids are exactly 0..m-1 and increase with k
+    val byId = rows.sortBy(_.getLong(1))
+    assert(byId.map(_.getLong(1)).toSeq === (0L until byId.length).toSeq)
+    assert(byId.map(_.getLong(0)).toSeq === byId.map(_.getLong(0)).sortBy(identity).toSeq)
+    // payload survives untouched
+    assert(rows.map(r => r.getLong(0) -> r.getLong(2)).toMap.size === byId.length)
+  }
+
+  test("quantizeInt8: codes in range, round-trip error within half a step") {
+    val vecs = Seq(
+      (1L, Array(0.1f, -2.5f, 3.75f, 0.0f)),
+      (2L, Array(7.0f, 7.0f, 7.0f, 7.0f)), // flat vector: scale guard
+      (3L, Array(-1e-3f, 1e-3f, 5e-4f, -5e-4f)),
+    ).toDF("id", "v")
+    val q = vecs.select(col("id"), col("v"),
+      Similarity.quantizeInt8(col("v")).as("q"))
+    val codes = q.select(col("id"), col("q.codes"), col("q.scale")).collect()
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.forall(c => c >= 0 && c <= 255), s"codes out of range: $cs")
+    }
+    val err = q.select(col("id"), col("q.scale").as("s"),
+        zip_with(col("v"), Similarity.dequantizeInt8(col("q")),
+          (a, b) => abs(a.cast("double") - b)).as("e"))
+      .select(col("s"), aggregate(col("e"), lit(0.0),
+        (acc, x) => greatest(acc, x)).as("maxErr"))
+      .collect()
+    err.foreach { r =>
+      val halfStep = r.getDouble(0) / 2 + 1e-12
+      assert(r.getDouble(1) <= halfStep,
+        s"round-trip error ${r.getDouble(1)} exceeds half step $halfStep")
+    }
+    // the flat vector reconstructs exactly
+    val flat = q.filter(col("id") === 2)
+      .select(Similarity.dequantizeInt8(col("q"))).head().getSeq[Double](0)
+    assert(flat.forall(_ === 7.0))
+  }
 }
