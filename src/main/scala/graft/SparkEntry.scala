@@ -841,6 +841,23 @@ object SparkEntry {
     "q_dsir" -> ((s, dir) =>
       pipeline.Dsir.importanceWeights(table(s, dir, "documents"),
         "doc_id", "text", col("source") === "src0", numBuckets = 256)),
+    // percentile-threshold quality filter: top 25 % by n_chars per
+    // source (one keyed window exchange, deterministic tie-break)
+    "q_top_percent" -> ((s, dir) =>
+      pipeline.Sampling.topPercentByGroup(table(s, dir, "documents"),
+        "n_chars", "doc_id", Seq("source"), 0.25)
+        .select("doc_id", "source", "n_chars")),
+    // hashed bag-of-features document embedding (L2-normalized bucket
+    // counts from the native feature kernel), exploded per component
+    "q_hashed_embed" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+        posexplode(pipeline.TextOps.hashedEmbedding(col("text"), 32)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          round(col("col"), 6).as("val"))),
+    // long-format column profile of the events table (one agg pass)
+    "q_profile" -> ((s, dir) =>
+      DfOps.profileColumns(table(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type"))),
     // contiguous sequential ids in doc_id order (range repartition +
     // zipWithIndex offsets — no single-partition global window)
     "q_seq_ids" -> ((s, dir) =>
@@ -1806,6 +1823,40 @@ object SparkEntry {
     },
     "q_seq_ids" ->
       "SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS seq_id FROM documents",
+    "q_top_percent" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |WHERE rn <= ceil(n * 0.25)""".stripMargin.replace("\n", " "),
+    "q_hashed_embed" -> {
+      val dim = 32
+      val uni = OracleSql.portableTokenHashSql("l[i]")
+      val bi = OracleSql.portableTokenHashSql("(l[i] || ' ' || l[i+1])")
+      raw"""WITH tk AS (SELECT doc_id,
+           |    regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
+           | f AS (SELECT doc_id,
+           |    [ ($uni) % $dim for i in range(1, len(l) + 1) ] ||
+           |    [ ($bi) % $dim for i in range(1, len(l)) ] AS bks FROM tk),
+           | c AS (SELECT doc_id, [ CAST(len(list_filter(bks, b -> b = i))
+           |    AS DOUBLE) for i in range(0, $dim) ] AS cs FROM f),
+           | n AS (SELECT doc_id, cs,
+           |    sqrt(list_sum([ x * x for x in cs ])) AS nrm FROM c)
+           |SELECT doc_id, unnest(range(0, $dim)) AS pos,
+           |  unnest([ ROUND(CASE WHEN nrm = 0 THEN x ELSE x / nrm END, 6)
+           |    for x in cs ]) AS val FROM n""".stripMargin.replace("\n", " ")
+    },
+    "q_profile" -> Seq("event_id", "user_id", "event_type").map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_nulls,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(min($c) AS VARCHAR) AS min_value,
+         | CAST(max($c) AS VARCHAR) AS max_value FROM events"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(" UNION ALL "),
     "q_epochs" ->
       s"""WITH d AS (SELECT doc_id, source,
          |    CASE ${epochMap.toSeq.sortBy(_._1).map { case (k, v) =>

@@ -675,4 +675,34 @@ object DfOps {
       destColumn,
       Interp.piecewiseLinear(col(tsColumn), timestamps, values),
     )
+
+  /** Long-format column profile: one row per column with row/null/distinct
+    * counts and the min/max rendered as strings — the data-quality summary
+    * a lake catalog keeps per table.
+    *
+    * Plan shape: ONE aggregation job over a single scan — every
+    * per-column statistic is an agg expression of the same pass
+    * (`count_distinct` expands to one Expand, so the exchange carries
+    * per-column distinct streams, not one job per column), then the
+    * |cols|-row result pivots to long format driver-free via stack.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__rows_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        count_distinct(col(c)).as(s"__distinct_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"),
+      )
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `__rows_$c`, `__nulls_$c`, `__distinct_$c`, `__min_$c`, `__max_$c`"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) as " +
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)")
+  }
 }

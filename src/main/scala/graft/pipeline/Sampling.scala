@@ -267,6 +267,33 @@ object Sampling {
         count(lit(1)).as("docs"),
         sum(weight.cast("long")).as("weight"))
 
+  /** Keep each group's top `frac` fraction of rows by `scoreCol` (ties
+    * broken by `idCol` so the cut is deterministic) — the
+    * percentile-threshold quality filter: "keep the best 25 % per
+    * domain" adapts the bar to each domain's score distribution instead
+    * of one global constant that starves clean domains and floods noisy
+    * ones. Kept count is `ceil(frac * n)`, so every non-empty group
+    * keeps at least one row when `frac > 0`.
+    *
+    * Plan shape: `row_number` and `count` share one partition key →
+    * ONE exchange, per-group sort; no global sort, no second scan.
+    */
+  def topPercentByGroup(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      groupCols: Seq[String],
+      frac: Double,
+  ): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac=$frac")
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = byGroup.orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("_rn", row_number().over(ranked))
+      .withColumn("_n", count(lit(1)).over(byGroup))
+      .filter(col("_rn") <= ceil(col("_n") * frac))
+      .drop("_rn", "_n")
+  }
+
   /** Contiguous 0-based sequential ids in the global sort order of
     * `orderCols` — the scalable replacement for
     * `row_number() OVER (ORDER BY …)`, whose empty-PARTITION-BY window

@@ -38,6 +38,31 @@ object TextOps {
   def stopwordCount(text: Column, stopwords: Seq[String] = EnStopwords): Column =
     size(filter(tokens(text), t => t.isin(stopwords: _*)))
 
+  /** L2-normalized hashed bag-of-features document embedding: the
+    * [[Dsir.featureBuckets]] unigram+bigram bucket stream (native
+    * one-pass kernel) counted into a dense `array<double>` of length
+    * `dim`. Bridges the text and embedding operator families with no
+    * external model: semantic dedup, ANN search, k-means clustering,
+    * PCA, and drift monitors all run directly on raw text through this
+    * column. Map-only, one codegen'd projection — the bucket array is
+    * bound once as a lambda variable (the O(len²) HOF trap), the
+    * O(dim²) normalization is over the tiny counts vector only.
+    *
+    * All-zero vectors can't occur (even empty text yields one empty
+    * token), but the zero-norm guard keeps the divide total anyway.
+    */
+  def hashedEmbedding(text: Column, dim: Int): Column = {
+    require(dim > 0, s"dim=$dim")
+    transform(array(Dsir.featureBuckets(text, dim)), bks => {
+      val counts = transform(sequence(lit(0), lit(dim - 1)),
+        i => size(filter(bks, b => b === i)).cast("double"))
+      transform(array(counts), cs => {
+        val norm = sqrt(aggregate(cs, lit(0.0), (a, v) => a + v * v))
+        when(norm === 0.0, cs).otherwise(transform(cs, x => x / norm))
+      }).getItem(0)
+    }).getItem(0)
+  }
+
   /** Corpus TF-IDF: one row per (doc, distinct token) with the raw term
     * frequency and `tf · idf`, `idf = ln((N + 1) / (df + 1)) + 1` (the
     * smoothed scikit-learn convention). The classic relevance-scoring /

@@ -659,6 +659,70 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(0) -> r.getLong(2)).toMap.size === byId.length)
   }
 
+  test("topPercentByGroup: per-group ceil(frac*n) best rows, deterministic") {
+    val df = (1 to 100).map(i => (i.toLong, s"g${i % 3}", (i * 7 % 50).toLong))
+      .toDF("id", "g", "score")
+    val kept = Sampling.topPercentByGroup(df, "score", "id", Seq("g"), 0.3)
+    val byGroup = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    val sizes = df.groupBy("g").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (g, n) =>
+      assert(byGroup(g) === math.ceil(n * 0.3).toLong, s"group $g")
+    }
+    // every kept row's score >= every dropped row's score within its group
+    // (up to the deterministic id tie-break)
+    val dropped = df.join(kept, Seq("id"), "left_anti")
+    val minKept = kept.groupBy("g").agg(min("score")).as[(String, Long)]
+      .collect().toMap
+    dropped.select("g", "score").as[(String, Long)].collect().foreach {
+      case (g, s) => assert(s <= minKept(g), s"dropped score $s above cut in $g")
+    }
+    // frac = 1 keeps everything
+    assert(Sampling.topPercentByGroup(df, "score", "id", Seq("g"), 1.0)
+      .count() === 100)
+  }
+
+  test("profileColumns: one row per column with exact stats") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")),
+    ).toDF("id", "s")
+    val prof = graft.dfops.DfOps.profileColumns(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(prof("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(prof("s") === ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("hashedEmbedding: unit norm; semDedup clusters near-dup TEXT end-to-end") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      (3L, "completely different subject matter entirely unrelated words"),
+      (4L, "completely different subject matter entirely unrelated words here"), // near-dup of 3
+    ).toDF("id", "text")
+    val emb = docs.select(col("id"),
+      TextOps.hashedEmbedding(col("text"), 64).as("v"))
+    // unit L2 norm
+    val norms = emb.select(aggregate(col("v"), lit(0.0),
+      (a, x) => a + x * x).as("n2")).as[Double].collect()
+    norms.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-9, s"norm² $n2"))
+    // cosine of the planted near-dup pairs is high, cross pairs low
+    val vecs = emb.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    assert(cos(vecs(1L), vecs(2L)) > 0.8)
+    assert(cos(vecs(3L), vecs(4L)) > 0.8)
+    assert(cos(vecs(1L), vecs(3L)) < 0.5)
+    // end to end: semantic dedup on raw text keeps one doc per near-dup
+    // cluster (floats for the embedding column contract)
+    val embF = docs.select(col("id"),
+      transform(TextOps.hashedEmbedding(col("text"), 64),
+        x => x.cast("float")).as("v"))
+    val seeds = Array(vecs(1L).toArray, vecs(3L).toArray)
+    val kept = Dedup.semDedup(embF, "v", "id", seeds, 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L), s"kept $kept")
+  }
+
   test("quantizeInt8: codes in range, round-trip error within half a step") {
     val vecs = Seq(
       (1L, Array(0.1f, -2.5f, 3.75f, 0.0f)),
