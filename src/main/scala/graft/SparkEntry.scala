@@ -903,6 +903,16 @@ object SparkEntry {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       pipeline.Curation.corpusDiff(oldSnap, newSnap, "doc_id", "text")
     }),
+    // incremental snapshot MERGE: upserts replace/insert, deletes drop
+    // (two id-keyed anti-joins + union; base never rewritten wide)
+    "q_merge" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val base = d.filter(col("doc_id") % 2 === 0)
+      val ups = d.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      val dels = d.filter(col("doc_id") % 10 === 7).select("doc_id")
+      pipeline.Curation.mergeSnapshot(base, ups, dels, "doc_id")
+    }),
     // per-source KL divergence from the corpus blend (hashed-feature
     // distributions; corpus shuffled once into (source, bucket) space)
     "q_domain_kl" -> ((s, dir) =>
@@ -1914,6 +1924,17 @@ object SparkEntry {
         |      WHEN o.text = n.text THEN 'unchanged'
         |      ELSE 'changed' END AS diff_status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+      .stripMargin.replace("\n", " "),
+    "q_merge" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        | ups AS (SELECT doc_id, text || ' v2' AS text FROM documents
+        |   WHERE doc_id % 3 = 0),
+        | dels AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+        | m AS (SELECT * FROM base
+        |   WHERE doc_id NOT IN (SELECT doc_id FROM ups)
+        |  UNION ALL SELECT * FROM ups)
+        |SELECT doc_id, text FROM m
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dels)"""
       .stripMargin.replace("\n", " "),
     "q_domain_kl" -> {
       val b = 256

@@ -165,4 +165,26 @@ object Curation {
           .when(col("_old_h") <=> col("_new_h"), lit("unchanged"))
           .otherwise(lit("changed")).as("diff_status"))
   }
+
+  /** Incremental snapshot maintenance (the MERGE counterpart of
+    * [[corpusDiff]]): rows in `upserts` replace same-id base rows or
+    * insert, ids in `deletes` drop — the next corpus version without
+    * rewriting the unchanged bulk through any wide transform.
+    *
+    * Plan shape: two id-keyed anti-joins + one union. Change batches are
+    * normally tiny next to the base, so AQE broadcasts their id sides
+    * and the base is never shuffled; for repeated merges at 100 TB keep
+    * the base bucketed by id ([[graft.loader.Lake.writeBucketed]]) and
+    * even a shuffle-planned merge stays exchange-free on the base side.
+    * Schemas must match by name (`unionByName`).
+    */
+  def mergeSnapshot(
+      base: DataFrame,
+      upserts: DataFrame,
+      deletes: DataFrame,
+      idCol: String,
+  ): DataFrame =
+    base.join(upserts.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(upserts)
+      .join(deletes.select(col(idCol)), Seq(idCol), "left_anti")
 }

@@ -659,6 +659,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(0) -> r.getLong(2)).toMap.size === byId.length)
   }
 
+  test("mergeSnapshot: upserts replace/insert, deletes drop, bulk untouched") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val ups = Seq((2L, "B2"), (4L, "d")).toDF("id", "text")
+    val dels = Seq(Tuple1(3L)).toDF("id")
+    val out = Curation.mergeSnapshot(base, ups, dels, "id")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a", 2L -> "B2", 4L -> "d"))
+    // empty change sets are the identity
+    val idem = Curation.mergeSnapshot(base, ups.limit(0), dels.limit(0), "id")
+      .as[(Long, String)].collect().toMap
+    assert(idem === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("topPercentByGroup: per-group ceil(frac*n) best rows, deterministic") {
     val df = (1 to 100).map(i => (i.toLong, s"g${i % 3}", (i * 7 % 50).toLong))
       .toDF("id", "g", "score")
