@@ -320,14 +320,16 @@ object OracleSql {
   }
 
   /** Upper-triangle population covariance of the embedding dimensions —
-    * mirrors [[graft.pipeline.Pca.covariance]]'s
-    * `Σxy/n − mean·mean` arithmetic, rounded to 6.
+    * both sides compute CENTERED sums ([[graft.pipeline.Pca.covariance]]
+    * is Welford/Chan, DuckDB's `covar_pop` likewise), so the 6-decimal
+    * round is robust: the naive `Σxy/n − μμ` form cancels
+    * catastrophically and partition-order float noise flips the hash.
     */
   def embedCovSql(table: String): String =
     s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM $table)
        |SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
-       |  ROUND(sum(a.v * b.v) / count(*) - avg(a.v) * avg(b.v), 6) AS cov_v
+       |  ROUND(covar_pop(a.v, b.v), 6) AS cov_v
        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
        |GROUP BY a.i, b.i""".stripMargin.replace("\n", " ")
 

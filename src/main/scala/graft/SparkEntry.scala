@@ -17,8 +17,20 @@ import graft.loader.ChannelLoader
   */
 object SparkEntry {
 
-  def table(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // The driver's events.parquet has shipped `ts` as both TIMESTAMP(NANOS)
+    // (read as Long nanos via the nanosAsLong flag) and timestamp[us]
+    // (read as TIMESTAMP_NTZ). Normalize to Long NANOSECONDS since epoch —
+    // the type every downstream operator and oracle (`epoch_ns`/`epoch_us`)
+    // assumes. Sessions run UTC, so the NTZ→timestamp cast is exact.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case _ => df
+    }
+  }
 
   // ---- shared axis definitions (single source of truth for Spark + oracle) ----
 

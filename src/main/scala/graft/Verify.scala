@@ -15,8 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
-      // default; read as Long nanoseconds instead.
+      // Older driver testdata shipped events.ts as TIMESTAMP(NANOS), which
+      // Spark 4 refuses by default — keep the escape hatch; newer testdata
+      // is timestamp[us] and SparkEntry.table normalizes either to Long ns.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()

@@ -11,12 +11,20 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** One-pass second-moment aggregate of a float/double vector column:
-  * upper-triangle `Σ x_i x_j`, per-dim `Σ x_i`, and the row count in a
-  * SINGLE flat buffer — everything a covariance matrix needs from ONE
-  * scan with no shuffle beyond `partitions` flat buffers
+/** One-pass CENTERED co-moment aggregate of a float/double vector
+  * column: upper-triangle `Σ (x_i−μ_i)(x_j−μ_j)` (Welford update,
+  * Chan parallel merge), the running mean vector, and the row count in
+  * a SINGLE flat buffer — everything a covariance matrix needs from
+  * ONE scan with no shuffle beyond `partitions` flat buffers
   * (`dim(dim+1)/2 + dim + 1` doubles each; 64-dim ⇒ ~17 KB). The
   * per-row cost is the inherent dim²/2 multiply-adds of covariance.
+  *
+  * Centered moments matter: the naive `Σxy/n − μ_x·μ_y` form suffers
+  * catastrophic cancellation (the two terms agree to many digits when
+  * means dominate), so partition-order float noise surfaces directly
+  * in the covariance value. The centered sums keep every addend on the
+  * order of the result itself, so cross-engine / cross-partitioning
+  * agreement holds to ~1e-12 relative instead of ~1e-6 absolute.
   */
 case class VectorMomentsAgg(
     child: Expression, // array<float> | array<double>
@@ -29,8 +37,8 @@ case class VectorMomentsAgg(
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   private val tri = dim * (dim + 1) / 2
-  // layout: [0, tri) = Σ x_i·x_j (row-major, i ≤ j), [tri, tri+dim) = Σ x_i,
-  // last slot = count
+  // layout: [0, tri) = Σ (x_i−μ_i)(x_j−μ_j) (row-major, i ≤ j),
+  // [tri, tri+dim) = running mean μ_i, last slot = count
   override def createAggregationBuffer(): Array[Double] =
     new Array[Double](tri + dim + 1)
 
@@ -44,23 +52,56 @@ case class VectorMomentsAgg(
       var i = 0
       if (isFloat) while (i < dim) { x(i) = arr.getFloat(i); i += 1 }
       else while (i < dim) { x(i) = arr.getDouble(i); i += 1 }
+      val n = buffer(tri + dim) + 1.0
+      // Welford: δ against the OLD mean, δ' against the NEW mean;
+      // C_ij += δ_i·δ'_j (δ' = δ·(n−1)/n, so the product is symmetric)
+      val dOld = new Array[Double](dim)
+      val dNew = new Array[Double](dim)
+      i = 0
+      while (i < dim) {
+        val d = x(i) - buffer(tri + i)
+        dOld(i) = d
+        buffer(tri + i) += d / n
+        dNew(i) = x(i) - buffer(tri + i)
+        i += 1
+      }
       var p = 0
       i = 0
       while (i < dim) {
-        val xi = x(i)
+        val di = dOld(i)
         var j = i
-        while (j < dim) { buffer(p) += xi * x(j); j += 1; p += 1 }
-        buffer(tri + i) += xi
+        while (j < dim) { buffer(p) += di * dNew(j); j += 1; p += 1 }
         i += 1
       }
-      buffer(tri + dim) += 1.0
+      buffer(tri + dim) = n
     }
     buffer
   }
 
   override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
+    val nA = buffer(tri + dim)
+    val nB = other(tri + dim)
+    if (nB == 0.0) return buffer
+    if (nA == 0.0) { System.arraycopy(other, 0, buffer, 0, buffer.length); return buffer }
+    // Chan et al. pairwise merge: C = C_A + C_B + δδᵀ·n_A·n_B/n
+    val n = nA + nB
+    val delta = new Array[Double](dim)
     var i = 0
-    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    while (i < dim) {
+      delta(i) = other(tri + i) - buffer(tri + i)
+      buffer(tri + i) += delta(i) * nB / n
+      i += 1
+    }
+    val w = nA * nB / n
+    var p = 0
+    i = 0
+    while (i < dim) {
+      val di = delta(i)
+      var j = i
+      while (j < dim) { buffer(p) += other(p) + di * delta(j) * w; j += 1; p += 1 }
+      i += 1
+    }
+    buffer(tri + dim) = n
     buffer
   }
 
@@ -114,14 +155,14 @@ object Pca {
     val tri = dim * (dim + 1) / 2
     val n = m(tri + dim).toLong
     require(n > 0, "covariance of an empty corpus")
-    val mean = Array.tabulate(dim)(i => m(tri + i) / n)
+    val mean = Array.tabulate(dim)(i => m(tri + i))
     val cov = Array.ofDim[Double](dim, dim)
     var p = 0
     var i = 0
     while (i < dim) {
       var j = i
       while (j < dim) {
-        val c = m(p) / n - mean(i) * mean(j)
+        val c = m(p) / n
         cov(i)(j) = c
         cov(j)(i) = c
         j += 1
