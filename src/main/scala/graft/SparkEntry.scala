@@ -595,6 +595,27 @@ object SparkEntry {
         "value", iv, "lo", "hi", bucketWidth = 10.0)
         .select("event_id", "interval_id")
     }),
+    // semi-structured extraction: typed JSON field as a codegen'd
+    // projection (get_json_object + cast, no UDF), filter on the
+    // extracted value — the event-properties payload path
+    "q_json_extract" -> ((s, dir) =>
+      dfops.SemiStructured.extractJson(
+        table(s, dir, "events").select("event_id", "props"), "props",
+        Map("k" -> (("$.k", org.apache.spark.sql.types.IntegerType))))
+        .filter(col("k") >= 50)
+        .select("event_id", "k")),
+    // semi-structured aggregation: explicit-schema from_json flatten
+    // (the bounded-sample inference path is spec-covered) feeding a
+    // grouped aggregate — parse rides the scan projection
+    "q_json_stats" -> ((s, dir) =>
+      dfops.SemiStructured.flattenJson(
+        table(s, dir, "events").select("event_type", "props"), "props",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 6).as("avg_k"))),
     // per-key argmax (latest event per user): single max_by aggregation,
     // no window/sort — the reference's timed-table "last per bucket" at
     // per-key granularity
@@ -771,6 +792,41 @@ object SparkEntry {
     // synthesized from events ids (the synthetic tables carry no real PII,
     // so the corpus is built in-query identically on both engines; the
     // oracle then cross-checks Java regex vs DuckDB RE2 on every class)
+    // URL curation family: host/registered-domain/path/query parsing +
+    // tracking-param canonicalization, all codegen'd projections (the
+    // fixture synthesizes provenance URLs from doc_id/source in-query —
+    // documents.parquet carries no URL column)
+    "q_url_parse" -> ((s, dir) => {
+      val withUrl = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+          col("source"),
+          when(col("doc_id") % 2 === 0, lit(".com")).otherwise(lit(".co.uk")),
+          expr("repeat('/seg', int(doc_id % 4))"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("?id="), col("doc_id"), lit("&utm_source=feed&q=x")))
+            .when(col("doc_id") % 5 === 1, lit("?utm_campaign=a"))
+            .otherwise(lit(""))).as("url"))
+      pipeline.UrlOps.urlColumns(withUrl, "url")
+        .select("doc_id", "url_host", "url_domain", "url_path",
+          "path_depth", "n_params", "url_clean")
+    }),
+    // domain blocklist drop on the same synthesized URLs (literal set →
+    // broadcast by construction; the table-sided anti-join variant is
+    // spec-covered)
+    "q_url_block" -> ((s, dir) => {
+      val withUrl = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+          col("source"),
+          when(col("doc_id") % 2 === 0, lit(".com")).otherwise(lit(".co.uk")))
+          .as("url"))
+      pipeline.UrlOps.dropBlockedDomains(withUrl, "url",
+        Seq("src2.com", "src1.co.uk"))
+        .withColumn("url_domain",
+          pipeline.UrlOps.registeredDomainOf(pipeline.UrlOps.hostOf(col("url"))))
+        .select("doc_id", "url_domain")
+    }),
     "q_pii" -> ((s, dir) => {
       val base = table(s, dir, "events").select(col("event_id"),
         concat_ws(" ",
@@ -1364,6 +1420,17 @@ object SparkEntry {
         |   value + CAST(5.0 AS DOUBLE) AS hi FROM events
         |  WHERE event_id % 97 = 0) m
         | ON e.value >= m.lo AND e.value < m.hi""".stripMargin.replace("\n", " "),
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        | FROM events
+        | WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50"""
+        .stripMargin.replace("\n", " "),
+    "q_json_stats" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        | ROUND(avg(k), 6) AS avg_k FROM (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        | GROUP BY event_type""".stripMargin.replace("\n", " "),
     "q_argmax" ->
       """SELECT user_id, arg_max(event_type, ts) AS last_type,
         | arg_max(value, ts) AS last_value, max(epoch_us(ts)) AS last_ts
@@ -1710,6 +1777,59 @@ object SparkEntry {
            |   regexp_split_to_array(CASE WHEN $keep THEN text ELSE '' END, '[.!?]'),
            |   s -> length(trim(s)) > 0)) < 5) AS INTEGER) AS flag_short
            |FROM documents""".stripMargin.replace("\n", " ")
+    },
+    "q_url_parse" -> {
+      val synth = """SELECT doc_id,
+        | 'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        | source || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END ||
+        | repeat('/seg', CAST(doc_id % 4 AS INTEGER)) ||
+        | CASE WHEN doc_id % 5 = 0
+        |   THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed&q=x'
+        |  WHEN doc_id % 5 = 1 THEN '?utm_campaign=a' ELSE '' END AS url
+        | FROM documents""".stripMargin.replace("\n", " ")
+      s"""WITH u AS ($synth),
+         |p AS (SELECT doc_id, url,
+         |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS url_host,
+         |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS url_path,
+         |  regexp_extract(url, '\\?([^#]*)', 1) AS q FROM u),
+         |d AS (SELECT *, string_split(url_host, '.') AS labs,
+         |  list_filter(string_split(q, '&'), s -> s <> '' AND
+         |    NOT regexp_matches(s, '^(utm_[a-z]+|gclid|fbclid)=')) AS kept
+         |  FROM p)
+         |SELECT doc_id, url_host,
+         |  CASE WHEN len(labs) >= 3 AND
+         |      labs[-2] IN ('co','com','net','org','gov','ac','edu')
+         |    THEN labs[-3] || '.' || labs[-2] || '.' || labs[-1]
+         |   WHEN len(labs) >= 2 THEN labs[-2] || '.' || labs[-1]
+         |   ELSE url_host END AS url_domain,
+         |  url_path,
+         |  CAST(len(list_filter(string_split(url_path, '/'), s -> s <> ''))
+         |    AS INTEGER) AS path_depth,
+         |  CAST(CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END
+         |    AS INTEGER) AS n_params,
+         |  CASE WHEN len(kept) = 0 THEN regexp_extract(url, '^([^?#]*)', 1)
+         |   ELSE regexp_extract(url, '^([^?#]*)', 1) || '?' ||
+         |     array_to_string(kept, '&') END AS url_clean
+         |FROM d""".stripMargin.replace("\n", " ")
+    },
+    "q_url_block" -> {
+      """WITH u AS (SELECT doc_id,
+        | 'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        | source || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END AS url
+        | FROM documents),
+        |d AS (SELECT doc_id, string_split(
+        |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1), '.') AS labs,
+        |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS url_host
+        | FROM u),
+        |r AS (SELECT doc_id,
+        |  CASE WHEN len(labs) >= 3 AND
+        |      labs[-2] IN ('co','com','net','org','gov','ac','edu')
+        |    THEN labs[-3] || '.' || labs[-2] || '.' || labs[-1]
+        |   WHEN len(labs) >= 2 THEN labs[-2] || '.' || labs[-1]
+        |   ELSE url_host END AS url_domain FROM d)
+        |SELECT doc_id, url_domain FROM r
+        |WHERE url_domain NOT IN ('src2.com', 'src1.co.uk')"""
+        .stripMargin.replace("\n", " ")
     },
     "q_pii" -> {
       // same synthesized corpus; counts/redaction chained per class in
