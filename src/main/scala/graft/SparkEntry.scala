@@ -792,6 +792,24 @@ object SparkEntry {
     // synthesized from events ids (the synthetic tables carry no real PII,
     // so the corpus is built in-query identically on both engines; the
     // oracle then cross-checks Java regex vs DuckDB RE2 on every class)
+    // link-graph centrality (PageRank, 3 fixed rounds for oracle
+    // determinism): the canonical two-shuffle-per-iteration loop — ranks
+    // join pre-partitioned edges on src, aggregate on dst; dangling mass
+    // via an O(nodes) scalar per round. Edge fixture: events modular
+    // projection (user -> event hash buckets)
+    "q_pagerank" -> ((s, dir) => {
+      val e = table(s, dir, "events").select(
+        (col("user_id") % 40).as("src"), (col("event_id") % 40).as("dst"))
+      pipeline.Graph.pageRank(e, "src", "dst", alpha = 0.85, iterations = 3)
+        .select(col("id"), round(col("r"), 6).as("r"))
+    }),
+    // graph-shape profile: in/out degree per node (one agg per direction
+    // + full-outer merge)
+    "q_degrees" -> ((s, dir) => {
+      val e = table(s, dir, "events").select(
+        (col("user_id") % 40).as("src"), (col("event_id") % 40).as("dst"))
+      pipeline.Graph.degreeStats(e, "src", "dst")
+    }),
     // URL curation family: host/registered-domain/path/query parsing +
     // tracking-param canonicalization, all codegen'd projections (the
     // fixture synthesizes provenance URLs from doc_id/source in-query —
@@ -1778,6 +1796,40 @@ object SparkEntry {
            |   s -> length(trim(s)) > 0)) < 5) AS INTEGER) AS flag_short
            |FROM documents""".stripMargin.replace("\n", " ")
     },
+    "q_pagerank" -> {
+      // 3 unrolled damped-PageRank rounds; every constant CAST to DOUBLE
+      // (bare decimals are DECIMAL in DuckDB and diverge from IEEE)
+      val a = "CAST(0.85 AS DOUBLE)"
+      val iters = (0 until 3).map { i =>
+        s"""d$i AS (SELECT coalesce(sum(r), CAST(0 AS DOUBLE)) AS dang
+           | FROM r$i WHERE id NOT IN (SELECT src FROM deg)),
+           |c$i AS (SELECT e.dst AS id, sum(p.r / deg.d) AS c
+           | FROM e JOIN r$i p ON e.src = p.id JOIN deg ON e.src = deg.src
+           | GROUP BY e.dst),
+           |r${i + 1} AS (SELECT nodes.id,
+           | (CAST(1 AS DOUBLE) - $a) / nn.n
+           |   + $a * (coalesce(c$i.c, CAST(0 AS DOUBLE)) + d$i.dang / nn.n) AS r
+           | FROM nodes CROSS JOIN nn CROSS JOIN d$i
+           | LEFT JOIN c$i ON nodes.id = c$i.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT user_id % 40 AS src, event_id % 40 AS dst
+         | FROM events),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT id, ROUND(r, 6) AS r FROM r3""".stripMargin.replace("\n", " ")
+    },
+    "q_degrees" ->
+      """WITH e AS (SELECT DISTINCT user_id % 40 AS src, event_id % 40 AS dst
+        | FROM events),
+        |o AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY src),
+        |i AS (SELECT dst AS id, count(*) AS in_deg FROM e GROUP BY dst)
+        |SELECT coalesce(o.id, i.id) AS id,
+        | coalesce(o.out_deg, 0) AS out_deg, coalesce(i.in_deg, 0) AS in_deg
+        |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin.replace("\n", " "),
     "q_url_parse" -> {
       val synth = """SELECT doc_id,
         | 'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
