@@ -792,6 +792,28 @@ object SparkEntry {
     // synthesized from events ids (the synthetic tables carry no real PII,
     // so the corpus is built in-query identically on both engines; the
     // oracle then cross-checks Java regex vs DuckDB RE2 on every class)
+    // SCD2 history build: observation stream -> validity intervals
+    // (change-collapse lag + interval-close lead share ONE exchange on
+    // the entity key; the filter between them preserves partitioning)
+    "q_scd2" -> ((s, dir) =>
+      dfops.History.scd2(
+        table(s, dir, "events").select("user_id", "ts", "event_id", "event_type"),
+        keyCols = Seq("user_id"), orderCol = "ts",
+        attrCols = Seq("event_type"), tieBreak = Seq("event_id"))
+        .select("user_id", "event_type", "valid_from", "valid_to", "is_current")),
+    // edit-distance fuzzy matching: length-banded blocking (band +
+    // successor probe guarantees |len diff| <= k pairs co-band) + Spark's
+    // thresholded codegen levenshtein verify. Fixture: 40-char prefixes
+    // plus planted distance-1 variants, blocked by source
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        col("source"), substring(col("text"), 1, 40).as("txt"))
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 100000).as("doc_id"), col("source"),
+        concat(col("txt"), lit("x")).as("txt")))
+      pipeline.Fuzzy.editSimilarityPairs(corpus, "doc_id", "txt", "source",
+        maxEdit = 2)
+    }),
     // link-graph centrality (PageRank, 3 fixed rounds for oracle
     // determinism): the canonical two-shuffle-per-iteration loop — ranks
     // join pre-partitioned edges on src, aggregate on dst; dangling mass
@@ -1796,6 +1818,26 @@ object SparkEntry {
            |   s -> length(trim(s)) > 0)) < 5) AS INTEGER) AS flag_short
            |FROM documents""".stripMargin.replace("\n", " ")
     },
+    "q_scd2" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn
+        |  FROM events),
+        |c AS (SELECT *, lag(event_type)
+        |  OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM o),
+        |s AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+        |f AS (SELECT user_id, event_type, tsn AS valid_from, lead(tsn)
+        |  OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS valid_to
+        |  FROM s)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        | valid_to IS NULL AS is_current FROM f""".stripMargin.replace("\n", " "),
+    "q_fuzzy_pairs" ->
+      """WITH base AS (SELECT doc_id, source, substr(text, 1, 40) AS txt
+        |  FROM documents),
+        |c AS (SELECT * FROM base UNION ALL
+        |  SELECT doc_id + 100000, source, txt || 'x' FROM base)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(levenshtein(a.txt, b.txt) AS INTEGER) AS dist
+        |FROM c a JOIN c b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.txt, b.txt) <= 2""".stripMargin.replace("\n", " "),
     "q_pagerank" -> {
       // 3 unrolled damped-PageRank rounds; every constant CAST to DOUBLE
       // (bare decimals are DECIMAL in DuckDB and diverge from IEEE)
