@@ -792,6 +792,14 @@ object SparkEntry {
     // synthesized from events ids (the synthetic tables carry no real PII,
     // so the corpus is built in-query identically on both engines; the
     // oracle then cross-checks Java regex vs DuckDB RE2 on every class)
+    // fixed-grid series resampling with LOCF fill: per-key bounds agg ->
+    // sequence explode -> the asofJoin union+window fill (one key
+    // shuffle, no inequality join). 6-hour grid over the event stream
+    "q_resample_grid" -> ((s, dir) =>
+      dfops.DfOps.resampleSeries(
+        table(s, dir, "events").select("user_id", "ts", "value", "event_id"),
+        ordCol = "ts", valueCol = "value", tieCol = "event_id",
+        keyCols = Seq("user_id"), stepOrd = 21600000000000L)),
     // SCD2 history build: observation stream -> validity intervals
     // (change-collapse lag + interval-close lead share ONE exchange on
     // the entity key; the filter between them preserves partitioning)
@@ -1818,6 +1826,18 @@ object SparkEntry {
            |   s -> length(trim(s)) > 0)) < 5) AS INTEGER) AS flag_short
            |FROM documents""".stripMargin.replace("\n", " ")
     },
+    "q_resample_grid" ->
+      """WITH o AS (SELECT user_id, epoch_ns(ts) AS tsn,
+        |  arg_max(value, event_id) AS v
+        |  FROM events GROUP BY user_id, epoch_ns(ts)),
+        |b AS (SELECT user_id, min(tsn) AS mn, max(tsn) AS mx FROM o
+        |  GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(mn, mx, 21600000000000))
+        |  AS grid_ts FROM b)
+        |SELECT g.user_id, g.grid_ts, o.v
+        |FROM g ASOF LEFT JOIN o
+        | ON g.user_id = o.user_id AND g.grid_ts >= o.tsn"""
+        .stripMargin.replace("\n", " "),
     "q_scd2" ->
       """WITH o AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn
         |  FROM events),

@@ -705,4 +705,31 @@ object DfOps {
       s"stack(${cols.size}, $stackArgs) as " +
         "(column, n_rows, n_nulls, n_distinct, min_value, max_value)")
   }
+
+  /** Resample an irregular series to a fixed grid with last-observation-
+    * carried-forward fill: per key, grid points every `stepOrd` units
+    * from the key's first to last observation (inclusive-aligned), each
+    * carrying the latest value at-or-before it (`v`). Duplicate
+    * observations at one (key, order) collapse deterministically to the
+    * `tieCol`-max row first — both the grid and any SQL mirror would
+    * otherwise pick an arbitrary one.
+    *
+    * Scale design: the grid EXPLODES from per-key bounds (one small agg
+    * + `sequence`), never a driver loop; the fill is [[asofJoin]]'s
+    * union-plus-one-window pass — a single shuffle on the key, no
+    * inequality join. Output size is the inherent grid cardinality
+    * (span/step per key); choose `stepOrd` accordingly.
+    */
+  def resampleSeries(df: DataFrame, ordCol: String, valueCol: String,
+      tieCol: String, keyCols: Seq[String], stepOrd: Long): DataFrame = {
+    require(stepOrd > 0, "stepOrd must be positive")
+    val k = keyCols.map(col)
+    val obs = df.groupBy((keyCols :+ ordCol).map(col): _*)
+      .agg(max_by(col(valueCol), col(tieCol)).as("v"))
+    val bounds = df.groupBy(k: _*)
+      .agg(min(col(ordCol)).as("__mn"), max(col(ordCol)).as("__mx"))
+    val grid = bounds.select((k :+
+      explode(sequence(col("__mn"), col("__mx"), lit(stepOrd))).as("grid_ts")): _*)
+    asofJoin(grid, obs, "grid_ts", ordCol, keyCols, Seq("v"))
+  }
 }
