@@ -19,8 +19,9 @@ import org.apache.spark.storage.StorageLevel
   * feeds the next round twice (dangling + contributions), so without
   * truncation the plan doubles per round and analysis cost explodes
   * exponentially long before any data moves. No driver-side loops over
-  * data: the only values ever collected are the node count and the
-  * dangling-mass scalar.
+  * data: the only value ever collected is the node count (the dangling
+  * mass rides as a 1-row broadcast attach, and convergence deltas only
+  * exist in `pageRankUntil`).
   */
 object Graph {
 
@@ -50,20 +51,24 @@ object Graph {
     Prepared(e, nodes, deg, n)
   }
 
-  /** One damped step over prepared tables (dangling mass = one O(nodes)
-    * scalar agg; contributions = the edge join + dst agg).
+  /** One damped step over prepared tables. The dangling mass (Σ r over
+    * zero-out-degree nodes) rides as a 1-ROW cross-join attach — a
+    * broadcast scalar, NOT a driver action — so a fixed-iteration run
+    * triggers no job at all between plan truncations.
     */
   private def step(p: Prepared, ranks: DataFrame, alpha: Double): DataFrame = {
-    val dangling = ranks.join(p.deg, ranks("id") === p.deg("src"), "left_anti")
-      .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
+    val dang = ranks.join(p.deg, ranks("id") === p.deg("src"), "left_anti")
+      .agg(coalesce(sum("r"), lit(0.0)).as("__dang"))
     val contribs = p.e
       .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
       .join(p.deg, Seq("src"))
       .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
     p.nodes.join(contribs.groupBy("id").agg(sum("c").as("c")), Seq("id"), "left")
+      .crossJoin(dang)
       .select(col("id"),
         (lit((1.0 - alpha) / p.n) +
-          lit(alpha) * (coalesce(col("c"), lit(0.0)) + lit(dangling / p.n))).as("r"))
+          lit(alpha) * (coalesce(col("c"), lit(0.0)) +
+            col("__dang") / lit(p.n))).as("r"))
   }
 
   /** Damped PageRank with uniform dangling-mass redistribution:
@@ -83,7 +88,11 @@ object Graph {
       // localCheckpoint (eager) TRUNCATES the logical plan to a
       // LogicalRDD: `ranks` feeds the next step twice (dangling +
       // contributions), so an un-truncated loop doubles the plan per
-      // round — exponential analysis cost long before any data moves
+      // round — exponential analysis cost long before any data moves.
+      // With the dangling mass riding as a broadcast attach (no driver
+      // action), the checkpoint is the round's ONLY job; measured,
+      // per-round truncation also beats every-3rd-round truncation (a
+      // deep multi-exchange AQE plan costs more than it saves).
       ranks = step(p, ranks, alpha).localCheckpoint(true)
       it += 1
     }
