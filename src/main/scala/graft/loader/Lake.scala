@@ -124,4 +124,62 @@ object Lake {
       case _ => false
     }
   }
+
+  // ---- small-file compaction (the OPTIMIZE half of lake maintenance) ----
+
+  /** First-fit-decreasing bin packing of `(file, bytes)` into rewrite
+    * groups of ≤ `targetBytes` each. Files already at/above target stay
+    * as singletons (no rewrite value). Driver-side over the file
+    * LISTING — bounded by file count, never data size.
+    */
+  def compactionPlan(files: Seq[(String, Long)],
+      targetBytes: Long): Seq[Seq[String]] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val (big, small) = files.partition(_._2 >= targetBytes)
+    val groups = scala.collection.mutable.ArrayBuffer[
+      (scala.collection.mutable.ArrayBuffer[String], Long)]()
+    small.sortBy(-_._2).foreach { case (f, sz) =>
+      groups.indexWhere(_._2 + sz <= targetBytes) match {
+        case -1 =>
+          groups += ((scala.collection.mutable.ArrayBuffer(f), sz))
+        case i =>
+          val (fs, tot) = groups(i)
+          fs += f
+          groups(i) = (fs, tot + sz)
+      }
+    }
+    big.map(b => Seq(b._1)) ++ groups.map(_._1.toSeq)
+  }
+
+  /** Copy-compact a parquet directory into `outPath`: each multi-file
+    * group is read and rewritten as ONE file (a per-group coalesce(1)
+    * job — group size is capped at targetBytes, so the single task is
+    * bounded); singleton groups copy through byte-for-byte (no decode,
+    * no re-encode, preserving their stats). Row content is preserved;
+    * file-level ordering within a group is not guaranteed (parquet has
+    * no inter-file order contract).
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+      targetBytes: Long): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = new java.io.File(path)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.length().toLong).toSeq
+    val plan = compactionPlan(files, targetBytes)
+    Files.createDirectories(Paths.get(outPath))
+    var written = 0
+    plan.foreach { group =>
+      if (group.size == 1) {
+        val src = Paths.get(group.head)
+        Files.copy(src, Paths.get(outPath, f"part-copy-$written%05d.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        spark.read.parquet(group: _*).coalesce(1)
+          .write.mode("append").parquet(outPath)
+      }
+      written += 1
+    }
+    plan.size
+  }
 }
