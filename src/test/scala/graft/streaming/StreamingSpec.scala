@@ -414,4 +414,31 @@ class StreamingSpec extends SparkSpec {
     assert(byKey(0L) === ((2L, 15.0)))
     assert(byKey(1L) === ((1L, 5.0)))
   }
+
+  test("semi-structured + URL curation ops stream unchanged") {
+    val dir = Files.createTempDirectory("stream-json").toFile.getPath + "/data"
+    Seq(
+      (1L, """{"k": 7}""", "https://www.a.example.co.uk/x/y?id=1&utm_source=f"),
+      (2L, """{"k": 99}""", "http://b.site.com/p"),
+      (3L, """broken""", "https://c.spam.com/z"),
+    ).toDF("id", "props", "url").repartition(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.UrlOps.urlColumns(
+        graft.dfops.SemiStructured.extractJson(df, "props",
+          Map("k" -> (("$.k", org.apache.spark.sql.types.IntegerType)))),
+        "url")
+        .select("id", "k", "url_domain", "path_depth", "url_clean")
+    val out = StreamingBinning.transform(stream, chain)
+    assert(out.isStreaming)
+    val sunk = StreamingBinning.runToMemorySink(out, "json_url_sink",
+      OutputMode.Append()).collect().sortBy(_.getLong(0))
+    val batch = chain(spark.read.parquet(dir)).collect().sortBy(_.getLong(0))
+    assert(sunk.toSeq === batch.toSeq)
+    assert(sunk(0).getAs[String]("url_domain") === "example.co.uk")
+    assert(sunk(0).getAs[String]("url_clean") ===
+      "https://www.a.example.co.uk/x/y?id=1")
+    assert(sunk(2).getAs[Any]("k") === null) // malformed JSON -> null, no task failure
+  }
 }
