@@ -792,6 +792,30 @@ object SparkEntry {
     // synthesized from events ids (the synthetic tables carry no real PII,
     // so the corpus is built in-query identically on both engines; the
     // oracle then cross-checks Java regex vs DuckDB RE2 on every class)
+    // cross-document paragraph dedup (Dolma-style boilerplate pass):
+    // md5-keyed census -> anti-join -> order-restoring rebuild. Fixture
+    // synthesizes multi-paragraph docs with a planted shared header on
+    // every 3rd doc
+    "q_para_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            lit("subscribe to our newsletter\n")).otherwise(lit("")),
+          substring(col("text"), 1, 60), lit("\n"),
+          substring(col("text"), 61, 60)).as("text"))
+      pipeline.Dedup.dropRepeatedParagraphs(docs, "text", "doc_id")
+    }),
+    // RANGE-frame trailing time window: per-user 1-hour trailing sum +
+    // count ordered by event time (a RANGE frame is tie-safe: all rows
+    // at one instant share a frame, so equal-ts events cannot flip it)
+    "q_rolling_time" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"))
+        .rangeBetween(-3600000000000L, 0)
+      table(s, dir, "events").select(col("event_id"),
+        round(sum("value").over(w), 6).as("trailing_sum"),
+        count(lit(1)).over(w).as("n_in_window"))
+    }),
     // fixed-grid series resampling with LOCF fill: per-key bounds agg ->
     // sequence explode -> the asofJoin union+window fill (one key
     // shuffle, no inequality join). 6-hour grid over the event stream
@@ -1826,6 +1850,29 @@ object SparkEntry {
            |   s -> length(trim(s)) > 0)) < 5) AS INTEGER) AS flag_short
            |FROM documents""".stripMargin.replace("\n", " ")
     },
+    "q_para_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'subscribe to our newsletter' || chr(10) ELSE '' END ||
+        |  substr(text, 1, 60) || chr(10) || substr(text, 61, 60) AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  generate_subscripts(string_split(t, chr(10)), 1) AS pidx,
+        |  unnest(string_split(t, chr(10))) AS para FROM d),
+        |rep AS (SELECT md5(para) AS h FROM p WHERE trim(para) <> ''
+        |  GROUP BY md5(para) HAVING count(DISTINCT doc_id) > 1),
+        |k AS (SELECT doc_id, pidx, para FROM p
+        |  WHERE md5(para) NOT IN (SELECT h FROM rep))
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pidx) AS text
+        |FROM k GROUP BY doc_id""".stripMargin.replace("\n", " "),
+    "q_rolling_time" ->
+      """SELECT event_id, ROUND(sum(value) OVER w, 6) AS trailing_sum,
+        | count(*) OVER w AS n_in_window
+        |FROM (SELECT event_id, user_id, epoch_ns(ts) AS tsn, value
+        |  FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsn
+        | RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin.replace("\n", " "),
     "q_resample_grid" ->
       """WITH o AS (SELECT user_id, epoch_ns(ts) AS tsn,
         |  arg_max(value, event_id) AS v

@@ -1213,4 +1213,38 @@ object Dedup {
         round(col("shared_fps").cast("double") /
           col("total_fps").cast("double"), 6).as("shared_frac"))
   }
+
+  /** Cross-document paragraph dedup (the Dolma/CCNet boilerplate pass):
+    * drop every paragraph whose content appears in MORE THAN ONE
+    * document (nav bars, cookie banners, newsletter footers), keep each
+    * doc's remaining paragraphs in original order. Returns
+    * `(idCol, text)` with the reassembled body; a doc whose EVERY
+    * paragraph drops vanishes from the output (rejoin on the id table
+    * if empty-doc retention is needed).
+    *
+    * Plan: posexplode → one md5-keyed census exchange (count DISTINCT
+    * docs per paragraph — a paragraph repeated within one doc is NOT
+    * boilerplate) → broadcast/shuffle anti-join → per-doc rebuild via
+    * `array_sort(collect_list(struct(pos, para)))` — collect_list order
+    * is nondeterministic, the struct sort restores it. Blank paragraphs
+    * pass through (they carry layout, and md5('') would cross-match
+    * every doc).
+    */
+  def dropRepeatedParagraphs(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol), posexplode(split(col(textCol), sep))
+      .as(Seq("pidx", "para")))
+    val repeated = paras
+      .filter(trim(col("para")) =!= "")
+      .groupBy(md5(col("para")).as("h"))
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    paras
+      .join(repeated, md5(col("para")) === col("h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pidx"), col("para")))),
+        x => x.getField("para")), sep).as("text"))
+  }
 }

@@ -905,4 +905,25 @@ class PipelineSpec extends SparkSpec {
       Dedup.distinctSketches(df, "key", Seq.empty)).head().getLong(0)
     assert(est === mono)
   }
+
+  test("dropRepeatedParagraphs removes cross-doc boilerplate, keeps order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique alpha text\nCOOKIE BANNER\nmore alpha"),
+      (2L, "unique beta text\nCOOKIE BANNER"),
+      (3L, "repeated within only\nrepeated within only\ngamma tail"),
+      (4L, "COOKIE BANNER"), // reduces to nothing -> vanishes
+      (5L, "solo\n\ntrailing blank kept"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedParagraphs(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // cross-doc banner dropped everywhere, including twice in doc 1
+    assert(out(1L) === "unique alpha text\nmore alpha")
+    assert(out(2L) === "unique beta text")
+    // within-doc repetition is NOT boilerplate
+    assert(out(3L) === "repeated within only\nrepeated within only\ngamma tail")
+    assert(!out.contains(4L))
+    // blank paragraphs pass through (layout, and md5('') would cross-match)
+    assert(out(5L) === "solo\n\ntrailing blank kept")
+  }
 }
