@@ -348,4 +348,42 @@ class ContractSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(ids.rdd.getNumPartitions === 4)
   }
+
+  test("json/url extraction are map-only; fuzzy pairs join equi-keyed only") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other                    => other.toString
+      }
+    }
+    val docs = Seq((1L, """{"k": 3}""", "https://a.b.com/x?utm_source=z", "s"))
+      .toDF("id", "js", "url", "blk")
+    val j = planOf(dfops.SemiStructured.extractJson(docs, "js",
+      Map("k" -> (("$.k", org.apache.spark.sql.types.IntegerType)))))
+    assert(!j.contains("Exchange") && !j.contains("Join"), j)
+    val u = planOf(pipeline.UrlOps.urlColumns(docs, "url"))
+    assert(!u.contains("Exchange") && !u.contains("Join"), u)
+    // fuzzy matching: hash equi-join on (block, band) + filter — never a
+    // nested-loop/cartesian pair generator
+    val f = pipeline.Fuzzy.editSimilarityPairs(
+      docs.select(col("id"), col("url").as("txt"), col("blk")),
+      "id", "txt", "blk", maxEdit = 2)
+    val fp = planOf(f)
+    assert(!fp.contains("BroadcastNestedLoopJoin") && !fp.contains("Cartesian"), fp)
+  }
+
+  test("scd2 single-exchange guard holds through the gate query shape") {
+    val obs = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 5L, 3L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val h = dfops.History.scd2(obs, Seq("user_id"), "ts",
+      Seq("event_type"), tieBreak = Seq("event_id"))
+    h.collect()
+    val plan = h.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other                    => other.toString
+    }
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, plan)
+  }
 }
