@@ -58,7 +58,35 @@ object ScaleProbe {
         pipeline.Drift.domainDivergence(df, "text", "source").count())
       timed("dup_passages", f)(
         pipeline.Dedup.duplicatePassages(df, "doc_id", "text").count())
+      // fuzzy pairs: near-dup copies differ by one appended token
+      // (edit distance ≈ 6) — maxEdit 8 keeps copies inside the
+      // threshold, so true-pair mass again grows ~f² while candidate
+      // generation must stay band-bounded
+      timed("fuzzy_pairs", f)(
+        pipeline.Fuzzy.editSimilarityPairs(
+          df.withColumn("t40", substring(col("text"), 1, 40)),
+          "doc_id", "t40", "source", maxEdit = 8).count())
+      timed("para_dedup", f)(
+        pipeline.Dedup.dropRepeatedParagraphs(
+          df.withColumn("text", translate(col("text"), " ", "\n")),
+          "text", "doc_id").count())
+      timed("url_parse", f)(
+        pipeline.UrlOps.urlColumns(
+          df.withColumn("url", concat(lit("https://h"),
+            col("doc_id") % 1000, lit(".example.com/a/b?id="),
+            col("doc_id"), lit("&utm_source=x"))), "url").count())
       df.unpersist()
+    }
+    // graph scaling: synthetic power-law-ish edges from the events table,
+    // scaled by edge-set replication (node space grows with the factor)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    Seq(1, 4, 16).foreach { f =>
+      val edges = ev.withColumn("copy", explode(sequence(lit(0), lit(f - 1))))
+        .select(((col("user_id") + col("copy") * 1000) % lit(200 * f)).as("src"),
+          ((col("event_id") + col("copy") * 77) % lit(200 * f)).as("dst"))
+      val t0 = System.nanoTime()
+      val n = pipeline.Graph.pageRank(edges, "src", "dst", iterations = 5).count()
+      println(f"SCALE pagerank5        x$f%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.stop()
   }

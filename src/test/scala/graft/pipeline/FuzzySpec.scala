@@ -41,6 +41,47 @@ class FuzzySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q-gram prefilter is exact: random edits vs brute force") {
+    // deterministic corpus: random-ish base strings + planted 0-3 edits
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    def edit(s: String, ops: Int): String = {
+      var t = s
+      (0 until ops).foreach { _ =>
+        val p = if (t.isEmpty) 0 else rnd.nextInt(t.length)
+        rnd.nextInt(3) match {
+          case 0 if t.nonEmpty => t = t.take(p) + t.drop(p + 1) // delete
+          case 1 => t = t.take(p) + ('a' + rnd.nextInt(6)).toChar + t.drop(p) // insert
+          case _ if t.nonEmpty =>
+            t = t.take(p) + ('a' + rnd.nextInt(6)).toChar + t.drop(p + 1) // subst
+          case _ => ()
+        }
+      }
+      t
+    }
+    val rows = (0 until 30).flatMap { i =>
+      val base = randStr(12 + rnd.nextInt(10))
+      Seq((i * 10L, base), (i * 10L + 1, edit(base, rnd.nextInt(4))))
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      d = lev(ta, tb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    val got = Fuzzy.editSimilarityPairs(
+      rows.toDF("id", "txt").withColumn("blk", lit("all")),
+      "id", "txt", "blk", maxEdit = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want)
+  }
+
   test("dropFuzzyDuplicates keeps one representative per cluster") {
     val kept = Fuzzy.dropFuzzyDuplicates(corpus, "id", "txt", "blk", maxEdit = 2)
       .select("id").as[Long].collect().sorted
