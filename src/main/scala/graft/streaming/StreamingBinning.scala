@@ -97,6 +97,53 @@ object StreamingBinning {
     * already-consumed step is the documented trade-off, same as every
     * watermarkless running-state stream here.
     */
+  /** Streaming SCD2 — the CDC form of [[graft.dfops.History.scd2]]:
+    * per-key state is just the OPEN interval `(value, valid_from)`;
+    * each micro-batch's observations are sorted and folded with the
+    * same change-collapse rule as the batch operator, and every CLOSED
+    * interval is emitted exactly once (`OutputMode.Append`) the moment
+    * the change that closes it arrives. The open interval stays in the
+    * state store (O(keys)); batch-equivalent on the closed set when
+    * observations arrive in timestamp order across batches — the same
+    * ordered-delivery trade-off as every running-state stream here.
+    */
+  case class Scd2State(value: String, from: Long)
+  case class Scd2Closed(key: Long, value: String, valid_from: Long,
+      valid_to: Long)
+
+  def scd2Stream(
+      stream: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+  ): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("long").as("t"), col(valueCol).cast("string").as("v"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(_._2)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[Scd2Closed]()
+          sorted.foreach { case (_, ts, v) =>
+            cur match {
+              case None => cur = Some(Scd2State(v, ts))
+              case Some(s) if s.value != v =>
+                out += Scd2Closed(key, s.value, s.from, ts)
+                cur = Some(Scd2State(v, ts))
+              case _ => () // unchanged observation collapses
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
+
   case class FunnelState(depth: Int, last: Long, t0: Long)
   case class FunnelUpdate(key: Long, funnel_depth: Int)
 

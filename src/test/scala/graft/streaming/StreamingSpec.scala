@@ -415,6 +415,37 @@ class StreamingSpec extends SparkSpec {
     assert(byKey(1L) === ((1L, 5.0)))
   }
 
+  test("scd2Stream closes intervals across micro-batches, matching batch scd2") {
+    val rows = Seq(
+      (1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (1L, 50L, "a"),
+      (2L, 15L, "x"), (2L, 60L, "y"),
+      (3L, 5L, "q")) // never changes -> no closed rows
+    val dir = Files.createTempDirectory("stream-scd2").toFile.getPath + "/data"
+    // ts-ordered file batches; a change arriving in batch 2 must close an
+    // interval opened in batch 1 (state carries across)
+    rows.filter(_._2 <= 30).toDF("k", "t", "v")
+      .repartition(1).write.parquet(dir)
+    rows.filter(_._2 > 30).toDF("k", "t", "v")
+      .repartition(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = StreamingBinning.scd2Stream(stream, "k", "t", "v")
+    val sunk = StreamingBinning.runToMemorySink(out, "scd2_sink",
+      OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // batch reference: its non-current rows are exactly the closed set
+    val batch = graft.dfops.History.scd2(rows.toDF("k", "t", "v"),
+      Seq("k"), "t", Seq("v"))
+      .filter(!org.apache.spark.sql.functions.col("is_current"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("valid_from"), r.getAs[Long]("valid_to"))).toSet
+    assert(sunk === batch)
+    assert(sunk === Set((1L, "a", 10L, 30L), (1L, "b", 30L, 50L),
+      (2L, "x", 15L, 60L)))
+  }
+
   test("semi-structured + URL curation ops stream unchanged") {
     val dir = Files.createTempDirectory("stream-json").toFile.getPath + "/data"
     Seq(
