@@ -792,6 +792,20 @@ object SparkEntry {
     // synthesized from events ids (the synthetic tables carry no real PII,
     // so the corpus is built in-query identically on both engines; the
     // oracle then cross-checks Java regex vs DuckDB RE2 on every class)
+    // CUBE grouping sets: all (source × lang) margin combinations in
+    // ONE pass (map-side Expand + one exchange — the rollup plan with
+    // the full lattice)
+    "q_cube" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .cube(col("source"), col("lang"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("docs"), sum("n_chars").as("weight"))),
+    // deterministic epoch shuffle: salted portable-hash total order ->
+    // contiguous shuffle_pos via range repartition + zipWithIndex (no
+    // single-partition window); same salt = same order on any engine
+    "q_shuffle" -> ((s, dir) =>
+      pipeline.Sampling.shuffleDeterministic(
+        table(s, dir, "documents").select("doc_id"), "doc_id", "ep1")),
     // cross-document paragraph dedup (Dolma-style boilerplate pass):
     // md5-keyed census -> anti-join -> order-restoring rebuild. Fixture
     // synthesizes multi-paragraph docs with a planted shared header on
@@ -1849,6 +1863,18 @@ object SparkEntry {
            |   regexp_split_to_array(CASE WHEN $keep THEN text ELSE '' END, '[.!?]'),
            |   s -> length(trim(s)) > 0)) < 5) AS INTEGER) AS flag_short
            |FROM documents""".stripMargin.replace("\n", " ")
+    },
+    "q_cube" ->
+      """SELECT source, lang, CAST(grouping(source, lang) AS BIGINT) AS gid,
+        | count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS weight
+        | FROM documents GROUP BY CUBE (source, lang)"""
+        .stripMargin.replace("\n", " "),
+    "q_shuffle" -> {
+      val h = OracleSql.portableTokenHashSql(
+        "(CAST(doc_id AS VARCHAR) || chr(1) || 'ep1')")
+      s"""SELECT doc_id, row_number() OVER (
+         | ORDER BY ($h) % 1000000007, doc_id) - 1 AS shuffle_pos
+         |FROM documents""".stripMargin.replace("\n", " ")
     },
     "q_para_dedup" ->
       """WITH d AS (SELECT doc_id,

@@ -333,4 +333,28 @@ object Sampling {
     }
     spark.createDataFrame(zipped, schema)
   }
+
+  /** Deterministic epoch shuffle for training order: a reproducible
+    * pseudo-random total order from the SALTED portable content hash
+    * (different `salt` per epoch → a fresh order; same salt → the same
+    * order on any engine/partitioning), materialized as a contiguous
+    * `shuffle_pos` via [[withSequentialIds]] — the range-repartition +
+    * zipWithIndex path, never a single-partition global window. Hash
+    * ties (collisions mod the prime) break by the key itself, keeping
+    * the order total and stable.
+    */
+  def shuffleDeterministic(
+      df: DataFrame,
+      keyCol: String,
+      salt: String,
+      posCol: String = "shuffle_pos",
+      numPartitions: Int = 0,
+  ): DataFrame = {
+    val h = pmod(TextOps.portableTokenHash(
+      concat(col(keyCol).cast("string"), lit("\u0001" + salt))),
+      lit(1000000007L))
+    withSequentialIds(df.withColumn("__shuffle_h", h),
+      Seq("__shuffle_h", keyCol), posCol, numPartitions)
+      .drop("__shuffle_h")
+  }
 }

@@ -765,4 +765,28 @@ class CorpusOpsSpec extends SparkSpec {
       .select(Similarity.dequantizeInt8(col("q"))).head().getSeq[Double](0)
     assert(flat.forall(_ === 7.0))
   }
+
+  test("shuffleDeterministic: contiguous, reproducible, epoch-varying") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("id")
+    def order(salt: String): Seq[Long] =
+      Sampling.shuffleDeterministic(df, "id", salt, numPartitions = 8)
+        .orderBy("shuffle_pos").select("id").as[Long].collect().toSeq
+    val e1 = order("ep1")
+    // contiguous 0-based positions over all rows
+    val pos = Sampling.shuffleDeterministic(df, "id", "ep1", numPartitions = 8)
+      .select("shuffle_pos").as[Long].collect().sorted
+    assert(pos.toSeq === (0L until 500L))
+    // same salt -> identical order (re-run, different partitioning)
+    assert(order("ep1") === e1)
+    assert(Sampling.shuffleDeterministic(df.repartition(3), "id", "ep1",
+      numPartitions = 8).orderBy("shuffle_pos").select("id").as[Long]
+      .collect().toSeq === e1)
+    // different salt -> a genuinely different permutation of the same set
+    val e2 = order("ep2")
+    assert(e2 !== e1)
+    assert(e2.sorted === e1.sorted)
+    // and it's actually shuffled, not id order
+    assert(e1 !== (0L until 500L))
+  }
 }
