@@ -319,17 +319,24 @@ object OracleSql {
        |FROM s""".stripMargin.replace("\n", " ")
   }
 
-  /** Upper-triangle population covariance of the embedding dimensions —
-    * both sides compute CENTERED sums ([[graft.pipeline.Pca.covariance]]
-    * is Welford/Chan, DuckDB's `covar_pop` likewise), so the 6-decimal
-    * round is robust: the naive `Σxy/n − μμ` form cancels
-    * catastrophically and partition-order float noise flips the hash.
+  /** Upper-triangle INTEGER-exact covariance moments of the embedding
+    * dimensions, mirroring [[graft.pipeline.Pca.exactMoments]]: each
+    * float32 component quantizes to `q = ⌊v·2^20⌋` (float32→double,
+    * power-of-two multiply, and floor are all exact in every engine),
+    * and the gate compares the pure-integer sums `Σ q_i·q_j`, `Σ q_i`,
+    * `Σ q_j`, `n`. Unlike any float aggregate — centered or not — the
+    * result is bit-identical under any partitioning or row order, so
+    * the hash cannot flip on the driver's box (the r6/r7 red-gate
+    * failure mode: a post-ROUND(…,6) float hash at a boundary cell).
     */
   def embedCovSql(table: String): String =
     s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM $table)
+       |  CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM $table)
        |SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
-       |  ROUND(covar_pop(a.v, b.v), 6) AS cov_v
+       |  CAST(SUM(a.q * b.q) AS BIGINT) AS sxy,
+       |  CAST(SUM(a.q) AS BIGINT) AS sx, CAST(SUM(b.q) AS BIGINT) AS sy,
+       |  CAST(COUNT(*) AS BIGINT) AS n_v
        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
        |GROUP BY a.i, b.i""".stripMargin.replace("\n", " ")
 

@@ -431,17 +431,23 @@ object SparkEntry {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       pipeline.Similarity.ivfTopK(emb, "embedding", "vec_id", seeds(0), seeds, 10)
     }),
-    // Embedding covariance matrix from Pca's one-pass moments aggregate
-    // (the distributed half of PCA; the driver-side Jacobi eigen half is
-    // spec-covered) — upper triangle as (i, j, cov_v) rows
+    // Embedding covariance moments from Pca's one-pass INTEGER-exact
+    // aggregate (the distributed half of PCA; the float covariance +
+    // driver-side Jacobi eigen half is spec-covered). Components are
+    // quantized q=⌊v·2^20⌋ on both sides, so every moment is an exact
+    // long and the hash is partition-order-proof — a post-rounded float
+    // hash flips whenever a true value sits near a …5e-7 boundary on a
+    // different partition count (the r6/r7 red-gate root cause).
     "q_embed_cov" -> ((s, dir) => {
       import s.implicits._
-      val (cov, _, _) = pipeline.Pca.covariance(
+      val (sxy, sx, n) = pipeline.Pca.exactMoments(
         table(s, dir, "embeddings"), "embedding", 64)
-      val rows = for { i <- 0 until 64; j <- i until 64 }
-        yield (i, j, cov(i)(j))
-      rows.toDF("i", "j", "cov_v")
-        .withColumn("cov_v", round(col("cov_v"), 6))
+      var p = -1
+      val rows = for { i <- 0 until 64; j <- i until 64 } yield {
+        p += 1
+        (i, j, sxy(p), sx(i), sx(j), n)
+      }
+      rows.toDF("i", "j", "sxy", "sx", "sy", "n_v")
     }),
     // Product-quantization encoding (the corpus-scale pass of IVF-PQ):
     // seed-sliced codebooks, one broadcast nearest-centroid per

@@ -130,6 +130,103 @@ case class VectorMomentsAgg(
     copy(child = newChild)
 }
 
+/** Integer-EXACT raw-moment aggregate of a float/double vector column:
+  * each component is quantized to `q = ⌊x · 2^scaleBits⌋` (float32 →
+  * double is exact, a power-of-two multiply is exact, floor is exact —
+  * so every engine computes the identical long), then the upper-triangle
+  * `Σ q_i·q_j`, the sums `Σ q_i`, and the count accumulate in ONE flat
+  * long buffer. Integer addition is associative and commutative, so the
+  * result is bit-identical under ANY partitioning, row order, or merge
+  * tree — the property a cross-engine hash gate needs, which no float
+  * aggregate (however well-centered) can guarantee at a rounding
+  * boundary. Same one-scan / `partitions × ~17 KB` shuffle shape as
+  * [[VectorMomentsAgg]].
+  *
+  * Overflow headroom: with `|x| ≤ 1` and `scaleBits = 20`,
+  * `|q·q| ≤ 2^40`, so `Σ` stays inside int64 up to ~2^23 ≈ 8M rows per
+  * final buffer; callers with larger corpora or wider ranges should
+  * lower `scaleBits` (the require below is a hard guard, not a wish).
+  */
+case class LongVectorMomentsAgg(
+    child: Expression, // array<float> | array<double>
+    dim: Int,
+    scaleBits: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private val tri = dim * (dim + 1) / 2
+  private val scale = (1L << scaleBits).toDouble
+
+  // layout: [0, tri) = Σ q_i·q_j (row-major, i ≤ j),
+  // [tri, tri+dim) = Σ q_i, last slot = count
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](tri + dim + 1)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() == dim,
+        s"vector of length ${arr.numElements()} in a dim-$dim aggregation")
+      val q = new Array[Long](dim)
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val f = math.floor(x * scale)
+        require(math.abs(f) < (1L << 31).toDouble,
+          s"component $x overflows the 2^$scaleBits quantization — lower scaleBits")
+        q(i) = f.toLong
+        i += 1
+      }
+      var p = 0
+      i = 0
+      while (i < dim) {
+        val qi = q(i)
+        buffer(tri + i) += qi
+        var j = i
+        while (j < dim) { buffer(p) += qi * q(j); j += 1; p += 1 }
+        i += 1
+      }
+      buffer(tri + dim) += 1L
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var p = 0
+    while (p < buffer.length) { buffer(p) += other(p); p += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](tri + dim + 1)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LongVectorMomentsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LongVectorMomentsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): LongVectorMomentsAgg =
+    copy(child = newChild)
+}
+
 /** PCA over an embedding column — the standard preprocessing in front of
   * embedding dedup/ANN (SemDeDup whitens; IVF quantizers train better in
   * a decorrelated basis) and a dimensionality-reduction lever in its own
@@ -171,6 +268,24 @@ object Pca {
       i += 1
     }
     (cov, mean, n)
+  }
+
+  /** Integer-exact raw moments of the quantized vector column from one
+    * corpus pass: `(Σ q_i·q_j upper triangle row-major, Σ q_i, n)` with
+    * `q = ⌊x · 2^scaleBits⌋`. Bit-identical under any partitioning —
+    * the correctness-gate form of [[covariance]] (which stays the float
+    * production path; covariance is recoverable as
+    * `(sxy − sx·sy/n) / (n·2^{2·scaleBits})` to quantization precision).
+    */
+  def exactMoments(df: DataFrame, vecCol: String, dim: Int,
+      scaleBits: Int = 20): (Array[Long], Array[Long], Long) = {
+    val vecs = df.filter(col(vecCol).isNotNull)
+    val momentsCol = GraftBridge.column(LongVectorMomentsAgg(
+      GraftBridge.expression(vecs.col(vecCol)), dim, scaleBits)
+      .toAggregateExpression())
+    val m = vecs.agg(momentsCol.as("m")).head().getSeq[Long](0).toArray
+    val tri = dim * (dim + 1) / 2
+    (m.take(tri), m.slice(tri, tri + dim), m(tri + dim))
   }
 
   /** Eigen-decomposition of a symmetric matrix by cyclic Jacobi

@@ -80,6 +80,33 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("exactMoments is bit-identical across partitionings and matches " +
+      "a sequential integer computation") {
+    val df = stretched(120)
+    // sequential ground truth over the same quantization
+    val data = df.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(f => math.floor(f.toDouble * (1L << 20)).toLong).toArray)
+    val expSx = Array.tabulate(3)(d => data.map(_(d)).sum)
+    val expSxy = (for (i <- 0 until 3; j <- i until 3)
+      yield data.map(v => v(i) * v(j)).sum).toArray
+    for (parts <- Seq(1, 7, 32)) {
+      val (sxy, sx, n) = Pca.exactMoments(df.repartition(parts), "embedding", 3)
+      assert(n === 120L, s"parts=$parts")
+      assert(sx.toSeq === expSx.toSeq, s"parts=$parts sums")
+      assert(sxy.toSeq === expSxy.toSeq, s"parts=$parts products")
+    }
+    // covariance recoverable to quantization precision (~2^-20 per axis)
+    val (sxy, sx, n) = Pca.exactMoments(df, "embedding", 3)
+    val (cov, _, _) = Pca.covariance(df, "embedding", 3)
+    val s2 = (1L << 20).toDouble * (1L << 20).toDouble
+    var p = 0
+    for (i <- 0 until 3; j <- i until 3) {
+      val rec = (sxy(p).toDouble - sx(i).toDouble * sx(j).toDouble / n) / n / s2
+      assert(math.abs(rec - cov(i)(j)) < 1e-4, s"cov($i,$j) $rec vs ${cov(i)(j)}")
+      p += 1
+    }
+  }
+
   test("null vectors are dropped; wrong length fails loudly") {
     val df = Seq(
       (0L, Some(Seq(1.0f, 2.0f))), (1L, Some(Seq(3.0f, 4.0f))),
