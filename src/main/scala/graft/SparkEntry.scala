@@ -571,6 +571,32 @@ object SparkEntry {
           .select(col("doc_id"), col("text").cast("binary").as("bin")),
         "bin").drop("bin")),
 
+    // REAL baseline-JPEG decode (huffman + IDCT, graft.pipeline.Jpeg):
+    // deterministic gradient images keyed by doc_id are encoded across
+    // gray / 4:4:4 / 4:2:0 variants, then decoded by imageColumns — the
+    // decoded dimensions/channels reaching the output proves the full
+    // entropy+DCT pipeline ran (decode throws on any stream corruption),
+    // and they are pure doc_id arithmetic the oracle reproduces
+    "q_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = table(s, dir, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id")).as[Long]
+      val withBytes = ids.map { id =>
+        val w = 16 + (id % 5).toInt * 4
+        val h = 12 + (id % 3).toInt * 4
+        val ch = if (id % 2 == 0) 3 else 1
+        val img = pipeline.PixelCodec.Image(w, h, ch,
+          Array.tabulate(w * h * ch) { i =>
+            ((i % w) * 5 + (i / w) * 3 + (id % 7).toInt * 11 + 20).toByte
+          })
+        (id, pipeline.Jpeg.encode(img, quality = 85,
+          subsample = ch == 3 && id % 4 == 0))
+      }.toDF("doc_id", "img")
+      pipeline.Multimodal.imageColumns(withBytes, "img")
+        .select(col("doc_id"), col("img_width"), col("img_height"),
+          col("img_channels"))
+    }),
+
     // duplicate-cluster resolution: connected components over near-dup
     // pairs → canonical (minimum) id per cluster
     "q_dedup_cluster" -> ((s, dir) =>
@@ -1461,6 +1487,12 @@ object SparkEntry {
            |   regexp_split_to_array(trim(text), '\s+') AS toks
            |  FROM documents)
            | WHERE len(toks) >= 3""".stripMargin.replace("\n", " "),
+    "q_jpeg_decode" ->
+      """SELECT doc_id,
+        | CAST(16 + (doc_id % 5) * 4 AS INTEGER) AS img_width,
+        | CAST(12 + (doc_id % 3) * 4 AS INTEGER) AS img_height,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) AS img_channels
+        | FROM documents WHERE doc_id < 200""".stripMargin.replace("\n", " "),
     "q_multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,

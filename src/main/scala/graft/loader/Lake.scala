@@ -158,22 +158,39 @@ object Lake {
     * no re-encode, preserving their stats). Row content is preserved;
     * file-level ordering within a group is not guaranteed (parquet has
     * no inter-file order contract).
+    *
+    * Listing goes through the Hadoop `FileSystem` API so HDFS/S3 paths
+    * work (a `java.io.File` listing silently finds ZERO files on any
+    * non-local scheme and would report success over a no-op). An empty
+    * input and a non-empty `outPath` both fail loudly: the write is
+    * `append`-mode per group, so a partial rerun into a pre-populated
+    * directory would duplicate rows with no warning otherwise.
     */
   def compact(spark: SparkSession, path: String, outPath: String,
       targetBytes: Long): Int = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => f.getAbsolutePath -> f.length().toLong).toSeq
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val in = new HPath(path)
+    val fs = in.getFileSystem(hconf)
+    require(fs.exists(in), s"compact: input path $path does not exist")
+    val files = fs.listStatus(in)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath.toString -> st.getLen).toSeq
+    require(files.nonEmpty,
+      s"compact: no parquet files under $path — refusing a silent no-op")
     val plan = compactionPlan(files, targetBytes)
-    Files.createDirectories(Paths.get(outPath))
+    val out = new HPath(outPath)
+    val outFs = out.getFileSystem(hconf)
+    require(!outFs.exists(out) || outFs.listStatus(out).isEmpty,
+      s"compact: $outPath is not empty — an append there would duplicate rows; " +
+        "write to a fresh directory and move atomically")
+    outFs.mkdirs(out)
     var written = 0
     plan.foreach { group =>
       if (group.size == 1) {
-        val src = Paths.get(group.head)
-        Files.copy(src, Paths.get(outPath, f"part-copy-$written%05d.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+        FileUtil.copy(fs, new HPath(group.head), outFs,
+          new HPath(out, f"part-copy-$written%05d.parquet"),
+          /* deleteSource = */ false, hconf)
       } else {
         spark.read.parquet(group: _*).coalesce(1)
           .write.mode("append").parquet(outPath)

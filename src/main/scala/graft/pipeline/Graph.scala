@@ -96,7 +96,12 @@ object Graph {
       ranks = step(p, ranks, alpha).localCheckpoint(true)
       it += 1
     }
-    ranks
+    // the returned ranks are a LogicalRDD (truncated), independent of the
+    // prepared caches — release them so repeated invocations don't pile
+    // persisted edge tables up to eviction pressure
+    val out = if (iterations == 0) ranks.localCheckpoint(true) else ranks
+    p.unpersistAll()
+    out
   }
 
   /** Convergence-driven PageRank: iterate until `max |Δr| < tol` or
@@ -119,16 +124,23 @@ object Graph {
       ranks = next
       it += 1
     }
+    p.unpersistAll() // ranks is a LogicalRDD, independent of the caches
     ranks
   }
 
   /** One PageRank step from an existing `(id, r)` table — the resumable
-    * building block for checkpointed long runs.
+    * building block for checkpointed long runs. The step is eagerly
+    * materialized (localCheckpoint) so the per-call prepared caches can
+    * be released before returning; a driver resuming N steps re-prepares
+    * per call, which is the price of a stateless API — long in-process
+    * runs should use `pageRank`/`pageRankUntil`, which prepare once.
     */
   def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
       ranks: DataFrame, alpha: Double = 0.85): DataFrame = {
     val p = prepare(edges, srcCol, dstCol)
-    step(p, ranks, alpha)
+    val out = step(p, ranks, alpha).localCheckpoint(true)
+    p.unpersistAll()
+    out
   }
 
   /** In/out degree per node — the cheap graph-shape profile (one agg

@@ -1,0 +1,733 @@
+package graft.pipeline
+
+/** Dependency-free BASELINE-SEQUENTIAL JPEG codec (ITU T.81): huffman
+  * entropy coding + 8×8 DCT + YCbCr, no external libraries — closing the
+  * round-7 "JPEGs null out" gap so [[Multimodal.imageColumns]] extracts
+  * real pixel features from the dominant web image format.
+  *
+  * Decode supports the baseline web subset: SOF0/SOF1 (sequential
+  * huffman, 8-bit), 1- or 3-component scans, arbitrary sampling factors
+  * (4:4:4 / 4:2:2 / 4:2:0 via the generic MCU walk + nearest upsample),
+  * restart markers, FF00 byte stuffing. Progressive (SOF2), arithmetic
+  * coding, and 12-bit rejects loudly — better a null feature row than a
+  * silently wrong decode.
+  *
+  * Encode (test/fixture path, also a real sink): gray, 4:4:4, or 4:2:0,
+  * Annex K quantization tables scaled by `quality`, Annex K huffman
+  * tables (the public spec constants every baseline codec ships).
+  *
+  * All tables and constants are from the public ITU T.81 spec; no code
+  * derives from the reference repo (which delegates codecs to external
+  * Python libraries).
+  */
+object Jpeg {
+  import PixelCodec.Image
+
+  // ---- shared spec constants ----
+
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K quantization tables (luminance, chrominance), natural order
+  private val QLumBase: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private val QChromBase: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  // Annex K huffman tables: (bits[1..16], symbol list)
+  private val DcLumBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = (0 to 11).map(_.toByte).toArray
+  private val DcChromBits = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromVals = (0 to 11).map(_.toByte).toArray
+  private val AcLumBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa).map(_.toByte)
+  private val AcChromBits = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromVals: Array[Byte] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa).map(_.toByte)
+
+  // orthonormal DCT basis: C(u,x) = 0.5·c(u)·cos((2x+1)uπ/16), C·Cᵀ = I
+  private val CosT: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) math.sqrt(0.125) else 0.5
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  // ---- huffman machinery ----
+
+  /** Canonical decode tables (F.2.2.3): per code length, the smallest
+    * and largest code and the symbol-array offset.
+    */
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    val symbols: Array[Byte] = vals
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l)
+        k += bits(l)
+        maxCode(l) = if (bits(l) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    /** (code, length) per symbol — the encoder view of the same table. */
+    lazy val encode: Array[(Int, Int)] = {
+      val out = new Array[(Int, Int)](256)
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        var i = 0
+        while (i < bits(l)) {
+          out(symbols(k) & 0xff) = (code, l)
+          code += 1
+          k += 1
+          i += 1
+        }
+        code <<= 1
+        l += 1
+      }
+      out
+    }
+  }
+
+  /** MSB-first bit reader over entropy-coded data: un-stuffs FF00 and
+    * stops at any other marker (the caller handles RST/EOI).
+    */
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    def readBit(): Int = {
+      if (nBits == 0) {
+        require(pos < data.length, "truncated JPEG entropy stream")
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          require(pos < data.length, "truncated JPEG entropy stream")
+          val next = data(pos) & 0xff
+          if (next == 0x00) pos += 1 // stuffed FF
+          else { b = 0xff } // marker: let the current byte serve; caller resyncs
+        }
+        acc = b
+        nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def byteAlign(): Unit = nBits = 0
+    def decodeSymbol(t: HuffTable): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        code = (code << 1) | readBit()
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l))
+          return t.symbols(t.valPtr(l) + code - t.minCode(l)) & 0xff
+        l += 1
+      }
+      throw new IllegalArgumentException("invalid JPEG huffman code")
+    }
+  }
+
+  /** F.2.4.3.1.1 EXTEND: an S-bit magnitude to its signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  // ---- decode ----
+
+  private case class Component(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTbl = 0
+    var acTbl = 0
+    var pred = 0
+    var plane: Array[Int] = null
+    var planeW = 0
+  }
+
+  def decode(bytes: Array[Byte]): Image = {
+    require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "not a JPEG")
+    def u16(i: Int) = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    val qt = Array.ofDim[Int](4, 64) // zigzag order, as stored
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var width = 0; var height = 0
+    var restartInterval = 0
+    var i = 2
+    var scanStart = -1
+    var scanComps: Array[Component] = null
+    while (scanStart < 0) {
+      require(i + 4 <= bytes.length, "truncated JPEG before SOS")
+      require((bytes(i) & 0xff) == 0xff, s"expected marker at offset $i")
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+      else {
+        val len = u16(i + 2)
+        require(len >= 2 && i + 2 + len <= bytes.length,
+          s"corrupt JPEG segment ${marker.toHexString}: length $len")
+        val seg = i + 4
+        marker match {
+          case 0xc0 | 0xc1 => // baseline / extended sequential huffman
+            require((bytes(seg) & 0xff) == 8, "only 8-bit JPEG supported")
+            height = u16(seg + 1); width = u16(seg + 3)
+            val nc = bytes(seg + 5) & 0xff
+            require(nc == 1 || nc == 3, s"$nc-component JPEG unsupported")
+            comps = Array.tabulate(nc) { c =>
+              val o = seg + 6 + c * 3
+              Component(bytes(o) & 0xff, (bytes(o + 1) & 0xff) >> 4,
+                bytes(o + 1) & 0x0f, bytes(o + 2) & 0xff)
+            }
+          case 0xc2 => throw new IllegalArgumentException(
+            "progressive JPEG unsupported (baseline decoder)")
+          case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+            throw new IllegalArgumentException(
+              s"JPEG SOF${m - 0xc0} unsupported (baseline decoder)")
+          case 0xc4 => // DHT: one or more tables per segment
+            var p = seg
+            while (p < i + 2 + len) {
+              val tc = (bytes(p) & 0xff) >> 4
+              val th = bytes(p) & 0x0f
+              require(tc <= 1 && th <= 3, "bad DHT header")
+              val tblBits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) {
+                tblBits(l) = bytes(p + l) & 0xff; total += tblBits(l); l += 1
+              }
+              val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + total)
+              val t = new HuffTable(tblBits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + total
+            }
+          case 0xdb => // DQT: one or more tables per segment
+            var p = seg
+            while (p < i + 2 + len) {
+              val pq = (bytes(p) & 0xff) >> 4
+              val tq = bytes(p) & 0x0f
+              require(pq == 0, "16-bit quantization tables unsupported")
+              var k = 0
+              while (k < 64) { qt(tq)(k) = bytes(p + 1 + k) & 0xff; k += 1 }
+              p += 65
+            }
+          case 0xdd => restartInterval = u16(seg)
+          case 0xda => // SOS
+            val ns = bytes(seg) & 0xff
+            scanComps = Array.tabulate(ns) { c =>
+              val cid = bytes(seg + 1 + c * 2) & 0xff
+              val comp = comps.find(_.id == cid).getOrElse(
+                throw new IllegalArgumentException(s"SOS references unknown component $cid"))
+              comp.dcTbl = (bytes(seg + 2 + c * 2) & 0xff) >> 4
+              comp.acTbl = bytes(seg + 2 + c * 2) & 0x0f
+              comp
+            }
+            scanStart = i + 2 + len
+          case _ => // APPn / COM / others: skip
+        }
+        i = i + 2 + len
+      }
+    }
+    require(comps != null && width > 0 && height > 0, "JPEG has no frame header")
+    require(scanComps.length == comps.length,
+      "multi-scan (non-interleaved) baseline JPEG unsupported")
+
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    comps.foreach { c =>
+      c.planeW = mcusX * 8 * c.h
+      c.plane = new Array[Int](c.planeW * mcusY * 8 * c.v)
+    }
+
+    val reader = new BitReader(bytes, scanStart)
+    val zz = new Array[Int](64)
+    val blk = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // resync: byte-align, consume the RSTn marker, reset predictors
+        reader.byteAlign()
+        var p = reader.pos
+        while (p + 1 < bytes.length && !((bytes(p) & 0xff) == 0xff &&
+          (bytes(p + 1) & 0xff) >= 0xd0 && (bytes(p + 1) & 0xff) <= 0xd7)) p += 1
+        require(p + 1 < bytes.length, "missing JPEG restart marker")
+        reader.pos = p + 2
+        comps.foreach(_.pred = 0)
+      }
+      val mcuX = mcu % mcusX
+      val mcuY = mcu / mcusX
+      comps.foreach { c =>
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            // one 8×8 block: DC diff + AC run-length, both huffman-coded
+            java.util.Arrays.fill(zz, 0)
+            val s = reader.decodeSymbol(dcTables(c.dcTbl))
+            require(s <= 11, "bad DC category")
+            c.pred += extend(reader.readBits(s), s)
+            zz(0) = c.pred
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = reader.decodeSymbol(acTables(c.acTbl))
+              val r = rs >> 4
+              val size = rs & 0x0f
+              if (size == 0) {
+                if (r == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += r
+                require(k < 64, "AC index overflow")
+                zz(k) = extend(reader.readBits(size), size)
+                k += 1
+              }
+            }
+            // dequantize (tables stored zigzag), de-zigzag, IDCT
+            val q = qt(c.tq)
+            var z = 0
+            while (z < 64) { blk(Zigzag(z)) = (zz(z) * q(z)).toDouble; z += 1 }
+            idct8x8(blk, tmp)
+            val px0 = (mcuX * c.h + bx) * 8
+            val py0 = (mcuY * c.v + by) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              val rowOff = (py0 + y) * c.planeW + px0
+              while (x < 8) {
+                val v = math.round(blk(y * 8 + x) + 128.0).toInt
+                c.plane(rowOff + x) = if (v < 0) 0 else if (v > 255) 255 else v
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      mcu += 1
+    }
+
+    // assemble interleaved output with nearest upsampling of subsampled planes
+    val channels = comps.length
+    val out = new Array[Byte](width * height * channels)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var c = 0
+        while (c < channels) {
+          val comp = comps(c)
+          val sx = x * comp.h / hMax
+          val sy = y * comp.v / vMax
+          out((y * width + x) * channels + c) =
+            comp.plane(sy * comp.planeW + sx).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (channels == 3) ycbcrToRgbInPlace(out)
+    Image(width, height, channels, out)
+  }
+
+  /** In-place IDCT: blk holds F (natural order), result f. f = Cᵀ·F·C. */
+  private def idct8x8(blk: Array[Double], tmp: Array[Double]): Unit = {
+    // tmp = Cᵀ · F  (tmp[x][v] = Σ_u C(u,x)·F[u][v])
+    var x = 0
+    while (x < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += CosT(u * 8 + x) * blk(u * 8 + v); u += 1 }
+        tmp(x * 8 + v) = s
+        v += 1
+      }
+      x += 1
+    }
+    // blk = tmp · C  (f[x][y] = Σ_v tmp[x][v]·C(v,y))
+    x = 0
+    while (x < 8) {
+      var y2 = 0
+      while (y2 < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += tmp(x * 8 + v) * CosT(v * 8 + y2); v += 1 }
+        blk(x * 8 + y2) = s
+        y2 += 1
+      }
+      x += 1
+    }
+  }
+
+  private def fdct8x8(blk: Array[Double], tmp: Array[Double]): Unit = {
+    // F = C · f · Cᵀ
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += CosT(u * 8 + x) * blk(x * 8 + y); x += 1 }
+        tmp(u * 8 + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) { s += tmp(u * 8 + y) * CosT(v * 8 + y); y += 1 }
+        blk(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+  }
+
+  private def ycbcrToRgbInPlace(px: Array[Byte]): Unit = {
+    var i = 0
+    while (i < px.length) {
+      val y = px(i) & 0xff
+      val cb = (px(i + 1) & 0xff) - 128
+      val cr = (px(i + 2) & 0xff) - 128
+      def clamp(d: Double) = { val v = math.round(d).toInt
+        if (v < 0) 0 else if (v > 255) 255 else v }
+      px(i) = clamp(y + 1.402 * cr).toByte
+      px(i + 1) = clamp(y - 0.344136 * cb - 0.714136 * cr).toByte
+      px(i + 2) = clamp(y + 1.772 * cb).toByte
+      i += 3
+    }
+  }
+
+  // ---- encode ----
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nBits = 0
+    def write(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nBits > 0) { // pad with 1s (spec)
+      acc = (acc << (8 - nBits)) | ((1 << (8 - nBits)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+      acc = 0; nBits = 0
+    }
+  }
+
+  private def scaledQuant(base: Array[Int], quality: Int): Array[Int] = {
+    require(quality >= 1 && quality <= 100, s"quality $quality out of [1,100]")
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    base.map { q =>
+      val v = (q * scale + 50) / 100
+      if (v < 1) 1 else if (v > 255) 255 else v
+    }
+  }
+
+  /** Encode gray (1-channel) or RGB (3-channel) pixels as baseline JPEG.
+    * `subsample` emits 4:2:0 chroma (the web default); otherwise 4:4:4.
+    * `restartInterval` > 0 emits DRI + RSTn markers every that many MCUs
+    * (what camera/scanner JPEGs do for error resilience).
+    */
+  def encode(img: Image, quality: Int = 85, subsample: Boolean = false,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(img.channels == 1 || img.channels == 3,
+      s"JPEG encode needs 1 or 3 channels, got ${img.channels}")
+    val gray = img.channels == 1
+    val w = img.width; val h = img.height
+    // component planes as Int arrays (Y or Y/Cb/Cr at full resolution)
+    val planes: Array[Array[Int]] =
+      if (gray) Array(Array.tabulate(w * h)(i => img.pixels(i) & 0xff))
+      else {
+        val yP = new Array[Int](w * h)
+        val cbP = new Array[Int](w * h)
+        val crP = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          val r = img.pixels(i * 3) & 0xff
+          val g = img.pixels(i * 3 + 1) & 0xff
+          val b = img.pixels(i * 3 + 2) & 0xff
+          yP(i) = math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt.min(255)
+          cbP(i) = math.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b).toInt
+            .max(0).min(255)
+          crP(i) = math.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b).toInt
+            .max(0).min(255)
+          i += 1
+        }
+        Array(yP, cbP, crP)
+      }
+    // sampling factors + per-component dims
+    val sampH = if (gray) Array(1) else if (subsample) Array(2, 1, 1) else Array(1, 1, 1)
+    val sampV = sampH.clone()
+    val hMax = sampH.max; val vMax = sampV.max
+    val compW = sampH.map(s => (w * s + hMax - 1) / hMax)
+    val compH = sampV.map(s => (h * s + vMax - 1) / vMax)
+    // chroma downsample (box average) when subsampling
+    val compPlanes = planes.indices.map { c =>
+      if (sampH(c) == hMax && sampV(c) == vMax) planes(c)
+      else {
+        val fw = hMax / sampH(c); val fh = vMax / sampV(c)
+        Array.tabulate(compW(c) * compH(c)) { i =>
+          val cx = i % compW(c); val cy = i / compW(c)
+          var s = 0; var n = 0
+          var dy = 0
+          while (dy < fh) {
+            var dx = 0
+            while (dx < fw) {
+              val x = cx * fw + dx; val y = cy * fh + dy
+              if (x < w && y < h) { s += planes(c)(y * w + x); n += 1 }
+              dx += 1
+            }
+            dy += 1
+          }
+          if (n == 0) 128 else s / n
+        }
+      }
+    }.toArray
+
+    val qLum = scaledQuant(QLumBase, quality)
+    val qChrom = scaledQuant(QChromBase, quality)
+    val dcLum = new HuffTable(DcLumBits, DcLumVals)
+    val acLum = new HuffTable(AcLumBits, AcLumVals)
+    val dcChrom = new HuffTable(DcChromBits, DcChromVals)
+    val acChrom = new HuffTable(AcChromBits, AcChromVals)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xff)
+      out.write(payload)
+    }
+    marker(0xd8) // SOI
+    segment(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def dqtPayload(tq: Int, q: Array[Int]): Array[Byte] =
+      (tq.toByte +: Zigzag.map(z => q(z).toByte)).toArray // store zigzag
+    segment(0xdb, dqtPayload(0, qLum))
+    if (!gray) segment(0xdb, dqtPayload(1, qChrom))
+    // SOF0
+    val nComp = if (gray) 1 else 3
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8); sof.write(h >> 8); sof.write(h & 0xff)
+    sof.write(w >> 8); sof.write(w & 0xff); sof.write(nComp)
+    (0 until nComp).foreach { c =>
+      sof.write(c + 1); sof.write((sampH(c) << 4) | sampV(c))
+      sof.write(if (c == 0) 0 else 1)
+    }
+    segment(0xc0, sof.toByteArray)
+    def dhtPayload(tc: Int, th: Int, bits: Array[Int], vals: Array[Byte]): Array[Byte] =
+      ((((tc << 4) | th).toByte +: (1 to 16).map(l => bits(l).toByte)) ++ vals).toArray
+    segment(0xc4, dhtPayload(0, 0, DcLumBits, DcLumVals))
+    segment(0xc4, dhtPayload(1, 0, AcLumBits, AcLumVals))
+    if (!gray) {
+      segment(0xc4, dhtPayload(0, 1, DcChromBits, DcChromVals))
+      segment(0xc4, dhtPayload(1, 1, AcChromBits, AcChromVals))
+    }
+    if (restartInterval > 0)
+      segment(0xdd, Array((restartInterval >> 8).toByte, restartInterval.toByte))
+    // SOS
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(nComp)
+    (0 until nComp).foreach { c =>
+      sos.write(c + 1); sos.write(if (c == 0) 0x00 else 0x11)
+    }
+    sos.write(0); sos.write(63); sos.write(0)
+    segment(0xda, sos.toByteArray)
+
+    // entropy-coded MCUs
+    val bw = new BitWriter(out)
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val pred = new Array[Int](nComp)
+    val blk = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val zz = new Array[Int](64)
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush() // pad to byte boundary, then the restart marker
+        marker(0xd0 + ((mcu / restartInterval - 1) % 8))
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mcuX = mcu % mcusX
+      val mcuY = mcu / mcusX
+      var c = 0
+      while (c < nComp) {
+        val q = if (c == 0) qLum else qChrom
+        val dcT = if (c == 0) dcLum else dcChrom
+        val acT = if (c == 0) acLum else acChrom
+        val plane = compPlanes(c)
+        var by = 0
+        while (by < sampV(c)) {
+          var bx = 0
+          while (bx < sampH(c)) {
+            val px0 = (mcuX * sampH(c) + bx) * 8
+            val py0 = (mcuY * sampV(c) + by) * 8
+            var y = 0
+            while (y < 8) { // edge-replicate into the block, level-shift;
+              var x = 0     // row-major (row = first index) to match idct
+              while (x < 8) {
+                val sx = math.min(compW(c) - 1, px0 + x)
+                val sy = math.min(compH(c) - 1, py0 + y)
+                blk(y * 8 + x) = plane(sy * compW(c) + sx) - 128.0
+                x += 1
+              }
+              y += 1
+            }
+            fdct8x8(blk, tmp)
+            var z = 0
+            while (z < 64) {
+              val v = blk(Zigzag(z)) / q(Zigzag(z))
+              zz(z) = math.round(v).toInt
+              z += 1
+            }
+            // DC
+            val diff = zz(0) - pred(c)
+            pred(c) = zz(0)
+            val s0 = magnitudeBits(diff)
+            val (dcCode, dcLen) = dcT.encode(s0)
+            bw.write(dcCode, dcLen)
+            if (s0 > 0) bw.write(encodeMagnitude(diff, s0), s0)
+            // AC with run-lengths
+            var k = 1
+            var run = 0
+            while (k < 64) {
+              if (zz(k) == 0) run += 1
+              else {
+                while (run >= 16) {
+                  val (zc, zl) = acT.encode(0xf0); bw.write(zc, zl); run -= 16
+                }
+                val s = magnitudeBits(zz(k))
+                val (code, len) = acT.encode((run << 4) | s)
+                bw.write(code, len)
+                bw.write(encodeMagnitude(zz(k), s), s)
+                run = 0
+              }
+              k += 1
+            }
+            if (run > 0) { val (ec, el) = acT.encode(0x00); bw.write(ec, el) }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  private def magnitudeBits(v: Int): Int = {
+    var a = math.abs(v)
+    var s = 0
+    while (a > 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** The S low bits encoding v (negative values as v − 1 in S bits). */
+  private def encodeMagnitude(v: Int, s: Int): Int =
+    if (v >= 0) v else (v - 1) & ((1 << s) - 1)
+}

@@ -194,12 +194,13 @@ object Multimodal {
   }
 
   /** REAL pixel-level image features for containers the dependency-free
-    * codec decodes (PNG — [[PixelCodec.decodePng]]): appends nullable
-    * `img_width, img_height, img_channels, mean_luma, img_dhash`, null
-    * for undecodable rows (JPEG/video stay behind the documented stub —
-    * entropy coding needs codec libraries). Same iterator-to-iterator
-    * batch shape as [[decodeMeta]]; decode failures null the row's
-    * features instead of failing the task.
+    * codecs decode (PNG — [[PixelCodec.decodePng]]; baseline JPEG —
+    * [[Jpeg.decode]]): appends nullable `img_width, img_height,
+    * img_channels, mean_luma, img_dhash`, null for undecodable rows
+    * (progressive JPEG and exotic subsets reject loudly inside the
+    * try). Same iterator-to-iterator batch shape as [[decodeMeta]];
+    * decode failures null the row's features instead of failing the
+    * task.
     */
   def imageColumns(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
@@ -215,7 +216,7 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray)
         val feats =
           try {
-            val img = PixelCodec.decodePng(bytes)
+            val img = PixelCodec.decodeImage(bytes)
             val g = PixelCodec.grayscale(img)
             var s = 0.0
             g.pixels.foreach(b => s += (b & 0xff))
@@ -254,12 +255,13 @@ object Multimodal {
     }(enc)
   }
 
-  /** Content dHash for PNG bytes via the real codec, falling back to
-    * the byte-level [[dHashStub]] for containers the dependency-free
-    * codec can't decode — so mixed corpora still hash every asset.
+  /** Content dHash for PNG / baseline-JPEG bytes via the real codecs,
+    * falling back to the byte-level [[dHashStub]] for containers the
+    * dependency-free codecs can't decode — so mixed corpora still hash
+    * every asset.
     */
   def dHashAuto(bytes: Array[Byte]): Long =
-    try PixelCodec.dHash(PixelCodec.decodePng(bytes))
+    try PixelCodec.dHash(PixelCodec.decodeImage(bytes))
     catch { case _: Exception => dHashStub(bytes) }
 
   /** Appends `dhash: long` — batched `hasher` over the binary column
@@ -347,7 +349,13 @@ object Multimodal {
   }
 
   /** Container header + frame offsets WITHOUT decoding any frame —
-    * the seek table a sampler needs. Throws on non-GVID bytes.
+    * the seek table a sampler needs. Throws on non-GVID bytes. Every
+    * header-declared count/length is validated against the buffer's
+    * actual size BEFORE allocation: a corrupt/hostile header declaring
+    * a huge `n` would otherwise allocate gigabytes and raise an
+    * OutOfMemoryError — an Error, which the drop-undecodable-rows
+    * `catch (Exception)` in videoColumns/sampleVideoFrames does NOT
+    * contain.
     */
   def videoIndex(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     require(bytes.length >= 12 && GvidMagic.indices.forall(i => bytes(i) == GvidMagic(i)),
@@ -356,12 +364,20 @@ object Multimodal {
     bb.position(4)
     val n = bb.getInt
     val fpsMilli = bb.getInt
+    // each frame costs ≥ 4 header bytes, so n can never exceed this
+    require(n >= 0 && n <= (bytes.length - 12) / 4,
+      s"GVID declares $n frames in a ${bytes.length}-byte buffer")
     val offsets = new Array[Int](n)
     var i = 0
     var pos = 12
     while (i < n) {
+      require(pos + 4 <= bytes.length, s"frame $i header past end of buffer")
+      val len = java.nio.ByteBuffer.wrap(bytes, pos, 4).getInt
+      // long arithmetic: pos + 4 + Int.MaxValue wraps negative in int
+      require(len >= 0 && pos + 4L + len <= bytes.length,
+        s"frame $i length $len past end of buffer")
       offsets(i) = pos + 4
-      pos += 4 + java.nio.ByteBuffer.wrap(bytes, pos, 4).getInt
+      pos += 4 + len
       i += 1
     }
     (n, fpsMilli, offsets)

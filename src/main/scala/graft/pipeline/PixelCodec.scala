@@ -3,11 +3,10 @@ package graft.pipeline
 import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** Dependency-free 8-bit PNG codec and WAV-PCM decode — the REAL decode
-  * step behind [[Multimodal]]'s image/audio feature extraction for the
-  * two container formats that need no external codec: PNG is zlib
-  * (`java.util.zip`) + five per-row unfilters, WAV is raw little-endian
-  * PCM. (JPEG/video stay behind the documented stub — entropy coding
-  * needs codec libraries this environment doesn't ship.)
+  * step behind [[Multimodal]]'s image/audio feature extraction: PNG is
+  * zlib (`java.util.zip`) + five per-row unfilters, WAV is raw
+  * little-endian PCM, and baseline JPEG lives in [[Jpeg]] (huffman +
+  * DCT, also dependency-free) behind [[decodeImage]].
   *
   * Supported PNG subset: bit depth 8, non-interlaced, color types
   * 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA). Palette and 16-bit
@@ -156,6 +155,17 @@ object PixelCodec {
     chunk("IEND", Array.empty)
     out.toByteArray
   }
+
+  /** Decode any supported image container by signature: PNG
+    * ([[decodePng]]) or baseline JPEG ([[Jpeg.decode]]). Anything else
+    * (or an unsupported subset, e.g. progressive JPEG) throws.
+    */
+  def decodeImage(bytes: Array[Byte]): Image =
+    if (bytes.length > 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') decodePng(bytes)
+    else if (bytes.length > 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8) Jpeg.decode(bytes)
+    else throw new IllegalArgumentException("unsupported image container")
 
   // ---- pixel ops ----
 

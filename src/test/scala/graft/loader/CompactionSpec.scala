@@ -43,6 +43,23 @@ class CompactionSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("compact: empty input and non-empty output fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact3").toString
+    // empty input: a silent 0-group success would mask a bad path/scheme
+    new java.io.File(s"$dir/empty").mkdirs()
+    val e1 = intercept[IllegalArgumentException] {
+      Lake.compact(spark, s"$dir/empty", s"$dir/out1", targetBytes = 1024L)
+    }
+    assert(e1.getMessage.contains("no parquet files"))
+    // pre-populated output: append would duplicate rows on a rerun
+    spark.range(10).coalesce(1).write.parquet(s"$dir/in")
+    spark.range(5).coalesce(1).write.parquet(s"$dir/out2")
+    val e2 = intercept[IllegalArgumentException] {
+      Lake.compact(spark, s"$dir/in", s"$dir/out2", targetBytes = 1024L)
+    }
+    assert(e2.getMessage.contains("not empty"))
+  }
+
   test("compact: oversized files copy through byte-for-byte") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString
     val in = s"$dir/in"

@@ -30,8 +30,11 @@ class FuzzySpec extends SparkSpec {
     val df = (0L until 40L).map { i =>
       (i, "a" * (3 + (i % 5).toInt), "b")
     }.toDF("id", "txt", "blk")
-    val got = Fuzzy.editSimilarityPairs(df, "id", "txt", "blk", maxEdit = 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rowsGot = Fuzzy.editSimilarityPairs(df, "id", "txt", "blk", maxEdit = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = rowsGot.toSet
+    // lowest-shared-band rule: each pair emitted exactly once, no distinct()
+    assert(rowsGot.length === got.size, "duplicate pair rows")
     // brute-force reference
     val rows = (0L until 40L).map(i => (i, "a" * (3 + (i % 5).toInt)))
     val want = (for {
@@ -80,6 +83,31 @@ class FuzzySpec extends SparkSpec {
       "id", "txt", "blk", maxEdit = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got === want)
+  }
+
+  test("degenerate blocks engage minhash sub-blocking without losing pairs") {
+    // constant-length strings in ONE block: the length band is useless
+    // (every row co-bands), so the census guard must engage — and the
+    // planted distance-2 pairs (q-gram Jaccard ≈ 0.73 worst-case) must
+    // all survive the recall-aware sub-split. Deterministic corpus, so
+    // the equality below is a stable pin, not a flaky sample.
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (0 until 600).flatMap { i =>
+      val base = randStr(40)
+      if (i % 3 == 0) Seq((i * 10L, base), (i * 10L + 1, base.take(38) + "@@"))
+      else Seq((i * 10L, base))
+    }
+    val df = rows.toDF("id", "txt").withColumn("blk", lit("all"))
+    def run(cap: Long) =
+      Fuzzy.editSimilarityPairs(df, "id", "txt", "blk", maxEdit = 2,
+          maxBlockSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = run(Long.MaxValue) // guard disabled
+    val guarded = run(64)          // every group far above the cap
+    assert(exact.size === 200, s"planted pairs: ${exact.size}")
+    assert(guarded === exact)
   }
 
   test("dropFuzzyDuplicates keeps one representative per cluster") {

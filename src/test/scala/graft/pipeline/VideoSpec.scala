@@ -29,6 +29,25 @@ class VideoSpec extends SparkSpec {
       Multimodal.videoIndex("nope".getBytes ++ new Array[Byte](20)))
   }
 
+  test("hostile headers fail as Exception before allocating, never OOM") {
+    // huge declared frame count: must be rejected by the buffer-size
+    // bound BEFORE `new Array(n)` (an OutOfMemoryError would escape the
+    // drop-on-Exception row handling in videoColumns)
+    val huge = java.nio.ByteBuffer.allocate(16)
+      .put("GVID".getBytes).putInt(Int.MaxValue).putInt(1000).putInt(0).array()
+    val e = intercept[IllegalArgumentException](Multimodal.videoIndex(huge))
+    assert(e.getMessage.contains("frames"))
+    // negative / overlong frame length inside the seek walk
+    val badLen = java.nio.ByteBuffer.allocate(20)
+      .put("GVID".getBytes).putInt(1).putInt(1000).putInt(Int.MaxValue).array()
+    intercept[IllegalArgumentException](Multimodal.videoIndex(badLen))
+    // and videoColumns drops such rows instead of failing the job
+    val df = Seq((1L, video(2, 10000)), (2L, huge)).toDF("id", "vid")
+    val out = Multimodal.videoColumns(df, "vid").orderBy("id").collect()
+    assert(out(0).getAs[Int]("n_frames") === 2)
+    assert(out(1).getAs[Any]("n_frames") === null)
+  }
+
   test("videoColumns: header-only metadata, nulls on undecodable") {
     val df = Seq(
       (1L, video(10, 25000)),
