@@ -86,6 +86,10 @@ object CubeIO {
     * /entry             @NX_class="NXentry", @default="data"
     *   definition       = "NXmpes"            (string dataset)
     *   title            = attrs("title")       (if present)
+    *   start_time       = attrs("start_time")  (if present)
+    *   /user /instrument /sample /process     (NXuser/NXinstrument/
+    *                    NXsample/NXprocess — the template group set of
+    *                    the reference's NXmpes_config.json)
     *   /data            @NX_class="NXdata", @signal="data",
     *                    @axes="ax0:ax1:…" (legacy colon form — the
     *                    minimal writer has scalar string attrs only),
@@ -101,7 +105,8 @@ object CubeIO {
     val axisUnits: Map[String, String] =
       cube.attrs.collect { case (k, v) if k.startsWith("units.") =>
         k.stripPrefix("units.") -> v }
-    val plain = cube.attrs.view.filterKeys(k => !k.startsWith("units.") && k != "title")
+    val plain = cube.attrs.view.filterKeys(k =>
+      !k.startsWith("units.") && k != "title" && k != "start_time")
     val indices = cube.axisNames.zipWithIndex.map { case (n, i) =>
       s"${n}_indices" -> i.toString }
     val dataGroup = Hdf5Minimal.Group(
@@ -120,11 +125,24 @@ object CubeIO {
     )
     val entryDatasets =
       Hdf5Minimal.Dataset("definition", Hdf5Minimal.Str("NXmpes")) +:
-        cube.attrs.get("title").map(t =>
-          Hdf5Minimal.Dataset("title", Hdf5Minimal.Str(t))).toSeq
+        (cube.attrs.get("title").map(t =>
+          Hdf5Minimal.Dataset("title", Hdf5Minimal.Str(t))).toSeq ++
+          cube.attrs.get("start_time").map(t =>
+            Hdf5Minimal.Dataset("start_time", Hdf5Minimal.Str(t))).toSeq)
+    // the standard NXmpes metadata groups (the group set the reference's
+    // pynxtools config template creates — NXmpes_config.json: USER[user],
+    // INSTRUMENT[instrument], SAMPLE[sample], PROCESS_MPES[process]);
+    // written empty unless metadata rides in, so NeXus-aware consumers
+    // find the expected tree shape
+    val metaGroups = Seq(
+      "user" -> Hdf5Minimal.Group(attrs = Map("NX_class" -> "NXuser")),
+      "instrument" -> Hdf5Minimal.Group(attrs = Map("NX_class" -> "NXinstrument")),
+      "sample" -> Hdf5Minimal.Group(attrs = Map("NX_class" -> "NXsample")),
+      "process" -> Hdf5Minimal.Group(attrs = Map("NX_class" -> "NXprocess")),
+    )
     val entry = Hdf5Minimal.Group(
       datasets = entryDatasets,
-      subgroups = Seq("data" -> dataGroup),
+      subgroups = ("data" -> dataGroup) +: metaGroups,
       attrs = Map("NX_class" -> "NXentry", "default" -> "data"),
     )
     Hdf5Minimal.write(path, Hdf5Minimal.Group(
@@ -219,14 +237,15 @@ object CubeIO {
     val axisUnits = axisDs.flatMap(d => d.attrs.get("units").map(s"units.${d.name}" -> _))
     val reserved = Set("NX_class", "signal", "axes") ++ axisNames.map(_ + "_indices")
     val extra = data.attrs.view.filterKeys(!reserved.contains(_)).toMap
-    val title = entry.datasets.find(_.name == "title")
-      .map(d => "title" -> d.data.asInstanceOf[Hdf5Minimal.Str].value)
+    val entryStrings = Seq("title", "start_time").flatMap(n =>
+      entry.datasets.find(_.name == n)
+        .map(d => n -> d.data.asInstanceOf[Hdf5Minimal.Str].value))
     BinnedCube(
       axisNames,
       axisDs.map(_.data.asDoubles),
       signal.data.asLongs,
       signal.dims.map(_.toInt),
-      extra ++ axisUnits ++ title,
+      extra ++ axisUnits ++ entryStrings,
     )
   }
 
