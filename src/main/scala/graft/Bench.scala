@@ -1,5 +1,9 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.GraftSparkBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,6 +43,16 @@ object Bench {
     while (i < 20000000) { s += java.lang.Math.sqrt(i.toDouble); i += 1 }
     if (s < 0) println(s) // defeat dead-code elimination
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Cumulative shuffle-write bytes across all completed stages — the
+    * scale-sensitivity signal: a workload whose shuffle bytes grow faster
+    * than its input is the one that dies first on a cluster.
+    */
+  private final class ShuffleMeter extends SparkListener {
+    val bytes = new AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
   }
 
   def main(args: Array[String]): Unit = {
@@ -165,36 +179,157 @@ object Bench {
         documents, "text"))),
     )
 
-    // canary runs bracket EVERY query's timed reps (not just the suite):
-    // a load spike that inflates one query also inflates that query's
-    // canary pair, so a contaminated artifact is self-evidently
-    // contaminated at per-query resolution
-    val canaryBefore = canary()
-    val results = workloads.map { case (name, run) =>
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    /** Shuffle-write bytes generated by one execution of `run`, read after
+      * draining the async listener bus.
+      */
+    def shuffleDelta(run: () => Unit): Long = {
+      GraftSparkBridge.drainListeners(spark.sparkContext)
+      val before = meter.bytes.get()
+      run()
+      GraftSparkBridge.drainListeners(spark.sparkContext)
+      meter.bytes.get() - before
+    }
+
+    /** Warm-up + min-of-`reps` timing + per-query canary bracket + one
+      * metered rep for shuffle bytes. Returns (minSec, canarySec, shuffleMB).
+      */
+    def timeOne(name: String, run: () => Unit, reps: Int): (Double, Double, Double) = {
       // per-workload untimed warm-up: whole-stage-codegen class generation
       // and its C2 compilation happen per distinct plan
       try run()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       val cBefore = canary()
-      val times = (1 to 5).map { _ =>
+      val shuffled = shuffleDelta(() =>
+        try run()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") })
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try run()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
         (System.nanoTime() - t0) / 1e9
       }
       val cAfter = canary()
-      (name, times.min, math.max(cBefore, cAfter))
+      (times.min, math.max(cBefore, cAfter), shuffled / 1e6)
+    }
+
+    // canary runs bracket EVERY query's timed reps (not just the suite):
+    // a load spike that inflates one query also inflates that query's
+    // canary pair, so a contaminated artifact is self-evidently
+    // contaminated at per-query resolution
+    val canaryBefore = canary()
+    val results = workloads.map { case (name, run) =>
+      val (sec, can, mb) = timeOne(name, run, reps = 5)
+      (name, sec, can, mb)
     }
     val canarySec = math.min(canaryBefore, canary())
 
-    val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val cs = results
-      .map { case (k, _, c) => "\"" + k + "\":" + c }
-      .mkString("{", ",", "}")
+    // ---- 10× weak-scaling leg ----------------------------------------
+    // The sf0.1 numbers are sub-second — small enough that fixed costs
+    // dominate and a scaling cliff can hide. Inflate the inputs 10× into
+    // a temp lake (≈ sf1 row counts), re-run the data-bound headline
+    // workloads, and record per-query seconds + shuffle bytes next to the
+    // 1× numbers: a workload is cluster-safe when sec and shuffle MB grow
+    // ≲ linearly with rows. Document copies are Caesar-shifted per copy so
+    // cross-copy shingles differ — near-dup output mass stays linear in
+    // rows (identical copies would grow it quadratically and the bench
+    // would measure output explosion, not throughput).
+    val x10 = sys.env.getOrElse("SPARK_GRAFT_X10", "true").toBoolean
+    val x10Results: Seq[(String, Double, Double, Double)] = if (!x10) Seq.empty else {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_x10").toString
+      val copies = explode(sequence(lit(0), lit(9))).as("copy")
+      lineitem
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_linenumber"))
+        .select(col("*"), copies).drop("copy")
+        .repartition(nPart)
+        .write.mode("overwrite").parquet(s"$dir/lineitem")
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      documentsScan
+        .select(col("doc_id"), col("text"), copies)
+        .select(
+          (col("doc_id") + col("copy") * lit(10000000L)).as("doc_id"),
+          element_at(
+            array((0 until 10).map(k =>
+              translate(col("text"), alpha, alpha.drop(k) + alpha.take(k))): _*),
+            col("copy") + 1).as("text"))
+        .repartition(nPart, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/documents")
+      embeddings
+        .select(col("vec_id"), col("embedding"), copies)
+        .select((col("vec_id") + col("copy") * lit(10000000L)).as("vec_id"),
+          col("embedding"))
+        .repartition(nPart)
+        .write.mode("overwrite").parquet(s"$dir/embeddings")
+
+      val liX = spark.read.parquet(s"$dir/lineitem").cache()
+      liX.count()
+      val docXScan = spark.read.parquet(s"$dir/documents")
+        .repartition(nPart, col("doc_id"))
+      val embX = spark.read.parquet(s"$dir/embeddings").cache()
+      embX.count()
+
+      val chainX: DataFrame = {
+        val j = DfOps.applyJitter(liX, Seq("l_quantity"), amps = Seq(0.5))
+        val m = graft.calibrate.Momentum.applyDfield(spark, j, invD,
+          "l_quantity", "l_linenumber", "xm", "ym", ((0.0, 50.0), (0.0, 8.0)))
+        val k = graft.calibrate.Momentum.appendKAxis(m, "xm", "ym",
+          "kx", "ky", rStart = 0.0, cStart = 0.0, rCenter = 25.0, cCenter = 4.0,
+          rConversion = 0.01, cConversion = 0.01, rStep = 1.0, cStep = 1.0)
+        val corr = Energy.applyEnergyCorrection(k, "l_extendedprice", "tm",
+          Energy.Correction.spherical(_, _, 25.0, 4.0, 0.05, 100.0),
+          "xm", "ym")
+        val en = corr.withColumn("energy",
+          Energy.tof2ev(col("tm"), 1.0e6, 100.0, 2.0, 0, "kinetic", 0.5))
+        Delay.appendDelayAxis(en, "l_discount", "delay",
+          adcRange = (0.0, 0.11), delayRange = Some((-2.0, 2.0)))
+      }
+      val x10Workloads: Seq[(String, () => Unit)] = Seq(
+        "binning_1d" -> (() => Binning.histogramCube(liX,
+          Seq(UniformAxis("l_extendedprice", 1000, 900.0, 105000.0)))),
+        "binning_4d" -> (() => exec(Binning.histogram(liX, Seq(
+          UniformAxis("l_quantity", 100, 1.0, 50.0),
+          UniformAxis("l_extendedprice", 100, 900.0, 105000.0),
+          UniformAxis("l_discount", 100, 0.0, 0.11),
+          UniformAxis("l_tax", 100, 0.0, 0.09))))),
+        "workflow_1d" -> (() => Binning.histogramCube(chainX, Seq(axEnergy))),
+        "workflow_4d" -> (() => exec(Binning.histogram(chainX, ax4dWf))),
+        "dedup_exact" -> (() => exec(pipeline.Dedup.exactDuplicates(
+          docXScan, "text", "doc_id"))),
+        "dedup_minhash" -> (() => exec(pipeline.Dedup.minhashNearDuplicates(
+          docXScan, "text", "doc_id", threshold = 0.5))),
+        "ann_brute_topk" -> (() => {
+          val q = embX.filter(col("vec_id") === 0).select("embedding")
+            .first().getSeq[Float](0).map(_.toDouble).toArray
+          exec(pipeline.Similarity.bruteForceTopK(embX, "embedding", "vec_id", q, 10))
+        }),
+        "text_quality" -> (() => exec(pipeline.TextOps.qualityColumns(
+          docXScan, "text"))),
+      )
+      val out = x10Workloads.map { case (name, run) =>
+        val (sec, can, mb) = timeOne(name, run, reps = 3)
+        (name, sec, can, mb)
+      }
+      liX.unpersist(); embX.unpersist()
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir)).deleteRecursively()
+      } catch { case _: Throwable => () }
+      out
+    }
+
+    def jmap(rs: Seq[(String, Double, Double, Double)], f: ((String, Double, Double, Double)) => Double): String =
+      rs.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+    val qs = jmap(results, _._2)
+    val cs = jmap(results, _._3)
+    val mbs = jmap(results, _._4)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_sec":$canarySec,"canaries":$cs,"sf":"$sfDir"}""")
+    val x10Part = if (x10Results.isEmpty) "" else {
+      val t10 = x10Results.map(_._2).sum
+      s""","x10":{"rows_factor":10,"total_sec":$t10,"queries":${jmap(x10Results, _._2)},"canaries":${jmap(x10Results, _._3)},"shuffle_mb":${jmap(x10Results, _._4)}}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_sec":$canarySec,"canaries":$cs,"shuffle_mb":$mbs$x10Part,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

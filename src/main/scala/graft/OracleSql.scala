@@ -303,6 +303,43 @@ object OracleSql {
        |SELECT vec_id, ROUND(dot / (sqrt(nx) * sqrt(nq)), 6) AS cos FROM p
        |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** Batch IVF search — mirrors [[graft.pipeline.Ivf.searchAll]] with
+    * seed centroids (`vec_id < nLists`) and queries `vec_id < nQueries`:
+    * per query, the `nProbe` nearest lists (ascending distance, ties to
+    * the lower id), candidates = corpus rows assigned to a probed list,
+    * ranked by rounded cosine then id, top `k` per query.
+    */
+  def ivfBatchSql(table: String, nLists: Int, nQueries: Int, nProbe: Int,
+      k: Int): String =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM $table),
+       |c AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < $nLists),
+       |q AS (SELECT vec_id AS qid, i, v FROM e WHERE vec_id < $nQueries),
+       |qd AS (SELECT qid, cid, sum((c.v - q.v) * (c.v - q.v)) AS dq
+       |  FROM c JOIN q USING (i) GROUP BY qid, cid),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dq, cid) AS rn FROM qd)
+       |  WHERE rn <= $nProbe),
+       |rd AS (SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dd
+       |  FROM e JOIN c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM rd)
+       |  WHERE rn = 1),
+       |cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN asg a ON a.cid = p.cid),
+       |s AS (SELECT cd.qid, cd.vec_id,
+       |  sum(e.v * q.v) AS dot, sum(e.v * e.v) AS nx, sum(q.v * q.v) AS nq
+       |  FROM cand cd JOIN e ON e.vec_id = cd.vec_id
+       |  JOIN q ON q.qid = cd.qid AND q.i = e.i
+       |  GROUP BY cd.qid, cd.vec_id)
+       |SELECT q_id, vec_id, cos FROM (
+       |  SELECT CAST(qid AS BIGINT) AS q_id, vec_id,
+       |    ROUND(dot / (sqrt(nx) * sqrt(nq)), 6) AS cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY ROUND(dot / (sqrt(nx) * sqrt(nq)), 6) DESC, vec_id) AS rn
+       |  FROM s) WHERE rn <= $k""".stripMargin.replace("\n", " ")
+
   /** Hashed-linear quality score — mirrors
     * [[graft.pipeline.QualityModel.scoreColumn]] with the deterministic
     * formula weight table `w[b] = ((b·2654435761) mod 97 − 48)/100`:

@@ -431,6 +431,22 @@ object SparkEntry {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       pipeline.Similarity.ivfTopK(emb, "embedding", "vec_id", seeds(0), seeds, 10)
     }),
+    // Distributed BATCH ANN search (Ivf.searchAll): a whole frame of
+    // queries routed map-side to their nProbe coarse lists, one
+    // probe→postings equi-join, per-query top-k window over candidates
+    // only — the retrieval/decontamination shape (ivfTopK answers one
+    // driver-side query; this answers millions in one plan). Seed
+    // quantizer as in q_ivf_topk; queries = vectors 0..3.
+    "q_ivf_batch" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val queries = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      pipeline.Ivf.searchAll(queries, "q_vec", "q_id",
+        emb, "embedding", "vec_id", seeds, k = 5, nProbe = 2)
+    }),
     // Embedding covariance moments from Pca's one-pass INTEGER-exact
     // aggregate (the distributed half of PCA; the float covariance +
     // driver-side Jacobi eigen half is spec-covered). Components are
@@ -1449,6 +1465,8 @@ object SparkEntry {
       s"SELECT vec_id, ${OracleSql.lshBucketExprSql(lshPlanes)} AS bucket FROM embeddings",
     "q_lsh_topk" -> OracleSql.lshTopKSql("embeddings", lshPlanes, 10),
     "q_ivf_topk" -> OracleSql.ivfTopKSql("embeddings", nLists = 8, nProbe = 2, k = 10),
+    "q_ivf_batch" -> OracleSql.ivfBatchSql("embeddings", nLists = 8,
+      nQueries = 4, nProbe = 2, k = 5),
     "q_embed_cov" -> OracleSql.embedCovSql("embeddings"),
     "q_pq_encode" -> OracleSql.pqEncodeSql("embeddings", nSeeds = 8, subDim = 8),
     "q_pq_adc" -> OracleSql.pqAdcSql("embeddings", nSeeds = 8, subDim = 8, k = 10),

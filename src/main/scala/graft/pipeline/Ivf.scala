@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistable IVF (inverted-file) ANN index over an embedding column.
+  *
+  * [[Similarity.ivfTopK]] answers ONE driver-side query against an
+  * in-flight DataFrame; this is the lake form of the same idea, shaped
+  * for the two things a 100-TB corpus actually needs:
+  *
+  *   - '''Build once, probe many''': [[build]] writes the centroid table
+  *     plus a postings lake ''partitioned by'' `list_id`. A search then
+  *     prunes at the FILE level — Spark's partition pruning turns
+  *     `list_id IN (probes)` into "read only those directories", so a
+  *     search touches `nProbe / nLists` of the corpus bytes, not a
+  *     full scan with a residual filter.
+  *   - '''Batch search''': [[searchAll]] answers a whole DataFrame of
+  *     queries in one plan — each query routes to its `nProbe` probe
+  *     lists via the broadcast [[NearestCentroidsExpr]] (map-side), the
+  *     probe→postings equi-join is the only corpus shuffle (and under
+  *     AQE the small query side broadcasts, so the corpus often never
+  *     shuffles at all), and the per-query top-k is one keyed window
+  *     over candidates only (`nProbe` lists × queries, never the
+  *     corpus). This is the retrieval / decontamination-at-scale shape:
+  *     millions of queries, one pass.
+  *
+  * Reference scope note: the reference engine has no ANN surface; this
+  * family is part of the training-data-pipeline brief. Centroids come
+  * from [[KMeans.fit]] (or any seed strategy); ties and probe order
+  * follow [[Similarity.ivfTopK]] exactly (parity-tested).
+  */
+object Ivf {
+
+  /** Write the index: `dir/centroids` (list_id, centroid) and
+    * `dir/postings` parquet partitioned by `list_id` carrying
+    * `(idCol, vecCol, carryCols…)`. Returns the postings row count.
+    */
+  def build(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      dir: String,
+      carryCols: Seq[String] = Seq.empty,
+  ): Long = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val cols = (idCol +: vecCol +: carryCols).map(col) :+
+      KMeans.assign(df, vecCol, centroids).as("list_id")
+    val postings = df.filter(col(vecCol).isNotNull).select(cols: _*)
+    postings.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/postings")
+    spark.read.parquet(s"$dir/postings").count()
+  }
+
+  /** Load the centroid matrix back (k rows — bounded driver state). */
+  def loadCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids")
+      .orderBy("list_id")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** The `nProbe` list ids nearest to `query` (ascending distance, ties
+    * to the lower id — same rule as [[Similarity.ivfTopK]]).
+    */
+  def probeLists(query: Array[Double], centroids: Array[Array[Double]],
+      nProbe: Int): Seq[Int] =
+    centroids.indices
+      .sortBy { c =>
+        val ctr = centroids(c)
+        var s = 0.0
+        var i = 0
+        while (i < ctr.length) { val d = query(i) - ctr(i); s += d * d; i += 1 }
+        (s, c)
+      }
+      .take(nProbe)
+
+  /** Single-query search against the on-lake index. The `list_id IN`
+    * predicate is a partition filter: only the probed directories are
+    * read (spec-pinned via the scan's partition count).
+    */
+  def search(
+      spark: SparkSession,
+      dir: String,
+      query: Array[Double],
+      k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    val centroids = loadCentroids(spark, dir)
+    val probes = probeLists(query, centroids, nProbe)
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("list_id").isin(probes: _*))
+      .select(col(idCol),
+        round(Dedup.cosine(col(vecCol), lit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Batch search: per-query cosine top-k over the probed lists only.
+    * `corpus` may be raw (assigned on the fly) or a postings frame that
+    * already carries `list_id` (pass `preAssigned = true` to skip the
+    * assignment pass — the loaded-index path).
+    *
+    * Output: `(qIdCol, idCol, cos)`, `cos` rounded to 6, ranked by the
+    * rounded value then `idCol` (mirrors [[Similarity.ivfTopK]]).
+    */
+  def searchAll(
+      queries: DataFrame,
+      qVecCol: String,
+      qIdCol: String,
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      k: Int,
+      nProbe: Int = 2,
+      preAssigned: Boolean = false,
+  ): DataFrame = {
+    val posted =
+      if (preAssigned) corpus.select(col(idCol), col(vecCol), col("list_id"))
+      else corpus.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol),
+        KMeans.assign(corpus, vecCol, centroids).as("list_id"))
+    val routed = queries.select(col(qIdCol), col(qVecCol),
+      explode(KMeans.assignK(queries, qVecCol, centroids, nProbe)).as("_probe"))
+    val cand = routed.join(posted, routed("_probe") === posted("list_id"))
+    val scored = cand.select(col(qIdCol), col(idCol),
+      round(Dedup.cosine(col(qVecCol), col(vecCol)), 6).as("cos"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+}

@@ -60,6 +60,48 @@ case class NearestCentroidExpr(
     copy(child = newChild)
 }
 
+/** The `nProbe` nearest centroid ids (ascending distance, ties to the
+  * lower id) as `array<int>` — the multi-probe form of
+  * [[NearestCentroidExpr]], used to route ANN queries to their IVF probe
+  * lists without a k-wide literal tree.
+  */
+case class NearestCentroidsExpr(
+    child: Expression, // array<float> | array<double>
+    bcCentroids: Broadcast[Array[Array[Double]]],
+    nProbe: Int,
+) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest centroids needs array<float|double>, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val centroids: Array[Array[Double]] = bcCentroids.value
+
+  override def nullSafeEval(arrAny: Any): Any =
+    KMeans.nearestK(arrAny.asInstanceOf[ArrayData], isFloat, centroids, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bcCentroids", bcCentroids,
+      classOf[Broadcast[Array[Array[Double]]]].getName)
+    val cVar = ctx.addMutableState("double[][]", "centroidsK",
+      v => s"$v = (double[][]) $bcRef.value();")
+    val helper = KMeans.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = $helper.nearestK($arr, $isFloat, $cVar, $nProbe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}
+
 /** Element-wise vector sum + row count as ONE aggregation buffer
   * (`dim` running sums and the count in a single `Array[Double]`): the
   * per-cluster statistics pass of Lloyd's update costs one hash probe
@@ -182,6 +224,58 @@ object KMeans {
     val bc = df.sparkSession.sparkContext.broadcast(centroids)
     GraftBridge.column(NearestCentroidExpr(
       GraftBridge.expression(df.col(vecCol)), bc))
+  }
+
+  /** The `k` nearest centroid ids, ascending distance, ties to the lower
+    * id — selection by repeated scan (k is a probe count, ≤ tens).
+    */
+  def nearestK(arr: ArrayData, isFloat: Boolean,
+      centroids: Array[Array[Double]], k: Int): ArrayData = {
+    val dim = centroids(0).length
+    require(arr.numElements() == dim,
+      s"vector of length ${arr.numElements()} vs dim-$dim centroids")
+    val n = centroids.length
+    val d2 = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val ctr = centroids(c)
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val d = (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) - ctr(i)
+        s += d * d
+        i += 1
+      }
+      d2(c) = s
+      c += 1
+    }
+    val m = math.min(k, n)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](n)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var cc = 0
+      while (cc < n) {
+        if (!taken(cc) && d2(cc) < bestD) { bestD = d2(cc); best = cc }
+        cc += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Multi-probe assignment: the `nProbe` nearest centroid ids as
+    * `array<int>` over a broadcast matrix.
+    */
+  def assignK(df: DataFrame, vecCol: String, centroids: Array[Array[Double]],
+      nProbe: Int): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    GraftBridge.column(NearestCentroidsExpr(
+      GraftBridge.expression(df.col(vecCol)), bc, nProbe))
   }
 
   /** One Lloyd statistics pass: `(cluster, stats)` with `stats` the

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 4
+
+  // 3 well-separated clusters around distinct corners, 40 vectors each
+  private def clustered(n: Int = 120) = {
+    val centers = Array(
+      Array(10.0, 0.0, 0.0, 0.0),
+      Array(0.0, 10.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 0.0))
+    val rows = (0 until n).map { i =>
+      val r = new scala.util.Random(i)
+      val c = centers(i % 3)
+      (i.toLong, Seq.tabulate(dim)(d => (c(d) + r.nextGaussian() * 0.3).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def seedCentroids(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  test("build writes list-partitioned postings and search prunes to probed lists") {
+    val dir = Files.createTempDirectory("ivf").toString
+    val df = clustered()
+    val cents = seedCentroids(df, 3) // one seed per cluster corner
+    val n = Ivf.build(df, "embedding", "vec_id", cents, dir)
+    assert(n === 120L)
+    // physical layout: one directory per list
+    val lists = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("list_id=")).map(_.getName).sorted
+    assert(lists.length === 3)
+
+    val q = df.filter(col("vec_id") === 0).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble).toArray
+    val res = Ivf.search(spark, dir, q, k = 5, nProbe = 1)
+    // partition pruning: `list_id IN (probe)` must reach the scan as a
+    // PARTITION filter (directory-level skip), not a post-scan predicate
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*list_id[^\\]]*\\].*"),
+      s"expected a non-empty list_id partition filter in:\n$plan")
+    // every returned id belongs to the query's own cluster (ids ≡ 0 mod 3)
+    val ids = res.collect().map(_.getLong(0))
+    assert(ids.length === 5 && ids.forall(_ % 3 === 0))
+    assert(ids.contains(0L)) // the query itself at cos 1
+  }
+
+  test("search parity with ivfTopK on the same quantizer") {
+    val dir = Files.createTempDirectory("ivf").toString
+    val df = clustered()
+    val cents = seedCentroids(df, 8)
+    Ivf.build(df, "embedding", "vec_id", cents, dir)
+    val q = df.filter(col("vec_id") === 1).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble).toArray
+    val a = Ivf.search(spark, dir, q, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Similarity.ivfTopK(df, "embedding", "vec_id", q, cents, 10, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("searchAll matches per-query ivfTopK for every query") {
+    val df = clustered()
+    val cents = seedCentroids(df, 8)
+    val queries = df.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val batch = Ivf.searchAll(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", cents, k = 4, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    (0 until 6).foreach { qi =>
+      val q = df.filter(col("vec_id") === qi).select("embedding")
+        .first().getSeq[Float](0).map(_.toDouble).toArray
+      val single = Similarity.ivfTopK(df, "embedding", "vec_id", q, cents, 4, 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = batch(qi.toLong).sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3))
+      assert(got.toSeq === single.toSeq, s"query $qi")
+    }
+  }
+
+  test("searchAll over pre-assigned postings equals the on-the-fly path") {
+    val dir = Files.createTempDirectory("ivf").toString
+    val df = clustered()
+    val cents = seedCentroids(df, 8)
+    Ivf.build(df, "embedding", "vec_id", cents, dir)
+    val postings = spark.read.parquet(s"$dir/postings")
+    val queries = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    val a = norm(Ivf.searchAll(queries, "q_vec", "q_id",
+      postings, "embedding", "vec_id", cents, k = 3, nProbe = 2, preAssigned = true))
+    val b = norm(Ivf.searchAll(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", cents, k = 3, nProbe = 2))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("nearestK expression: ascending distance, ties to the lower id") {
+    val cents = Array(
+      Array(0.0, 0.0), Array(1.0, 0.0), Array(1.0, 0.0), Array(5.0, 0.0))
+    val df = Seq((0L, Seq(0.9f, 0.0f))).toDF("id", "v")
+    val got = df.select(KMeans.assignK(df, "v", cents, 3).as("p"))
+      .first().getSeq[Int](0)
+    // distances: c0=0.81, c1=0.01, c2=0.01 (tie → lower id first), c3≈16.8
+    assert(got === Seq(1, 2, 0))
+  }
+}
