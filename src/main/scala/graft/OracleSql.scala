@@ -340,6 +340,56 @@ object OracleSql {
        |      ORDER BY ROUND(dot / (sqrt(nx) * sqrt(nq)), 6) DESC, vec_id) AS rn
        |  FROM s) WHERE rn <= $k""".stripMargin.replace("\n", " ")
 
+  /** Batch IVF-PQ search — mirrors [[graft.pipeline.Ivf.searchAllPq]]
+    * with seed coarse centroids AND seed codebooks (both `vec_id <
+    * nLists`): per query, the `nProbe` nearest coarse lists; candidates
+    * = corpus rows assigned to a probed list; each candidate's PQ code
+    * is its per-subspace nearest seed slice; the ADC distance is the
+    * sum over subspaces of the query-to-coded-centroid squared
+    * distance; top `k` per query ascending (rounded dist, id).
+    */
+  def ivfPqBatchSql(table: String, nLists: Int, subDim: Int, nQueries: Int,
+      nProbe: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM $table),
+       |c AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < $nLists),
+       |q AS (SELECT vec_id AS qid, i, v FROM e WHERE vec_id < $nQueries),
+       |qd AS (SELECT qid, cid, sum((c.v - q.v) * (c.v - q.v)) AS dq
+       |  FROM c JOIN q USING (i) GROUP BY qid, cid),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dq, cid) AS rn FROM qd)
+       |  WHERE rn <= $nProbe),
+       |rd AS (SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dd
+       |  FROM e JOIN c ON e.i = c.i GROUP BY e.vec_id, c.cid),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM rd)
+       |  WHERE rn = 1),
+       |sd AS (SELECT a.vec_id, CAST((a.i - 1) // $subDim AS INTEGER) AS sub,
+       |  c.cid, sum((a.v - c.v) * (a.v - c.v)) AS dd
+       |  FROM e a JOIN c ON a.i = c.i
+       |  GROUP BY a.vec_id, ((a.i - 1) // $subDim), c.cid),
+       |code AS (SELECT vec_id, sub, cid AS cd FROM (
+       |  SELECT vec_id, sub, cid,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
+       |  FROM sd) WHERE rn = 1),
+       |lut AS (SELECT q.qid, CAST((q.i - 1) // $subDim AS INTEGER) AS sub,
+       |  c.cid AS cd, sum((q.v - c.v) * (q.v - c.v)) AS d2
+       |  FROM q JOIN c ON q.i = c.i
+       |  GROUP BY q.qid, ((q.i - 1) // $subDim), c.cid),
+       |cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN asg a ON a.cid = p.cid),
+       |adc AS (SELECT cd0.qid, cd0.vec_id, sum(l.d2) AS dist
+       |  FROM cand cd0 JOIN code k2 ON k2.vec_id = cd0.vec_id
+       |  JOIN lut l ON l.qid = cd0.qid AND l.sub = k2.sub AND l.cd = k2.cd
+       |  GROUP BY cd0.qid, cd0.vec_id)
+       |SELECT q_id, vec_id, adc_dist FROM (
+       |  SELECT CAST(qid AS BIGINT) AS q_id, vec_id,
+       |    ROUND(dist, 6) AS adc_dist,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY ROUND(dist, 6), vec_id) AS rn
+       |  FROM adc) WHERE rn <= $k""".stripMargin.replace("\n", " ")
+
   /** Hashed-linear quality score — mirrors
     * [[graft.pipeline.QualityModel.scoreColumn]] with the deterministic
     * formula weight table `w[b] = ((b·2654435761) mod 97 − 48)/100`:

@@ -447,6 +447,22 @@ object SparkEntry {
       pipeline.Ivf.searchAll(queries, "q_vec", "q_id",
         emb, "embedding", "vec_id", seeds, k = 5, nProbe = 2)
     }),
+    // Batch IVF-PQ search: same routing as q_ivf_batch but candidates
+    // are ranked by ADC distance over their m-int codes (the
+    // shuffle-lean 100-TB form — codes, not float vectors, cross the
+    // corpus exchange). Seed coarse quantizer AND seed codebooks.
+    "q_ivf_pq_batch" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val model = pipeline.Pq.Model(64, 8,
+        Array.tabulate(8)(sub => seeds.map(_.slice(sub * 8, (sub + 1) * 8))))
+      val queries = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      pipeline.Ivf.searchAllPq(queries, "q_vec", "q_id",
+        emb, "embedding", "vec_id", seeds, model, k = 5, nProbe = 2)
+    }),
     // Embedding covariance moments from Pca's one-pass INTEGER-exact
     // aggregate (the distributed half of PCA; the float covariance +
     // driver-side Jacobi eigen half is spec-covered). Components are
@@ -1467,6 +1483,8 @@ object SparkEntry {
     "q_ivf_topk" -> OracleSql.ivfTopKSql("embeddings", nLists = 8, nProbe = 2, k = 10),
     "q_ivf_batch" -> OracleSql.ivfBatchSql("embeddings", nLists = 8,
       nQueries = 4, nProbe = 2, k = 5),
+    "q_ivf_pq_batch" -> OracleSql.ivfPqBatchSql("embeddings", nLists = 8,
+      subDim = 8, nQueries = 4, nProbe = 2, k = 5),
     "q_embed_cov" -> OracleSql.embedCovSql("embeddings"),
     "q_pq_encode" -> OracleSql.pqEncodeSql("embeddings", nSeeds = 8, subDim = 8),
     "q_pq_adc" -> OracleSql.pqAdcSql("embeddings", nSeeds = 8, subDim = 8, k = 10),

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,7 @@ object Ivf {
       centroids: Array[Array[Double]],
       dir: String,
       carryCols: Seq[String] = Seq.empty,
+      pqModel: Option[Pq.Model] = None,
   ): Long = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -52,9 +53,16 @@ object Ivf {
       .toDF("list_id", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    val cols = (idCol +: vecCol +: carryCols).map(col) :+
-      KMeans.assign(df, vecCol, centroids).as("list_id")
-    val postings = df.filter(col(vecCol).isNotNull).select(cols: _*)
+    // with a PQ model the lake stores m-int codes, not float vectors —
+    // the 100-TB storage shape; searchAllPq(preEncoded) reads it back
+    val filtered = df.filter(col(vecCol).isNotNull)
+    val payload: Seq[Column] = pqModel match {
+      case Some(m) => Seq(Pq.encodeColumn(filtered, vecCol, m).as("pq_code"))
+      case None => Seq(col(vecCol))
+    }
+    val cols = (col(idCol) +: payload) ++ carryCols.map(col) :+
+      KMeans.assign(filtered, vecCol, centroids).as("list_id")
+    val postings = filtered.select(cols: _*)
     postings.write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$dir/postings")
     spark.read.parquet(s"$dir/postings").count()
@@ -135,6 +143,57 @@ object Ivf {
     val scored = cand.select(col(qIdCol), col(idCol),
       round(Dedup.cosine(col(qVecCol), col(vecCol)), 6).as("cos"))
     val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Batch IVF-PQ search — [[searchAll]]'s routing with [[Pq]] ADC
+    * distances instead of exact cosines: the probed candidates carry
+    * only their m-byte codes, so the corpus side of the join ships
+    * `m` ints per row instead of `dim` floats (the 100-TB shape — at
+    * dim 1024 / m 32 that is a 128× shuffle-byte cut on the only
+    * corpus-touching exchange). `corpus` may be raw (assigned + encoded
+    * on the fly) or an encoded postings frame with `list_id` and
+    * `pq_code` already present (`preEncoded = true` — the loaded-index
+    * path, where float vectors never existed on disk at all).
+    *
+    * Output: `(qIdCol, idCol, adc_dist)` — ascending approximate
+    * squared L2, rounded to 6, ties to the lower id (mirrors
+    * [[Pq.adcTopK]]).
+    */
+  def searchAllPq(
+      queries: DataFrame,
+      qVecCol: String,
+      qIdCol: String,
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      model: Pq.Model,
+      k: Int,
+      nProbe: Int = 2,
+      preEncoded: Boolean = false,
+  ): DataFrame = {
+    val sc = queries.sparkSession.sparkContext
+    val posted =
+      if (preEncoded) corpus.select(col(idCol), col("list_id"), col("pq_code"))
+      else {
+        val f = corpus.filter(col(vecCol).isNotNull)
+        f.select(col(idCol),
+          KMeans.assign(f, vecCol, centroids).as("list_id"),
+          Pq.encodeColumn(f, vecCol, model).as("pq_code"))
+      }
+    val routed = queries.select(col(qIdCol), col(qVecCol),
+      explode(KMeans.assignK(queries, qVecCol, centroids, nProbe)).as("_probe"))
+    val cand = routed.join(posted, routed("_probe") === posted("list_id"))
+    val bc = sc.broadcast(model.codebooks)
+    val dist = GraftBridge.column(PqAdcDistExpr(
+      GraftBridge.expression(col(qVecCol)),
+      GraftBridge.expression(col("pq_code")), bc))
+    val scored = cand.select(col(qIdCol), col(idCol),
+      round(dist, 6).as("adc_dist"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("adc_dist"), col(idCol))
     scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")

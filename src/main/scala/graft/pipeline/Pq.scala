@@ -1,7 +1,13 @@
 package graft.pipeline
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Product quantization (Jégou et al. 2011, "Product Quantization for
   * Nearest Neighbor Search") — the compression half of the FAISS-style
@@ -207,4 +213,78 @@ object Pq {
     adcTopK(index.filter(col("ivf_list").isin(probes.toIndexedSeq: _*)),
       "pq_code", idCol, query, model, n)
   }
+
+  /** ADC squared distance from a row's raw query vector to a row's code
+    * reconstruction — the per-row kernel behind [[PqAdcDistExpr]]. Loop
+    * order is fixed (subspace-major, component ascending) so the sum is
+    * deterministic per row regardless of partitioning.
+    */
+  def adcDist(q: ArrayData, qIsFloat: Boolean, code: ArrayData,
+      cb: Array[Array[Array[Double]]]): Double = {
+    var tot = 0.0
+    var s = 0
+    while (s < cb.length) {
+      val sub = cb(s)(code.getInt(s))
+      val base = s * sub.length
+      var i = 0
+      while (i < sub.length) {
+        val qi = if (qIsFloat) q.getFloat(base + i).toDouble
+                 else q.getDouble(base + i)
+        val d = qi - sub(i)
+        tot += d * d
+        i += 1
+      }
+      s += 1
+    }
+    tot
+  }
+}
+
+/** ADC distance of a QUERY COLUMN against a CODE COLUMN — the batch
+  * form of [[Pq.adcTopK]]'s literal lookup table. adcTopK serves one
+  * driver-side query (its m×k LUT is a plan literal); here the query
+  * vector is itself a column (millions of queries in one plan), so the
+  * LUT trick is unavailable — instead the codebooks travel once per
+  * executor as a broadcast and each row pays m·subDim fused
+  * multiply-adds in generated code. Used by [[Ivf.searchAllPq]].
+  */
+case class PqAdcDistExpr(
+    left: Expression, // query: array<float> | array<double>
+    right: Expression, // pq_code: array<int>
+    bcCodebooks: Broadcast[Array[Array[Array[Double]]]],
+) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+            ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ADC distance needs (array<float|double>, array<int>), got ($l, $r)")
+    }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val codebooks: Array[Array[Array[Double]]] =
+    bcCodebooks.value
+
+  override def nullSafeEval(q: Any, code: Any): Any =
+    Pq.adcDist(q.asInstanceOf[ArrayData], isFloat,
+      code.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bcCodebooks", bcCodebooks,
+      classOf[Broadcast[Array[Array[Array[Double]]]]].getName)
+    val cbVar = ctx.addMutableState("double[][][]", "pqCodebooks",
+      v => s"$v = (double[][][]) $bcRef.value();")
+    val helper = Pq.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (q, code) =>
+      s"${ev.value} = $helper.adcDist($q, $isFloat, $code, $cbVar);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDistExpr =
+    copy(left = newLeft, right = newRight)
 }

@@ -106,6 +106,54 @@ class IvfSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("searchAllPq matches per-query ivfPqTopK for every query") {
+    val df = clustered()
+    val cents = seedCentroids(df, 8)
+    // seed codebooks: dim 4, m 2 → subDim 2 slices of the 8 seeds
+    val model = Pq.Model(4, 2,
+      Array.tabulate(2)(s => seedCentroids(df, 8).map(_.slice(s * 2, (s + 1) * 2))))
+    val queries = df.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val batch = Ivf.searchAllPq(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", cents, model, k = 4, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val index = Pq.ivfPqIndex(df, "embedding", cents, model)
+    (0 until 6).foreach { qi =>
+      val q = df.filter(col("vec_id") === qi).select("embedding")
+        .first().getSeq[Float](0).map(_.toDouble).toArray
+      val single = Pq.ivfPqTopK(index, "vec_id", q, cents, model,
+        nProbe = 2, n = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = batch(qi.toLong).sortBy(t => (t._3, t._2)).map(t => (t._2, t._3))
+      assert(got.toSeq === single.toSeq, s"query $qi")
+    }
+  }
+
+  test("build with a PQ model stores codes, and preEncoded search reads them") {
+    val dir = Files.createTempDirectory("ivfpq").toString
+    val df = clustered()
+    val cents = seedCentroids(df, 3)
+    val model = Pq.Model(4, 2,
+      Array.tabulate(2)(s => seedCentroids(df, 8).map(_.slice(s * 2, (s + 1) * 2))))
+    Ivf.build(df, "embedding", "vec_id", cents, dir, pqModel = Some(model))
+    val postings = spark.read.parquet(s"$dir/postings")
+    // the lake holds codes, never the float vectors
+    assert(postings.columns.toSet === Set("vec_id", "pq_code", "list_id"))
+    val queries = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    val a = norm(Ivf.searchAllPq(queries, "q_vec", "q_id",
+      postings, "embedding", "vec_id", cents, model, k = 3, nProbe = 2,
+      preEncoded = true))
+    val b = norm(Ivf.searchAllPq(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", cents, model, k = 3, nProbe = 2))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("nearestK expression: ascending distance, ties to the lower id") {
     val cents = Array(
       Array(0.0, 0.0), Array(1.0, 0.0), Array(1.0, 0.0), Array(5.0, 0.0))
