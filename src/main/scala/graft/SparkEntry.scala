@@ -359,6 +359,31 @@ object SparkEntry {
       pipeline.TextOps.bm25(table(s, dir, "documents"), "text", "doc_id",
         Seq("join", "spark", "vector"))
         .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))),
+    // BM25 top-k through the PERSISTED inverted index (TextIndex lake):
+    // build writes term-bucketed postings+vocab, search prunes at the
+    // directory level and must return the in-flight scorer's exact
+    // scores — the build-once/probe-many retrieval path
+    "q_text_search" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tidx").toString
+      pipeline.TextIndex.build(table(s, dir, "documents"), "text", "doc_id", tmp)
+      pipeline.TextIndex.search(s, tmp, Seq("join", "spark", "vector"), k = 20)
+    }),
+    // batch BM25: 3 queries scored in ONE plan over the in-flight
+    // postings frame (term-keyed equi-join + per-query top-k window)
+    "q_text_batch" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val stats = docs
+        .select(pipeline.TextOps.tokenCount(col("text")).as("_len"))
+        .agg(count(lit(1)), avg(col("_len"))).head()
+      val queries = Seq(
+        (0L, Seq("join", "spark")),
+        (1L, Seq("vector", "index")),
+        (2L, Seq("shuffle"))).toDF("q_id", "terms")
+      pipeline.TextIndex.searchAll(queries, "q_id", "terms",
+        pipeline.TextIndex.postingsFrame(docs, "text", "doc_id"),
+        nDocs = stats.getLong(0), avgLen = stats.getDouble(1), k = 10)
+    }),
     // trained hashed-linear quality score (QualityModel): the gate pins
     // the SCORING pass with a deterministic formula weight table —
     // training itself is data-derived (driver-side logistic regression,
@@ -1508,6 +1533,49 @@ object SparkEntry {
            |    1.2 * (0.25 + 0.75 * CAST(lens.len AS DOUBLE) / sc.avgl))), 6) AS bm25
            |FROM tf JOIN dfq USING (t) JOIN lens USING (doc_id) CROSS JOIN sc
            |GROUP BY tf.doc_id""".stripMargin.replace("\n", " "),
+    // identical scoring core, ranked: top-20 by (rounded score desc, id)
+    "q_text_search" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           |  unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+           |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+           |sc AS (SELECT count(*) AS n, avg(CAST(len AS DOUBLE)) AS avgl FROM lens),
+           |tf AS (SELECT doc_id, t, count(*) AS tfc FROM toks
+           |  WHERE t IN ('join', 'spark', 'vector') GROUP BY doc_id, t),
+           |dfq AS (SELECT t, count(*) AS dfr FROM tf GROUP BY t)
+           |SELECT doc_id, bm25 FROM (
+           |  SELECT tf.doc_id, ROUND(sum(
+           |    ln(CAST(1 AS DOUBLE) +
+           |      (CAST(sc.n AS DOUBLE) - dfr + 0.5) / (CAST(dfr AS DOUBLE) + 0.5)) *
+           |    (CAST(tfc AS DOUBLE) * 2.2) /
+           |    (CAST(tfc AS DOUBLE) +
+           |      1.2 * (0.25 + 0.75 * CAST(lens.len AS DOUBLE) / sc.avgl))), 6) AS bm25
+           |  FROM tf JOIN dfq USING (t) JOIN lens USING (doc_id) CROSS JOIN sc
+           |  GROUP BY tf.doc_id)
+           |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin.replace("\n", " "),
+    // batch form: per-query top-10 over the full-term postings
+    "q_text_batch" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           |  unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+           |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+           |sc AS (SELECT count(*) AS n, avg(CAST(len AS DOUBLE)) AS avgl FROM lens),
+           |tf AS (SELECT doc_id, t, count(*) AS tfc FROM toks GROUP BY doc_id, t),
+           |dfq AS (SELECT t, count(*) AS dfr FROM tf GROUP BY t),
+           |q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'spark'),
+           |  (1, 'vector'), (1, 'index'), (2, 'shuffle')) v(qi, t)),
+           |s AS (SELECT q.qi, tf.doc_id, ROUND(sum(
+           |    ln(CAST(1 AS DOUBLE) +
+           |      (CAST(sc.n AS DOUBLE) - dfr + 0.5) / (CAST(dfr AS DOUBLE) + 0.5)) *
+           |    (CAST(tfc AS DOUBLE) * 2.2) /
+           |    (CAST(tfc AS DOUBLE) +
+           |      1.2 * (0.25 + 0.75 * CAST(lens.len AS DOUBLE) / sc.avgl))), 6) AS bm25
+           |  FROM q JOIN tf USING (t) JOIN dfq USING (t)
+           |  JOIN lens USING (doc_id) CROSS JOIN sc
+           |  GROUP BY q.qi, tf.doc_id)
+           |SELECT q_id, doc_id, bm25 FROM (
+           |  SELECT CAST(qi AS BIGINT) AS q_id, doc_id, bm25,
+           |    row_number() OVER (PARTITION BY qi
+           |      ORDER BY bm25 DESC, doc_id) AS rn FROM s)
+           |WHERE rn <= 10""".stripMargin.replace("\n", " "),
     "q_minhash_pairs" -> OracleSql.minhashPairsSql(
       "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2, seed = 42L),
     "q_cross_dedup" -> OracleSql.minhashAgainstSql(
