@@ -391,9 +391,25 @@ object Multimodal {
     java.util.Arrays.copyOfRange(bytes, offsets(index), offsets(index) + len)
   }
 
+  /** Container dispatch by signature — GVID or AVI/MJPEG ([[Avi]]) —
+    * as `(nFrames, fps·1000, frame extractor)`. Both walks validate
+    * every declared size before allocating, so hostile headers throw
+    * rather than OOM.
+    */
+  def videoInfo(bytes: Array[Byte]): (Int, Int, Int => Array[Byte]) =
+    if (Avi.isAvi(bytes)) {
+      val info = Avi.index(bytes)
+      (info.nFrames, math.round(info.fps * 1000).toInt,
+        i => Avi.frame(bytes, info, i))
+    } else {
+      val (n, fpsMilli, _) = videoIndex(bytes)
+      (n, fpsMilli, i => videoFrame(bytes, i))
+    }
+
   /** Per-asset video metadata: appends nullable `n_frames, fps,
     * duration_ms` from the container header only (no frame decode, no
-    * full-buffer scan beyond the seek walk). Undecodable rows null out.
+    * full-buffer scan beyond the seek walk). GVID and AVI/MJPEG
+    * containers both decode; undecodable rows null out.
     */
   def videoColumns(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
@@ -407,7 +423,7 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray)
         val feats =
           try {
-            val (n, fpsMilli, _) = videoIndex(bytes)
+            val (n, fpsMilli, _) = videoInfo(bytes)
             val fps = fpsMilli / 1000.0
             Seq[Any](n, fps, if (fps > 0) n / fps * 1000.0 else null)
           } catch { case _: Exception => Seq[Any](null, null, null) }
@@ -418,7 +434,8 @@ object Multimodal {
 
   /** Evenly-spaced frame sampling with REAL pixel features: one output
     * row per sampled frame with `frame_idx, frame_dhash, frame_luma`
-    * (dHash + mean luma of the PNG-decoded frame). Iterator-to-iterator
+    * (dHash + mean luma of the decoded frame — PNG frames in GVID,
+    * JPEG frames in AVI/MJPEG). Iterator-to-iterator
     * `mapPartitions` fan-out — the Scala analog of a `mapInPandas`
     * batch explode; memory per task is one asset's sampled frames, not
     * the partition. Undecodable containers yield zero rows (drop-on-
@@ -436,11 +453,11 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray)
         try {
-          val (n, _, _) = videoIndex(bytes)
+          val (n, _, frameAt) = videoInfo(bytes)
           val picks =
             (0 until math.min(nSamples, n)).map(i => i * n / math.min(nSamples, n))
           picks.iterator.map { fi =>
-            val img = PixelCodec.decodePng(videoFrame(bytes, fi))
+            val img = PixelCodec.decodeImage(frameAt(fi))
             val g = PixelCodec.grayscale(img)
             var s = 0.0
             g.pixels.foreach(b => s += (b & 0xff))
