@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,8 +61,12 @@ object TextIndex {
       nBuckets: Int = 64,
   ): Long = {
     val spark = df.sparkSession
+    // sum_len rides along for exact stats merging: doc_len sums are
+    // integers, so a double sum is EXACT below 2^53 total tokens and
+    // merge-then-average equals rebuild-average bit for bit
     df.select(col(idCol), TextOps.tokenCount(col(textCol)).as("doc_len"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("doc_len")).as("avg_len"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("doc_len")).as("avg_len"),
+        sum(col("doc_len")).cast("long").as("sum_len"))
       .withColumn("n_buckets", lit(nBuckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     val tf = postingsFrame(df, textCol, idCol)
@@ -163,6 +167,101 @@ object TextIndex {
     perQuery.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
+  }
+
+  /** Incrementally add `newDocs` to an existing index WITHOUT
+    * re-tokenizing the indexed corpus: new postings append into their
+    * term-bucket directories (only the delta is written), the vocab df
+    * counts merge through one full-outer join materialized to a fresh
+    * directory and swapped in atomically, and the stats row updates
+    * from the exact running `sum_len`. Returns the new corpus size.
+    *
+    * Caller contract: `newDocs` ids must be disjoint from the indexed
+    * ids (an id-level check would cost a full postings scan — the same
+    * reason [[Dedup]]'s incremental paths put disjointness on the
+    * caller).
+    */
+  def merge(newDocs: DataFrame, textCol: String, idCol: String,
+      dir: String): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = newDocs.sparkSession
+    val statsRow = spark.read.parquet(s"$dir/stats").head()
+    val n0 = statsRow.getLong(statsRow.fieldIndex("n_docs"))
+    val sum0 = statsRow.getLong(statsRow.fieldIndex("sum_len"))
+    val nBuckets = statsRow.getInt(statsRow.fieldIndex("n_buckets"))
+
+    val tf = postingsFrame(newDocs, textCol, idCol)
+    tf.withColumn("term_bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
+
+    // vocab: old + delta df counts; write to a sibling dir, then swap —
+    // overwriting a directory that feeds the running plan is undefined
+    val delta = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val old = spark.read.parquet(s"$dir/vocab").select("term", "df")
+    old.join(delta.withColumnRenamed("df", "_d"), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("_d"), lit(0L))).as("df"))
+      .withColumn("term_bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/vocab_new")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val vocabPath = new HPath(s"$dir/vocab")
+    val fs = vocabPath.getFileSystem(hconf)
+    fs.delete(vocabPath, true)
+    require(fs.rename(new HPath(s"$dir/vocab_new"), vocabPath),
+      s"could not swap $dir/vocab_new into place")
+
+    val d = newDocs.select(TextOps.tokenCount(col(textCol)).as("_l"))
+      .agg(count(lit(1)), sum(col("_l")).cast("long")).head()
+    val n = n0 + d.getLong(0)
+    val sumLen = sum0 + d.getLong(1)
+    import spark.implicits._
+    Seq((n, sumLen.toDouble / n, sumLen, nBuckets))
+      .toDF("n_docs", "avg_len", "sum_len", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    n
+  }
+
+  /** Map-only BM25 of a TEXT column against a frozen `(term → df)`
+    * snapshot — zero shuffle: term frequencies come from one pass over
+    * the bound token array, idf and length normalization fold in as
+    * literals. This is the decontamination-on-ingest shape — score
+    * documents as they arrive (batch or STREAM; stateless, so it lifts
+    * onto readStream unchanged) against index-derived statistics
+    * without touching the index again. Documents containing none of
+    * the terms score 0.0 (where [[search]] returns no row).
+    */
+  def scoreColumn(textCol: Column, termDf: Map[String, Long], nDocs: Long,
+      avgLen: Double, k1: Double = 1.2, b: Double = 0.75): Column = {
+    require(termDf.nonEmpty, "empty query")
+    // bind the token array ONCE (the transform(array(…)) idiom) — a
+    // bare reference per term would re-split the text per term
+    val score = transform(array(TextOps.tokens(textCol)), ts => {
+      termDf.toSeq.sortBy(_._1).map { case (t, dfr) =>
+        val idf = log(lit(1.0) +
+          (lit(nDocs.toDouble) - lit(dfr.toDouble) + 0.5) /
+            (lit(dfr.toDouble) + 0.5))
+        val tf = size(filter(ts, x => x === lit(t))).cast("double")
+        when(tf > 0.0, idf *
+          (tf * (lit(k1) + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * size(ts) / lit(avgLen))))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+    }).getItem(0)
+    round(score, 6)
+  }
+
+  /** The query terms' df rows as a bounded driver map (≤ |query|). */
+  def termDfs(spark: SparkSession, dir: String,
+      queryTerms: Seq[String]): Map[String, Long] = {
+    val (_, _, nBuckets) = loadStats(spark, dir)
+    val buckets = bucketsOf(spark, queryTerms, nBuckets)
+    spark.read.parquet(s"$dir/vocab")
+      .filter(col("term_bucket").isin(buckets: _*))
+      .filter(col("term").isin(queryTerms: _*))
+      .select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** Sum of per-term BM25 contributions — the formula of

@@ -64,6 +64,51 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("merge equals a from-scratch rebuild: postings, vocab, stats, scores") {
+    val dirInc = Files.createTempDirectory("tidx_inc").toString
+    val dirAll = Files.createTempDirectory("tidx_all").toString
+    val first = corpus.filter(col("doc_id") < 4)
+    val rest = corpus.filter(col("doc_id") >= 4)
+    TextIndex.build(first, "text", "doc_id", dirInc, nBuckets = 8)
+    val n = TextIndex.merge(rest, "text", "doc_id", dirInc)
+    TextIndex.build(corpus, "text", "doc_id", dirAll, nBuckets = 8)
+    assert(n === 6L)
+    assert(TextIndex.loadStats(spark, dirInc) ===
+      TextIndex.loadStats(spark, dirAll))
+    def sorted(dir: String, sub: String, cols: Seq[String]) =
+      spark.read.parquet(s"$dir/$sub").select(cols.map(col): _*)
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(sorted(dirInc, "vocab", Seq("term", "df")).toSeq ===
+      sorted(dirAll, "vocab", Seq("term", "df")).toSeq)
+    assert(sorted(dirInc, "postings", Seq("doc_id", "term", "tf", "doc_len")).toSeq ===
+      sorted(dirAll, "postings", Seq("doc_id", "term", "tf", "doc_len")).toSeq)
+    val a = TextIndex.search(spark, dirInc, Seq("spark", "vector"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = TextIndex.search(spark, dirAll, Seq("spark", "vector"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("scoreColumn is map-only and matches search scores (0.0 for no hits)") {
+    val dir = Files.createTempDirectory("tidx").toString
+    TextIndex.build(corpus, "text", "doc_id", dir, nBuckets = 8)
+    val (n, avg, _) = TextIndex.loadStats(spark, dir)
+    val terms = Seq("spark", "vector")
+    val dfs = TextIndex.termDfs(spark, dir, terms)
+    assert(dfs.keySet === Set("spark", "vector"))
+    val scoredDf = corpus.select(col("doc_id"),
+      TextIndex.scoreColumn(col("text"), dfs, n, avg).as("bm25"))
+    // no exchange anywhere: scoring a stream/ingest batch must not shuffle
+    val plan = scoredDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected a map-only plan:\n$plan")
+    val got = scoredDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = TextIndex.search(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    want.foreach { case (id, s) => assert(got(id) === s, s"doc $id") }
+    // docs with no query term score exactly 0.0
+    assert(got(3L) === 0.0)
+  }
+
   test("duplicate terms in a query do not double-count") {
     val dir = Files.createTempDirectory("tidx").toString
     TextIndex.build(corpus, "text", "doc_id", dir, nBuckets = 8)

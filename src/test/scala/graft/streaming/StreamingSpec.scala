@@ -472,4 +472,36 @@ class StreamingSpec extends SparkSpec {
       "https://www.a.example.co.uk/x/y?id=1")
     assert(sunk(2).getAs[Any]("k") === null) // malformed JSON -> null, no task failure
   }
+
+  test("BM25 scoring against a frozen index streams unchanged") {
+    // index the historical corpus offline; score arriving docs with the
+    // map-only scoreColumn (decontamination-on-ingest) — stateless, so
+    // stream and batch agree exactly
+    val idxDir = Files.createTempDirectory("stream-tidx").toString
+    val histRows = Seq(
+      (1L, "spark joins shuffle data"),
+      (2L, "a vector index prunes search"),
+      (3L, "unrelated gardening prose"))
+    graft.pipeline.TextIndex.build(histRows.toDF("doc_id", "text"),
+      "text", "doc_id", idxDir, nBuckets = 8)
+    val (n, avg, _) = graft.pipeline.TextIndex.loadStats(spark, idxDir)
+    val dfs = graft.pipeline.TextIndex.termDfs(spark, idxDir,
+      Seq("spark", "vector"))
+    val dir = Files.createTempDirectory("stream-bm25").toFile.getPath + "/data"
+    Seq((10L, "spark vector spark"), (11L, "tea and gardening"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), graft.pipeline.TextIndex.scoreColumn(
+        col("text"), dfs, n, avg).as("bm25"))
+    val sunk = StreamingBinning.runToMemorySink(
+      StreamingBinning.transform(stream, score), "bm25_sink",
+      OutputMode.Append())
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val batch = score(spark.read.parquet(dir))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(sunk.toSeq === batch.toSeq)
+    assert(sunk(0)._2 > 0.0 && sunk(1)._2 === 0.0)
+  }
 }
