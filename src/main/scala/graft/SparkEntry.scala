@@ -646,8 +646,14 @@ object SparkEntry {
           Array.tabulate(w * h * ch) { i =>
             ((i % w) * 5 + (i / w) * 3 + (id % 7).toInt * 11 + 20).toByte
           })
-        (id, pipeline.Jpeg.encode(img, quality = 85,
-          subsample = ch == 3 && id % 4 == 0))
+        // a third of the corpus is PROGRESSIVE (SOF2) — the decoder must
+        // handle both entropy layouts behind one dispatch
+        val bytes =
+          if (id % 3 == 1) pipeline.Jpeg.encodeProgressive(img, quality = 85,
+            subsample = ch == 3 && id % 4 == 0)
+          else pipeline.Jpeg.encode(img, quality = 85,
+            subsample = ch == 3 && id % 4 == 0)
+        (id, bytes)
       }.toDF("doc_id", "img")
       pipeline.Multimodal.imageColumns(withBytes, "img")
         .select(col("doc_id"), col("img_width"), col("img_height"),

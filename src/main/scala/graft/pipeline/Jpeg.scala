@@ -223,6 +223,7 @@ object Jpeg {
     var pred = 0
     var plane: Array[Int] = null
     var planeW = 0
+    var idx = 0 // position in the frame's component list
   }
 
   def decode(bytes: Array[Byte]): Image = {
@@ -259,8 +260,7 @@ object Jpeg {
               Component(bytes(o) & 0xff, (bytes(o + 1) & 0xff) >> 4,
                 bytes(o + 1) & 0x0f, bytes(o + 2) & 0xff)
             }
-          case 0xc2 => throw new IllegalArgumentException(
-            "progressive JPEG unsupported (baseline decoder)")
+          case 0xc2 => return decodeProgressive(bytes)
           case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
             throw new IllegalArgumentException(
               s"JPEG SOF${m - 0xc0} unsupported (baseline decoder)")
@@ -393,7 +393,323 @@ object Jpeg {
       mcu += 1
     }
 
-    // assemble interleaved output with nearest upsampling of subsampled planes
+    assemble(comps, width, height, hMax, vMax)
+  }
+
+  /** Progressive (SOF2) huffman decoder — T.81 Annex G: coefficients
+    * accumulate across scans (spectral selection bands × successive
+    * approximation passes) into per-component buffers, then one
+    * dequantize + IDCT pass reconstructs the image. Supports DC/AC
+    * first and refinement scans, EOB runs, interleaved DC scans and
+    * non-interleaved (single-component, unpadded-grid) scans, and
+    * restart markers. Called from [[decode]] on an SOF2 marker.
+    */
+  private def decodeProgressive(bytes: Array[Byte]): Image = {
+    def u16(i: Int) = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    val qt = Array.ofDim[Int](4, 64)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var coefs: Array[Array[Int]] = null // zigzag order per block
+    var width = 0; var height = 0
+    var restartInterval = 0
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+
+    def blocksW(c: Component): Int = mcusX * c.h
+    def blocksH(c: Component): Int = mcusY * c.v
+
+    // ---- per-scan entropy decoding ----
+    def decodeScan(scanComps: Array[Component], ss: Int, se: Int,
+        ah: Int, al: Int, start: Int): Int = {
+      val reader = new BitReader(bytes, start)
+      var eobrun = 0
+
+      def resync(): Unit = {
+        reader.byteAlign()
+        var p = reader.pos
+        while (p + 1 < bytes.length && !((bytes(p) & 0xff) == 0xff &&
+          (bytes(p + 1) & 0xff) >= 0xd0 && (bytes(p + 1) & 0xff) <= 0xd7)) p += 1
+        require(p + 1 < bytes.length, "missing JPEG restart marker")
+        reader.pos = p + 2
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+
+      // one block's worth of one scan, at blk*64 in comp's coef array
+      def dcFirst(c: Component, off: Int): Unit = {
+        val s = reader.decodeSymbol(dcTables(c.dcTbl))
+        require(s <= 11, "bad DC category")
+        c.pred += extend(reader.readBits(s), s)
+        coefs(c.idx)(off) = c.pred << al
+      }
+      def dcRefine(c: Component, off: Int): Unit =
+        if (reader.readBit() == 1) coefs(c.idx)(off) |= (1 << al)
+
+      def acFirst(c: Component, off: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        val data = coefs(c.idx)
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = reader.decodeSymbol(acTables(c.acTbl))
+          val r = rs >> 4
+          val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += reader.readBits(r)
+              done = true
+            }
+          } else {
+            k += r
+            require(k <= se, "AC index past band end")
+            data(off + k) = extend(reader.readBits(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+      def acRefine(c: Component, off: Int): Unit = {
+        val data = coefs(c.idx)
+        val p1 = 1 << al
+        val m1 = -1 << al
+        var k = ss
+        def correct(pos: Int): Unit = {
+          val v = data(off + pos)
+          if (reader.readBit() == 1 && (v & p1) == 0)
+            data(off + pos) = if (v >= 0) v + p1 else v + m1
+        }
+        if (eobrun == 0) {
+          var breakOut = false
+          while (k <= se && !breakOut) {
+            val rs = reader.decodeSymbol(acTables(c.acTbl))
+            var r = rs >> 4
+            var s = rs & 0x0f
+            var newVal = 0
+            if (s != 0) {
+              require(s == 1, "refinement scan codes magnitude-1 only")
+              newVal = if (reader.readBit() == 1) p1 else m1
+            } else if (r != 15) {
+              eobrun = (1 << r)
+              if (r > 0) eobrun += reader.readBits(r)
+              breakOut = true
+            }
+            if (!breakOut) {
+              // advance: correction bits at nonzero coefs, count r zeros
+              var placed = false
+              while (k <= se && !placed) {
+                if (data(off + k) != 0) { correct(k); k += 1 }
+                else if (r == 0) {
+                  if (newVal != 0) data(off + k) = newVal
+                  k += 1 // the target zero (or the ZRL's 16th) is consumed
+                  placed = true
+                } else { r -= 1; k += 1 }
+              }
+              if (!placed && newVal != 0)
+                throw new IllegalArgumentException(
+                  "refinement target past band end")
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            if (data(off + k) != 0) correct(k)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      def blockPass(c: Component, off: Int): Unit =
+        if (ss == 0) { if (ah == 0) dcFirst(c, off) else dcRefine(c, off) }
+        else { if (ah == 0) acFirst(c, off) else acRefine(c, off) }
+
+      scanComps.foreach(_.pred = 0)
+      if (scanComps.length > 1) {
+        // interleaved (DC scans only): MCU order over the padded grid
+        require(ss == 0, "interleaved AC scan is illegal in progressive")
+        var mcu = 0
+        val nMcus = mcusX * mcusY
+        while (mcu < nMcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0)
+            resync()
+          val mcuX = mcu % mcusX
+          val mcuY = mcu / mcusX
+          scanComps.foreach { c =>
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                blockPass(c, ((mcuY * c.v + by) * blocksW(c) +
+                  mcuX * c.h + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          mcu += 1
+        }
+      } else {
+        // non-interleaved: raster over the component's UNPADDED grid
+        val c = scanComps(0)
+        val wB = ((width * c.h + hMax - 1) / hMax + 7) / 8
+        val hB = ((height * c.v + vMax - 1) / vMax + 7) / 8
+        var blk = 0
+        val nBlk = wB * hB
+        while (blk < nBlk) {
+          if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0)
+            resync()
+          blockPass(c, ((blk / wB) * blocksW(c) + blk % wB) * 64)
+          blk += 1
+        }
+      }
+      // position of the next marker after this scan's entropy bits
+      var p = reader.pos
+      while (p + 1 < bytes.length && !((bytes(p) & 0xff) == 0xff &&
+        (bytes(p + 1) & 0xff) != 0x00)) p += 1
+      require(p + 1 < bytes.length, "truncated JPEG after scan")
+      p
+    }
+
+    // ---- marker loop ----
+    var i = 2
+    var sawEoi = false
+    var nScans = 0
+    while (!sawEoi) {
+      require(i + 2 <= bytes.length, "truncated JPEG")
+      require((bytes(i) & 0xff) == 0xff, s"expected marker at offset $i")
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+      else if (marker == 0xd9) sawEoi = true
+      else {
+        val len = u16(i + 2)
+        require(len >= 2 && i + 2 + len <= bytes.length,
+          s"corrupt JPEG segment ${marker.toHexString}: length $len")
+        val seg = i + 4
+        var next = i + 2 + len
+        marker match {
+          case 0xc2 =>
+            require(comps == null, "multiple SOF markers")
+            require((bytes(seg) & 0xff) == 8, "only 8-bit JPEG supported")
+            height = u16(seg + 1); width = u16(seg + 3)
+            val nc = bytes(seg + 5) & 0xff
+            require(nc == 1 || nc == 3, s"$nc-component JPEG unsupported")
+            comps = Array.tabulate(nc) { c =>
+              val o = seg + 6 + c * 3
+              val comp = Component(bytes(o) & 0xff, (bytes(o + 1) & 0xff) >> 4,
+                bytes(o + 1) & 0x0f, bytes(o + 2) & 0xff)
+              comp.idx = c
+              comp
+            }
+            hMax = comps.map(_.h).max; vMax = comps.map(_.v).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            coefs = comps.map(c => new Array[Int](
+              blocksW(c) * blocksH(c) * 64))
+          case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 =>
+            throw new IllegalArgumentException(
+              s"unexpected SOF${m - 0xc0} in progressive JPEG")
+          case 0xc4 =>
+            var p = seg
+            while (p < i + 2 + len) {
+              val tc = (bytes(p) & 0xff) >> 4
+              val th = bytes(p) & 0x0f
+              require(tc <= 1 && th <= 3, "bad DHT header")
+              val tblBits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) {
+                tblBits(l) = bytes(p + l) & 0xff; total += tblBits(l); l += 1
+              }
+              val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + total)
+              val t = new HuffTable(tblBits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + total
+            }
+          case 0xdb =>
+            var p = seg
+            while (p < i + 2 + len) {
+              val pq = (bytes(p) & 0xff) >> 4
+              val tq = bytes(p) & 0x0f
+              require(pq == 0, "16-bit quantization tables unsupported")
+              var k = 0
+              while (k < 64) { qt(tq)(k) = bytes(p + 1 + k) & 0xff; k += 1 }
+              p += 65
+            }
+          case 0xdd => restartInterval = u16(seg)
+          case 0xda =>
+            require(comps != null, "SOS before SOF2")
+            val ns = bytes(seg) & 0xff
+            val scanComps = Array.tabulate(ns) { c =>
+              val cid = bytes(seg + 1 + c * 2) & 0xff
+              val comp = comps.find(_.id == cid).getOrElse(
+                throw new IllegalArgumentException(
+                  s"SOS references unknown component $cid"))
+              comp.dcTbl = (bytes(seg + 2 + c * 2) & 0xff) >> 4
+              comp.acTbl = bytes(seg + 2 + c * 2) & 0x0f
+              comp
+            }
+            val ssSel = bytes(seg + 1 + 2 * ns) & 0xff
+            val seSel = bytes(seg + 2 + 2 * ns) & 0xff
+            val ahAl = bytes(seg + 3 + 2 * ns) & 0xff
+            val ah = ahAl >> 4; val al = ahAl & 0x0f
+            require(ssSel <= 63 && seSel <= 63 && ssSel <= seSel,
+              s"bad spectral selection $ssSel..$seSel")
+            require(ssSel > 0 || seSel == 0, "DC scan must have Se = 0")
+            require(ssSel == 0 || ns == 1,
+              "progressive AC scans are single-component")
+            next = decodeScan(scanComps, ssSel, seSel, ah, al, i + 2 + len)
+            nScans += 1
+          case _ => // APPn / COM: skip
+        }
+        i = next
+      }
+    }
+    require(comps != null && nScans > 0, "progressive JPEG has no scans")
+
+    // ---- reconstruct: dequantize + IDCT every (padded-grid) block ----
+    comps.foreach { c =>
+      c.planeW = blocksW(c) * 8
+      c.plane = new Array[Int](c.planeW * blocksH(c) * 8)
+    }
+    val blk = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    comps.foreach { c =>
+      val q = qt(c.tq)
+      val data = coefs(c.idx)
+      val bw = blocksW(c)
+      var b = 0
+      val nB = bw * blocksH(c)
+      while (b < nB) {
+        val off = b * 64
+        var z = 0
+        while (z < 64) { blk(Zigzag(z)) = (data(off + z) * q(z)).toDouble; z += 1 }
+        idct8x8(blk, tmp)
+        val px0 = (b % bw) * 8
+        val py0 = (b / bw) * 8
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          val rowOff = (py0 + y) * c.planeW + px0
+          while (x < 8) {
+            val v = math.round(blk(y * 8 + x) + 128.0).toInt
+            c.plane(rowOff + x) = if (v < 0) 0 else if (v > 255) 255 else v
+            x += 1
+          }
+          y += 1
+        }
+        b += 1
+      }
+    }
+    assemble(comps, width, height, hMax, vMax)
+  }
+
+  /** Interleave component planes (nearest upsampling) + color convert —
+    * the shared tail of both decoders.
+    */
+  private def assemble(comps: Array[Component], width: Int, height: Int,
+      hMax: Int, vMax: Int): Image = {
     val channels = comps.length
     val out = new Array[Byte](width * height * channels)
     var y = 0
@@ -530,8 +846,24 @@ object Jpeg {
     * `restartInterval` > 0 emits DRI + RSTn markers every that many MCUs
     * (what camera/scanner JPEGs do for error resilience).
     */
-  def encode(img: Image, quality: Int = 85, subsample: Boolean = false,
-      restartInterval: Int = 0): Array[Byte] = {
+  /** The shared front half of both encoders: color convert, subsample,
+    * DCT, quantize — per component the zigzag-order quantized
+    * coefficients of every block in the MCU-PADDED grid (edge pixels
+    * replicated), in `(by · blocksW + bx) · 64` layout.
+    */
+  private final case class Coefs(
+      w: Int, h: Int, nComp: Int,
+      sampH: Array[Int], sampV: Array[Int],
+      mcusX: Int, mcusY: Int,
+      qLum: Array[Int], qChrom: Array[Int],
+      data: Array[Array[Int]]) {
+    def blocksW(c: Int): Int = mcusX * sampH(c)
+    def blocksH(c: Int): Int = mcusY * sampV(c)
+    def q(c: Int): Array[Int] = if (c == 0) qLum else qChrom
+  }
+
+  private def quantCoefs(img: Image, quality: Int,
+      subsample: Boolean): Coefs = {
     require(img.channels == 1 || img.channels == 3,
       s"JPEG encode needs 1 or 3 channels, got ${img.channels}")
     val gray = img.channels == 1
@@ -588,6 +920,54 @@ object Jpeg {
 
     val qLum = scaledQuant(QLumBase, quality)
     val qChrom = scaledQuant(QChromBase, quality)
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val blk = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val nComp = planes.length
+    val data = Array.tabulate(nComp) { c =>
+      val bw = mcusX * sampH(c); val bh = mcusY * sampV(c)
+      val q = if (c == 0) qLum else qChrom
+      val plane = compPlanes(c)
+      val out = new Array[Int](bw * bh * 64)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          var y = 0
+          while (y < 8) { // edge-replicate into the block, level-shift
+            var x = 0
+            while (x < 8) {
+              val sx = math.min(compW(c) - 1, bx * 8 + x)
+              val sy = math.min(compH(c) - 1, by * 8 + y)
+              blk(y * 8 + x) = plane(sy * compW(c) + sx) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          fdct8x8(blk, tmp)
+          val off = (by * bw + bx) * 64
+          var z = 0
+          while (z < 64) {
+            out(off + z) = math.round(blk(Zigzag(z)) / q(Zigzag(z))).toInt
+            z += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      out
+    }
+    Coefs(w, h, nComp, sampH, sampV, mcusX, mcusY, qLum, qChrom, data)
+  }
+
+  def encode(img: Image, quality: Int = 85, subsample: Boolean = false,
+      restartInterval: Int = 0): Array[Byte] = {
+    val co = quantCoefs(img, quality, subsample)
+    val w = co.w; val h = co.h
+    val gray = co.nComp == 1
+    val sampH = co.sampH; val sampV = co.sampV
+    val qLum = co.qLum; val qChrom = co.qChrom
     val dcLum = new HuffTable(DcLumBits, DcLumVals)
     val acLum = new HuffTable(AcLumBits, AcLumVals)
     val dcChrom = new HuffTable(DcChromBits, DcChromVals)
@@ -635,14 +1015,11 @@ object Jpeg {
     sos.write(0); sos.write(63); sos.write(0)
     segment(0xda, sos.toByteArray)
 
-    // entropy-coded MCUs
+    // entropy-coded MCUs over the precomputed coefficients
     val bw = new BitWriter(out)
-    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val mcusX = co.mcusX
+    val mcusY = co.mcusY
     val pred = new Array[Int](nComp)
-    val blk = new Array[Double](64)
-    val tmp = new Array[Double](64)
-    val zz = new Array[Int](64)
     var mcu = 0
     while (mcu < mcusX * mcusY) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
@@ -654,37 +1031,19 @@ object Jpeg {
       val mcuY = mcu / mcusX
       var c = 0
       while (c < nComp) {
-        val q = if (c == 0) qLum else qChrom
         val dcT = if (c == 0) dcLum else dcChrom
         val acT = if (c == 0) acLum else acChrom
-        val plane = compPlanes(c)
+        val data = co.data(c)
         var by = 0
         while (by < sampV(c)) {
           var bx = 0
           while (bx < sampH(c)) {
-            val px0 = (mcuX * sampH(c) + bx) * 8
-            val py0 = (mcuY * sampV(c) + by) * 8
-            var y = 0
-            while (y < 8) { // edge-replicate into the block, level-shift;
-              var x = 0     // row-major (row = first index) to match idct
-              while (x < 8) {
-                val sx = math.min(compW(c) - 1, px0 + x)
-                val sy = math.min(compH(c) - 1, py0 + y)
-                blk(y * 8 + x) = plane(sy * compW(c) + sx) - 128.0
-                x += 1
-              }
-              y += 1
-            }
-            fdct8x8(blk, tmp)
-            var z = 0
-            while (z < 64) {
-              val v = blk(Zigzag(z)) / q(Zigzag(z))
-              zz(z) = math.round(v).toInt
-              z += 1
-            }
+            val off = ((mcuY * sampV(c) + by) * co.blocksW(c) +
+              mcuX * sampH(c) + bx) * 64
             // DC
-            val diff = zz(0) - pred(c)
-            pred(c) = zz(0)
+            val dc = data(off)
+            val diff = dc - pred(c)
+            pred(c) = dc
             val s0 = magnitudeBits(diff)
             val (dcCode, dcLen) = dcT.encode(s0)
             bw.write(dcCode, dcLen)
@@ -693,15 +1052,16 @@ object Jpeg {
             var k = 1
             var run = 0
             while (k < 64) {
-              if (zz(k) == 0) run += 1
+              val v = data(off + k)
+              if (v == 0) run += 1
               else {
                 while (run >= 16) {
                   val (zc, zl) = acT.encode(0xf0); bw.write(zc, zl); run -= 16
                 }
-                val s = magnitudeBits(zz(k))
+                val s = magnitudeBits(v)
                 val (code, len) = acT.encode((run << 4) | s)
                 bw.write(code, len)
-                bw.write(encodeMagnitude(zz(k), s), s)
+                bw.write(encodeMagnitude(v, s), s)
                 run = 0
               }
               k += 1
@@ -718,6 +1078,305 @@ object Jpeg {
     bw.flush()
     marker(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** Progressive (SOF2) encoder with the standard scan script shape:
+    * DC first pass at `Al = 1` (interleaved), DC refinement, then per
+    * component two spectral-selection AC bands (1–5, 6–63) at `Al = 1`
+    * followed by their refinement passes — so every T.81 G huffman
+    * coding mode (DC/AC successive approximation, spectral selection,
+    * EOB runs, correction bits) is exercised by the output. The
+    * quantized coefficients are identical to [[encode]]'s, so a
+    * progressive round-trip must decode to EXACTLY the baseline
+    * round-trip's pixels (the spec's oracle).
+    */
+  // A COMPLETE fixed-length AC table for progressive scans: the Annex K
+  // baseline tables lack the EOBn symbols (r<<4, r>0) progressive
+  // coding emits, so progressive encoders must ship their own table
+  // (libjpeg always builds optimized tables in progressive mode for the
+  // same reason). 128 symbols at 8 bits + 128 at 9 keeps Kraft at 0.75
+  // and never assigns an all-ones code.
+  private val ProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals: Array[Byte] = Array.tabulate(256)(_.toByte)
+
+  def encodeProgressive(img: Image, quality: Int = 85,
+      subsample: Boolean = false): Array[Byte] = {
+    val co = quantCoefs(img, quality, subsample)
+    val gray = co.nComp == 1
+    val dcLum = new HuffTable(DcLumBits, DcLumVals)
+    val dcChrom = new HuffTable(DcChromBits, DcChromVals)
+    val acProg = new HuffTable(ProgAcBits, ProgAcVals)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xff)
+      out.write(payload)
+    }
+    marker(0xd8)
+    segment(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def dqtPayload(tq: Int, q: Array[Int]): Array[Byte] =
+      (tq.toByte +: Zigzag.map(z => q(z).toByte)).toArray
+    segment(0xdb, dqtPayload(0, co.qLum))
+    if (!gray) segment(0xdb, dqtPayload(1, co.qChrom))
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8); sof.write(co.h >> 8); sof.write(co.h & 0xff)
+    sof.write(co.w >> 8); sof.write(co.w & 0xff); sof.write(co.nComp)
+    (0 until co.nComp).foreach { c =>
+      sof.write(c + 1); sof.write((co.sampH(c) << 4) | co.sampV(c))
+      sof.write(if (c == 0) 0 else 1)
+    }
+    segment(0xc2, sof.toByteArray) // SOF2: progressive
+    def dhtPayload(tc: Int, th: Int, bits: Array[Int], vals: Array[Byte]): Array[Byte] =
+      ((((tc << 4) | th).toByte +: (1 to 16).map(l => bits(l).toByte)) ++ vals).toArray
+    segment(0xc4, dhtPayload(0, 0, DcLumBits, DcLumVals))
+    segment(0xc4, dhtPayload(1, 0, ProgAcBits, ProgAcVals)) // shared AC slot 0
+    if (!gray) segment(0xc4, dhtPayload(0, 1, DcChromBits, DcChromVals))
+
+    def sos(scanComps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(scanComps.length)
+      scanComps.foreach { c =>
+        b.write(c + 1)
+        // DC tables per component; ALL components share prog AC slot 0
+        b.write(if (c == 0) 0x00 else 0x10)
+      }
+      b.write(ss); b.write(se); b.write((ah << 4) | al)
+      segment(0xda, b.toByteArray)
+    }
+
+    def blockOff(c: Int, bx: Int, by: Int): Int = (by * co.blocksW(c) + bx) * 64
+
+    // non-interleaved (single-component) scans cover the UNPADDED grid
+    def acBlocksW(c: Int): Int = {
+      val hMax = co.sampH.max
+      ((co.w * co.sampH(c) + hMax - 1) / hMax + 7) / 8
+    }
+    def acBlocksH(c: Int): Int = {
+      val vMax = co.sampV.max
+      ((co.h * co.sampV(c) + vMax - 1) / vMax + 7) / 8
+    }
+
+    // ---- DC first pass (interleaved, Al = 1) ----
+    sos(0 until co.nComp, 0, 0, 0, 1)
+    locally {
+      val bw = new BitWriter(out)
+      val pred = new Array[Int](co.nComp)
+      var mcu = 0
+      while (mcu < co.mcusX * co.mcusY) {
+        val mcuX = mcu % co.mcusX
+        val mcuY = mcu / co.mcusX
+        var c = 0
+        while (c < co.nComp) {
+          val dcT = if (c == 0) dcLum else dcChrom
+          var by = 0
+          while (by < co.sampV(c)) {
+            var bx = 0
+            while (bx < co.sampH(c)) {
+              val dc = co.data(c)(blockOff(c,
+                mcuX * co.sampH(c) + bx, mcuY * co.sampV(c) + by))
+              val pt = dc >> 1 // DC point transform is an ARITHMETIC shift
+              val diff = pt - pred(c)
+              pred(c) = pt
+              val s0 = magnitudeBits(diff)
+              val (code, len) = dcT.encode(s0)
+              bw.write(code, len)
+              if (s0 > 0) bw.write(encodeMagnitude(diff, s0), s0)
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+      bw.flush()
+    }
+
+    // ---- DC refinement (Ah = 1, Al = 0): one raw bit per block ----
+    sos(0 until co.nComp, 0, 0, 1, 0)
+    locally {
+      val bw = new BitWriter(out)
+      var mcu = 0
+      while (mcu < co.mcusX * co.mcusY) {
+        val mcuX = mcu % co.mcusX
+        val mcuY = mcu / co.mcusX
+        var c = 0
+        while (c < co.nComp) {
+          var by = 0
+          while (by < co.sampV(c)) {
+            var bx = 0
+            while (bx < co.sampH(c)) {
+              val dc = co.data(c)(blockOff(c,
+                mcuX * co.sampH(c) + bx, mcuY * co.sampV(c) + by))
+              bw.write(dc & 1, 1)
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+      bw.flush()
+    }
+
+    // ---- AC scans: first pass then refinement, two bands per comp ----
+    val bands = Seq((1, 5), (6, 63))
+    for ((ss, se) <- bands; c <- 0 until co.nComp)
+      acFirstScan(out, co, c, ss, se, 1, acProg, sos,
+        acBlocksW(c), acBlocksH(c))
+    for ((ss, se) <- bands; c <- 0 until co.nComp)
+      acRefineScan(out, co, c, ss, se, 0, acProg, sos,
+        acBlocksW(c), acBlocksH(c))
+
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** AC spectral-selection first pass (G.1.2.2): run lengths within the
+    * band on point-transformed values, EOB runs accumulated across
+    * blocks.
+    */
+  private def acFirstScan(out: java.io.ByteArrayOutputStream, co: Coefs,
+      c: Int, ss: Int, se: Int, al: Int, acT: HuffTable,
+      sos: (Seq[Int], Int, Int, Int, Int) => Unit,
+      bWidth: Int, bHeight: Int): Unit = {
+    sos(Seq(c), ss, se, 0, al)
+    val bw = new BitWriter(out)
+    var eobrun = 0
+    def flushEob(): Unit = if (eobrun > 0) {
+      val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+      val (code, len) = acT.encode(r << 4)
+      bw.write(code, len)
+      if (r > 0) bw.write(eobrun - (1 << r), r)
+      eobrun = 0
+    }
+    var by = 0
+    while (by < bHeight) {
+      var bx = 0
+      while (bx < bWidth) {
+        val off = (by * co.blocksW(c) + bx) * 64
+        var run = 0
+        var wrote = false
+        var k = ss
+        while (k <= se) {
+          val v0 = co.data(c)(off + k)
+          val v = if (v0 >= 0) v0 >> al else -((-v0) >> al) // point transform
+          if (v == 0) run += 1
+          else {
+            flushEob()
+            while (run >= 16) {
+              val (zc, zl) = acT.encode(0xf0); bw.write(zc, zl); run -= 16
+            }
+            val s = magnitudeBits(v)
+            val (code, len) = acT.encode((run << 4) | s)
+            bw.write(code, len)
+            bw.write(encodeMagnitude(v, s), s)
+            run = 0
+            wrote = true
+          }
+          k += 1
+        }
+        if (run > 0 || !wrote) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob()
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    flushEob()
+    bw.flush()
+  }
+
+  /** AC successive-approximation refinement (G.1.2.3): newly-significant
+    * coefficients coded as (run, 1) + sign bit, already-significant ones
+    * as buffered correction bits, EOB runs carrying their buffered bits.
+    */
+  private def acRefineScan(out: java.io.ByteArrayOutputStream, co: Coefs,
+      c: Int, ss: Int, se: Int, al: Int, acT: HuffTable,
+      sos: (Seq[Int], Int, Int, Int, Int) => Unit,
+      bWidth: Int, bHeight: Int): Unit = {
+    sos(Seq(c), ss, se, al + 1, al)
+    val bw = new BitWriter(out)
+    var eobrun = 0
+    val pending = new scala.collection.mutable.ArrayBuffer[Int]
+    // pending[0 until mark] belong to the open EOB run (read by the
+    // decoder right after the EOBn code); pending[mark ..] are the
+    // CURRENT block's bits, read during its next ZRL/(r,1) advance —
+    // flushing those with the EOBn would desynchronize the decoder
+    var mark = 0
+    def flushPending(upto: Int): Unit = {
+      var i = 0
+      while (i < upto) { bw.write(pending(i), 1); i += 1 }
+      pending.remove(0, upto)
+    }
+    def flushEob(): Unit = if (eobrun > 0) {
+      val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+      val (code, len) = acT.encode(r << 4)
+      bw.write(code, len)
+      if (r > 0) bw.write(eobrun - (1 << r), r)
+      eobrun = 0
+      flushPending(mark)
+      mark = 0
+    }
+    var by = 0
+    while (by < bHeight) {
+      var bx = 0
+      while (bx < bWidth) {
+        val off = (by * co.blocksW(c) + bx) * 64
+        // absolute values after the point transform of THIS pass
+        val abs = new Array[Int](se + 1)
+        var eobPos = ss - 1 // LAST newly-significant index in this block
+        var k = ss
+        while (k <= se) {
+          abs(k) = math.abs(co.data(c)(off + k)) >> al
+          if (abs(k) == 1) eobPos = k
+          k += 1
+        }
+        var r = 0
+        k = ss
+        while (k <= se) {
+          val a = abs(k)
+          if (a == 0) r += 1
+          else {
+            // ZRLs are emitted EAGERLY at the first nonzero coefficient
+            // once r > 15 (so buffered correction bits never span a ZRL
+            // boundary — the decoder reads them during that ZRL's
+            // advance), except trailing runs that fold into the EOB
+            while (r > 15 && k <= eobPos) {
+              flushEob()
+              val (zc, zl) = acT.encode(0xf0); bw.write(zc, zl); r -= 16
+              flushPending(pending.length)
+            }
+            if (a > 1) pending += (a & 1) // correction bit
+            else {
+              // newly significant: (r,1) + sign + this block's buffered bits
+              flushEob()
+              val (code, len) = acT.encode((r << 4) | 1)
+              bw.write(code, len)
+              bw.write(if (co.data(c)(off + k) < 0) 0 else 1, 1)
+              flushPending(pending.length)
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || pending.length > mark) {
+          // this block ends at an EOB: its remaining bits join the run
+          eobrun += 1
+          mark = pending.length
+          if (eobrun == 0x7fff) flushEob()
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    flushEob()
+    bw.flush()
   }
 
   private def magnitudeBits(v: Int): Int = {

@@ -65,15 +65,64 @@ class JpegSpec extends SparkSpec {
   }
 
   test("unsupported subsets reject loudly; truncation cannot hang") {
-    // progressive: SOI + minimal SOF2
+    // progressive with no scans (SOF2 then nothing) must throw, not hang
     val sof2 = Array(0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b,
       8, 0, 16, 0, 16, 1, 1, 0x11, 0).map(_.toByte)
-    val e = intercept[IllegalArgumentException](Jpeg.decode(sof2))
-    assert(e.getMessage.contains("progressive"))
+    intercept[Exception](Jpeg.decode(sof2))
     intercept[IllegalArgumentException](Jpeg.decode("junk".getBytes))
     // valid stream cut mid-entropy-data must throw, not loop
     val good = Jpeg.encode(gradient(32, 32, 1))
     intercept[Exception](Jpeg.decode(good.take(good.length / 2)))
+    // progressive stream cut mid-scan as well
+    val prog = Jpeg.encodeProgressive(gradient(32, 32, 1))
+    intercept[Exception](Jpeg.decode(prog.take(prog.length / 2)))
+  }
+
+  test("progressive round-trip decodes to EXACTLY the baseline pixels") {
+    // the progressive scan script codes the same quantized coefficients
+    // as the baseline entropy coder, so the reconstruction must match
+    // bit for bit — any scan-order / refinement / EOB-run bug breaks this
+    for {
+      (w, h) <- Seq((32, 24), (17, 13), (8, 8), (40, 9))
+      ch <- Seq(1, 3)
+      sub <- if (ch == 3) Seq(false, true) else Seq(false)
+    } {
+      val img = gradient(w, h, ch)
+      val base = Jpeg.decode(Jpeg.encode(img, quality = 85, subsample = sub))
+      val prog = Jpeg.decode(Jpeg.encodeProgressive(img, quality = 85,
+        subsample = sub))
+      assert(prog.width === base.width && prog.height === base.height &&
+        prog.channels === base.channels, s"dims $w x $h ch=$ch sub=$sub")
+      assert(prog.pixels.toSeq === base.pixels.toSeq,
+        s"pixel mismatch at $w x $h ch=$ch sub=$sub")
+    }
+  }
+
+  test("progressive: sparse and noisy content exercises ZRL and EOB runs") {
+    // mostly-flat blocks (long EOB runs across blocks), isolated spikes
+    // (ZRL + high-index coefficients), and noise (dense refinement bits)
+    val rnd = new scala.util.Random(7)
+    val flat = PixelCodec.Image(64, 48, 1, Array.fill(64 * 48)(100.toByte))
+    val spikes = PixelCodec.Image(64, 48, 1, Array.tabulate(64 * 48)(i =>
+      if (i % 97 == 0) 250.toByte else 80.toByte))
+    val noise = PixelCodec.Image(48, 32, 3,
+      Array.fill(48 * 32 * 3)((rnd.nextInt(256)).toByte))
+    for ((img, name) <- Seq((flat, "flat"), (spikes, "spikes"), (noise, "noise"))) {
+      val base = Jpeg.decode(Jpeg.encode(img, quality = 75))
+      val prog = Jpeg.decode(Jpeg.encodeProgressive(img, quality = 75))
+      assert(prog.pixels.toSeq === base.pixels.toSeq, s"$name content")
+    }
+  }
+
+  test("decodeImage and imageColumns handle progressive JPEGs") {
+    val img = gradient(20, 16, 3)
+    val prog = Jpeg.encodeProgressive(img)
+    val dec = PixelCodec.decodeImage(prog)
+    assert(dec.width === 20 && dec.height === 16 && dec.channels === 3)
+    val rows = Seq((1L, prog)).toDF("id", "img")
+    val feats = Multimodal.imageColumns(rows, "img")
+      .select("img_width", "img_height", "img_channels").head()
+    assert((feats.getInt(0), feats.getInt(1), feats.getInt(2)) === ((20, 16, 3)))
   }
 
   test("decodeImage dispatches PNG and JPEG by signature") {
