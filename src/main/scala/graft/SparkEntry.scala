@@ -659,6 +659,40 @@ object SparkEntry {
         .select(col("doc_id"), col("img_width"), col("img_height"),
           col("img_channels"))
     }),
+    // REAL video-container metadata: half the corpus is MJPEG AVI (JPEG
+    // frames in a RIFF container), half the bespoke GVID (PNG frames);
+    // videoColumns must parse both headers. Frame counts / fps are
+    // doc_id arithmetic so the oracle reproduces them; the decode is
+    // real (corrupt containers would null out and mismatch)
+    "q_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = table(s, dir, "documents")
+        .filter(col("doc_id") < 60).select(col("doc_id")).as[Long]
+      val withBytes = ids.map { id =>
+        val n = 2 + (id % 4).toInt
+        // divisors of 1e6 only: AVI stores µs/frame, so 15 fps would
+        // round-trip as 14.999925
+        val fps = Seq(10, 20, 25)((id % 3).toInt)
+        val bytes = if (id % 2 == 0) {
+          val frames = (0 until n).map { p =>
+            pipeline.Jpeg.encode(pipeline.PixelCodec.Image(16, 16, 1,
+              Array.tabulate(256)(i => ((i * 3 + p * 7 + id).toInt % 256).toByte)),
+              quality = 90)
+          }
+          pipeline.Avi.encode(frames, 16, 16, fps.toDouble)
+        } else {
+          val frames = (0 until n).map { p =>
+            pipeline.PixelCodec.encodePng(pipeline.PixelCodec.Image(8, 8, 1,
+              Array.tabulate(64)(i => ((i * 5 + p * 11 + id).toInt % 256).toByte)))
+          }
+          pipeline.Multimodal.encodeVideo(frames, fps * 1000)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "vid")
+      pipeline.Multimodal.videoColumns(withBytes, "vid")
+        .select(col("doc_id"), col("n_frames"),
+          round(col("fps"), 6).as("fps"))
+    }),
 
     // duplicate-cluster resolution: connected components over near-dup
     // pairs → canonical (minimum) id per cluster
@@ -1603,6 +1637,12 @@ object SparkEntry {
         | CAST(12 + (doc_id % 3) * 4 AS INTEGER) AS img_height,
         | CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) AS img_channels
         | FROM documents WHERE doc_id < 200""".stripMargin.replace("\n", " "),
+    "q_video_meta" ->
+      """SELECT doc_id,
+        | CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+        | ROUND(CAST(CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 20 ELSE 25 END
+        |   AS DOUBLE), 6) AS fps
+        | FROM documents WHERE doc_id < 60""".stripMargin.replace("\n", " "),
     "q_multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,

@@ -68,6 +68,36 @@ object Ivf {
     spark.read.parquet(s"$dir/postings").count()
   }
 
+  /** Incrementally add vectors to an on-disk index: new postings are
+    * assigned against the STORED centroids and appended into their
+    * `list_id` partition directories — the indexed corpus is never
+    * re-read. Centroids are immutable (re-training is a rebuild, by
+    * design: IVF recall depends on assignments matching the quantizer
+    * they were made with). Disjoint-id contract as
+    * [[TextIndex.merge]]. Returns the new postings count.
+    */
+  def merge(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dir: String,
+      carryCols: Seq[String] = Seq.empty,
+      pqModel: Option[Pq.Model] = None,
+  ): Long = {
+    val spark = df.sparkSession
+    val centroids = loadCentroids(spark, dir)
+    val filtered = df.filter(col(vecCol).isNotNull)
+    val payload: Seq[Column] = pqModel match {
+      case Some(m) => Seq(Pq.encodeColumn(filtered, vecCol, m).as("pq_code"))
+      case None => Seq(col(vecCol))
+    }
+    val cols = (col(idCol) +: payload) ++ carryCols.map(col) :+
+      KMeans.assign(filtered, vecCol, centroids).as("list_id")
+    filtered.select(cols: _*).write.mode("append").partitionBy("list_id")
+      .parquet(s"$dir/postings")
+    spark.read.parquet(s"$dir/postings").count()
+  }
+
   /** Load the centroid matrix back (k rows — bounded driver state). */
   def loadCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     spark.read.parquet(s"$dir/centroids")

@@ -154,6 +154,26 @@ class IvfSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("merge equals a from-scratch build: postings and search results") {
+    val dirInc = Files.createTempDirectory("ivf_inc").toString
+    val dirAll = Files.createTempDirectory("ivf_all").toString
+    val df = clustered()
+    val cents = seedCentroids(df, 3)
+    Ivf.build(df.filter(col("vec_id") < 60), "embedding", "vec_id", cents, dirInc)
+    val n = Ivf.merge(df.filter(col("vec_id") >= 60), "embedding", "vec_id", dirInc)
+    Ivf.build(df, "embedding", "vec_id", cents, dirAll)
+    assert(n === 120L)
+    def postings(dir: String) =
+      spark.read.parquet(s"$dir/postings").select("vec_id", "list_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(postings(dirInc).toSeq === postings(dirAll).toSeq)
+    val q = df.filter(col("vec_id") === 2).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble).toArray
+    def run(dir: String) = Ivf.search(spark, dir, q, k = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(run(dirInc).toSeq === run(dirAll).toSeq)
+  }
+
   test("nearestK expression: ascending distance, ties to the lower id") {
     val cents = Array(
       Array(0.0, 0.0), Array(1.0, 0.0), Array(1.0, 0.0), Array(5.0, 0.0))
