@@ -238,7 +238,9 @@ object Multimodal {
       StructField("audio_channels", IntegerType, nullable = true),
       StructField("duration_s", DoubleType, nullable = true),
       StructField("rms", DoubleType, nullable = true),
-      StructField("zcr", DoubleType, nullable = true)))
+      StructField("zcr", DoubleType, nullable = true),
+      StructField("dominant_hz", DoubleType, nullable = true),
+      StructField("spectral_centroid_hz", DoubleType, nullable = true)))
     val enc: Encoder[Row] = Encoders.row(outSchema)
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
@@ -248,8 +250,12 @@ object Multimodal {
           try {
             val a = PixelCodec.decodeWav(bytes)
             val (dur, rms, zcr) = PixelCodec.audioFeatures(a)
-            Seq[Any](a.sampleRate, a.nChannels, dur, rms, zcr)
-          } catch { case _: Exception => Seq[Any](null, null, null, null, null) }
+            val (dom, centroid) = PixelCodec.spectralFeatures(a)
+            Seq[Any](a.sampleRate, a.nChannels, dur, rms, zcr, dom, centroid)
+          } catch {
+            case _: Exception =>
+              Seq[Any](null, null, null, null, null, null, null)
+          }
         Row.fromSeq(r.toSeq ++ feats)
       }
     }(enc)

@@ -165,6 +165,8 @@ object PixelCodec {
       bytes(2) == 'N' && bytes(3) == 'G') decodePng(bytes)
     else if (bytes.length > 2 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8) Jpeg.decode(bytes)
+    else if (bytes.length > 54 && bytes(0) == 'B' && bytes(1) == 'M')
+      decodeBmp(bytes)
     else throw new IllegalArgumentException("unsupported image container")
 
   // ---- pixel ops ----
@@ -252,12 +254,19 @@ object PixelCodec {
         s"corrupt WAV chunk $typ: length $len at offset $i")
       if (typ == "fmt ") {
         val fmt = u16le(i + 8)
-        require(fmt == 1, s"non-PCM WAV (format $fmt) unsupported")
+        require(fmt == 1 || fmt == 3,
+          s"WAV format $fmt unsupported (PCM=1 / IEEE-float=3 only)")
         ch = u16le(i + 10); rate = u32le(i + 12); bits = u16le(i + 22)
-        require(bits == 16 || bits == 8, s"$bits-bit PCM unsupported")
+        if (fmt == 1)
+          require(bits == 16 || bits == 8 || bits == 24,
+            s"$bits-bit integer PCM unsupported")
+        else {
+          require(bits == 32, s"$bits-bit float PCM unsupported")
+          bits = -32 // marker: float samples
+        }
       } else if (typ == "data") {
         require(rate > 0, "WAV data chunk before fmt")
-        val bytesPer = bits / 8
+        val bytesPer = math.abs(bits) / 8
         val n = len / (ch * bytesPer)
         val out = new Array[Double](n)
         var s = 0
@@ -266,9 +275,15 @@ object PixelCodec {
           var c = 0
           while (c < ch) {
             val off = i + 8 + (s * ch + c) * bytesPer
-            acc += (if (bits == 16)
-              ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort / 32768.0
-            else ((bytes(off) & 0xff) - 128) / 128.0)
+            acc += (bits match {
+              case 16 =>
+                ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort / 32768.0
+              case 8 => ((bytes(off) & 0xff) - 128) / 128.0
+              case 24 => // sign-extend the 3-byte little-endian sample
+                ((((bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+                  ((bytes(off + 2) & 0xff) << 16)) << 8) >> 8) / 8388608.0
+              case -32 => java.lang.Float.intBitsToFloat(u32le(off)).toDouble
+            })
             c += 1
           }
           out(s) = acc / ch
@@ -298,5 +313,212 @@ object PixelCodec {
     }
     (n.toDouble / a.sampleRate, math.sqrt(sq / n),
       if (n > 1) zc.toDouble / (n - 1) else 0.0)
+  }
+
+  /** Iterative radix-2 FFT (in-place, Cooley–Tukey) over `re`/`im` of
+    * power-of-two length — the dependency-free kernel behind
+    * [[spectralFeatures]].
+    */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0, "FFT length must be 2^k")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ar = re(blk + k); val ai = im(blk + k)
+          val br = re(blk + k + len / 2); val bi = im(blk + k + len / 2)
+          val tr = br * cr - bi * ci
+          val ti = br * ci + bi * cr
+          re(blk + k) = ar + tr; im(blk + k) = ai + ti
+          re(blk + k + len / 2) = ar - tr; im(blk + k + len / 2) = ai - ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Magnitude spectrum of the first `maxN` samples (zero-padded to the
+    * next power of two, Hann-windowed): bins 0 .. n/2, bin k =
+    * `k · rate / n` Hz.
+    */
+  def magnitudeSpectrum(a: Audio, maxN: Int = 1 << 14): Array[Double] = {
+    val take = math.min(a.samples.length, maxN)
+    var n = 1
+    while (n < take) n <<= 1
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    var i = 0
+    while (i < take) {
+      val w = 0.5 - 0.5 * math.cos(2.0 * math.Pi * i / math.max(1, take - 1))
+      re(i) = a.samples(i) * w
+      i += 1
+    }
+    fft(re, im)
+    Array.tabulate(n / 2 + 1)(k => math.hypot(re(k), im(k)))
+  }
+
+  /** Spectral features of the leading window: `(dominant_hz,
+    * centroid_hz)` — the pitch/brightness discriminators that separate
+    * tones, speech and noise in audio-corpus filters. DC (bin 0) is
+    * excluded from the dominant-peak search.
+    */
+  def spectralFeatures(a: Audio, maxN: Int = 1 << 14): (Double, Double) = {
+    if (a.samples.length == 0 || a.sampleRate <= 0) return (0.0, 0.0)
+    val mag = magnitudeSpectrum(a, maxN)
+    val n = (mag.length - 1) * 2
+    val hzPerBin = a.sampleRate.toDouble / n
+    var best = 1
+    var sum = 0.0
+    var wsum = 0.0
+    var k = 1
+    while (k < mag.length) {
+      if (mag(k) > mag(best)) best = k
+      sum += mag(k)
+      wsum += mag(k) * k * hzPerBin
+      k += 1
+    }
+    (best * hzPerBin, if (sum > 0) wsum / sum else 0.0)
+  }
+
+  // ---- BMP (Windows bitmap): the third web-corpus image container ----
+
+  /** Decode an uncompressed 24/32-bit BI_RGB BMP (bottom-up or
+    * top-down) to interleaved RGB. Palette/RLE variants reject loudly.
+    */
+  def decodeBmp(bytes: Array[Byte]): Image = {
+    def u16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+      ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+    require(bytes.length > 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val dataOff = u32(10)
+    val hdrSize = u32(14)
+    require(hdrSize >= 40, s"BMP header size $hdrSize unsupported")
+    val width = u32(18)
+    val rawH = u32(22)
+    val topDown = rawH < 0
+    val height = math.abs(rawH)
+    val bpp = u16(28)
+    val compression = u32(30)
+    require(compression == 0, s"compressed BMP (method $compression) unsupported")
+    require(bpp == 24 || bpp == 32, s"$bpp-bit BMP unsupported (24/32 only)")
+    require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+      s"implausible BMP geometry $width x $height")
+    val bytesPer = bpp / 8
+    val rowStride = (width * bytesPer + 3) & ~3 // rows pad to 4 bytes
+    require(dataOff.toLong + rowStride.toLong * height <= bytes.length,
+      "BMP pixel data past end of buffer")
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      var x = 0
+      while (x < width) {
+        val p = dataOff + srcRow * rowStride + x * bytesPer
+        val o = (y * width + x) * 3
+        out(o) = bytes(p + 2) // BGR(A) → RGB
+        out(o + 1) = bytes(p + 1)
+        out(o + 2) = bytes(p)
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, 3, out)
+  }
+
+  /** Encode interleaved RGB (or gray, expanded) as a 24-bit bottom-up
+    * BMP — the test/round-trip counterpart of [[decodeBmp]].
+    */
+  def encodeBmp(img: Image): Array[Byte] = {
+    require(img.channels == 1 || img.channels == 3,
+      s"BMP encode needs 1 or 3 channels, got ${img.channels}")
+    val rowStride = (img.width * 3 + 3) & ~3
+    val dataLen = rowStride * img.height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(img.width).putInt(img.height)
+      .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = img.height - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < img.width) {
+        val (r, g, b) =
+          if (img.channels == 1) {
+            val v = img.pixels(y * img.width + x)
+            (v, v, v)
+          } else {
+            val o = (y * img.width + x) * 3
+            (img.pixels(o), img.pixels(o + 1), img.pixels(o + 2))
+          }
+        bb.put(b).put(g).put(r)
+        x += 1
+      }
+      var pad = img.width * 3
+      while ((pad & 3) != 0) { bb.put(0.toByte); pad += 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Bilinear resize — the quality default for feature extraction
+    * (nearest stays for the fast path / exact-pixel tests).
+    */
+  def resizeBilinear(img: Image, w: Int, h: Int): Image = {
+    require(w > 0 && h > 0, "target dims must be positive")
+    val out = new Array[Byte](w * h * img.channels)
+    val sx = if (w > 1) (img.width - 1).toDouble / (w - 1) else 0.0
+    val sy = if (h > 1) (img.height - 1).toDouble / (h - 1) else 0.0
+    var y = 0
+    while (y < h) {
+      val fy = y * sy
+      val y0 = fy.toInt
+      val y1 = math.min(img.height - 1, y0 + 1)
+      val wy = fy - y0
+      var x = 0
+      while (x < w) {
+        val fx = x * sx
+        val x0 = fx.toInt
+        val x1 = math.min(img.width - 1, x0 + 1)
+        val wx = fx - x0
+        var c = 0
+        while (c < img.channels) {
+          def px(xx: Int, yy: Int): Double =
+            (img.pixels((yy * img.width + xx) * img.channels + c) & 0xff).toDouble
+          val v = px(x0, y0) * (1 - wx) * (1 - wy) + px(x1, y0) * wx * (1 - wy) +
+            px(x0, y1) * (1 - wx) * wy + px(x1, y1) * wx * wy
+          out((y * w + x) * img.channels + c) = math.round(v).toInt
+            .max(0).min(255).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, img.channels, out)
   }
 }

@@ -155,6 +155,120 @@ class PixelCodecSpec extends SparkSpec {
     assert(math.abs(PixelCodec.audioFeatures(st)._2 - rms) < 1e-3)
   }
 
+  /** Same sine, arbitrary sample format: 24-bit int or 32-bit float. */
+  private def sineWavFmt(rate: Int, hz: Double, seconds: Double,
+      bits: Int): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val bytesPer = if (bits == -32) 4 else bits / 8
+    val data = java.nio.ByteBuffer.allocate(n * bytesPer)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      val v = 0.5 * math.sin(2 * math.Pi * hz * i / rate)
+      bits match {
+        case 24 =>
+          val q = (v * 8388607).toInt
+          data.put((q & 0xff).toByte).put(((q >> 8) & 0xff).toByte)
+            .put(((q >> 16) & 0xff).toByte)
+        case -32 => data.putFloat(v.toFloat)
+      }
+    }
+    val fmt = if (bits == -32) 3 else 1
+    val b = if (bits == -32) 32 else bits
+    val out = java.nio.ByteBuffer.allocate(44 + data.capacity())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + data.capacity()).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16).putShort(fmt.toShort)
+      .putShort(1).putInt(rate)
+      .putInt(rate * bytesPer).putShort(bytesPer.toShort).putShort(b.toShort)
+    out.put("data".getBytes).putInt(data.capacity()).put(data.array())
+    out.array()
+  }
+
+  test("24-bit and float-32 WAV decode to the same signal as 16-bit") {
+    val a16 = PixelCodec.decodeWav(sineWav(8000, 440.0, 0.25))
+    val a24 = PixelCodec.decodeWav(sineWavFmt(8000, 440.0, 0.25, bits = 24))
+    val af = PixelCodec.decodeWav(sineWavFmt(8000, 440.0, 0.25, bits = -32))
+    val (_, rms16, zcr16) = PixelCodec.audioFeatures(a16)
+    for ((a, name) <- Seq(a24 -> "24-bit", af -> "float")) {
+      val (dur, rms, zcr) = PixelCodec.audioFeatures(a)
+      assert(math.abs(dur - 0.25) < 1e-9, name)
+      assert(math.abs(rms - rms16) < 1e-3, s"$name rms $rms vs $rms16")
+      assert(math.abs(zcr - zcr16) < 1e-3, s"$name zcr")
+    }
+    // 20-bit and non-float 32 stay rejected
+    val bad = sineWavFmt(8000, 440.0, 0.05, bits = 24)
+    bad(34) = 20 // declared bits
+    intercept[IllegalArgumentException](PixelCodec.decodeWav(bad))
+  }
+
+  test("spectral features locate the dominant tone") {
+    val a = PixelCodec.decodeWav(sineWav(8000, 440.0, 0.5))
+    val (dom, centroid) = PixelCodec.spectralFeatures(a)
+    val hzPerBin = 8000.0 / 4096
+    assert(math.abs(dom - 440.0) <= 2 * hzPerBin, s"dominant $dom")
+    assert(math.abs(centroid - 440.0) < 30.0, s"centroid $centroid")
+    // a brighter signal moves the centroid up, dominant follows the peak
+    val n = 4000
+    val two = PixelCodec.Audio(8000, 1, Array.tabulate(n) { i =>
+      0.2 * math.sin(2 * math.Pi * 440 * i / 8000.0) +
+        0.6 * math.sin(2 * math.Pi * 2000 * i / 8000.0)
+    })
+    val (dom2, centroid2) = PixelCodec.spectralFeatures(two)
+    assert(math.abs(dom2 - 2000.0) <= 2 * hzPerBin, s"dominant $dom2")
+    assert(centroid2 > 1000.0 && centroid2 < 2000.0, s"centroid $centroid2")
+  }
+
+  test("BMP round-trip, padding rows, top-down variant, rejects") {
+    val img = testImage(13, 7, 3, seed = 5) // width 13: 39-byte rows pad to 40
+    val bmp = PixelCodec.encodeBmp(img)
+    val dec = PixelCodec.decodeBmp(bmp)
+    assert(dec.width === 13 && dec.height === 7 && dec.channels === 3)
+    assert(dec.pixels.toSeq === img.pixels.toSeq)
+    // gray input expands to identical RGB channels
+    val gray = testImage(8, 6, 1, seed = 9)
+    val decG = PixelCodec.decodeBmp(PixelCodec.encodeBmp(gray))
+    (0 until 48).foreach { i =>
+      assert(decG.pixels(i * 3) === gray.pixels(i))
+      assert(decG.pixels(i * 3 + 1) === gray.pixels(i))
+    }
+    // top-down: negate the height field; rows then read in file order
+    val td = bmp.clone()
+    val hNeg = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-7).array()
+    System.arraycopy(hNeg, 0, td, 22, 4)
+    val decTd = PixelCodec.decodeBmp(td)
+    (0 until 7).foreach { y =>
+      val want = img.pixels.slice((6 - y) * 13 * 3, (7 - y) * 13 * 3)
+      assert(decTd.pixels.slice(y * 13 * 3, (y + 1) * 13 * 3).toSeq ===
+        want.toSeq, s"row $y")
+    }
+    // dispatcher routes by 'BM' signature
+    assert(PixelCodec.decodeImage(bmp).pixels.toSeq === img.pixels.toSeq)
+    // 8-bit and RLE reject loudly
+    val bad8 = bmp.clone(); bad8(28) = 8
+    intercept[IllegalArgumentException](PixelCodec.decodeBmp(bad8))
+    val badRle = bmp.clone(); badRle(30) = 1
+    intercept[IllegalArgumentException](PixelCodec.decodeBmp(badRle))
+    // truncated pixel data caught before reading past the buffer
+    intercept[IllegalArgumentException](
+      PixelCodec.decodeBmp(bmp.take(bmp.length - 30)))
+  }
+
+  test("bilinear resize: identity is exact, ramps stay linear") {
+    val img = testImage(16, 12, 3, seed = 3)
+    val same = PixelCodec.resizeBilinear(img, 16, 12)
+    assert(same.pixels.toSeq === img.pixels.toSeq)
+    // a horizontal ramp upsampled 2x keeps exact linear interior values
+    val ramp = PixelCodec.Image(9, 4, 1,
+      Array.tabulate(36)(i => ((i % 9) * 20).toByte))
+    val up = PixelCodec.resizeBilinear(ramp, 17, 4)
+    (0 until 17).foreach { x =>
+      assert((up.pixels(x) & 0xff) === x * 10, s"x=$x")
+    }
+    val down = PixelCodec.resizeBilinear(img, 8, 6)
+    assert(down.width === 8 && down.height === 6 && down.channels === 3)
+  }
+
   test("content-hash near-dup finds a re-encoded image via dHashAuto") {
     // same pixels encoded twice (filter-0 encoder vs hand-filtered
     // stream): byte-level hashing sees different files, content hashing
@@ -186,10 +300,13 @@ class PixelCodecSpec extends SparkSpec {
     assert(!img(1L).isNullAt(3))
     assert(img(2L).isNullAt(1) && img(3L).isNullAt(1))
     val aud = Multimodal.audioColumns(df, "bin")
-      .select("id", "sample_rate", "duration_s", "rms").collect()
+      .select("id", "sample_rate", "duration_s", "rms", "dominant_hz")
+      .collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(aud(2L).getInt(1) === 8000)
     assert(math.abs(aud(2L).getDouble(2) - 0.1) < 1e-9)
+    // 0.1 s @ 8 kHz = 800 samples → 1024-point FFT, ~7.8 Hz bins
+    assert(math.abs(aud(2L).getDouble(4) - 200.0) < 16.0)
     assert(aud(1L).isNullAt(1) && aud(3L).isNullAt(1))
   }
 }
