@@ -167,6 +167,7 @@ object PixelCodec {
       (bytes(1) & 0xff) == 0xd8) Jpeg.decode(bytes)
     else if (bytes.length > 54 && bytes(0) == 'B' && bytes(1) == 'M')
       decodeBmp(bytes)
+    else if (Gif.isGif(bytes)) Gif.decode(bytes).firstImage
     else throw new IllegalArgumentException("unsupported image container")
 
   // ---- pixel ops ----
