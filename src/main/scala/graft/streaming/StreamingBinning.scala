@@ -329,6 +329,29 @@ object StreamingBinning {
         onReport(id, graft.pipeline.Drift.psiReport(baseline, batch, ax))
       }
 
+  /** Continuous index ingestion: each micro-batch of documents merges
+    * into the on-disk [[graft.pipeline.TextIndex]] lake via
+    * `foreachBatch` — postings append into their term buckets, vocab
+    * and stats merge exactly as the batch [[graft.pipeline.TextIndex.merge]]
+    * (it IS that merge), so after any number of micro-batches the index
+    * equals a from-scratch build over everything ingested. The
+    * disjoint-id contract is per-batch too: replayed batches would
+    * double-count (exactly-once sinks need an idempotent id filter
+    * upstream, e.g. [[graft.pipeline.Dedup]]'s bloom gate).
+    */
+  def indexStream(
+      stream: DataFrame,
+      textCol: String,
+      idCol: String,
+      dir: String,
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.pipeline.TextIndex.merge(batch, textCol, idCol, dir): Unit
+      }
+
   /** Convenience: run a streaming query over a bounded in-memory source to
     * completion and return the sink table (used by tests and batch-parity
     * checks).

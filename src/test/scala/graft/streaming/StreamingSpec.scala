@@ -473,6 +473,38 @@ class StreamingSpec extends SparkSpec {
     assert(sunk(2).getAs[Any]("k") === null) // malformed JSON -> null, no task failure
   }
 
+  test("indexStream: micro-batch ingestion equals a from-scratch build") {
+    val idxDir = Files.createTempDirectory("stream-tidx-inc").toString
+    val allDir = Files.createTempDirectory("stream-tidx-all").toString
+    val rows = Seq(
+      (1L, "spark joins shuffle data"),
+      (2L, "a vector index prunes search"),
+      (3L, "unrelated gardening prose"),
+      (4L, "spark spark vector index"),
+      (5L, "shuffle bounds join memory"))
+    // seed the index with doc 1, then stream docs 2-5 in two micro-batches
+    graft.pipeline.TextIndex.build(rows.take(1).toDF("doc_id", "text"),
+      "text", "doc_id", idxDir, nBuckets = 8)
+    val dir = Files.createTempDirectory("stream-tidx-src").toFile.getPath + "/d"
+    rows.slice(1, 3).toDF("doc_id", "text").repartition(1).write.parquet(dir)
+    rows.slice(3, 5).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingBinning.indexStream(stream, "text", "doc_id", idxDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.pipeline.TextIndex.build(rows.toDF("doc_id", "text"),
+      "text", "doc_id", allDir, nBuckets = 8)
+    assert(graft.pipeline.TextIndex.loadStats(spark, idxDir) ===
+      graft.pipeline.TextIndex.loadStats(spark, allDir))
+    def run(dir0: String) =
+      graft.pipeline.TextIndex.search(spark, dir0, Seq("spark", "vector"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run(idxDir) === run(allDir))
+  }
+
   test("BM25 scoring against a frozen index streams unchanged") {
     // index the historical corpus offline; score arriving docs with the
     // map-only scoreColumn (decontamination-on-ingest) — stateless, so
