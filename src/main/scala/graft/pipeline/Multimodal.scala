@@ -266,6 +266,24 @@ object Multimodal {
     * dependency-free codecs can't decode — so mixed corpora still hash
     * every asset.
     */
+  /** Content fingerprint for AUDIO bytes: the windowed spectral
+    * fingerprint of the decoded signal, so the same recording re-encoded
+    * at a different bit depth / int-vs-float PCM hashes identically;
+    * undecodable bytes fall back to the byte-level stub (mirrors
+    * [[dHashAuto]]).
+    */
+  def audioHashAuto(bytes: Array[Byte]): Long =
+    try PixelCodec.audioFingerprint(PixelCodec.decodeWav(bytes))
+    catch { case _: Exception => dHashStub(bytes) }
+
+  /** Near-duplicate audio pairs by banded spectral fingerprint — the
+    * audio twin of [[imageNearDuplicates]] (same pigeonhole banding,
+    * different content hash).
+    */
+  def audioNearDuplicates(df: DataFrame, binCol: String, idCol: String,
+      maxDistance: Int): DataFrame =
+    imageNearDuplicates(df, binCol, idCol, maxDistance, audioHashAuto)
+
   def dHashAuto(bytes: Array[Byte]): Long =
     try PixelCodec.dHash(PixelCodec.decodeImage(bytes))
     catch { case _: Exception => dHashStub(bytes) }

@@ -404,6 +404,40 @@ object PixelCodec {
     (best * hzPerBin, if (sum > 0) wsum / sum else 0.0)
   }
 
+  /** Coarse spectral fingerprint: the dominant FFT bin of each
+    * fixed-length window, quantized to `binsPerOctave`-style coarse
+    * bins and packed into one Long (up to 16 windows × 4 bits). Two
+    * encodings of the same recording — different bit depth, container,
+    * or int-vs-float PCM — fingerprint identically, while different
+    * material diverges. The audio analog of [[dHash]]: cheap,
+    * content-derived, and bandable by the existing near-dup machinery.
+    */
+  def audioFingerprint(a: Audio, windows: Int = 16): Long = {
+    if (a.samples.length == 0 || a.sampleRate <= 0) return 0L
+    val nW = math.min(windows, 16)
+    val win = math.max(256, Integer.highestOneBit(
+      math.max(256, a.samples.length / math.max(1, nW))))
+    var fp = 0L
+    var w = 0
+    while (w < nW) {
+      val start = w * a.samples.length / nW
+      val take = math.min(win, a.samples.length - start)
+      if (take > 16) {
+        val slice = Audio(a.sampleRate, 1,
+          java.util.Arrays.copyOfRange(a.samples, start, start + take))
+        val (dom, _) = spectralFeatures(slice, maxN = win)
+        // quarter-octave-ish coarse bin: log2(hz) scaled ×2, clamped 0-15
+        val coarse =
+          if (dom < 20) 0
+          else math.min(15, math.max(0,
+            ((math.log(dom / 20.0) / math.log(2.0)) * 2).toInt))
+        fp |= coarse.toLong << (w * 4)
+      }
+      w += 1
+    }
+    fp
+  }
+
   // ---- BMP (Windows bitmap): the third web-corpus image container ----
 
   /** Decode an uncompressed 24/32-bit BI_RGB BMP (bottom-up or

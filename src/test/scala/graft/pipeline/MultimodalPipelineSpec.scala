@@ -47,6 +47,56 @@ class MultimodalPipelineSpec extends SparkSpec {
       "the unrelated image must not pair")
   }
 
+  private def toneWav(hz: Double, bits: Int, seconds: Double = 0.4): Array[Byte] = {
+    val rate = 8000
+    val n = (rate * seconds).toInt
+    val bytesPer = if (bits == -32) 4 else bits / 8
+    val data = java.nio.ByteBuffer.allocate(n * bytesPer)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      val v = 0.5 * math.sin(2 * math.Pi * hz * i / rate)
+      bits match {
+        case 16 => data.putShort((v * 32767).toShort)
+        case 24 =>
+          val q = (v * 8388607).toInt
+          data.put((q & 0xff).toByte).put(((q >> 8) & 0xff).toByte)
+            .put(((q >> 16) & 0xff).toByte)
+        case -32 => data.putFloat(v.toFloat)
+      }
+    }
+    val fmt = if (bits == -32) 3 else 1
+    val b = if (bits == -32) 32 else bits
+    val out = java.nio.ByteBuffer.allocate(44 + data.capacity())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + data.capacity()).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16).putShort(fmt.toShort).putShort(1)
+      .putInt(rate).putInt(rate * bytesPer).putShort(bytesPer.toShort)
+      .putShort(b.toShort)
+    out.put("data".getBytes).putInt(data.capacity()).put(data.array())
+    out.array()
+  }
+
+  test("audio near-dup: same recording across sample formats, not across tones") {
+    val df = Seq(
+      (1L, toneWav(500, 16)),
+      (2L, toneWav(500, 24)),   // same content, different bit depth
+      (3L, toneWav(500, -32)),  // same content, float PCM
+      (4L, toneWav(2000, 16)),  // different material
+    ).toDF("id", "media")
+    // re-encodings fingerprint identically → distance-0 pairs
+    val fp1 = Multimodal.audioHashAuto(toneWav(500, 16))
+    assert(fp1 === Multimodal.audioHashAuto(toneWav(500, 24)))
+    assert(fp1 === Multimodal.audioHashAuto(toneWav(500, -32)))
+    assert(fp1 !== Multimodal.audioHashAuto(toneWav(2000, 16)))
+    val pairs = Multimodal.audioNearDuplicates(df, "media", "id", maxDistance = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (a <- Seq(1L, 2L); b <- Seq(2L, 3L) if a < b)
+      assert(pairs.contains((a, b)), s"($a,$b)")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "the 2 kHz tone must not pair with the 500 Hz recordings")
+  }
+
   test("one mixed column feeds image, audio and video features side by side") {
     val wav = {
       val n = 800
