@@ -364,7 +364,10 @@ object SparkEntry {
     // directory level and must return the in-flight scorer's exact
     // scores — the build-once/probe-many retrieval path
     "q_text_search" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_tidx").toString
+      // deterministic per-SF path: build() overwrites, so reruns reuse
+      // one directory instead of littering /tmp with index copies
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_tidx_gate_" +
+        math.abs(dir.hashCode).toString
       pipeline.TextIndex.build(table(s, dir, "documents"), "text", "doc_id", tmp)
       pipeline.TextIndex.search(s, tmp, Seq("join", "spark", "vector"), k = 20)
     }),

@@ -81,6 +81,9 @@ object Avi {
         if (id == "00dc" || id == "01dc" || id == "00db") {
           offsets += p + 8
           lengths += len.toInt
+        } else if (id == "LIST" && len >= 4 && fourcc(bytes, p + 8) == "rec ") {
+          // interleaved files group chunks into 'rec ' records
+          walkMovi(p + 12, p + 8 + len.toInt)
         }
         p += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
       }

@@ -85,8 +85,8 @@ object Gif {
           val label = bytes(pos + 1) & 0xff
           pos += 2
           if (label == 0xf9) { // graphic control
-            require(pos < bytes.length && (bytes(pos) & 0xff) == 4,
-              "bad GCE block size")
+            require(pos + 5 <= bytes.length && (bytes(pos) & 0xff) == 4,
+              "bad or truncated GCE block")
             val flags = bytes(pos + 1) & 0xff
             delayCs = u16(pos + 2)
             transparentIdx = if ((flags & 1) != 0) bytes(pos + 4) & 0xff else -1

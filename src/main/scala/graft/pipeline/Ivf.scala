@@ -65,7 +65,10 @@ object Ivf {
     val postings = filtered.select(cols: _*)
     postings.write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$dir/postings")
-    spark.read.parquet(s"$dir/postings").count()
+    // count the INPUT, not the lake we just wrote — same number, and at
+    // scale a full postings re-read is exactly what an index build must
+    // not add
+    filtered.count()
   }
 
   /** Incrementally add vectors to an on-disk index: new postings are
@@ -74,7 +77,9 @@ object Ivf {
     * re-read. Centroids are immutable (re-training is a rebuild, by
     * design: IVF recall depends on assignments matching the quantizer
     * they were made with). Disjoint-id contract as
-    * [[TextIndex.merge]]. Returns the new postings count.
+    * [[TextIndex.merge]]. Returns the number of postings APPENDED (a
+    * total would cost a full index re-read — the thing a merge exists
+    * to avoid).
     */
   def merge(
       df: DataFrame,
@@ -93,9 +98,19 @@ object Ivf {
     }
     val cols = (col(idCol) +: payload) ++ carryCols.map(col) :+
       KMeans.assign(filtered, vecCol, centroids).as("list_id")
-    filtered.select(cols: _*).write.mode("append").partitionBy("list_id")
+    val delta = filtered.select(cols: _*)
+    // schema guard (footer-only read): appending a vector payload into a
+    // codes-only lake (or vice versa) would silently produce rows that
+    // never rank in search — fail loudly instead
+    val stored = spark.read.parquet(s"$dir/postings").schema.fieldNames.toSet
+    require(delta.schema.fieldNames.toSet == stored,
+      s"merge payload ${delta.schema.fieldNames.sorted.mkString(",")} does " +
+        s"not match the stored postings ${stored.toSeq.sorted.mkString(",")} — " +
+        "build and merge must use the same pqModel/carryCols")
+    delta.write.mode("append").partitionBy("list_id")
       .parquet(s"$dir/postings")
-    spark.read.parquet(s"$dir/postings").count()
+    // delta count only — an incremental merge must not re-read the index
+    filtered.count()
   }
 
   /** Load the centroid matrix back (k rows — bounded driver state). */
@@ -135,7 +150,11 @@ object Ivf {
   ): DataFrame = {
     val centroids = loadCentroids(spark, dir)
     val probes = probeLists(query, centroids, nProbe)
-    spark.read.parquet(s"$dir/postings")
+    val postings = spark.read.parquet(s"$dir/postings")
+    require(postings.schema.fieldNames.contains(vecCol),
+      s"postings lake at $dir holds no '$vecCol' column — a codes-only " +
+        "(pqModel) index answers queries via searchAllPq(preEncoded = true)")
+    postings
       .filter(col("list_id").isin(probes: _*))
       .select(col(idCol),
         round(Dedup.cosine(col(vecCol), lit(query)), 6).as("cos"))

@@ -177,13 +177,22 @@ object Jpeg {
     def readBit(): Int = {
       if (nBits == 0) {
         require(pos < data.length, "truncated JPEG entropy stream")
-        var b = data(pos) & 0xff
+        val b = data(pos) & 0xff
         pos += 1
         if (b == 0xff) {
           require(pos < data.length, "truncated JPEG entropy stream")
           val next = data(pos) & 0xff
           if (next == 0x00) pos += 1 // stuffed FF
-          else { b = 0xff } // marker: let the current byte serve; caller resyncs
+          else {
+            // a well-formed scan never needs bits at a marker boundary
+            // (pad bits live inside the last data byte; RST resync
+            // happens before reading) — decoding past one would consume
+            // marker/trailer bytes as coefficients and "succeed" with
+            // garbage pixels
+            pos -= 1
+            throw new IllegalArgumentException(
+              f"JPEG entropy stream ran into marker FF$next%02X")
+          }
         }
         acc = b
         nBits = 8
@@ -226,6 +235,45 @@ object Jpeg {
     var idx = 0 // position in the frame's component list
   }
 
+  /** One DHT segment: one or more huffman tables (shared by both the
+    * baseline and progressive marker loops).
+    */
+  private def parseDht(bytes: Array[Byte], seg: Int, end: Int,
+      dcTables: Array[HuffTable], acTables: Array[HuffTable]): Unit = {
+    var p = seg
+    while (p < end) {
+      val tc = (bytes(p) & 0xff) >> 4
+      val th = bytes(p) & 0x0f
+      require(tc <= 1 && th <= 3, "bad DHT header")
+      val tblBits = new Array[Int](17)
+      var total = 0
+      var l = 1
+      while (l <= 16) {
+        tblBits(l) = bytes(p + l) & 0xff; total += tblBits(l); l += 1
+      }
+      require(p + 17 + total <= end, "DHT symbols past segment end")
+      val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + total)
+      val t = new HuffTable(tblBits, vals)
+      if (tc == 0) dcTables(th) = t else acTables(th) = t
+      p += 17 + total
+    }
+  }
+
+  /** One DQT segment: one or more 8-bit quantization tables. */
+  private def parseDqt(bytes: Array[Byte], seg: Int, end: Int,
+      qt: Array[Array[Int]]): Unit = {
+    var p = seg
+    while (p < end) {
+      val pq = (bytes(p) & 0xff) >> 4
+      val tq = bytes(p) & 0x0f
+      require(pq == 0, "16-bit quantization tables unsupported")
+      require(p + 65 <= end, "DQT entries past segment end")
+      var k = 0
+      while (k < 64) { qt(tq)(k) = bytes(p + 1 + k) & 0xff; k += 1 }
+      p += 65
+    }
+  }
+
   def decode(bytes: Array[Byte]): Image = {
     require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8, "not a JPEG")
@@ -264,33 +312,8 @@ object Jpeg {
           case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
             throw new IllegalArgumentException(
               s"JPEG SOF${m - 0xc0} unsupported (baseline decoder)")
-          case 0xc4 => // DHT: one or more tables per segment
-            var p = seg
-            while (p < i + 2 + len) {
-              val tc = (bytes(p) & 0xff) >> 4
-              val th = bytes(p) & 0x0f
-              require(tc <= 1 && th <= 3, "bad DHT header")
-              val tblBits = new Array[Int](17)
-              var total = 0
-              var l = 1
-              while (l <= 16) {
-                tblBits(l) = bytes(p + l) & 0xff; total += tblBits(l); l += 1
-              }
-              val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + total)
-              val t = new HuffTable(tblBits, vals)
-              if (tc == 0) dcTables(th) = t else acTables(th) = t
-              p += 17 + total
-            }
-          case 0xdb => // DQT: one or more tables per segment
-            var p = seg
-            while (p < i + 2 + len) {
-              val pq = (bytes(p) & 0xff) >> 4
-              val tq = bytes(p) & 0x0f
-              require(pq == 0, "16-bit quantization tables unsupported")
-              var k = 0
-              while (k < 64) { qt(tq)(k) = bytes(p + 1 + k) & 0xff; k += 1 }
-              p += 65
-            }
+          case 0xc4 => parseDht(bytes, seg, i + 2 + len, dcTables, acTables)
+          case 0xdb => parseDqt(bytes, seg, i + 2 + len, qt)
           case 0xdd => restartInterval = u16(seg)
           case 0xda => // SOS
             val ns = bytes(seg) & 0xff
@@ -610,33 +633,8 @@ object Jpeg {
           case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 =>
             throw new IllegalArgumentException(
               s"unexpected SOF${m - 0xc0} in progressive JPEG")
-          case 0xc4 =>
-            var p = seg
-            while (p < i + 2 + len) {
-              val tc = (bytes(p) & 0xff) >> 4
-              val th = bytes(p) & 0x0f
-              require(tc <= 1 && th <= 3, "bad DHT header")
-              val tblBits = new Array[Int](17)
-              var total = 0
-              var l = 1
-              while (l <= 16) {
-                tblBits(l) = bytes(p + l) & 0xff; total += tblBits(l); l += 1
-              }
-              val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + total)
-              val t = new HuffTable(tblBits, vals)
-              if (tc == 0) dcTables(th) = t else acTables(th) = t
-              p += 17 + total
-            }
-          case 0xdb =>
-            var p = seg
-            while (p < i + 2 + len) {
-              val pq = (bytes(p) & 0xff) >> 4
-              val tq = bytes(p) & 0x0f
-              require(pq == 0, "16-bit quantization tables unsupported")
-              var k = 0
-              while (k < 64) { qt(tq)(k) = bytes(p + 1 + k) & 0xff; k += 1 }
-              p += 65
-            }
+          case 0xc4 => parseDht(bytes, seg, i + 2 + len, dcTables, acTables)
+          case 0xdb => parseDqt(bytes, seg, i + 2 + len, qt)
           case 0xdd => restartInterval = u16(seg)
           case 0xda =>
             require(comps != null, "SOS before SOF2")

@@ -390,6 +390,7 @@ object PixelCodec {
     if (a.samples.length == 0 || a.sampleRate <= 0) return (0.0, 0.0)
     val mag = magnitudeSpectrum(a, maxN)
     val n = (mag.length - 1) * 2
+    if (n == 0) return (0.0, 0.0) // 1-sample signal: no non-DC bin exists
     val hzPerBin = a.sampleRate.toDouble / n
     var best = 1
     var sum = 0.0

@@ -162,7 +162,13 @@ class IvfSpec extends SparkSpec {
     Ivf.build(df.filter(col("vec_id") < 60), "embedding", "vec_id", cents, dirInc)
     val n = Ivf.merge(df.filter(col("vec_id") >= 60), "embedding", "vec_id", dirInc)
     Ivf.build(df, "embedding", "vec_id", cents, dirAll)
-    assert(n === 120L)
+    assert(n === 60L) // appended delta, not the total
+    // mismatched payload (codes-only delta into a vector lake) fails loudly
+    val model = Pq.Model(4, 2,
+      Array.tabulate(2)(s => seedCentroids(df, 8).map(_.slice(s * 2, (s + 1) * 2))))
+    val e = intercept[IllegalArgumentException](
+      Ivf.merge(df.limit(1), "embedding", "vec_id", dirInc, pqModel = Some(model)))
+    assert(e.getMessage.contains("pqModel"))
     def postings(dir: String) =
       spark.read.parquet(s"$dir/postings").select("vec_id", "list_id")
         .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
