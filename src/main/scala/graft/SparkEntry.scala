@@ -696,6 +696,65 @@ object SparkEntry {
         .select(col("doc_id"), col("n_frames"),
           round(col("fps"), 6).as("fps"))
     }),
+    // one deterministic image per doc, container rotating over ALL FOUR
+    // real codecs (PNG / baseline JPEG / BMP / GIF) — geometry survives
+    // every decode path behind the signature dispatcher
+    "q_image_formats" -> ((s, dir) => {
+      import s.implicits._
+      val ids = table(s, dir, "documents")
+        .filter(col("doc_id") < 120).select(col("doc_id")).as[Long]
+      val withBytes = ids.map { id =>
+        val w = 16 + (id % 4).toInt * 8
+        val h = 8 + (id % 3).toInt * 4
+        // ≤ 8 distinct colors so the GIF path stays palette-bound
+        val img = pipeline.PixelCodec.Image(w, h, 3,
+          Array.tabulate(w * h * 3) { j =>
+            val p = j / 3
+            (((p % w) / 4 + (p / w) / 4 + (id % 5).toInt) % 8 * 30 +
+              (j % 3) * 7).toByte
+          })
+        val bytes = (id % 4).toInt match {
+          case 0 => pipeline.PixelCodec.encodePng(img)
+          case 1 => pipeline.Jpeg.encode(img, quality = 85)
+          case 2 => pipeline.PixelCodec.encodeBmp(img)
+          case _ => pipeline.Gif.encode(img)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "img")
+      pipeline.Multimodal.imageColumns(withBytes, "img")
+        .select(col("doc_id"), col("img_width"), col("img_height"),
+          col("img_channels"))
+    }),
+    // WAV decode + FFT spectral chain against EXACT on-bin tones: 1024
+    // samples at 8 kHz → hzPerBin = 7.8125 (a power-of-two divisor, so
+    // bin·hzPerBin is float-exact); each doc's tone sits exactly on bin
+    // 16 + 8·(id%8), and the Hann-windowed peak must land on that bin
+    "q_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = table(s, dir, "documents")
+        .filter(col("doc_id") < 80).select(col("doc_id")).as[Long]
+      val withBytes = ids.map { id =>
+        val k = 16 + (id % 8).toInt * 8
+        val hz = k * 8000.0 / 1024
+        val n = 1024
+        val data = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until n).foreach { i =>
+          data.putShort((0.5 * math.sin(2 * math.Pi * hz * i / 8000.0) * 32767).toShort)
+        }
+        val out = java.nio.ByteBuffer.allocate(44 + n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+        out.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+          .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        out.put("data".getBytes).putInt(n * 2).put(data.array())
+        (id, out.array())
+      }.toDF("doc_id", "audio")
+      pipeline.Multimodal.audioColumns(withBytes, "audio")
+        .select(col("doc_id"), col("sample_rate"),
+          round(col("duration_s"), 6).as("duration_s"),
+          round(col("dominant_hz"), 6).as("dominant_hz"))
+    }),
 
     // duplicate-cluster resolution: connected components over near-dup
     // pairs → canonical (minimum) id per cluster
@@ -1646,6 +1705,18 @@ object SparkEntry {
         | ROUND(CAST(CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 20 ELSE 25 END
         |   AS DOUBLE), 6) AS fps
         | FROM documents WHERE doc_id < 60""".stripMargin.replace("\n", " "),
+    "q_image_formats" ->
+      """SELECT doc_id,
+        | CAST(16 + (doc_id % 4) * 8 AS INTEGER) AS img_width,
+        | CAST(8 + (doc_id % 3) * 4 AS INTEGER) AS img_height,
+        | CAST(3 AS INTEGER) AS img_channels
+        | FROM documents WHERE doc_id < 120""".stripMargin.replace("\n", " "),
+    "q_audio_meta" ->
+      """SELECT doc_id,
+        | CAST(8000 AS INTEGER) AS sample_rate,
+        | ROUND(CAST(0.128 AS DOUBLE), 6) AS duration_s,
+        | ROUND(CAST(16 + (doc_id % 8) * 8 AS DOUBLE) * 7.8125, 6) AS dominant_hz
+        | FROM documents WHERE doc_id < 80""".stripMargin.replace("\n", " "),
     "q_multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,
