@@ -29,11 +29,19 @@ object PixelCodec {
 
   // ---- PNG decode ----
 
+  // Adam7 pass layout: (x0, y0, dx, dy)
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   def decodePng(bytes: Array[Byte]): Image = {
     require(bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
       bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G', "not a PNG")
     var i = 8
-    var width = 0; var height = 0; var channels = 0
+    var width = 0; var height = 0
+    var bitDepth = 0; var colorType = -1; var interlaced = false
+    var palette: Array[Int] = null // 0xRRGGBB
+    var trns: Array[Int] = null // per palette entry alpha
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done && i + 8 <= bytes.length) {
@@ -47,25 +55,104 @@ object PixelCodec {
         case "IHDR" =>
           width = u32be(bytes, data)
           height = u32be(bytes, data + 4)
-          val bitDepth = bytes(data + 8) & 0xff
-          val colorType = bytes(data + 9) & 0xff
-          val interlace = bytes(data + 12) & 0xff
-          require(bitDepth == 8, s"unsupported PNG bit depth $bitDepth")
-          require(interlace == 0, "interlaced PNG unsupported")
-          channels = colorType match {
-            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-            case other => throw new IllegalArgumentException(
-              s"unsupported PNG color type $other (palette/16-bit out of scope)")
-          }
+          bitDepth = bytes(data + 8) & 0xff
+          colorType = bytes(data + 9) & 0xff
+          interlaced = (bytes(data + 12) & 0xff) == 1
+          if (colorType == 3)
+            require(Seq(1, 2, 4, 8).contains(bitDepth),
+              s"bad palette PNG bit depth $bitDepth")
+          else require(bitDepth == 8,
+            s"unsupported PNG bit depth $bitDepth (16-bit out of scope)")
+          require(Seq(0, 2, 3, 4, 6).contains(colorType),
+            s"bad PNG color type $colorType")
+        case "PLTE" =>
+          require(len % 3 == 0 && len <= 256 * 3, s"bad PLTE length $len")
+          palette = Array.tabulate(len / 3)(p =>
+            ((bytes(data + p * 3) & 0xff) << 16) |
+              ((bytes(data + p * 3 + 1) & 0xff) << 8) |
+              (bytes(data + p * 3 + 2) & 0xff))
+        case "tRNS" if colorType == 3 =>
+          trns = Array.tabulate(len)(p => bytes(data + p) & 0xff)
         case "IDAT" => idat.write(bytes, data, len)
         case "IEND" => done = true
         case _      => // ancillary chunk — skip
       }
       i = data + len + 4 // skip CRC
     }
-    require(width > 0 && height > 0 && channels > 0, "missing IHDR")
-    val raw = inflateAll(idat.toByteArray, height * (1 + width * channels))
-    Image(width, height, channels, unfilter(raw, width, height, channels))
+    require(width > 0 && height > 0 && colorType >= 0, "missing IHDR")
+    val isPal = colorType == 3
+    if (isPal) require(palette != null, "palette PNG without PLTE")
+    // channels as stored in the stream (palette = 1 index channel)
+    val chStream = colorType match {
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+    }
+    def rowBytes(w: Int) = (w * chStream * bitDepth + 7) / 8
+    // per-pixel SAMPLES of the full image, one byte per stream channel
+    val samples = new Array[Byte](width.toLong.toInt * height * chStream)
+    val passes =
+      if (!interlaced) Array((0, 0, 1, 1))
+      else Adam7
+    val expected = passes.map { case (x0, y0, dx, dy) =>
+      val wP = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val hP = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (wP == 0 || hP == 0) 0 else hP * (1 + rowBytes(wP))
+    }.sum
+    val raw = inflateAll(idat.toByteArray, expected)
+    var off = 0
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val wP = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val hP = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (wP > 0 && hP > 0) {
+        val stride = rowBytes(wP)
+        val pass = java.util.Arrays.copyOfRange(raw, off, off + hP * (1 + stride))
+        off += hP * (1 + stride)
+        // filters operate on BYTES with bpp = ceil(bits·ch/8) (min 1)
+        val bpp = math.max(1, chStream * bitDepth / 8)
+        val flat = unfilter(pass, stride, hP, bpp)
+        var r = 0
+        while (r < hP) {
+          var c = 0
+          while (c < wP) {
+            val y = y0 + r * dy
+            val x = x0 + c * dx
+            var s = 0
+            while (s < chStream) {
+              val v =
+                if (bitDepth == 8) flat(r * stride + c * chStream + s) & 0xff
+                else { // sub-byte palette/gray indices, MSB-first packed
+                  val bitPos = c * bitDepth
+                  val b = flat(r * stride + bitPos / 8) & 0xff
+                  (b >> (8 - bitDepth - bitPos % 8)) & ((1 << bitDepth) - 1)
+                }
+              samples((y.toLong * width + x).toInt * chStream + s) = v.toByte
+              s += 1
+            }
+            c += 1
+          }
+          r += 1
+        }
+      }
+    }
+    if (!isPal) Image(width, height, chStream, samples)
+    else {
+      val hasAlpha = trns != null
+      val outCh = if (hasAlpha) 4 else 3
+      val out = new Array[Byte](width * height * outCh)
+      var p = 0
+      while (p < width * height) {
+        val idx = samples(p) & 0xff
+        require(idx < palette.length, s"palette index $idx out of range")
+        val c = palette(idx)
+        out(p * outCh) = ((c >> 16) & 0xff).toByte
+        out(p * outCh + 1) = ((c >> 8) & 0xff).toByte
+        out(p * outCh + 2) = (c & 0xff).toByte
+        if (hasAlpha)
+          out(p * outCh + 3) =
+            (if (idx < trns.length) trns(idx) else 255).toByte
+        p += 1
+      }
+      Image(width, height, outCh, out)
+    }
   }
 
   private def inflateAll(z: Array[Byte], expected: Int): Array[Byte] = {
@@ -83,9 +170,11 @@ object PixelCodec {
     out
   }
 
-  /** The five PNG row filters, reversed in place. */
-  private def unfilter(raw: Array[Byte], w: Int, h: Int, ch: Int): Array[Byte] = {
-    val stride = w * ch
+  /** The five PNG row filters, reversed in place. `stride` is the
+    * filtered row's byte width, `bpp` the filter's byte distance to the
+    * left neighbor (1 for sub-byte depths).
+    */
+  private def unfilter(raw: Array[Byte], stride: Int, h: Int, bpp: Int): Array[Byte] = {
     val out = new Array[Byte](h * stride)
     var r = 0
     while (r < h) {
@@ -95,9 +184,9 @@ object PixelCodec {
       var x = 0
       while (x < stride) {
         val cur = raw(src + x) & 0xff
-        val left = if (x >= ch) out(dst + x - ch) & 0xff else 0
+        val left = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
         val up = if (r > 0) out(dst - stride + x) & 0xff else 0
-        val ul = if (r > 0 && x >= ch) out(dst - stride + x - ch) & 0xff else 0
+        val ul = if (r > 0 && x >= bpp) out(dst - stride + x - bpp) & 0xff else 0
         val v = ft match {
           case 0 => cur
           case 1 => cur + left
@@ -120,16 +209,12 @@ object PixelCodec {
 
   // ---- PNG encode (filter 0, one IDAT) — for tests and cube/image sinks ----
 
-  def encodePng(img: Image): Array[Byte] = {
-    val colorType = img.channels match {
-      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
-      case other => throw new IllegalArgumentException(s"$other channels")
-    }
-    val stride = img.width * img.channels
-    val raw = new Array[Byte](img.height * (stride + 1))
-    (0 until img.height).foreach { r =>
-      System.arraycopy(img.pixels, r * stride, raw, r * (stride + 1) + 1, stride)
-    }
+  /** Deflate a filtered raw stream and assemble the chunk skeleton —
+    * shared by the truecolor and palette encoders.
+    */
+  private def pngFromRaw(width: Int, height: Int, bitDepth: Int,
+      colorType: Int, plte: Option[Array[Byte]],
+      raw: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
     d.setInput(raw); d.finish()
     val zbuf = new java.io.ByteArrayOutputStream()
@@ -148,12 +233,61 @@ object PixelCodec {
       out.write(be(crc.getValue.toInt))
     }
     val ihdr = java.nio.ByteBuffer.allocate(13)
-    ihdr.putInt(img.width).putInt(img.height)
-      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    ihdr.putInt(width).putInt(height)
+      .put(bitDepth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
     chunk("IHDR", ihdr.array())
+    plte.foreach(chunk("PLTE", _))
     chunk("IDAT", zbuf.toByteArray)
     chunk("IEND", Array.empty)
     out.toByteArray
+  }
+
+  def encodePng(img: Image): Array[Byte] = {
+    val colorType = img.channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case other => throw new IllegalArgumentException(s"$other channels")
+    }
+    val stride = img.width * img.channels
+    val raw = new Array[Byte](img.height * (stride + 1))
+    (0 until img.height).foreach { r =>
+      System.arraycopy(img.pixels, r * stride, raw, r * (stride + 1) + 1, stride)
+    }
+    pngFromRaw(img.width, img.height, 8, colorType, None, raw)
+  }
+
+  /** Palette (color type 3) PNG — the small-image/web form: RGB input
+    * of ≤ 2^bitDepth distinct colors becomes per-pixel indices packed
+    * MSB-first at 1/2/4/8 bits. Filter 0, no interlace.
+    */
+  def encodePngPalette(img: Image, bitDepth: Int = 8): Array[Byte] = {
+    require(img.channels == 3, "palette PNG encode needs RGB input")
+    require(Seq(1, 2, 4, 8).contains(bitDepth), s"bad bit depth $bitDepth")
+    val n = img.width * img.height
+    val rgb = Array.tabulate(n)(p =>
+      ((img.pixels(p * 3) & 0xff) << 16) |
+        ((img.pixels(p * 3 + 1) & 0xff) << 8) | (img.pixels(p * 3 + 2) & 0xff))
+    val palette = rgb.distinct
+    require(palette.length <= (1 << bitDepth),
+      s"${palette.length} distinct colors exceed $bitDepth-bit palette")
+    val palIdx = palette.zipWithIndex.toMap
+    val stride = (img.width * bitDepth + 7) / 8
+    val raw = new Array[Byte](img.height * (stride + 1))
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val idx = palIdx(rgb(y * img.width + x))
+        val bitPos = x * bitDepth
+        val at = y * (stride + 1) + 1 + bitPos / 8
+        raw(at) = (raw(at) | (idx << (8 - bitDepth - bitPos % 8))).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val plte = palette.flatMap(c => Array(
+      ((c >> 16) & 0xff).toByte, ((c >> 8) & 0xff).toByte, (c & 0xff).toByte))
+    pngFromRaw(img.width, img.height, bitDepth, 3, Some(plte), raw)
   }
 
   /** Decode any supported image container by signature: PNG
@@ -255,19 +389,30 @@ object PixelCodec {
         s"corrupt WAV chunk $typ: length $len at offset $i")
       if (typ == "fmt ") {
         val fmt = u16le(i + 8)
-        require(fmt == 1 || fmt == 3,
-          s"WAV format $fmt unsupported (PCM=1 / IEEE-float=3 only)")
+        require(fmt == 1 || fmt == 3 || fmt == 6 || fmt == 7,
+          s"WAV format $fmt unsupported (PCM/float/A-law/mu-law only)")
         ch = u16le(i + 10); rate = u32le(i + 12); bits = u16le(i + 22)
-        if (fmt == 1)
-          require(bits == 16 || bits == 8 || bits == 24,
-            s"$bits-bit integer PCM unsupported")
-        else {
-          require(bits == 32, s"$bits-bit float PCM unsupported")
-          bits = -32 // marker: float samples
+        fmt match {
+          case 1 =>
+            require(bits == 16 || bits == 8 || bits == 24,
+              s"$bits-bit integer PCM unsupported")
+          case 3 =>
+            require(bits == 32, s"$bits-bit float PCM unsupported")
+            bits = -32 // marker: float samples
+          case 6 =>
+            require(bits == 8, s"$bits-bit A-law unsupported")
+            bits = -6 // marker: A-law companded bytes
+          case 7 =>
+            require(bits == 8, s"$bits-bit mu-law unsupported")
+            bits = -7 // marker: mu-law companded bytes
         }
       } else if (typ == "data") {
         require(rate > 0, "WAV data chunk before fmt")
-        val bytesPer = math.abs(bits) / 8
+        val bytesPer = bits match {
+          case -32 => 4
+          case -6 | -7 => 1 // companded: one byte per sample
+          case b => b / 8
+        }
         val n = len / (ch * bytesPer)
         val out = new Array[Double](n)
         var s = 0
@@ -284,6 +429,8 @@ object PixelCodec {
                 ((((bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
                   ((bytes(off + 2) & 0xff) << 16)) << 8) >> 8) / 8388608.0
               case -32 => java.lang.Float.intBitsToFloat(u32le(off)).toDouble
+              case -7 => muLawExpand(bytes(off)) / 32768.0
+              case -6 => aLawExpand(bytes(off)) / 32768.0
             })
             c += 1
           }
@@ -296,6 +443,25 @@ object PixelCodec {
     }
     require(audio != null, "WAV has no data chunk")
     Audio(rate, ch, audio)
+  }
+
+  /** G.711 µ-law expansion to a 16-bit-range magnitude. */
+  private def muLawExpand(b: Byte): Int = {
+    val u = ~b & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0x0f
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law expansion to a 16-bit-range magnitude. */
+  private def aLawExpand(b: Byte): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val exp = (a >> 4) & 7
+    val mant = a & 0x0f
+    val mag = if (exp == 0) (mant << 4) + 8 else ((mant << 4) + 0x108) << (exp - 1)
+    // A-law: bit 7 SET (after the 0x55 toggle) means positive
+    if ((a & 0x80) != 0) mag else -mag
   }
 
   /** Signal features: duration, RMS level, zero-crossing rate (the

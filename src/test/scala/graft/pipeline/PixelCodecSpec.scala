@@ -83,12 +83,16 @@ class PixelCodecSpec extends SparkSpec {
     }
   }
 
-  test("palette and 16-bit PNGs reject loudly") {
+  test("16-bit and palette-without-PLTE PNGs reject loudly") {
     val img = testImage(4, 4, 3)
     val good = PixelCodec.encodePng(img)
-    val palette = good.clone(); palette(8 + 8 + 9) = 3 // IHDR color type
-    val e = intercept[IllegalArgumentException] { PixelCodec.decodePng(palette) }
-    assert(e.getMessage.contains("color type"))
+    val deep = good.clone(); deep(8 + 8 + 8) = 16 // IHDR bit depth
+    val e = intercept[IllegalArgumentException] { PixelCodec.decodePng(deep) }
+    assert(e.getMessage.contains("bit depth"))
+    // color type 3 declared but no PLTE chunk present
+    val pal = good.clone(); pal(8 + 8 + 9) = 3
+    val e2 = intercept[IllegalArgumentException] { PixelCodec.decodePng(pal) }
+    assert(e2.getMessage.contains("PLTE"))
   }
 
   test("corrupt chunk lengths fail loudly instead of looping") {
@@ -267,6 +271,132 @@ class PixelCodecSpec extends SparkSpec {
     }
     val down = PixelCodec.resizeBilinear(img, 8, 6)
     assert(down.width === 8 && down.height === 6 && down.channels === 3)
+  }
+
+  test("palette PNG round-trips losslessly at every bit depth") {
+    for ((colors, depth) <- Seq((2, 1), (4, 2), (13, 4), (200, 8))) {
+      val w = 19; val h = 7 // odd width: sub-byte rows have partial bytes
+      val pal = Array.tabulate(colors)(i => (i * 37 % 256, i * 91 % 256, i * 53 % 256))
+      val img = PixelCodec.Image(w, h, 3, Array.tabulate(w * h * 3) { j =>
+        val (r, g, b) = pal((j / 3) % colors)
+        (j % 3 match { case 0 => r; case 1 => g; case 2 => b }).toByte
+      })
+      val png = PixelCodec.encodePngPalette(img, depth)
+      val dec = PixelCodec.decodePng(png)
+      assert(dec.channels === 3, s"depth $depth")
+      assert(dec.pixels.toSeq === img.pixels.toSeq, s"depth $depth")
+      // dispatcher path too
+      assert(PixelCodec.decodeImage(png).pixels.toSeq === img.pixels.toSeq)
+    }
+    intercept[IllegalArgumentException](
+      PixelCodec.encodePngPalette(testImage(16, 16, 3, seed = 1), 2))
+  }
+
+  test("tRNS palette transparency yields RGBA output") {
+    val img = PixelCodec.Image(4, 2, 3, Array.tabulate(24) { j =>
+      (if ((j / 3) % 2 == 0) 10 else 200).toByte
+    })
+    val png = PixelCodec.encodePngPalette(img, 8)
+    // splice a tRNS chunk right after PLTE: alpha 0 for entry 0, 255 next
+    val plteStart = png.indexOfSlice("PLTE".getBytes)
+    val plteLen = java.nio.ByteBuffer.wrap(png, plteStart - 4, 4).getInt
+    val after = plteStart + 4 + plteLen + 4
+    val trns = java.nio.ByteBuffer.allocate(14)
+      .putInt(2).put("tRNS".getBytes).put(0.toByte).put(255.toByte)
+      .putInt(0) // fake CRC (not validated)
+      .array()
+    val spliced = png.take(after) ++ trns ++ png.drop(after)
+    val dec = PixelCodec.decodePng(spliced)
+    assert(dec.channels === 4)
+    val alphas = (0 until 8).map(p => dec.pixels(p * 4 + 3) & 0xff)
+    assert(alphas.distinct.sorted === Seq(0, 255))
+  }
+
+  test("Adam7 interlaced PNG decodes to the sequential image") {
+    val img = testImage(21, 13, 3, seed = 6) // odd dims: ragged passes
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val raw = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- passes) {
+      val xs = x0 until img.width by dx
+      val ys = y0 until img.height by dy
+      if (xs.nonEmpty && ys.nonEmpty) ys.foreach { y =>
+        raw.write(0) // filter 0
+        xs.foreach { x =>
+          (0 until 3).foreach(c =>
+            raw.write(img.pixels((y * img.width + x) * 3 + c) & 0xff))
+        }
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.toByteArray); d.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(typ.getBytes).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes); crc.update(data)
+      b.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(21).putInt(13)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+      .put(1.toByte).array() // interlace = Adam7
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.empty)
+    val dec = PixelCodec.decodePng(png)
+    assert(dec.width === 21 && dec.height === 13)
+    assert(dec.pixels.toSeq === img.pixels.toSeq)
+  }
+
+  test("mu-law and A-law WAV decode to the companded sine") {
+    // reference G.711 compressors (segment search over the expanded codec)
+    def muCompress(s: Int): Byte = {
+      val BIAS = 0x84
+      val sign = if (s < 0) 0x80 else 0
+      var mag = math.min(math.abs(s) + BIAS, 0x7fff)
+      var exp = 7
+      var mask = 0x4000
+      while (exp > 0 && (mag & mask) == 0) { exp -= 1; mask >>= 1 }
+      val mant = (mag >> (exp + 3)) & 0x0f
+      (~(sign | (exp << 4) | mant)).toByte
+    }
+    def aCompress(s0: Int): Byte = {
+      val sign = if (s0 >= 0) 0x80 else 0
+      var mag = math.min(math.abs(s0), 0x7fff)
+      var exp = 7
+      var mask = 0x4000
+      while (exp > 0 && (mag & mask) == 0) { exp -= 1; mask >>= 1 }
+      val mant = if (exp == 0) (mag >> 4) & 0x0f else (mag >> (exp + 3)) & 0x0f
+      ((sign | (exp << 4) | mant) ^ 0x55).toByte
+    }
+    for ((fmt, comp) <- Seq(7 -> muCompress _, 6 -> aCompress _)) {
+      val n = 800
+      val ref = Array.tabulate(n)(i =>
+        (0.5 * math.sin(2 * math.Pi * 440 * i / 8000.0) * 32767).toInt)
+      val data = ref.map(comp)
+      val out = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(36 + n).put("WAVE".getBytes)
+      out.put("fmt ".getBytes).putInt(16).putShort(fmt.toShort).putShort(1)
+        .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      out.put("data".getBytes).putInt(n).put(data)
+      val a = PixelCodec.decodeWav(out.array())
+      assert(a.sampleRate === 8000 && a.samples.length === n, s"fmt $fmt")
+      // companding error is bounded: relative RMS error under a few %
+      var err = 0.0; var sig = 0.0
+      (0 until n).foreach { i =>
+        val want = ref(i) / 32768.0
+        err += (a.samples(i) - want) * (a.samples(i) - want)
+        sig += want * want
+      }
+      assert(math.sqrt(err / sig) < 0.05, s"fmt $fmt rel err")
+      // the tone survives companding: dominant frequency unchanged
+      val (dom, _) = PixelCodec.spectralFeatures(a)
+      assert(math.abs(dom - 440.0) < 16.0, s"fmt $fmt dominant $dom")
+    }
   }
 
   test("content-hash near-dup finds a re-encoded image via dHashAuto") {
