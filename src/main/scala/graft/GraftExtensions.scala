@@ -191,6 +191,14 @@ object GraftExtensions {
       },
     ),
     (
+      "graft_html_text",
+      new ExpressionInfo(classOf[graft.pipeline.HtmlTextExpr].getName, "graft_html_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_html_text(html)")
+        graft.pipeline.HtmlTextExpr(args.head)
+      },
+    ),
+    (
       "graft_feature_buckets",
       new ExpressionInfo(
         classOf[graft.pipeline.FeatureBucketsExpr].getName,

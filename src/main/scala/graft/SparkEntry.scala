@@ -756,6 +756,34 @@ object SparkEntry {
           round(col("dominant_hz"), 6).as("dominant_hz"))
     }),
 
+    // WARC crawl ingestion end-to-end: per-doc WARC blob (warcinfo +
+    // response, alternating raw / per-record-gzip framing) synthesized
+    // from escaped document text → record explode → HTTP split → HTML
+    // body → extracted text; the oracle recomputes every output column
+    // arithmetically, so framing, Content-Length walking, gzip member
+    // boundaries, HTTP header split and HTML extraction are ALL load-
+    // bearing for the hash to match
+    "q_warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val blobs = docs.map { case (id, text) =>
+        val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+          .replace(">", "&gt;")
+        val html = s"<html><head><title>Doc $id</title></head><body>" +
+          s"<h1>Doc $id</h1><p>$esc</p></body></html>"
+        val rec = pipeline.Warc.responseRecord(s"https://ex.com/doc/$id",
+          "2026-01-01T00:00:00Z", html)
+        val blob = pipeline.Warc.encodeBlob(
+          Seq(pipeline.Warc.warcinfoRecord(s"f$id.warc"), rec),
+          gzipPerRecord = id % 2 == 0)
+        (id, blob)
+      }.toDF("doc_id", "warc")
+      pipeline.Warc.responses(blobs, "warc")
+        .select(col("doc_id"), col("target_uri"),
+          col("http_status").cast("long").as("http_status"), col("mime"),
+          pipeline.Html.extractText(col("body")).as("plain_text"))
+    }),
     // duplicate-cluster resolution: connected components over near-dup
     // pairs → canonical (minimum) id per cluster
     "q_dedup_cluster" -> ((s, dir) =>
@@ -945,11 +973,52 @@ object SparkEntry {
     "q_bigram_ppl" -> ((s, dir) =>
       pipeline.TextOps.bigramLogPerplexity(
         table(s, dir, "documents"), "text", "doc_id")),
+    // trigram stupid-backoff log-perplexity: LM counts from the src0
+    // subset only, scored over the whole corpus — unseen trigrams
+    // exercise the real backoff chain (self-scoring would never back off)
+    "q_trigram_ppl" -> ((s, dir) =>
+      pipeline.TextOps.trigramLogPerplexity(
+        table(s, dir, "documents"), "text", "doc_id",
+        col("source") === "src0")),
     // CCNet head/middle/tail perplexity tiers (threshold agg + map-only
     // assignment — no keyless window)
     "q_ppl_buckets" -> ((s, dir) =>
       pipeline.TextOps.perplexityBuckets(
         table(s, dir, "documents"), "text", "doc_id")),
+    // HTML → text extraction: the page is SYNTHESIZED in-query from the
+    // document text (escaped, so the kernel's entity decode must invert
+    // it exactly) wrapped in title/style/script/comment/heading/list
+    // markup; the oracle computes the expected extraction arithmetically
+    // from the same base columns — raw-text drops, block-newline and
+    // whitespace-collapse semantics are all load-bearing here
+    "q_html_extract" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("text").isNotNull)
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p { color: red; }</style></head><body>" +
+          "<!-- synthesized --><h1>Doc "), col("doc_id"),
+        lit("</h1><script>var t = \"<p>42 &amp; not text</p>\";</script><p>"),
+        esc,
+        lit("</p><ul><li>alpha</li><li>beta &amp; gamma</li></ul>" +
+          "</body></html>"))
+      d.select(col("doc_id"), pipeline.Html.extractText(html).as("plain_text"))
+    }),
+    // HTML metadata: title + link census over pages synthesized with a
+    // doc_id-determined link count (repeat() with a column count); the
+    // oracle reproduces both arithmetically
+    "q_html_meta" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Page "), col("doc_id"),
+        lit("</title></head><body>"),
+        expr("repeat('<a href=\"https://ex.com/d\">x</a>', " +
+          "cast(doc_id % 4 as int))"),
+        lit("</body></html>"))
+      table(s, dir, "documents").select(col("doc_id"),
+        pipeline.Html.title(html).as("html_title"),
+        size(pipeline.Html.links(html)).cast("long").as("n_links"))
+    }),
     // Gopher composite quality rules (minTokens/minRequiredHits relaxed
     // for the short synthetic word-soup docs so the flag discriminates)
     "q_gopher" -> ((s, dir) =>
@@ -2021,6 +2090,86 @@ object SparkEntry {
            |  COALESCE(bigram_logppl, 0.0) AS bigram_logppl
            |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
         .replace("\n", " "),
+    // trigram stupid backoff: every count table (uni/bi/tri, T, V) comes
+    // from the src0 LM subset; the CASE chain mirrors TextOps term for
+    // term (0.4 CAST to DOUBLE — DuckDB bare decimals are DECIMAL)
+    "q_trigram_ppl" ->
+      raw"""WITH docs AS (SELECT doc_id,
+           |  regexp_split_to_array(trim(text), '\s+') AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |lm AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+           |  FROM documents WHERE source = 'src0' AND text IS NOT NULL),
+           |lmtok AS (SELECT unnest(toks) AS w FROM lm),
+           |uni AS (SELECT w, count(*) AS c1 FROM lmtok GROUP BY 1),
+           |scal AS (SELECT count(*) AS t, count(DISTINCT w) AS v FROM lmtok),
+           |bg AS (SELECT g, count(*) AS c FROM (
+           |  SELECT unnest([toks[i] || ' ' || toks[i+1]
+           |    for i in range(1, len(toks))]) AS g
+           |  FROM lm WHERE len(toks) >= 2) GROUP BY 1),
+           |tg3 AS (SELECT g, count(*) AS c FROM (
+           |  SELECT unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           |    for i in range(1, len(toks) - 1)]) AS g
+           |  FROM lm WHERE len(toks) >= 3) GROUP BY 1),
+           |dt AS (SELECT doc_id, unnest(
+           |  [{'t3': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2],
+           |    'c2': toks[i] || ' ' || toks[i+1],
+           |    'b23': toks[i+1] || ' ' || toks[i+2],
+           |    'w2': toks[i+1], 'w3': toks[i+2]}
+           |   for i in range(1, len(toks) - 1)]) AS s
+           |  FROM docs WHERE len(toks) >= 3),
+           |dtf AS (SELECT doc_id, s.t3 AS t3, s.c2 AS ctx2, s.b23 AS b23,
+           |  s.w2 AS w2, s.w3 AS w3 FROM dt),
+           |j AS (SELECT dtf.doc_id,
+           |  CASE WHEN COALESCE(t3c.c, 0) > 0
+           |    THEN CAST(t3c.c AS DOUBLE) / CAST(c2x.c AS DOUBLE)
+           |    ELSE CAST(0.4 AS DOUBLE) *
+           |      (CASE WHEN COALESCE(b2c.c, 0) > 0
+           |        THEN CAST(b2c.c AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
+           |        ELSE CAST(0.4 AS DOUBLE) *
+           |          (CAST(COALESCE(u3.c1, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           |          / (CAST(t AS DOUBLE) + CAST(v AS DOUBLE)) END) END AS sc
+           |  FROM dtf
+           |  LEFT JOIN tg3 t3c ON dtf.t3 = t3c.g
+           |  LEFT JOIN bg c2x ON dtf.ctx2 = c2x.g
+           |  LEFT JOIN bg b2c ON dtf.b23 = b2c.g
+           |  LEFT JOIN uni u2 ON dtf.w2 = u2.w
+           |  LEFT JOIN uni u3 ON dtf.w3 = u3.w
+           |  CROSS JOIN scal),
+           |agg AS (SELECT doc_id, count(*) AS n_trigrams,
+           |  ROUND(AVG(-ln(sc)), 6) AS trigram_logppl FROM j GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           |  COALESCE(trigram_logppl, 0.0) AS trigram_logppl
+           |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+        .replace("\n", " "),
+    // HTML extraction oracle: the expected text is COMPUTED from the
+    // same base columns the Spark side synthesized the page from —
+    // 'Doc N' heading line, whitespace-collapsed body (dropped when
+    // empty), then the two static list items; title/style/script/comment
+    // content must not appear
+    "q_html_extract" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS nws
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT doc_id,
+           |  'Doc ' || doc_id || chr(10) ||
+           |  (CASE WHEN nws <> '' THEN nws || chr(10) ELSE '' END) ||
+           |  'alpha' || chr(10) || 'beta & gamma' AS plain_text
+           |FROM t""".stripMargin.replace("\n", " "),
+    "q_html_meta" ->
+      raw"""SELECT doc_id, 'Page ' || doc_id AS html_title,
+           |  CAST(doc_id % 4 AS BIGINT) AS n_links
+           |FROM documents""".stripMargin.replace("\n", " "),
+    "q_warc_extract" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS nws
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT doc_id, 'https://ex.com/doc/' || doc_id AS target_uri,
+           |  CAST(200 AS BIGINT) AS http_status, 'text/html' AS mime,
+           |  'Doc ' || doc_id ||
+           |  (CASE WHEN nws <> '' THEN chr(10) || nws ELSE '' END)
+           |    AS plain_text
+           |FROM t""".stripMargin.replace("\n", " "),
     "q_gopher" ->
       raw"""WITH t AS (SELECT doc_id, text,
            |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

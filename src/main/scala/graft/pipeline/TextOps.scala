@@ -533,6 +533,106 @@ object TextOps {
         coalesce(col("bigram_logppl"), lit(0.0)).as("bigram_logppl"))
   }
 
+  /** Trigram "stupid backoff" log-perplexity (Brants et al. 2007,
+    * "Large Language Models in Machine Translation") scored against a
+    * reference LM subset of the corpus (`lmFilter` rows): per trigram
+    * `w1 w2 w3`,
+    * {{{
+    *   s = c(w1 w2 w3) / c(w1 w2)                          if seen,
+    *     = α · c(w2 w3) / c(w2)                            else if bigram seen,
+    *     = α² · (c(w3) + 1) / (T + V)                      otherwise
+    * }}}
+    * with counts from the LM subset only, `T` its token total, `V` its
+    * vocabulary, α = 0.4 (the published constant). The final tier is
+    * add-one smoothed so out-of-vocabulary words score finitely. Scoring
+    * a corpus against ITSELF makes the backoff vacuous (every trigram
+    * contributes its own count) — pass a held-in subset (e.g. one trusted
+    * source) as `lmFilter` so unseen n-grams actually back off; that's
+    * also the production shape (LM counts from a clean reference corpus,
+    * scores over the whole crawl).
+    *
+    * Documents with fewer than 3 tokens report 0 trigrams and score 0.
+    *
+    * Plan shape at scale: one explode of the corpus trigrams; count
+    * tables come back through equi-joins keyed on the n-gram (trigram
+    * table is open-vocabulary → sort-merge; bigram/unigram tables are
+    * vocab-bound → AQE broadcasts them); `T`/`V` ride as a 1-row
+    * broadcast. No driver-side state, no cross join beyond the scalar.
+    */
+  def trigramLogPerplexity(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      lmFilter: Column,
+      alpha: Double = 0.4,
+  ): DataFrame = {
+    // per-document trigrams with every key the backoff chain needs
+    val tg = df.select(col(idCol),
+      explode(transform(array(tokens(col(textCol))), tks =>
+        when(size(tks) >= 3,
+          transform(sequence(lit(1), size(tks) - 2), i =>
+            struct(
+              concat_ws(" ", element_at(tks, i), element_at(tks, i + 1),
+                element_at(tks, i + 2)).as("t3"),
+              concat_ws(" ", element_at(tks, i), element_at(tks, i + 1))
+                .as("ctx2"),
+              concat_ws(" ", element_at(tks, i + 1), element_at(tks, i + 2))
+                .as("b23"),
+              element_at(tks, i + 1).as("w2"),
+              element_at(tks, i + 2).as("w3"))))
+          .otherwise(array().cast(
+            "array<struct<t3:string,ctx2:string,b23:string,w2:string,w3:string>>"))
+      ).getItem(0)).as("_s"))
+      .select(col(idCol), col("_s.t3").as("_t3"), col("_s.ctx2").as("_ctx2"),
+        col("_s.b23").as("_b23"), col("_s.w2").as("_w2"), col("_s.w3").as("_w3"))
+    // LM-subset count tables
+    val lm = df.filter(lmFilter).select(tokens(col(textCol)).as("_toks"))
+    val lmTok = lm.select(explode(col("_toks")).as("_w"))
+    val uni = lmTok.groupBy("_w").agg(count(lit(1)).as("_c"))
+    val scal = lmTok.agg(count(lit(1)).as("_t"),
+      countDistinct(col("_w")).as("_v"))
+    def grams(width: Int) = lm.select(explode(transform(array(col("_toks")),
+      tks => when(size(tks) >= width,
+        transform(sequence(lit(1), size(tks) - (width - 1)), i =>
+          concat_ws(" ", (0 until width).map(o => element_at(tks, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))).getItem(0)).as("_g"))
+      .groupBy("_g").agg(count(lit(1)).as("_c"))
+    val bg = grams(2)
+    val tg3 = grams(3)
+    val joined = tg
+      .join(tg3.withColumnRenamed("_g", "_t3").withColumnRenamed("_c", "_c3"),
+        Seq("_t3"), "left")
+      .join(bg.withColumnRenamed("_g", "_ctx2").withColumnRenamed("_c", "_c2ctx"),
+        Seq("_ctx2"), "left")
+      .join(bg.withColumnRenamed("_g", "_b23").withColumnRenamed("_c", "_c2"),
+        Seq("_b23"), "left")
+      .join(uni.withColumnRenamed("_w", "_w2").withColumnRenamed("_c", "_c1ctx"),
+        Seq("_w2"), "left")
+      .join(uni.withColumnRenamed("_w", "_w3").withColumnRenamed("_c", "_c1"),
+        Seq("_w3"), "left")
+      .crossJoin(broadcast(scal))
+    // c3 > 0 implies c2ctx > 0, and c2 > 0 implies c1ctx > 0, so every
+    // division is guarded by its own branch (when() evaluates lazily —
+    // ANSI mode never sees a zero divisor)
+    val score =
+      when(coalesce(col("_c3"), lit(0L)) > 0,
+        col("_c3").cast("double") / col("_c2ctx").cast("double"))
+        .otherwise(lit(alpha) *
+          when(coalesce(col("_c2"), lit(0L)) > 0,
+            col("_c2").cast("double") / col("_c1ctx").cast("double"))
+            .otherwise(lit(alpha) *
+              (coalesce(col("_c1"), lit(0L)).cast("double") + 1.0) /
+              (col("_t").cast("double") + col("_v").cast("double"))))
+    val scored = joined
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(-log(score)), 6).as("trigram_logppl"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("trigram_logppl"), lit(0.0)).as("trigram_logppl"))
+  }
+
   /** Contamination fraction against a benchmark subset: per document, the
     * share of its distinct word `n`-grams that also occur anywhere in the
     * benchmark rows (`benchmarkFilter`) — the train/test-overlap

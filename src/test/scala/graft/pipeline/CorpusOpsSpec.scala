@@ -789,4 +789,34 @@ class CorpusOpsSpec extends SparkSpec {
     // and it's actually shuffled, not id order
     assert(e1 !== (0L until 500L))
   }
+
+  test("trigramLogPerplexity: every backoff tier, hand-computed") {
+    // LM subset (src0): trigrams {a b c, a b d}, bigrams {a b:2, b c, b d},
+    // unigrams {a:2, b:2, c:1, d:1}, T = 6, V = 4
+    val df = Seq(
+      (1L, "a b c", "src0"),
+      (2L, "a b d", "src0"),
+      (3L, "a b c", "other"),   // tier 1: c3/c2ctx = 1/2
+      (4L, "b c d", "other"),   // tier 3: "c d" unseen → α²(c(d)+1)/(T+V)
+      (5L, "x y z", "other"),   // tier 3 with OOV w3: α²·1/(T+V)
+      (6L, "c a b d", "other"), // tier 2 then tier 1
+      (7L, "a b", "other"),     // too short: 0 trigrams
+      (8L, null.asInstanceOf[String], "other"),
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.trigramLogPerplexity(df, "text", "doc_id",
+      col("source") === "src0")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(3L) === ((1L, r6(-math.log(0.5)))))
+    assert(out(4L) === ((1L, r6(-math.log(0.4 * 0.4 * 2.0 / 10.0)))))
+    assert(out(5L) === ((1L, r6(-math.log(0.4 * 0.4 * 1.0 / 10.0)))))
+    // "c a b": trigram unseen, bigram "a b" seen → α·c(a b)/c(a) = 0.4·2/2
+    // "a b d": seen → 1/2
+    assert(out(6L) === ((2L,
+      r6((-math.log(0.4 * 2.0 / 2.0) - math.log(0.5)) / 2))))
+    assert(out(7L) === ((0L, 0.0)))
+    assert(out(8L) === ((0L, 0.0)))
+    // LM docs score themselves: trigram always seen → tier 1 only
+    assert(out(1L) === ((1L, r6(-math.log(0.5)))))
+  }
 }

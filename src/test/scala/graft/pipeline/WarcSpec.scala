@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** WARC container ingestion: framing (raw + per-record gzip members),
+  * record/HTTP parsing, hostile input, and the full crawl→text chain
+  * (WARC → response → HTML body → extracted text → quality/dedup).
+  */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def page(i: Int): String =
+    s"<html><head><title>Page $i</title></head><body><h1>H$i</h1>" +
+      s"<p>body text number $i</p></body></html>"
+
+  private def blob(ids: Seq[Int], gz: Boolean): Array[Byte] =
+    Warc.encodeBlob(
+      Warc.warcinfoRecord("test.warc") +: ids.map(i =>
+        Warc.responseRecord(s"https://ex.com/p/$i",
+          "2026-01-01T00:00:00Z", page(i))),
+      gzipPerRecord = gz)
+
+  test("round-trip: raw framing") {
+    val recs = Warc.parseAll(blob(Seq(1, 2, 3), gz = false))
+    assert(recs.map(_.recordType) === Seq("warcinfo", "response", "response",
+      "response"))
+    assert(recs(1).targetUri === "https://ex.com/p/1")
+    val (status, mime, body) = Warc.parseHttp(recs(1).payload)
+    assert(status === 200 && mime === "text/html")
+    assert(new String(body, StandardCharsets.UTF_8) === page(1))
+  }
+
+  test("round-trip: per-record gzip members (Common Crawl layout)") {
+    val recs = Warc.parseAll(blob(Seq(7, 8), gz = true))
+    assert(recs.map(_.recordType) === Seq("warcinfo", "response", "response"))
+    assert(recs(2).targetUri === "https://ex.com/p/8")
+    assert(new String(Warc.parseHttp(recs(2).payload)._3,
+      StandardCharsets.UTF_8) === page(8))
+  }
+
+  test("payload containing WARC/ and CRLF bytes does not split a record") {
+    val tricky = "fake\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nbody"
+    val rec = Warc.encodeRecord(
+      Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> "u"),
+      tricky.getBytes(StandardCharsets.UTF_8))
+    val recs = Warc.parseAll(Warc.encodeBlob(Seq(rec,
+      Warc.warcinfoRecord("f")), gzipPerRecord = false))
+    assert(recs.length === 2) // Content-Length framing, not content scan
+    assert(new String(recs.head.payload, StandardCharsets.UTF_8) === tricky)
+    assert(recs(1).recordType === "warcinfo")
+  }
+
+  test("corrupt gzip tail drops alone; leading members survive") {
+    val good = blob(Seq(1), gz = true)
+    val corrupt = good ++ Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0,
+      1, 2, 3)
+    val recs = Warc.parseAll(corrupt)
+    assert(recs.map(_.recordType) === Seq("warcinfo", "response"))
+  }
+
+  test("hostile input: junk, truncation, empty") {
+    assert(Warc.parseAll(Array.emptyByteArray) === Seq())
+    assert(Warc.parseAll("not a warc at all".getBytes) === Seq())
+    val truncated = blob(Seq(1), gz = false).take(40)
+    assert(Warc.parseAll(truncated) === Seq()) // no blank line yet
+    // truncated payload: record parses, payload clipped at the blob end
+    val half = blob(Seq(1), gz = false).dropRight(60)
+    val recs = Warc.parseAll(half)
+    assert(recs.nonEmpty)
+  }
+
+  test("records(): one row per record, carried columns preserved") {
+    val df = Seq((10L, blob(Seq(1, 2), gz = true)),
+      (11L, blob(Seq(3), gz = false))).toDF("file_id", "warc")
+    val out = Warc.records(df, "warc")
+      .select("file_id", "warc_type", "target_uri")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(r => (r._1, r._3))
+    assert(out.count(_._2 == "warcinfo") === 2)
+    assert(out.filter(_._2 == "response").map(_._3).toSeq ===
+      Seq("https://ex.com/p/1", "https://ex.com/p/2", "https://ex.com/p/3"))
+  }
+
+  test("responses(): HTTP split + WET-style extracted text") {
+    val df = Seq((1L, blob(Seq(4, 5), gz = true))).toDF("file_id", "warc")
+    val wet = Warc.responses(df, "warc")
+      .select(col("target_uri"), col("http_status"), col("mime"),
+        Html.extractText(col("body")).as("text"),
+        Html.title(col("body")).as("title"))
+      .collect().sortBy(_.getString(0))
+    assert(wet.length === 2)
+    assert(wet(0).getInt(1) === 200 && wet(0).getString(2) === "text/html")
+    assert(wet(0).getString(3) === "H4\nbody text number 4")
+    assert(wet(0).getString(4) === "Page 4")
+  }
+
+  test("crawl chain end-to-end: WARC → text → quality filter → exact dedup") {
+    // two files share page 1 (a cross-file duplicate); page 9 is junk
+    val junk = "<html><body><p>zz</p></body></html>"
+    val mk = (recs: Seq[Array[Byte]]) => Warc.encodeBlob(recs, gzipPerRecord = true)
+    val df = Seq(
+      (1L, mk(Seq(Warc.responseRecord("https://a/1", "d", page(1)),
+        Warc.responseRecord("https://a/2", "d", page(2))))),
+      (2L, mk(Seq(Warc.responseRecord("https://b/1", "d", page(1)),
+        Warc.responseRecord("https://b/9", "d", junk)))),
+    ).toDF("file_id", "warc")
+    val text = Warc.responses(df, "warc")
+      .select(col("target_uri"),
+        Html.extractText(col("body")).as("text"))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      .filter(col("n_tokens") >= 4) // junk page drops (2 tokens)
+    val kept = Dedup.dropExactDuplicates(text, "text", "target_uri")
+      .select("target_uri").as[String].collect().toSet
+    // page(1) text is identical across files → one survivor
+    assert(kept.size === 2)
+    assert(kept.contains("https://a/2"))
+    assert(kept.intersect(Set("https://a/1", "https://b/1")).size === 1)
+  }
+}

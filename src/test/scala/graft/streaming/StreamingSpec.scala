@@ -473,6 +473,38 @@ class StreamingSpec extends SparkSpec {
     assert(sunk(2).getAs[Any]("k") === null) // malformed JSON -> null, no task failure
   }
 
+  test("HTML extraction chain streams unchanged (crawl-ingest shape)") {
+    val dir = Files.createTempDirectory("stream-html").toFile.getPath + "/data"
+    Seq(
+      (1L, "<html><head><title>T1</title></head><body><h1>Hello</h1>" +
+        "<p>the quick brown fox</p><a href='https://a.com/x'>l</a></body></html>"),
+      (2L, "<p>plain &amp; simple</p><script>skip()</script>"),
+      (3L, "no markup at all"),
+    ).toDF("doc_id", "html").repartition(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    // extract -> token count on the extracted text, one stateless chain
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Html.htmlColumns(df, "html")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("plain_text"),
+          org.apache.spark.sql.functions.col("html_title"),
+          org.apache.spark.sql.functions.col("n_links"),
+          graft.pipeline.TextOps.tokenCount(
+            org.apache.spark.sql.functions.col("plain_text")).cast("long")
+            .as("n_tokens"))
+    val out = StreamingBinning.transform(stream, chain)
+    assert(out.isStreaming)
+    val sunk = StreamingBinning.runToMemorySink(out, "html_sink",
+      OutputMode.Append()).collect().sortBy(_.getLong(0))
+    val batch = chain(spark.read.parquet(dir)).collect().sortBy(_.getLong(0))
+    assert(sunk.toSeq === batch.toSeq)
+    assert(sunk(0).getAs[String]("plain_text") === "Hello\nthe quick brown fox\nl")
+    assert(sunk(0).getAs[Long]("n_links") === 1L)
+    assert(sunk(1).getAs[String]("plain_text") === "plain & simple")
+    assert(sunk(2).getAs[String]("html_title") === null)
+  }
+
   test("indexStream: micro-batch ingestion equals a from-scratch build") {
     val idxDir = Files.createTempDirectory("stream-tidx-inc").toString
     val allDir = Files.createTempDirectory("stream-tidx-all").toString
