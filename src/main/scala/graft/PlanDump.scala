@@ -59,6 +59,7 @@ object PlanDump {
       "q_ivf_pq_batch — batch IVF-PQ (codes-only corpus exchange, codegen ADC distance)" -> "q_ivf_pq_batch",
       "q_text_batch — batch BM25 (term-keyed equi-join, per-query top-k window)" -> "q_text_batch",
       "q_html_extract — HTML→text extraction (native codegen kernel inline in the scan)" -> "q_html_extract",
+      "q_robots — robots.txt filter (broadcast rule join + one URL-keyed aggregate)" -> "q_robots",
       "q_trigram_ppl — trigram stupid-backoff LM (n-gram count equi-joins + broadcast scalars)" -> "q_trigram_ppl",
     )
     val out = new StringBuilder

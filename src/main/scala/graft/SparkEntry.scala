@@ -1005,6 +1005,22 @@ object SparkEntry {
           "</body></html>"))
       d.select(col("doc_id"), pipeline.Html.extractText(html).as("plain_text"))
     }),
+    // HTML → Markdown: structure-preserving extraction (heading prefix,
+    // bold markers, [text](url) link, list-item dash) over the same
+    // synthesized-page trick — the oracle rebuilds the exact Markdown
+    // arithmetically, so marker placement interacts with the whitespace
+    // machinery under test
+    "q_html_markdown" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("text").isNotNull)
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<h2>Doc "), col("doc_id"),
+        lit("</h2><p>Quality: <b>high</b> for <a href=\"https://ex.com/d/"),
+        col("doc_id"), lit("\">ref "), col("doc_id"),
+        lit("</a></p><ul><li>"), esc, lit("</li></ul>"))
+      d.select(col("doc_id"), pipeline.Html.toMarkdown(html).as("markdown"))
+    }),
     // HTML metadata: title + link census over pages synthesized with a
     // doc_id-determined link count (repeat() with a column count); the
     // oracle reproduces both arithmetically
@@ -1142,6 +1158,45 @@ object SparkEntry {
     // tracking-param canonicalization, all codegen'd projections (the
     // fixture synthesizes provenance URLs from doc_id/source in-query —
     // documents.parquet carries no URL column)
+    // sitemap ingestion: per-doc sitemap XML synthesized with two <loc>
+    // entries (one entity-encoded, whitespace-padded), extracted via the
+    // generic tag-text kernel and exploded to (doc_id, pos, url) — the
+    // oracle rebuilds both URLs arithmetically
+    "q_sitemap" -> ((s, dir) => {
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>https://ex.com/a/"),
+        col("doc_id"),
+        lit("</loc><lastmod>2026-01-01</lastmod></url><url><loc> " +
+          "https://ex.com/b?id="),
+        col("doc_id"), lit("&amp;ref=s </loc></url></urlset>"))
+      table(s, dir, "documents").select(col("doc_id"),
+        posexplode(pipeline.Html.tagTexts(xml, "loc")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("url"))
+    }),
+    // robots.txt crawl-politeness filter: per-domain robots bodies are
+    // synthesized (comments, an agent-specific group that must be
+    // IGNORED for '*', overlapping Allow/Disallow prefixes, a
+    // domain-conditional extra rule), parsed by the real parser, and the
+    // longest-match/tie-break/group-selection decision runs through
+    // filterAllowed — the oracle recomputes the verdict arithmetically
+    "q_robots" -> ((s, dir) => {
+      val withUrl = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("source"),
+          when(col("doc_id") % 2 === 0, lit(".com")).otherwise(lit(".co.uk")))
+          .as("domain"),
+        expr("repeat('/seg', int(doc_id % 4))").as("path"))
+      val robotsTxt = withUrl.select("domain").distinct()
+        .withColumn("robots", concat(
+          lit("# synthetic robots\nUser-agent: bot\nDisallow: /\n\n" +
+            "User-agent: *\nDisallow: /seg/seg\nAllow: /seg/seg/seg\n"),
+          // sources run src0..src19, so anchor the prefix with the dot
+          // (bare "src1" would also catch src10..src19)
+          when(col("domain").startsWith("src1."), lit("Disallow: /seg\n"))
+            .otherwise(lit(""))))
+      pipeline.Robots.filterAllowed(withUrl, "domain", "path",
+        pipeline.Robots.rules(robotsTxt, "robots"))
+    }),
     "q_url_parse" -> ((s, dir) => {
       val withUrl = table(s, dir, "documents").select(col("doc_id"),
         concat(lit("https://"),
@@ -2156,6 +2211,17 @@ object SparkEntry {
            |  (CASE WHEN nws <> '' THEN nws || chr(10) ELSE '' END) ||
            |  'alpha' || chr(10) || 'beta & gamma' AS plain_text
            |FROM t""".stripMargin.replace("\n", " "),
+    "q_html_markdown" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS nws
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT doc_id,
+           |  '## Doc ' || doc_id || chr(10) ||
+           |  'Quality: **high** for [ref ' || doc_id ||
+           |  '](https://ex.com/d/' || doc_id || ')' || chr(10) ||
+           |  (CASE WHEN nws <> '' THEN '- ' || nws ELSE '-' END)
+           |    AS markdown
+           |FROM t""".stripMargin.replace("\n", " "),
     "q_html_meta" ->
       raw"""SELECT doc_id, 'Page ' || doc_id AS html_title,
            |  CAST(doc_id % 4 AS BIGINT) AS n_links
@@ -2376,6 +2442,22 @@ object SparkEntry {
         |SELECT coalesce(o.id, i.id) AS id,
         | coalesce(o.out_deg, 0) AS out_deg, coalesce(i.in_deg, 0) AS in_deg
         |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin.replace("\n", " "),
+    "q_sitemap" ->
+      raw"""SELECT doc_id, CAST(p AS BIGINT) AS pos,
+           |  CASE WHEN p = 0 THEN 'https://ex.com/a/' || doc_id
+           |       ELSE 'https://ex.com/b?id=' || doc_id || '&ref=s' END AS url
+           |FROM documents, unnest([0, 1]) AS t(p)""".stripMargin
+        .replace("\n", " "),
+    "q_robots" ->
+      raw"""SELECT doc_id,
+           |  source || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END
+           |    AS domain,
+           |  repeat('/seg', CAST(doc_id % 4 AS INTEGER)) AS path,
+           |  CAST(CASE
+           |    WHEN doc_id % 4 = 2 THEN 0
+           |    WHEN doc_id % 4 = 1 AND source = 'src1' THEN 0
+           |    ELSE 1 END AS INTEGER) AS allowed
+           |FROM documents""".stripMargin.replace("\n", " "),
     "q_url_parse" -> {
       val synth = """SELECT doc_id,
         | 'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||

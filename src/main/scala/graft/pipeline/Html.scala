@@ -196,8 +196,10 @@ object Html {
   }
 
   /** Core tokenizer. Emits decoded text characters into `onText`, block
-    * boundaries into `onBlock`, and (tagName, attrString) for every open
-    * tag into `onOpenTag` (attrString = raw slice between name and `>`).
+    * boundaries into `onBlock`, (tagName, attrString) for every open
+    * tag into `onOpenTag` (attrString = raw slice between name and `>`),
+    * dropped raw-text element content into `onRawText`, and close-tag
+    * names into `onCloseTag`.
     */
   private def walk(
       s: String,
@@ -205,6 +207,7 @@ object Html {
       onBlock: () => Unit,
       onOpenTag: (String, String) => Unit,
       onRawText: (String, String) => Unit,
+      onCloseTag: String => Unit = _ => (),
   ): Unit = {
     val n = s.length
     var i = 0
@@ -240,7 +243,7 @@ object Html {
             val attrTo = if (after > start && after <= n &&
               s.charAt(after - 1) == '>') after - 1 else after
             onOpenTag(name, s.substring(math.min(attrFrom, attrTo), attrTo))
-          }
+          } else if (closing && name.nonEmpty) onCloseTag(name)
           if (BlockTags.contains(name)) onBlock()
         } else { onText("<"); i += 1 }
       } else if (c == '&') {
@@ -287,19 +290,8 @@ object Html {
   def computeTitle(html: String): String = {
     var found: String = null
     walk(html, _ => (), () => (), (_, _) => (),
-      (name, content) => if (name == "title" && found == null) {
-        // decode entities inside the raw title content
-        val sb = new java.lang.StringBuilder(content.length)
-        var i = 0
-        while (i < content.length) {
-          if (content.charAt(i) == '&') {
-            val (dec, next) = decodeEntity(content, i)
-            sb.append(if (dec == null) "&" else dec)
-            i = next
-          } else { sb.append(content.charAt(i)); i += 1 }
-        }
-        found = collapse(sb.toString)
-      })
+      (name, content) => if (name == "title" && found == null)
+        found = collapse(decodeAll(content)))
     found
   }
 
@@ -316,6 +308,148 @@ object Html {
       (_, _) => ())
     out.toArray
   }
+
+  /** Text contents of every `<tag>` element, in document order — the
+    * generic XML-ish field extractor that covers sitemap `<loc>`, RSS
+    * `<link>`/`<title>`, Atom `<id>`, … Entity-decoded and
+    * whitespace-collapsed; nested same-name elements concatenate into
+    * the outer capture (malformed for these formats, so not worth a
+    * stack). Empty captures are kept (an empty `<loc></loc>` is a real,
+    * if broken, entry).
+    */
+  def computeTagTexts(html: String, tag: String): Array[String] = {
+    val want = tag.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cap = new java.lang.StringBuilder()
+    walk(
+      html,
+      t => if (depth > 0) cap.append(t),
+      () => (),
+      (name, _) => if (name == want) { if (depth == 0) cap.setLength(0); depth += 1 },
+      // raw-text elements (title, script, …) bypass the open/close
+      // callbacks — capture them here so e.g. RSS <title> still extracts
+      (name, content) => if (name == want) out += collapse(decodeAll(content)),
+      name => if (name == want && depth > 0) {
+        depth -= 1
+        if (depth == 0) out += collapse(cap.toString)
+      },
+    )
+    out.toArray
+  }
+
+  /** Decode every character reference in a raw slice. */
+  private def decodeAll(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') {
+        val (dec, next) = decodeEntity(s, i)
+        sb.append(if (dec == null) "&" else dec)
+        i = next
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Array of the text contents of `tag` elements (see
+    * [[computeTagTexts]]); map-only codegen.
+    */
+  def tagTexts(html: Column, tag: String): Column =
+    wrap(HtmlTagTextsExpr(ex(html), tag))
+
+  /** HTML → Markdown conversion (structure-preserving extraction —
+    * headings, emphasis, links, list items survive as Markdown syntax
+    * while everything else follows [[computeText]] semantics):
+    *
+    *  - `h1`–`h6` → `#`…`######` prefixes; `li` → `- ` (ordered lists
+    *    also render dashed — documented simplification);
+    *  - `b`/`strong` → `**`, `i`/`em` → `*`, `code` → `` ` `` (markers
+    *    hug whatever whitespace the source had — collapse happens at the
+    *    text layer, markers are emitted as ordinary characters);
+    *  - `a href` → `[text](url)`; `img` → `![alt](src)`;
+    *  - stray close tags without a matching open emit nothing; an open
+    *    emphasis left unclosed at EOF stays unclosed (no auto-repair);
+    *  - block breaks, raw-text drops, entity decode and whitespace
+    *    collapse are identical to [[computeText]].
+    */
+  def computeMarkdown(html: String): String = {
+    val out = new java.lang.StringBuilder(html.length / 2 + 8)
+    var pendingNewline = false
+    var pendingSpace = false
+    def emitChars(t: String): Unit = {
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (isWs(c)) pendingSpace = true
+        else {
+          if (out.length() > 0) {
+            if (pendingNewline) out.append('\n')
+            else if (pendingSpace) out.append(' ')
+          }
+          pendingNewline = false
+          pendingSpace = false
+          out.append(c)
+        }
+        i += 1
+      }
+    }
+    // markers ride the same whitespace machinery as text (flush a pending
+    // break, then append verbatim — a trailing marker space only emits if
+    // real text follows)
+    def marker(m: String): Unit = emitChars(m)
+    val hrefs = scala.collection.mutable.Stack.empty[String]
+    var bold = 0
+    var ital = 0
+    var codeSpan = 0
+    // the tokenizer fires onBlock right AFTER onOpenTag for block tags;
+    // a heading/li handler emits its own line break before the marker,
+    // so that one following onBlock must not re-break the line
+    var suppressNextBlock = false
+    walk(
+      html,
+      emitChars,
+      () => {
+        if (suppressNextBlock) suppressNextBlock = false
+        else pendingNewline = true
+      },
+      (name, attrs) => name match {
+        case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+          pendingNewline = true
+          marker("#" * (name.charAt(1) - '0'))
+          pendingSpace = true
+          suppressNextBlock = true
+        case "li" =>
+          pendingNewline = true
+          marker("-")
+          pendingSpace = true
+          suppressNextBlock = true
+        case "b" | "strong" => marker("**"); bold += 1
+        case "i" | "em" => marker("*"); ital += 1
+        case "code" => marker("`"); codeSpan += 1
+        case "a" =>
+          hrefs.push(Option(attrValue(attrs, "href")).getOrElse(""))
+          marker("[")
+        case "img" =>
+          val alt = Option(attrValue(attrs, "alt")).getOrElse("")
+          val src = Option(attrValue(attrs, "src")).getOrElse("")
+          marker(s"![$alt]($src)")
+        case _ => ()
+      },
+      (_, _) => (),
+      onCloseTag = {
+        case "b" | "strong" if bold > 0 => marker("**"); bold -= 1
+        case "i" | "em" if ital > 0 => marker("*"); ital -= 1
+        case "code" if codeSpan > 0 => marker("`"); codeSpan -= 1
+        case "a" if hrefs.nonEmpty => marker("](" + hrefs.pop() + ")")
+        case _ => ()
+      },
+    )
+    out.toString
+  }
+
+  /** Markdown view of an HTML document (see [[computeMarkdown]]). */
+  def toMarkdown(html: Column): Column = wrap(HtmlMarkdownExpr(ex(html)))
 
   /** Value of attribute `key` inside a raw attribute slice; handles
     * quoted and unquoted forms; null when absent. Entity references in
@@ -403,6 +537,35 @@ case class HtmlTextExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen kernel: HTML → Markdown (see [[Html.computeMarkdown]]). */
+case class HtmlMarkdownExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"needs a string input, got $other")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    UTF8String.fromString(
+      Html.computeMarkdown(t.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = Html.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"$helper.computeMarkdown($t.toString()));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlMarkdownExpr =
+    copy(child = newChild)
+}
+
 /** Codegen kernel: first `<title>` content; null when absent. */
 case class HtmlTitleExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -434,6 +597,50 @@ case class HtmlTitleExpr(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): HtmlTitleExpr =
+    copy(child = newChild)
+}
+
+/** Codegen kernel: text contents of the named element
+  * (see [[Html.computeTagTexts]]); `tag` is fixed at plan time.
+  */
+case class HtmlTagTextsExpr(child: Expression, tag: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"needs a string input, got $other")
+    }
+
+  override def nullSafeEval(t: Any): Any = {
+    val vals = Html.computeTagTexts(t.asInstanceOf[UTF8String].toString, tag)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      vals.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = Html.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val tagRef = ctx.addReferenceObj("graftTag", tag, "java.lang.String")
+    val vals = ctx.freshName("graftVals")
+    val arr = ctx.freshName("graftArr")
+    val idx = ctx.freshName("graftI")
+    nullSafeCodeGen(ctx, ev, t => s"""
+      String[] $vals = $helper.computeTagTexts($t.toString(), $tagRef);
+      Object[] $arr = new Object[$vals.length];
+      for (int $idx = 0; $idx < $vals.length; $idx++) {
+        $arr[$idx] =
+          org.apache.spark.unsafe.types.UTF8String.fromString($vals[$idx]);
+      }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlTagTextsExpr =
     copy(child = newChild)
 }
 

@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** robots.txt (RFC 9309 Robots Exclusion Protocol) — crawl-politeness
+  * filtering for the ingestion pipeline: parse per-domain robots files
+  * into rule rows, then filter a URL corpus to the allowed subset.
+  *
+  * Scope: the RFC core — user-agent groups, `Allow`/`Disallow` prefix
+  * rules, comments, longest-match precedence with Allow winning ties,
+  * group selection (a specific agent's groups when any exist, else the
+  * `*` groups). The `*`/`$` wildcard EXTENSION is not implemented
+  * (prefix-only matching, documented) — rules containing them are kept
+  * verbatim and match as literal prefixes.
+  *
+  * Scale shape: rule tables are domain-bounded and tiny next to the URL
+  * corpus → Spark broadcasts them; the decision is one URL-keyed
+  * aggregation over the prefix-matched candidates (the corpus never
+  * shuffles more than its own matched rule pairs).
+  */
+object Robots {
+
+  /** One parsed rule line. `allow=false` is a Disallow. */
+  case class Rule(agent: String, allow: Boolean, path: String)
+
+  /** Parse one robots.txt body. Group state per RFC 9309: consecutive
+    * `User-agent` lines open a group serving all named agents; rule
+    * lines bind to the open group; a `User-agent` after rules starts a
+    * fresh group. An empty `Disallow:` value means "no restriction" and
+    * produces no rule. Unknown directives (Crawl-delay, Sitemap, …) are
+    * ignored. Agent names compare case-insensitively (lowercased here).
+    */
+  def parse(txt: String): Seq[Rule] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var agents = List.empty[String]
+    var groupOpen = false // true while collecting User-agent lines
+    txt.linesIterator.foreach { raw =>
+      val line = {
+        val hash = raw.indexOf('#')
+        (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (groupOpen) agents ::= value.toLowerCase(java.util.Locale.ROOT)
+            else { agents = List(value.toLowerCase(java.util.Locale.ROOT)); groupOpen = true }
+          case "allow" | "disallow" =>
+            groupOpen = false
+            if (value.nonEmpty && agents.nonEmpty)
+              agents.foreach(a => out += Rule(a, key == "allow", value))
+          case _ => groupOpen = false
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Explode a (domain, robotsTxt) frame into rule rows
+    * `(…, agent, allow, path, path_len)`.
+    */
+  def rules(df: DataFrame, txtCol: String): DataFrame = {
+    val carried = df.schema.fields.filterNot(_.name == txtCol)
+    val outSchema = StructType(carried ++ Seq(
+      StructField("agent", StringType),
+      StructField("allow", IntegerType),
+      StructField("path", StringType),
+      StructField("path_len", IntegerType),
+    ))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    val txtIdx = df.schema.fieldIndex(txtCol)
+    val carryIdx = carried.map(f => df.schema.fieldIndex(f.name))
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val carry = carryIdx.map(r.get).toSeq
+        val txt = Option(r.getString(txtIdx)).getOrElse("")
+        parse(txt).map(rule => Row.fromSeq(carry ++ Seq(rule.agent,
+          if (rule.allow) 1 else 0, rule.path, rule.path.length)))
+      }
+    }(enc)
+  }
+
+  /** Per-URL allow decision for `agent`. `urls` must carry `domainCol`
+    * and `pathCol` (see [[UrlOps.urlColumns]]); `ruleTable` is the
+    * [[rules]] output with a matching domain column.
+    *
+    * Selection + precedence in ONE aggregation pass, mirrorable by any
+    * SQL engine: per domain the effective group is the specific agent's
+    * rules when any exist, else `*`'s; among effective rules whose path
+    * prefixes the URL path, the longest wins with Allow beating Disallow
+    * at equal length — encoded as `max(path_len * 2 + allow)` so the
+    * single integer max carries both keys; no matching rule (or no
+    * robots at all) means allowed.
+    *
+    * The rule table broadcasts (domain-bounded); the only exchange is
+    * the URL-keyed aggregate.
+    */
+  def filterAllowed(
+      urls: DataFrame,
+      domainCol: String,
+      pathCol: String,
+      ruleTable: DataFrame,
+      agent: String = "*",
+      keepCol: String = "allowed",
+  ): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    // does the domain define a group for the specific agent?
+    val hasSpecific = ruleTable.groupBy(col(domainCol))
+      .agg(max(when(col("agent") === a, 1).otherwise(0)).as("_has_spec"))
+    val eff = ruleTable.join(hasSpecific, Seq(domainCol))
+      .filter(when(col("_has_spec") === 1, col("agent") === a)
+        .otherwise(col("agent") === "*"))
+      .select(col(domainCol).as("_rdom"), col("allow").as("_ralw"),
+        col("path").as("_rpath"), col("path_len").as("_rlen"))
+    val keyed = urls.join(broadcast(eff),
+        urls(domainCol) === col("_rdom"), "left")
+      .withColumn("_rule_key",
+        when(col("_rpath").isNotNull &&
+          col(pathCol).startsWith(col("_rpath")),
+          col("_rlen") * 2 + col("_ralw")))
+    keyed.groupBy(urls.columns.map(urls(_)): _*)
+      .agg(max(col("_rule_key")).as("_best"))
+      .withColumn(keepCol,
+        (col("_best").isNull || col("_best") % 2 === 1).cast("int"))
+      .drop("_best")
+  }
+}

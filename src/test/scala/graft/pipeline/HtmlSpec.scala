@@ -171,6 +171,58 @@ class HtmlSpec extends SparkSpec {
     assert(row.getString(1) === "https://ex.com/a/b?q=1")
   }
 
+  private def md(html: String): String = Html.computeMarkdown(html)
+
+  test("markdown: headings, emphasis, links, lists, images") {
+    assert(md("<h1>Top</h1><h3>Sub</h3>") === "# Top\n### Sub")
+    assert(md("<p>a <b>bold</b> word</p>") === "a **bold** word")
+    assert(md("<p><i>it</i> and <code>x=1</code></p>") === "*it* and `x=1`")
+    assert(md("""<a href="https://e.com/p">text</a>""") === "[text](https://e.com/p)")
+    assert(md("<ul><li>one</li><li>two</li></ul>") === "- one\n- two")
+    assert(md("""<img alt="pic" src="i.png">after""") === "![pic](i.png)after")
+    assert(md("<h2>T</h2><p>see <a href='u'>ref</a>.</p><ul><li>x</li></ul>") ===
+      "## T\nsee [ref](u).\n- x")
+  }
+
+  test("markdown: stray/unbalanced tags never crash or emit orphan markers") {
+    assert(md("plain </b> close") === "plain close")
+    assert(md("</a>x") === "x")
+    assert(md("<b>unclosed") === "**unclosed")
+    assert(md("<li></li><li>y</li>") === "-\n- y")
+    assert(md("<a>no href</a>") === "[no href]()")
+    // nested emphasis + link
+    assert(md("<b><a href='u'>both</a></b>") === "**[both](u)**")
+  }
+
+  test("markdown shares text semantics: raw-text drop, entities, whitespace") {
+    assert(md("<script>x</script><p>a &amp; b</p>") === "a & b")
+    assert(md("<title>t</title><h1>  spaced   out </h1>") === "# spaced out")
+  }
+
+  test("tagTexts: sitemap <loc> and RSS fields extract in document order") {
+    val sitemap =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>https://e.com/a</loc><lastmod>2026-01-01</lastmod></url>
+        |  <url><loc> https://e.com/b?x=1&amp;y=2 </loc></url>
+        |  <url><loc></loc></url>
+        |</urlset>""".stripMargin
+    assert(Html.computeTagTexts(sitemap, "loc").toSeq ===
+      Seq("https://e.com/a", "https://e.com/b?x=1&y=2", ""))
+    assert(Html.computeTagTexts(sitemap, "lastmod").toSeq === Seq("2026-01-01"))
+    val rss = "<rss><channel><title>Feed</title><item><title>Post &amp; 1" +
+      "</title><link>https://e.com/p1</link></item></channel></rss>"
+    // title is a raw-text element — captured via the raw-text path
+    assert(Html.computeTagTexts(rss, "title").toSeq === Seq("Feed", "Post & 1"))
+    assert(Html.computeTagTexts(rss, "link").toSeq === Seq("https://e.com/p1"))
+    assert(Html.computeTagTexts(rss, "missing").toSeq === Seq())
+    // column surface round-trips through codegen
+    val viaPlan = Seq(Tuple1(sitemap)).toDF("xml")
+      .select(explode(Html.tagTexts(col("xml"), "loc")).as("u"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaPlan === Seq("https://e.com/a", "https://e.com/b?x=1&y=2", ""))
+  }
+
   test("extraction survives hostile input without blowup") {
     val hostile = Seq(
       "<", "<<<<", "<a", "<a href=\"unterminated", "&", "&amp", "&#;",

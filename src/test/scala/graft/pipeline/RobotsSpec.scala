@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** robots.txt parsing + longest-match URL filtering. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parse: groups, comments, multi-agent groups, unknown directives") {
+    val txt =
+      """# global rules
+        |User-agent: *
+        |Disallow: /private
+        |Allow: /private/ok   # inline comment
+        |Crawl-delay: 10
+        |
+        |User-agent: botA
+        |User-agent: botB
+        |Disallow: /
+        |
+        |Sitemap: https://e.com/sitemap.xml
+        |User-agent: BotC
+        |Disallow:
+        |""".stripMargin
+    val rules = Robots.parse(txt)
+    assert(rules === Seq(
+      Robots.Rule("*", allow = false, "/private"),
+      Robots.Rule("*", allow = true, "/private/ok"),
+      Robots.Rule("botb", allow = false, "/"),
+      Robots.Rule("bota", allow = false, "/"),
+    )) // empty Disallow for BotC yields no rule; agents lowercased
+  }
+
+  test("parse: a User-agent line after rules starts a NEW group") {
+    val txt = "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    assert(Robots.parse(txt) === Seq(
+      Robots.Rule("a", allow = false, "/x"),
+      Robots.Rule("b", allow = false, "/y")))
+  }
+
+  test("filterAllowed: longest match wins, Allow beats Disallow on ties") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /p\nAllow: /p/ok\nDisallow: /p/ok"),
+      ("b.com", "User-agent: *\nDisallow: /"),
+    ).toDF("domain", "robots")
+    val rules = Robots.rules(robots, "robots")
+    val urls = Seq(
+      (1L, "a.com", "/p/ok/page"), // Allow /p/ok (7·2+1) ties Disallow /p/ok (7·2+0) → allow
+      (2L, "a.com", "/p/no"),      // Disallow /p → blocked
+      (3L, "a.com", "/other"),     // no rule matches → allowed
+      (4L, "b.com", "/anything"),  // Disallow / → blocked
+      (5L, "c.com", "/x"),         // no robots at all → allowed
+    ).toDF("doc_id", "domain", "path")
+    val out = Robots.filterAllowed(urls, "domain", "path", rules)
+      .select("doc_id", "allowed").as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 1))
+  }
+
+  test("filterAllowed: specific-agent groups shadow the * group entirely") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /\nUser-agent: niceBot\nDisallow: /secret"),
+    ).toDF("domain", "robots")
+    val rules = Robots.rules(robots, "robots")
+    val urls = Seq((1L, "a.com", "/page"), (2L, "a.com", "/secret/x"))
+      .toDF("doc_id", "domain", "path")
+    // as nicebot: only the specific group applies — /page allowed
+    val asBot = Robots.filterAllowed(urls, "domain", "path", rules, "NiceBot")
+      .select("doc_id", "allowed").as[(Long, Int)].collect().toMap
+    assert(asBot === Map(1L -> 1, 2L -> 0))
+    // as anyone else: the * group blocks everything
+    val asStar = Robots.filterAllowed(urls, "domain", "path", rules)
+      .select("doc_id", "allowed").as[(Long, Int)].collect().toMap
+    assert(asStar === Map(1L -> 0, 2L -> 0))
+  }
+
+  test("filterAllowed plan: rule side broadcasts, one URL-keyed exchange") {
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /p"))
+      .toDF("domain", "robots")
+    val urls = Seq.tabulate(100)(i => (i.toLong, "a.com", s"/p$i"))
+      .toDF("doc_id", "domain", "path")
+    val out = Robots.filterAllowed(urls, "domain", "path",
+      Robots.rules(robots, "robots"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
