@@ -199,6 +199,27 @@ object GraftExtensions {
       },
     ),
     (
+      "graft_html_markdown",
+      new ExpressionInfo(classOf[graft.pipeline.HtmlMarkdownExpr].getName, "graft_html_markdown"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_html_markdown(html)")
+        graft.pipeline.HtmlMarkdownExpr(args.head)
+      },
+    ),
+    (
+      "graft_tag_texts",
+      new ExpressionInfo(classOf[graft.pipeline.HtmlTagTextsExpr].getName, "graft_tag_texts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_tag_texts(xml, tag)")
+        val tag = args(1) match {
+          case Literal(v, _) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"tag must be a string literal, got $other")
+        }
+        graft.pipeline.HtmlTagTextsExpr(args.head, tag)
+      },
+    ),
+    (
       "graft_feature_buckets",
       new ExpressionInfo(
         classOf[graft.pipeline.FeatureBucketsExpr].getName,

@@ -75,6 +75,34 @@ object ScaleProbe {
           df.withColumn("url", concat(lit("https://h"),
             col("doc_id") % 1000, lit(".example.com/a/b?id="),
             col("doc_id"), lit("&utm_source=x"))), "url").count())
+      // crawl chain: synthesize a WARC blob per doc (gzip members), then
+      // records→HTTP→HTML→text — all map-side; must scale linearly
+      timed("warc_html", f) {
+        import spark.implicits._
+        // the inflated frame inherits the base parquet's few partitions;
+        // spread the CPU-bound gzip/parse work across the cores (a real
+        // crawl lake arrives as one partition per WARC file)
+        val blobs = df.select(col("doc_id"), col("text"))
+          .repartition(cpus)
+          .as[(Long, String)].map { case (id, text) =>
+            val html = s"<html><head><title>D$id</title></head><body><h1>" +
+              s"D$id</h1><p>${Option(text).getOrElse("")}</p></body></html>"
+            (id, pipeline.Warc.encodeBlob(Seq(pipeline.Warc.responseRecord(
+              s"https://ex.com/$id", "d", html)), gzipPerRecord = true))
+          }.toDF("doc_id", "warc")
+        pipeline.Warc.responses(blobs, "warc")
+          .select(pipeline.Html.extractText(col("body"))).count()
+      }
+      // robots filter: rules per domain (|domains| tiny), corpus-keyed agg
+      timed("robots", f) {
+        val urls = df.select(col("doc_id"),
+          concat(col("source"), lit(".com")).as("domain"),
+          expr("repeat('/seg', int(doc_id % 4))").as("path"))
+        val robots = urls.select("domain").distinct().withColumn("robots",
+          lit("User-agent: *\nDisallow: /seg/seg\nAllow: /seg/seg/seg\n"))
+        pipeline.Robots.filterAllowed(urls, "domain", "path",
+          pipeline.Robots.rules(robots, "robots")).count()
+      }
       df.unpersist()
     }
     // graph scaling: synthetic power-law-ish edges from the events table,

@@ -79,6 +79,29 @@ object SparkEntry {
   val qualityScoreWeights: Array[Double] =
     Array.tabulate(64)(i => ((i.toLong * 2654435761L) % 97 - 48) / 100.0)
 
+  /** Porter-stemming gate fixture: 40 words covering every algorithm
+    * step, with the hand-verified FULL-PIPELINE stems (per-step examples
+    * from the paper differ — e.g. relational → relate in step 2 alone
+    * but → relat after step 5a). Mirrored literally in the q_stem oracle.
+    */
+  val stemPairs: Seq[(String, String)] = Seq(
+    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+    "cats" -> "cat", "feed" -> "feed", "agreed" -> "agre",
+    "plastered" -> "plaster", "motoring" -> "motor", "sing" -> "sing",
+    "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+    "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+    "failing" -> "fail", "filing" -> "file", "happy" -> "happi",
+    "sky" -> "sky", "relational" -> "relat", "conditional" -> "condit",
+    "rational" -> "ration", "valenci" -> "valenc", "hesitanci" -> "hesit",
+    "digitizer" -> "digit", "operator" -> "oper", "feudalism" -> "feudal",
+    "decisiveness" -> "decis", "hopefulness" -> "hope",
+    "formaliti" -> "formal", "triplicate" -> "triplic",
+    "formative" -> "form", "electriciti" -> "electr", "hopeful" -> "hope",
+    "goodness" -> "good", "revival" -> "reviv", "allowance" -> "allow",
+    "inference" -> "infer", "replacement" -> "replac", "probate" -> "probat",
+  )
+  val stemWords: Seq[String] = stemPairs.map(_._1)
+
   /** Sessionization gap: 12 h in nanoseconds (events.ts is Long nanos). */
   val sessionGapNs: Long = 12L * 3600 * 1000 * 1000 * 1000
 
@@ -406,6 +429,44 @@ object SparkEntry {
       table(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"),
           round(pipeline.TextOps.charEntropy(col("text")), 6).as("char_entropy"))),
+    // Porter stemming against a hand-verified answer table: each doc
+    // picks one of 40 words covering all five algorithm steps; the
+    // oracle carries the corresponding full-pipeline stems as a literal
+    // array, so every rule path is pinned
+    "q_stem" -> ((s, dir) => {
+      val idx = (col("doc_id") % 40 + 1).cast("int")
+      val words = array(SparkEntry.stemWords.map(lit): _*)
+      table(s, dir, "documents").select(col("doc_id"),
+        element_at(words, idx).as("word"),
+        pipeline.TextOps.porterStem(element_at(words, idx)).as("stem"))
+    }),
+    // Unicode NFC normalization: decomposed sequences (combining acute /
+    // ring, repeated per doc) injected in-query; Spark runs the JDK
+    // Normalizer kernel, DuckDB runs its own nfc_normalize — the two
+    // implementations must agree byte-for-byte on the composed result
+    "q_nfc" -> ((s, dir) => {
+      val decomposed = concat(col("text"),
+        lit(" cafe\u0301 A\u030A"),
+        expr("repeat('e\u0301', int(doc_id % 3))"))
+      table(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          pipeline.TextOps.normalizeUnicode(decomposed, "NFC").as("nfc_text"))
+    }),
+    // encoding-health signals over text corrupted IN-QUERY (injected
+    // mojibake pairs, a control byte, a replacement char — both engines
+    // build the identical string, Spark runs the operator, the oracle
+    // mirrors the counting)
+    "q_encoding" -> ((s, dir) => {
+      val corrupted = concat(col("text"),
+        expr("repeat('Ã©', int(doc_id % 3))"),
+        when(col("doc_id") % 5 === 0, lit("x\u0007y")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("�")).otherwise(lit("")))
+      pipeline.TextOps.encodingColumns(
+        table(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), corrupted.as("text")), "text")
+        .select("doc_id", "n_replacement", "n_control", "n_mojibake",
+          "encoding_clean")
+    }),
     // language-ID heuristic
     "q_langid" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -1645,6 +1706,42 @@ object SparkEntry {
            |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ($sw))) AS nsw
            | FROM documents)""".stripMargin.replace("\n", " ")
     },
+    "q_stem" -> {
+      // single source of truth: the SQL literal arrays are generated
+      // from stemPairs, so the Spark fixture and oracle cannot drift
+      val ws = stemPairs.map(p => s"'${p._1}'").mkString(", ")
+      val ss = stemPairs.map(p => s"'${p._2}'").mkString(", ")
+      s"SELECT doc_id, [$ws][CAST(doc_id % 40 AS INTEGER) + 1] AS word, " +
+        s"[$ss][CAST(doc_id % 40 AS INTEGER) + 1] AS stem FROM documents"
+    },
+    "q_nfc" ->
+      raw"""SELECT doc_id,
+           |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+           |    || repeat('e' || chr(769), CAST(doc_id % 3 AS INTEGER)))
+           |    AS nfc_text
+           |FROM documents WHERE text IS NOT NULL""".stripMargin
+        .replace("\n", " "),
+    "q_encoding" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |  text || repeat('Ã©', CAST(doc_id % 3 AS INTEGER))
+           |    || CASE WHEN doc_id % 5 = 0 THEN 'x' || chr(7) || 'y'
+           |       ELSE '' END
+           |    || CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END AS c
+           |  FROM documents WHERE text IS NOT NULL),
+           |s AS (SELECT doc_id,
+           |  CAST(len(regexp_extract_all(c, chr(65533))) AS BIGINT)
+           |    AS n_replacement,
+           |  CAST(len(regexp_extract_all(c,
+           |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]'))
+           |    AS BIGINT) AS n_control,
+           |  CAST(len(regexp_extract_all(c, '[ÂÃ][\x{80}-\x{BF}]'))
+           |    AS BIGINT) AS n_mojibake
+           |  FROM t)
+           |SELECT doc_id, n_replacement, n_control, n_mojibake,
+           |  CAST(CASE WHEN n_replacement = 0 AND n_control = 0
+           |    AND n_mojibake = 0 THEN 1 ELSE 0 END AS INTEGER)
+           |    AS encoding_clean
+           |FROM s""".stripMargin.replace("\n", " "),
     "q_langid" -> {
       val scoreCols = pipeline.TextOps.LangProfiles.map { case (lang, words) =>
         val ws = words.map(w => s"'$w'").mkString(", ")

@@ -134,6 +134,44 @@ object Curation {
     (cur, funnel.result())
   }
 
+  /** Crawl-ingestion front door: binary WARC blobs in, a curate()-ready
+    * text corpus out — the composition of [[Warc.responses]] (record +
+    * HTTP split), an HTTP 200 / text-html gate, optional robots.txt
+    * filtering, [[Html]] extraction (plain text or Markdown), and the
+    * cheap per-document columns downstream stages key on (`url`,
+    * `domain`, `path`, `title`, `text`, `lang`).
+    *
+    * Robots filtering runs BEFORE extraction and on DISTINCT
+    * `(domain, path)` pairs only — URL-structure cardinality is tiny
+    * next to page bodies, so the verdict table stays broadcast-sized
+    * and the corpus pays one semi-join instead of grouping page text
+    * through the rule aggregate.
+    */
+  def ingestCrawl(
+      warcs: DataFrame,
+      binCol: String,
+      robotsRules: Option[DataFrame] = None,
+      agent: String = "*",
+      markdown: Boolean = false,
+  ): DataFrame = {
+    var resp = Warc.responses(warcs, binCol)
+      .filter(col("http_status") === 200 && col("mime") === "text/html")
+      .withColumn("url", col("target_uri"))
+      .withColumn("domain", UrlOps.hostOf(col("url")))
+      .withColumn("path", coalesce(UrlOps.pathOf(col("url")), lit("/")))
+    robotsRules.foreach { rt =>
+      val pairs = resp.select("domain", "path").distinct()
+      val ok = Robots.filterAllowed(pairs, "domain", "path", rt, agent)
+        .filter(col("allowed") === 1).select("domain", "path")
+      resp = resp.join(ok, Seq("domain", "path"), "left_semi")
+    }
+    val text =
+      if (markdown) Html.toMarkdown(col("body")) else Html.extractText(col("body"))
+    resp.select(col("url"), col("domain"), col("path"),
+      Html.title(col("body")).as("title"), text.as("text"))
+      .withColumn("lang", TextOps.langId(col("text")))
+  }
+
   /** Content-level diff between two corpus snapshots keyed by `idCol`:
     * one row per id present on either side, labelled `added` /
     * `removed` / `changed` / `unchanged` — the dataset-versioning

@@ -206,6 +206,42 @@ object Dedup {
         baseShingleHashes(col(textCol), k, portable).as("_base"))
       .select(col("id"), minhashFromBase(col("_base"), numHashes, seed).as("sig"))
 
+  /** Banding-parameter planner (the datasketch recipe): choose the
+    * `(bands, rowsPerBand)` factorization of `numHashes` minimizing the
+    * weighted false-positive/false-negative probability mass around the
+    * target Jaccard `threshold` — `P(pair probed) = 1 − (1 − s^r)^b`,
+    * FP mass = ∫₀ᵗ P ds, FN mass = ∫ₜ¹ (1−P) ds (numeric midpoint rule).
+    * Returns `(bands, rowsPerBand)`; the S-curve midpoint `(1/b)^(1/r)`
+    * lands near `threshold`. Driver-side arithmetic only — use it to
+    * parameterize [[minhashNearDuplicates]] instead of guessing bands.
+    */
+  def lshPlan(
+      threshold: Double,
+      numHashes: Int,
+      fpWeight: Double = 0.5,
+      fnWeight: Double = 0.5,
+  ): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+    val steps = 1000
+    def probe(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val best = candidates.minBy { b =>
+      val r = numHashes / b
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = probe(s, b, r)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      (fpWeight * fp + fnWeight * fn) / steps
+    }
+    (best, numHashes / best)
+  }
+
   /** LSH band table `(id, band_idx, band_hash)` of a signature table —
     * ~24 B per (doc, band). At scale, persist it bucketed by
     * `(band_idx, band_hash)` so incremental probes join exchange-free.

@@ -533,6 +533,59 @@ object TextOps {
         coalesce(col("bigram_logppl"), lit(0.0)).as("bigram_logppl"))
   }
 
+  /** Porter stem of a single word (see [[PorterStemExpr]]); map-only
+    * codegen. For whole documents, compose with [[tokens]]:
+    * `transform(tokens(c), w => porterStem(w))`.
+    */
+  def porterStem(word: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(PorterStemExpr(
+      org.apache.spark.sql.GraftBridge.resolvedExpression(word)))
+
+  /** Unicode normalization (NFC / NFKC) — the canonicalization step that
+    * makes `é` (precomposed U+00E9) and `e`+U+0301 (combining acute)
+    * hash/dedup/tokenize identically; NFKC additionally folds
+    * compatibility forms (ﬁ ligature → `fi`, fullwidth `Ａ` → `A`,
+    * ² → `2`), the usual pretraining choice. Codegen kernel over
+    * `java.text.Normalizer` (already-normalized text short-circuits via
+    * `isNormalized`, the common fast path); map-only.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFKC"): Column = {
+    val f = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+    org.apache.spark.sql.GraftBridge.column(
+      UnicodeNormalizeExpr(
+        org.apache.spark.sql.GraftBridge.resolvedExpression(text), f.name))
+  }
+
+  /** Encoding-health signals — the mojibake/transcoding-damage filter a
+    * web corpus needs before any text model sees it:
+    *
+    *  - `n_replacement`: U+FFFD replacement characters (a decoder already
+    *    gave up somewhere upstream);
+    *  - `n_control`: C0 controls except tab/newline/CR, plus DEL and the
+    *    C1 range — binary junk that survived as "text";
+    *  - `n_mojibake`: double-encoded UTF-8 witnesses — `Â`/`Ã` followed
+    *    by a continuation-range codepoint (U+0080–U+00BF), the signature
+    *    of UTF-8 bytes re-decoded as Latin-1 (`é` → `Ã©`);
+    *  - `encoding_clean`: 1 when all three are zero.
+    *
+    * Pure regexp-count projections (codegen, map-only, portable regex —
+    * identical match semantics in Java and RE2), so the oracle mirrors
+    * with `len(regexp_extract_all(...))`.
+    */
+  def encodingColumns(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val out = df.withColumns(Map(
+      "n_replacement" -> regexp_count(t, lit("�")).cast("long"),
+      "n_control" ->
+        regexp_count(t, lit("[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]"))
+          .cast("long"),
+      "n_mojibake" -> regexp_count(t, lit("[ÂÃ][\\x{80}-\\x{BF}]")).cast("long"),
+    ))
+    out.withColumn("encoding_clean",
+      (col("n_replacement") === 0 && col("n_control") === 0 &&
+        col("n_mojibake") === 0).cast("int"))
+  }
+
   /** Trigram "stupid backoff" log-perplexity (Brants et al. 2007,
     * "Large Language Models in Machine Translation") scored against a
     * reference LM subset of the corpus (`lmFilter` rows): per trigram

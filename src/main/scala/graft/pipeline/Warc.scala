@@ -295,7 +295,11 @@ object Warc {
       if (gzipPerRecord) {
         val gz = new GZIPOutputStream(out)
         gz.write(r)
-        gz.finish()
+        // close(), not finish(): close releases the native Deflater
+        // (finish leaves it for the GC — at corpus scale that is a
+        // native-memory leak that degrades every task on the executor);
+        // closing the underlying ByteArrayOutputStream is a no-op
+        gz.close()
       } else out.write(r)
     }
     out.toByteArray

@@ -75,6 +75,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[String]("norm") === "hello world")
   }
 
+  test("HTML kernels work from SQL") {
+    val r = spark.sql(
+      """SELECT graft_html_text('<p>a &amp; b</p><script>x</script>') AS t,
+        |  graft_html_markdown('<h1>T</h1><p><b>x</b></p>') AS m,
+        |  graft_tag_texts('<u><loc>p</loc><loc>q</loc></u>', 'loc') AS l
+        |""".stripMargin).collect().head
+    assert(r.getAs[String]("t") === "a & b")
+    assert(r.getAs[String]("m") === "# T\n**x**")
+    assert(r.getAs[scala.collection.Seq[String]]("l").toSeq === Seq("p", "q"))
+  }
+
   test("non-literal parameters are rejected with a clear error") {
     Seq(1.0).toDF("value").createOrReplaceTempView("v1")
     val err = intercept[Exception] {

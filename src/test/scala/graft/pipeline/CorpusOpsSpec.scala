@@ -790,6 +790,80 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e1 !== (0L until 500L))
   }
 
+  test("porterStem: official-algorithm outputs across all five steps") {
+    // full-pipeline expectations (per-step examples from the paper do
+    // NOT equal end-to-end output — e.g. relational → relate in step 2
+    // but → relat after step 5a)
+    val cases = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "cats" -> "cat", "feed" -> "feed", "agreed" -> "agre",
+      "plastered" -> "plaster", "bled" -> "bled", "motoring" -> "motor",
+      "sing" -> "sing", "conflated" -> "conflat", "troubled" -> "troubl",
+      "sized" -> "size", "hopping" -> "hop", "tanned" -> "tan",
+      "falling" -> "fall", "hissing" -> "hiss", "fizzed" -> "fizz",
+      "failing" -> "fail", "filing" -> "file", "happy" -> "happi",
+      "sky" -> "sky", "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "valenci" -> "valenc", "hesitanci" -> "hesit",
+      "digitizer" -> "digit", "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "formaliti" -> "formal", "triplicate" -> "triplic",
+      "formative" -> "form", "formalize" -> "formal",
+      "electriciti" -> "electr", "electrical" -> "electr",
+      "hopeful" -> "hope", "goodness" -> "good", "revival" -> "reviv",
+      "allowance" -> "allow", "inference" -> "infer",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "replacement" -> "replac", "adjustment" -> "adjust",
+      "dependent" -> "depend", "adoption" -> "adopt",
+      "communism" -> "commun", "activate" -> "activ",
+      "effective" -> "effect", "probate" -> "probat", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll",
+    )
+    cases.foreach { case (w, exp) =>
+      assert(PorterStemExpr.stem(w) === exp, s"stem($w)")
+    }
+    // non-alphabetic and short tokens pass through
+    assert(PorterStemExpr.stem("x1") === "x1")
+    assert(PorterStemExpr.stem("https://e.com") === "https://e.com")
+    assert(PorterStemExpr.stem("") === "")
+    assert(PorterStemExpr.stem("at") === "at")
+    // case folds; codegen column path agrees with the driver function
+    val viaPlan = cases.map(_._1).toDF("w")
+      .select(TextOps.porterStem(upper(col("w"))).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaPlan === cases.map(_._2))
+  }
+
+  test("normalizeUnicode: NFC composes, NFKC folds compatibility forms") {
+    val rows = Seq(
+      (1L, "café"),       // decomposed é
+      (2L, "café"),             // already NFC — fast path
+      (3L, "ﬁle"),         // ﬁ ligature
+      (4L, "ＡＢ ２"),  // fullwidth A B, fullwidth 2
+      (5L, "x²"),          // superscript two
+      (6L, null.asInstanceOf[String]),
+    ).toDF("id", "t")
+    val out = rows.select(col("id"),
+      TextOps.normalizeUnicode(col("t"), "NFC").as("nfc"),
+      TextOps.normalizeUnicode(col("t"), "NFKC").as("nfkc"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          (if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    assert(out(1L) === (("café", "café")))
+    assert(out(2L) === (("café", "café")))
+    assert(out(3L)._1 === "ﬁle") // NFC keeps the ligature
+    assert(out(3L)._2 === "file")     // NFKC folds it
+    assert(out(4L)._2 === "AB 2")
+    assert(out(5L)._2 === "x2")
+    assert(out(6L) === ((null, null)))
+    // idempotence
+    val twice = rows.filter(col("t").isNotNull).select(
+      TextOps.normalizeUnicode(
+        TextOps.normalizeUnicode(col("t"), "NFKC"), "NFKC").as("a"),
+      TextOps.normalizeUnicode(col("t"), "NFKC").as("b"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("trigramLogPerplexity: every backoff tier, hand-computed") {
     // LM subset (src0): trigrams {a b c, a b d}, bigrams {a b:2, b c, b d},
     // unigrams {a:2, b:2, c:1, d:1}, T = 6, V = 4

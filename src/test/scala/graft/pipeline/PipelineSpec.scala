@@ -926,4 +926,28 @@ class PipelineSpec extends SparkSpec {
     // blank paragraphs pass through (layout, and md5('') would cross-match)
     assert(out(5L) === "solo\n\ntrailing blank kept")
   }
+
+  test("lshPlan: S-curve midpoint tracks the threshold, extremes behave") {
+    def midpoint(plan: (Int, Int)): Double =
+      math.pow(1.0 / plan._1, 1.0 / plan._2)
+    // midpoint near the requested threshold across the range
+    Seq(0.3, 0.5, 0.7, 0.9).foreach { t =>
+      val plan = Dedup.lshPlan(t, 128)
+      assert(math.abs(midpoint(plan) - t) < 0.15,
+        s"t=$t plan=$plan mid=${midpoint(plan)}")
+    }
+    // higher threshold -> longer bands (more rows) -> fewer bands
+    val lo = Dedup.lshPlan(0.3, 128)
+    val hi = Dedup.lshPlan(0.9, 128)
+    assert(hi._2 > lo._2 && hi._1 < lo._1, s"lo=$lo hi=$hi")
+    // bands divide the signature exactly
+    Seq(16, 32, 64, 128, 256).foreach { n =>
+      val (b, r) = Dedup.lshPlan(0.6, n)
+      assert(b * r === n)
+    }
+    // weighting FPs heavily pushes the curve right (stricter probing)
+    val fpStrict = Dedup.lshPlan(0.5, 128, fpWeight = 0.95, fnWeight = 0.05)
+    val fnStrict = Dedup.lshPlan(0.5, 128, fpWeight = 0.05, fnWeight = 0.95)
+    assert(midpoint(fpStrict) >= midpoint(fnStrict))
+  }
 }

@@ -98,6 +98,62 @@ class WarcSpec extends SparkSpec {
     assert(wet(0).getString(4) === "Page 4")
   }
 
+  test("binaryFile on-ramp: WARC files on disk → records → text") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-lake").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "seg-0.warc.gz").toPath,
+      blob(Seq(1, 2), gz = true))
+    java.nio.file.Files.write(new java.io.File(dir, "seg-1.warc").toPath,
+      blob(Seq(3), gz = false))
+    val files = spark.read.format("binaryFile")
+      .load(dir.getAbsolutePath + "/*")
+      .select(col("path"), col("content"))
+    val texts = Warc.responses(files, "content")
+      .select(col("target_uri"), Html.extractText(col("body")).as("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(texts.keySet === Set("https://ex.com/p/1", "https://ex.com/p/2",
+      "https://ex.com/p/3"))
+    assert(texts("https://ex.com/p/3") === "H3\nbody text number 3")
+  }
+
+  test("ingestCrawl: WARC → robots gate → curate()-ready corpus") {
+    def respPage(uri: String, body: String) =
+      Warc.responseRecord(uri, "2026-01-01T00:00:00Z", body)
+    val blocked = respPage("https://a.com/private/x", page(1))
+    val okA = respPage("https://a.com/pub/1", page(2))
+    val okB = respPage("https://b.com/z", page(3))
+    val notFound = Warc.encodeRecord(
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://a.com/gone",
+        "Content-Type" -> "application/http; msgtype=response"),
+      Warc.encodeHttpResponse(404, "text/html", "gone".getBytes("UTF-8")))
+    val image = Warc.encodeRecord(
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://a.com/i.png",
+        "Content-Type" -> "application/http; msgtype=response"),
+      Warc.encodeHttpResponse(200, "image/png", Array[Byte](1, 2, 3)))
+    val df = Seq((1L, Warc.encodeBlob(
+      Seq(Warc.warcinfoRecord("f"), blocked, okA, okB, notFound, image),
+      gzipPerRecord = true))).toDF("file_id", "warc")
+    val robots = Robots.rules(
+      Seq(("a.com", "User-agent: *\nDisallow: /private"))
+        .toDF("domain", "robots"), "robots")
+    val out = Curation.ingestCrawl(df, "warc", robotsRules = Some(robots))
+      .select("url", "domain", "path", "title", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
+      .toMap
+    // 404 and non-HTML gated; /private robots-blocked; b.com untouched
+    assert(out.keySet === Set("https://a.com/pub/1", "https://b.com/z"))
+    assert(out("https://a.com/pub/1") ===
+      (("a.com", "/pub/1", "Page 2", "H2\nbody text number 2")))
+    assert(out("https://b.com/z")._1 === "b.com")
+    // and the result drops straight into curate()
+    val (curated, _) = Curation.curate(
+      Curation.ingestCrawl(df, "warc").withColumn("doc_id",
+        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("url"))),
+      "doc_id", "text", "lang", "domain",
+      Curation.CurationConfig(gopher = false, dropExact = true))
+    assert(curated.count() === 3) // no robots gate here: 3 distinct 200/html pages
+  }
+
   test("crawl chain end-to-end: WARC → text → quality filter → exact dedup") {
     // two files share page 1 (a cross-file duplicate); page 9 is junk
     val junk = "<html><body><p>zz</p></body></html>"

@@ -505,6 +505,33 @@ class StreamingSpec extends SparkSpec {
     assert(sunk(2).getAs[String]("html_title") === null)
   }
 
+  test("WARC crawl ingestion streams unchanged (binary blobs → WET rows)") {
+    val dir = Files.createTempDirectory("stream-warc").toFile.getPath + "/data"
+    def page(i: Int) = s"<html><head><title>P$i</title></head><body>" +
+      s"<p>stream page $i</p></body></html>"
+    def blob(i: Int) = graft.pipeline.Warc.encodeBlob(Seq(
+      graft.pipeline.Warc.responseRecord(s"https://s/$i", "d", page(i))),
+      gzipPerRecord = i % 2 == 0)
+    (1 to 4).map(i => (i.toLong, blob(i)))
+      .toDF("file_id", "warc").repartition(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Warc.responses(df, "warc")
+        .select(org.apache.spark.sql.functions.col("file_id"),
+          org.apache.spark.sql.functions.col("target_uri"),
+          graft.pipeline.Html.extractText(
+            org.apache.spark.sql.functions.col("body")).as("text"))
+    val out = StreamingBinning.transform(stream, chain)
+    assert(out.isStreaming)
+    val sunk = StreamingBinning.runToMemorySink(out, "warc_sink",
+      OutputMode.Append()).collect().sortBy(_.getLong(0))
+    val batch = chain(spark.read.parquet(dir)).collect().sortBy(_.getLong(0))
+    assert(sunk.toSeq === batch.toSeq)
+    assert(sunk.length === 4)
+    assert(sunk(0).getAs[String]("text") === "stream page 1")
+  }
+
   test("indexStream: micro-batch ingestion equals a from-scratch build") {
     val idxDir = Files.createTempDirectory("stream-tidx-inc").toString
     val allDir = Files.createTempDirectory("stream-tidx-all").toString
