@@ -496,6 +496,18 @@ object SparkEntry {
             .getField("codes")))
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
           col("col").as("code"))),
+    // matryoshka truncation: first-16-dims L2-renormalized (cheap-tier
+    // embedding), exploded per component
+    "q_embed_trunc" -> ((s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(pipeline.Similarity.truncateNormalize(
+            col("embedding"), 16)))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("col"), 6).as("val"))),
+    // corpus Zipf profile: OLS slope of ln(freq)~ln(rank) over the vocab
+    "q_zipf" -> ((s, dir) =>
+      pipeline.TextOps.zipfProfile(table(s, dir, "documents"), "text")),
     // LSH bucket assignment (the ANN indexing pass)
     "q_lsh_bucket" -> ((s, dir) =>
       pipeline.Similarity.lshBuckets(
@@ -1039,6 +1051,13 @@ object SparkEntry {
     // exercise the real backoff chain (self-scoring would never back off)
     "q_trigram_ppl" -> ((s, dir) =>
       pipeline.TextOps.trigramLogPerplexity(
+        table(s, dir, "documents"), "text", "doc_id",
+        col("source") === "src0")),
+    // interpolated Kneser-Ney bigram perplexity, src0-trained: the
+    // discount/continuation formula is mirrored term-for-term (explicit
+    // DOUBLE casts, same association order)
+    "q_kn_ppl" -> ((s, dir) =>
+      pipeline.TextOps.kneserNeyLogPerplexity(
         table(s, dir, "documents"), "text", "doc_id",
         col("source") === "src0")),
     // CCNet head/middle/tail perplexity tiers (threshold agg + map-only
@@ -2240,6 +2259,79 @@ object SparkEntry {
            |  GROUP BY bgf.doc_id)
            |SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
            |  COALESCE(bigram_logppl, 0.0) AS bigram_logppl
+           |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+        .replace("\n", " "),
+    "q_embed_trunc" ->
+      raw"""WITH t AS (SELECT vec_id, embedding[1:16] AS e FROM embeddings),
+           |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e,
+           |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM t),
+           |x AS (SELECT vec_id, unnest([{'p': i, 'v': e[i]}
+           |  for i in range(1, len(e) + 1)]) AS s, nrm
+           |  FROM n WHERE nrm > 0)
+           |SELECT vec_id, CAST(s.p - 1 AS BIGINT) AS pos,
+           |  ROUND(CAST(s.v AS DOUBLE) / nrm, 6) AS val
+           |FROM x""".stripMargin.replace("\n", " "),
+    "q_zipf" ->
+      raw"""WITH vocab AS (SELECT w, count(*) AS f FROM
+           |  (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           |   FROM documents WHERE text IS NOT NULL) GROUP BY 1),
+           |ranked AS (SELECT f,
+           |  row_number() OVER (ORDER BY f DESC, w) AS r FROM vocab),
+           |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+           |  ln(CAST(f AS DOUBLE)) AS y, f FROM ranked),
+           |agg AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |  sum(x * x) AS sxx, sum(x * y) AS sxy, sum(f) AS tok FROM xy)
+           |SELECT ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+           |    / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+           |  CAST(n AS BIGINT) AS n_types, CAST(tok AS BIGINT) AS n_tokens
+           |FROM agg""".stripMargin.replace("\n", " "),
+    "q_kn_ppl" ->
+      raw"""WITH docs AS (SELECT doc_id,
+           |  regexp_split_to_array(trim(text), '\s+') AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |lm AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+           |  FROM documents WHERE source = 'src0' AND text IS NOT NULL),
+           |uni AS (SELECT w, count(*) AS c1 FROM
+           |  (SELECT unnest(toks) AS w FROM lm) GROUP BY 1),
+           |lmbg AS (SELECT s.b AS b, s.w1 AS w1, s.w2 AS w2 FROM
+           |  (SELECT unnest([{'b': toks[i] || ' ' || toks[i+1],
+           |     'w1': toks[i], 'w2': toks[i+1]}
+           |     for i in range(1, len(toks))]) AS s
+           |   FROM lm WHERE len(toks) >= 2)),
+           |bc AS (SELECT b, count(*) AS c2 FROM lmbg GROUP BY 1),
+           |types AS (SELECT DISTINCT b, w1, w2 FROM lmbg),
+           |cont AS (SELECT w1, count(*) AS n1fwd FROM types GROUP BY 1),
+           |ctx AS (SELECT w2, count(*) AS n1bwd FROM types GROUP BY 1),
+           |scal AS (SELECT (SELECT count(*) FROM types) AS bt,
+           |  (SELECT count(*) FROM uni) AS v),
+           |dbg AS (SELECT doc_id, s.b AS b, s.w1 AS w1, s.w2 AS w2 FROM
+           |  (SELECT doc_id, unnest([{'b': toks[i] || ' ' || toks[i+1],
+           |     'w1': toks[i], 'w2': toks[i+1]}
+           |     for i in range(1, len(toks))]) AS s
+           |   FROM docs WHERE len(toks) >= 2)),
+           |j AS (SELECT dbg.doc_id,
+           |  (CAST(COALESCE(n1bwd, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           |    / (CAST(bt AS DOUBLE) + CAST(v AS DOUBLE)) AS pcont,
+           |  COALESCE(u1.c1, 0) AS c1, COALESCE(bc.c2, 0) AS c2,
+           |  COALESCE(cont.n1fwd, 0) AS n1fwd
+           |  FROM dbg
+           |  LEFT JOIN bc USING (b)
+           |  LEFT JOIN uni u1 ON dbg.w1 = u1.w
+           |  LEFT JOIN cont ON dbg.w1 = cont.w1
+           |  LEFT JOIN ctx ON dbg.w2 = ctx.w2
+           |  CROSS JOIN scal),
+           |p AS (SELECT doc_id,
+           |  CASE WHEN c1 > 0 AND n1fwd > 0 THEN
+           |    GREATEST(CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+           |      CAST(0.0 AS DOUBLE)) / CAST(c1 AS DOUBLE)
+           |    + CAST(0.75 AS DOUBLE) / CAST(c1 AS DOUBLE)
+           |      * CAST(n1fwd AS DOUBLE) * pcont
+           |  ELSE pcont END AS pr FROM j),
+           |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+           |  ROUND(AVG(-ln(pr)), 6) AS kn_logppl FROM p GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  COALESCE(kn_logppl, 0.0) AS kn_logppl
            |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
         .replace("\n", " "),
     // trigram stupid backoff: every count table (uni/bi/tri, T, V) comes

@@ -81,6 +81,27 @@ object Similarity {
       scale.as("scale"))
   }
 
+  /** Matryoshka truncation (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): keep the first `k` components and L2
+    * re-normalize — the standard cheap-tier embedding for coarse
+    * filtering, with the full vector kept for re-rank. Zero-norm
+    * truncations yield NULL (nothing meaningful to rank; same
+    * convention as the cosine kernel). Pure codegen projection, the
+    * prefix sum-of-squares bound once per row.
+    */
+  def truncateNormalize(vec: Column, k: Int): Column = {
+    val prefix = slice(vec, 1, k)
+    // bind the sliced array once (lambda-binding rule) so the fold and
+    // the per-component divide see the same subtree
+    transform(array(prefix), p => {
+      val norm = sqrt(aggregate(p, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      when(norm > 0.0,
+        transform(p, x => x.cast("double") / norm))
+        .otherwise(lit(null).cast("array<double>"))
+    }).getItem(0)
+  }
+
   /** Inverse of [[quantizeInt8]]: `code * scale + lo` per component. */
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"),

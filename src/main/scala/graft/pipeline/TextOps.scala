@@ -533,6 +533,33 @@ object TextOps {
         coalesce(col("bigram_logppl"), lit(0.0)).as("bigram_logppl"))
   }
 
+  /** Zipf profile of the corpus vocabulary: OLS slope of
+    * `ln(freq) ~ ln(rank)` (natural English sits near −1; flatter means
+    * templated/duplicated text, steeper means heavy boilerplate head),
+    * plus type/token totals. One corpus token shuffle into the vocab
+    * table; the rank window is keyless but runs over the VOCABULARY
+    * (bounded, ≪ corpus), not the token stream — acceptable at scale,
+    * same envelope as the λ/threshold tables elsewhere.
+    */
+  def zipfProfile(df: DataFrame, textCol: String): DataFrame = {
+    val vocab = df.select(explode(tokens(col(textCol))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_f"))
+    val ranked = vocab.withColumn("_r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("_f").desc, col("_w"))))
+    val xy = ranked.select(log(col("_r").cast("double")).as("_x"),
+      log(col("_f").cast("double")).as("_y"), col("_f"))
+    xy.agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
+      sum(col("_y")).as("_sy"), sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_x") * col("_y")).as("_sxy"), sum(col("_f")).as("_tok"))
+      .select(
+        round((col("_n").cast("double") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n").cast("double") * col("_sxx") - col("_sx") * col("_sx")), 6)
+          .as("zipf_slope"),
+        col("_n").cast("long").as("n_types"),
+        col("_tok").cast("long").as("n_tokens"))
+  }
+
   /** Porter stem of a single word (see [[PorterStemExpr]]); map-only
     * codegen. For whole documents, compose with [[tokens]]:
     * `transform(tokens(c), w => porterStem(w))`.
@@ -684,6 +711,98 @@ object TextOps {
       .select(col(idCol),
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
         coalesce(col("trigram_logppl"), lit(0.0)).as("trigram_logppl"))
+  }
+
+  /** Interpolated Kneser–Ney bigram log-perplexity (Kneser & Ney 1995;
+    * the strongest classical n-gram smoothing) against a reference LM
+    * subset:
+    * {{{
+    *   P(w2|w1) = max(c(w1 w2) − d, 0)/c(w1)
+    *            + (d/c(w1)) · N1+(w1 •) · Pcont(w2)        c(w1) > 0
+    *          = Pcont(w2)                                   c(w1) = 0
+    *   Pcont(w2) = (N1+(• w2) + 1) / (B + V)
+    * }}}
+    * where `d` is the absolute discount (0.75, the textbook default),
+    * `N1+(w1 •)` counts distinct continuations of `w1`, `N1+(• w2)`
+    * distinct left-contexts of `w2`, `B` the number of distinct bigram
+    * types, `V` the vocabulary. The continuation distribution is add-one
+    * smoothed (a deviation from the textbook, documented) so
+    * out-of-vocabulary words score finitely without a separate unknown
+    * symbol. Documents with < 2 tokens score 0 over 0 bigrams.
+    *
+    * Plan shape: one corpus bigram explode; count/type tables come back
+    * through equi-joins (context tables are vocab-bound → broadcast
+    * under AQE); `B`/`V` ride as a 1-row broadcast. Like
+    * [[trigramLogPerplexity]], score against a held-in subset — the
+    * discount only bites when the scored text leaves the LM support.
+    */
+  def kneserNeyLogPerplexity(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      lmFilter: Column,
+      discount: Double = 0.75,
+  ): DataFrame = {
+    val bg = df.select(col(idCol),
+      explode(transform(array(tokens(col(textCol))), tks =>
+        when(size(tks) >= 2,
+          transform(sequence(lit(1), size(tks) - 1), i =>
+            struct(
+              concat_ws(" ", element_at(tks, i), element_at(tks, i + 1))
+                .as("b"),
+              element_at(tks, i).as("w1"),
+              element_at(tks, i + 1).as("w2"))))
+          .otherwise(array().cast(
+            "array<struct<b:string,w1:string,w2:string>>"))
+      ).getItem(0)).as("_s"))
+      .select(col(idCol), col("_s.b").as("_b"), col("_s.w1").as("_w1"),
+        col("_s.w2").as("_w2"))
+    val lm = df.filter(lmFilter).select(tokens(col(textCol)).as("_toks"))
+    val lmTok = lm.select(explode(col("_toks")).as("_w"))
+    val uni = lmTok.groupBy("_w").agg(count(lit(1)).as("_c1"))
+    val lmBg = lm.select(explode(transform(array(col("_toks")), tks =>
+      when(size(tks) >= 2,
+        transform(sequence(lit(1), size(tks) - 1), i =>
+          struct(concat_ws(" ", element_at(tks, i), element_at(tks, i + 1))
+            .as("b"), element_at(tks, i).as("w1"),
+            element_at(tks, i + 1).as("w2"))))
+        .otherwise(array().cast(
+          "array<struct<b:string,w1:string,w2:string>>"))).getItem(0)).as("_s"))
+      .select(col("_s.b").as("_b"), col("_s.w1").as("_w1"),
+        col("_s.w2").as("_w2"))
+    val bgCounts = lmBg.groupBy("_b").agg(count(lit(1)).as("_c2"))
+    // distinct-type censuses (each one grouped over the TYPE table)
+    val types = lmBg.select("_b", "_w1", "_w2").distinct()
+    val contOf = types.groupBy("_w1").agg(count(lit(1)).as("_n1fwd"))
+    val ctxOf = types.groupBy("_w2").agg(count(lit(1)).as("_n1bwd"))
+    val scal = types.agg(count(lit(1)).as("_bt"))
+      .crossJoin(uni.agg(count(lit(1)).as("_v")))
+    val joined = bg
+      .join(bgCounts, Seq("_b"), "left")
+      .join(uni.withColumnRenamed("_w", "_w1"), Seq("_w1"), "left")
+      .join(contOf, Seq("_w1"), "left")
+      .join(ctxOf, Seq("_w2"), "left")
+      .crossJoin(broadcast(scal))
+    val pcont = (coalesce(col("_n1bwd"), lit(0L)).cast("double") + 1.0) /
+      (col("_bt").cast("double") + col("_v").cast("double"))
+    // a context with no observed continuation (w1 only corpus-final in
+    // the LM subset) would zero the backoff mass — fall through to the
+    // continuation distribution outright, like an unseen context
+    val p =
+      when(coalesce(col("_c1"), lit(0L)) > 0 &&
+        coalesce(col("_n1fwd"), lit(0L)) > 0,
+        greatest(coalesce(col("_c2"), lit(0L)).cast("double") - discount,
+          lit(0.0)) / col("_c1").cast("double") +
+          lit(discount) / col("_c1").cast("double") *
+          col("_n1fwd").cast("double") * pcont)
+        .otherwise(pcont)
+    val scored = joined.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 6).as("kn_logppl"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_logppl"), lit(0.0)).as("kn_logppl"))
   }
 
   /** Contamination fraction against a benchmark subset: per document, the

@@ -790,6 +790,63 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e1 !== (0L until 500L))
   }
 
+  test("kneserNeyLogPerplexity: discount, continuation and edge tiers") {
+    // LM (src0): bigrams {a b:2, a c:1}; uni a:3 b:2 c:1; B=2 types; V=3
+    // pcont(w2) = (N1+(.w2)+1)/(B+V): b,c -> 0.4; unseen -> 0.2
+    val df = Seq(
+      (1L, "a b", "src0"), (2L, "a b", "src0"), (3L, "a c", "src0"),
+      (4L, "a b", "other"),  // seen: (2-.75)/3 + .75/3*2*.4
+      (5L, "a d", "other"),  // unseen bigram, seen context
+      (6L, "x y", "other"),  // unseen context -> pcont(y)
+      (7L, "b a", "other"),  // context with no continuation -> pcont(a)
+      (8L, "solo", "other"), // too short
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.kneserNeyLogPerplexity(df, "text", "doc_id",
+      col("source") === "src0")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pSeen = (2.0 - 0.75) / 3.0 + 0.75 / 3.0 * 2.0 * 0.4
+    assert(out(4L) === ((1L, r6(-math.log(pSeen)))))
+    assert(out(5L) === ((1L, r6(-math.log(0.75 / 3.0 * 2.0 * 0.2)))))
+    assert(out(6L) === ((1L, r6(-math.log(0.2)))))
+    assert(out(7L) === ((1L, r6(-math.log(0.2))))) // pcont(a) = (0+1)/5
+    assert(out(8L) === ((0L, 0.0)))
+  }
+
+  test("truncateNormalize: unit norm, direction preserved, zero-norm null") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f, 100.0f, -5.0f)),
+      (2L, Array(0.0f, 0.0f, 7.0f, 7.0f)), // zero prefix at k=2
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+      Similarity.truncateNormalize(col("embedding"), 2).as("t"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1).toSeq)).toMap
+    assert(out(1L) === Seq(0.6, 0.8)) // 3-4-5 triangle
+    assert(out(2L) === null)
+    assert(out(3L) === Seq(-1.0, 0.0))
+    // prefix of the truncation == truncation of the prefix, renormalized
+    val full = out(1L)
+    assert(math.abs(full.map(x => x * x).sum - 1.0) < 1e-12)
+  }
+
+  test("zipfProfile: exact slope on a constructed vocabulary") {
+    // frequencies 8,4,2,1 over ranks 1..4 — perfect power law f = 8/r^~?
+    // slope = OLS of ln f on ln r; compute expected directly
+    val words = Seq.fill(8)("w1") ++ Seq.fill(4)("w2") ++
+      Seq.fill(2)("w3") ++ Seq.fill(1)("w4")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = TextOps.zipfProfile(df, "text").head()
+    val xs = Seq(1, 2, 3, 4).map(r => math.log(r.toDouble))
+    val ys = Seq(8, 4, 2, 1).map(f => math.log(f.toDouble))
+    val n = 4.0
+    val slope = (n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum) / (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(math.abs(row.getDouble(0) - slope) < 1e-6)
+    assert(row.getLong(1) === 4L && row.getLong(2) === 15L)
+  }
+
   test("porterStem: official-algorithm outputs across all five steps") {
     // full-pipeline expectations (per-step examples from the paper do
     // NOT equal end-to-end output — e.g. relational → relate in step 2
