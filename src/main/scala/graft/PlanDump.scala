@@ -61,6 +61,7 @@ object PlanDump {
       "q_html_extract — HTML→text extraction (native codegen kernel inline in the scan)" -> "q_html_extract",
       "q_robots — robots.txt filter (broadcast rule join + one URL-keyed aggregate)" -> "q_robots",
       "q_trigram_ppl — trigram stupid-backoff LM (n-gram count equi-joins + broadcast scalars)" -> "q_trigram_ppl",
+      "q_kn_ppl — Kneser-Ney bigram LM (type-census joins, broadcast B/V scalar)" -> "q_kn_ppl",
     )
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans of representative queries\n\n")

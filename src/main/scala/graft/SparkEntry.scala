@@ -467,6 +467,23 @@ object SparkEntry {
         .select("doc_id", "n_replacement", "n_control", "n_mojibake",
           "encoding_clean")
     }),
+    // sentence segmentation over synthesized prose: even docs repeat a
+    // plain sentence, odd docs one full of abbreviation traps (Dr./Mr./
+    // e.g./initials) — if the abbreviation guard over- or under-fires,
+    // the count or the first-sentence string diverges from the oracle's
+    // arithmetic expectation
+    "q_sentences" -> ((s, dir) => {
+      val k = (col("doc_id") % 4 + 1).cast("int")
+      val even = expr("repeat('The value is fine. ', int(doc_id % 4 + 1))")
+      val odd = expr(
+        "repeat('Dr. Smith met Mr. Jones at 5 p.m. today, e.g. with J. Doe. ', " +
+          "int(doc_id % 4 + 1))")
+      val text = when(col("doc_id") % 2 === 0, even).otherwise(odd)
+      table(s, dir, "documents").select(col("doc_id"),
+        size(pipeline.TextOps.sentences(text)).cast("long").as("n_sentences"),
+        element_at(pipeline.TextOps.sentences(text), 1).as("first_sentence"),
+        k.cast("long").as("expected_k"))
+    }),
     // language-ID heuristic
     "q_langid" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -1761,6 +1778,14 @@ object SparkEntry {
            |    AND n_mojibake = 0 THEN 1 ELSE 0 END AS INTEGER)
            |    AS encoding_clean
            |FROM s""".stripMargin.replace("\n", " "),
+    "q_sentences" ->
+      raw"""SELECT doc_id,
+           |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_sentences,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'The value is fine.'
+           |    ELSE 'Dr. Smith met Mr. Jones at 5 p.m. today, e.g. with J. Doe.'
+           |    END AS first_sentence,
+           |  CAST(doc_id % 4 + 1 AS BIGINT) AS expected_k
+           |FROM documents""".stripMargin.replace("\n", " "),
     "q_langid" -> {
       val scoreCols = pipeline.TextOps.LangProfiles.map { case (lang, words) =>
         val ws = words.map(w => s"'$w'").mkString(", ")

@@ -158,7 +158,11 @@ object Curation {
       .filter(col("http_status") === 200 && col("mime") === "text/html")
       .withColumn("url", col("target_uri"))
       .withColumn("domain", UrlOps.hostOf(col("url")))
-      .withColumn("path", coalesce(UrlOps.pathOf(col("url")), lit("/")))
+      // pathOf yields '' (not NULL) for a bare-domain URL — normalize to
+      // '/' so a `Disallow: /` rule still matches the root
+      .withColumn("path",
+        when(UrlOps.pathOf(col("url")) === "", lit("/"))
+          .otherwise(UrlOps.pathOf(col("url"))))
     robotsRules.foreach { rt =>
       val pairs = resp.select("domain", "path").distinct()
       val ok = Robots.filterAllowed(pairs, "domain", "path", rt, agent)

@@ -97,7 +97,11 @@ object Robots {
     * robots at all) means allowed.
     *
     * The rule table broadcasts (domain-bounded); the only exchange is
-    * the URL-keyed aggregate.
+    * the URL-keyed aggregate. The aggregate keys on ALL of `urls`'
+    * columns, so fully-duplicate input rows collapse to one output row —
+    * include a distinct id column when duplicates must survive (or
+    * filter distinct `(domain, path)` pairs and semi-join back, as
+    * [[Curation.ingestCrawl]] does).
     */
   def filterAllowed(
       urls: DataFrame,

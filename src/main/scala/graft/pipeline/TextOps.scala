@@ -560,6 +560,13 @@ object TextOps {
         col("_tok").cast("long").as("n_tokens"))
   }
 
+  /** Sentence segmentation (see [[SentenceSplitExpr]] for the exact
+    * boundary rules); map-only codegen, `array<string>` out.
+    */
+  def sentences(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(SentenceSplitExpr(
+      org.apache.spark.sql.GraftBridge.resolvedExpression(text)))
+
   /** Porter stem of a single word (see [[PorterStemExpr]]); map-only
     * codegen. For whole documents, compose with [[tokens]]:
     * `transform(tokens(c), w => porterStem(w))`.

@@ -790,6 +790,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e1 !== (0L until 500L))
   }
 
+  test("sentences: boundaries, abbreviation guard, hard terminators") {
+    def sp(s: String) = SentenceSplitExpr.split(s).toSeq
+    assert(sp("One. Two. Three.") === Seq("One.", "Two.", "Three."))
+    assert(sp("Dr. Smith arrived. He sat.") ===
+      Seq("Dr. Smith arrived.", "He sat."))
+    assert(sp("See J. Doe. Next point.") ===
+      Seq("See J. Doe.", "Next point."))
+    assert(sp("Really?! Yes. ok") === Seq("Really?!", "Yes. ok"))
+    // '?' breaks even after an abbreviation-looking token
+    assert(sp("Dr? Yes.") === Seq("Dr?", "Yes."))
+    // lowercase continuation after 'approx.' never breaks; 'items.' does
+    assert(sp("approx. twenty items. Next.") ===
+      Seq("approx. twenty items.", "Next."))
+    assert(sp("a vs. b. C wins.") === Seq("a vs. b.", "C wins."))
+    assert(sp("No terminator at all") === Seq("No terminator at all"))
+    assert(sp("") === Seq())
+    assert(sp("   ") === Seq())
+    assert(sp("Ends mid. 3 items follow.") ===
+      Seq("Ends mid.", "3 items follow."))
+    assert(sp("Quote. \"Begin again.\"") === Seq("Quote.", "\"Begin again.\""))
+    // numbers with decimals never break (no whitespace after the dot)
+    assert(sp("Pi is 3.14 exactly. True.") ===
+      Seq("Pi is 3.14 exactly.", "True."))
+    // time-of-day abbreviations hold even before an uppercase word
+    assert(sp("Meet at 5 p.m. Tomorrow works too.") ===
+      Seq("Meet at 5 p.m. Tomorrow works too."))
+    // column path parity
+    val viaPlan = Seq(Tuple1("One. Two. Three.")).toDF("t")
+      .select(TextOps.sentences(col("t"))).head().getSeq[String](0).toSeq
+    assert(viaPlan === Seq("One.", "Two.", "Three."))
+  }
+
   test("kneserNeyLogPerplexity: discount, continuation and edge tiers") {
     // LM (src0): bigrams {a b:2, a c:1}; uni a:3 b:2 c:1; B=2 types; V=3
     // pcont(w2) = (N1+(.w2)+1)/(B+V): b,c -> 0.4; unseen -> 0.2
