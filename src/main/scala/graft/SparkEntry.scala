@@ -484,6 +484,32 @@ object SparkEntry {
         element_at(pipeline.TextOps.sentences(text), 1).as("first_sentence"),
         k.cast("long").as("expected_k"))
     }),
+    // Flesch readability over synthesized prose: sentence counts come
+    // from the real kernel, word/syllable counts and the formula are
+    // mirrored term-for-term in the oracle
+    "q_readability" -> ((s, dir) => {
+      val even = expr("repeat('The value is fine. ', int(doc_id % 4 + 1))")
+      val odd = expr(
+        "repeat('Excellent documentation improves considerably. ', " +
+          "int(doc_id % 4 + 1))")
+      val text = when(col("doc_id") % 2 === 0, even).otherwise(odd)
+      pipeline.TextOps.readabilityColumns(
+        table(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "text")
+        .select("doc_id", "n_sentences", "n_words", "n_syllables", "flesch")
+    }),
+    // sentence-level cross-document boilerplate removal: every doc
+    // carries one shared banner sentence (doc_id % 7 variants, each in
+    // ~70 docs) and one unique sentence — the censor must drop exactly
+    // the banner and rebuild the remainder
+    "q_sent_dedup" -> ((s, dir) => {
+      val text = concat(lit("Share this banner number "),
+        col("doc_id") % 7, lit(" now. Unique sentence "), col("doc_id"),
+        lit(" here."))
+      pipeline.Dedup.dropRepeatedSentences(
+        table(s, dir, "documents").select(col("doc_id"), text.as("text")),
+        "text", "doc_id")
+    }),
     // language-ID heuristic
     "q_langid" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -1778,6 +1804,37 @@ object SparkEntry {
            |    AND n_mojibake = 0 THEN 1 ELSE 0 END AS INTEGER)
            |    AS encoding_clean
            |FROM s""".stripMargin.replace("\n", " "),
+    "q_readability" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 2 = 0
+           |    THEN repeat('The value is fine. ',
+           |      CAST(doc_id % 4 + 1 AS INTEGER))
+           |    ELSE repeat('Excellent documentation improves considerably. ',
+           |      CAST(doc_id % 4 + 1 AS INTEGER)) END AS text
+           |  FROM documents),
+           |s AS (SELECT doc_id,
+           |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_sentences,
+           |  regexp_split_to_array(trim(text), '\s+') AS toks FROM t),
+           |c AS (SELECT doc_id, n_sentences,
+           |  CAST(len(toks) AS BIGINT) AS n_words,
+           |  CAST(list_sum(list_transform(toks, w -> GREATEST(
+           |    len(regexp_extract_all(lower(w), '[aeiouy]+'))
+           |    - CASE WHEN regexp_matches(lower(w), 'e$$')
+           |        AND NOT regexp_matches(lower(w), 'le$$')
+           |      THEN 1 ELSE 0 END, 1))) AS BIGINT) AS n_syllables
+           |  FROM s)
+           |SELECT doc_id, n_sentences, n_words, n_syllables,
+           |  ROUND(CAST(206.835 AS DOUBLE)
+           |    - CAST(1.015 AS DOUBLE) *
+           |      (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           |    - CAST(84.6 AS DOUBLE) *
+           |      (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+           |    AS flesch
+           |FROM c""".stripMargin.replace("\n", " "),
+    "q_sent_dedup" ->
+      raw"""SELECT doc_id,
+           |  'Unique sentence ' || doc_id || ' here.' AS text
+           |FROM documents""".stripMargin.replace("\n", " "),
     "q_sentences" ->
       raw"""SELECT doc_id,
            |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_sentences,

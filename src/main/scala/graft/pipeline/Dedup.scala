@@ -1266,6 +1266,35 @@ object Dedup {
     * pass through (they carry layout, and md5('') would cross-match
     * every doc).
     */
+  /** [[dropRepeatedParagraphs]] at SENTENCE granularity: sentences
+    * (per [[TextOps.sentences]]' boundary rules) whose exact content
+    * appears in more than `maxDocs` distinct documents drop; survivors
+    * rejoin with single spaces. Catches share-prompts/cookie-banner
+    * sentences embedded inside otherwise-unique paragraphs, one level
+    * below the paragraph censor. Same scale shape: one hash-keyed
+    * partial-agg exchange for the census, one id-keyed rebuild.
+    */
+  def dropRepeatedSentences(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDocs: Int = 1,
+  ): DataFrame = {
+    val sents = df.select(col(idCol),
+      posexplode(TextOps.sentences(col(textCol))).as(Seq("sidx", "sent")))
+    val repeated = sents
+      .groupBy(md5(col("sent")).as("h"))
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .select("h")
+    sents
+      .join(repeated, md5(col("sent")) === col("h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("sidx"), col("sent")))),
+        x => x.getField("sent")), " ").as("text"))
+  }
+
   def dropRepeatedParagraphs(df: DataFrame, textCol: String, idCol: String,
       sep: String = "\n"): DataFrame = {
     val paras = df.select(col(idCol), posexplode(split(col(textCol), sep))

@@ -567,6 +567,47 @@ object TextOps {
     org.apache.spark.sql.GraftBridge.column(SentenceSplitExpr(
       org.apache.spark.sql.GraftBridge.resolvedExpression(text)))
 
+  /** Heuristic English syllable count of one token: vowel groups
+    * (`[aeiouy]+`), minus one for a silent final `e` (ends `e` but not
+    * `le`), floored at 1. The standard readability-formula estimator —
+    * exactly specified so both engines compute it identically.
+    */
+  def syllables(word: Column): Column = {
+    val w = lower(word)
+    val groups = size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
+    greatest(
+      groups - when(w.rlike("e$") && !w.rlike("le$"), 1).otherwise(0),
+      lit(1))
+  }
+
+  /** Flesch reading-ease profile: words, sentences, syllables and
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` —
+    * the classic grade-level quality signal (very low or negative
+    * scores flag dense boilerplate/legalese; implausibly high ones flag
+    * word salad). Map-only: the sentence kernel plus higher-order
+    * folds over one bound token array.
+    */
+  def readabilityColumns(df: DataFrame, textCol: String): DataFrame = {
+    val stats = transform(array(tokens(col(textCol))), tks =>
+      struct(
+        size(tks).cast("long").as("w"),
+        aggregate(tks, lit(0L), (acc, t) => acc + syllables(t).cast("long"))
+          .as("sy"))).getItem(0)
+    df.withColumn("_st", stats)
+      .withColumn("n_sentences",
+        size(sentences(col(textCol))).cast("long"))
+      .withColumn("n_words", col("_st.w"))
+      .withColumn("n_syllables", col("_st.sy"))
+      .withColumn("flesch",
+        when(col("n_sentences") > 0 && col("n_words") > 0,
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")), 6)))
+      .drop("_st")
+  }
+
   /** Porter stem of a single word (see [[PorterStemExpr]]); map-only
     * codegen. For whole documents, compose with [[tokens]]:
     * `transform(tokens(c), w => porterStem(w))`.

@@ -790,6 +790,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e1 !== (0L until 500L))
   }
 
+  test("readability: syllable heuristic + Flesch on known prose") {
+    val syl = Seq("the", "value", "is", "fine", "table", "e", "rhythm",
+      "excellent", "documentation", "xyz")
+      .toDF("w").select(TextOps.syllables(col("w")).as("s"))
+      .collect().map(_.getInt(0)).toSeq
+    // value: a|ue - silent e = 1; table: a|e but ends 'le' -> 2;
+    // e: 1-1 floored to 1; rhythm: y group = 1; xyz: y = 1
+    assert(syl === Seq(1, 1, 1, 1, 2, 1, 1, 3, 5, 1))
+    val df = Seq((1L, "The value is fine. The value is fine.")).toDF("id", "text")
+    val r = TextOps.readabilityColumns(df, "text")
+      .select("n_sentences", "n_words", "n_syllables", "flesch").head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 8L)
+    // 2x (the=1, value=1, is=1, 'fine.'=2) = 10
+    assert(r.getLong(2) === 10L)
+    val expected = 206.835 - 1.015 * (8.0 / 2.0) - 84.6 * (10.0 / 8.0)
+    assert(math.abs(r.getDouble(3) - expected) < 1e-6)
+    // degenerate: empty text -> flesch NULL, no ANSI divide error
+    val empty = TextOps.readabilityColumns(
+      Seq((1L, "")).toDF("id", "text"), "text").select("flesch").head()
+    assert(empty.isNullAt(0))
+  }
+
+  test("dropRepeatedSentences: banner drops, unique text survives in order") {
+    val df = Seq(
+      (1L, "Subscribe to our newsletter now. Alpha fact one. Alpha fact two."),
+      (2L, "Subscribe to our newsletter now. Beta fact."),
+      (3L, "Gamma only content here."),
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedSentences(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "Alpha fact one. Alpha fact two.")
+    assert(out(2L) === "Beta fact.")
+    assert(out(3L) === "Gamma only content here.")
+  }
+
   test("sentences: boundaries, abbreviation guard, hard terminators") {
     def sp(s: String) = SentenceSplitExpr.split(s).toSeq
     assert(sp("One. Two. Three.") === Seq("One.", "Two.", "Three."))
