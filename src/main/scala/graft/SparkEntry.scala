@@ -484,6 +484,17 @@ object SparkEntry {
         element_at(pipeline.TextOps.sentences(text), 1).as("first_sentence"),
         k.cast("long").as("expected_k"))
     }),
+    // temperature-scaled domain rebalancing (α = 0.5) over a synthesized
+    // 6:3:1 domain skew — share table computed in-plan from the census,
+    // binding-constraint sizing and the salted-hash draw all mirrored
+    "q_temperature" -> ((s, dir) => {
+      val domain = when(col("doc_id") % 10 < 6, lit("big"))
+        .when(col("doc_id") % 10 < 9, lit("mid")).otherwise(lit("small"))
+      pipeline.Sampling.resampleByTemperature(
+        table(s, dir, "documents").select(col("doc_id"), domain.as("domain")),
+        "doc_id", "domain", alpha = 0.5)
+        .select("doc_id", "domain")
+    }),
     // Flesch readability over synthesized prose: sentence counts come
     // from the real kernel, word/syllable counts and the formula are
     // mirrored term-for-term in the oracle
@@ -1804,6 +1815,25 @@ object SparkEntry {
            |    AND n_mojibake = 0 THEN 1 ELSE 0 END AS INTEGER)
            |    AS encoding_clean
            |FROM s""".stripMargin.replace("\n", " "),
+    "q_temperature" -> {
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 10 < 6 THEN 'big'
+         |       WHEN doc_id % 10 < 9 THEN 'mid'
+         |       ELSE 'small' END AS domain FROM documents),
+         |c AS (SELECT domain, count(*) AS cnt FROM d GROUP BY 1),
+         |sh AS (SELECT domain, cnt,
+         |  pow(CAST(cnt AS DOUBLE), CAST(0.5 AS DOUBLE))
+         |    / sum(pow(CAST(cnt AS DOUBLE), CAST(0.5 AS DOUBLE))) OVER ()
+         |    AS share FROM c),
+         |r AS (SELECT domain, cnt, share,
+         |  FLOOR(MIN(CAST(cnt AS DOUBLE) / share) OVER ()) AS n_out FROM sh)
+         |SELECT d.doc_id, d.domain FROM d JOIN r ON d.domain = r.domain
+         |WHERE (CAST((${OracleSql.portableTokenHashSql(
+        "(d.domain || chr(1) || CAST(d.doc_id AS VARCHAR))")}) % 1000003
+         |    AS DOUBLE) + 0.5) / 1000003.0
+         |  < (r.share * r.n_out) / CAST(r.cnt AS DOUBLE)""".stripMargin
+        .replace("\n", " ")
+    },
     "q_readability" ->
       raw"""WITH t AS (SELECT doc_id,
            |  CASE WHEN doc_id % 2 = 0

@@ -149,6 +149,44 @@ object Sampling {
       .drop("_cnt", "_share", "_n_out")
   }
 
+  /** Temperature-scaled domain rebalancing (the multilingual α-sampling
+    * recipe of mBERT/XLM — Devlin et al. 2019, Conneau & Lample 2019):
+    * target share of domain `d` is `count_d^α / Σ count^α`. `α = 1`
+    * keeps the natural distribution, `α = 0` equalizes all domains,
+    * values between damp the head so low-resource domains survive.
+    * Largest exact downsample mix, deterministic per row — the same
+    * binding-constraint + salted-hash-draw machinery as
+    * [[resampleToMixture]], but the share table is computed IN-PLAN
+    * from the domain census (no driver-side map, so it composes with
+    * any upstream frame in one job).
+    *
+    * Plan shape at scale: one map-side-combined census (|domains| rows),
+    * two keyless windows over those few rows, rate table broadcast back
+    * onto the corpus scan; the corpus filters map-side, never shuffles.
+    */
+  def resampleByTemperature(
+      df: DataFrame,
+      keyCol: String,
+      domainCol: String,
+      alpha: Double,
+  ): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha outside [0, 1]")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy()
+    val shares = counts.withColumn("_share",
+      pow(col("_cnt").cast("double"), alpha) /
+        sum(pow(col("_cnt").cast("double"), alpha)).over(w))
+    val rates = shares.withColumn("_n_out",
+      floor(min(col("_cnt").cast("double") / col("_share")).over(w)))
+    val u = (pmod(
+      TextOps.portableTokenHash(
+        concat_ws("\u0001", col(domainCol), col(keyCol).cast("string"))),
+      lit(1000003L)).cast("double") + 0.5) / 1000003.0
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(u < col("_share") * col("_n_out") / col("_cnt").cast("double"))
+      .drop("_cnt", "_share", "_n_out")
+  }
+
   /** Data-mixture report: per-group document count, token count, and the
     * group's share of corpus tokens — the summary that drives domain
     * reweighting decisions (what rates to feed [[stratifiedHashSample]]).

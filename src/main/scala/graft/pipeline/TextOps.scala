@@ -687,11 +687,47 @@ object TextOps {
     * vocab-bound → AQE broadcasts them); `T`/`V` ride as a 1-row
     * broadcast. No driver-side state, no cross join beyond the scalar.
     */
-  def trigramLogPerplexity(
+  /** Frozen stupid-backoff LM count tables built from `lmDf` — the
+    * train-offline artifact for [[scoreTrigram]]. Persist the four
+    * frames to a lake and reload to score later corpora (or streams —
+    * every scoring join is stream-static-compatible; wrap the per-doc
+    * aggregation in `foreachBatch`, see StreamingSpec).
+    */
+  final case class TrigramLm(
+      uni: DataFrame, // (_w, _c)
+      bi: DataFrame, // (_g, _c)
+      tri: DataFrame, // (_g, _c)
+      totals: DataFrame, // 1 row: (_t tokens, _v vocab)
+  )
+
+  /** Build [[TrigramLm]] tables from a reference corpus. */
+  def trigramLm(lmDf: DataFrame, textCol: String): TrigramLm = {
+    val lm = lmDf.select(tokens(col(textCol)).as("_toks"))
+    val lmTok = lm.select(explode(col("_toks")).as("_w"))
+    def grams(width: Int) = lm.select(explode(transform(array(col("_toks")),
+      tks => when(size(tks) >= width,
+        transform(sequence(lit(1), size(tks) - (width - 1)), i =>
+          concat_ws(" ", (0 until width).map(o => element_at(tks, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))).getItem(0)).as("_g"))
+      .groupBy("_g").agg(count(lit(1)).as("_c"))
+    TrigramLm(
+      uni = lmTok.groupBy("_w").agg(count(lit(1)).as("_c")),
+      bi = grams(2),
+      tri = grams(3),
+      totals = lmTok.agg(count(lit(1)).as("_t"),
+        countDistinct(col("_w")).as("_v")))
+  }
+
+  /** Score `df` against a FROZEN [[TrigramLm]] (see
+    * [[trigramLogPerplexity]] for the formula). All LM-side joins are
+    * equi-joins against static tables, so this composes with streaming
+    * micro-batches unchanged.
+    */
+  def scoreTrigram(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      lmFilter: Column,
+      lm: TrigramLm,
       alpha: Double = 0.4,
   ): DataFrame = {
     // per-document trigrams with every key the backoff chain needs
@@ -713,20 +749,10 @@ object TextOps {
       ).getItem(0)).as("_s"))
       .select(col(idCol), col("_s.t3").as("_t3"), col("_s.ctx2").as("_ctx2"),
         col("_s.b23").as("_b23"), col("_s.w2").as("_w2"), col("_s.w3").as("_w3"))
-    // LM-subset count tables
-    val lm = df.filter(lmFilter).select(tokens(col(textCol)).as("_toks"))
-    val lmTok = lm.select(explode(col("_toks")).as("_w"))
-    val uni = lmTok.groupBy("_w").agg(count(lit(1)).as("_c"))
-    val scal = lmTok.agg(count(lit(1)).as("_t"),
-      countDistinct(col("_w")).as("_v"))
-    def grams(width: Int) = lm.select(explode(transform(array(col("_toks")),
-      tks => when(size(tks) >= width,
-        transform(sequence(lit(1), size(tks) - (width - 1)), i =>
-          concat_ws(" ", (0 until width).map(o => element_at(tks, i + o)): _*)))
-        .otherwise(array().cast("array<string>"))).getItem(0)).as("_g"))
-      .groupBy("_g").agg(count(lit(1)).as("_c"))
-    val bg = grams(2)
-    val tg3 = grams(3)
+    val uni = lm.uni
+    val scal = lm.totals
+    val bg = lm.bi
+    val tg3 = lm.tri
     val joined = tg
       .join(tg3.withColumnRenamed("_g", "_t3").withColumnRenamed("_c", "_c3"),
         Seq("_t3"), "left")
@@ -760,6 +786,19 @@ object TextOps {
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
         coalesce(col("trigram_logppl"), lit(0.0)).as("trigram_logppl"))
   }
+
+  /** One-call form: build the LM from the `lmFilter` subset of `df`,
+    * then score all of `df` against it ([[trigramLm]] + [[scoreTrigram]]).
+    */
+  def trigramLogPerplexity(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      lmFilter: Column,
+      alpha: Double = 0.4,
+  ): DataFrame =
+    scoreTrigram(df, textCol, idCol,
+      trigramLm(df.filter(lmFilter), textCol), alpha)
 
   /** Interpolated Kneser–Ney bigram log-perplexity (Kneser & Ney 1995;
     * the strongest classical n-gram smoothing) against a reference LM

@@ -790,6 +790,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e1 !== (0L until 500L))
   }
 
+  test("resampleByTemperature: α=1 keeps all, α=0 equalizes, deterministic") {
+    val df = (1 to 1000).map { i =>
+      val d = if (i % 10 < 6) "big" else if (i % 10 < 9) "mid" else "small"
+      (i.toLong, d)
+    }.toDF("id", "domain")
+    // α = 1: shares equal the natural distribution -> every rate is
+    // exactly 1 -> nothing drops
+    assert(Sampling.resampleByTemperature(df, "id", "domain", 1.0)
+      .count() === 1000L)
+    // α = 0: equal shares -> every domain targets the smallest's count;
+    // the smallest domain keeps ALL rows exactly (its rate is 1)
+    val eq = Sampling.resampleByTemperature(df, "id", "domain", 0.0)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eq("small") === 100L)
+    assert(math.abs(eq("big") - 100L) < 40, eq.toString) // hash-Bernoulli
+    assert(math.abs(eq("mid") - 100L) < 40, eq.toString)
+    // deterministic: same corpus, same selection, regardless of layout
+    val a = Sampling.resampleByTemperature(df, "id", "domain", 0.5)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.resampleByTemperature(df.repartition(7), "id", "domain", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    // α between: big damped hardest, small kept fully
+    val mid = Sampling.resampleByTemperature(df, "id", "domain", 0.5)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mid("small") === 100L)
+    assert(mid("big") < 600L && mid("big") > mid("mid"))
+  }
+
   test("readability: syllable heuristic + Flesch on known prose") {
     val syl = Seq("the", "value", "is", "fine", "table", "e", "rhythm",
       "excellent", "documentation", "xyz")

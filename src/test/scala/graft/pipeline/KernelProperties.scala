@@ -106,4 +106,47 @@ class KernelProperties extends SparkSpec {
       assert(dec.pixels.toSeq === img.pixels.toSeq, s"case $c ($w×$h×$ch)")
     }
   }
+
+  test("text kernels: hostile random input never throws, always deterministic") {
+    val r = new scala.util.Random(0xC0FFEE)
+    // bias toward the characters the parsers branch on
+    val alphabet =
+      "<>&;/=\"' \t\n abcdefgABCDEFG0123.!?#-[]()**__é́𝒳�".toCharArray
+    def randStr(maxLen: Int): String = {
+      val n = r.nextInt(maxLen)
+      val sb = new StringBuilder(n)
+      (0 until n).foreach(_ => sb.append(alphabet(r.nextInt(alphabet.length))))
+      sb.toString
+    }
+    (1 to 300).foreach { i =>
+      val s = randStr(200)
+      def once(): Seq[Any] = Seq(
+        Html.computeText(s), Html.computeMarkdown(s),
+        Option(Html.computeTitle(s)).getOrElse(""),
+        Html.computeLinks(s).toSeq, Html.computeTagTexts(s, "loc").toSeq,
+        SentenceSplitExpr.split(s).toSeq, PorterStemExpr.stem(s),
+        UnicodeNormalizeExpr.normalize(s, "NFKC"),
+        Warc.parseAll(s.getBytes("UTF-8")).size)
+      val a = once()
+      assert(a === once(), s"nondeterministic on case $i: ${s.take(60)}")
+      // extracted text introduces no markup that was not literally there
+      val t = a.head.asInstanceOf[String]
+      assert(t.length <= s.length + 8, s"growth on case $i") // entities only shrink
+    }
+  }
+
+  test("sentence splitter partitions its input: no characters invented") {
+    val r = new scala.util.Random(7)
+    (1 to 100).foreach { i =>
+      val words = Seq.fill(1 + r.nextInt(20))(
+        Seq("Alpha", "beta.", "Dr.", "ok!", "x", "5.1")(r.nextInt(6)))
+      val s = words.mkString(" ")
+      val parts = SentenceSplitExpr.split(s)
+      // every emitted sentence is a substring of the input
+      parts.foreach(p => assert(s.contains(p), s"case $i: '$p' not in '$s'"))
+      // and non-whitespace mass is conserved
+      assert(parts.map(_.count(!_.isWhitespace)).sum ===
+        s.count(!_.isWhitespace), s"case $i: '$s'")
+    }
+  }
 }

@@ -532,6 +532,50 @@ class StreamingSpec extends SparkSpec {
     assert(sunk(0).getAs[String]("text") === "stream page 1")
   }
 
+  test("trigram LM scoring on a stream: frozen tables, micro-batch == batch") {
+    import graft.pipeline.TextOps
+    val lm = TextOps.trigramLm(
+      Seq("a b c", "a b d", "p q r").toDF("text"), "text")
+    // freeze the tables (a production run would persist + reload them)
+    val frozen = TextOps.TrigramLm(lm.uni.cache(), lm.bi.cache(),
+      lm.tri.cache(), lm.totals.cache())
+    val rows = Seq((1L, "a b c"), (2L, "a b z"), (3L, "m n"), (4L, "p q r x"))
+    val dir = Files.createTempDirectory("stream-lm").toFile.getPath + "/d"
+    rows.take(2).toDF("doc_id", "text").repartition(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = spark.readStream.schema(schema).parquet(dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= TextOps.scoreTrigram(batch, "text", "doc_id", frozen)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // second micro-batch: the LM must stay frozen, scores unchanged
+    rows.drop(2).toDF("doc_id", "text").repartition(1).write
+      .mode("append").parquet(dir)
+    val q2 = spark.readStream.schema(schema).parquet(dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val seen = collected.map(_._1).toSet
+        collected ++= TextOps.scoreTrigram(batch, "text", "doc_id", frozen)
+          .filter(!org.apache.spark.sql.functions.col("doc_id")
+            .isin(seen.toSeq: _*))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val batchScores = TextOps.scoreTrigram(rows.toDF("doc_id", "text"),
+      "text", "doc_id", frozen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(collected.sortBy(_._1).toSeq === batchScores)
+    assert(batchScores.map(_._1) === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("indexStream: micro-batch ingestion equals a from-scratch build") {
     val idxDir = Files.createTempDirectory("stream-tidx-inc").toString
     val allDir = Files.createTempDirectory("stream-tidx-all").toString
