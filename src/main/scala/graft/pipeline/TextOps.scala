@@ -823,11 +823,52 @@ object TextOps {
     * [[trigramLogPerplexity]], score against a held-in subset — the
     * discount only bites when the scored text leaves the LM support.
     */
-  def kneserNeyLogPerplexity(
+  /** Frozen Kneser–Ney tables (same train-offline/score-on-stream split
+    * as [[TrigramLm]]): unigram counts, bigram counts, forward/backward
+    * continuation-type censuses and the (B, V) scalar.
+    */
+  final case class KneserNeyLm(
+      uni: DataFrame, // (_w, _c1)
+      bg: DataFrame, // (_b, _c2)
+      cont: DataFrame, // (_w1, _n1fwd)
+      ctx: DataFrame, // (_w2, _n1bwd)
+      totals: DataFrame, // 1 row: (_bt bigram types, _v vocab)
+  )
+
+  /** Build [[KneserNeyLm]] tables from a reference corpus. */
+  def kneserNeyLm(lmDf: DataFrame, textCol: String): KneserNeyLm = {
+    val lm = lmDf.select(tokens(col(textCol)).as("_toks"))
+    val lmTok = lm.select(explode(col("_toks")).as("_w"))
+    val uni = lmTok.groupBy("_w").agg(count(lit(1)).as("_c1"))
+    val lmBg = lm.select(explode(transform(array(col("_toks")), tks =>
+      when(size(tks) >= 2,
+        transform(sequence(lit(1), size(tks) - 1), i =>
+          struct(concat_ws(" ", element_at(tks, i), element_at(tks, i + 1))
+            .as("b"), element_at(tks, i).as("w1"),
+            element_at(tks, i + 1).as("w2"))))
+        .otherwise(array().cast(
+          "array<struct<b:string,w1:string,w2:string>>"))).getItem(0)).as("_s"))
+      .select(col("_s.b").as("_b"), col("_s.w1").as("_w1"),
+        col("_s.w2").as("_w2"))
+    val types = lmBg.select("_b", "_w1", "_w2").distinct()
+    KneserNeyLm(
+      uni = uni,
+      bg = lmBg.groupBy("_b").agg(count(lit(1)).as("_c2")),
+      cont = types.groupBy("_w1").agg(count(lit(1)).as("_n1fwd")),
+      ctx = types.groupBy("_w2").agg(count(lit(1)).as("_n1bwd")),
+      totals = types.agg(count(lit(1)).as("_bt"))
+        .crossJoin(uni.agg(count(lit(1)).as("_v"))))
+  }
+
+  /** Score `df` against FROZEN [[KneserNeyLm]] tables — every LM join
+    * is a stream-static equi-join (wrap the per-doc aggregation in
+    * `foreachBatch` for streams, exactly like [[scoreTrigram]]).
+    */
+  def scoreKneserNey(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      lmFilter: Column,
+      lm: KneserNeyLm,
       discount: Double = 0.75,
   ): DataFrame = {
     val bg = df.select(col(idCol),
@@ -844,26 +885,11 @@ object TextOps {
       ).getItem(0)).as("_s"))
       .select(col(idCol), col("_s.b").as("_b"), col("_s.w1").as("_w1"),
         col("_s.w2").as("_w2"))
-    val lm = df.filter(lmFilter).select(tokens(col(textCol)).as("_toks"))
-    val lmTok = lm.select(explode(col("_toks")).as("_w"))
-    val uni = lmTok.groupBy("_w").agg(count(lit(1)).as("_c1"))
-    val lmBg = lm.select(explode(transform(array(col("_toks")), tks =>
-      when(size(tks) >= 2,
-        transform(sequence(lit(1), size(tks) - 1), i =>
-          struct(concat_ws(" ", element_at(tks, i), element_at(tks, i + 1))
-            .as("b"), element_at(tks, i).as("w1"),
-            element_at(tks, i + 1).as("w2"))))
-        .otherwise(array().cast(
-          "array<struct<b:string,w1:string,w2:string>>"))).getItem(0)).as("_s"))
-      .select(col("_s.b").as("_b"), col("_s.w1").as("_w1"),
-        col("_s.w2").as("_w2"))
-    val bgCounts = lmBg.groupBy("_b").agg(count(lit(1)).as("_c2"))
-    // distinct-type censuses (each one grouped over the TYPE table)
-    val types = lmBg.select("_b", "_w1", "_w2").distinct()
-    val contOf = types.groupBy("_w1").agg(count(lit(1)).as("_n1fwd"))
-    val ctxOf = types.groupBy("_w2").agg(count(lit(1)).as("_n1bwd"))
-    val scal = types.agg(count(lit(1)).as("_bt"))
-      .crossJoin(uni.agg(count(lit(1)).as("_v")))
+    val uni = lm.uni
+    val bgCounts = lm.bg
+    val contOf = lm.cont
+    val ctxOf = lm.ctx
+    val scal = lm.totals
     val joined = bg
       .join(bgCounts, Seq("_b"), "left")
       .join(uni.withColumnRenamed("_w", "_w1"), Seq("_w1"), "left")
@@ -891,6 +917,19 @@ object TextOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("kn_logppl"), lit(0.0)).as("kn_logppl"))
   }
+
+  /** One-call form: build [[KneserNeyLm]] from the `lmFilter` subset of
+    * `df`, then score all of `df` against it.
+    */
+  def kneserNeyLogPerplexity(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      lmFilter: Column,
+      discount: Double = 0.75,
+  ): DataFrame =
+    scoreKneserNey(df, textCol, idCol,
+      kneserNeyLm(df.filter(lmFilter), textCol), discount)
 
   /** Contamination fraction against a benchmark subset: per document, the
     * share of its distinct word `n`-grams that also occur anywhere in the
