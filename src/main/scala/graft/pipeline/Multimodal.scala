@@ -288,6 +288,16 @@ object Multimodal {
     try PixelCodec.dHash(PixelCodec.decodeImage(bytes))
     catch { case _: Exception => dHashStub(bytes) }
 
+  /** DCT perceptual hash over any decodable container (see
+    * [[PixelCodec.pHash]]); byte-level stub fallback like [[dHashAuto]].
+    * Use as the `hasher` of [[imageNearDuplicates]] when near-dups may
+    * be RESCALED copies — dHash's resample grid shifts under scaling,
+    * the low-frequency spectrum does not.
+    */
+  def pHashAuto(bytes: Array[Byte]): Long =
+    try PixelCodec.pHash(PixelCodec.decodeImage(bytes))
+    catch { case _: Exception => dHashStub(bytes) }
+
   /** Appends `dhash: long` — batched `hasher` over the binary column
     * (iterator-to-iterator, constant memory, same shape as
     * [[decodeMeta]]). Default [[dHashStub]]; pass [[dHashAuto]] to hash

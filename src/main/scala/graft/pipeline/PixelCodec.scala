@@ -368,6 +368,59 @@ object PixelCodec {
     bits
   }
 
+  /** Perceptual DCT hash (the pHash recipe): grayscale → 32×32 bilinear
+    * resample → 2-D DCT-II → 8×8 lowest-frequency block → one bit per
+    * coefficient above the mean of the block EXCLUDING the DC term.
+    * Survives rescaling and recompression that flip [[dHash]]'s
+    * pixel-gradient bits (dHash's nearest-neighbor grid shifts under
+    * resampling; the low-frequency spectrum barely moves). Same 64-bit
+    * banding/verify machinery downstream.
+    */
+  def pHash(img: Image): Long = {
+    val n = 32
+    val g = resizeBilinear(grayscale(img), n, n)
+    // separable DCT-II: rows then columns (n is tiny — O(n^3) is fine)
+    val cos = Array.tabulate(n, n)((k, x) =>
+      math.cos((2 * x + 1) * k * math.Pi / (2.0 * n)))
+    val rowT = Array.ofDim[Double](n, n)
+    var y = 0
+    while (y < n) {
+      var k = 0
+      while (k < n) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += (g.pixels(y * n + x) & 0xff) * cos(k)(x); x += 1 }
+        rowT(y)(k) = s
+        k += 1
+      }
+      y += 1
+    }
+    val freq = Array.ofDim[Double](8, 8)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += rowT(yy)(u) * cos(v)(yy); yy += 1 }
+        freq(v)(u) = s
+        u += 1
+      }
+      v += 1
+    }
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { if (i != 0) mean += freq(i / 8)(i % 8); i += 1 }
+    mean /= 63.0
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (freq(i / 8)(i % 8) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
   // ---- WAV PCM ----
 
   /** Decode a RIFF/WAVE file with 16-bit or 8-bit PCM samples; channels

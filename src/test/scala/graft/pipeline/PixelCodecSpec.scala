@@ -418,6 +418,42 @@ class PixelCodecSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("pHash: stable under rescale + recompression, separates content") {
+    // smooth low-frequency content (the photo-like case pHash exists for)
+    def smooth(w: Int, h: Int, fx: Double, fy: Double) = PixelCodec.Image(
+      w, h, 1,
+      Array.tabulate(w * h) { p =>
+        val x = (p % w).toDouble / w; val y = (p / w).toDouble / h
+        ((math.sin(fx * math.Pi * x) * math.cos(fy * math.Pi * y) * 0.5
+          + 0.5) * 255).toInt.toByte
+      })
+    val base = smooth(64, 48, 2.0, 1.0)
+    val scaled = PixelCodec.resizeBilinear(base, 128, 96)
+    val recompressed = Jpeg.decode(Jpeg.encode(
+      PixelCodec.Image(base.width, base.height, 1, base.pixels), quality = 80))
+    // genuinely different content: different spatial frequencies (a
+    // pure phase shift keeps the magnitude spectrum, hence ~the hash)
+    val other = smooth(64, 48, 7.0, 5.0)
+    val hBase = PixelCodec.pHash(base)
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(hBase, PixelCodec.pHash(scaled)) <= 6,
+      s"rescale dist ${dist(hBase, PixelCodec.pHash(scaled))}")
+    assert(dist(hBase, PixelCodec.pHash(recompressed)) <= 6,
+      s"recompress dist ${dist(hBase, PixelCodec.pHash(recompressed))}")
+    assert(dist(hBase, PixelCodec.pHash(other)) > 16,
+      s"content dist ${dist(hBase, PixelCodec.pHash(other))}")
+    // end-to-end: a 2x-RESCALED png copy pairs via pHashAuto
+    val df = Seq(
+      (1L, PixelCodec.encodePng(base)),
+      (2L, PixelCodec.encodePng(scaled)),
+      (3L, PixelCodec.encodePng(other)),
+    ).toDF("id", "bin")
+    val pairs = Multimodal.imageNearDuplicates(df, "bin", "id",
+      maxDistance = 6, hasher = Multimodal.pHashAuto)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)), s"pairs=${pairs.toSeq}")
+  }
+
   test("imageColumns / audioColumns decode real assets, null undecodables") {
     val png = PixelCodec.encodePng(testImage(16, 8, 3, seed = 2))
     val wav = sineWav(8000, 200.0, 0.1)
