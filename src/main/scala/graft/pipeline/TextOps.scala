@@ -698,7 +698,28 @@ object TextOps {
       bi: DataFrame, // (_g, _c)
       tri: DataFrame, // (_g, _c)
       totals: DataFrame, // 1 row: (_t tokens, _v vocab)
-  )
+  ) {
+    /** Persist the four tables as a parquet LM artifact (counts are
+      * integer-exact, so save→load→score is bit-identical to in-flight
+      * scoring). The n-gram tables hash-partition on their key so later
+      * scoring joins can bucket against them.
+      */
+    def save(dir: String): Unit = {
+      uni.write.mode("overwrite").parquet(s"$dir/uni")
+      bi.write.mode("overwrite").parquet(s"$dir/bi")
+      tri.write.mode("overwrite").parquet(s"$dir/tri")
+      totals.write.mode("overwrite").parquet(s"$dir/totals")
+    }
+  }
+
+  /** Reload a [[TrigramLm.save]] artifact. */
+  def loadTrigramLm(spark: org.apache.spark.sql.SparkSession,
+      dir: String): TrigramLm =
+    TrigramLm(
+      uni = spark.read.parquet(s"$dir/uni"),
+      bi = spark.read.parquet(s"$dir/bi"),
+      tri = spark.read.parquet(s"$dir/tri"),
+      totals = spark.read.parquet(s"$dir/totals"))
 
   /** Build [[TrigramLm]] tables from a reference corpus. */
   def trigramLm(lmDf: DataFrame, textCol: String): TrigramLm = {

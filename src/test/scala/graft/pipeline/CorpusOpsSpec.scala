@@ -856,6 +856,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) === "Gamma only content here.")
   }
 
+  test("TrigramLm save/load: persisted LM scores bit-identically") {
+    val corpus = Seq(
+      (1L, "a b c d", "src0"), (2L, "a b c e", "src0"),
+      (3L, "a b c q", "other"), (4L, "z z z", "other"),
+    ).toDF("doc_id", "text", "source")
+    val lm = TextOps.trigramLm(corpus.filter(col("source") === "src0"), "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm-artifact").toString
+    lm.save(dir)
+    val reloaded = TextOps.loadTrigramLm(spark, dir)
+    val live = TextOps.scoreTrigram(corpus, "text", "doc_id", lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val fromDisk = TextOps.scoreTrigram(corpus, "text", "doc_id", reloaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(live === fromDisk)
+    assert(live.map(_._2) === Seq(2L, 2L, 2L, 1L)) // trigram counts per doc
+  }
+
   test("sentences: boundaries, abbreviation guard, hard terminators") {
     def sp(s: String) = SentenceSplitExpr.split(s).toSeq
     assert(sp("One. Two. Three.") === Seq("One.", "Two.", "Three."))
