@@ -12,17 +12,22 @@ import org.apache.spark.sql.functions._
   *  1b. line-level cleaning (optional; [[TextOps.cleanLines]] C4 rules —
   *     runs BEFORE document-level heuristics so they judge the cleaned
   *     text; docs whose lines all fail drop out)
+  *  1c. encoding-health gate (optional; [[TextOps.encodingColumns]] —
+  *     replacement chars / control bytes / mojibake reject)
   *  2. Gopher quality rules ([[TextOps.gopherColumns]] composite; the
   *     keep-set semi-joins back by id — at the 100 TB design point the
   *     signal aggregation is one pass and the join keys are ids only)
   *  3. exact dedup on normalized text ([[Dedup.dropExactDuplicates]])
   *  4. near-dup cluster drop (optional; MinHash+LSH banding →
   *     connected components, [[Dedup.dropNearDuplicates]])
+  *  4b. sentence censor (optional; [[Dedup.dropRepeatedSentences]] —
+  *     cross-doc boilerplate sentences rewritten out, no doc drops)
   *  5. DSIR target-distribution selection (optional;
   *     [[Dsir.select]] on the cleaned corpus — λ estimated after
   *     dedup so boilerplate repeats don't skew the raw distribution)
-  *  6. mixture resampling to target domain shares
-  *     ([[Sampling.resampleToMixture]], broadcast rate table)
+  *  6. mixture sizing: explicit target shares
+  *     ([[Sampling.resampleToMixture]]) OR temperature rebalancing
+  *     ([[Sampling.resampleByTemperature]]) — alternatives, pick one
   *  7. train/val/test split labels ([[Sampling.assignSplit]], map-only)
   *
   * This is the LLM-data counterpart of [[graft.Processor]]'s
@@ -64,17 +69,22 @@ object Curation {
   final case class CurationConfig(
       keepLanguages: Set[String] = Set.empty,
       lineClean: Option[LineCleanConfig] = None,
+      requireCleanEncoding: Boolean = false,
       gopher: Boolean = true,
       dropExact: Boolean = true,
       nearDupThreshold: Option[Double] = None,
+      sentenceCensor: Boolean = false,
       dsirTargetExpr: Option[String] = None,
       dsirKeepN: Option[Int] = None,
       dsirBuckets: Int = 1 << 13,
       resampleTo: Map[String, Double] = Map.empty,
+      temperatureAlpha: Option[Double] = None,
       splits: Seq[(String, Int)] = Nil,
   ) {
     require(dsirTargetExpr.isDefined == dsirKeepN.isDefined,
       "dsirTargetExpr and dsirKeepN must be set together")
+    require(resampleTo.isEmpty || temperatureAlpha.isEmpty,
+      "resampleTo and temperatureAlpha are alternative mixing stages — set one")
   }
 
   /** Run the configured stages over `df`. Returns the curated corpus
@@ -110,6 +120,11 @@ object Curation {
           .withColumn(textCol, col("clean_text"))
           .drop("clean_text", "n_lines", "n_kept"))
     }
+    if (cfg.requireCleanEncoding)
+      cur = step("encoding",
+        TextOps.encodingColumns(cur, textCol)
+          .filter(col("encoding_clean") === 1)
+          .drop("n_replacement", "n_control", "n_mojibake", "encoding_clean"))
     if (cfg.gopher) {
       val keep = TextOps.gopherColumns(cur, textCol, idCol)
         .filter(col("gopher_keep") === 1).select(col(idCol))
@@ -121,6 +136,15 @@ object Curation {
       cur = step("near_dedup",
         Dedup.dropNearDuplicates(cur, textCol, idCol, threshold = th))
     }
+    if (cfg.sentenceCensor) {
+      // cross-doc boilerplate sentences drop; rebuilt text replaces the
+      // original column, other columns rejoin by id
+      val rebuilt = Dedup.dropRepeatedSentences(cur, textCol, idCol)
+        .withColumnRenamed("text", "_censored")
+      cur = step("sentence_censor",
+        cur.drop(textCol).join(rebuilt, Seq(idCol))
+          .withColumnRenamed("_censored", textCol))
+    }
     // DSIR runs on the CLEANED corpus (λ estimated after dedup/quality,
     // so boilerplate repeats don't dominate the raw distribution) and
     // before mixture sizing; the kept rows carry their dsir_logw
@@ -129,6 +153,10 @@ object Curation {
     if (cfg.resampleTo.nonEmpty)
       cur = step("resample",
         Sampling.resampleToMixture(cur, idCol, domainCol, cfg.resampleTo))
+    cfg.temperatureAlpha.foreach { a =>
+      cur = step("temperature",
+        Sampling.resampleByTemperature(cur, idCol, domainCol, a))
+    }
     if (cfg.splits.nonEmpty)
       cur = step("split", Sampling.assignSplit(cur, idCol, cfg.splits))
     (cur, funnel.result())

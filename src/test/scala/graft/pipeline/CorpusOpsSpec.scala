@@ -462,6 +462,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again.select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("curate: encoding gate, sentence censor and temperature stages") {
+    // two domains, 4:1; a shared banner sentence; one mojibake doc
+    def body(i: Int) = s"Unique sentence number $i stays around. " +
+      "Subscribe to our banner now."
+    val corpus = ((1 to 8).map(i => (i.toLong, body(i), "big")) ++
+      Seq((9L, body(9), "small"),
+        (10L, "broken Ã© mojibake doc here", "big")))
+      .toDF("doc_id", "text", "domain")
+    val cfg = Curation.CurationConfig(
+      requireCleanEncoding = true,
+      gopher = false,
+      sentenceCensor = true,
+      temperatureAlpha = Some(0.0))
+    val (out, funnel) = Curation.curate(
+      corpus, "doc_id", "text", "domain", "domain", cfg, report = true)
+    val f = funnel.toMap
+    assert(f("encoding") === 9L) // mojibake doc gated
+    assert(f("sentence_censor") === 9L) // rewrites, never drops docs
+    // α=0 equalization: the 1-doc 'small' domain binds -> 'small' kept
+    // fully, 'big' downsampled toward 1
+    val kept = out.select("doc_id", "domain", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(kept.exists(_._2 == "small"))
+    assert(kept.count(_._2 == "big") < 8)
+    // banner sentence censored everywhere, unique sentence intact
+    kept.foreach { case (id, _, t) =>
+      assert(t === s"Unique sentence number $id stays around.", t)
+    }
+  }
+
   test("curate: line cleaning rewrites texts before doc heuristics and" +
       " drops all-boilerplate docs") {
     val corpus = Seq(
