@@ -261,6 +261,32 @@ object Multimodal {
     }(enc)
   }
 
+  /** Log-mel embedding of an audio column: `mel: array<float>` of
+    * `nMels` filterbank energies ([[PixelCodec.melSpectrum]]) — the
+    * codec-independent audio vector for the embedding-similarity
+    * family (cosine near-dup via [[Dedup.embeddingNearDuplicates]],
+    * IVF indexing, clustering). Undecodable rows get NULL. Batched
+    * `mapPartitions`, same shape as [[audioColumns]].
+    */
+  def audioEmbedding(df: DataFrame, binCol: String, nMels: Int = 26): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("mel", ArrayType(FloatType, containsNull = false),
+        nullable = true))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray)
+        val mel =
+          try {
+            PixelCodec.melSpectrum(PixelCodec.decodeWav(bytes), nMels)
+              .map(_.toFloat).toSeq
+          } catch { case _: Exception => null }
+        Row.fromSeq(r.toSeq :+ mel)
+      }
+    }(enc)
+  }
+
   /** Content dHash for PNG / baseline-JPEG bytes via the real codecs,
     * falling back to the byte-level [[dHashStub]] for containers the
     * dependency-free codecs can't decode — so mixed corpora still hash

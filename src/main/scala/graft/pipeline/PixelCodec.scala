@@ -600,6 +600,48 @@ object PixelCodec {
     Array.tabulate(n / 2 + 1)(k => math.hypot(re(k), im(k)))
   }
 
+  /** Log-mel filterbank energies (the audio-ML front-end descriptor —
+    * the filterbank half of MFCC): triangular filters spaced uniformly
+    * on the mel scale (`2595·log10(1 + f/700)`) between 0 Hz and
+    * Nyquist, applied to the Hann-windowed magnitude spectrum, log
+    * compressed (`ln(1 + e)`). `nMels` energies out; deterministic and
+    * codec-independent, so re-encodings across bit depths/containers
+    * produce identical vectors — feed to the embedding-similarity
+    * family (cosine near-dup, IVF) like any other vector column.
+    */
+  def melSpectrum(a: Audio, nMels: Int = 26, maxN: Int = 1 << 14): Array[Double] = {
+    if (a.samples.length == 0 || a.sampleRate <= 0)
+      return new Array[Double](nMels)
+    val mag = magnitudeSpectrum(a, maxN)
+    val n = (mag.length - 1) * 2
+    if (n == 0) return new Array[Double](nMels)
+    val hzPerBin = a.sampleRate.toDouble / n
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def melInv(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    val melMax = mel(a.sampleRate / 2.0)
+    // nMels triangles need nMels + 2 edge points
+    val edges = Array.tabulate(nMels + 2)(i => melInv(melMax * i / (nMels + 1)))
+    val out = new Array[Double](nMels)
+    var m = 0
+    while (m < nMels) {
+      val lo = edges(m); val mid = edges(m + 1); val hi = edges(m + 2)
+      var e = 0.0
+      var k = 1
+      while (k < mag.length) {
+        val f = k * hzPerBin
+        val w =
+          if (f > lo && f <= mid) (f - lo) / math.max(mid - lo, 1e-12)
+          else if (f > mid && f < hi) (hi - f) / math.max(hi - mid, 1e-12)
+          else 0.0
+        if (w > 0) e += w * mag(k) * mag(k)
+        k += 1
+      }
+      out(m) = math.log1p(e)
+      m += 1
+    }
+    out
+  }
+
   /** Spectral features of the leading window: `(dominant_hz,
     * centroid_hz)` — the pitch/brightness discriminators that separate
     * tones, speech and noise in audio-corpus filters. DC (bin 0) is

@@ -454,6 +454,50 @@ class PixelCodecSpec extends SparkSpec {
     assert(pairs.toSet === Set((1L, 2L)), s"pairs=${pairs.toSeq}")
   }
 
+  test("melSpectrum: energy lands in the right band, codec-independent") {
+    val low = PixelCodec.decodeWav(sineWav(8000, 200.0, 0.25))
+    val high = PixelCodec.decodeWav(sineWav(8000, 3000.0, 0.25))
+    val nMels = 26
+    val mLow = PixelCodec.melSpectrum(low, nMels)
+    val mHigh = PixelCodec.melSpectrum(high, nMels)
+    assert(mLow.length === nMels && mHigh.length === nMels)
+    // a pure tone concentrates energy: the argmax band differs between
+    // a 200 Hz and a 3 kHz tone, low's peak band below high's
+    val (pLow, pHigh) = (mLow.indexOf(mLow.max), mHigh.indexOf(mHigh.max))
+    assert(pLow < pHigh, s"peaks $pLow vs $pHigh")
+    // 24-bit re-encode of the same material: near-identical vector
+    val low24 = PixelCodec.decodeWav(sineWavFmt(8000, 200.0, 0.25, 24))
+    val m24 = PixelCodec.melSpectrum(low24, nMels)
+    val cos = {
+      val dot = mLow.zip(m24).map { case (a, b) => a * b }.sum
+      dot / math.sqrt(mLow.map(x => x * x).sum * m24.map(x => x * x).sum)
+    }
+    assert(cos > 0.9999, s"cross-codec cosine $cos")
+    // degenerate inputs: zero vector, never a throw
+    assert(PixelCodec.melSpectrum(
+      PixelCodec.Audio(8000, 1, Array.emptyDoubleArray), nMels).toSeq ===
+      Seq.fill(nMels)(0.0))
+  }
+
+  test("audioEmbedding feeds the embedding near-dup machinery") {
+    val df = Seq(
+      (1L, sineWav(8000, 200.0, 0.25)),
+      (2L, sineWavFmt(8000, 200.0, 0.25, 24)), // same tone, other codec
+      (3L, sineWav(8000, 3000.0, 0.25)),
+      (4L, "junk".getBytes),
+    ).toDF("id", "audio")
+    val emb = Multimodal.audioEmbedding(df, "audio")
+    val rows = emb.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) null else r.getSeq[Float](2))).toMap
+    assert(rows(1L) != null)
+    assert(rows(4L) == null)
+    val pairs = Dedup.embeddingNearDuplicates(
+      emb.filter(col("mel").isNotNull), "mel", "id",
+      org.apache.spark.sql.functions.lit(0), threshold = 0.001)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)), s"pairs=${pairs.toSeq}")
+  }
+
   test("imageColumns / audioColumns decode real assets, null undecodables") {
     val png = PixelCodec.encodePng(testImage(16, 8, 3, seed = 2))
     val wav = sineWav(8000, 200.0, 0.1)
