@@ -138,12 +138,16 @@ object Curation {
     }
     if (cfg.sentenceCensor) {
       // cross-doc boilerplate sentences drop; rebuilt text replaces the
-      // original column, other columns rejoin by id
+      // original column, other columns rejoin by id. LEFT join + coalesce:
+      // dropRepeatedSentences emits no row for a doc whose every sentence
+      // was boilerplate (or whose text was empty) — those docs stay in the
+      // corpus with '' text rather than silently vanishing
       val rebuilt = Dedup.dropRepeatedSentences(cur, textCol, idCol)
         .withColumnRenamed("text", "_censored")
       cur = step("sentence_censor",
-        cur.drop(textCol).join(rebuilt, Seq(idCol))
-          .withColumnRenamed("_censored", textCol))
+        cur.drop(textCol).join(rebuilt, Seq(idCol), "left")
+          .withColumn(textCol, coalesce(col("_censored"), lit("")))
+          .drop("_censored"))
     }
     // DSIR runs on the CLEANED corpus (λ estimated after dedup/quality,
     // so boilerplate repeats don't dominate the raw distribution) and

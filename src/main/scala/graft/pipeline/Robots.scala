@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * filtering for the ingestion pipeline: parse per-domain robots files
   * into rule rows, then filter a URL corpus to the allowed subset.
   *
-  * Scope: the RFC core — user-agent groups, `Allow`/`Disallow` prefix
-  * rules, comments, longest-match precedence with Allow winning ties,
-  * group selection (a specific agent's groups when any exist, else the
-  * `*` groups). The `*`/`$` wildcard EXTENSION is not implemented
-  * (prefix-only matching, documented) — rules containing them are kept
-  * verbatim and match as literal prefixes.
+  * Scope: the RFC core — user-agent groups, `Allow`/`Disallow` rules,
+  * comments, longest-match precedence with Allow winning ties, group
+  * selection (a specific agent's groups when any exist, else the `*`
+  * groups), and the §2.2.3 special characters: `*` matches any character
+  * sequence and a trailing `$` anchors the rule at the URL-path end
+  * (rules of the shape "Disallow: slash-star-question" or
+  * "slash-star.php$"). Plain prefix rules (the vast majority) still
+  * match via codegen'd `startsWith`; only rules that actually use
+  * `*`/`$` pay a regex.
   *
   * Scale shape: rule tables are domain-bounded and tiny next to the URL
   * corpus → Spark broadcasts them; the decision is one URL-keyed
@@ -60,8 +63,31 @@ object Robots {
     out.toSeq
   }
 
+  /** RFC 9309 §2.2.3: `*` in a rule matches any character sequence and a
+    * TRAILING `$` anchors the match at the path end (a mid-rule `$` is
+    * literal). None for plain prefix rules — the common case, matched
+    * with codegen'd `startsWith`; Some(anchored Java regex) otherwise.
+    */
+  def wildcardRegex(path: String): Option[String] =
+    if (!path.contains('*') && !path.endsWith("$")) None
+    else {
+      val (body, anchored) =
+        if (path.endsWith("$")) (path.dropRight(1), true) else (path, false)
+      val sb = new StringBuilder("^")
+      body.foreach {
+        case '*' => sb.append(".*")
+        case c =>
+          if ("\\.[]{}()<>*+-=!?^$|".indexOf(c.toInt) >= 0) sb.append('\\')
+          sb.append(c)
+      }
+      if (anchored) sb.append('$')
+      Some(sb.toString)
+    }
+
   /** Explode a (domain, robotsTxt) frame into rule rows
-    * `(…, agent, allow, path, path_len)`.
+    * `(…, agent, allow, path, path_len, path_regex)` — `path_regex` is
+    * null for plain prefix rules, the compiled-down RFC wildcard pattern
+    * otherwise (see [[wildcardRegex]]).
     */
   def rules(df: DataFrame, txtCol: String): DataFrame = {
     val carried = df.schema.fields.filterNot(_.name == txtCol)
@@ -70,6 +96,7 @@ object Robots {
       StructField("allow", IntegerType),
       StructField("path", StringType),
       StructField("path_len", IntegerType),
+      StructField("path_regex", StringType),
     ))
     val enc: Encoder[Row] = Encoders.row(outSchema)
     val txtIdx = df.schema.fieldIndex(txtCol)
@@ -79,7 +106,8 @@ object Robots {
         val carry = carryIdx.map(r.get).toSeq
         val txt = Option(r.getString(txtIdx)).getOrElse("")
         parse(txt).map(rule => Row.fromSeq(carry ++ Seq(rule.agent,
-          if (rule.allow) 1 else 0, rule.path, rule.path.length)))
+          if (rule.allow) 1 else 0, rule.path, rule.path.length,
+          wildcardRegex(rule.path).orNull)))
       }
     }(enc)
   }
@@ -119,12 +147,18 @@ object Robots {
       .filter(when(col("_has_spec") === 1, col("agent") === a)
         .otherwise(col("agent") === "*"))
       .select(col(domainCol).as("_rdom"), col("allow").as("_ralw"),
-        col("path").as("_rpath"), col("path_len").as("_rlen"))
+        col("path").as("_rpath"), col("path_len").as("_rlen"),
+        col("path_regex").as("_rregex"))
+    // prefix rules stay on the codegen'd startsWith fast path; only the
+    // (rare) wildcard rules pay a per-row regex match
+    val matches =
+      when(col("_rregex").isNotNull,
+        regexp_like(col(pathCol), col("_rregex")))
+        .otherwise(col(pathCol).startsWith(col("_rpath")))
     val keyed = urls.join(broadcast(eff),
         urls(domainCol) === col("_rdom"), "left")
       .withColumn("_rule_key",
-        when(col("_rpath").isNotNull &&
-          col(pathCol).startsWith(col("_rpath")),
+        when(col("_rpath").isNotNull && matches,
           col("_rlen") * 2 + col("_ralw")))
     keyed.groupBy(urls.columns.map(urls(_)): _*)
       .agg(max(col("_rule_key")).as("_best"))

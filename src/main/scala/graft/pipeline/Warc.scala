@@ -65,7 +65,11 @@ object Warc {
         blob(off + 1) == GzipMagic1) {
         try {
           val (data, next) = inflateMember(blob, off)
-          out += data
+          // a member usually holds exactly one record (Common Crawl), but
+          // whole-stream-gzipped WARCs pack MANY records into a single
+          // member — re-frame every member so neither layout loses data
+          // (splitRaw of a single record returns it unchanged)
+          out ++= splitRaw(data)
           off = next
         } catch {
           case _: Exception => return out.toSeq // corrupt tail drops
@@ -120,10 +124,12 @@ object Warc {
       val headerEnd = indexOfBlankLine(blob, off)
       if (headerEnd < 0) return out.toSeq
       val head = new String(blob, off, headerEnd - off, StandardCharsets.UTF_8)
+      // toLongOption: a malformed length in one record must drop that
+      // record, not NumberFormatException-abort the whole Spark task
       val len = head.linesIterator.collectFirst {
         case l if l.toLowerCase.startsWith("content-length:") =>
-          l.substring(l.indexOf(':') + 1).trim.toLong
-      }.getOrElse(0L)
+          l.substring(l.indexOf(':') + 1).trim
+      }.flatMap(_.toLongOption).getOrElse(0L)
       val end = math.min(headerEnd + 4 + len, blob.length.toLong).toInt
       out += java.util.Arrays.copyOfRange(blob, off, end)
       off = end
@@ -156,8 +162,9 @@ object Warc {
       if (i <= 0) None else Some(l.substring(0, i).trim -> l.substring(i + 1).trim)
     }
     val len = headers.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("Content-Length") => v.toLong
-    }.getOrElse((bytes.length - headerEnd - 4).toLong)
+      case (k, v) if k.equalsIgnoreCase("Content-Length") => v
+    }.flatMap(_.toLongOption)
+      .getOrElse((bytes.length - headerEnd - 4).toLong)
     val start = headerEnd + 4
     val end = math.min(start + len, bytes.length.toLong).toInt
     Record(headers, java.util.Arrays.copyOfRange(bytes, start, end))
@@ -196,10 +203,29 @@ object Warc {
     }(enc)
   }
 
-  /** Split an HTTP message payload: (status, mimeType, bodyBytes).
+  /** One parsed HTTP response: `charset` is the Content-Type charset
+    * parameter (lowercased, "" when absent) and `text` decodes the body
+    * with it — falling back to UTF-8 for missing/unknown charsets — so
+    * legacy-encoded pages (ISO-8859-1, windows-1252, GBK) don't turn
+    * into mojibake.
+    */
+  case class HttpMessage(status: Int, mime: String, charset: String,
+      body: Array[Byte]) {
+    def text: String = {
+      val cs =
+        try {
+          if (charset.nonEmpty && java.nio.charset.Charset.isSupported(charset))
+            java.nio.charset.Charset.forName(charset)
+          else StandardCharsets.UTF_8
+        } catch { case _: Exception => StandardCharsets.UTF_8 }
+      new String(body, cs)
+    }
+  }
+
+  /** Parse an HTTP message payload into status / mime / charset / body.
     * Null when the payload is not an HTTP response.
     */
-  def parseHttp(payload: Array[Byte]): (Int, String, Array[Byte]) = {
+  def parseHttpMessage(payload: Array[Byte]): HttpMessage = {
     if (payload.length < 12 ||
       !new String(payload, 0, 5, StandardCharsets.UTF_8).equals("HTTP/")) return null
     val headerEnd = indexOfBlankLine(payload, 0)
@@ -211,12 +237,25 @@ object Warc {
         parts(1).toInt
       case _ => return null
     }
-    val mime = lines.tail.collectFirst {
+    val contentType = lines.tail.collectFirst {
       case l if l.toLowerCase.startsWith("content-type:") =>
-        l.substring(l.indexOf(':') + 1).trim.split(";")(0).trim
+        l.substring(l.indexOf(':') + 1).trim
     }.getOrElse("")
-    (status, mime,
+    val ctParts = contentType.split(";").toSeq
+    val mime = ctParts.head.trim
+    val charset = ctParts.tail.map(_.trim).collectFirst {
+      case p if p.toLowerCase.startsWith("charset=") =>
+        p.substring(8).trim.stripPrefix("\"").stripSuffix("\"")
+          .toLowerCase(java.util.Locale.ROOT)
+    }.getOrElse("")
+    HttpMessage(status, mime, charset,
       java.util.Arrays.copyOfRange(payload, headerEnd + 4, payload.length))
+  }
+
+  /** [[parseHttpMessage]] as a (status, mimeType, bodyBytes) tuple. */
+  def parseHttp(payload: Array[Byte]): (Int, String, Array[Byte]) = {
+    val m = parseHttpMessage(payload)
+    if (m == null) null else (m.status, m.mime, m.body)
   }
 
   /** Response-record view: one row per `response` record with the HTTP
@@ -239,15 +278,159 @@ object Warc {
     val carryIdx = carried.map(f => recs.schema.fieldIndex(f.name))
     recs.mapPartitions { rows =>
       rows.flatMap { r =>
-        val http = parseHttp(r.getAs[Array[Byte]](payloadIdx))
+        val http = parseHttpMessage(r.getAs[Array[Byte]](payloadIdx))
         if (http == null) None
+        else Some(Row.fromSeq(carryIdx.map(r.get).toSeq ++
+          Seq(http.status, http.mime, http.text)))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // streaming path-based ingress (the 100-TB on-ramp)
+  // ------------------------------------------------------------------
+
+  /** Frame records off an InputStream without ever materializing the
+    * file: header lines are read byte-by-byte (buffered), the payload is
+    * read as exactly `Content-Length` bytes, memory is bounded by ONE
+    * record. Gzip input (per-record members or whole-stream — both
+    * real-world layouts) is detected by magic and inflated streaming;
+    * `GZIPInputStream` natively walks concatenated members. Malformed
+    * input ends the iterator (parsed prefix is kept, tail drops) —
+    * mirroring [[splitBlob]]'s corrupt-tail contract.
+    */
+  def recordIterator(in0: java.io.InputStream): Iterator[Record] = {
+    val pb = new java.io.PushbackInputStream(in0, 2)
+    val b0 = pb.read(); val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    val in: java.io.InputStream =
+      if (b0 == (GzipMagic0 & 0xff) && b1 == (GzipMagic1 & 0xff))
+        new java.util.zip.GZIPInputStream(pb, 1 << 16)
+      else pb
+    val buf = new java.io.BufferedInputStream(in, 1 << 16)
+
+    def readLine(): String = {
+      val sb = new ByteArrayOutputStream(128)
+      var c = buf.read()
+      if (c < 0) return null
+      while (c >= 0 && c != '\n') { sb.write(c); c = buf.read() }
+      val bytes = sb.toByteArray
+      val n =
+        if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
+        else bytes.length
+      new String(bytes, 0, n, StandardCharsets.UTF_8)
+    }
+
+    new Iterator[Record] {
+      private var nextRec: Record = advance()
+
+      private def advance(): Record =
+        try {
+          var line = readLine() // skip inter-record separators / garbage
+          while (line != null && !line.startsWith("WARC/")) line = readLine()
+          if (line == null) return null
+          val headers = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String)]
+          var h = readLine()
+          while (h != null && h.nonEmpty) {
+            val i = h.indexOf(':')
+            if (i > 0)
+              headers += h.substring(0, i).trim -> h.substring(i + 1).trim
+            h = readLine()
+          }
+          if (h == null) return null // EOF inside header block
+          val len = headers.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("Content-Length") => v
+          }.flatMap(_.toLongOption).filter(_ >= 0).getOrElse(0L)
+          if (len > Int.MaxValue - 16) return null // >2 GB single payload
+          val payload = new Array[Byte](len.toInt)
+          var off = 0
+          while (off < payload.length) {
+            val k = buf.read(payload, off, payload.length - off)
+            if (k < 0) return null // truncated payload drops
+            off += k
+          }
+          Record(headers.toSeq, payload)
+        } catch { case _: Exception => null }
+
+      def hasNext: Boolean = nextRec != null
+      def next(): Record = {
+        val r = nextRec; nextRec = advance(); r
+      }
+    }
+  }
+
+  /** Record rows from a column of FILE PATHS — the scale-path ingress:
+    * each task opens its file off the Hadoop `FileSystem` and streams
+    * records through [[recordIterator]], so a 1 GB+ Common Crawl segment
+    * never materializes as a single binary cell (the 2 GB JVM-array
+    * ceiling of the `binaryFile` route) and task memory stays bounded by
+    * one record. Output matches [[records]]: carried columns plus
+    * `(warc_type, target_uri, warc_date, content_type, payload)`.
+    */
+  def recordsFromPaths(df: DataFrame, pathCol: String = "path"): DataFrame = {
+    val carried = df.schema.fields.filterNot(_.name == pathCol)
+    val outSchema = StructType(Array(StructField(pathCol, StringType)) ++
+      carried ++ Seq(
+      StructField("warc_type", StringType),
+      StructField("target_uri", StringType),
+      StructField("warc_date", StringType),
+      StructField("content_type", StringType),
+      StructField("payload", BinaryType),
+    ))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    val pathIdx = df.schema.fieldIndex(pathCol)
+    val carryIdx = carried.map(f => df.schema.fieldIndex(f.name))
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val p = r.getString(pathIdx)
+        val carry = carryIdx.map(r.get).toSeq
+        val hPath = new org.apache.hadoop.fs.Path(p)
+        val stream =
+          try hPath
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .open(hPath)
+          catch { case _: Exception => null }
+        if (stream == null) Iterator.empty
         else {
-          val (status, mime, body) = http
-          Some(Row.fromSeq(carryIdx.map(r.get).toSeq ++ Seq(status, mime,
-            new String(body, StandardCharsets.UTF_8))))
+          // close on task end too (early termination — e.g. a limit —
+          // abandons the iterator before exhaustion)
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+            try stream.close() catch { case _: Exception => () }
+          }
+          val it = recordIterator(stream)
+          new Iterator[Row] {
+            def hasNext: Boolean = {
+              val h = it.hasNext
+              if (!h) { try stream.close() catch { case _: Exception => () } }
+              h
+            }
+            def next(): Row = {
+              val rec = it.next()
+              Row.fromSeq((p +: carry) ++ Seq(rec.recordType, rec.targetUri,
+                rec.date, rec.contentType, rec.payload))
+            }
+          }
         }
       }
     }(enc)
+  }
+
+  /** One row per file matching `pattern` (Hadoop glob) — the driver-side
+    * listing that feeds [[recordsFromPaths]]; `repartition` the result to
+    * spread segments across the cluster.
+    */
+  def filesAt(
+      spark: org.apache.spark.sql.SparkSession,
+      pattern: String,
+  ): DataFrame = {
+    import spark.implicits._
+    val hPath = new org.apache.hadoop.fs.Path(pattern)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
+    statuses.filter(_.isFile).map(_.getPath.toString).toSeq.toDF("path")
   }
 
   // ------------------------------------------------------------------

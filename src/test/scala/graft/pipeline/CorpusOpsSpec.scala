@@ -492,6 +492,27 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("curate: fully-boilerplate and empty docs survive the sentence" +
+      " censor with '' text") {
+    // docs 1/2 are ONLY the shared banner; doc 3 is empty; doc 4 has a
+    // unique sentence — none may vanish from the corpus
+    val banner = "Subscribe to our banner now."
+    val corpus = Seq(
+      (1L, banner, "en"), (2L, banner, "en"), (3L, "", "en"),
+      (4L, s"Something unique stays here. $banner", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val cfg = Curation.CurationConfig(gopher = false, dropExact = false,
+      sentenceCensor = true)
+    val (out, funnel) = Curation.curate(
+      corpus, "doc_id", "text", "lang", "lang", cfg, report = true)
+    assert(funnel.toMap.apply("sentence_censor") === 4L)
+    val byId = out.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(byId.keySet === Set(1L, 2L, 3L, 4L))
+    assert(byId(1L) === "" && byId(2L) === "" && byId(3L) === "")
+    assert(byId(4L) === "Something unique stays here.")
+  }
+
   test("curate: line cleaning rewrites texts before doc heuristics and" +
       " drops all-boilerplate docs") {
     val corpus = Seq(

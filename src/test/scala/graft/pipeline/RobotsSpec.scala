@@ -75,6 +75,30 @@ class RobotsSpec extends SparkSpec {
     assert(asStar === Map(1L -> 0, 2L -> 0))
   }
 
+  test("RFC 9309 §2.2.3 wildcards: '*' spans segments, trailing '$' anchors") {
+    assert(Robots.wildcardRegex("/plain/prefix") === None)
+    assert(Robots.wildcardRegex("/*?") === Some("^/.*\\?"))
+    assert(Robots.wildcardRegex("/*.php$") === Some("^/.*\\.php$"))
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /*?\nDisallow: /*.php$\n" +
+        "Allow: /shop/*.php$\nDisallow: /tmp$"),
+    ).toDF("domain", "robots")
+    val rules = Robots.rules(robots, "robots")
+    val urls = Seq(
+      (1L, "a.com", "/page?id=3"),      // /*? → blocked
+      (2L, "a.com", "/page"),           // nothing matches → allowed
+      (3L, "a.com", "/x/run.php"),      // /*.php$ → blocked
+      (4L, "a.com", "/x/run.php5"),     // $ anchor: .php5 NOT blocked
+      (5L, "a.com", "/shop/buy.php"),   // longer Allow beats /*.php$
+      (6L, "a.com", "/tmp"),            // /tmp$ exact → blocked
+      (7L, "a.com", "/tmp/file"),       // anchored rule ≠ prefix → allowed
+    ).toDF("doc_id", "domain", "path")
+    val out = Robots.filterAllowed(urls, "domain", "path", rules)
+      .select("doc_id", "allowed").as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 1,
+      6L -> 0, 7L -> 1))
+  }
+
   test("filterAllowed plan: rule side broadcasts, one URL-keyed exchange") {
     val robots = Seq(("a.com", "User-agent: *\nDisallow: /p"))
       .toDF("domain", "robots")

@@ -54,6 +54,52 @@ class WarcSpec extends SparkSpec {
     assert(recs(1).recordType === "warcinfo")
   }
 
+  test("whole-stream gzip: ONE member holding many records keeps them all") {
+    // real-world layout alongside per-record members: the entire record
+    // stream gzipped as a single member
+    val raw = blob(Seq(1, 2, 3), gz = false)
+    val out = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(out)
+    g.write(raw); g.close()
+    val recs = Warc.parseAll(out.toByteArray)
+    assert(recs.map(_.recordType) ===
+      Seq("warcinfo", "response", "response", "response"))
+    assert(recs(3).targetUri === "https://ex.com/p/3")
+  }
+
+  test("malformed Content-Length drops the record, not the task") {
+    val good = Warc.responseRecord("https://ex.com/ok", "d", page(1))
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 12abc\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    // raw stream: bad record frames as length 0 and parses with empty
+    // payload instead of NumberFormatException-aborting the split
+    val recs = Warc.parseAll(Warc.encodeBlob(Seq(bad, good),
+      gzipPerRecord = false))
+    assert(recs.exists(_.targetUri === "https://ex.com/ok"))
+    assert(recs.forall(r => r.payload != null))
+  }
+
+  test("responses() honors the Content-Type charset parameter") {
+    val bodyText = "café niño" // é/ñ: differ between 8859-1 and UTF-8
+    val payload = Warc.encodeHttpResponse(200,
+      "text/html; charset=iso-8859-1",
+      s"<html><body><p>$bodyText</p></body></html>"
+        .getBytes(StandardCharsets.ISO_8859_1))
+    val rec = Warc.encodeRecord(
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://l.com/a",
+        "Content-Type" -> "application/http; msgtype=response"), payload)
+    val df = Seq((1L, Warc.encodeBlob(Seq(rec), gzipPerRecord = true)))
+      .toDF("file_id", "warc")
+    val row = Warc.responses(df, "warc")
+      .select("mime", "body").collect().head
+    assert(row.getString(0) === "text/html") // charset split off the mime
+    assert(row.getString(1).contains(bodyText)) // decoded, not mojibake
+    // and an unknown charset falls back to UTF-8 without failing
+    val m = Warc.parseHttpMessage(Warc.encodeHttpResponse(200,
+      "text/plain; charset=x-no-such-cs", "plain".getBytes("UTF-8")))
+    assert(m.charset === "x-no-such-cs" && m.text === "plain")
+  }
+
   test("corrupt gzip tail drops alone; leading members survive") {
     val good = blob(Seq(1), gz = true)
     val corrupt = good ++ Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0,
@@ -113,6 +159,54 @@ class WarcSpec extends SparkSpec {
     assert(texts.keySet === Set("https://ex.com/p/1", "https://ex.com/p/2",
       "https://ex.com/p/3"))
     assert(texts("https://ex.com/p/3") === "H3\nbody text number 3")
+  }
+
+  test("recordsFromPaths: streaming ingress matches the blob path") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-stream").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "seg-0.warc.gz").toPath,
+      blob(Seq(1, 2), gz = true))
+    java.nio.file.Files.write(new java.io.File(dir, "seg-1.warc").toPath,
+      blob(Seq(3), gz = false))
+    val paths = Warc.filesAt(spark, dir.getAbsolutePath + "/*")
+    assert(paths.count() === 2)
+    val streamed = Warc.recordsFromPaths(paths)
+      .select("warc_type", "target_uri", "payload")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), StandardCharsets.UTF_8)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val viaBlob = spark.read.format("binaryFile")
+      .load(dir.getAbsolutePath + "/*")
+    val blobRows = Warc.records(viaBlob.select("content"), "content")
+      .select("warc_type", "target_uri", "payload")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), StandardCharsets.UTF_8)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed === blobRows)
+    assert(streamed.count(_._1 == "response") === 3)
+  }
+
+  test("recordsFromPaths: a multi-hundred-MB segment streams with bounded memory") {
+    // ~2500 records × ~90 KB body ≈ 220 MB raw on disk — far above any
+    // sane per-record buffer; the reader must stream, never materialize
+    val f = java.nio.file.Files.createTempFile("big", ".warc").toFile
+    f.deleteOnExit()
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f), 1 << 20)
+    val filler = "lorem ipsum dolor sit amet " * 3300 // ~89 KB
+    val n = 2500
+    (0 until n).foreach { i =>
+      out.write(Warc.responseRecord(s"https://big.com/p/$i", "d",
+        s"<html><body><p>$i $filler</p></body></html>"))
+    }
+    out.close()
+    assert(f.length() > 200L * 1024 * 1024, s"fixture only ${f.length()} B")
+    val recs = Warc.recordsFromPaths(
+      Seq(f.getAbsolutePath).toDF("path"))
+    assert(recs.count() === n)
+    val uris = recs.select("target_uri")
+      .filter(col("target_uri").endsWith("/p/2499")).count()
+    assert(uris === 1)
+    f.delete()
   }
 
   test("ingestCrawl: WARC → robots gate → curate()-ready corpus") {
