@@ -294,6 +294,33 @@ object SparkEntry {
         table(s, dir, "events").select("event_id", "value"),
         "value", "delay", adcRange = (0.0, 500.0),
         delayRangeMm = Some((25.0, 25.6)), time0Mm = 25.3).drop("value")),
+    // calibration persistence round-trip (sed/core/config.py:175 +
+    // processor.py:1386/1779): calibrate → SedConfig.save(yaml) → FRESH
+    // Processor seeded only from the reloaded config → apply. The oracle
+    // recomputes the same arithmetic from the original constants, so any
+    // loss in the write/parse cycle (precision, key names, binding-scale
+    // sign, mm→ps conversion) breaks the hash
+    "q_calib_roundtrip" -> ((s, dir) => {
+      val file = java.nio.file.Files.createTempDirectory("graft-calib")
+        .resolve("sed_config.yaml").toString
+      val src = table(s, dir, "events")
+        .select(col("event_id"), col("value").as("t"), col("value").as("ADC"))
+      val p1 = new Processor(s, src)
+      p1.appendEnergyAxis("t", Left((1.0e6, -1.0e7, 0.5)), binwidth = 2.0,
+        binning = 0, energyScale = "binding")
+      p1.calibrateDelayAxis("ADC", (0.0, 500.0),
+        delayRangeMm = Some((25.0, 25.6)), time0Mm = 25.3)
+      p1.saveWorkflowParams(file)
+      // the instrument constants (binwidth/binning) live in the config's
+      // dataframe section, as in the reference beamtime configs
+      config.SedConfig.save(config.SedConfig.parseString(
+        """{"dataframe": {"tof_binwidth": 2.0, "tof_binning": 0}}"""), file)
+      val p2 = new Processor(s, src,
+        config = config.SedConfig.load(Seq(file)))
+      p2.appendEnergyAxisFromConfig("t")
+      p2.calibrateDelayAxisFromConfig("ADC")
+      p2.dataframe.select("event_id", "energy", "delay")
+    }),
     // T11/T13 add_offsets with preserve_mean (mean is integer-exact here)
     "q_offset_preserve" -> ((s, dir) =>
       DfOps.offsetByOtherColumns(
@@ -1699,6 +1726,17 @@ object SparkEntry {
       val d0 = Delay.mmToPs(25.0, 25.3)
       val d1 = Delay.mmToPs(25.6, 25.3)
       s"SELECT event_id, ${d(d0)} + ((value - 0.0) * ${d(d1 - d0)}) / 500.0 AS delay FROM events"
+    },
+    "q_calib_roundtrip" -> {
+      import OracleSql.d
+      // energy: tof2ev on the binding scale (sign −1), t0 = −1e7
+      val r = "(1000000.0 / (((value * 2.0) * 1.0) + 10000000.0))"
+      val energy = s"(-2.84281E-12 * ($r * $r)) + 0.5"
+      // delay: mm range → ps (driver-side constants, identical both runs)
+      val d0 = Delay.mmToPs(25.0, 25.3)
+      val d1 = Delay.mmToPs(25.6, 25.3)
+      val delay = s"${d(d0)} + ((value - 0.0) * ${d(d1 - d0)}) / 500.0"
+      s"SELECT event_id, $energy AS energy, $delay AS delay FROM events"
     },
     "q_offset_preserve" ->
       """SELECT l_orderkey, l_linenumber,

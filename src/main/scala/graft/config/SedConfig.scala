@@ -50,6 +50,35 @@ object SedConfig {
     paths.map(Paths.get(_)).filter(Files.exists(_)).map(parse)
       .foldLeft(mapper.createObjectNode(): JsonNode)(deepMerge)
 
+  /** Config write-back (`sed/core/config.py:175` `save_config`): merge
+    * `config` over any existing file content (existing keys not present
+    * in `config` survive — `complete_dictionary` semantics) unless
+    * `overwrite`, then write YAML (`.yaml`/`.yml` via [[YamlShim.emit]])
+    * or pretty-printed JSON by suffix. This is how fitted calibrations
+    * persist to `sed_config.yaml` for reuse across sessions.
+    */
+  def save(config: JsonNode, path: String, overwrite: Boolean = false): Unit = {
+    val p = Paths.get(path)
+    val existing: JsonNode =
+      if (Files.exists(p) && !overwrite) parse(p) else mapper.createObjectNode()
+    val merged = deepMerge(existing, config)
+    val name = path.toLowerCase
+    val text =
+      if (name.endsWith(".yaml") || name.endsWith(".yml")) YamlShim.emit(merged)
+      else mapper.writerWithDefaultPrettyPrinter().writeValueAsString(merged)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.writeString(p, text)
+  }
+
+  /** Build a nested `{outer: {inner: fields}}` node — the shape every
+    * `Processor.save*` method persists.
+    */
+  def section(outer: String, inner: String, fields: JsonNode): JsonNode = {
+    val root = mapper.createObjectNode()
+    root.putObject(outer).set[JsonNode](inner, fields)
+    root
+  }
+
   /** Dotted-path accessors with defaults, the config-consumption style
     * the processor uses (`"dataframe.x_column"` etc.).
     */
@@ -75,6 +104,25 @@ object SedConfig {
       default
     } else n.asInt()
   }
+
+  def getBoolean(cfg: JsonNode, path: String, default: Boolean = false): Boolean = {
+    val n = at(cfg, path)
+    if (n == null) default else n.asBoolean()
+  }
+
+  /** Numeric-array accessor (calibration coeffs, adc_range, …). */
+  def getDoubles(cfg: JsonNode, path: String): Seq[Double] = {
+    val n = at(cfg, path)
+    if (n == null || !n.isArray) Nil
+    else {
+      val out = Seq.newBuilder[Double]
+      n.forEach(c => out += c.asDouble())
+      out.result()
+    }
+  }
+
+  /** Subtree at a dotted path, if present. */
+  def node(cfg: JsonNode, path: String): Option[JsonNode] = Option(at(cfg, path))
 
   private def at(cfg: JsonNode, path: String): JsonNode =
     path.split('.').foldLeft(cfg: JsonNode) { (n, k) =>

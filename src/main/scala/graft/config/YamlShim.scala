@@ -28,6 +28,106 @@ object YamlShim {
 
   private val F = JsonNodeFactory.instance
 
+  // ------------------------------------------------------------------
+  // emitter (the write-back half of `sed/core/config.py:175` save_config
+  // — fitted calibrations persist to sed_config.yaml)
+  // ------------------------------------------------------------------
+
+  /** Serialize a Jackson tree as block-style YAML readable by [[parse]]
+    * (and by PyYAML): nested block mappings, scalar/nested sequences as
+    * flow lists (`[1, 2]`, `[[a], [b]]`), strings quoted only when a
+    * bare scalar would re-parse as something else. Guaranteed
+    * round-trip: `parse(emit(n)) == n` for any tree in the supported
+    * subset (ints, doubles, booleans, nulls, strings, arrays, objects).
+    */
+  def emit(node: JsonNode): String = {
+    val sb = new StringBuilder
+    if (node.isObject && node.size() > 0) emitMap(node, 0, sb)
+    else sb.append(emitInline(node)).append('\n')
+    sb.toString
+  }
+
+  private def emitMap(obj: JsonNode, indent: Int, sb: StringBuilder): Unit = {
+    val pad = " " * indent
+    obj.properties().forEach { e =>
+      val k = quoteIfNeeded(e.getKey)
+      val v = e.getValue
+      if (v.isObject && v.size() > 0) {
+        sb.append(pad).append(k).append(":\n")
+        emitMap(v, indent + 2, sb)
+      } else if (v.isArray && v.size() > 0 && !isFlowable(v)) {
+        sb.append(pad).append(k).append(":\n")
+        // [[parse]] requires sequence items deeper than their key
+        emitBlockSeq(v, indent + 2, sb)
+      } else {
+        sb.append(pad).append(k).append(": ").append(emitInline(v)).append('\n')
+      }
+    }
+  }
+
+  private def emitBlockSeq(arr: JsonNode, indent: Int, sb: StringBuilder): Unit = {
+    val pad = " " * indent
+    arr.forEach { v =>
+      if (v.isObject && v.size() > 0) {
+        sb.append(pad).append("-\n")
+        emitMap(v, indent + 2, sb)
+      } else sb.append(pad).append("- ").append(emitInline(v)).append('\n')
+    }
+  }
+
+  /** Arrays of scalars / nested scalar arrays render as flow lists. */
+  private def isFlowable(n: JsonNode): Boolean =
+    !n.isObject && (!n.isArray || {
+      var ok = true
+      n.forEach(c => ok &&= isFlowable(c))
+      ok
+    })
+
+  private def emitInline(n: JsonNode): String =
+    if (n.isNull || n.isMissingNode) "null"
+    else if (n.isBoolean) String.valueOf(n.booleanValue())
+    else if (n.isIntegralNumber) n.numberValue().toString
+    else if (n.isNumber) {
+      val d = n.doubleValue()
+      if (d.isNaN) ".nan"
+      else if (d.isInfinite) { if (d > 0) ".inf" else "-.inf" }
+      else {
+        val s = d.toString
+        if (s.contains('.') || s.contains('e') || s.contains('E')) s
+        else s + ".0" // keep floatness through the re-parse
+      }
+    }
+    else if (n.isTextual) quoteIfNeeded(n.textValue())
+    else if (n.isArray) {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      n.forEach(c => parts += emitInline(c))
+      parts.mkString("[", ", ", "]")
+    }
+    else if (n.isObject && n.size() == 0) "{}"
+    else { // inline object (only reached for flow contexts)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      n.properties().forEach(e =>
+        parts += s"${quoteIfNeeded(e.getKey)}: ${emitInline(e.getValue)}")
+      parts.mkString("{", ", ", "}")
+    }
+
+  /** Single-quote a string whose bare form would re-parse as a number /
+    * bool / null / flow collection, or that contains YAML structure
+    * characters.
+    */
+  private def quoteIfNeeded(s: String): String = {
+    val needsQuote = s.isEmpty ||
+      s != s.trim ||
+      "[{&*#'\"%@`!|>".contains(s.head) || s.head == '-' ||
+      s.exists(c => c == '\n' || c == '\r') ||
+      s.contains(": ") || s.endsWith(":") || s.contains(" #") ||
+      // flow-list safety: quotes/commas/brackets confuse splitFlow
+      s.exists(c => "'\",[]{}".indexOf(c.toInt) >= 0) ||
+      (scalar(s) match { case t if t.isTextual && t.textValue() == s => false
+                         case _ => true })
+    if (needsQuote) "'" + s.replace("'", "''") + "'" else s
+  }
+
   def parse(text: String): JsonNode = {
     val lines = text.linesIterator.toIndexedSeq
       .map(stripComment)
@@ -174,8 +274,9 @@ object YamlShim {
   }
 
   private def unquote(s: String): String =
-    if (s.length >= 2 &&
-      ((s.head == '\'' && s.last == '\'') || (s.head == '"' && s.last == '"')))
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1).replace("''", "'") // YAML '' escape
+    else if (s.length >= 2 && s.head == '"' && s.last == '"')
       s.substring(1, s.length - 1)
     else s
 
@@ -209,7 +310,13 @@ object YamlShim {
       case "true" | "True" | "TRUE"    => F.booleanNode(true)
       case "false" | "False" | "FALSE" => F.booleanNode(false)
       case "null" | "None" | "~"       => F.nullNode()
-      case IntRe()                     => F.numberNode(s.toLong)
+      case IntRe()                     =>
+        // canonicalize to IntNode when in range (Jackson node equality
+        // is class-sensitive: IntNode(1) != LongNode(1), and the JSON
+        // reader produces IntNode — round-trips must agree)
+        val l = s.toLong
+        if (l >= Int.MinValue && l <= Int.MaxValue) F.numberNode(l.toInt)
+        else F.numberNode(l)
       case FloatRe(_, _)               => F.numberNode(s.toDouble)
       case _                           => F.textNode(s)
     }

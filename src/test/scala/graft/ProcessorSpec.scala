@@ -40,6 +40,166 @@ class ProcessorSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // ---------------------------------------------------------------
+  // calibration persistence round-trips (tests/test_processor.py:276-656:
+  // calibrate → save → FRESH processor from the saved config → applied
+  // columns identical)
+  // ---------------------------------------------------------------
+
+  private def base = events
+    .withColumn("X", col("value"))
+    .withColumn("Y", col("value") * 0.5)
+    .withColumn("t", col("value") + 1000.0)
+
+  private def tmpCfg(name: String): String =
+    Files.createTempDirectory("sedcfg").resolve(name).toString
+
+  private def hashOf(df: org.apache.spark.sql.DataFrame, cols: String*): Long =
+    df.select((xxhash64(cols.map(c => round(col(c) * 1e9)): _*)
+        % 1000000007L).as("h"))
+      .agg(sum("h")).collect().head.getLong(0)
+
+  test("energy calibration: calibrate → save → fresh processor applies" +
+      " identically (fit + poly, yaml + json)") {
+    for (ext <- Seq("yaml", "json"); poly <- Seq(false, true)) {
+      val file = tmpCfg(s"sed_config.$ext")
+      val p1 = new Processor(spark, base)
+      val calib: Either[(Double, Double, Double), Seq[Double]] =
+        if (poly) Right(Seq(1.1e-9, -3.2e-6, 4.8e-3))
+        else Left((1.0e5, -10.0, 1.5))
+      p1.appendEnergyAxis("t", calib, binwidth = 4.125e-12, binning = 1,
+        energyScale = "binding")
+      p1.saveEnergyCalibration(file)
+      // fresh processor, parameters ONLY from the saved config
+      val cfg = config.SedConfig.load(Seq(file))
+      assert(config.SedConfig.getString(cfg,
+        "energy.calibration.energy_scale") === "binding")
+      val p2 = new Processor(spark, base, config = cfg)
+      p2.appendEnergyAxisFromConfig("t")
+      assert(hashOf(p1.dataframe, "energy") === hashOf(p2.dataframe, "energy"),
+        s"ext=$ext poly=$poly")
+    }
+  }
+
+  test("energy correction: adjust → save → fresh processor applies" +
+      " identically (all four profiles)") {
+    val profiles = Seq(
+      ("spherical", Map("diameter" -> 3000.0)),
+      ("Lorentzian", Map("gamma" -> 920.0)),
+      ("Gaussian", Map("sigma" -> 700.0)),
+      ("Lorentzian_asymmetric",
+        Map("gamma" -> 920.0, "gamma2" -> 750.0, "amplitude2" -> 1.2)),
+    )
+    profiles.foreach { case (tpe, kwds) =>
+      val file = tmpCfg("sed_config.yaml")
+      val p1 = new Processor(spark, base)
+      p1.adjustEnergyCorrection(tpe, 2.5, (250.0, 125.0), kwds)
+      p1.applyEnergyCorrectionFromConfig()
+      p1.saveEnergyCorrection(file)
+      val p2 = new Processor(spark, base,
+        config = config.SedConfig.load(Seq(file)))
+      assert(p2.energyCorrection.get("correction_type").asText() === tpe)
+      p2.applyEnergyCorrectionFromConfig()
+      assert(hashOf(p1.dataframe, "tm") === hashOf(p2.dataframe, "tm"), tpe)
+    }
+  }
+
+  test("momentum calibration: apply → save → fresh processor applies" +
+      " identically; kx_scale != ky_scale survives") {
+    val file = tmpCfg("sed_config.yaml")
+    val p1 = new Processor(spark, base)
+    p1.applyMomentumCalibration("X", "Y",
+      rStart = 0.0, cStart = 0.0, rCenter = 256.0, cCenter = 128.0,
+      rConversion = 0.0122, cConversion = 0.0141, rStep = 1.0, cStep = 0.5)
+    p1.saveMomentumCalibration(file)
+    val cfg = config.SedConfig.load(Seq(file))
+    assert(config.SedConfig.getDouble(cfg, "momentum.calibration.kx_scale") !==
+      config.SedConfig.getDouble(cfg, "momentum.calibration.ky_scale"))
+    val p2 = new Processor(spark, base, config = cfg)
+    p2.applyMomentumCalibrationFromConfig("X", "Y")
+    assert(Seq("kx", "ky").forall(p2.dataframe.columns.contains))
+    assert(hashOf(p1.dataframe, "kx", "ky") === hashOf(p2.dataframe, "kx", "ky"))
+  }
+
+  test("delay calibration + offsets: save → fresh processor applies" +
+      " identically including flip") {
+    val file = tmpCfg("sed_config.yaml")
+    val p1 = new Processor(spark, base)
+    p1.calibrateDelayAxis("value", (0.0, 500.0),
+      delayRangeMm = Some((25.0, 25.6)), time0Mm = 25.3)
+    p1.addDelayOffsets("delay", constant = 0.75, flipDelayAxis = true,
+      columns = Seq("X"), weights = Seq(0.01))
+    p1.saveDelayCalibration(file)
+    p1.saveDelayOffsets(file)
+    val p2 = new Processor(spark, base,
+      config = config.SedConfig.load(Seq(file)))
+    p2.calibrateDelayAxisFromConfig("value")
+    p2.addDelayOffsetsFromConfig("delay")
+    assert(hashOf(p1.dataframe, "delay") === hashOf(p2.dataframe, "delay"))
+  }
+
+  test("energy offsets: binding-scale sign flip survives the round-trip") {
+    val file = tmpCfg("sed_config.yaml")
+    val p1 = new Processor(spark, base)
+    p1.appendEnergyAxis("t", Left((1.0e5, -10.0, 0.0)), 4.125e-12, 1,
+      energyScale = "binding")
+    p1.addEnergyOffsets("energy", constant = 0.5, columns = Seq("X"),
+      weights = Seq(1.0), preserveMean = Seq(true))
+    p1.saveEnergyCalibration(file)
+    p1.saveEnergyOffset(file)
+    val p2 = new Processor(spark, base,
+      config = config.SedConfig.load(Seq(file)))
+    p2.appendEnergyAxisFromConfig("t")
+    p2.addEnergyOffsetsFromConfig("energy")
+    assert(hashOf(p1.dataframe, "energy") === hashOf(p2.dataframe, "energy"))
+  }
+
+  test("save_workflow_params persists every non-empty section to ONE file;" +
+      " splinewarp/transformations params survive") {
+    val file = tmpCfg("sed_config.yaml")
+    val p1 = new Processor(spark, base)
+    p1.appendEnergyAxis("t", Left((1.0e5, -10.0, 0.0)), 4.125e-12, 1)
+    p1.applyMomentumCalibration("X", "Y", 0.0, 0.0, 256.0, 128.0,
+      0.0122, 0.0141, 1.0, 0.5)
+    p1.calibrateDelayAxis("value", (0.0, 500.0),
+      delayRange = Some((-100.0, 200.0)))
+    val feats = Seq((10.0, 20.0), (30.0, 40.0), (50.0, 60.0), (25.0, 35.0))
+    p1.setSplinewarp(feats, rotationSymmetry = 3, includeCenter = true,
+      useCenter = true, centerPoint = Some((25.0, 35.0)))
+    p1.setTransformations(scale = 1.05, xtrans = 2.0, ytrans = -3.0,
+      angle = 0.1)
+    p1.saveWorkflowParams(file)
+    val cfg = config.SedConfig.load(Seq(file))
+    // every section landed in the one file
+    for (path <- Seq("energy.calibration.d", "momentum.calibration.kx_scale",
+      "momentum.correction.rotation_symmetry",
+      "momentum.transformations.angle", "delay.calibration.adc_range"))
+      assert(config.SedConfig.node(cfg, path).isDefined, path)
+    // empty sections did NOT write (no energy.correction was set)
+    assert(config.SedConfig.node(cfg, "energy.correction").isEmpty)
+    val p2 = new Processor(spark, base, config = cfg)
+    assert(p2.splinewarpFeaturePoints === feats)
+    assert(p2.momentumTransformations.get("scale").asDouble() === 1.05)
+    // and the saved creation_date stamp is present (reference behavior)
+    assert(p2.energyCalibration.has("creation_date"))
+  }
+
+  test("SedConfig.save merge semantics: existing keys survive unless" +
+      " overwrite") {
+    val file = tmpCfg("sed_config.yaml")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    config.SedConfig.save(m.readTree("""{"a": {"x": 1, "y": 2}}"""), file)
+    config.SedConfig.save(m.readTree("""{"a": {"y": 9}, "b": true}"""), file)
+    val merged = config.SedConfig.load(Seq(file))
+    assert(config.SedConfig.getInt(merged, "a.x") === 1) // survived
+    assert(config.SedConfig.getInt(merged, "a.y") === 9) // new wins
+    assert(config.SedConfig.getBoolean(merged, "b"))
+    config.SedConfig.save(m.readTree("""{"c": 3}"""), file, overwrite = true)
+    val clobbered = config.SedConfig.load(Seq(file))
+    assert(config.SedConfig.node(clobbered, "a").isEmpty)
+    assert(config.SedConfig.getInt(clobbered, "c") === 3)
+  }
+
   test("compute applies transient filters and normalization") {
     val base = events
     val p = new Processor(spark, base, Some(base))
