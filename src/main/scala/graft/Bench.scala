@@ -24,8 +24,12 @@ import graft.dfops.DfOps
   * brackets EVERY query's timed reps and the worse of each pair is
   * reported per query (`canaries`), plus a whole-suite minimum
   * (`canary_sec`): a mid-suite load spike that inflates one query then
-  * visibly inflates that query's canary, so a contaminated artifact
-  * self-identifies at per-query resolution.
+  * visibly inflates that query's canary. The suite SELF-HEALS: queries
+  * whose canary exceeds 1.3× the suite-quiet minimum re-run (≤2 rounds,
+  * quietest attempt kept), a 1×-slower-than-10× reading re-runs once
+  * (impossible at steady state), and anything still hot is named in the
+  * artifact's `contaminated` list — so cross-round comparison needs no
+  * forensics.
   */
 object Bench {
 
@@ -214,15 +218,37 @@ object Bench {
       (times.min, math.max(cBefore, cAfter), shuffled / 1e6)
     }
 
-    // canary runs bracket EVERY query's timed reps (not just the suite):
-    // a load spike that inflates one query also inflates that query's
-    // canary pair, so a contaminated artifact is self-evidently
-    // contaminated at per-query resolution
-    val canaryBefore = canary()
-    val results = workloads.map { case (name, run) =>
-      val (sec, can, mb) = timeOne(name, run, reps = 5)
-      (name, sec, can, mb)
+    /** Self-healing suite run: canary pairs bracket every query's timed
+      * reps; any query whose canary exceeds 1.3× the suite-quiet minimum
+      * (a mid-suite load spike landed on it) is RE-RUN, up to `retries`
+      * rounds, keeping the quietest attempt. Queries still hot after the
+      * retries are reported in `contaminated` — so a committed artifact
+      * either carries clean numbers or names exactly which ones aren't,
+      * and cross-round comparison needs no forensics.
+      */
+    def runSuite(
+        ws: Seq[(String, () => Unit)], reps: Int, retries: Int = 2,
+    ): (Seq[(String, Double, Double, Double)], Seq[String]) = {
+      var rs = ws.map { case (name, run) =>
+        val (sec, can, mb) = timeOne(name, run, reps)
+        (name, sec, can, mb)
+      }
+      val byName = ws.toMap
+      for (_ <- 1 to retries) {
+        val quiet = rs.map(_._3).min
+        rs = rs.map { case q @ (name, _, can, _) =>
+          if (can > 1.3 * quiet) {
+            val (sec2, can2, mb2) = timeOne(name, byName(name), reps)
+            if (can2 < can) (name, sec2, can2, mb2) else q
+          } else q
+        }
+      }
+      val quiet = rs.map(_._3).min
+      (rs, rs.filter(_._3 > 1.3 * quiet).map(_._1))
     }
+
+    val canaryBefore = canary()
+    var (results, contaminated1x) = runSuite(workloads, reps = 5)
     val canarySec = math.min(canaryBefore, canary())
 
     // ---- 10× weak-scaling leg ----------------------------------------
@@ -236,7 +262,7 @@ object Bench {
     // rows (identical copies would grow it quadratically and the bench
     // would measure output explosion, not throughput).
     val x10 = sys.env.getOrElse("SPARK_GRAFT_X10", "true").toBoolean
-    val x10Results: Seq[(String, Double, Double, Double)] = if (!x10) Seq.empty else {
+    val (x10Results, x10Contaminated): (Seq[(String, Double, Double, Double)], Seq[String]) = if (!x10) (Seq.empty, Seq.empty) else {
       val dir = java.nio.file.Files.createTempDirectory("graft_bench_x10").toString
       val copies = explode(sequence(lit(0), lit(9))).as("copy")
       lineitem
@@ -307,10 +333,7 @@ object Bench {
         "text_quality" -> (() => exec(pipeline.TextOps.qualityColumns(
           docXScan, "text"))),
       )
-      val out = x10Workloads.map { case (name, run) =>
-        val (sec, can, mb) = timeOne(name, run, reps = 3)
-        (name, sec, can, mb)
-      }
+      val out = runSuite(x10Workloads, reps = 3)
       liX.unpersist(); embX.unpersist()
       try {
         import scala.reflect.io.Directory
@@ -319,17 +342,37 @@ object Bench {
       out
     }
 
+    // cross-leg sanity: a query CANNOT be slower at 1× than at 10× rows in
+    // steady state — if the 1× leg reads slower, its run was contaminated
+    // in a way the canaries missed (e.g. a spike inside the timed reps
+    // with quiet brackets); re-run the 1× measurement once and keep the
+    // faster of the two
+    if (x10Results.nonEmpty) {
+      val x10ByName = x10Results.map(r => r._1 -> r._2).toMap
+      val byName = workloads.toMap
+      results = results.map { case q @ (name, sec, _, _) =>
+        x10ByName.get(name) match {
+          case Some(sec10) if sec > sec10 =>
+            val (sec2, can2, mb2) = timeOne(name, byName(name), reps = 5)
+            if (sec2 < sec) (name, sec2, can2, mb2) else q
+          case _ => q
+        }
+      }
+    }
+
     def jmap(rs: Seq[(String, Double, Double, Double)], f: ((String, Double, Double, Double)) => Double): String =
       rs.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     val qs = jmap(results, _._2)
     val cs = jmap(results, _._3)
     val mbs = jmap(results, _._4)
     val total = results.map(_._2).sum
+    def jlist(names: Seq[String]): String =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val x10Part = if (x10Results.isEmpty) "" else {
       val t10 = x10Results.map(_._2).sum
-      s""","x10":{"rows_factor":10,"total_sec":$t10,"queries":${jmap(x10Results, _._2)},"canaries":${jmap(x10Results, _._3)},"shuffle_mb":${jmap(x10Results, _._4)}}"""
+      s""","x10":{"rows_factor":10,"total_sec":$t10,"queries":${jmap(x10Results, _._2)},"canaries":${jmap(x10Results, _._3)},"shuffle_mb":${jmap(x10Results, _._4)},"contaminated":${jlist(x10Contaminated)}}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_sec":$canarySec,"canaries":$cs,"shuffle_mb":$mbs$x10Part,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_sec":$canarySec,"canaries":$cs,"shuffle_mb":$mbs,"contaminated":${jlist(contaminated1x)}$x10Part,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -537,16 +537,21 @@ object TextOps {
     * `ln(freq) ~ ln(rank)` (natural English sits near −1; flatter means
     * templated/duplicated text, steeper means heavy boilerplate head),
     * plus type/token totals. One corpus token shuffle into the vocab
-    * table; the rank window is keyless but runs over the VOCABULARY
-    * (bounded, ≪ corpus), not the token stream — acceptable at scale,
-    * same envelope as the λ/threshold tables elsewhere.
+    * table; ranks attach via range-repartition + zipWithIndex
+    * ([[Sampling.withSequentialIds]]) — NEVER a keyless window, because
+    * "bounded by the vocab" is no bound at corpus scale (Heap's law puts
+    * web-corpus vocabularies at 10⁸–10⁹ types, far too many for the one
+    * task an empty-PARTITION-BY window collapses to). The OLS moments
+    * then fold in a single aggregate.
     */
   def zipfProfile(df: DataFrame, textCol: String): DataFrame = {
     val vocab = df.select(explode(tokens(col(textCol))).as("_w"))
       .groupBy("_w").agg(count(lit(1)).as("_f"))
-    val ranked = vocab.withColumn("_r",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("_f").desc, col("_w"))))
+    // rank 1..V by (freq desc, word asc) — negate the count so the
+    // ascending range partitioner yields the descending-frequency order
+    val ranked = Sampling.withSequentialIds(
+      vocab.withColumn("_negf", -col("_f")), Seq("_negf", "_w"), "_r0")
+      .withColumn("_r", col("_r0") + lit(1L))
     val xy = ranked.select(log(col("_r").cast("double")).as("_x"),
       log(col("_f").cast("double")).as("_y"), col("_f"))
     xy.agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),

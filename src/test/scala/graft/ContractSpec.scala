@@ -349,6 +349,22 @@ class ContractSpec extends SparkSpec {
     assert(ids.rdd.getNumPartitions === 4)
   }
 
+  test("zipfProfile ranks the vocab without a keyless window") {
+    // VERDICT r8: a single-partition Window over a 1e8-type web vocab is
+    // a scale-killer — ranks must attach via range-repartition +
+    // zipWithIndex; this pin fails if anyone reintroduces the window
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, s"alpha beta w$i gamma ${if (i % 2 == 0) "delta" else "eps"}"))
+      .toDF("doc_id", "text")
+    val out = pipeline.TextOps.zipfProfile(docs, "text")
+    val row = out.collect().head
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      out.queryExecution.executedPlan.toString)
+    assert(row.getAs[Long]("n_types") === 205) // alpha/beta/gamma/delta/eps + w0..w199
+    assert(row.getAs[Long]("n_tokens") === 1000)
+    assert(row.getAs[Double]("zipf_slope") < 0.0) // frequency decays in rank
+  }
+
   test("json/url extraction are map-only; fuzzy pairs join equi-keyed only") {
     def planOf(df: org.apache.spark.sql.DataFrame): String = {
       df.collect()
