@@ -190,6 +190,54 @@ object SparkEntry {
     "q_bin_per_part" -> ((s, dir) =>
       Binning.histogramPer(
         table(s, dir, "events"), col("event_type"), "event_type", Seq(ax1dValue))),
+    // A12 count rate / elapsed time (`get_count_rate`/`get_elapsed_time`,
+    // sed/loader/base/loader.py): per-type rows via the grouped formula,
+    // plus an 'ALL' row computed by the ACTUAL driver-side operator — so
+    // the scalar path itself sits under the oracle
+    "q_count_rate" -> ((s, dir) => {
+      val e = table(s, dir, "events").select(col("event_type"), col("ts"))
+      val grouped = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        (max(col("ts")) - min(col("ts"))).cast("double").as("elapsed_ns"))
+        .select(col("event_type"), col("n"), col("elapsed_ns"),
+          round(col("n").cast("double") / col("elapsed_ns") * lit(1.0e9), 6)
+            .as("rate_per_sec"))
+      val nAll = e.count()
+      val rateNs = graft.loader.GenericLoader.countRate(e, "ts") // events/ns
+      val dtNs = graft.loader.GenericLoader.elapsedTime(e, "ts")
+      val all = s.range(1).select(lit("ALL").as("event_type"),
+        lit(nAll).as("n"), lit(dtNs).as("elapsed_ns"),
+        round(lit(rateNs * 1.0e9), 6).as("rate_per_sec"))
+      grouped.unionByName(all)
+    }),
+    // K1/K2 cube sinks under the oracle: bin a 2-D cube, round-trip it
+    // through BOTH the HDF5 writer/reader and the TIFF stack writer/reader,
+    // and emit the reloaded nonzero cells — DuckDB recomputes the histogram
+    // directly, so any loss in either codec breaks the hash
+    "q_cube_roundtrip" -> ((s, dir) => {
+      val cube = Binning.histogramCube(table(s, dir, "lineitem"),
+        Seq(axQty, axDisc))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cube")
+      val h5 = tmp.resolve("cube.h5").toString
+      val tif = tmp.resolve("cube.tif").toString
+      graft.export.CubeIO.writeH5(cube, h5)
+      graft.export.Tiff.writeCube(cube, tif)
+      val back = graft.export.CubeIO.readH5(h5)
+      require(back.shape == cube.shape && back.axisNames == cube.axisNames,
+        "H5 round-trip changed the cube geometry")
+      require(back.axes.zip(cube.axes).forall { case (a, b) =>
+        a.sameElements(b) }, "H5 round-trip changed the axes")
+      val (tdata, nSlices, rows, cols) = graft.export.Tiff.read(tif)
+      require(nSlices == 1 && rows == cube.shape.head &&
+        cols == cube.shape(1) &&
+        tdata.zip(back.data).forall { case (f, l) => f == l.toFloat },
+        "TIFF round-trip diverged from the H5 payload")
+      import s.implicits._
+      val c = cube.shape(1)
+      back.data.zipWithIndex.collect { case (v, i) if v != 0L =>
+        ((i / c).toLong, (i % c).toLong, v)
+      }.toSeq.toDF("bin_l_quantity", "bin_l_discount", "cnt")
+    }),
     // A7: normalization histogram from the timed table (count × time unit)
     "q_norm_timed" -> ((s, dir) =>
       Binning.normalizationHistogramFromTimedDataframe(
@@ -1594,6 +1642,18 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_count_rate" ->
+      raw"""WITH g AS (SELECT event_type, count(*) AS n,
+           |  CAST(max(epoch_ns(ts)) - min(epoch_ns(ts)) AS DOUBLE) AS elapsed_ns
+           |  FROM events GROUP BY 1
+           |  UNION ALL
+           |  SELECT 'ALL', count(*),
+           |    CAST(max(epoch_ns(ts)) - min(epoch_ns(ts)) AS DOUBLE)
+           |  FROM events)
+           |SELECT event_type, n, elapsed_ns,
+           |  ROUND(CAST(n AS DOUBLE) / elapsed_ns * 1000000000.0, 6)
+           |    AS rate_per_sec FROM g""".stripMargin.replace("\n", " "),
+    "q_cube_roundtrip" -> OracleSql.histogramSql("lineitem", Seq(axQty, axDisc)),
     "q_bin1d" -> OracleSql.histogramSql("events", Seq(ax1dValue)),
     "q_bin2d" -> OracleSql.histogramSql("lineitem", Seq(axQty, axDisc)),
     "q_bin4d" -> OracleSql.histogramSql("lineitem", ax4d),

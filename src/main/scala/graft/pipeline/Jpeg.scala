@@ -1,16 +1,17 @@
 package graft.pipeline
 
-/** Dependency-free BASELINE-SEQUENTIAL JPEG codec (ITU T.81): huffman
-  * entropy coding + 8×8 DCT + YCbCr, no external libraries — closing the
-  * round-7 "JPEGs null out" gap so [[Multimodal.imageColumns]] extracts
-  * real pixel features from the dominant web image format.
+/** Dependency-free JPEG codec (ITU T.81): huffman entropy coding + 8×8
+  * DCT + YCbCr, no external libraries — closing the round-7 "JPEGs null
+  * out" gap so [[Multimodal.imageColumns]] extracts real pixel features
+  * from the dominant web image format.
   *
-  * Decode supports the baseline web subset: SOF0/SOF1 (sequential
-  * huffman, 8-bit), 1- or 3-component scans, arbitrary sampling factors
-  * (4:4:4 / 4:2:2 / 4:2:0 via the generic MCU walk + nearest upsample),
-  * restart markers, FF00 byte stuffing. Progressive (SOF2), arithmetic
-  * coding, and 12-bit rejects loudly — better a null feature row than a
-  * silently wrong decode.
+  * Decode supports the huffman web subset: SOF0/SOF1 (baseline
+  * sequential, 8-bit) AND SOF2 (progressive, full Annex G spectral
+  * selection + successive approximation — see `decodeProgressive`), 1-
+  * or 3-component scans, arbitrary sampling factors (4:4:4 / 4:2:2 /
+  * 4:2:0 via the generic MCU walk + nearest upsample), restart markers,
+  * FF00 byte stuffing. Arithmetic coding and 12-bit reject loudly —
+  * better a null feature row than a silently wrong decode.
   *
   * Encode (test/fixture path, also a real sink): gray, 4:4:4, or 4:2:0,
   * Annex K quantization tables scaled by `quality`, Annex K huffman

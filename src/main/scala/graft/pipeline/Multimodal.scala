@@ -7,11 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in executor-side batches.
   *
-  * The *decode* step is a clearly-marked STUB (no image/audio codecs in
-  * this environment — a deterministic fake derives metadata from the raw
-  * bytes); everything Spark-side is real and tested: the schema contract,
-  * the batched `mapPartitions` shape (the Scala analog of `mapInPandas`),
-  * and the partition-size guidance for wide binary rows.
+  * Decode is REAL for the bundled dependency-free codecs — PNG/BMP
+  * ([[PixelCodec]]), JPEG baseline + progressive ([[Jpeg]]), GIF
+  * ([[Gif]]), WAV-PCM audio, MJPEG-AVI video ([[Avi]]) and the GVID
+  * fixture container; formats outside that subset degrade to a
+  * deterministic byte-derived metadata row rather than failing the
+  * task. The Spark-side contract is the point either way: the schema,
+  * the batched `mapPartitions` shape (the Scala analog of
+  * `mapInPandas`), and the partition-size guidance for wide binary
+  * rows.
   */
 object Multimodal {
 

@@ -5,8 +5,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 /** Dependency-free 8-bit PNG codec and WAV-PCM decode — the REAL decode
   * step behind [[Multimodal]]'s image/audio feature extraction: PNG is
   * zlib (`java.util.zip`) + five per-row unfilters, WAV is raw
-  * little-endian PCM, and baseline JPEG lives in [[Jpeg]] (huffman +
-  * DCT, also dependency-free) behind [[decodeImage]].
+  * little-endian PCM, and JPEG (baseline + progressive) lives in
+  * [[Jpeg]] (huffman + DCT, also dependency-free) behind
+  * [[decodeImage]].
   *
   * Supported PNG subset: bit depth 8, non-interlaced, color types
   * 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA). Palette and 16-bit

@@ -18,9 +18,11 @@ import org.apache.spark.sql.types._
   * Parsing runs as a `mapPartitions` iterator transform (codec work is
   * not expressible as a Catalyst projection — same justification as
   * [[Multimodal]]): constant memory per task, record explosion local to
-  * the blob, no shuffle. At 100 TB the natural layout is one blob per
-  * WARC segment via `spark.read.format("binaryFile")`, partition sizing
-  * via `maxPartitionBytes`.
+  * the blob, no shuffle. At 100 TB the right ingress is
+  * [[recordsFromPaths]] — a path column streamed off the Hadoop
+  * `FileSystem`, memory bounded by ONE record; the `binaryFile` blob
+  * route ([[records]]) suits small/medium segments but caps at the 2 GB
+  * JVM-array ceiling per file.
   *
   * Format notes (warc-specification 1.0/1.1):
   *  - a record = `WARC/1.x\r\n`, header lines `Name: value`, blank line,
