@@ -23,6 +23,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // "pairs64" mode: the pair-mass family only (minhash / fuzzy /
+    // warc_html / zipf) pushed to ×64 — the rehearsal that catches a
+    // super-linear exchange or a native-resource leak before the gate does
+    val pairs64 = args.contains("pairs64")
     val base = spark.read.parquet(s"$dir/documents.parquet")
 
     def inflate(f: Int): DataFrame =
@@ -33,10 +37,71 @@ object ScaleProbe {
           concat_ws(" ", col("text"), concat(lit("tail"), col("copy"))))
         .drop("copy")
 
+    // shuffle-write bytes per step (same metering as Bench): a probe that
+    // only reports seconds can hide an exchange that grows super-linearly
+    // but stays CPU-cheap at this scale
+    val meter = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          meter.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+
     def timed(name: String, f: Int)(run: => Long): Unit = {
+      org.apache.spark.GraftSparkBridge.drainListeners(spark.sparkContext)
+      val before = meter.get()
       val t0 = System.nanoTime()
       val rows = run
-      println(f"SCALE $name%-16s x$f%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftSparkBridge.drainListeners(spark.sparkContext)
+      val mb = (meter.get() - before) / 1e6
+      println(f"SCALE $name%-16s x$f%-3d $sec%8.2f s  rows=$rows%-12d shuffle=$mb%10.2f MB")
+    }
+
+    if (pairs64) {
+      val factors = sys.env.get("SPARK_GRAFT_FACTORS")
+        .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16, 64))
+      factors.foreach { f =>
+        val df = inflate(f).cache()
+        val n = df.count()
+        println(s"-- factor $f: $n docs --")
+        timed("minhash_pairs", f)(
+          pipeline.Dedup.minhashNearDuplicates(df, "text", "doc_id",
+            threshold = 0.7).count())
+        timed("minhash_inline", f)(
+          pipeline.Dedup.minhashNearDuplicates(df, "text", "doc_id",
+            threshold = 0.7, inlineVerify = true).count())
+        timed("fuzzy_pairs", f)(
+          pipeline.Fuzzy.editSimilarityPairs(
+            df.withColumn("t40", substring(col("text"), 1, 40)),
+            "doc_id", "t40", "source", maxEdit = 8).count())
+        timed("warc_html", f) {
+          import spark.implicits._
+          val blobs = df.select(col("doc_id"), col("text"))
+            .repartition(cpus)
+            .as[(Long, String)].map { case (id, text) =>
+              val html = s"<html><head><title>D$id</title></head><body><h1>" +
+                s"D$id</h1><p>${Option(text).getOrElse("")}</p></body></html>"
+              (id, pipeline.Warc.encodeBlob(Seq(pipeline.Warc.responseRecord(
+                s"https://ex.com/$id", "d", html)), gzipPerRecord = true))
+            }.toDF("doc_id", "warc")
+          pipeline.Warc.responses(blobs, "warc")
+            .select(pipeline.Html.extractText(col("body"))).count()
+        }
+        // zipf: vocab grows ~linearly in rows (one unique token per
+        // doc-copy) — the keyless-window regression this guards against
+        // would funnel the whole vocab through one task
+        timed("zipf", f)(
+          pipeline.TextOps.zipfProfile(
+            df.withColumn("text",
+              concat_ws(" ", col("text"), concat(lit("uniq"), col("doc_id")))),
+            "text").count())
+        df.unpersist()
+      }
+      spark.stop()
+      return
     }
 
     Seq(1, 4, 16).foreach { f =>

@@ -58,11 +58,18 @@ object Epics {
     (ts, vals)
   }
 
-  /** Live client against a real archiver data-retrieval endpoint. */
-  def fromUrl(archiverUrl: String): ArchiverClient =
+  /** Live client against a real archiver data-retrieval endpoint.
+    * Connect/read timeouts default to 10 s — a beamline network hiccup
+    * must fail the fetch loudly, not hang the driver forever.
+    */
+  def fromUrl(archiverUrl: String, timeoutMs: Int = 10000): ArchiverClient =
     (channel: String, tsFrom: Double, tsTo: Double) => {
       val url = new java.net.URL(requestUrl(archiverUrl, channel, tsFrom, tsTo))
-      val in = url.openStream()
+      val conn = url.openConnection()
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestProperty("Accept", "application/json")
+      val in = conn.getInputStream
       try parsePayload(new String(in.readAllBytes(), "UTF-8"))
       finally in.close()
     }

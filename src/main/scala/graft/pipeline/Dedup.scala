@@ -258,6 +258,28 @@ object Dedup {
     ).withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
   }
 
+  /** Near-duplicate pairs `(id_a, id_b, est_jaccard ≥ threshold)`,
+    * `id_a < id_b`, each pair exactly once. Two physical plans with
+    * identical output:
+    *
+    *  - default (`inlineVerify = false`): the SPARSE-duplicate shape for
+    *    realistic web corpora (pairs ≪ docs × bands) — the band exchange
+    *    carries `(id, band_idx, band_hash)` only (~24 B/row), candidate
+    *    pairs distinct, signatures attach via two reused id-keyed joins.
+    *  - `inlineVerify = true`: the CLIQUE-robust shape for
+    *    heavy-duplication corpora — signatures ride the band exchange
+    *    (~24 B + 8 B·numHashes per row) and pairs verify AT FORMATION,
+    *    deduplicated by the first-matching-band rule (a pair is emitted
+    *    only from the lowest band index whose rows agree), so no
+    *    distinct and no pair-keyed exchanges exist at all. ScaleProbe
+    *    `pairs64` evidence: on a ×64 near-dup clique corpus (every doc
+    *    in a 64-clique, 11.1 M true pairs from 320 k docs) the default
+    *    plan's pair exchanges blow up to 11.4 GB shuffle / 506 s while
+    *    the inline plan stays bounded by docs × bands.
+    *
+    * Rule of thumb: default for ingest dedup of raw crawls; inline when
+    * the corpus is known duplicate-heavy (mirror lakes, version stacks).
+    */
   def minhashNearDuplicates(
       df: DataFrame,
       textCol: String,
@@ -268,36 +290,69 @@ object Dedup {
       threshold: Double = 0.5,
       seed: Long = 42L,
       portable: Boolean = false,
+      inlineVerify: Boolean = false,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
     // hash-repartition by id: this ONE exchange materializes the expensive
     // signature projection and is the shared, reused input of the band
     // explode and both attach joins below (and already satisfies the
     // attach joins' partitioning requirement)
     val sigs = minhashSignatures(df, textCol, idCol, k, numHashes, seed, portable)
       .repartition(col("id"))
-    // band exchange carries (id, band_idx, band_hash) ONLY — no signatures
-    val banded = minhashBands(sigs, numHashes, bands)
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx")
-          && col("a.band_hash") === col("b.band_hash"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct() // a pair matching in >1 band is verified once, not per band
-    // attach sides stay alias-identical so their id-hash exchanges
-    // canonicalize to the same subtree and ReuseExchange computes the
-    // signature projection once for both joins
-    candidates
-      .join(sigs.as("sa"), col("id_a") === col("sa.id"))
-      .join(sigs.as("sb"), col("id_b") === col("sb.id"))
-      .select(col("id_a"), col("id_b"),
-        // native equal-position count: no per-pair array allocations
-        (org.apache.spark.sql.GraftBridge.column(PositionalEqCount(
-          org.apache.spark.sql.GraftBridge.expression(col("sa.sig")),
-          org.apache.spark.sql.GraftBridge.expression(col("sb.sig"))))
-          .cast("double") / numHashes).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    if (inlineVerify) {
+      // signatures ride the band exchange; both sigs are present at pair
+      // formation, so verification is an inline projection and the
+      // first-matching-band rule replaces the global distinct
+      val bandedS = sigs.select(col("id"), col("sig"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))))
+        .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+      // native codegen kernel: a higher-order slice/filter lambda here is
+      // interpreted per candidate row and measured 5× slower than the
+      // whole default plan (see FirstMatchingBand scaladoc)
+      val firstMatch = org.apache.spark.sql.GraftBridge.column(
+        FirstMatchingBand(
+          org.apache.spark.sql.GraftBridge.expression(col("a.sig")),
+          org.apache.spark.sql.GraftBridge.expression(col("b.sig")),
+          bands, rows))
+      bandedS.as("a")
+        .join(bandedS.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_hash") === col("b.band_hash"))
+        .filter(col("a.id") < col("b.id") &&
+          firstMatch === col("a.band_idx"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          (org.apache.spark.sql.GraftBridge.column(PositionalEqCount(
+            org.apache.spark.sql.GraftBridge.expression(col("a.sig")),
+            org.apache.spark.sql.GraftBridge.expression(col("b.sig"))))
+            .cast("double") / numHashes).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold)
+    } else {
+      // band exchange carries (id, band_idx, band_hash) ONLY — no signatures
+      val banded = minhashBands(sigs, numHashes, bands)
+      val candidates = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_hash") === col("b.band_hash"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct() // a pair matching in >1 band is verified once, not per band
+      // attach sides stay alias-identical so their id-hash exchanges
+      // canonicalize to the same subtree and ReuseExchange computes the
+      // signature projection once for both joins
+      candidates
+        .join(sigs.as("sa"), col("id_a") === col("sa.id"))
+        .join(sigs.as("sb"), col("id_b") === col("sb.id"))
+        .select(col("id_a"), col("id_b"),
+          // native equal-position count: no per-pair array allocations
+          (org.apache.spark.sql.GraftBridge.column(PositionalEqCount(
+            org.apache.spark.sql.GraftBridge.expression(col("sa.sig")),
+            org.apache.spark.sql.GraftBridge.expression(col("sb.sig"))))
+            .cast("double") / numHashes).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold)
+    }
   }
 
   /** Incremental near-dup matching: candidate pairs between a NEW batch

@@ -306,6 +306,51 @@ class DfOpsSpec extends SparkSpec {
     assert(url.contains("from=1970-01-01T00:00:00.999999999Z"), url)
   }
 
+  test("EPICS live HTTP client: fetches, decodes and attaches a recorded" +
+      " payload; request line matches the reference format") {
+    // a real HTTP round-trip against a local server replaying the
+    // recorded archiver-appliance payload — the fromUrl path end-to-end
+    val payload =
+      """[{"meta": {"name": "KTOF:Lens:Extr:I"}, "data": [
+        | {"secs": 1000, "nanos": 0,         "val": 10.0},
+        | {"secs": 1010, "nanos": 500000000, "val": 20.0},
+        | {"secs": 1900, "nanos": 0,         "val": 30.0}
+        |]}]""".stripMargin
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/retrieval/data/getData.json",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        seen.set(ex.getRequestURI.toString)
+        val bytes = payload.getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}" +
+        "/retrieval/data/getData.json?pv="
+      val events = Seq(1000.0, 1005.25, 1500.0).toDF("ts")
+      val out = Epics.addArchiverData(events, "extractor_current", "ts",
+        Epics.fromUrl(base), "KTOF:Lens:Extr:I")
+        .select("ts", "extractor_current")
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      assert(out(1000.0) === 10.0)
+      assert(math.abs(out(1005.25) - 15.0) < 1e-9)
+      // the server saw the reference's exact request shape (±5 s margin)
+      assert(seen.get() === "/retrieval/data/getData.json?pv=" +
+        "KTOF:Lens:Extr:I&from=1970-01-01T00:16:35Z&to=1970-01-01T00:25:05Z",
+        seen.get())
+      // HTTP errors surface loudly, not as empty series
+      intercept[Exception] {
+        Epics.fromUrl(s"http://127.0.0.1:${server.getAddress.getPort}" +
+          "/nope?pv=").fetch("CH", 0.0, 1.0)
+      }
+    } finally server.stop(0)
+  }
+
   test("funnelDepth: ordered steps, strict time progression, span cap") {
     val steps = Seq("A", "B", "C")
     val df = Seq(

@@ -41,6 +41,39 @@ class PipelineSpec extends SparkSpec {
     assert(est === 1.0)
   }
 
+  test("minhash inlineVerify plan: identical pairs, no distinct, no" +
+      " pair-keyed attach joins") {
+    // a clique-heavy corpus (every base doc in an 8-clique) where the
+    // inline plan's output must still match the default plan exactly
+    val clique = docs.withColumn("copy",
+      explode(sequence(lit(0), lit(7))))
+      .select((col("doc_id") * 100 + col("copy")).as("doc_id"),
+        concat_ws(" ", col("text"), concat(lit("t"), col("copy"))).as("text"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dflt = norm(Dedup.minhashNearDuplicates(clique, "text", "doc_id",
+      threshold = 0.5))
+    val inline = Dedup.minhashNearDuplicates(clique, "text", "doc_id",
+      threshold = 0.5, inlineVerify = true)
+    assert(norm(inline) === dflt)
+    assert(dflt.size > 40) // the cliques actually produced pair mass
+    // each pair appears exactly once (first-matching-band rule)
+    val inlineRows = inline.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(inlineRows.length === inlineRows.toSet.size)
+    // plan shape: one band-keyed join, no HashAggregate-distinct over
+    // pairs, no id-keyed attach joins
+    inline.collect()
+    val plan = inline.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(plan.split("Join").length - 1 === 1, plan) // exactly one join
+    assert(!plan.contains("HashAggregate"), plan) // no pair distinct
+  }
+
   test("simhash: identical docs distance 0, near dups close, unrelated far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
