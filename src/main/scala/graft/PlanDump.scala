@@ -22,6 +22,9 @@ object PlanDump {
       "q_filter_range — predicate + projection pushdown into the scan" -> "q_filter_range",
       "q_cosine_topk — brute-force ANN (TakeOrderedAndProject, no global sort)" -> "q_cosine_topk",
       "q_minhash_pairs — LSH banding (bounded bucket-key shuffle join)" -> "q_minhash_pairs",
+      "q_minhash_inline — clique-robust LSH (sigs ride the band exchange, FirstMatchingBand dedup, no distinct/pair exchange)" -> "q_minhash_inline",
+      "q_calib_roundtrip — config-reloaded calibration (pure fused projection)" -> "q_calib_roundtrip",
+      "q_zipf — vocab rank via range-repartition + zipWithIndex (no keyless window)" -> "q_zipf",
       "q_ngram_jaccard — blocked pair join (native sorted-merge intersect kernel)" -> "q_ngram_jaccard",
       "q_ffill — ordered window fill" -> "q_ffill",
       "q_dfield — native codegen bilinear grid lookup (no UDF)" -> "q_dfield",

@@ -796,6 +796,14 @@ object SparkEntry {
       pipeline.Dedup.minhashNearDuplicates(
         table(s, dir, "documents"), "text", "doc_id", threshold = 0.2,
         portable = true)),
+    // the clique-robust inline-verify plan must produce the IDENTICAL
+    // pair set — same oracle as q_minhash_pairs, different physical plan
+    // (sigs ride the band exchange, first-matching-band dedup, no
+    // distinct / no pair-keyed exchange)
+    "q_minhash_inline" -> ((s, dir) =>
+      pipeline.Dedup.minhashNearDuplicates(
+        table(s, dir, "documents"), "text", "doc_id", threshold = 0.2,
+        portable = true, inlineVerify = true)),
     // incremental ingestion: near-dup probe of a new batch (odd doc_ids)
     // against a pre-signed corpus (even doc_ids) — the minhashAgainst path
     "q_cross_dedup" -> ((s, dir) => {
@@ -2129,6 +2137,8 @@ object SparkEntry {
            |      ORDER BY bm25 DESC, doc_id) AS rn FROM s)
            |WHERE rn <= 10""".stripMargin.replace("\n", " "),
     "q_minhash_pairs" -> OracleSql.minhashPairsSql(
+      "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2, seed = 42L),
+    "q_minhash_inline" -> OracleSql.minhashPairsSql(
       "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2, seed = 42L),
     "q_cross_dedup" -> OracleSql.minhashAgainstSql(
       "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2,

@@ -986,9 +986,11 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 32,
       bands: Int = 8,
+      inlineVerify: Boolean = false,
   ): DataFrame = {
     val pairs = minhashNearDuplicates(df, textCol, idCol,
-      numHashes = numHashes, bands = bands, threshold = threshold)
+      numHashes = numHashes, bands = bands, threshold = threshold,
+      inlineVerify = inlineVerify)
     val labels = connectedComponents(pairs)
     val losers = snapshotAndFree(
       labels.filter(col("id") =!= col("label")).select(col("id").as(idCol)),
@@ -1015,9 +1017,11 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 32,
       bands: Int = 8,
+      inlineVerify: Boolean = false,
   ): DataFrame = {
     val pairs = minhashNearDuplicates(df, textCol, idCol,
-      numHashes = numHashes, bands = bands, threshold = threshold)
+      numHashes = numHashes, bands = bands, threshold = threshold,
+      inlineVerify = inlineVerify)
     val cc = connectedComponents(pairs)
     val labels = snapshotAndFree(cc, cc).withColumnRenamed("id", idCol)
     val ranked = df.join(labels, Seq(idCol), "left")
