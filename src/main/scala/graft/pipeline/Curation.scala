@@ -73,6 +73,9 @@ object Curation {
       gopher: Boolean = true,
       dropExact: Boolean = true,
       nearDupThreshold: Option[Double] = None,
+      // clique-robust LSH plan for duplicate-heavy corpora (mirror
+      // lakes, version stacks) — see Dedup.minhashNearDuplicates
+      nearDupInlineVerify: Boolean = false,
       sentenceCensor: Boolean = false,
       dsirTargetExpr: Option[String] = None,
       dsirKeepN: Option[Int] = None,
@@ -134,7 +137,8 @@ object Curation {
       cur = step("exact_dedup", Dedup.dropExactDuplicates(cur, textCol, idCol))
     cfg.nearDupThreshold.foreach { th =>
       cur = step("near_dedup",
-        Dedup.dropNearDuplicates(cur, textCol, idCol, threshold = th))
+        Dedup.dropNearDuplicates(cur, textCol, idCol, threshold = th,
+          inlineVerify = cfg.nearDupInlineVerify))
     }
     if (cfg.sentenceCensor) {
       // cross-doc boilerplate sentences drop; rebuilt text replaces the

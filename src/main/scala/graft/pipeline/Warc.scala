@@ -385,14 +385,16 @@ object Warc {
     val pathIdx = df.schema.fieldIndex(pathCol)
     val carryIdx = carried.map(f => df.schema.fieldIndex(f.name))
     df.mapPartitions { rows =>
+      // one Configuration per TASK, not per file: its construction parses
+      // XML resources — per-row cost that multiplies by the lake's file
+      // count (FileSystem instances are cached per scheme+conf by Hadoop)
+      val conf = new org.apache.hadoop.conf.Configuration()
       rows.flatMap { r =>
         val p = r.getString(pathIdx)
         val carry = carryIdx.map(r.get).toSeq
         val hPath = new org.apache.hadoop.fs.Path(p)
         val stream =
-          try hPath
-            .getFileSystem(new org.apache.hadoop.conf.Configuration())
-            .open(hPath)
+          try hPath.getFileSystem(conf).open(hPath)
           catch { case _: Exception => null }
         if (stream == null) Iterator.empty
         else {
