@@ -256,9 +256,14 @@ class Processor(
   ): this.type = {
     val expr = calibration match {
       case Left((d, t0, e0)) =>
+        // clear the OTHER form's keys: a fit recalibration after a poly
+        // one (or vice versa) must not leave stale parameters that a
+        // later FromConfig reload would silently prefer
+        energyCalibration.remove("coeffs")
         energyCalibration.put("d", d).put("t0", t0).put("E0", e0)
         Energy.tof2ev(col(tofColumn), d, t0, binwidth, binning, energyScale, e0)
       case Right(polyA) =>
+        energyCalibration.remove("d"); energyCalibration.remove("t0")
         val arr = energyCalibration.putArray("coeffs")
         polyA.foreach(arr.add)
         energyCalibration.put("E0", energyOffset)
@@ -445,12 +450,17 @@ class Processor(
 
   /** Offsets dict in the reference shape: per-column entries live at the
     * TOP level next to `constant` / `creation_date` / `flip_delay_axis`.
+    * The store RESETS on each call (the reference rebuilds `offsets = {}`
+    * whenever explicit parameters are passed, `delay.py:254-258`) — so a
+    * corrected re-run never accumulates superseded columns, a stale
+    * constant, or a sticky flip.
     */
   private def recordOffsets(
       store: ObjectNode, constant: Double, columns: Seq[String],
       weights: Seq[Double], preserveMean: Seq[Boolean],
       reductions: Seq[Option[String]],
   ): Unit = {
+    store.removeAll()
     if (constant != 0.0) store.put("constant", constant)
     columns.zipWithIndex.foreach { case (c, i) =>
       val o = store.putObject(c)
@@ -606,22 +616,29 @@ class Processor(
 
   /** `save_workflow_params` (`sed/core/processor.py:1928`): run every
     * save method, skipping the parameter sets that are empty — one call
-    * persists the whole beamtime calibration state.
+    * persists the whole beamtime calibration state. With
+    * `overwrite = true`, only the FIRST write truncates the file and the
+    * remaining sections merge into it — passing `overwrite` through to
+    * every save (as the reference does) would have each section wipe
+    * the previous one, leaving only delay offsets on disk.
     */
   def saveWorkflowParams(filename: String = "sed_config.yaml",
-      overwrite: Boolean = false): Unit =
+      overwrite: Boolean = false): Unit = {
+    var first = overwrite
     Seq(
-      () => saveSplinewarp(filename, overwrite),
-      () => saveTransformations(filename, overwrite),
-      () => saveMomentumCalibration(filename, overwrite),
-      () => saveEnergyCorrection(filename, overwrite),
-      () => saveEnergyCalibration(filename, overwrite),
-      () => saveEnergyOffset(filename, overwrite),
-      () => saveDelayCalibration(filename, overwrite),
-      () => saveDelayOffsets(filename, overwrite),
+      (o: Boolean) => saveSplinewarp(filename, o),
+      (o: Boolean) => saveTransformations(filename, o),
+      (o: Boolean) => saveMomentumCalibration(filename, o),
+      (o: Boolean) => saveEnergyCorrection(filename, o),
+      (o: Boolean) => saveEnergyCalibration(filename, o),
+      (o: Boolean) => saveEnergyOffset(filename, o),
+      (o: Boolean) => saveDelayCalibration(filename, o),
+      (o: Boolean) => saveDelayOffsets(filename, o),
     ).foreach { m =>
-      try m() catch { case _: IllegalStateException => () }
+      try { m(first); first = false }
+      catch { case _: IllegalStateException => () }
     }
+  }
 
   /** A8 `compute`: transient filters → optional binning-time jitter →
     * sparse histogram → dense cube, with optional normalization by the

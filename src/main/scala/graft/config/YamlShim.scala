@@ -310,6 +310,13 @@ object YamlShim {
       case "true" | "True" | "TRUE"    => F.booleanNode(true)
       case "false" | "False" | "FALSE" => F.booleanNode(false)
       case "null" | "None" | "~"       => F.nullNode()
+      // YAML 1.1/1.2 non-finite floats — [[emit]] writes these forms;
+      // without the cases they'd round-trip as STRINGS whose asDouble()
+      // is silently 0.0
+      case ".nan" | ".NaN" | ".NAN"    => F.numberNode(Double.NaN)
+      case ".inf" | "+.inf" | ".Inf" | "+.Inf" =>
+        F.numberNode(Double.PositiveInfinity)
+      case "-.inf" | "-.Inf"           => F.numberNode(Double.NegativeInfinity)
       case IntRe()                     =>
         // canonicalize to IntNode when in range (Jackson node equality
         // is class-sensitive: IntNode(1) != LongNode(1), and the JSON

@@ -126,12 +126,14 @@ object Warc {
       val headerEnd = indexOfBlankLine(blob, off)
       if (headerEnd < 0) return out.toSeq
       val head = new String(blob, off, headerEnd - off, StandardCharsets.UTF_8)
-      // toLongOption: a malformed length in one record must drop that
-      // record, not NumberFormatException-abort the whole Spark task
+      // toLongOption + non-negative guard: a malformed length in one
+      // record must drop that record, not NumberFormatException-abort
+      // the task (and a NEGATIVE length must not move `end` before
+      // `off` — copyOfRange IllegalArgumentException / infinite loop)
       val len = head.linesIterator.collectFirst {
         case l if l.toLowerCase.startsWith("content-length:") =>
           l.substring(l.indexOf(':') + 1).trim
-      }.flatMap(_.toLongOption).getOrElse(0L)
+      }.flatMap(_.toLongOption).filter(_ >= 0).getOrElse(0L)
       val end = math.min(headerEnd + 4 + len, blob.length.toLong).toInt
       out += java.util.Arrays.copyOfRange(blob, off, end)
       off = end
@@ -165,7 +167,7 @@ object Warc {
     }
     val len = headers.collectFirst {
       case (k, v) if k.equalsIgnoreCase("Content-Length") => v
-    }.flatMap(_.toLongOption)
+    }.flatMap(_.toLongOption).filter(_ >= 0)
       .getOrElse((bytes.length - headerEnd - 4).toLong)
     val start = headerEnd + 4
     val end = math.min(start + len, bytes.length.toLong).toInt
@@ -404,7 +406,16 @@ object Warc {
           if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
             try stream.close() catch { case _: Exception => () }
           }
-          val it = recordIterator(stream)
+          // a corrupt/truncated gzip HEADER throws from the
+          // GZIPInputStream constructor inside recordIterator — one bad
+          // file must degrade to zero records, not abort the job
+          val it =
+            try recordIterator(stream)
+            catch {
+              case _: Exception =>
+                try stream.close() catch { case _: Exception => () }
+                Iterator.empty[Record]
+            }
           new Iterator[Row] {
             def hasNext: Boolean = {
               val h = it.hasNext

@@ -157,6 +157,17 @@ class ExtrasSpec extends SparkSpec {
     val yaml = graft.config.YamlShim.emit(n)
     val back = graft.config.YamlShim.parse(yaml)
     assert(back === n, s"round-trip mismatch; emitted:\n$yaml")
+    // non-finite doubles round-trip as NUMBERS (a NaN from a failed fit
+    // must not silently reload as asDouble()==0.0 via a string node)
+    val nf = graft.config.YamlShim.parse(graft.config.YamlShim.emit(
+      m.readTree("""{"a": "NaN", "b": 1.5}""")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("nan", Double.NaN).put("pinf", Double.PositiveInfinity)
+        .put("ninf", Double.NegativeInfinity)))
+    assert(nf.get("nan").isNumber && nf.get("nan").asDouble().isNaN)
+    assert(nf.get("pinf").asDouble() === Double.PositiveInfinity)
+    assert(nf.get("ninf").asDouble() === Double.NegativeInfinity)
+    assert(nf.get("a").asText() === "NaN") // the STRING "NaN" stays a string
   }
 
   test("YAML emit: the real mpes example config survives a full" +

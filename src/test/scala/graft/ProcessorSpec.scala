@@ -184,6 +184,52 @@ class ProcessorSpec extends SparkSpec {
     assert(p2.energyCalibration.has("creation_date"))
   }
 
+  test("recalibration replaces the stored form: fit→poly reload uses poly;" +
+      " offsets re-run resets the store") {
+    val file = tmpCfg("sed_config.yaml")
+    val p1 = new Processor(spark, base)
+    // fit form first, then the CORRECTED poly calibration
+    p1.appendEnergyAxis("t", Left((1.0e5, -10.0, 1.5)), 2.0, 0)
+    p1.appendEnergyAxis("t", Right(Seq(1.1e-9, -3.2e-6, 4.8e-3)), 2.0, 0,
+      energyOffset = 0.25)
+    assert(!p1.energyCalibration.has("d") && !p1.energyCalibration.has("t0"))
+    // offsets: first attempt superseded by a corrected one
+    p1.addDelayOffsets("t", constant = 0.75, flipDelayAxis = true,
+      columns = Seq("X"), weights = Seq(0.01))
+    p1.addDelayOffsets("t", constant = 0.0, flipDelayAxis = false,
+      columns = Seq("Y"), weights = Seq(0.5))
+    assert(!p1.delayOffsets.has("constant") &&
+      !p1.delayOffsets.has("flip_delay_axis") && !p1.delayOffsets.has("X"))
+    p1.saveEnergyCalibration(file)
+    p1.saveDelayOffsets(file)
+    val cfg = config.SedConfig.load(Seq(file))
+    assert(config.SedConfig.node(cfg, "energy.calibration.d").isEmpty)
+    assert(config.SedConfig.getDoubles(cfg,
+      "energy.calibration.coeffs").length === 3)
+    assert(config.SedConfig.node(cfg, "delay.offsets.X").isEmpty)
+    assert(config.SedConfig.node(cfg, "delay.offsets.Y").isDefined)
+  }
+
+  test("saveWorkflowParams(overwrite=true) keeps every section, not just" +
+      " the last one") {
+    val file = tmpCfg("sed_config.yaml")
+    // pre-existing junk that overwrite must clear
+    config.SedConfig.save(config.SedConfig.parseString(
+      """{"stale": {"junk": 1}}"""), file)
+    val p1 = new Processor(spark, base)
+    p1.appendEnergyAxis("t", Left((1.0e5, -10.0, 0.0)), 4.125e-12, 1)
+    p1.applyMomentumCalibration("X", "Y", 0.0, 0.0, 256.0, 128.0,
+      0.0122, 0.0141, 1.0, 0.5)
+    p1.calibrateDelayAxis("value", (0.0, 500.0),
+      delayRange = Some((-100.0, 200.0)))
+    p1.saveWorkflowParams(file, overwrite = true)
+    val cfg = config.SedConfig.load(Seq(file))
+    assert(config.SedConfig.node(cfg, "stale").isEmpty) // truncated once
+    for (path <- Seq("energy.calibration.d", "momentum.calibration.kx_scale",
+      "delay.calibration.adc_range"))
+      assert(config.SedConfig.node(cfg, path).isDefined, path)
+  }
+
   test("SedConfig.save merge semantics: existing keys survive unless" +
       " overwrite") {
     val file = tmpCfg("sed_config.yaml")

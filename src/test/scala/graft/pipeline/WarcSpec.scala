@@ -77,6 +77,14 @@ class WarcSpec extends SparkSpec {
       gzipPerRecord = false))
     assert(recs.exists(_.targetUri === "https://ex.com/ok"))
     assert(recs.forall(r => r.payload != null))
+    // NEGATIVE length must not move the frame end before its start
+    // (copyOfRange IAE / infinite loop) — frames as length 0 instead
+    val neg = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: -40\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    val recs2 = Warc.parseAll(Warc.encodeBlob(Seq(neg, good),
+      gzipPerRecord = false))
+    assert(recs2.exists(_.targetUri === "https://ex.com/ok"))
+    assert(Warc.parseRecord(neg).payload.length === 0)
   }
 
   test("responses() honors the Content-Type charset parameter") {
@@ -183,6 +191,20 @@ class WarcSpec extends SparkSpec {
       .sortBy(r => (r._1, r._2)).toSeq
     assert(streamed === blobRows)
     assert(streamed.count(_._1 == "response") === 3)
+  }
+
+  test("recordsFromPaths: a corrupt gzip header degrades to zero records," +
+      " not a failed task") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-corrupt").toFile
+    // gzip magic followed by garbage: GZIPInputStream's constructor throws
+    java.nio.file.Files.write(new java.io.File(dir, "bad.warc.gz").toPath,
+      Array[Byte](0x1f, 0x8b.toByte, 99, 1, 2, 3, 4, 5))
+    java.nio.file.Files.write(new java.io.File(dir, "good.warc.gz").toPath,
+      blob(Seq(1), gz = true))
+    val out = Warc.recordsFromPaths(
+      Warc.filesAt(spark, dir.getAbsolutePath + "/*"))
+      .select("warc_type").collect().map(_.getString(0)).sorted.toSeq
+    assert(out === Seq("response", "warcinfo")) // bad file silently empty
   }
 
   test("recordsFromPaths: a multi-hundred-MB segment streams with bounded memory") {
