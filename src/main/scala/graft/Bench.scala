@@ -342,17 +342,21 @@ object Bench {
       out
     }
 
-    // cross-leg sanity: a query CANNOT be slower at 1× than at 10× rows in
-    // steady state — if the 1× leg reads slower, its run was contaminated
-    // in a way the canaries missed (e.g. a spike inside the timed reps
-    // with quiet brackets); re-run the 1× measurement once and keep the
-    // faster of the two
+    // cross-leg sanity: a query CANNOT be meaningfully slower at 1× than
+    // at 10× rows in steady state — if the 1× leg reads >15% slower, its
+    // run was contaminated in a way the canaries missed (e.g. a spike
+    // inside the timed reps with quiet brackets); re-run the 1×
+    // measurement once and keep the faster of the two. The 15% band
+    // exists because fixed-cost-dominated queries (top-k over cached
+    // input, small cubes) time ~equal in both legs and run-to-run noise
+    // flips the sign — only real inversions (r8's 0.53 s vs 0.149 s was
+    // 3.5×) warrant a retry.
     if (x10Results.nonEmpty) {
       val x10ByName = x10Results.map(r => r._1 -> r._2).toMap
       val byName = workloads.toMap
       results = results.map { case q @ (name, sec, _, _) =>
         x10ByName.get(name) match {
-          case Some(sec10) if sec > sec10 =>
+          case Some(sec10) if sec > 1.15 * sec10 =>
             val (sec2, can2, mb2) = timeOne(name, byName(name), reps = 5)
             if (sec2 < sec) (name, sec2, can2, mb2) else q
           case _ => q
