@@ -150,16 +150,31 @@ object CubeIO {
       attrs = Map("default" -> "entry")))
   }
 
-  /** Structural validation against the NXmpes application-definition
-    * skeleton (the checks `pynxtools.convert` enforces for the plottable
-    * part, `sed/io/nexus.py:13-47`): default-chain resolution, NXentry /
+  /** Units pynxtools accepts for the NX unit categories of the axes
+    * NXmpes cubes carry (light mirror of its pint-based category check).
+    */
+  private val AxisUnitCategories: Map[String, Set[String]] = Map(
+    "energy" -> Set("eV", "meV", "keV", "J"),
+    "delay" -> Set("s", "ms", "us", "ns", "ps", "fs", "as"),
+    "kx" -> Set("1/A", "1/angstrom", "1/nm"),
+    "ky" -> Set("1/A", "1/angstrom", "1/nm"),
+  )
+
+  /** Validation against the NXmpes application-definition skeleton (the
+    * checks `pynxtools.convert` enforces for the plottable part,
+    * `sed/io/nexus.py:13-47`): default-chain resolution, NXentry /
     * NXdata classes, `definition = NXmpes`, signal/axes presence, per-
     * axis `<axis>_indices` attrs that are integers in range, axis rank 1
     * and length agreement with the signal dimension they index, and
-    * `units` on every axis. Returns the violations (empty = valid) so
-    * callers choose between failing and reporting.
+    * `units` on every axis. `strict = true` adds the application-
+    * definition requirements beyond the plottable skeleton: `title` and
+    * an ISO-8601 `start_time` on the entry, the NXmpes template group
+    * set (`user`/`instrument`/`sample`/`process` with their NX_class),
+    * and axis-unit CATEGORY agreement (an `energy` axis in 1/A is a
+    * wiring bug pynxtools would reject). Returns the violations (empty =
+    * valid) so callers choose between failing and reporting.
     */
-  def validateNexus(path: String): Seq[String] = {
+  def validateNexus(path: String, strict: Boolean = false): Seq[String] = {
     val errs = scala.collection.mutable.ArrayBuffer[String]()
     val root = Hdf5Minimal.read(path)
     val entryName = root.attrs.getOrElse("default", "entry")
@@ -167,6 +182,31 @@ object CubeIO {
     val entry = root.group(entryName)
     if (!entry.attrs.get("NX_class").contains("NXentry"))
       errs += s"/$entryName@NX_class must be NXentry (got ${entry.attrs.get("NX_class")})"
+    if (strict) {
+      if (!entry.datasets.exists(_.name == "title"))
+        errs += s"/$entryName/title required by NXmpes"
+      entry.datasets.find(_.name == "start_time") match {
+        case None => errs += s"/$entryName/start_time required by NXmpes"
+        case Some(d) => d.data match {
+          case Hdf5Minimal.Str(t) =>
+            try { java.time.OffsetDateTime.parse(t); () }
+            catch { case _: Exception =>
+              errs += s"/$entryName/start_time '$t' is not ISO-8601 (NX_DATE_TIME)"
+            }
+          case other =>
+            errs += s"/$entryName/start_time must be a string (got $other)"
+        }
+      }
+      Seq("user" -> "NXuser", "instrument" -> "NXinstrument",
+        "sample" -> "NXsample", "process" -> "NXprocess").foreach {
+        case (name, cls) =>
+          if (!entry.hasChild(name))
+            errs += s"/$entryName/$name ($cls) group required by NXmpes"
+          else if (!entry.group(name).attrs.get("NX_class").contains(cls))
+            errs += s"/$entryName/$name@NX_class must be $cls " +
+              s"(got ${entry.group(name).attrs.get("NX_class")})"
+      }
+    }
     entry.datasets.find(_.name == "definition") match {
       case None => errs += s"/$entryName/definition dataset missing"
       case Some(d) => d.data match {
@@ -204,6 +244,12 @@ object CubeIO {
               errs += s"$dpath/$n: axis must be 1-D (got rank ${ax.dims.length})"
             if (!ax.attrs.contains("units"))
               errs += s"$dpath/$n@units missing"
+            else if (strict) AxisUnitCategories.get(n).foreach { allowed =>
+              val u = ax.attrs("units")
+              if (!allowed.contains(u))
+                errs += s"$dpath/$n@units '$u' is not a valid unit for " +
+                  s"the $n axis category (expected one of ${allowed.mkString("/")})"
+            }
             data.attrs.get(s"${n}_indices") match {
               case None => errs += s"$dpath@${n}_indices attribute missing"
               case Some(v) => v.toIntOption match {

@@ -46,6 +46,43 @@ class NexusGoldenSpec extends AnyFunSuite {
     assert(CubeIO.validateNexus(goldenTemp) === Seq.empty)
   }
 
+  test("golden fixture passes STRICT application-definition validation;" +
+      " semantic corruptions are named") {
+    assert(CubeIO.validateNexus(goldenTemp, strict = true) === Seq.empty)
+    // corrupt semantically (structure stays valid) and re-validate
+    def corrupt(mutate: Hdf5Minimal.Group => Hdf5Minimal.Group): Seq[String] = {
+      val entry = Hdf5Minimal.read(goldenTemp).group("entry")
+      val out = Files.createTempFile("corrupt", ".nxs").toString
+      Hdf5Minimal.write(out, Hdf5Minimal.Group(
+        subgroups = Seq("entry" -> mutate(entry)),
+        attrs = Map("default" -> "entry")))
+      CubeIO.validateNexus(out, strict = true)
+    }
+    // missing title
+    assert(corrupt(e => e.copy(datasets = e.datasets.filterNot(_.name == "title")))
+      .exists(_.contains("/entry/title required")))
+    // non-ISO start_time
+    assert(corrupt(e => e.copy(datasets = e.datasets.map(d =>
+      if (d.name == "start_time")
+        d.copy(data = Hdf5Minimal.Str("yesterday at noon")) else d)))
+      .exists(_.contains("not ISO-8601")))
+    // missing sample group
+    assert(corrupt(e => e.copy(subgroups = e.subgroups.filterNot(_._1 == "sample")))
+      .exists(_.contains("/entry/sample (NXsample) group required")))
+    // wrong instrument class
+    assert(corrupt(e => e.copy(subgroups = e.subgroups.map { case (n, g) =>
+      if (n == "instrument") n -> g.copy(attrs = g.attrs + ("NX_class" -> "NXcollection"))
+      else n -> g }))
+      .exists(_.contains("instrument@NX_class must be NXinstrument")))
+    // energy axis with momentum units: unit-category violation
+    assert(corrupt(e => e.copy(subgroups = e.subgroups.map { case (n, g) =>
+      if (n == "data") n -> g.copy(datasets = g.datasets.map(d =>
+        if (d.name == "energy") d.copy(attrs = d.attrs + ("units" -> "1/A"))
+        else d))
+      else n -> g }))
+      .exists(_.contains("not a valid unit for the energy axis")))
+  }
+
   test("golden fixture carries the NXmpes template group set") {
     val root = Hdf5Minimal.read(goldenTemp)
     val entry = root.group("entry")
