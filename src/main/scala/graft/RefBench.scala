@@ -132,13 +132,29 @@ object RefBench {
     )
 
     val results = collection.mutable.LinkedHashMap[String, Double]()
+    // per-query canary bracket (same probe as Bench): a single-thread
+    // CPU reference that exposes frequency/contention drift — the 4-D
+    // legs vary up to ~1.8× with box state on byte-identical code
+    // (NOTES.md round-9 RefBench re-runs), so the artifact must carry
+    // the evidence needed to interpret a hot reading
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0.0
+      var i = 0
+      while (i < 20000000) { s += java.lang.Math.sqrt(i.toDouble); i += 1 }
+      if (s < 0) println(s)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaries = collection.mutable.LinkedHashMap[String, Double]()
     workloads.foreach { case (name, run) =>
       run() // untimed warm-up (codegen + C2), as the reference warms once
+      val cBefore = canary()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         run()
         (System.nanoTime() - t0) / 1e9
       }
+      canaries(name) = math.max(cBefore, canary())
       System.err.println(s"[refbench] $name ${times.map(t => f"$t%.2f").mkString(" ")}")
       results(name) = times.min
     }
@@ -154,11 +170,10 @@ object RefBench {
     }
     results("binning_1d_coldscan") = scanT.min
 
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"refbench_total","value":$total,"unit":"sec","queries":$qs,"rows":$n,"cores":$cpus}""")
+    println(s"""{"metric":"refbench_total","value":$total,"unit":"sec","queries":${jmap(results)},"canaries":${jmap(canaries)},"rows":$n,"cores":$cpus}""")
     spark.stop()
   }
 }
