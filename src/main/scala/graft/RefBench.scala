@@ -55,7 +55,8 @@ object RefBench {
       "/tmp/graft_refbench_events")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
       .config("spark.ui.enabled", "false")
       // heap comes from the forked JVM: SPARK_DRIVER_MEM (build.sbt)
       .getOrCreate()
