@@ -228,27 +228,36 @@ object Bench {
       */
     def runSuite(
         ws: Seq[(String, () => Unit)], reps: Int, retries: Int = 2,
-    ): (Seq[(String, Double, Double, Double)], Seq[String]) = {
+    ): (Seq[(String, Double, Double, Double)], Seq[String], Map[String, Int]) = {
       var rs = ws.map { case (name, run) =>
         val (sec, can, mb) = timeOne(name, run, reps)
         (name, sec, can, mb)
       }
       val byName = ws.toMap
+      // per-query re-measurement counts: a best-of retry can silently mask
+      // a load-correlated regression across rounds, so the artifact names
+      // every re-measured query (ADVICE r9) — a reader comparing rounds
+      // knows which numbers are first-attempt and which aren't
+      val retried = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
       for (_ <- 1 to retries) {
         val quiet = rs.map(_._3).min
         rs = rs.map { case q @ (name, _, can, _) =>
           if (can > 1.3 * quiet) {
+            retried(name) += 1
             val (sec2, can2, mb2) = timeOne(name, byName(name), reps)
             if (can2 < can) (name, sec2, can2, mb2) else q
           } else q
         }
       }
       val quiet = rs.map(_._3).min
-      (rs, rs.filter(_._3 > 1.3 * quiet).map(_._1))
+      (rs, rs.filter(_._3 > 1.3 * quiet).map(_._1), retried.toMap)
     }
 
     val canaryBefore = canary()
-    var (results, _) = runSuite(workloads, reps = 5)
+    var (results, _, retried1xCanary) = runSuite(workloads, reps = 5)
+    val retried1x = collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    retried1xCanary.foreach { case (k, v) => retried1x(k) += v }
     val canarySec = math.min(canaryBefore, canary())
 
     // ---- 10× weak-scaling leg ----------------------------------------
@@ -262,7 +271,7 @@ object Bench {
     // rows (identical copies would grow it quadratically and the bench
     // would measure output explosion, not throughput).
     val x10 = sys.env.getOrElse("SPARK_GRAFT_X10", "true").toBoolean
-    val (x10Results, x10Contaminated): (Seq[(String, Double, Double, Double)], Seq[String]) = if (!x10) (Seq.empty, Seq.empty) else {
+    val (x10Results, x10Contaminated, x10Retried): (Seq[(String, Double, Double, Double)], Seq[String], Map[String, Int]) = if (!x10) (Seq.empty, Seq.empty, Map.empty[String, Int]) else {
       val dir = java.nio.file.Files.createTempDirectory("graft_bench_x10").toString
       val copies = explode(sequence(lit(0), lit(9))).as("copy")
       lineitem
@@ -357,6 +366,7 @@ object Bench {
       results = results.map { case q @ (name, sec, _, _) =>
         x10ByName.get(name) match {
           case Some(sec10) if sec > 1.15 * sec10 =>
+            retried1x(name) += 1
             val (sec2, can2, mb2) = timeOne(name, byName(name), reps = 5)
             if (sec2 < sec) (name, sec2, can2, mb2) else q
           case _ => q
@@ -378,11 +388,14 @@ object Bench {
     val total = results.map(_._2).sum
     def jlist(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jretries(m: Map[String, Int]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val x10Part = if (x10Results.isEmpty) "" else {
       val t10 = x10Results.map(_._2).sum
-      s""","x10":{"rows_factor":10,"total_sec":$t10,"queries":${jmap(x10Results, _._2)},"canaries":${jmap(x10Results, _._3)},"shuffle_mb":${jmap(x10Results, _._4)},"contaminated":${jlist(x10Contaminated)}}"""
+      s""","x10":{"rows_factor":10,"total_sec":$t10,"queries":${jmap(x10Results, _._2)},"canaries":${jmap(x10Results, _._3)},"shuffle_mb":${jmap(x10Results, _._4)},"contaminated":${jlist(x10Contaminated)},"retried":${jretries(x10Retried)}}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_sec":$canarySec,"canaries":$cs,"shuffle_mb":$mbs,"contaminated":${jlist(contaminated1x)}$x10Part,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_sec":$canarySec,"canaries":$cs,"shuffle_mb":$mbs,"contaminated":${jlist(contaminated1x)},"retried":${jretries(retried1x.toMap)}$x10Part,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -232,8 +232,15 @@ class Processor(
           if (energyCorrection.has("amplitude2"))
             energyCorrection.get("amplitude2").asDouble()
           else amp
+        // gamma2 defaults to gamma when absent, like amplitude2 := amplitude
+        // (sed/calibrator/energy.py:1246-1247) — a config valid for the
+        // reference must apply here too
+        val gamma2 =
+          if (energyCorrection.has("gamma2"))
+            energyCorrection.get("gamma2").asDouble()
+          else kw("gamma")
         Energy.Correction.lorentzianAsymmetric(_, _, cx, cy, amp, kw("gamma"),
-          amp2, kw("gamma2"))
+          amp2, gamma2)
       case other =>
         throw new IllegalArgumentException(s"Unknown correction type $other")
     }

@@ -17,6 +17,16 @@ import graft.loader.ChannelLoader
   */
 object SparkEntry {
 
+  /** Remove a round-trip query's temp directory (best-effort — a failed
+    * delete must not fail the gate query that already produced its rows).
+    */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Exception => () }
+
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     // The driver's events.parquet has shipped `ts` as both TIMESTAMP(NANOS)
@@ -218,25 +228,30 @@ object SparkEntry {
       val cube = Binning.histogramCube(table(s, dir, "lineitem"),
         Seq(axQty, axDisc))
       val tmp = java.nio.file.Files.createTempDirectory("graft-cube")
-      val h5 = tmp.resolve("cube.h5").toString
-      val tif = tmp.resolve("cube.tif").toString
-      graft.export.CubeIO.writeH5(cube, h5)
-      graft.export.Tiff.writeCube(cube, tif)
-      val back = graft.export.CubeIO.readH5(h5)
-      require(back.shape == cube.shape && back.axisNames == cube.axisNames,
-        "H5 round-trip changed the cube geometry")
-      require(back.axes.zip(cube.axes).forall { case (a, b) =>
-        a.sameElements(b) }, "H5 round-trip changed the axes")
-      val (tdata, nSlices, rows, cols) = graft.export.Tiff.read(tif)
-      require(nSlices == 1 && rows == cube.shape.head &&
-        cols == cube.shape(1) &&
-        tdata.zip(back.data).forall { case (f, l) => f == l.toFloat },
-        "TIFF round-trip diverged from the H5 payload")
-      import s.implicits._
-      val c = cube.shape(1)
-      back.data.zipWithIndex.collect { case (v, i) if v != 0L =>
-        ((i / c).toLong, (i % c).toLong, v)
-      }.toSeq.toDF("bin_l_quantity", "bin_l_discount", "cnt")
+      // the round-trip is driver-side and complete before the DataFrame is
+      // built, so the temp files can be removed in a finally (gate runs
+      // must not accumulate /tmp litter)
+      try {
+        val h5 = tmp.resolve("cube.h5").toString
+        val tif = tmp.resolve("cube.tif").toString
+        graft.export.CubeIO.writeH5(cube, h5)
+        graft.export.Tiff.writeCube(cube, tif)
+        val back = graft.export.CubeIO.readH5(h5)
+        require(back.shape == cube.shape && back.axisNames == cube.axisNames,
+          "H5 round-trip changed the cube geometry")
+        require(back.axes.zip(cube.axes).forall { case (a, b) =>
+          a.sameElements(b) }, "H5 round-trip changed the axes")
+        val (tdata, nSlices, rows, cols) = graft.export.Tiff.read(tif)
+        require(nSlices == 1 && rows == cube.shape.head &&
+          cols == cube.shape(1) &&
+          tdata.zip(back.data).forall { case (f, l) => f == l.toFloat },
+          "TIFF round-trip diverged from the H5 payload")
+        import s.implicits._
+        val c = cube.shape(1)
+        back.data.zipWithIndex.collect { case (v, i) if v != 0L =>
+          ((i / c).toLong, (i % c).toLong, v)
+        }.toSeq.toDF("bin_l_quantity", "bin_l_discount", "cnt")
+      } finally deleteRecursively(tmp)
     }),
     // A7: normalization histogram from the timed table (count × time unit)
     "q_norm_timed" -> ((s, dir) =>
@@ -349,25 +364,30 @@ object SparkEntry {
     // loss in the write/parse cycle (precision, key names, binding-scale
     // sign, mm→ps conversion) breaks the hash
     "q_calib_roundtrip" -> ((s, dir) => {
-      val file = java.nio.file.Files.createTempDirectory("graft-calib")
-        .resolve("sed_config.yaml").toString
-      val src = table(s, dir, "events")
-        .select(col("event_id"), col("value").as("t"), col("value").as("ADC"))
-      val p1 = new Processor(s, src)
-      p1.appendEnergyAxis("t", Left((1.0e6, -1.0e7, 0.5)), binwidth = 2.0,
-        binning = 0, energyScale = "binding")
-      p1.calibrateDelayAxis("ADC", (0.0, 500.0),
-        delayRangeMm = Some((25.0, 25.6)), time0Mm = 25.3)
-      p1.saveWorkflowParams(file)
-      // the instrument constants (binwidth/binning) live in the config's
-      // dataframe section, as in the reference beamtime configs
-      config.SedConfig.save(config.SedConfig.parseString(
-        """{"dataframe": {"tof_binwidth": 2.0, "tof_binning": 0}}"""), file)
-      val p2 = new Processor(s, src,
-        config = config.SedConfig.load(Seq(file)))
-      p2.appendEnergyAxisFromConfig("t")
-      p2.calibrateDelayAxisFromConfig("ADC")
-      p2.dataframe.select("event_id", "energy", "delay")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-calib")
+      // the YAML write/reload completes before the returned plan is built
+      // (config constants embed as literals at apply time), so the temp
+      // dir can be removed in a finally
+      try {
+        val file = tmp.resolve("sed_config.yaml").toString
+        val src = table(s, dir, "events")
+          .select(col("event_id"), col("value").as("t"), col("value").as("ADC"))
+        val p1 = new Processor(s, src)
+        p1.appendEnergyAxis("t", Left((1.0e6, -1.0e7, 0.5)), binwidth = 2.0,
+          binning = 0, energyScale = "binding")
+        p1.calibrateDelayAxis("ADC", (0.0, 500.0),
+          delayRangeMm = Some((25.0, 25.6)), time0Mm = 25.3)
+        p1.saveWorkflowParams(file)
+        // the instrument constants (binwidth/binning) live in the config's
+        // dataframe section, as in the reference beamtime configs
+        config.SedConfig.save(config.SedConfig.parseString(
+          """{"dataframe": {"tof_binwidth": 2.0, "tof_binning": 0}}"""), file)
+        val p2 = new Processor(s, src,
+          config = config.SedConfig.load(Seq(file)))
+        p2.appendEnergyAxisFromConfig("t")
+        p2.calibrateDelayAxisFromConfig("ADC")
+        p2.dataframe.select("event_id", "energy", "delay")
+      } finally deleteRecursively(tmp)
     }),
     // T11/T13 add_offsets with preserve_mean (mean is integer-exact here)
     "q_offset_preserve" -> ((s, dir) =>

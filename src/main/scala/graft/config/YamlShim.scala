@@ -37,8 +37,11 @@ object YamlShim {
     * (and by PyYAML): nested block mappings, scalar/nested sequences as
     * flow lists (`[1, 2]`, `[[a], [b]]`), strings quoted only when a
     * bare scalar would re-parse as something else. Guaranteed
-    * round-trip: `parse(emit(n)) == n` for any tree in the supported
-    * subset (ints, doubles, booleans, nulls, strings, arrays, objects).
+    * round-trip-or-throw: `parse(emit(n)) == n` for any tree in the
+    * supported subset (ints, doubles, booleans, nulls, strings, arrays,
+    * objects) — a string scalar containing a line break (which the
+    * line-oriented [[parse]] could not re-read) fails the emit loudly
+    * instead of silently corrupting the file.
     */
   def emit(node: JsonNode): String = {
     val sb = new StringBuilder
@@ -111,16 +114,33 @@ object YamlShim {
       parts.mkString("{", ", ", "}")
     }
 
+  /** YAML-1.1 boolean-like words: the shim's own [[scalar]] reads them as
+    * strings, but PyYAML `safe_load` turns a bare `yes`/`off` into a bool —
+    * quote them so the emitted file means the same thing to both readers.
+    */
+  private val Yaml11Bools = Set(
+    "yes", "Yes", "YES", "no", "No", "NO",
+    "on", "On", "ON", "off", "Off", "OFF")
+
   /** Single-quote a string whose bare form would re-parse as a number /
     * bool / null / flow collection, or that contains YAML structure
-    * characters.
+    * characters. A string containing a line break is REJECTED: the shim's
+    * line-oriented parser cannot re-read a multi-line quoted scalar, so
+    * emitting one would silently break the `parse(emit(n)) == n`
+    * guarantee that calibration persistence relies on — failing the write
+    * beats corrupting a saved calibration.
     */
   private def quoteIfNeeded(s: String): String = {
+    if (s.exists(c => c == '\n' || c == '\r'))
+      throw new IllegalArgumentException(
+        "YamlShim.emit: string scalars must not contain line breaks " +
+          s"(got ${s.length} chars with a \\n/\\r); flatten the value or " +
+          "store it as a list of lines")
     val needsQuote = s.isEmpty ||
       s != s.trim ||
       "[{&*#'\"%@`!|>".contains(s.head) || s.head == '-' ||
-      s.exists(c => c == '\n' || c == '\r') ||
       s.contains(": ") || s.endsWith(":") || s.contains(" #") ||
+      Yaml11Bools.contains(s) ||
       // flow-list safety: quotes/commas/brackets confuse splitFlow
       s.exists(c => "'\",[]{}".indexOf(c.toInt) >= 0) ||
       (scalar(s) match { case t if t.isTextual && t.textValue() == s => false

@@ -189,8 +189,44 @@ object Curation {
       robotsRules: Option[DataFrame] = None,
       agent: String = "*",
       markdown: Boolean = false,
+  ): DataFrame =
+    ingestResponses(Warc.responses(warcs, binCol), robotsRules, agent, markdown)
+
+  /** [[ingestCrawl]] from a column of FILE PATHS — the 100-TB front door:
+    * each task streams its `.warc(.gz)` segment off the Hadoop
+    * `FileSystem` via [[Warc.recordsFromPaths]] (memory bounded by ONE
+    * record), so multi-GB Common Crawl segments never hit the 2 GB
+    * JVM-array ceiling of the `binaryFile` blob route. Same output schema
+    * and row set as the blob route on the same bytes (WarcSpec pins the
+    * parity). Repartition the path frame across the cluster first —
+    * parallelism is per FILE on this route ([[Warc.filesAt]] lists, the
+    * caller spreads).
+    */
+  def ingestCrawlFromPaths(
+      paths: DataFrame,
+      pathCol: String = "path",
+      robotsRules: Option[DataFrame] = None,
+      agent: String = "*",
+      markdown: Boolean = false,
+  ): DataFrame =
+    ingestResponses(
+      Warc.responsesFromRecords(Warc.recordsFromPaths(paths, pathCol))
+        // the record frame's provenance path would collide with the URL
+        // `path` column the robots stage derives — drop it here (the blob
+        // route never had it, and parity means same columns out)
+        .drop(pathCol),
+      robotsRules, agent, markdown)
+
+  /** Shared back half of both front doors: HTTP 200 / text-html gate,
+    * URL columns, optional robots filter, HTML extraction, language id.
+    */
+  private def ingestResponses(
+      responses: DataFrame,
+      robotsRules: Option[DataFrame],
+      agent: String,
+      markdown: Boolean,
   ): DataFrame = {
-    var resp = Warc.responses(warcs, binCol)
+    var resp = responses
       .filter(col("http_status") === 200 && col("mime") === "text/html")
       .withColumn("url", col("target_uri"))
       .withColumn("domain", UrlOps.hostOf(col("url")))

@@ -267,8 +267,18 @@ object Warc {
     * body)` where `body` is the UTF-8 decoded entity. The WET-style
     * text lake is `responses(df, c).select(Html.extractText($"body"))`.
     */
-  def responses(df: DataFrame, binCol: String): DataFrame = {
-    val recs = records(df, binCol).filter(col("warc_type") === "response")
+  def responses(df: DataFrame, binCol: String): DataFrame =
+    responsesFromRecords(records(df, binCol))
+
+  /** The record-rows → HTTP half of [[responses]], callable on ANY record
+    * frame — [[records]] (blob route) or [[recordsFromPaths]] (the
+    * streaming 100-TB on-ramp) — so the scale ingress composes all the
+    * way to the text lake instead of dead-ending before the HTTP split.
+    * Input must carry `(warc_type, content_type, payload)`; every other
+    * column (e.g. `recordsFromPaths`' `path`) carries through.
+    */
+  def responsesFromRecords(recs0: DataFrame): DataFrame = {
+    val recs = recs0.filter(col("warc_type") === "response")
     val carried = recs.schema.fields
       .filterNot(f => f.name == "payload" || f.name == "warc_type" ||
         f.name == "content_type")

@@ -292,4 +292,61 @@ class WarcSpec extends SparkSpec {
     assert(kept.contains("https://a/2"))
     assert(kept.intersect(Set("https://a/1", "https://b/1")).size === 1)
   }
+
+  test("ingestCrawlFromPaths: path route == blob route, rows, schema and all") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-ingest").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "seg-0.warc.gz").toPath,
+      blob(Seq(1, 2), gz = true))
+    java.nio.file.Files.write(new java.io.File(dir, "seg-1.warc").toPath,
+      blob(Seq(3), gz = false))
+    val robots = Robots.rules(
+      Seq(("ex.com", "User-agent: *\nDisallow: /p/2"))
+        .toDF("domain", "robots"), "robots")
+    val fromPaths = Curation.ingestCrawlFromPaths(
+      Warc.filesAt(spark, dir.getAbsolutePath + "/*"),
+      robotsRules = Some(robots))
+    val fromBlobs = Curation.ingestCrawl(
+      spark.read.format("binaryFile").load(dir.getAbsolutePath + "/*")
+        .select("content"), "content", robotsRules = Some(robots))
+    assert(fromPaths.schema === fromBlobs.schema) // incl. no leaked file path
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("url").collect().map(_.toSeq).toSeq
+    assert(key(fromPaths) === key(fromBlobs))
+    assert(fromPaths.count() === 2) // /p/2 robots-blocked, warcinfo gated
+  }
+
+  test("ingestCrawlFromPaths: the 220 MB streamed segment reaches the text" +
+      " lake and matches the blob route") {
+    // the scale on-ramp end-to-end: a multi-hundred-MB segment must flow
+    // paths → records → HTTP split → HTML extraction without ever
+    // materializing the file (memory stays bounded by one record), and
+    // produce byte-identical text to the 2 GB-capped blob route
+    val f = java.nio.file.Files.createTempFile("big-ingest", ".warc").toFile
+    f.deleteOnExit()
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f), 1 << 20)
+    val filler = "lorem ipsum dolor sit amet " * 3300 // ~89 KB
+    val n = 2500
+    (0 until n).foreach { i =>
+      out.write(Warc.responseRecord(s"https://big.com/p/$i", "d",
+        s"<html><head><title>T$i</title></head><body><p>$i $filler</p></body></html>"))
+    }
+    out.close()
+    assert(f.length() > 200L * 1024 * 1024, s"fixture only ${f.length()} B")
+    // order-insensitive content digest: no 200 MB collect to the driver
+    def digest(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.withColumn("h", xxhash64(col("url"), col("domain"),
+          col("path"), col("title"), col("text"), col("lang")))
+        .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val viaPaths = digest(Curation.ingestCrawlFromPaths(
+      Seq(f.getAbsolutePath).toDF("path")))
+    val viaBlobs = digest(Curation.ingestCrawl(
+      spark.read.format("binaryFile").load(f.getAbsolutePath)
+        .select("content"), "content"))
+    assert(viaPaths._1 === n)
+    assert(viaPaths === viaBlobs)
+    f.delete()
+  }
 }
