@@ -73,6 +73,12 @@ object ScaleProbe {
         timed("minhash_inline", f)(
           pipeline.Dedup.minhashNearDuplicates(df, "text", "doc_id",
             threshold = 0.7, inlineVerify = true).count())
+        // census-routed plan (the user-facing default in Curation): must
+        // track the inline numbers on this clique corpus — census cost
+        // included in the timing
+        timed("minhash_auto", f)(
+          pipeline.Dedup.minhashNearDuplicatesAuto(df, "text", "doc_id",
+            threshold = 0.7).count())
         timed("fuzzy_pairs", f)(
           pipeline.Fuzzy.editSimilarityPairs(
             df.withColumn("t40", substring(col("text"), 1, 40)),

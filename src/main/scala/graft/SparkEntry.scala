@@ -357,6 +357,21 @@ object SparkEntry {
         table(s, dir, "events").select("event_id", "value"),
         "value", "delay", adcRange = (0.0, 500.0),
         delayRangeMm = Some((25.0, 25.6)), time0Mm = 25.3).drop("value")),
+    // T12 add_delay_offset (sed/calibrator/delay.py:207-300 via the actual
+    // Processor operator): calibrated delay axis, then a per-row column
+    // offset with preserve_mean, a constant shift, and flip_delay_axis —
+    // the full T12 semantic stack under one oracle (mirrors
+    // tests/calibrator/test_delay.py:21-219)
+    "q_delay_offsets" -> ((s, dir) => {
+      val src = table(s, dir, "events")
+        .select(col("event_id"), col("value").as("ADC"),
+          (col("event_id") % 7).cast("double").as("bam"))
+      val p = new Processor(s, src)
+      p.calibrateDelayAxis("ADC", (0.0, 500.0), delayRange = Some((-1.0, 2.0)))
+      p.addDelayOffsets(constant = 0.25, flipDelayAxis = true,
+        columns = Seq("bam"), weights = Seq(0.5), preserveMean = Seq(true))
+      p.dataframe.select("event_id", "delay")
+    }),
     // calibration persistence round-trip (sed/core/config.py:175 +
     // processor.py:1386/1779): calibrate → SedConfig.save(yaml) → FRESH
     // Processor seeded only from the reloaded config → apply. The oracle
@@ -824,6 +839,13 @@ object SparkEntry {
       pipeline.Dedup.minhashNearDuplicates(
         table(s, dir, "documents"), "text", "doc_id", threshold = 0.2,
         portable = true, inlineVerify = true)),
+    // census-routed plan selection (the Curation-facing default): on the
+    // sparse documents table the census must route to the default plan
+    // and the output must be the identical pair set — same oracle again
+    "q_minhash_auto" -> ((s, dir) =>
+      pipeline.Dedup.minhashNearDuplicatesAuto(
+        table(s, dir, "documents"), "text", "doc_id", threshold = 0.2,
+        portable = true)),
     // incremental ingestion: near-dup probe of a new batch (odd doc_ids)
     // against a pre-signed corpus (even doc_ids) — the minhashAgainst path
     "q_cross_dedup" -> ((s, dir) => {
@@ -1815,6 +1837,15 @@ object SparkEntry {
       val d1 = Delay.mmToPs(25.6, 25.3)
       s"SELECT event_id, ${d(d0)} + ((value - 0.0) * ${d(d1 - d0)}) / 500.0 AS delay FROM events"
     },
+    "q_delay_offsets" ->
+      """SELECT event_id,
+        | -((((-1.0 + ((ADC - 0.0) * 3.0) / 500.0)
+        |      + 0.5 * bam)
+        |     - 0.5 * (SELECT avg(event_id % 7) FROM events))
+        |    + 0.25) AS delay
+        |FROM (SELECT event_id, value AS ADC,
+        |        CAST(event_id % 7 AS DOUBLE) AS bam FROM events)
+        |""".stripMargin.replace("\n", " "),
     "q_calib_roundtrip" -> {
       import OracleSql.d
       // energy: tof2ev on the binding scale (sign −1), t0 = −1e7
@@ -2159,6 +2190,8 @@ object SparkEntry {
     "q_minhash_pairs" -> OracleSql.minhashPairsSql(
       "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2, seed = 42L),
     "q_minhash_inline" -> OracleSql.minhashPairsSql(
+      "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2, seed = 42L),
+    "q_minhash_auto" -> OracleSql.minhashPairsSql(
       "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2, seed = 42L),
     "q_cross_dedup" -> OracleSql.minhashAgainstSql(
       "documents", k = 5, numHashes = 32, bands = 8, threshold = 0.2,

@@ -73,9 +73,11 @@ object Curation {
       gopher: Boolean = true,
       dropExact: Boolean = true,
       nearDupThreshold: Option[Double] = None,
-      // clique-robust LSH plan for duplicate-heavy corpora (mirror
-      // lakes, version stacks) — see Dedup.minhashNearDuplicates
-      nearDupInlineVerify: Boolean = false,
+      // LSH physical plan: "auto" (default — a one-agg census routes
+      // duplicate-heavy corpora to the clique-robust inline plan before
+      // the sparse plan's pair exchanges cliff), "default", or "inline";
+      // see Dedup.minhashNearDuplicatesAuto
+      nearDupPlan: String = "auto",
       sentenceCensor: Boolean = false,
       dsirTargetExpr: Option[String] = None,
       dsirKeepN: Option[Int] = None,
@@ -138,7 +140,7 @@ object Curation {
     cfg.nearDupThreshold.foreach { th =>
       cur = step("near_dedup",
         Dedup.dropNearDuplicates(cur, textCol, idCol, threshold = th,
-          inlineVerify = cfg.nearDupInlineVerify))
+          plan = cfg.nearDupPlan))
     }
     if (cfg.sentenceCensor) {
       // cross-doc boilerplate sentences drop; rebuilt text replaces the

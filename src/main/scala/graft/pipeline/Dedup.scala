@@ -355,6 +355,103 @@ object Dedup {
     }
   }
 
+  /** One-agg bucket-size census over the LSH band table: estimated
+    * `(docs, pairMass)` where `pairMass = Σ_buckets n·(n−1)/2` counts the
+    * PRE-distinct candidate pairs the default [[minhashNearDuplicates]]
+    * plan would shuffle — the quantity that cliffs on duplicate-heavy
+    * corpora (ScaleProbe `pairs64`: 11.4 GB / 457 s at pairMass ≈ 250×
+    * docs, vs 764 MB / 79.7 s for the inline plan).
+    *
+    * Cost: one signature map pass + a `(band_idx, band_hash)` partial
+    * aggregate whose shuffle is the DISTINCT bucket set only (ids are
+    * pruned before the exchange). At 100 TB set `fraction < 1` to census
+    * a deterministic doc sample instead: `E[sampled pairs] = fraction² ×
+    * pairs`, so both estimates rescale exactly in expectation and the
+    * census pass touches `fraction` of the corpus.
+    */
+  def minhashPairMassCensus(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      seed: Long = 42L,
+      portable: Boolean = false,
+      fraction: Double = 1.0,
+  ): (Double, Double) = {
+    require(fraction > 0.0 && fraction <= 1.0, "fraction must be in (0, 1]")
+    val base =
+      if (fraction >= 1.0) df
+      else df.sample(withReplacement = false, fraction, seed)
+    val sigs = minhashSignatures(base, textCol, idCol, k, numHashes, seed,
+      portable)
+    val row = minhashBands(sigs, numHashes, bands)
+      .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("n"))
+      .agg(
+        // each doc contributes exactly one row per band
+        (sum(col("n")).cast("double") / bands).as("docs"),
+        coalesce(sum(col("n").cast("double") * (col("n") - 1) / 2.0),
+          lit(0.0)).as("pair_mass"))
+      .collect()(0)
+    val docs = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    (docs / fraction, row.getDouble(1) / (fraction * fraction))
+  }
+
+  /** The plan rule [[minhashNearDuplicatesAuto]] encodes (previously
+    * NOTES-file folklore): route to the inline-verify plan when the
+    * census's pre-distinct pair mass exceeds `pairMassPerDoc × docs`.
+    *
+    * Derivation of the default: the default plan's extra cost over inline
+    * is the pair-keyed exchanges, ≈ 24 B × pairMass through the distinct
+    * plus ~(8·numHashes) B per verified pair through the sig-attach
+    * joins; inline's extra cost is signatures riding the band exchange,
+    * ≈ 8·numHashes B × bands × docs. With the defaults (32 hashes,
+    * 8 bands) the crossover sits near pairMass ≈ 40–70 × docs; the ×16
+    * rehearsal point (pairMass ≈ 66 × docs) already measured inline
+    * faster (7.0 s vs 11.4 s), so the default threshold is set a notch
+    * below at 32 — sparse web corpora (pairMass a small multiple of docs)
+    * keep the 24 B/row band exchange, duplicate-heavy lakes route inline
+    * well before the cliff.
+    */
+  def minhashPreferInline(
+      docs: Double, pairMass: Double, pairMassPerDoc: Double = 32.0,
+  ): Boolean = pairMass > pairMassPerDoc * docs
+
+  /** [[minhashNearDuplicates]] with the physical plan chosen from data,
+    * not folklore: a one-agg bucket-size census ([[minhashPairMassCensus]])
+    * estimates the pre-distinct candidate-pair mass, and the
+    * [[minhashPreferInline]] rule routes duplicate-heavy corpora to the
+    * clique-robust inline plan before the default plan's pair-keyed
+    * exchanges cliff. Output is identical either way (parity is
+    * plan-pinned in PipelineSpec); the census costs one extra signature
+    * pass — bound it with `censusFraction` on huge corpora.
+    */
+  def minhashNearDuplicatesAuto(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      portable: Boolean = false,
+      pairMassPerDoc: Double = 32.0,
+      censusFraction: Double = 1.0,
+  ): DataFrame = {
+    val (docs, pairMass) = minhashPairMassCensus(df, textCol, idCol, k,
+      numHashes, bands, seed, portable, censusFraction)
+    val inline = minhashPreferInline(docs, pairMass, pairMassPerDoc)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      f"minhash auto-plan: docs≈$docs%.0f, pre-distinct pair mass≈" +
+        f"$pairMass%.0f (${pairMass / math.max(docs, 1.0)}%.1f per doc) → " +
+        (if (inline) "inline-verify plan (duplicate-heavy)"
+         else "default sparse plan"))
+    minhashNearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold,
+      seed, portable, inlineVerify = inline)
+  }
+
   /** Incremental near-dup matching: candidate pairs between a NEW batch
     * and an EXISTING corpus's precomputed signature table
     * ([[minhashSignatures]]) — the daily-crawl-increment shape, where
@@ -987,15 +1084,34 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       inlineVerify: Boolean = false,
+      plan: String = "",
   ): DataFrame = {
-    val pairs = minhashNearDuplicates(df, textCol, idCol,
-      numHashes = numHashes, bands = bands, threshold = threshold,
-      inlineVerify = inlineVerify)
+    val pairs = pairsForPlan(df, textCol, idCol, threshold, numHashes, bands,
+      if (plan.nonEmpty) plan else if (inlineVerify) "inline" else "default")
     val labels = connectedComponents(pairs)
     val losers = snapshotAndFree(
       labels.filter(col("id") =!= col("label")).select(col("id").as(idCol)),
       labels)
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Pair generation for a named plan: `"default"` (sparse band
+    * exchange), `"inline"` (clique-robust inline verification), or
+    * `"auto"` (census-routed, [[minhashNearDuplicatesAuto]]).
+    */
+  private def pairsForPlan(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      numHashes: Int, bands: Int, plan: String,
+  ): DataFrame = plan match {
+    case "default" => minhashNearDuplicates(df, textCol, idCol,
+      numHashes = numHashes, bands = bands, threshold = threshold)
+    case "inline" => minhashNearDuplicates(df, textCol, idCol,
+      numHashes = numHashes, bands = bands, threshold = threshold,
+      inlineVerify = true)
+    case "auto" => minhashNearDuplicatesAuto(df, textCol, idCol,
+      numHashes = numHashes, bands = bands, threshold = threshold)
+    case other => throw new IllegalArgumentException(
+      s"unknown minhash plan '$other' (expected default | inline | auto)")
   }
 
   /** Near-duplicate removal keeping the BEST-scoring member of each
@@ -1018,10 +1134,10 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       inlineVerify: Boolean = false,
+      plan: String = "",
   ): DataFrame = {
-    val pairs = minhashNearDuplicates(df, textCol, idCol,
-      numHashes = numHashes, bands = bands, threshold = threshold,
-      inlineVerify = inlineVerify)
+    val pairs = pairsForPlan(df, textCol, idCol, threshold, numHashes, bands,
+      if (plan.nonEmpty) plan else if (inlineVerify) "inline" else "default")
     val cc = connectedComponents(pairs)
     val labels = snapshotAndFree(cc, cc).withColumnRenamed("id", idCol)
     val ranked = df.join(labels, Seq(idCol), "left")

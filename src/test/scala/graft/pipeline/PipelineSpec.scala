@@ -74,6 +74,66 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), plan) // no pair distinct
   }
 
+  test("minhash pair-mass census: exact on cliques, sample-rescaled") {
+    // 6 base docs × 8 identical copies: every copy-clique agrees in all
+    // bands, so pairMass = bands × Σ 8·7/2 = 8 × 6 × 28
+    val clique = docs.withColumn("copy", explode(sequence(lit(0), lit(7))))
+      .select((col("doc_id") * 100 + col("copy")).as("doc_id"), col("text"))
+    val (d, pm) = Dedup.minhashPairMassCensus(clique, "text", "doc_id")
+    assert(d === 48.0)
+    // identical copies contribute 8×28 per base doc; the near-dup base
+    // pairs (0-1 identical, 0-2/1-2 close) add cross-clique mass on top
+    assert(pm >= 8 * 6 * 28.0)
+    // sampled census rescales: same corpus, fraction=0.5 → docs estimate
+    // within a loose band (deterministic seed, exact equality not owed)
+    val (ds, _) = Dedup.minhashPairMassCensus(clique, "text", "doc_id",
+      fraction = 0.5)
+    assert(ds > 20 && ds < 90, s"sampled docs estimate $ds")
+  }
+
+  test("minhash auto plan routes a clique corpus to the inline shape," +
+      " identical output") {
+    val clique = docs.withColumn("copy", explode(sequence(lit(0), lit(7))))
+      .select((col("doc_id") * 100 + col("copy")).as("doc_id"),
+        concat_ws(" ", col("text"), concat(lit("t"), col("copy"))).as("text"))
+    val (d, pm) = Dedup.minhashPairMassCensus(clique, "text", "doc_id")
+    assert(Dedup.minhashPreferInline(d, pm)) // ≈186 pre-distinct pairs/doc
+    val auto = Dedup.minhashNearDuplicatesAuto(clique, "text", "doc_id",
+      threshold = 0.5)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(norm(auto) === norm(Dedup.minhashNearDuplicates(clique, "text",
+      "doc_id", threshold = 0.5)))
+    // plan-pinned: the routed plan is the inline shape — exactly one
+    // (band-keyed) join, no pair-distinct HashAggregate
+    auto.collect()
+    val plan = auto.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(plan.split("Join").length - 1 === 1, plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
+  test("minhash auto plan keeps a sparse corpus on the default shape") {
+    val (d, pm) = Dedup.minhashPairMassCensus(docs, "text", "doc_id")
+    assert(!Dedup.minhashPreferInline(d, pm)) // few pairs per doc
+    val auto = Dedup.minhashNearDuplicatesAuto(docs, "text", "doc_id",
+      threshold = 0.5)
+    auto.collect()
+    val plan = auto.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    // default shape: candidate distinct (HashAggregate) + two sig-attach
+    // joins on top of the band-keyed join
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.split("Join").length - 1 === 3, plan)
+  }
+
   test("simhash: identical docs distance 0, near dups close, unrelated far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
