@@ -132,7 +132,6 @@ object RefBench {
       "workflow_4d" -> (() => exec(Binning.histogram(chain(events), ax4dWf))),
     )
 
-    val results = collection.mutable.LinkedHashMap[String, Double]()
     // per-query canary bracket (same probe as Bench): a single-thread
     // CPU reference that exposes frequency/contention drift — the 4-D
     // legs vary up to ~1.8× with box state on byte-identical code
@@ -146,19 +145,46 @@ object RefBench {
       if (s < 0) println(s)
       (System.nanoTime() - t0) / 1e9
     }
-    val canaries = collection.mutable.LinkedHashMap[String, Double]()
-    workloads.foreach { case (name, run) =>
-      run() // untimed warm-up (codegen + C2), as the reference warms once
+    /** Warm-up (once per distinct plan) + min-of-`reps` + canary pair. */
+    val warmed = collection.mutable.Set[String]()
+    def timeOne(name: String, run: () => Unit): (Double, Double) = {
+      if (warmed.add(name)) run() // codegen + C2, as the reference warms once
       val cBefore = canary()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         run()
         (System.nanoTime() - t0) / 1e9
       }
-      canaries(name) = math.max(cBefore, canary())
       System.err.println(s"[refbench] $name ${times.map(t => f"$t%.2f").mkString(" ")}")
-      results(name) = times.min
+      (times.min, math.max(cBefore, canary()))
     }
+    // self-healing pass (the same contract as Bench's runSuite): queries
+    // whose canary pair reads > 1.3× the suite-quiet minimum re-run up to
+    // 2 rounds keeping the quietest attempt; anything still hot is named
+    // in `contaminated`, and every re-measured query in `retried` — note
+    // the CPU canary cannot flag memory-bandwidth/shuffle-IO weather (the
+    // 4-D legs' known variance), so totals still compare across runs only
+    var rs = workloads.map { case (name, run) =>
+      val (sec, can) = timeOne(name, run)
+      (name, sec, can)
+    }
+    val byName = workloads.toMap
+    val retried = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (_ <- 1 to 2) {
+      val quiet = rs.map(_._3).min
+      rs = rs.map { case q @ (name, _, can) =>
+        if (can > 1.3 * quiet) {
+          retried(name) += 1
+          val (sec2, can2) = timeOne(name, byName(name))
+          if (can2 < can) (name, sec2, can2) else q
+        } else q
+      }
+    }
+    val quietMin = rs.map(_._3).min
+    val contaminated = rs.filter(_._3 > 1.3 * quietMin).map(_._1)
+    val results = collection.mutable.LinkedHashMap[String, Double]()
+    val canaries = collection.mutable.LinkedHashMap[String, Double]()
+    rs.foreach { case (n, sec, can) => results(n) = sec; canaries(n) = can }
 
     // cold(ish)-scan variant: same 1-D histogram over a parquet copy
     val fs = new java.io.File(scanDir)
@@ -174,7 +200,10 @@ object RefBench {
     def jmap(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"refbench_total","value":$total,"unit":"sec","queries":${jmap(results)},"canaries":${jmap(canaries)},"rows":$n,"cores":$cpus}""")
+    val contJ = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retrJ = retried.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"refbench_total","value":$total,"unit":"sec","queries":${jmap(results)},"canaries":${jmap(canaries)},"contaminated":$contJ,"retried":$retrJ,"rows":$n,"cores":$cpus}""")
     spark.stop()
   }
 }

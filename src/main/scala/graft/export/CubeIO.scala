@@ -42,11 +42,31 @@ object CubeIO {
     * hold the bin-center coordinates with a `name` attribute, and any
     * remaining cube attrs ride on a `metadata` group.
     */
-  def writeH5(cube: BinnedCube, path: String): Unit = {
+  def writeH5(cube: BinnedCube, path: String): Unit =
+    writeH5(cube, path, compress = false)
+
+  /** [[writeH5]] with an optional chunked+gzip payload (h5py
+    * `chunks=..., compression="gzip"`): count cubes are mostly sparse,
+    * so a large export compresses heavily and h5py consumers can read it
+    * slice-at-a-time instead of as one contiguous blob. Chunks split the
+    * FIRST axis (row-major slabs — the natural slice direction), sized
+    * ≤ ~1 MiB each.
+    */
+  def writeH5(cube: BinnedCube, path: String, compress: Boolean): Unit = {
+    val shape = cube.shape.map(_.toLong)
+    val chunk: Option[Seq[Long]] =
+      if (!compress) None
+      else {
+        val sliceElems = shape.tail.product.max(1L)
+        val rows = math.max(1L, math.min(shape.head, (1L << 17) / sliceElems))
+        Some(rows +: shape.tail)
+      }
     val binned = Hdf5Minimal.Group(datasets = Seq(
       Hdf5Minimal.Dataset("BinnedData", Hdf5Minimal.I64(cube.data),
         attrs = cube.attrs.view.filterKeys(Set("units", "long_name")).toMap,
-        shape = Some(cube.shape.map(_.toLong)))))
+        shape = Some(shape),
+        chunkDims = chunk,
+        deflateLevel = if (compress) Some(6) else None)))
     val axes = Hdf5Minimal.Group(datasets =
       cube.axisNames.zip(cube.axes).zipWithIndex.map { case ((n, c), i) =>
         Hdf5Minimal.Dataset(s"ax$i", Hdf5Minimal.F64(c), Map("name" -> n))

@@ -85,16 +85,35 @@ object Hdf5Minimal {
       throw new UnsupportedOperationException("string dataset has no numeric view")
   }
 
-  /** A dataset: `shape` defaults to 1-D; N-D data is row-major flat. */
+  /** A dataset: `shape` defaults to 1-D; N-D data is row-major flat.
+    *
+    * `chunkDims` switches the on-disk layout from contiguous to v3
+    * chunked (v1 chunk B-tree — the layout h5py writes with `chunks=`);
+    * `deflateLevel` adds a gzip filter pipeline on top (h5py
+    * `compression="gzip", compression_opts=level`), so large exported
+    * cubes compress and stream chunk-at-a-time instead of shipping as
+    * one contiguous blob.
+    */
   final case class Dataset(
       name: String,
       data: Hdf5Data,
       attrs: Map[String, String] = Map.empty,
       shape: Option[Seq[Long]] = None,
+      chunkDims: Option[Seq[Long]] = None,
+      deflateLevel: Option[Int] = None,
   ) {
     def dims: Seq[Long] = shape.getOrElse(Seq(data.length.toLong))
     require(dims.product == data.length.toLong,
       s"dataset $name: shape ${dims.mkString("x")} != ${data.length} values")
+    require(chunkDims.forall(cd => cd.length == dims.length && cd.forall(_ > 0)),
+      s"dataset $name: chunk dims must match rank ${dims.length} and be positive")
+    require(deflateLevel.isEmpty || chunkDims.nonEmpty,
+      s"dataset $name: deflate requires a chunked layout (HDF5 filters " +
+        "apply per chunk)")
+    require(deflateLevel.forall(l => l >= 0 && l <= 9),
+      s"dataset $name: deflate level must be 0-9")
+    require(chunkDims.isEmpty || !data.isInstanceOf[Str],
+      s"dataset $name: string datasets are contiguous-only")
   }
 
   /** A group: named child datasets and subgroups. */
@@ -268,8 +287,14 @@ object Hdf5Minimal {
     b.array()
   }
 
-  /** Emit one dataset (header + contiguous raw data); returns header addr. */
-  private def writeDataset(out: Out, d: Dataset): Long = {
+  /** Emit one dataset (header + data, contiguous or chunked); returns
+    * header addr.
+    */
+  private def writeDataset(out: Out, d: Dataset): Long =
+    if (d.chunkDims.isDefined) writeChunkedDataset(out, d)
+    else writeContiguousDataset(out, d)
+
+  private def writeContiguousDataset(out: Out, d: Dataset): Long = {
     val raw = rawBytes(d.data)
     val dsBody = d.data match {
       case _: Str => scalarDataspaceBody
@@ -294,6 +319,168 @@ object Hdf5Minimal {
     out.bytes(raw)
     out.padTo8()
     out.patch64(hdrAddr.toInt + layoutAddrOff, dataAddr)
+    hdrAddr
+  }
+
+  /** Emit one v3-chunked dataset: object header (layout class 2 +
+    * optional deflate filter pipeline), full-size chunks in row-major
+    * grid order (edge chunks zero-filled past the dataspace, as libhdf5
+    * stores them), then a v1 chunk B-tree — one leaf when the grid fits
+    * 64 entries, one internal level above row-grouped leaves otherwise
+    * (≤ 64 × 64 = 4096 chunks; the cube-export shapes this writer serves
+    * stay far below that). Nodes are zero-padded to the full 2K = 64
+    * capacity libhdf5 computes from its default indexed-storage K = 32,
+    * keys follow the spec (stored size, filter mask, element offsets,
+    * final beyond-end key), so h5py reads these files with plain
+    * `f[name][...]`.
+    */
+  private def writeChunkedDataset(out: Out, d: Dataset): Long = {
+    val dims = d.dims
+    val rank = dims.length
+    val cdims = d.chunkDims.get
+    val ndims = rank + 1
+    val elemSize = d.data match {
+      case _: F64 | _: I64 => 8
+      case _               => 4
+    }
+    val raw = rawBytes(d.data)
+
+    val dsBody = ndDataspaceBody(dims)
+    val dtBody = dtypeBody(d.data)
+    val layout = {
+      val b = ByteBuffer.allocate(3 + 8 + 4 * ndims)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(2.toByte) // version 3, chunked
+      b.put(ndims.toByte)
+      b.putLong(0L) // B-tree address, patched below
+      cdims.foreach(c => b.putInt(c.toInt))
+      b.putInt(elemSize)
+      b.array()
+    }
+    // v1 filter-pipeline message: one gzip entry, client data = [level]
+    val filterMsg = d.deflateLevel.map { level =>
+      val b = ByteBuffer.allocate(8 + 8 + 4 + 4).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(1.toByte); b.putShort(0); b.putInt(0) // v1 header
+      b.putShort(1) // filter id: deflate
+      b.putShort(0) // name length (standard filters carry none)
+      b.putShort(0) // flags
+      b.putShort(1) // one client data value
+      b.putInt(level)
+      b.putInt(0) // pad to even client-value count
+      Msg(0x000B, b.array())
+    }
+    val btreeAddrOff = 16 + (8 + pad8(dsBody.length)) + (8 + pad8(dtBody.length)) + 8 + 3
+    val hdrAddr = writeObjectHeader(out,
+      Seq(Msg(0x0001, dsBody), Msg(0x0003, dtBody), Msg(0x0008, layout)) ++
+        filterMsg.toSeq ++
+        d.attrs.toSeq.sortBy(_._1).map { case (k, v) => Msg(0x000C, attrBody(k, v)) })
+    out.padTo8()
+
+    // chunk grid, row-major — B-tree keys must sort ascending by offset
+    val counts = dims.zip(cdims).map { case (n, c) => (n + c - 1) / c }
+    val nChunks = counts.product
+    require(nChunks <= 64L * 64L,
+      s"dataset ${d.name}: $nChunks chunks exceed the minimal writer's " +
+        "two-level B-tree (use larger chunk dims)")
+    val chunkBytes = (cdims.product * elemSize).toInt
+    val fullStride = dims.scanRight(1L)(_ * _).tail // element strides, dataspace
+    val chunkStride = cdims.scanRight(1L)(_ * _).tail // element strides, chunk
+
+    def gather(offs: Seq[Long]): Array[Byte] = {
+      val cb = new Array[Byte](chunkBytes) // zero fill beyond the edge
+      def rec(dim: Int, fullIdx: Long, chunkIdx: Long): Unit = {
+        val run = math.min(cdims(dim), dims(dim) - offs(dim))
+        if (run <= 0) return
+        if (dim == rank - 1)
+          System.arraycopy(raw, ((fullIdx + offs(dim)) * elemSize).toInt,
+            cb, (chunkIdx * elemSize).toInt, (run * elemSize).toInt)
+        else {
+          var c = 0L
+          while (c < run) {
+            rec(dim + 1, fullIdx + (offs(dim) + c) * fullStride(dim),
+              chunkIdx + c * chunkStride(dim))
+            c += 1
+          }
+        }
+      }
+      rec(0, 0L, 0L)
+      cb
+    }
+
+    def deflate(b: Array[Byte], level: Int): Array[Byte] = {
+      val df = new java.util.zip.Deflater(level)
+      df.setInput(b); df.finish()
+      val acc = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+      val tmp = new Array[Byte](8192)
+      while (!df.finished()) acc.write(tmp, 0, df.deflate(tmp))
+      df.end()
+      acc.toByteArray
+    }
+
+    // chunk payloads, grid order
+    final case class ChunkRef(offs: Seq[Long], addr: Long, stored: Int)
+    val grid = counts.foldLeft(Seq(Seq.empty[Long])) { (acc, c) =>
+      acc.flatMap(pre => (0L until c).map(i => pre :+ i))
+    }
+    val chunks = grid.map { gpos =>
+      val offs = gpos.zip(cdims).map { case (g, c) => g * c }
+      val stored = d.deflateLevel
+        .map(l => deflate(gather(offs), l)).getOrElse(gather(offs))
+      val addr = out.pos.toLong
+      out.bytes(stored)
+      out.padTo8()
+      ChunkRef(offs, addr, stored.length)
+    }
+
+    // keys: (stored size, filter mask 0, element offsets + trailing 0);
+    // the beyond-end key is the grid-aligned dataspace bound
+    val keySize = 8 + 8 * ndims
+    val nodeCap = 64 // 2K for libhdf5's default indexed-storage K = 32
+    val nodeSize = 24 + nodeCap * (keySize + 8) + keySize
+    def putKey(stored: Int, offs: Seq[Long]): Unit = {
+      out.u32(stored.toLong); out.u32(0)
+      offs.foreach(out.u64)
+      out.u64(0L) // the element-size dimension offset is always 0
+    }
+    val beyondEnd = counts.zip(cdims).map { case (n, c) => n * c }
+    def writeNode(
+        level: Int, entries: Seq[(ChunkRef, Long)], nextKey: Seq[Long],
+        left: Long, right: Long,
+    ): Long = {
+      val addr = out.pos.toLong
+      out.bytes("TREE".getBytes("US-ASCII"))
+      out.u8(1); out.u8(level)
+      out.u16(entries.length)
+      out.u64(left); out.u64(right)
+      entries.foreach { case (c, child) =>
+        putKey(c.stored, c.offs)
+        out.u64(child)
+      }
+      putKey(0, nextKey)
+      out.zeros(nodeSize - (out.pos - addr.toInt))
+      addr
+    }
+    val btreeAddr =
+      if (chunks.length <= nodeCap)
+        writeNode(0, chunks.map(c => (c, c.addr)), beyondEnd, Undef, Undef)
+      else {
+        val groups = chunks.grouped(nodeCap).toSeq
+        // leaf addresses are computable up front (fixed node size), so
+        // sibling links can chain without patching
+        val base = out.pos.toLong
+        val leafAddrs = groups.indices.map(i => base + i.toLong * nodeSize)
+        groups.zipWithIndex.foreach { case (g, i) =>
+          val nextKey =
+            if (i + 1 < groups.length) groups(i + 1).head.offs else beyondEnd
+          writeNode(0, g.map(c => (c, c.addr)), nextKey,
+            if (i == 0) Undef else leafAddrs(i - 1),
+            if (i + 1 < groups.length) leafAddrs(i + 1) else Undef)
+        }
+        writeNode(1,
+          groups.zip(leafAddrs).map { case (g, a) => (g.head, a) },
+          beyondEnd, Undef, Undef)
+      }
+    out.patch64(hdrAddr.toInt + btreeAddrOff, btreeAddr)
     hdrAddr
   }
 

@@ -65,6 +65,59 @@ class Hdf5Spec extends SparkSpec {
     assert(back.dataset("axes/ax1").data.asDoubles.toSeq === Seq(0.0, 0.5, 1.0))
   }
 
+  test("hdf5: chunked+deflate write round-trips through the reader," +
+      " including edge chunks and a two-level B-tree") {
+    // 7×5×3 cube, 2×2×2 chunks → 4×3×2 = 24 chunks (single leaf) with
+    // clipped edges on every axis
+    val data = (0 until 105).map(i => (i * 37 % 101).toLong).toArray
+    val d1 = Dataset("chunked", I64(data), Map("units" -> "counts"),
+      shape = Some(Seq(7L, 5L, 3L)), chunkDims = Some(Seq(2L, 2L, 2L)),
+      deflateLevel = Some(6))
+    val back1 = parse(writeBytes(Group(datasets = Seq(d1))))
+      .dataset("chunked")
+    assert(back1.dims === Seq(7L, 5L, 3L))
+    assert(back1.data.asLongs.toSeq === data.toSeq)
+    assert(back1.attrs("units") === "counts")
+    // uncompressed chunked (layout only, no filter pipeline)
+    val d2 = Dataset("plain", F64(data.map(_.toDouble)),
+      shape = Some(Seq(105L)), chunkDims = Some(Seq(10L)))
+    val back2 = parse(writeBytes(Group(datasets = Seq(d2)))).dataset("plain")
+    assert(back2.data.asDoubles.toSeq === data.map(_.toDouble).toSeq)
+    // > 64 chunks exercises the internal level: 1-D 300 elems, chunk 4
+    // → 75 leaves-entries → 2 leaf nodes + 1 internal node
+    val big = (0 until 300).map(_.toLong * 3).toArray
+    val d3 = Dataset("deep", I64(big), shape = Some(Seq(300L)),
+      chunkDims = Some(Seq(4L)), deflateLevel = Some(1))
+    val back3 = parse(writeBytes(Group(datasets = Seq(d3)))).dataset("deep")
+    assert(back3.data.asLongs.toSeq === big.toSeq)
+    // compression actually engages: a compressible cube shrinks on disk
+    val zeros = Dataset("z", I64(new Array[Long](4096)),
+      shape = Some(Seq(4096L)), chunkDims = Some(Seq(4096L)),
+      deflateLevel = Some(6))
+    val plain = Dataset("z", I64(new Array[Long](4096)),
+      shape = Some(Seq(4096L)))
+    assert(writeBytes(Group(datasets = Seq(zeros))).length <
+      writeBytes(Group(datasets = Seq(plain))).length / 4)
+  }
+
+  test("hdf5: CubeIO compressed cube export reloads identically") {
+    val cube = graft.binning.BinnedCube(
+      data = (1L to 24L).toArray,
+      shape = Seq(2, 3, 4),
+      axisNames = Seq("kx", "ky", "energy"),
+      axes = Seq(Array(0.0, 1.0), Array(0.0, 0.5, 1.0),
+        Array(1.0, 2.0, 3.0, 4.0)),
+      attrs = Map("units" -> "counts"))
+    val tmp = Files.createTempDirectory("h5z")
+    val p = tmp.resolve("cube.h5").toString
+    graft.export.CubeIO.writeH5(cube, p, compress = true)
+    val back = graft.export.CubeIO.readH5(p)
+    assert(back.shape === cube.shape)
+    assert(back.data.toSeq === cube.data.toSeq)
+    assert(back.axisNames === cube.axisNames)
+    assert(back.axes.zip(cube.axes).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("hdf5: unsupported features fail loudly, not silently") {
     val bytes = writeBytes(Group(datasets = Seq(
       Dataset("d", F64(Array(1.0))))))
