@@ -60,9 +60,146 @@ object ScaleProbe {
       println(f"SCALE $name%-16s x$f%-3d $sec%8.2f s  rows=$rows%-12d shuffle=$mb%10.2f MB")
     }
 
+    val factors = sys.env.get("SPARK_GRAFT_FACTORS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16, 64))
+
+    // "index64": the batch-index family — Ivf.searchAll / searchAllPq /
+    // TextIndex.searchAll at growing corpus × query-batch scale. The
+    // pair-mass-shaped risk here is candidate fan-out per query: with a
+    // FIXED centroid count, avg postings-list size grows with the corpus
+    // and total candidates grow f² (corpus f × queries f); the scale rule
+    // is k ≈ √N centroids (fan-out then grows f^1.5 total, f^0.5 per
+    // query) — both variants are measured so the cliff and its fix carry
+    // numbers. Query batch = 64·f vectors / queries.
+    if (args.contains("index64")) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val docsB = spark.read.parquet(s"$dir/documents.parquet")
+      factors.foreach { f =>
+        val corpus = emb
+          .withColumn("copy", explode(sequence(lit(0), lit(f - 1))))
+          .select((col("vec_id") * 64 + col("copy")).as("vec_id"),
+            transform(col("embedding"),
+              x => x + col("copy").cast("float") * lit(0.003f)).as("embedding"))
+          .cache()
+        val n = corpus.count()
+        val qn = 64 * f
+        val queries = corpus.filter(col("vec_id") % lit(math.max(1L, n / qn)) === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          .cache()
+        val nq = queries.count()
+        println(s"-- factor $f: $n vectors, $nq queries --")
+        // centroid sets: fixed 16 (the naive choice) vs √N (the scale rule)
+        val kFixed = 16
+        val kRoot = math.max(16, math.sqrt(n.toDouble).toInt)
+        val centsFixed = pipeline.Similarity.kmeansCentroids(corpus, "embedding",
+          "vec_id", kFixed, iters = 3, sampleN = 2000)
+        val centsRoot = pipeline.Similarity.kmeansCentroids(corpus, "embedding",
+          "vec_id", kRoot, iters = 3, sampleN = math.max(2000, 4 * kRoot))
+        timed(s"ivf_search_k$kFixed", f)(
+          pipeline.Ivf.searchAll(queries, "q_vec", "q_id", corpus,
+            "embedding", "vec_id", centsFixed, k = 10, nProbe = 2).count())
+        timed(s"ivf_search_root", f)(
+          pipeline.Ivf.searchAll(queries, "q_vec", "q_id", corpus,
+            "embedding", "vec_id", centsRoot, k = 10, nProbe = 2).count())
+        val pqModel = pipeline.Pq.fitOnSample(corpus, "embedding", "vec_id",
+          dim = 64, m = 8, k = 16, sampleN = 2000)
+        timed(s"ivf_pq_root", f)(
+          pipeline.Ivf.searchAllPq(queries, "q_vec", "q_id", corpus,
+            "embedding", "vec_id", centsRoot, pqModel, k = 10,
+            nProbe = 2).count())
+        // BM25 batch: corpus f×, query batch 64·f three-term queries;
+        // candidate mass = Σ df(term) over query terms — linear in f per
+        // query, f² total, bounded per query only by term selectivity
+        val docsX = docsB
+          .withColumn("copy", explode(sequence(lit(0), lit(f - 1))))
+          .select((col("doc_id") * 64 + col("copy")).as("doc_id"),
+            concat_ws(" ", col("text"), concat(lit("tail"), col("copy")))
+              .as("text"))
+          .cache()
+        val nd = docsX.count()
+        val postings = pipeline.TextIndex.postingsFrame(docsX, "text", "doc_id")
+          .cache()
+        postings.count()
+        val stats = docsX.select(
+          avg(pipeline.TextOps.tokenCount(col("text")))).head().getDouble(0)
+        val tQueries = docsX
+          .filter(col("doc_id") % lit(math.max(1L, nd / qn)) === 0)
+          .select(col("doc_id").as("q_id"),
+            slice(split(col("text"), " "), 1, 3).as("terms"))
+        timed("text_search", f)(
+          pipeline.TextIndex.searchAll(tQueries, "q_id", "terms", postings,
+            nDocs = nd, avgLen = stats, k = 10).count())
+        postings.unpersist(); docsX.unpersist()
+        queries.unpersist(); corpus.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
+    // "curate64": the full curate() funnel — language → gopher quality →
+    // exact dedup → near-dup (auto plan) → temperature mixture → split —
+    // at ×1..×64 with PER-STAGE marginal sec + shuffle MB. Stage inputs
+    // are cache-materialized so each timing isolates one stage instead of
+    // recomputing the prefix; the composition mirrors Curation.curate's
+    // order exactly (asserted at ×1 by matching curate()'s output count).
+    if (args.contains("curate64")) {
+      factors.foreach { f =>
+        val df0 = inflate(f).cache()
+        val n0 = df0.count()
+        println(s"-- factor $f: $n0 docs --")
+        var cur = df0
+        def stage(name: String)(next: DataFrame => DataFrame): Unit = {
+          val out = next(cur).cache()
+          timed(name, f)(out.count())
+          cur.unpersist()
+          cur = out
+        }
+        // thresholds tuned to the synthetic corpus (published defaults
+        // reject ~100% of its word-salad text: half the docs sit under 50
+        // tokens and dup-word ratios run high) so every downstream stage
+        // sees a realistic surviving mass — the signal COMPUTATION cost
+        // being measured is threshold-independent
+        val g = pipeline.Curation.GopherConfig(minTokens = 10,
+          minRequiredHits = 0, minAlphaRatio = 0.5,
+          maxDupWord = 1.0, maxDup2gram = 1.0)
+        stage("language")(d => d.filter(col("lang").isin("en", "de", "fr")))
+        stage("gopher") { d =>
+          val keep = pipeline.TextOps.gopherColumns(d, "text", "doc_id",
+            g.minTokens, g.maxTokens, g.minAvgLen, g.maxAvgLen,
+            g.maxSymbolRatio, g.minAlphaRatio, g.minRequiredHits,
+            g.maxDupWord, g.maxDup2gram)
+            .filter(col("gopher_keep") === 1).select(col("doc_id"))
+          d.join(keep, Seq("doc_id"), "left_semi")
+        }
+        stage("exact_dedup")(d =>
+          pipeline.Dedup.dropExactDuplicates(d, "text", "doc_id"))
+        stage("near_dedup")(d =>
+          pipeline.Dedup.dropNearDuplicates(d, "text", "doc_id",
+            threshold = 0.7, plan = "auto"))
+        stage("temperature")(d =>
+          pipeline.Sampling.resampleByTemperature(d, "doc_id", "source", 0.7))
+        stage("split")(d => pipeline.Sampling.assignSplit(d, "doc_id",
+          Seq("train" -> 980, "val" -> 10, "test" -> 10)))
+        if (f == 1) {
+          // drift guard: the mirrored chain IS curate()'s composition
+          val (curated, _) = pipeline.Curation.curate(df0, "doc_id", "text",
+            "lang", "source", pipeline.Curation.CurationConfig(
+              keepLanguages = Set("en", "de", "fr"),
+              gopher = true, gopherConfig = g, dropExact = true,
+              nearDupThreshold = Some(0.7), nearDupPlan = "auto",
+              temperatureAlpha = Some(0.7),
+              splits = Seq("train" -> 980, "val" -> 10, "test" -> 10)))
+          val a = curated.count(); val b = cur.count()
+          require(a == b, s"probe chain diverged from curate(): $b vs $a")
+          println(s"SCALE curate_parity    x$f   OK rows=$a")
+        }
+        cur.unpersist(); df0.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
     if (pairs64) {
-      val factors = sys.env.get("SPARK_GRAFT_FACTORS")
-        .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16, 64))
       factors.foreach { f =>
         val df = inflate(f).cache()
         val n = df.count()

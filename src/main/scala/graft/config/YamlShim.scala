@@ -141,6 +141,7 @@ object YamlShim {
       "[{&*#'\"%@`!|>".contains(s.head) || s.head == '-' ||
       s.contains(": ") || s.endsWith(":") || s.contains(" #") ||
       Yaml11Bools.contains(s) ||
+      s == "<<" || // a literal "<<" key/value must not become a merge tag
       // flow-list safety: quotes/commas/brackets confuse splitFlow
       s.exists(c => "'\",[]{}".indexOf(c.toInt) >= 0) ||
       (scalar(s) match { case t if t.isTextual && t.textValue() == s => false
@@ -233,7 +234,11 @@ object YamlShim {
       val l = lines(i)
       val ci = keyColon(l.text)
       require(ci > 0, s"YAML line ${l.num + 1}: expected 'key: value', got '${l.text}'")
-      val key = unquote(l.text.substring(0, ci).trim)
+      val rawKey = l.text.substring(0, ci).trim
+      val key = unquote(rawKey)
+      // merge applies to the BARE tag only: a quoted '<<' is a literal
+      // key (PyYAML semantics — and what [[emit]] writes for one)
+      val isMerge = rawKey == "<<"
       var rest = l.text.substring(ci + 1).trim
       // `key: &name ...` anchors whatever value follows (inline or block)
       var anchorName: Option[String] = None
@@ -254,7 +259,7 @@ object YamlShim {
           F.nullNode() // `key:` with no value
         }
       anchorName.foreach(anchors(_) = value)
-      if (key == "<<") value match {
+      if (isMerge) value match {
         case o: ObjectNode => mergeSources += o
         case a: ArrayNode  =>
           a.forEach {

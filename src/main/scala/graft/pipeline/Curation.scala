@@ -66,11 +66,28 @@ object Curation {
       dedupe: Boolean = true,
   )
 
+  /** Gopher-rule thresholds (Rae et al. 2021 defaults — "tune per
+    * corpus" is the published guidance, so curate() exposes them;
+    * mirrors [[TextOps.gopherColumns]]'s parameters).
+    */
+  final case class GopherConfig(
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minAvgLen: Double = 3.0,
+      maxAvgLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaRatio: Double = 0.8,
+      minRequiredHits: Int = 2,
+      maxDupWord: Double = 0.3,
+      maxDup2gram: Double = 0.2,
+  )
+
   final case class CurationConfig(
       keepLanguages: Set[String] = Set.empty,
       lineClean: Option[LineCleanConfig] = None,
       requireCleanEncoding: Boolean = false,
       gopher: Boolean = true,
+      gopherConfig: GopherConfig = GopherConfig(),
       dropExact: Boolean = true,
       nearDupThreshold: Option[Double] = None,
       // LSH physical plan: "auto" (default — a one-agg census routes
@@ -131,7 +148,11 @@ object Curation {
           .filter(col("encoding_clean") === 1)
           .drop("n_replacement", "n_control", "n_mojibake", "encoding_clean"))
     if (cfg.gopher) {
-      val keep = TextOps.gopherColumns(cur, textCol, idCol)
+      val g = cfg.gopherConfig
+      val keep = TextOps.gopherColumns(cur, textCol, idCol,
+        g.minTokens, g.maxTokens, g.minAvgLen, g.maxAvgLen,
+        g.maxSymbolRatio, g.minAlphaRatio, g.minRequiredHits,
+        g.maxDupWord, g.maxDup2gram)
         .filter(col("gopher_keep") === 1).select(col(idCol))
       cur = step("gopher", cur.join(keep, Seq(idCol), "left_semi"))
     }

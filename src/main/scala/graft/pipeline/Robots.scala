@@ -149,11 +149,16 @@ object Robots {
       .select(col(domainCol).as("_rdom"), col("allow").as("_ralw"),
         col("path").as("_rpath"), col("path_len").as("_rlen"),
         col("path_regex").as("_rregex"))
-    // prefix rules stay on the codegen'd startsWith fast path; only the
-    // (rare) wildcard rules pay a per-row regex match
+    // prefix rules stay on the codegen'd startsWith fast path; wildcard
+    // rules pay a hash lookup + pre-compiled regex match per row (the
+    // built-in regexp_like would Pattern.compile per URL×rule row for a
+    // non-foldable pattern column — see CachedRegexpLike)
+    val cachedLike = org.apache.spark.sql.GraftBridge.column(
+      CachedRegexpLike(
+        org.apache.spark.sql.GraftBridge.expression(col(pathCol)),
+        org.apache.spark.sql.GraftBridge.expression(col("_rregex"))))
     val matches =
-      when(col("_rregex").isNotNull,
-        regexp_like(col(pathCol), col("_rregex")))
+      when(col("_rregex").isNotNull, cachedLike)
         .otherwise(col(pathCol).startsWith(col("_rpath")))
     val keyed = urls.join(broadcast(eff),
         urls(domainCol) === col("_rdom"), "left")

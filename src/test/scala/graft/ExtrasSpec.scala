@@ -170,6 +170,80 @@ class ExtrasSpec extends SparkSpec {
     assert(nf.get("a").asText() === "NaN") // the STRING "NaN" stays a string
   }
 
+  test("YAML emit property: adversarial trees round-trip exactly or throw" +
+      " (never silently corrupt)") {
+    // hand-rolled generation (the scalatest/scalacheck bridge artifact is
+    // not in the offline cache — same approach as KernelProperties)
+    val F = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+    val rng = new scala.util.Random(20260814L)
+    val fragments = Array("\n", "\r", "'", "\"", ": ", " #", "-", "&a ",
+      "*a", "#", "[", "]", "{", "}", ",", "yes", "No", "ON", "off", "true",
+      "null", "~", "1.5", "007", ".nan", "<<", "|", ">", "%", "@", "`",
+      "a", "b ", " c", "δ", "", "1e3", "+4", "-.inf", "k:", "''", "  ")
+    def randString(): String =
+      (0 until rng.nextInt(5)).map(_ => fragments(rng.nextInt(fragments.length)))
+        .mkString
+    def randKey(): String = {
+      // object keys must be unique and emittable; keep them adversarial
+      // but line-break-free (keys with \n are covered by randString values
+      // hitting the throw path when used as values — a keyed variant below)
+      val s = randString().replace("\n", "<nl>").replace("\r", "<cr>")
+      if (s.isEmpty) "k" + rng.nextInt(100) else s
+    }
+    def randNode(depth: Int): com.fasterxml.jackson.databind.JsonNode =
+      rng.nextInt(if (depth >= 3) 6 else 8) match {
+        case 0 => F.textNode(randString())
+        case 1 => F.numberNode(rng.nextInt(2000) - 1000)
+        case 2 => F.numberNode(rng.nextDouble() * 1e6 - 5e5)
+        case 3 => F.booleanNode(rng.nextBoolean())
+        case 4 => F.nullNode()
+        case 5 => F.numberNode(rng.nextLong())
+        case 6 =>
+          val a = F.arrayNode()
+          (0 until rng.nextInt(4)).foreach(_ => a.add(randNode(depth + 1)))
+          a
+        case _ =>
+          val o = F.objectNode()
+          (0 until rng.nextInt(4)).foreach(_ =>
+            o.set[com.fasterxml.jackson.databind.JsonNode](randKey(),
+              randNode(depth + 1)))
+          o
+      }
+    var throws = 0
+    var roundTrips = 0
+    (1 to 500).foreach { i =>
+      val root = F.objectNode()
+      root.set[com.fasterxml.jackson.databind.JsonNode]("r", randNode(0))
+      try {
+        val emitted = graft.config.YamlShim.emit(root)
+        val back = graft.config.YamlShim.parse(emitted)
+        assert(back === root,
+          s"case $i silently corrupted; tree $root; emitted:\n$emitted")
+        roundTrips += 1
+      } catch {
+        case e: IllegalArgumentException =>
+          // the ONLY legal reject is a line break inside a string scalar
+          assert(e.getMessage.contains("line break"), s"case $i: $e")
+          def hasNl(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+            if (n.isTextual)
+              n.textValue().exists(c => c == '\n' || c == '\r')
+            else if (n.isContainerNode) {
+              var found = false
+              n.forEach(c => found ||= hasNl(c))
+              var it = n.fieldNames()
+              while (!found && it.hasNext)
+                found ||= it.next().exists(c => c == '\n' || c == '\r')
+              found
+            } else false
+          assert(hasNl(root), s"case $i threw without any line break: $root")
+          throws += 1
+      }
+    }
+    // the generator actually exercised both paths
+    assert(throws >= 5, s"only $throws throw cases")
+    assert(roundTrips > 100, s"only $roundTrips round-trip cases")
+  }
+
   test("YAML emit: the real mpes example config survives a full" +
       " parse → emit → parse cycle") {
     val ref = java.nio.file.Paths.get(
