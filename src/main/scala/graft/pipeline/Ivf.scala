@@ -169,6 +169,14 @@ object Ivf {
     *
     * Output: `(qIdCol, idCol, cos)`, `cos` rounded to 6, ranked by the
     * rounded value then `idCol` (mirrors [[Similarity.ivfTopK]]).
+    *
+    * Plan shape at scale: the routed query batch BROADCASTS onto the
+    * posted corpus (the corpus — the f-growing side — never shuffles;
+    * candidates form map-side), and the per-query ranking is a
+    * [[TopKAgg]] heap whose partial phase caps the only exchange at
+    * `partitions × queries × k` rows — the window form it replaced
+    * shuffled the full candidate fan-out (queries × nProbe × list size,
+    * the f² quantity the `index64` rehearsal measures).
     */
   def searchAll(
       queries: DataFrame,
@@ -188,13 +196,14 @@ object Ivf {
         KMeans.assign(corpus, vecCol, centroids).as("list_id"))
     val routed = queries.select(col(qIdCol), col(qVecCol),
       explode(KMeans.assignK(queries, qVecCol, centroids, nProbe)).as("_probe"))
-    val cand = routed.join(posted, routed("_probe") === posted("list_id"))
+    val cand = broadcast(routed).join(posted,
+      routed("_probe") === posted("list_id"))
     val scored = cand.select(col(qIdCol), col(idCol),
       round(Dedup.cosine(col(qVecCol), col(vecCol)), 6).as("cos"))
-    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
+    scored.groupBy(col(qIdCol))
+      .agg(TopKAgg.topK(col("cos"), col(idCol).cast("long"), k).as("_top"))
+      .select(col(qIdCol), explode(col("_top")).as("_e"))
+      .select(col(qIdCol), col("_e.id").as(idCol), col("_e.score").as("cos"))
   }
 
   /** Batch IVF-PQ search — [[searchAll]]'s routing with [[Pq]] ADC
@@ -235,16 +244,21 @@ object Ivf {
       }
     val routed = queries.select(col(qIdCol), col(qVecCol),
       explode(KMeans.assignK(queries, qVecCol, centroids, nProbe)).as("_probe"))
-    val cand = routed.join(posted, routed("_probe") === posted("list_id"))
+    val cand = broadcast(routed).join(posted,
+      routed("_probe") === posted("list_id"))
     val bc = sc.broadcast(model.codebooks)
     val dist = GraftBridge.column(PqAdcDistExpr(
       GraftBridge.expression(col(qVecCol)),
       GraftBridge.expression(col("pq_code")), bc))
     val scored = cand.select(col(qIdCol), col(idCol),
       round(dist, 6).as("adc_dist"))
-    val w = Window.partitionBy(qIdCol).orderBy(col("adc_dist"), col(idCol))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
+    // ascending distance through the descending-score heap: negate in,
+    // negate out (0.0 - x restores exact magnitudes and kills -0.0)
+    scored.groupBy(col(qIdCol))
+      .agg(TopKAgg.topK(lit(0.0) - col("adc_dist"),
+        col(idCol).cast("long"), k).as("_top"))
+      .select(col(qIdCol), explode(col("_top")).as("_e"))
+      .select(col(qIdCol), col("_e.id").as(idCol),
+        (lit(0.0) - col("_e.score")).as("adc_dist"))
   }
 }

@@ -141,6 +141,19 @@ object TextIndex {
     *
     * Output: `(qIdCol, idCol, bm25)` — per query the top `k` by
     * descending rounded score, ties to the lower id.
+    *
+    * Plan shape at scale (the `index64` rehearsal measured the naive
+    * form at f² shuffle — 2.5 GB at a ×16 corpus×batch): query terms
+    * pre-join their df counts and BROADCAST onto the postings scan, so
+    * the index side never shuffles and non-matching postings die
+    * map-side; per-(query, doc) score summation is the ONE inherent
+    * candidate-mass exchange (slim `(q, doc, partial sum)` rows); the
+    * final ranking runs as [[TopKAgg]] — a mergeable heap whose partial
+    * phase caps the second exchange at `partitions × queries × k` rows,
+    * where the window form it replaces re-shuffled the whole candidate
+    * set. Query batches are assumed broadcast-sized (bounded thousands);
+    * set `broadcastQueries = false` for a mega-batch and the planner
+    * falls back to a shuffle join.
     */
   def searchAll(
       queries: DataFrame,
@@ -154,19 +167,23 @@ object TextIndex {
       vocab: Option[DataFrame] = None,
       k1: Double = 1.2,
       b: Double = 0.75,
+      broadcastQueries: Boolean = true,
   ): DataFrame = {
     val qTerms = queries
       .select(col(qIdCol), explode(col(termsCol)).as("term")).distinct()
     val dfreq = vocab.map(_.select("term", "df")).getOrElse(
       index.groupBy(col("term")).agg(count(lit(1)).as("df")))
-    val cand = qTerms
-      .join(index, Seq("term"))
-      .join(dfreq, Seq("term"))
+    // (q, term, df) is queries × terms rows — tiny; joining df here keeps
+    // the candidate-mass rows from ever carrying a second join
+    val qt = qTerms.join(dfreq, Seq("term"))
+    val cand = index.join(
+      if (broadcastQueries) broadcast(qt) else qt, Seq("term"))
     val perQuery = scored(cand, idCol, nDocs, avgLen, k1, b, Seq(qIdCol))
-    val w = Window.partitionBy(qIdCol).orderBy(col("bm25").desc, col(idCol))
-    perQuery.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
+    perQuery
+      .groupBy(col(qIdCol))
+      .agg(TopKAgg.topK(col("bm25"), col(idCol).cast("long"), k).as("_top"))
+      .select(col(qIdCol), explode(col("_top")).as("_e"))
+      .select(col(qIdCol), col("_e.id").as(idCol), col("_e.score").as("bm25"))
   }
 
   /** Incrementally add `newDocs` to an existing index WITHOUT

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k heap state: at most `k` (score, id) pairs, min-heap
+  * ordered worst-first so the root is the eviction candidate.
+  */
+final class TopKState(val k: Int) {
+  // worst-first: lower score first; equal scores put the HIGHER id first
+  // (ties rank by ascending id, so the higher id is the worse entry)
+  val heap = new java.util.PriorityQueue[(Double, Long)](
+    math.max(k, 1),
+    (a: (Double, Long), b: (Double, Long)) => {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    })
+  def offer(score: Double, id: Long): Unit =
+    if (heap.size < k) heap.add((score, id))
+    else {
+      val w = heap.peek()
+      if (score > w._1 || (score == w._1 && id < w._2)) {
+        heap.poll(); heap.add((score, id))
+      }
+    }
+}
+
+/** Grouped top-k as a mergeable aggregate — the scale-safe replacement
+  * for `row_number().over(Window.partitionBy(q).orderBy(score))` +
+  * `filter(rn <= k)` on candidate-mass inputs.
+  *
+  * The window form shuffles EVERY candidate row to its query's reducer
+  * before any ranking happens — on a batch-search candidate set
+  * (queries × Σ df, the f² quantity the ×64 `index64` rehearsal
+  * measures) that is the dominant exchange. As a
+  * `TypedImperativeAggregate` the ranking gets a partial (map-side)
+  * phase: each task ships at most one k-entry heap per query it saw, so
+  * the exchange is bounded by `partitions × queries × k` rows instead
+  * of the candidate mass.
+  *
+  * Ordering contract (matches the window form it replaces): descending
+  * `score`, ties broken by ascending `id`. Output: `array<struct<id,
+  * score>>` best-first — `explode` it back to rows.
+  */
+case class TopKAgg(
+    left: Expression, // score, DoubleType
+    right: Expression, // id, LongType
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[TopKState] with BinaryLike[Expression] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def createAggregationBuffer(): TopKState = new TopKState(k)
+
+  override def update(buffer: TopKState, input: InternalRow): TopKState = {
+    val s = left.eval(input)
+    val id = right.eval(input)
+    if (s != null && id != null)
+      buffer.offer(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: TopKState, other: TopKState): TopKState = {
+    val it = other.heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buffer.offer(e._1, e._2)
+    }
+    buffer
+  }
+
+  override def eval(buffer: TopKState): Any = {
+    val arr = new Array[(Double, Long)](buffer.heap.size)
+    var i = arr.length - 1
+    while (i >= 0) { arr(i) = buffer.heap.poll(); i -= 1 } // worst pops first
+    new GenericArrayData(arr.map(e =>
+      new GenericInternalRow(Array[Any](e._2, e._1)): Any))
+  }
+
+  override def serialize(buffer: TopKState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.k)
+    out.writeInt(buffer.heap.size)
+    val it = buffer.heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeDouble(e._1)
+      out.writeLong(e._2)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKState = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val st = new TopKState(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { st.offer(in.readDouble(), in.readLong()); i += 1 }
+    st
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+  )), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+object TopKAgg {
+  /** `topK(score, id, k)` as a Column (aggregate). */
+  def topK(score: Column, id: Column, k: Int): Column =
+    GraftBridge.column(TopKAgg(
+      GraftBridge.expression(score),
+      GraftBridge.expression(id), k).toAggregateExpression())
+}

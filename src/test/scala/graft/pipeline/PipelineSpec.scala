@@ -134,6 +134,30 @@ class PipelineSpec extends SparkSpec {
     assert(plan.split("Join").length - 1 === 3, plan)
   }
 
+  test("TopKAgg == window row_number ranking across partitions, ties and" +
+      " duplicates") {
+    // 40k candidate rows over 37 queries, 64 partitions, heavy score
+    // ties — the mergeable heap must reproduce the window ranking
+    // (score desc, id asc) exactly, including at the k boundary
+    val cand = spark.range(40000).repartition(64)
+      .select((col("id") % 37).as("q_id"),
+        (col("id") * 7919 % 100003).as("doc_id"),
+        ((col("id") * 31 % 11).cast("double") / 10.0).as("score"))
+      .distinct() // duplicate (q, doc) pairs would rank twice in both forms
+    val viaAgg = cand.groupBy(col("q_id"))
+      .agg(TopKAgg.topK(col("score"), col("doc_id"), 5).as("_top"))
+      .select(col("q_id"), explode(col("_top")).as("_e"))
+      .select(col("q_id"), col("_e.id").as("doc_id"), col("_e.score").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val viaWindow = cand.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 5).drop("_rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.size === 37 * 5)
+  }
+
   test("simhash: identical docs distance 0, near dups close, unrelated far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
