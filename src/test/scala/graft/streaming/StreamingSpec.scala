@@ -43,6 +43,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("crawl ingestion from a PATH stream matches the batch route") {
+    import graft.pipeline.{Curation, Warc}
+    // the streaming on-ramp: new .warc segments land in a lake, a path
+    // stream feeds ingestCrawlFromPaths — all stages are stateless
+    // (records → HTTP split → HTML → langId), so Append mode streams them
+    val warcDir = Files.createTempDirectory("stream-warc").toFile
+    def page(i: Int) = s"<html><head><title>P$i</title></head><body>" +
+      s"<p>stream body number $i</p></body></html>"
+    def seg(ids: Seq[Int], gz: Boolean) = Warc.encodeBlob(
+      ids.map(i => Warc.responseRecord(s"https://s.com/p/$i",
+        "2026-01-01T00:00:00Z", page(i))), gzipPerRecord = gz)
+    java.nio.file.Files.write(
+      new java.io.File(warcDir, "seg-0.warc.gz").toPath, seg(Seq(1, 2), gz = true))
+    java.nio.file.Files.write(
+      new java.io.File(warcDir, "seg-1.warc").toPath, seg(Seq(3), gz = false))
+    val pathsDir = Files.createTempDirectory("stream-paths").toFile.getPath + "/data"
+    val batchPaths = Warc.filesAt(spark, warcDir.getAbsolutePath + "/*")
+    batchPaths.coalesce(1).write.parquet(pathsDir)
+    val schema = spark.read.parquet(pathsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(pathsDir)
+    val out = Curation.ingestCrawlFromPaths(stream)
+    assert(out.isStreaming)
+    val streamed = StreamingBinning.runToMemorySink(
+      out, "crawl_sink", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    val batch = Curation.ingestCrawlFromPaths(batchPaths)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3)
+  }
+
   test("stateless calibration chain applies to a stream unchanged") {
     val dir = Files.createTempDirectory("stream-in2").toFile.getPath + "/data"
     Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 100.0))
