@@ -679,7 +679,7 @@ class Processor(
       else DfOps.applyJitter(filtered, jitter, colsJittered = Some(jitter))
     val cube = Binning.histogramCube(jittered, axes)
       .withAttrs("units" -> "counts", "long_name" -> "photoelectron counts")
-    normalizeToAcquisitionTime match {
+    val result = normalizeToAcquisitionTime match {
       case None => cube
       case Some(axisName) =>
         val ax = axes.find(_.column == axisName)
@@ -691,6 +691,44 @@ class Processor(
           normalized.map(v => math.round(v)), cube.shape,
           cube.attrs + ("normalized" -> "per_second")) // integer view
     }
+    lastBinned = Some(result)
+    result
+  }
+
+  private var lastBinned: Option[BinnedCube] = None
+
+  /** The last [[compute]] result, if any (the reference's `_binned` /
+    * `_normalized` state that `save` exports).
+    */
+  def binned: Option[BinnedCube] = lastBinned
+
+  /** Reference `SedProcessor.save` (`sed/core/processor.py:2459-2549`):
+    * export the last [[compute]] result, dispatched on the file
+    * extension — `.tif`/`.tiff` → ImageJ TIFF stack, `.h5`/`.hdf5` → the
+    * reference's HDF5 container layout, `.nxs`/`.nexus` → NXmpes NeXus.
+    * For NeXus the processor's provenance [[metadata]] tree lands under
+    * `/entry/process` (merged with any caller-supplied `process`
+    * entries, caller wins per key), and `extraMetadata` keys `user` /
+    * `instrument` / `sample` fill their template groups — the role the
+    * pynxtools config + eln files play for the reference.
+    */
+  def save(faddr: String, extraMetadata: Map[String, Any] = Map.empty): Unit = {
+    val cube = lastBinned.getOrElse(
+      throw new IllegalStateException("Need to bin data first!"))
+    val lower = faddr.toLowerCase
+    if (lower.endsWith(".tif") || lower.endsWith(".tiff"))
+      graft.export.Tiff.writeCube(cube, faddr)
+    else if (lower.endsWith(".h5") || lower.endsWith(".hdf5"))
+      graft.export.CubeIO.writeH5(cube, faddr)
+    else if (lower.endsWith(".nxs") || lower.endsWith(".nexus")) {
+      val userProc: Map[String, Any] = extraMetadata.get("process") match {
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        case _ => Map.empty
+      }
+      graft.export.CubeIO.writeNexus(cube, faddr,
+        extraMetadata + ("process" -> (metadata.get ++ userProc)))
+    } else throw new IllegalArgumentException(
+      s"Unrecognized file format: $faddr")
   }
 
   /** A9 `get_normalization_histogram` from the timed table (A7), as a

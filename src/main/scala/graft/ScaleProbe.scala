@@ -49,7 +49,12 @@ object ScaleProbe {
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       })
 
+    // SPARK_GRAFT_ONLY=text_search,... skips non-matching workloads (name
+    // prefix match) — re-running one ×64 leg must not pay for the others
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def timed(name: String, f: Int)(run: => Long): Unit = {
+      if (only.exists(!_.exists(name.startsWith))) return
       org.apache.spark.GraftSparkBridge.drainListeners(spark.sparkContext)
       val before = meter.get()
       val t0 = System.nanoTime()
@@ -129,6 +134,13 @@ object ScaleProbe {
         timed("text_search", f)(
           pipeline.TextIndex.searchAll(tQueries, "q_id", "terms", postings,
             nDocs = nd, avgLen = stats, k = 10).count())
+        // df-pruned variant: the candidate-mass bound (drop query terms
+        // with df > 10% of the corpus before candidate generation) —
+        // the exchange should grow ~f^1.5 instead of f²
+        timed("text_search_df10", f)(
+          pipeline.TextIndex.searchAll(tQueries, "q_id", "terms", postings,
+            nDocs = nd, avgLen = stats, k = 10,
+            maxDfFraction = Some(0.10)).count())
         postings.unpersist(); docsX.unpersist()
         queries.unpersist(); corpus.unpersist()
       }

@@ -121,7 +121,51 @@ object CubeIO {
     * Axis units ride in from `cube.attrs("units.<axisName>")`; remaining
     * attrs land on `/entry/data@…`. Round-trips via [[readNexus]].
     */
-  def writeNexus(cube: BinnedCube, path: String): Unit = {
+  def writeNexus(cube: BinnedCube, path: String): Unit =
+    writeNexus(cube, path, Map.empty[String, Any])
+
+  /** Convert one metadata level to an HDF5 group: nested maps recurse as
+    * `NXcollection` subgroups (pynxtools' class for free-form metadata),
+    * numeric leaves write as scalar F64/I64 datasets, numeric sequences
+    * as F64 arrays, everything else as strings. Deterministic (sorted)
+    * member order so repeated exports are byte-stable.
+    */
+  private def metaGroup(m: Map[String, Any], cls: String): Hdf5Minimal.Group = {
+    val (subs, leaves) = m.toSeq.sortBy(_._1).partition(_._2.isInstanceOf[Map[_, _]])
+    Hdf5Minimal.Group(
+      datasets = leaves.map { case (k, v) =>
+        v match {
+          case d: Double => Hdf5Minimal.Dataset(k, Hdf5Minimal.F64(Array(d)))
+          case f: Float => Hdf5Minimal.Dataset(k, Hdf5Minimal.F64(Array(f.toDouble)))
+          case i: Int => Hdf5Minimal.Dataset(k, Hdf5Minimal.I64(Array(i.toLong)))
+          case l: Long => Hdf5Minimal.Dataset(k, Hdf5Minimal.I64(Array(l)))
+          case s: Seq[_] if s.nonEmpty && s.forall(_.isInstanceOf[Double]) =>
+            Hdf5Minimal.Dataset(k,
+              Hdf5Minimal.F64(s.map(_.asInstanceOf[Double]).toArray))
+          case s: Seq[_] => Hdf5Minimal.Dataset(k,
+            Hdf5Minimal.Str(s.map(String.valueOf).mkString(",")))
+          case other => Hdf5Minimal.Dataset(k,
+            Hdf5Minimal.Str(String.valueOf(other)))
+        }
+      },
+      subgroups = subs.map { case (k, v) =>
+        k -> metaGroup(v.asInstanceOf[Map[String, Any]], "NXcollection") },
+      attrs = Map("NX_class" -> cls))
+  }
+
+  /** [[writeNexus]] with metadata populated into the NXmpes template
+    * groups (the role pynxtools' config template plays for the reference,
+    * `sed/io/nexus.py:13-47`): `metadata` keys `user` / `instrument` /
+    * `sample` / `process` fill their groups (values must be nested
+    * `Map[String, Any]`; a scalar under a template key writes as a
+    * `value` dataset), and every OTHER top-level key lands under
+    * `process` — the NXprocess group is NeXus' home for provenance, so a
+    * [[graft.Processor]] metadata tree (calibration entries keyed by
+    * step name) drops in unchanged. With empty metadata the output is
+    * byte-identical to the no-metadata overload (golden-pinned).
+    */
+  def writeNexus(cube: BinnedCube, path: String,
+      metadata: Map[String, Any]): Unit = {
     val axisUnits: Map[String, String] =
       cube.attrs.collect { case (k, v) if k.startsWith("units.") =>
         k.stripPrefix("units.") -> v }
@@ -154,12 +198,19 @@ object CubeIO {
     // INSTRUMENT[instrument], SAMPLE[sample], PROCESS_MPES[process]);
     // written empty unless metadata rides in, so NeXus-aware consumers
     // find the expected tree shape
-    val metaGroups = Seq(
-      "user" -> Hdf5Minimal.Group(attrs = Map("NX_class" -> "NXuser")),
-      "instrument" -> Hdf5Minimal.Group(attrs = Map("NX_class" -> "NXinstrument")),
-      "sample" -> Hdf5Minimal.Group(attrs = Map("NX_class" -> "NXsample")),
-      "process" -> Hdf5Minimal.Group(attrs = Map("NX_class" -> "NXprocess")),
-    )
+    val templates = Seq("user" -> "NXuser", "instrument" -> "NXinstrument",
+      "sample" -> "NXsample", "process" -> "NXprocess")
+    val templateNames = templates.map(_._1).toSet
+    val extras: Map[String, Any] =
+      metadata.view.filterKeys(k => !templateNames.contains(k)).toMap
+    val metaGroups = templates.map { case (name, cls) =>
+      val own: Map[String, Any] = metadata.get(name) match {
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        case Some(scalar) => Map("value" -> scalar)
+        case None => Map.empty
+      }
+      name -> metaGroup(if (name == "process") own ++ extras else own, cls)
+    }
     val entry = Hdf5Minimal.Group(
       datasets = entryDatasets,
       subgroups = ("data" -> dataGroup) +: metaGroups,

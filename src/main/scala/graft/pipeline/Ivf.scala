@@ -113,6 +113,46 @@ object Ivf {
     filtered.count()
   }
 
+  /** The centroid-count scale rule, encoded (not folklore): `k ≈ √N`,
+    * clamped to `[min, max]`. The ×64 `index64` rehearsal measured why a
+    * FIXED list count cliffs: postings-list length grows with the corpus,
+    * so batch-search candidate mass grows `corpus × queries = f²`
+    * (422 s at ×64) — while `√N` lists hold per-query fan-out at
+    * `N/k ≈ √N` and total batch work at `f^1.5` (43 s). The `max` clamp
+    * bounds the routing cost ([[NearestCentroidsExpr]] is `O(k·dim)` per
+    * vector) and the centroid broadcast (`k·dim` doubles).
+    */
+  def suggestedCentroids(
+      corpusSize: Long, min: Int = 16, max: Int = 1 << 16): Int =
+    math.min(max.toLong, math.max(min.toLong,
+      math.round(math.sqrt(math.max(corpusSize, 0L).toDouble)))).toInt
+
+  /** [[build]] with the list count chosen from data — the auto form
+    * mirroring [[Dedup.minhashNearDuplicatesAuto]]: counts the corpus,
+    * picks `k = `[[suggestedCentroids]]`(n)`, fits centroids on a bounded
+    * driver-side sample (`max(2000, 4k)` vectors — k-proportional so
+    * every list seeds), and writes the index. Costs one extra corpus
+    * count over [[build]]. Returns `(centroids, postingsCount)` so
+    * callers feed [[searchAll]] without re-reading `dir/centroids`.
+    */
+  def buildAuto(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dir: String,
+      carryCols: Seq[String] = Seq.empty,
+      pqModel: Option[Pq.Model] = None,
+      iters: Int = 5,
+      minLists: Int = 16,
+      maxLists: Int = 1 << 16,
+  ): (Array[Array[Double]], Long) = {
+    val n = df.filter(col(vecCol).isNotNull).count()
+    val k = suggestedCentroids(n, minLists, maxLists)
+    val cents = Similarity.kmeansCentroids(df, vecCol, idCol, k,
+      iters = iters, sampleN = math.max(2000, 4 * k))
+    (cents, build(df, vecCol, idCol, cents, dir, carryCols, pqModel))
+  }
+
   /** Load the centroid matrix back (k rows — bounded driver state). */
   def loadCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     spark.read.parquet(s"$dir/centroids")

@@ -154,6 +154,15 @@ object TextIndex {
     * set. Query batches are assumed broadcast-sized (bounded thousands);
     * set `broadcastQueries = false` for a mega-batch and the planner
     * falls back to a shuffle join.
+    *
+    * That score-sum exchange is `Θ(Σ_q Σ_{t∈q} df(t))` — exact BM25's
+    * irreducible cost, and it is dominated by STOPWORD-grade terms
+    * (df ≈ N ⇒ idf ≈ ln(1 + ~0.5/N) ≈ 0: maximal candidate fan-out,
+    * negligible score mass). `maxDfFraction = Some(r)` drops query terms
+    * with `df > r·nDocs` BEFORE candidate generation, bounding the
+    * exchange at `queries × r·N` rows — the standard retrieval-engine
+    * lever. Ranking is exact over the survivors; a query whose terms are
+    * ALL pruned returns no rows (same as a query of unindexed terms).
     */
   def searchAll(
       queries: DataFrame,
@@ -168,6 +177,7 @@ object TextIndex {
       k1: Double = 1.2,
       b: Double = 0.75,
       broadcastQueries: Boolean = true,
+      maxDfFraction: Option[Double] = None,
   ): DataFrame = {
     val qTerms = queries
       .select(col(qIdCol), explode(col(termsCol)).as("term")).distinct()
@@ -175,7 +185,13 @@ object TextIndex {
       index.groupBy(col("term")).agg(count(lit(1)).as("df")))
     // (q, term, df) is queries × terms rows — tiny; joining df here keeps
     // the candidate-mass rows from ever carrying a second join
-    val qt = qTerms.join(dfreq, Seq("term"))
+    val qt0 = qTerms.join(dfreq, Seq("term"))
+    val qt = maxDfFraction match {
+      case Some(r) =>
+        require(r > 0.0 && r <= 1.0, s"maxDfFraction must be in (0, 1], got $r")
+        qt0.filter(col("df") <= lit(r * nDocs))
+      case None => qt0
+    }
     val cand = index.join(
       if (broadcastQueries) broadcast(qt) else qt, Seq("term"))
     val perQuery = scored(cand, idCol, nDocs, avgLen, k1, b, Seq(qIdCol))

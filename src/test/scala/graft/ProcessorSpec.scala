@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.binning.{BinnedCube, Binning, UniformAxis}
 import graft.export.CubeIO
+import graft.loader.Hdf5Minimal
 
 class ProcessorSpec extends SparkSpec {
 
@@ -281,6 +282,52 @@ class ProcessorSpec extends SparkSpec {
     assert(m.get("k") === Map("a" -> 1, "b" -> 2))
     m.add(Map("c" -> 3), "k", "overwrite")
     assert(m.get("k") === Map("c" -> 3))
+  }
+
+  test("save dispatches on extension and lands provenance under /entry/process") {
+    val p = new Processor(spark, events, Some(events))
+    intercept[IllegalStateException] { p.save("x.h5") } // bin first
+    val ax = Seq(UniformAxis("value", 10, 0.0, 500.0),
+      UniformAxis("user_id", 8, 0.0, 200.0))
+    val cube = p.compute(ax, filters = Seq(("value", 100.0, 400.0)))
+    val dir = Files.createTempDirectory("psave").toFile.getPath
+    try {
+      p.save(s"$dir/out.h5")
+      assert(CubeIO.readH5(s"$dir/out.h5").data.toSeq === cube.data.toSeq)
+      p.save(s"$dir/out.tif")
+      val (tdata, n, rows, cols) = graft.export.Tiff.read(s"$dir/out.tif")
+      assert(n.toLong * rows * cols === cube.data.length.toLong)
+      p.save(s"$dir/out.nxs",
+        extraMetadata = Map(
+          "sample" -> Map("name" -> "WSe2", "temperature" -> 300.0),
+          "process" -> Map("note" -> "unit test")))
+      assert(CubeIO.readNexus(s"$dir/out.nxs").data.toSeq === cube.data.toSeq)
+      val entry = Hdf5Minimal.read(s"$dir/out.nxs").group("entry")
+      val sample = entry.group("sample")
+      assert(sample.attrs("NX_class") === "NXsample")
+      assert(sample.dataset("name").data === Hdf5Minimal.Str("WSe2"))
+      assert(sample.dataset("temperature").data
+        .asInstanceOf[Hdf5Minimal.F64].values.toSeq === Seq(300.0))
+      val proc = entry.group("process")
+      // caller-supplied process entries merge with the provenance tree
+      assert(proc.dataset("note").data === Hdf5Minimal.Str("unit test"))
+      // apply paths record provenance — exercise one and re-save: the
+      // metadata tree's entry must appear as an NXcollection subgroup
+      p.filterColumn("value", 0.0, 999.0)
+      p.compute(ax)
+      p.save(s"$dir/out2.nxs")
+      val proc2 = Hdf5Minimal.read(s"$dir/out2.nxs")
+        .group("entry").group("process")
+      assert(proc2.hasChild("filter_value"))
+      val fg = proc2.group("filter_value")
+      assert(fg.attrs("NX_class") === "NXcollection")
+      assert(fg.dataset("lower").data
+        .asInstanceOf[Hdf5Minimal.F64].values.toSeq === Seq(0.0))
+      intercept[IllegalArgumentException] { p.save(s"$dir/out.xyz") }
+    } finally {
+      new java.io.File(dir).listFiles().foreach(_.delete())
+      new java.io.File(dir).delete()
+    }
   }
 
   test("CubeIO dense round trip preserves data, axes, shape") {

@@ -55,6 +55,31 @@ class IvfSpec extends SparkSpec {
     assert(ids.contains(0L)) // the query itself at cos 1
   }
 
+  test("suggestedCentroids encodes the √N rule with clamps") {
+    assert(Ivf.suggestedCentroids(0L) === 16) // min clamp
+    assert(Ivf.suggestedCentroids(100L) === 16) // √100 < min
+    assert(Ivf.suggestedCentroids(1000000L) === 1000)
+    assert(Ivf.suggestedCentroids(1L << 40) === (1 << 16)) // max clamp
+    assert(Ivf.suggestedCentroids(1000000L, max = 500) === 500)
+  }
+
+  test("buildAuto picks √N lists and the index round-trips through search") {
+    val dir = Files.createTempDirectory("ivf_auto").toString
+    val df = clustered()
+    val (cents, n) = Ivf.buildAuto(df, "embedding", "vec_id", dir, iters = 3)
+    assert(n === 120L)
+    assert(cents.length === Ivf.suggestedCentroids(120L)) // √120 ≈ 11 → min 16
+    // stored centroids match the returned matrix
+    assert(Ivf.loadCentroids(spark, dir).map(_.toSeq).toSeq ===
+      cents.map(_.toSeq).toSeq)
+    // a same-cluster query resolves through the auto-built index
+    val q = df.filter(col("vec_id") === 0).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble).toArray
+    val ids = Ivf.search(spark, dir, q, k = 5, nProbe = 3)
+      .collect().map(_.getLong(0))
+    assert(ids.contains(0L))
+  }
+
   test("search parity with ivfTopK on the same quantizer") {
     val dir = Files.createTempDirectory("ivf").toString
     val df = clustered()

@@ -109,6 +109,26 @@ class TextIndexSpec extends SparkSpec {
     assert(got(3L) === 0.0)
   }
 
+  test("maxDfFraction prunes stopword-grade terms before candidates") {
+    val dir = Files.createTempDirectory("tidx").toString
+    TextIndex.build(corpus, "text", "doc_id", dir, nBuckets = 8)
+    val (n, avg, _) = TextIndex.loadStats(spark, dir)
+    val postings = spark.read.parquet(s"$dir/postings")
+    def run(ts: Seq[String], frac: Option[Double]) =
+      TextIndex.searchAll(Seq((0L, ts)).toDF("q_id", "terms"), "q_id",
+        "terms", postings, n, avg, k = 10, maxDfFraction = frac)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // frac = 1.0 admits every term: identical to the unpruned plan
+    assert(run(Seq("spark", "gardening"), Some(1.0)) ===
+      run(Seq("spark", "gardening"), None))
+    // df(spark) = 3 > 0.4 × 6 — pruned; survivors are ranked exactly,
+    // so the query degrades to its rare term
+    assert(run(Seq("spark", "gardening"), Some(0.4)) ===
+      run(Seq("gardening"), None))
+    // a query of only stopword-grade terms yields no rows (not a crash)
+    assert(run(Seq("spark"), Some(0.4)) === Seq.empty)
+  }
+
   test("duplicate terms in a query do not double-count") {
     val dir = Files.createTempDirectory("tidx").toString
     TextIndex.build(corpus, "text", "doc_id", dir, nBuckets = 8)
