@@ -20,6 +20,14 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // TopKAgg is a TypedImperativeAggregate → ObjectHashAggregateExec,
+      // which falls back to SORT-BASED aggregation past 128 distinct
+      // groups per task (SQLConf default) — a full sort of the candidate
+      // mass. Batch search has thousands of query-groups per task with
+      // tiny (k-entry) buffers, so raise the threshold; heap cost is
+      // groups × k × 16 B (see TopKAgg scaladoc)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -134,11 +142,20 @@ object ScaleProbe {
         timed("text_search", f)(
           pipeline.TextIndex.searchAll(tQueries, "q_id", "terms", postings,
             nDocs = nd, avgLen = stats, k = 10).count())
-        // df-pruned variant: the candidate-mass bound (drop query terms
-        // with df > 10% of the corpus before candidate generation) —
-        // the exchange should grow ~f^1.5 instead of f²
-        timed("text_search_df10", f)(
-          pipeline.TextIndex.searchAll(tQueries, "q_id", "terms", postings,
+        // df-pruning head-to-head on MIXED queries (2 stopword-grade
+        // terms at ~78% df + the rare per-copy tail token at ~1.5%):
+        // unpruned pays the common terms' f² candidate mass; df10 keeps
+        // only the rare term, bounding the exchange at queries × df(rare)
+        val sp = split(col("text"), " ")
+        val mQueries = docsX
+          .filter(col("doc_id") % lit(math.max(1L, nd / qn)) === 0)
+          .select(col("doc_id").as("q_id"),
+            concat(slice(sp, 1, 2), slice(sp, -1, 1)).as("terms"))
+        timed("text_mix", f)(
+          pipeline.TextIndex.searchAll(mQueries, "q_id", "terms", postings,
+            nDocs = nd, avgLen = stats, k = 10).count())
+        timed("text_mix_df10", f)(
+          pipeline.TextIndex.searchAll(mQueries, "q_id", "terms", postings,
             nDocs = nd, avgLen = stats, k = 10,
             maxDfFraction = Some(0.10)).count())
         postings.unpersist(); docsX.unpersist()

@@ -216,7 +216,10 @@ object Ivf {
     * [[TopKAgg]] heap whose partial phase caps the only exchange at
     * `partitions × queries × k` rows — the window form it replaced
     * shuffled the full candidate fan-out (queries × nProbe × list size,
-    * the f² quantity the `index64` rehearsal measures).
+    * the f² quantity the `index64` rehearsal measures). Query batches
+    * are assumed broadcast-sized; pass `broadcastQueries = false` for a
+    * mega-batch (the routed side then shuffles on `list_id` instead —
+    * same output, [[TextIndex.searchAll]]'s escape hatch).
     */
   def searchAll(
       queries: DataFrame,
@@ -229,6 +232,7 @@ object Ivf {
       k: Int,
       nProbe: Int = 2,
       preAssigned: Boolean = false,
+      broadcastQueries: Boolean = true,
   ): DataFrame = {
     val posted =
       if (preAssigned) corpus.select(col(idCol), col(vecCol), col("list_id"))
@@ -236,8 +240,8 @@ object Ivf {
         KMeans.assign(corpus, vecCol, centroids).as("list_id"))
     val routed = queries.select(col(qIdCol), col(qVecCol),
       explode(KMeans.assignK(queries, qVecCol, centroids, nProbe)).as("_probe"))
-    val cand = broadcast(routed).join(posted,
-      routed("_probe") === posted("list_id"))
+    val cand = (if (broadcastQueries) broadcast(routed) else routed)
+      .join(posted, routed("_probe") === posted("list_id"))
     val scored = cand.select(col(qIdCol), col(idCol),
       round(Dedup.cosine(col(qVecCol), col(vecCol)), 6).as("cos"))
     scored.groupBy(col(qIdCol))
@@ -272,6 +276,7 @@ object Ivf {
       k: Int,
       nProbe: Int = 2,
       preEncoded: Boolean = false,
+      broadcastQueries: Boolean = true,
   ): DataFrame = {
     val sc = queries.sparkSession.sparkContext
     val posted =
@@ -284,8 +289,8 @@ object Ivf {
       }
     val routed = queries.select(col(qIdCol), col(qVecCol),
       explode(KMeans.assignK(queries, qVecCol, centroids, nProbe)).as("_probe"))
-    val cand = broadcast(routed).join(posted,
-      routed("_probe") === posted("list_id"))
+    val cand = (if (broadcastQueries) broadcast(routed) else routed)
+      .join(posted, routed("_probe") === posted("list_id"))
     val bc = sc.broadcast(model.codebooks)
     val dist = GraftBridge.column(PqAdcDistExpr(
       GraftBridge.expression(col(qVecCol)),

@@ -48,6 +48,16 @@ final class TopKState(val k: Int) {
   * Ordering contract (matches the window form it replaces): descending
   * `score`, ties broken by ascending `id`. Output: `array<struct<id,
   * score>>` best-first — `explode` it back to rows.
+  *
+  * Tuning note: Spark plans `TypedImperativeAggregate`s as
+  * `ObjectHashAggregateExec`, which falls back to SORT-BASED
+  * aggregation once a task sees more than
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` distinct
+  * groups (default 128) — a full sort of the candidate mass, exactly
+  * the cost this aggregate exists to avoid. A batch of Q queries holds
+  * only `Q × k × 16 B` of heap in the hash path, so for batch search
+  * raise the threshold above the per-task query count (the ×64
+  * `index64` rehearsal sets 1e6).
   */
 case class TopKAgg(
     left: Expression, // score, DoubleType

@@ -129,6 +129,12 @@ class IvfSpec extends SparkSpec {
     val b = norm(Ivf.searchAll(queries, "q_vec", "q_id",
       df, "embedding", "vec_id", cents, k = 3, nProbe = 2))
     assert(a.toSeq === b.toSeq)
+    // the mega-batch escape hatch (shuffle join instead of broadcast)
+    // is output-identical
+    val c = norm(Ivf.searchAll(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", cents, k = 3, nProbe = 2,
+      broadcastQueries = false))
+    assert(c.toSeq === b.toSeq)
   }
 
   test("searchAllPq matches per-query ivfPqTopK for every query") {
