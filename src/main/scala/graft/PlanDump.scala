@@ -58,9 +58,9 @@ object PlanDump {
       "q_scd2 — SCD2 history (both windows + filter on ONE key exchange)" -> "q_scd2",
       "q_fuzzy_pairs — edit-distance linkage (banded block join + thresholded levenshtein)" -> "q_fuzzy_pairs",
       "q_resample_grid — fixed-grid LOCF resample (bounds agg → sequence explode → asof window)" -> "q_resample_grid",
-      "q_ivf_batch — batch IVF ANN (map-side probe routing, one corpus equi-join, per-query top-k window)" -> "q_ivf_batch",
+      "q_ivf_batch — batch IVF ANN (map-side probe routing, broadcast query join, mergeable TopKAgg heap rank)" -> "q_ivf_batch",
       "q_ivf_pq_batch — batch IVF-PQ (codes-only corpus exchange, codegen ADC distance)" -> "q_ivf_pq_batch",
-      "q_text_batch — batch BM25 (term-keyed equi-join, per-query top-k window)" -> "q_text_batch",
+      "q_text_batch — batch BM25 (broadcast query-term join, one score-sum exchange, mergeable TopKAgg heap rank)" -> "q_text_batch",
       "q_html_extract — HTML→text extraction (native codegen kernel inline in the scan)" -> "q_html_extract",
       "q_robots — robots.txt filter (broadcast rule join + one URL-keyed aggregate)" -> "q_robots",
       "q_trigram_ppl — trigram stupid-backoff LM (n-gram count equi-joins + broadcast scalars)" -> "q_trigram_ppl",
