@@ -65,6 +65,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // batch-search TopKAgg: keep ObjectHashAggregate in the hash path
+      // for query-batch group counts (see TopKAgg scaladoc)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // single-JVM bench posture (a real cluster keeps defaults for both):

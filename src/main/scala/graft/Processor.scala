@@ -723,7 +723,10 @@ class Processor(
     else if (lower.endsWith(".nxs") || lower.endsWith(".nexus")) {
       val userProc: Map[String, Any] = extraMetadata.get("process") match {
         case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
-        case _ => Map.empty
+        // a scalar under "process" keeps the same value-dataset shape the
+        // other template keys get, instead of silently vanishing
+        case Some(scalar) => Map("value" -> scalar)
+        case None => Map.empty
       }
       graft.export.CubeIO.writeNexus(cube, faddr,
         extraMetadata + ("process" -> (metadata.get ++ userProc)))

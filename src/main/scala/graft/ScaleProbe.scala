@@ -61,8 +61,7 @@ object ScaleProbe {
     // prefix match) — re-running one ×64 leg must not pay for the others
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    def timed(name: String, f: Int)(run: => Long): Unit = {
-      if (only.exists(!_.exists(name.startsWith))) return
+    def timedAlways(name: String, f: Int)(run: => Long): Unit = {
       org.apache.spark.GraftSparkBridge.drainListeners(spark.sparkContext)
       val before = meter.get()
       val t0 = System.nanoTime()
@@ -72,6 +71,8 @@ object ScaleProbe {
       val mb = (meter.get() - before) / 1e6
       println(f"SCALE $name%-16s x$f%-3d $sec%8.2f s  rows=$rows%-12d shuffle=$mb%10.2f MB")
     }
+    def timed(name: String, f: Int)(run: => Long): Unit =
+      if (!only.exists(!_.exists(name.startsWith))) timedAlways(name, f)(run)
 
     val factors = sys.env.get("SPARK_GRAFT_FACTORS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16, 64))
@@ -172,6 +173,11 @@ object ScaleProbe {
     // recomputing the prefix; the composition mirrors Curation.curate's
     // order exactly (asserted at ×1 by matching curate()'s output count).
     if (args.contains("curate64")) {
+      // SPARK_GRAFT_ONLY is ignored here: each stage's timing assumes the
+      // previous stage's cache is materialized, so skipping a stage would
+      // silently fold its cost into the next measured one
+      if (only.nonEmpty)
+        println("curate64: SPARK_GRAFT_ONLY ignored (stage isolation needs the full chain)")
       factors.foreach { f =>
         val df0 = inflate(f).cache()
         val n0 = df0.count()
@@ -179,7 +185,7 @@ object ScaleProbe {
         var cur = df0
         def stage(name: String)(next: DataFrame => DataFrame): Unit = {
           val out = next(cur).cache()
-          timed(name, f)(out.count())
+          timedAlways(name, f)(out.count())
           cur.unpersist()
           cur = out
         }

@@ -23,8 +23,10 @@ object SparkEntry {
   private def deleteRecursively(dir: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close() // the stream holds directory handles
     } catch { case _: Exception => () }
 
   def table(s: SparkSession, dir: String, name: String): DataFrame = {

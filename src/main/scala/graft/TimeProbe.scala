@@ -4,6 +4,10 @@ object TimeProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", 16)
+      // batch-search TopKAgg: keep ObjectHashAggregate in the hash path
+      // for query-batch group counts (see TopKAgg scaladoc)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.ui.enabled", false)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

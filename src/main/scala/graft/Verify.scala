@@ -13,6 +13,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // batch-search TopKAgg: keep ObjectHashAggregate in the hash path
+      // for query-batch group counts (see TopKAgg scaladoc)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Older driver testdata shipped events.ts as TIMESTAMP(NANOS), which

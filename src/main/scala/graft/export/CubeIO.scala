@@ -58,7 +58,10 @@ object CubeIO {
       if (!compress) None
       else {
         val sliceElems = shape.tail.product.max(1L)
-        val rows = math.max(1L, math.min(shape.head, (1L << 17) / sliceElems))
+        val target = math.max(1L, math.min(shape.head, (1L << 17) / sliceElems))
+        // the chunk B-tree writer caps at 4096 chunks — grow the slab
+        // beyond ~1 MiB rather than fail on a long first axis
+        val rows = math.max(target, (shape.head + 4095) / 4096)
         Some(rows +: shape.tail)
       }
     val binned = Hdf5Minimal.Group(datasets = Seq(

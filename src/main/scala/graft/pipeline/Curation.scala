@@ -95,6 +95,11 @@ object Curation {
       // the sparse plan's pair exchanges cliff), "default", or "inline";
       // see Dedup.minhashNearDuplicatesAuto
       nearDupPlan: String = "auto",
+      // census cost bound for the auto plan at lake scale: fraction < 1
+      // censuses a deterministic sample (estimates rescale exactly in
+      // expectation); pairMassPerDoc is the inline-routing threshold
+      nearDupCensusFraction: Double = 1.0,
+      nearDupPairMassPerDoc: Double = 32.0,
       sentenceCensor: Boolean = false,
       dsirTargetExpr: Option[String] = None,
       dsirKeepN: Option[Int] = None,
@@ -161,7 +166,9 @@ object Curation {
     cfg.nearDupThreshold.foreach { th =>
       cur = step("near_dedup",
         Dedup.dropNearDuplicates(cur, textCol, idCol, threshold = th,
-          plan = cfg.nearDupPlan))
+          plan = cfg.nearDupPlan,
+          censusFraction = cfg.nearDupCensusFraction,
+          pairMassPerDoc = cfg.nearDupPairMassPerDoc))
     }
     if (cfg.sentenceCensor) {
       // cross-doc boilerplate sentences drop; rebuilt text replaces the

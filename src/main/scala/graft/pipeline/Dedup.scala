@@ -1085,9 +1085,12 @@ object Dedup {
       bands: Int = 8,
       inlineVerify: Boolean = false,
       plan: String = "",
+      censusFraction: Double = 1.0,
+      pairMassPerDoc: Double = 32.0,
   ): DataFrame = {
     val pairs = pairsForPlan(df, textCol, idCol, threshold, numHashes, bands,
-      if (plan.nonEmpty) plan else if (inlineVerify) "inline" else "default")
+      if (plan.nonEmpty) plan else if (inlineVerify) "inline" else "default",
+      censusFraction, pairMassPerDoc)
     val labels = connectedComponents(pairs)
     val losers = snapshotAndFree(
       labels.filter(col("id") =!= col("label")).select(col("id").as(idCol)),
@@ -1102,6 +1105,7 @@ object Dedup {
   private def pairsForPlan(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       numHashes: Int, bands: Int, plan: String,
+      censusFraction: Double = 1.0, pairMassPerDoc: Double = 32.0,
   ): DataFrame = plan match {
     case "default" => minhashNearDuplicates(df, textCol, idCol,
       numHashes = numHashes, bands = bands, threshold = threshold)
@@ -1109,7 +1113,8 @@ object Dedup {
       numHashes = numHashes, bands = bands, threshold = threshold,
       inlineVerify = true)
     case "auto" => minhashNearDuplicatesAuto(df, textCol, idCol,
-      numHashes = numHashes, bands = bands, threshold = threshold)
+      numHashes = numHashes, bands = bands, threshold = threshold,
+      pairMassPerDoc = pairMassPerDoc, censusFraction = censusFraction)
     case other => throw new IllegalArgumentException(
       s"unknown minhash plan '$other' (expected default | inline | auto)")
   }
@@ -1135,9 +1140,12 @@ object Dedup {
       bands: Int = 8,
       inlineVerify: Boolean = false,
       plan: String = "",
+      censusFraction: Double = 1.0,
+      pairMassPerDoc: Double = 32.0,
   ): DataFrame = {
     val pairs = pairsForPlan(df, textCol, idCol, threshold, numHashes, bands,
-      if (plan.nonEmpty) plan else if (inlineVerify) "inline" else "default")
+      if (plan.nonEmpty) plan else if (inlineVerify) "inline" else "default",
+      censusFraction, pairMassPerDoc)
     val cc = connectedComponents(pairs)
     val labels = snapshotAndFree(cc, cc).withColumnRenamed("id", idCol)
     val ranked = df.join(labels, Seq(idCol), "left")

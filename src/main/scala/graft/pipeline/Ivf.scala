@@ -244,10 +244,7 @@ object Ivf {
       .join(posted, routed("_probe") === posted("list_id"))
     val scored = cand.select(col(qIdCol), col(idCol),
       round(Dedup.cosine(col(qVecCol), col(vecCol)), 6).as("cos"))
-    scored.groupBy(col(qIdCol))
-      .agg(TopKAgg.topK(col("cos"), col(idCol).cast("long"), k).as("_top"))
-      .select(col(qIdCol), explode(col("_top")).as("_e"))
-      .select(col(qIdCol), col("_e.id").as(idCol), col("_e.score").as("cos"))
+    TopKAgg.rankTopK(scored, qIdCol, idCol, "cos", k)
   }
 
   /** Batch IVF-PQ search — [[searchAll]]'s routing with [[Pq]] ADC
@@ -295,15 +292,13 @@ object Ivf {
     val dist = GraftBridge.column(PqAdcDistExpr(
       GraftBridge.expression(col(qVecCol)),
       GraftBridge.expression(col("pq_code")), bc))
+    // ascending distance through the descending-score rank: negate in,
+    // negate out (0.0 - x restores exact magnitudes and kills -0.0);
+    // NaN distances are dropped by the rank step on either path
     val scored = cand.select(col(qIdCol), col(idCol),
-      round(dist, 6).as("adc_dist"))
-    // ascending distance through the descending-score heap: negate in,
-    // negate out (0.0 - x restores exact magnitudes and kills -0.0)
-    scored.groupBy(col(qIdCol))
-      .agg(TopKAgg.topK(lit(0.0) - col("adc_dist"),
-        col(idCol).cast("long"), k).as("_top"))
-      .select(col(qIdCol), explode(col("_top")).as("_e"))
-      .select(col(qIdCol), col("_e.id").as(idCol),
-        (lit(0.0) - col("_e.score")).as("adc_dist"))
+      (lit(0.0) - round(dist, 6)).as("_negd"))
+    TopKAgg.rankTopK(scored, qIdCol, idCol, "_negd", k)
+      .select(col(qIdCol), col(idCol),
+        (lit(0.0) - col("_negd")).as("adc_dist"))
   }
 }

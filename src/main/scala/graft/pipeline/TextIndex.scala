@@ -195,11 +195,7 @@ object TextIndex {
     val cand = index.join(
       if (broadcastQueries) broadcast(qt) else qt, Seq("term"))
     val perQuery = scored(cand, idCol, nDocs, avgLen, k1, b, Seq(qIdCol))
-    perQuery
-      .groupBy(col(qIdCol))
-      .agg(TopKAgg.topK(col("bm25"), col(idCol).cast("long"), k).as("_top"))
-      .select(col(qIdCol), explode(col("_top")).as("_e"))
-      .select(col(qIdCol), col("_e.id").as(idCol), col("_e.score").as("bm25"))
+    TopKAgg.rankTopK(perQuery, qIdCol, idCol, "bm25", k)
   }
 
   /** Incrementally add `newDocs` to an existing index WITHOUT

@@ -22,7 +22,12 @@ final class TopKState(val k: Int) {
       val c = java.lang.Double.compare(a._1, b._1)
       if (c != 0) c else java.lang.Long.compare(b._2, a._2)
     })
-  def offer(score: Double, id: Long): Unit =
+  def offer(score: Double, id: Long): Unit = {
+    // NaN scores are dropped like nulls: Double.compare ranks NaN above
+    // every real value, so an admitted NaN would displace real results
+    // (and invert the ascending-distance users who negate through the
+    // heap — the old asc window ranked NaN last)
+    if (score.isNaN) return
     if (heap.size < k) heap.add((score, id))
     else {
       val w = heap.peek()
@@ -30,6 +35,7 @@ final class TopKState(val k: Int) {
         heap.poll(); heap.add((score, id))
       }
     }
+  }
 }
 
 /** Grouped top-k as a mergeable aggregate — the scale-safe replacement
@@ -141,4 +147,34 @@ object TopKAgg {
     GraftBridge.column(TopKAgg(
       GraftBridge.expression(score),
       GraftBridge.expression(id), k).toAggregateExpression())
+
+  /** Rank `scored` per `groupCol`: top `k` by `scoreCol` descending,
+    * ties to the lower `idCol` — the shared rank step of the batch-search
+    * operators. Integral ids ride the mergeable heap (exchange bounded
+    * at partitions × groups × k) and KEEP their original type on output;
+    * any other id type falls back to the window form — correct, but the
+    * rank exchange is the full candidate mass (the heap state is
+    * `(double, long)`, and casting e.g. a string id would silently drop
+    * every row). NaN scores are excluded on both paths.
+    */
+  def rankTopK(scored: org.apache.spark.sql.DataFrame, groupCol: String,
+      idCol: String, scoreCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    scored.schema(idCol).dataType match {
+      case idType @ (ByteType | ShortType | IntegerType | LongType) =>
+        scored.groupBy(col(groupCol))
+          .agg(topK(col(scoreCol), col(idCol).cast("long"), k).as("_top"))
+          .select(col(groupCol), explode(col("_top")).as("_e"))
+          .select(col(groupCol), col("_e.id").cast(idType).as(idCol),
+            col("_e.score").as(scoreCol))
+      case _ =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol))
+        scored.filter(!isnan(col(scoreCol)))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= k)
+          .select(col(groupCol), col(idCol), col(scoreCol))
+    }
+  }
 }

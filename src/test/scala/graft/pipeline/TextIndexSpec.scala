@@ -129,6 +129,26 @@ class TextIndexSpec extends SparkSpec {
     assert(run(Seq("spark"), Some(0.4)) === Seq.empty)
   }
 
+  test("searchAll keeps non-integral doc ids (window fallback path)") {
+    // string ids can't ride the (double, long) heap — the rank step must
+    // fall back to the window form instead of silently dropping rows
+    val named = corpus.withColumn("doc_id",
+      concat(lit("doc-"), col("doc_id")))
+    val dir = Files.createTempDirectory("tidx").toString
+    TextIndex.build(named, "text", "doc_id", dir, nBuckets = 8)
+    val (n, avg, _) = TextIndex.loadStats(spark, dir)
+    val res = TextIndex.searchAll(
+      Seq((0L, Seq("spark", "vector"))).toDF("q_id", "terms"), "q_id",
+      "terms", spark.read.parquet(s"$dir/postings"), n, avg, k = 10)
+    assert(res.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val got = res.collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    val want = TextIndex.search(spark, dir, Seq("spark", "vector"), k = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("duplicate terms in a query do not double-count") {
     val dir = Files.createTempDirectory("tidx").toString
     TextIndex.build(corpus, "text", "doc_id", dir, nBuckets = 8)
