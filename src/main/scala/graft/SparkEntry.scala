@@ -653,6 +653,15 @@ object SparkEntry {
       pipeline.Similarity.bruteForceTopK(
         table(s, dir, "embeddings"), "embedding", "vec_id", q, 20)
     }),
+    // batch brute-force top-k (the exact ANN baseline recallAgainst
+    // measures IVF against): every %100 vector queries the whole corpus
+    "q_brute_batch" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      pipeline.Similarity.bruteTopKBatch(queries, "q_vec", "q_id", emb,
+        "embedding", "vec_id", k = 10)
+    }),
     // per-vector int8 quantization codes (min-max affine, exploded so
     // the scalar compare pins every component)
     "q_embed_quant" -> ((s, dir) =>
@@ -2079,6 +2088,19 @@ object SparkEntry {
         | FROM x JOIN q ON x.i = q.i GROUP BY 1)
         |SELECT vec_id, ROUND(dot / (sqrt(nx) * sqrt(nq)), 6) AS cos FROM p
         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replace("\n", " "),
+    "q_brute_batch" ->
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |  unnest(embedding) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, generate_subscripts(embedding, 1) AS i,
+        |  unnest(embedding) AS v FROM embeddings WHERE vec_id % 100 = 0),
+        |p AS (SELECT q.q_id, x.vec_id,
+        |  ROUND(sum(CAST(x.v AS DOUBLE) * CAST(q.v AS DOUBLE)) /
+        |    (sqrt(sum(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE))) *
+        |     sqrt(sum(CAST(q.v AS DOUBLE) * CAST(q.v AS DOUBLE)))), 6) AS cos
+        | FROM x JOIN q ON x.i = q.i GROUP BY 1, 2)
+        |SELECT q_id, vec_id, cos FROM p
+        |QUALIFY row_number() OVER (PARTITION BY q_id
+        |  ORDER BY cos DESC, vec_id) <= 10""".stripMargin.replace("\n", " "),
     "q_semdedup" ->
       """WITH RECURSIVE e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),

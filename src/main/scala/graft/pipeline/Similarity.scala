@@ -63,6 +63,60 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
+  /** Batch brute-force cosine top-k — the EXACT baseline of the ANN
+    * family ([[Ivf.searchAll]] approximates it; [[recallAgainst]]
+    * measures by how much). Every query scores every corpus vector:
+    * Θ(|queries| × |corpus|) compute by definition, so this is the
+    * recall-measurement / small-corpus tool, not the lake path.
+    *
+    * Plan shape: the query batch BROADCASTS onto the corpus scan
+    * (a broadcast nested-loop join — the corpus never shuffles,
+    * candidates form map-side) and the rank step is
+    * [[TopKAgg.rankTopK]], so the only exchange is the bounded heap
+    * merge. Output `(qIdCol, idCol, cos)` — descending rounded cosine,
+    * ties to the lower id, exactly [[bruteForceTopK]] per query.
+    */
+  def bruteTopKBatch(
+      queries: DataFrame,
+      qVecCol: String,
+      qIdCol: String,
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      roundTo: Int = 6,
+  ): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
+      .select(col(qIdCol), col(idCol),
+        round(Dedup.cosine(col(qVecCol), col(vecCol)), roundTo).as("cos"))
+    TopKAgg.rankTopK(scored, qIdCol, idCol, "cos", k)
+  }
+
+  /** Per-query recall of an approximate result set against an exact one
+    * (both `(qIdCol, idCol, …)` — e.g. [[Ivf.searchAll]] vs
+    * [[bruteTopKBatch]] on the same `k`): `|approx ∩ exact| / |exact|`.
+    * Queries present in `exact` but absent from `approx` score 0.0;
+    * output `(qIdCol, recall)`. Two hash-keyed aggregates plus one
+    * equi-join on `(q, id)` — no corpus-sized state.
+    */
+  def recallAgainst(
+      approx: DataFrame,
+      exact: DataFrame,
+      qIdCol: String,
+      idCol: String,
+  ): DataFrame = {
+    val hits = exact.select(col(qIdCol), col(idCol))
+      .join(approx.select(col(qIdCol), col(idCol)), Seq(qIdCol, idCol),
+        "left_semi")
+      .groupBy(col(qIdCol)).agg(count(lit(1)).as("_hit"))
+    exact.groupBy(col(qIdCol)).agg(count(lit(1)).as("_tot"))
+      .join(hits, Seq(qIdCol), "left")
+      .select(col(qIdCol),
+        round(coalesce(col("_hit"), lit(0L)).cast("double") / col("_tot"), 6)
+          .as("recall"))
+  }
+
   /** Per-vector int8 quantization: min-max affine codes
     * `round((x - lo) / scale)` in 0..255 plus the `(lo, scale)` pair
     * needed to invert — a 4× memory cut for ANN shortlists and re-rank

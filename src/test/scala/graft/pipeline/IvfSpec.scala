@@ -137,6 +137,37 @@ class IvfSpec extends SparkSpec {
     assert(c.toSeq === b.toSeq)
   }
 
+  test("bruteTopKBatch equals per-query bruteForceTopK; full-probe IVF recall is 1.0") {
+    val df = clustered()
+    val queries = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteTopKBatch(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", k = 5)
+    val byQ = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).groupBy(_._1)
+    (0 until 5).foreach { qi =>
+      val q = df.filter(col("vec_id") === qi).select("embedding")
+        .first().getSeq[Float](0).map(_.toDouble).toArray
+      val single = Similarity.bruteForceTopK(df, "embedding", "vec_id", q, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = byQ(qi.toLong).sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3))
+      assert(got.toSeq === single.toSeq, s"query $qi")
+    }
+    // probing every list makes IVF exhaustive → recall exactly 1.0
+    val cents = seedCentroids(df, 3)
+    val full = Ivf.searchAll(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", cents, k = 5, nProbe = 3)
+    val r = Similarity.recallAgainst(full, exact, "q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(r.size === 5 && r.values.forall(_ === 1.0))
+    // fewer probes can only lose candidates: recall in [0, 1]
+    val one = Ivf.searchAll(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", cents, k = 5, nProbe = 1)
+    val r1 = Similarity.recallAgainst(one, exact, "q_id", "vec_id")
+      .collect().map(_.getDouble(1))
+    assert(r1.length === 5 && r1.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
   test("searchAllPq matches per-query ivfPqTopK for every query") {
     val df = clustered()
     val cents = seedCentroids(df, 8)
