@@ -58,6 +58,7 @@ object PlanDump {
       "q_scd2 — SCD2 history (both windows + filter on ONE key exchange)" -> "q_scd2",
       "q_fuzzy_pairs — edit-distance linkage (banded block join + thresholded levenshtein)" -> "q_fuzzy_pairs",
       "q_resample_grid — fixed-grid LOCF resample (bounds agg → sequence explode → asof window)" -> "q_resample_grid",
+      "q_brute_batch — exact batch ANN baseline (broadcast nested-loop scan, mergeable TopKAgg heap rank)" -> "q_brute_batch",
       "q_ivf_batch — batch IVF ANN (map-side probe routing, broadcast query join, mergeable TopKAgg heap rank)" -> "q_ivf_batch",
       "q_ivf_pq_batch — batch IVF-PQ (codes-only corpus exchange, codegen ADC distance)" -> "q_ivf_pq_batch",
       "q_text_batch — batch BM25 (broadcast query-term join, one score-sum exchange, mergeable TopKAgg heap rank)" -> "q_text_batch",

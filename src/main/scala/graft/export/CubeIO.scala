@@ -52,18 +52,21 @@ object CubeIO {
     * FIRST axis (row-major slabs — the natural slice direction), sized
     * ≤ ~1 MiB each.
     */
+  /** First-axis rows per chunk for a compressed cube: ~1 MiB slabs
+    * (`2^17` int64 elements), but never more than the writer's
+    * 4096-chunk B-tree cap — a long first axis grows the slab instead
+    * of failing `writeChunkedDataset`'s chunk-count require.
+    */
+  private[export] def chunkRows(head: Long, sliceElems: Long): Long = {
+    val target = math.max(1L, math.min(head, (1L << 17) / sliceElems))
+    math.max(target, (head + 4095) / 4096)
+  }
+
   def writeH5(cube: BinnedCube, path: String, compress: Boolean): Unit = {
     val shape = cube.shape.map(_.toLong)
     val chunk: Option[Seq[Long]] =
       if (!compress) None
-      else {
-        val sliceElems = shape.tail.product.max(1L)
-        val target = math.max(1L, math.min(shape.head, (1L << 17) / sliceElems))
-        // the chunk B-tree writer caps at 4096 chunks — grow the slab
-        // beyond ~1 MiB rather than fail on a long first axis
-        val rows = math.max(target, (shape.head + 4095) / 4096)
-        Some(rows +: shape.tail)
-      }
+      else Some(chunkRows(shape.head, shape.tail.product.max(1L)) +: shape.tail)
     val binned = Hdf5Minimal.Group(datasets = Seq(
       Hdf5Minimal.Dataset("BinnedData", Hdf5Minimal.I64(cube.data),
         attrs = cube.attrs.view.filterKeys(Set("units", "long_name")).toMap,
