@@ -45,13 +45,6 @@ object CubeIO {
   def writeH5(cube: BinnedCube, path: String): Unit =
     writeH5(cube, path, compress = false)
 
-  /** [[writeH5]] with an optional chunked+gzip payload (h5py
-    * `chunks=..., compression="gzip"`): count cubes are mostly sparse,
-    * so a large export compresses heavily and h5py consumers can read it
-    * slice-at-a-time instead of as one contiguous blob. Chunks split the
-    * FIRST axis (row-major slabs — the natural slice direction), sized
-    * ≤ ~1 MiB each.
-    */
   /** First-axis rows per chunk for a compressed cube: ~1 MiB slabs
     * (`2^17` int64 elements), but never more than the writer's
     * 4096-chunk B-tree cap — a long first axis grows the slab instead
@@ -62,6 +55,13 @@ object CubeIO {
     math.max(target, (head + 4095) / 4096)
   }
 
+  /** [[writeH5]] with an optional chunked+gzip payload (h5py
+    * `chunks=..., compression="gzip"`): count cubes are mostly sparse,
+    * so a large export compresses heavily and h5py consumers can read it
+    * slice-at-a-time instead of as one contiguous blob. Chunks split the
+    * FIRST axis (row-major slabs — the natural slice direction), sized
+    * ≤ ~1 MiB each ([[chunkRows]]).
+    */
   def writeH5(cube: BinnedCube, path: String, compress: Boolean): Unit = {
     val shape = cube.shape.map(_.toLong)
     val chunk: Option[Seq[Long]] =

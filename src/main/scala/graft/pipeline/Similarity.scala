@@ -60,6 +60,10 @@ object Similarity {
     df.select(
         col(idCol),
         round(Dedup.cosine(col(vecCol), lit(query)), roundTo).as("cos"))
+      // unscoreable rows (zero-norm → null, NaN/Inf components → NaN)
+      // are excluded, matching the batch form — without the filter a
+      // NaN would sort ABOVE every real cosine and claim rank 1
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
@@ -74,7 +78,9 @@ object Similarity {
     * candidates form map-side) and the rank step is
     * [[TopKAgg.rankTopK]], so the only exchange is the bounded heap
     * merge. Output `(qIdCol, idCol, cos)` — descending rounded cosine,
-    * ties to the lower id, exactly [[bruteForceTopK]] per query.
+    * ties to the lower id, exactly [[bruteForceTopK]] per query
+    * (unscoreable rows — zero-norm nulls, NaN cosines — excluded on
+    * both forms).
     */
   def bruteTopKBatch(
       queries: DataFrame,
@@ -97,25 +103,22 @@ object Similarity {
     * (both `(qIdCol, idCol, …)` — e.g. [[Ivf.searchAll]] vs
     * [[bruteTopKBatch]] on the same `k`): `|approx ∩ exact| / |exact|`.
     * Queries present in `exact` but absent from `approx` score 0.0;
-    * output `(qIdCol, recall)`. Two hash-keyed aggregates plus one
-    * equi-join on `(q, id)` — no corpus-sized state.
+    * output `(qIdCol, recall)`. ONE `(q, id)` equi-join plus one
+    * aggregate — no corpus-sized state (inputs are queries × k rows).
     */
   def recallAgainst(
       approx: DataFrame,
       exact: DataFrame,
       qIdCol: String,
       idCol: String,
-  ): DataFrame = {
-    val hits = exact.select(col(qIdCol), col(idCol))
-      .join(approx.select(col(qIdCol), col(idCol)), Seq(qIdCol, idCol),
-        "left_semi")
-      .groupBy(col(qIdCol)).agg(count(lit(1)).as("_hit"))
-    exact.groupBy(col(qIdCol)).agg(count(lit(1)).as("_tot"))
-      .join(hits, Seq(qIdCol), "left")
-      .select(col(qIdCol),
-        round(coalesce(col("_hit"), lit(0L)).cast("double") / col("_tot"), 6)
-          .as("recall"))
-  }
+  ): DataFrame =
+    exact.select(col(qIdCol), col(idCol))
+      .join(approx.select(col(qIdCol), col(idCol))
+          .withColumn("_m", lit(1)),
+        Seq(qIdCol, idCol), "left")
+      .groupBy(col(qIdCol))
+      .agg(round(count(col("_m")).cast("double") / count(lit(1)), 6)
+        .as("recall"))
 
   /** Per-vector int8 quantization: min-max affine codes
     * `round((x - lo) / scale)` in 0..255 plus the `(lo, scale)` pair
