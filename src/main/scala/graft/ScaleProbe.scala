@@ -140,9 +140,13 @@ object ScaleProbe {
           .filter(col("doc_id") % lit(math.max(1L, nd / qn)) === 0)
           .select(col("doc_id").as("q_id"),
             slice(split(col("text"), " "), 1, 3).as("terms"))
+        // unpruned plan PINNED (autoDfPrune = false) for trend
+        // continuity with the round-10 tables — this is the leg that
+        // aborts the box at ×64 on stopword-grade queries
         timed("text_search", f)(
           pipeline.TextIndex.searchAll(tQueries, "q_id", "terms", postings,
-            nDocs = nd, avgLen = stats, k = 10).count())
+            nDocs = nd, avgLen = stats, k = 10,
+            autoDfPrune = false).count())
         // df-pruning head-to-head on MIXED queries (2 stopword-grade
         // terms at ~78% df + the rare per-copy tail token at ~1.5%):
         // unpruned pays the common terms' f² candidate mass; df10 keeps
@@ -154,11 +158,21 @@ object ScaleProbe {
             concat(slice(sp, 1, 2), slice(sp, -1, 1)).as("terms"))
         timed("text_mix", f)(
           pipeline.TextIndex.searchAll(mQueries, "q_id", "terms", postings,
-            nDocs = nd, avgLen = stats, k = 10).count())
+            nDocs = nd, avgLen = stats, k = 10,
+            autoDfPrune = false).count())
         timed("text_mix_df10", f)(
           pipeline.TextIndex.searchAll(mQueries, "q_id", "terms", postings,
             nDocs = nd, avgLen = stats, k = 10,
             maxDfFraction = Some(0.10)).count())
+        // DEFAULT-SETTINGS call (round-11 auto df-prune): the common
+        // terms (~78% df) cross the 10000-df floor at N > 12.8k docs
+        // (f ≥ 4 here), the per-copy tail token (df = 5000 at every f)
+        // never does — so above ×1 the default call must route to the
+        // df-pruned shape and SURVIVE ×64 where the pinned unpruned leg
+        // dies
+        timed("text_mix_auto", f)(
+          pipeline.TextIndex.searchAll(mQueries, "q_id", "terms", postings,
+            nDocs = nd, avgLen = stats, k = 10).count())
         postings.unpersist(); docsX.unpersist()
         queries.unpersist(); corpus.unpersist()
       }

@@ -507,7 +507,13 @@ object SparkEntry {
       pipeline.TextIndex.search(s, tmp, Seq("join", "spark", "vector"), k = 20)
     }),
     // batch BM25: 3 queries scored in ONE plan over the in-flight
-    // postings frame (term-keyed equi-join + per-query top-k window)
+    // postings frame (term-keyed equi-join + per-query top-k heap).
+    // autoDfPrune is OFF here so the row is pinned to the EXACT
+    // unpruned BM25 regardless of corpus size (the synthetic vocab is
+    // ~78% df — on any corpus past the 10000-df floor the auto rule
+    // would rightly drop every term and empty this row); the
+    // default-settings auto path is gated separately by
+    // q_text_batch_auto.
     "q_text_batch" -> ((s, dir) => {
       import s.implicits._
       val docs = table(s, dir, "documents")
@@ -518,6 +524,34 @@ object SparkEntry {
         (0L, Seq("join", "spark")),
         (1L, Seq("vector", "index")),
         (2L, Seq("shuffle"))).toDF("q_id", "terms")
+      pipeline.TextIndex.searchAll(queries, "q_id", "terms",
+        pipeline.TextIndex.postingsFrame(docs, "text", "doc_id"),
+        nDocs = stats.getLong(0), avgLen = stats.getDouble(1), k = 10,
+        autoDfPrune = false)
+    }),
+    // batch BM25 at DEFAULT settings — the round-11 scale-safe path:
+    // query terms with df > max(10000, 0.1·N) are auto-dropped before
+    // candidate generation. The corpus gains a rare 'rareK' token per
+    // doc (df ≈ N/50); queries mix a stopword-grade vocab term with a
+    // rare term, and the oracle mirrors the ROUTING RULE itself (not a
+    // fixed term set), so the row stays green at any SF. Every gate SF
+    // sits under the 10000-df floor, so here the rule must be a NO-OP
+    // (pruned ≡ unpruned — the judge's non-stopword contract); the
+    // pruning direction is pinned engine-side in TextIndexSpec and
+    // measured at ×64 in the index64 rehearsal.
+    "q_text_batch_auto" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" rare"), col("doc_id") % 50).as("text"))
+      val stats = docs
+        .select(pipeline.TextOps.tokenCount(col("text")).as("_len"))
+        .agg(count(lit(1)), avg(col("_len"))).head()
+      val queries = Seq(
+        (0L, Seq("join", "rare7")),
+        (1L, Seq("spark", "rare13")),
+        (2L, Seq("rare21"))).toDF("q_id", "terms")
       pipeline.TextIndex.searchAll(queries, "q_id", "terms",
         pipeline.TextIndex.postingsFrame(docs, "text", "doc_id"),
         nDocs = stats.getLong(0), avgLen = stats.getDouble(1), k = 10)
@@ -2205,6 +2239,38 @@ object SparkEntry {
            |      1.2 * (0.25 + 0.75 * CAST(lens.len AS DOUBLE) / sc.avgl))), 6) AS bm25
            |  FROM q JOIN tf USING (t) JOIN dfq USING (t)
            |  JOIN lens USING (doc_id) CROSS JOIN sc
+           |  GROUP BY q.qi, tf.doc_id)
+           |SELECT q_id, doc_id, bm25 FROM (
+           |  SELECT CAST(qi AS BIGINT) AS q_id, doc_id, bm25,
+           |    row_number() OVER (PARTITION BY qi
+           |      ORDER BY bm25 DESC, doc_id) AS rn FROM s)
+           |WHERE rn <= 10""".stripMargin.replace("\n", " "),
+    // default-settings batch form: the oracle mirrors the auto df-prune
+    // ROUTING RULE (drop terms with df > greatest(10000, 0.1·N)) so the
+    // row pins pruned ≡ engine at every SF — no pruning below the floor,
+    // stopword-grade terms dropped above it
+    "q_text_batch_auto" ->
+      raw"""WITH docs2 AS (SELECT doc_id,
+           |  concat(text, ' rare', doc_id % 50) AS text
+           |  FROM documents WHERE text IS NOT NULL),
+           |toks AS (SELECT doc_id,
+           |  unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM docs2),
+           |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+           |sc AS (SELECT count(*) AS n, avg(CAST(len AS DOUBLE)) AS avgl,
+           |  greatest(10000.0, 0.1 * count(*)) AS cap FROM lens),
+           |tf AS (SELECT doc_id, t, count(*) AS tfc FROM toks GROUP BY doc_id, t),
+           |dfq AS (SELECT t, count(*) AS dfr FROM tf GROUP BY t),
+           |q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'rare7'),
+           |  (1, 'spark'), (1, 'rare13'), (2, 'rare21')) v(qi, t)),
+           |s AS (SELECT q.qi, tf.doc_id, ROUND(sum(
+           |    ln(CAST(1 AS DOUBLE) +
+           |      (CAST(sc.n AS DOUBLE) - dfr + 0.5) / (CAST(dfr AS DOUBLE) + 0.5)) *
+           |    (CAST(tfc AS DOUBLE) * 2.2) /
+           |    (CAST(tfc AS DOUBLE) +
+           |      1.2 * (0.25 + 0.75 * CAST(lens.len AS DOUBLE) / sc.avgl))), 6) AS bm25
+           |  FROM q JOIN tf USING (t) JOIN dfq USING (t)
+           |  JOIN lens USING (doc_id) CROSS JOIN sc
+           |  WHERE CAST(dfr AS DOUBLE) <= sc.cap
            |  GROUP BY q.qi, tf.doc_id)
            |SELECT q_id, doc_id, bm25 FROM (
            |  SELECT CAST(qi AS BIGINT) AS q_id, doc_id, bm25,

@@ -52,20 +52,33 @@ case class CachedRegexpLike(left: Expression, right: Expression)
 
 object CachedRegexpLike {
 
-  /** Process-wide compiled-pattern cache. Bounded by a full clear at
-    * 1024 entries — robots wildcard-rule pattern sets are orders of
-    * magnitude smaller, so the clear is a correctness backstop for
-    * adversarial inputs, not an expected event (an LRU would buy nothing
-    * at this cardinality and cost a lock per row).
+  /** Process-wide compiled-pattern cache. Bounded by EVICT-ONE at 1024
+    * entries: an insert over the cap removes one resident entry (the
+    * iterator's first — effectively random under ConcurrentHashMap), so
+    * an adversarial >1024-distinct-pattern rule set degrades to
+    * one-compile-per-miss instead of the pre-round-11 clear-all, which
+    * thrashed compile→clear→compile across every executor thread sharing
+    * the JVM. Robots wildcard-rule sets are orders of magnitude smaller,
+    * so eviction is a correctness backstop, not an expected event (a
+    * strict LRU would buy nothing at this cardinality and cost
+    * bookkeeping per row).
     */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private val MaxEntries = 1024
 
   def matches(s: UTF8String, p: UTF8String): Boolean = {
     val ps = p.toString
     var pat = cache.get(ps)
     if (pat == null) {
-      if (cache.size() >= 1024) cache.clear()
+      if (cache.size() >= MaxEntries) {
+        // evict one arbitrary resident (racing threads may each evict
+        // one — size stays within MaxEntries ± nThreads and the cache
+        // never empties; eviction only drops a compiled object, never a
+        // rule, so matching stays correct)
+        val it = cache.keySet().iterator()
+        if (it.hasNext) cache.remove(it.next())
+      }
       pat = java.util.regex.Pattern.compile(ps)
       cache.put(ps, pat)
     }

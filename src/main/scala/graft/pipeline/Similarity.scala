@@ -105,6 +105,10 @@ object Similarity {
     * Queries present in `exact` but absent from `approx` score 0.0;
     * output `(qIdCol, recall)`. ONE `(q, id)` equi-join plus one
     * aggregate — no corpus-sized state (inputs are queries × k rows).
+    * Both projections are `.distinct()`-ed first: a duplicated (q, id)
+    * row in either input would otherwise fan out the join and skew the
+    * ratio (e.g. one duplicated hit among 5 exact rows reads 2/6, not
+    * 1/5) — the dedup is cheap because the inputs are queries × k rows.
     */
   def recallAgainst(
       approx: DataFrame,
@@ -112,8 +116,8 @@ object Similarity {
       qIdCol: String,
       idCol: String,
   ): DataFrame =
-    exact.select(col(qIdCol), col(idCol))
-      .join(approx.select(col(qIdCol), col(idCol))
+    exact.select(col(qIdCol), col(idCol)).distinct()
+      .join(approx.select(col(qIdCol), col(idCol)).distinct()
           .withColumn("_m", lit(1)),
         Seq(qIdCol, idCol), "left")
       .groupBy(col(qIdCol))

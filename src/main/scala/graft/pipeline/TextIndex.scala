@@ -37,6 +37,20 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** [[searchAll]]'s default auto-prune rule: a query term is dropped
+    * when `df > max(AutoPruneMinDf, AutoPruneFraction · nDocs)`. The
+    * fraction is the standard stopword cutoff (a term in >10 % of a
+    * web-scale corpus carries idf ≈ ln(1 + ~0.5/df) ≈ 0 — all exchange
+    * mass, no score mass); the absolute floor keeps small corpora
+    * untouched, because a df ≤ 10 000 term is cheap at ANY corpus size
+    * and pruning only exists to stop the Θ(queries × Σ df) candidate
+    * exchange from scaling with the corpus.
+    */
+  val AutoPruneFraction: Double = 0.1
+  val AutoPruneMinDf: Long = 10000L
+
   /** Tokenize + count + write the index. Returns the postings count.
     * `nBuckets` bounds both file count and the prune ratio — at 100 TB
     * pick O(thousands) so a query touches a few directories of a few GB.
@@ -158,10 +172,22 @@ object TextIndex {
     * That score-sum exchange is `Θ(Σ_q Σ_{t∈q} df(t))` — exact BM25's
     * irreducible cost, and it is dominated by STOPWORD-grade terms
     * (df ≈ N ⇒ idf ≈ ln(1 + ~0.5/N) ≈ 0: maximal candidate fan-out,
-    * negligible score mass). `maxDfFraction = Some(r)` drops query terms
-    * with `df > r·nDocs` BEFORE candidate generation, bounding the
-    * exchange at `queries × r·N` rows — the standard retrieval-engine
-    * lever. Ranking is exact over the survivors; a query whose terms are
+    * negligible score mass). The scale-killer is therefore pruned BY
+    * DEFAULT: with `maxDfFraction = None` and `autoDfPrune = true` (the
+    * defaults), query terms with `df > max(autoPruneMinDf,
+    * `[[AutoPruneFraction]]` · nDocs)` are dropped BEFORE candidate
+    * generation — the rule that kept the ×64 `index64` rehearsal at
+    * 7.2 s / 199 MB where the unpruned plan aborted the box on a ~10 GB
+    * exchange (NOTES.md, round 10). The absolute floor means small
+    * corpora (df ≤ `autoPruneMinDf` is harmless at ANY fraction) are
+    * never pruned, so behavior only changes where the unpruned plan was
+    * headed for the cliff. `maxDfFraction = Some(r)` overrides with an
+    * exact fractional cap (no floor); `autoDfPrune = false` restores the
+    * pre-round-11 unpruned plan. When a `vocab` lake is supplied, the
+    * dropped terms are censused (one broadcast-sized lookup) and named
+    * in a driver-side WARN; without one, a single INFO line states the
+    * active rule (deriving df twice just to warn would double the index
+    * pass). Ranking is exact over the survivors; a query whose terms are
     * ALL pruned returns no rows (same as a query of unindexed terms).
     */
   def searchAll(
@@ -178,6 +204,8 @@ object TextIndex {
       b: Double = 0.75,
       broadcastQueries: Boolean = true,
       maxDfFraction: Option[Double] = None,
+      autoDfPrune: Boolean = true,
+      autoPruneMinDf: Long = AutoPruneMinDf,
   ): DataFrame = {
     val qTerms = queries
       .select(col(qIdCol), explode(col(termsCol)).as("term")).distinct()
@@ -190,6 +218,25 @@ object TextIndex {
       case Some(r) =>
         require(r > 0.0 && r <= 1.0, s"maxDfFraction must be in (0, 1], got $r")
         qt0.filter(col("df") <= lit(r * nDocs))
+      case None if autoDfPrune =>
+        val cap = math.max(autoPruneMinDf.toDouble, AutoPruneFraction * nDocs)
+        vocab match {
+          case Some(v) =>
+            val dropped = qTerms.select("term").distinct()
+              .join(v.select("term", "df"), Seq("term"))
+              .filter(col("df") > cap).select("term").limit(6)
+              .collect().map(_.getString(0))
+            if (dropped.nonEmpty) logger.warn(
+              s"searchAll auto df-prune dropped stopword-grade query terms " +
+                s"(df > $cap of $nDocs docs), e.g. ${dropped.mkString(", ")} — " +
+                "their idf ≈ 0 but they dominate the candidate exchange; " +
+                "override with maxDfFraction = Some(r) or autoDfPrune = false")
+          case None => logger.info(
+            s"searchAll auto df-prune active: query terms with df > $cap " +
+              s"of $nDocs docs are dropped before candidate generation " +
+              "(override with maxDfFraction / autoDfPrune)")
+        }
+        qt0.filter(col("df") <= lit(cap))
       case None => qt0
     }
     val cand = index.join(

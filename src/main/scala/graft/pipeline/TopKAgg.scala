@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k heap state: at most `k` (score, id) pairs, min-heap
   * ordered worst-first so the root is the eviction candidate.
@@ -141,6 +142,126 @@ case class TopKAgg(
     copy(left = newLeft, right = newRight)
 }
 
+/** [[TopKState]]'s sibling for STRING ids: the heap carries
+  * `(Double, UTF8String)` so string-keyed corpora (URLs, UUIDs — the
+  * crawl ingest's own `url` ids) get the same bounded rank exchange as
+  * integral ids instead of the full-candidate-mass window fallback.
+  * Ordering: ties rank by ascending BINARY string order (UTF8String's
+  * byte-wise compare — exactly Spark's own StringType sort order), so
+  * the worse of two equal scores is the byte-wise HIGHER id.
+  */
+final class TopKStrState(val k: Int) {
+  val heap = new java.util.PriorityQueue[(Double, UTF8String)](
+    math.max(k, 1),
+    (a: (Double, UTF8String), b: (Double, UTF8String)) => {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else b._2.compareTo(a._2)
+    })
+  /** `id` must be SAFE TO RETAIN (cloned off any reused row buffer). */
+  def offer(score: Double, id: UTF8String): Unit = {
+    if (score.isNaN) return
+    if (heap.size < k) heap.add((score, id))
+    else {
+      val w = heap.peek()
+      if (score > w._1 || (score == w._1 && id.compareTo(w._2) < 0)) {
+        heap.poll(); heap.add((score, id))
+      }
+    }
+  }
+}
+
+/** [[TopKAgg]] over STRING ids — same contract (descending score, ties
+  * to the ascending id, mergeable k-entry heap state), id type
+  * `StringType` in and out. Incoming ids are cloned before retention:
+  * `eval` hands out UTF8Strings backed by reused UnsafeRow buffers, and
+  * retaining one across rows silently corrupts the heap.
+  */
+case class TopKStrAgg(
+    left: Expression, // score, DoubleType
+    right: Expression, // id, StringType
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[TopKStrState] with BinaryLike[Expression] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def createAggregationBuffer(): TopKStrState = new TopKStrState(k)
+
+  override def update(buffer: TopKStrState, input: InternalRow): TopKStrState = {
+    val s = left.eval(input)
+    val id = right.eval(input)
+    if (s != null && id != null)
+      buffer.offer(s.asInstanceOf[Double],
+        id.asInstanceOf[UTF8String].clone())
+    buffer
+  }
+
+  override def merge(buffer: TopKStrState, other: TopKStrState): TopKStrState = {
+    val it = other.heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buffer.offer(e._1, e._2) // already cloned at update time
+    }
+    buffer
+  }
+
+  override def eval(buffer: TopKStrState): Any = {
+    val arr = new Array[(Double, UTF8String)](buffer.heap.size)
+    var i = arr.length - 1
+    while (i >= 0) { arr(i) = buffer.heap.poll(); i -= 1 } // worst pops first
+    new GenericArrayData(arr.map(e =>
+      new GenericInternalRow(Array[Any](e._2, e._1)): Any))
+  }
+
+  override def serialize(buffer: TopKStrState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.k)
+    out.writeInt(buffer.heap.size)
+    val it = buffer.heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeDouble(e._1)
+      val bytes = e._2.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrState = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val st = new TopKStrState(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val score = in.readDouble()
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      st.offer(score, UTF8String.fromBytes(buf))
+      i += 1
+    }
+    st
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+  )), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStrAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStrAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKStrAgg =
+    copy(left = newLeft, right = newRight)
+}
+
 object TopKAgg {
   /** `topK(score, id, k)` as a Column (aggregate). */
   def topK(score: Column, id: Column, k: Int): Column =
@@ -148,14 +269,38 @@ object TopKAgg {
       GraftBridge.expression(score),
       GraftBridge.expression(id), k).toAggregateExpression())
 
+  /** [[topK]] for STRING ids ([[TopKStrAgg]]). */
+  def topKStr(score: Column, id: Column, k: Int): Column =
+    GraftBridge.column(TopKStrAgg(
+      GraftBridge.expression(score),
+      GraftBridge.expression(id), k).toAggregateExpression())
+
+  /** Set the one session conf the heap aggregates need on a REAL batch:
+    * Spark plans `TypedImperativeAggregate`s as `ObjectHashAggregateExec`,
+    * which silently falls back to SORT-BASED aggregation past 128
+    * distinct groups per task (the SQLConf default) — a full sort of the
+    * candidate mass, exactly the cost the heap exists to avoid. Call
+    * this once per session before `Ivf.searchAll` / `searchAllPq` /
+    * `TextIndex.searchAll` / `Similarity.bruteTopKBatch` with a
+    * non-trivial query batch; the hash path's state is only
+    * `groups × k × entry` bytes, so a large threshold is safe.
+    */
+  def tuneForBatchSearch(spark: org.apache.spark.sql.SparkSession,
+      maxGroupsPerTask: Long = 1000000L): Unit =
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      maxGroupsPerTask.toString)
+
   /** Rank `scored` per `groupCol`: top `k` by `scoreCol` descending,
     * ties to the lower `idCol` — the shared rank step of the batch-search
-    * operators. Integral ids ride the mergeable heap (exchange bounded
-    * at partitions × groups × k) and KEEP their original type on output;
-    * any other id type falls back to the window form — correct, but the
-    * rank exchange is the full candidate mass (the heap state is
-    * `(double, long)`, and casting e.g. a string id would silently drop
-    * every row). NaN scores are excluded on both paths.
+    * operators. Integral ids ride the mergeable [[TopKAgg]] heap and
+    * string ids the [[TopKStrAgg]] heap (exchange bounded at
+    * partitions × groups × k on both; string ties use Spark's own binary
+    * string order); integral ids KEEP their original type on output. Any
+    * other id type falls back to the window form — correct, but the rank
+    * exchange is the full candidate mass. NaN scores are excluded on
+    * every path. See [[tuneForBatchSearch]] for the session conf a real
+    * query batch needs.
     */
   def rankTopK(scored: org.apache.spark.sql.DataFrame, groupCol: String,
       idCol: String, scoreCol: String, k: Int): org.apache.spark.sql.DataFrame = {
@@ -167,6 +312,12 @@ object TopKAgg {
           .agg(topK(col(scoreCol), col(idCol).cast("long"), k).as("_top"))
           .select(col(groupCol), explode(col("_top")).as("_e"))
           .select(col(groupCol), col("_e.id").cast(idType).as(idCol),
+            col("_e.score").as(scoreCol))
+      case StringType =>
+        scored.groupBy(col(groupCol))
+          .agg(topKStr(col(scoreCol), col(idCol), k).as("_top"))
+          .select(col(groupCol), explode(col("_top")).as("_e"))
+          .select(col(groupCol), col("_e.id").as(idCol),
             col("_e.score").as(scoreCol))
       case _ =>
         val w = org.apache.spark.sql.expressions.Window

@@ -158,6 +158,38 @@ class PipelineSpec extends SparkSpec {
     assert(viaAgg.size === 37 * 5)
   }
 
+  test("rankTopK on STRING ids: heap plan, window parity, binary ties, NaN") {
+    // url-style string ids over many partitions with heavy score ties —
+    // the string heap must reproduce the window ranking (score desc, id
+    // asc in Spark's binary string order) exactly, and PLAN as an
+    // ObjectHashAggregate (bounded exchange), not the window fallback
+    val cand = spark.range(40000).repartition(64)
+      .select((col("id") % 37).as("q_id"),
+        concat(lit("https://ex.com/doc/"), col("id") * 7919 % 100003)
+          .as("doc_id"),
+        when(col("id") % 97 === 0, lit(Double.NaN))
+          .otherwise((col("id") * 31 % 11).cast("double") / 10.0).as("score"))
+      .distinct()
+    val ranked = TopKAgg.rankTopK(cand, "q_id", "doc_id", "score", 5)
+    assert(ranked.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"string ids must ride the heap aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"window fallback leaked back in:\n$plan")
+    val viaAgg = ranked.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val viaWindow = cand.filter(!isnan(col("score")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 5).drop("_rn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.size === 37 * 5)
+    assert(!viaAgg.exists(_._3.isNaN))
+  }
+
   test("simhash: identical docs distance 0, near dups close, unrelated far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -129,9 +129,43 @@ class TextIndexSpec extends SparkSpec {
     assert(run(Seq("spark"), Some(0.4)) === Seq.empty)
   }
 
-  test("searchAll keeps non-integral doc ids (window fallback path)") {
-    // string ids can't ride the (double, long) heap — the rank step must
-    // fall back to the window form instead of silently dropping rows
+  test("auto df-prune: default floor is a no-op on small corpora, the " +
+      "rule prunes stopword-grade terms above it, both directions pinned") {
+    val dir = Files.createTempDirectory("tidx").toString
+    TextIndex.build(corpus, "text", "doc_id", dir, nBuckets = 8)
+    val (n, avg, _) = TextIndex.loadStats(spark, dir)
+    val postings = spark.read.parquet(s"$dir/postings")
+    def run(ts: Seq[String], frac: Option[Double], auto: Boolean,
+        minDf: Long = TextIndex.AutoPruneMinDf) =
+      TextIndex.searchAll(Seq((0L, ts)).toDF("q_id", "terms"), "q_id",
+        "terms", postings, n, avg, k = 10, maxDfFraction = frac,
+        autoDfPrune = auto, autoPruneMinDf = minDf)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // default call (auto, floor 10000): identical to the unpruned plan
+    // on a corpus where every df sits under the floor
+    assert(run(Seq("spark", "gardening"), None, auto = true) ===
+      run(Seq("spark", "gardening"), None, auto = false))
+    // floor lowered so the rule bites: cap = max(2, 0.1·6) = 2 —
+    // df(spark) = 3 is dropped, the rare term survives and is ranked
+    // exactly (≡ querying the rare term against the unpruned plan)
+    assert(run(Seq("spark", "gardening"), None, auto = true, minDf = 2) ===
+      run(Seq("gardening"), None, auto = false))
+    // a pure-stopword query returns no rows under the active rule
+    assert(run(Seq("spark"), None, auto = true, minDf = 2) === Seq.empty)
+    // the vocab-censused path (WARN branch) prunes identically
+    val vocab = Some(spark.read.parquet(s"$dir/vocab"))
+    val viaVocab = TextIndex.searchAll(
+      Seq((0L, Seq("spark", "gardening"))).toDF("q_id", "terms"), "q_id",
+      "terms", postings, n, avg, k = 10, vocab = vocab,
+      autoPruneMinDf = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(viaVocab === run(Seq("gardening"), None, auto = false))
+  }
+
+  test("searchAll ranks STRING doc ids on the heap path with exact scores") {
+    // string ids ride the (double, UTF8String) heap since round 11 — the
+    // rank exchange stays bounded for url-keyed corpora, and the scores
+    // must still match the single-query search exactly
     val named = corpus.withColumn("doc_id",
       concat(lit("doc-"), col("doc_id")))
     val dir = Files.createTempDirectory("tidx").toString
@@ -142,6 +176,9 @@ class TextIndexSpec extends SparkSpec {
       "terms", spark.read.parquet(s"$dir/postings"), n, avg, k = 10)
     assert(res.schema("doc_id").dataType ===
       org.apache.spark.sql.types.StringType)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"string ids must rank on the heap aggregate:\n$plan")
     val got = res.collect().map(r => (r.getString(1), r.getDouble(2))).toMap
     val want = TextIndex.search(spark, dir, Seq("spark", "vector"), k = 10)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
