@@ -178,6 +178,11 @@ object Bench {
         documents, "text", "doc_id"))),
       "dedup_minhash" -> (() => exec(pipeline.Dedup.minhashNearDuplicates(
         documentsScan, "text", "doc_id", threshold = 0.5))),
+      // the SHIPPED default: Curation routes near-dup through the census
+      // auto-plan — benched beside the pinned default plan above so the
+      // artifact measures what users actually run (census cost included)
+      "dedup_minhash_auto" -> (() => exec(pipeline.Dedup.minhashNearDuplicatesAuto(
+        documentsScan, "text", "doc_id", threshold = 0.5))),
       "ann_brute_topk" -> (() => {
         val q = embeddings.filter(col("vec_id") === 0).select("embedding")
           .first().getSeq[Float](0).map(_.toDouble).toArray
@@ -337,6 +342,8 @@ object Bench {
         "dedup_exact" -> (() => exec(pipeline.Dedup.exactDuplicates(
           docXScan, "text", "doc_id"))),
         "dedup_minhash" -> (() => exec(pipeline.Dedup.minhashNearDuplicates(
+          docXScan, "text", "doc_id", threshold = 0.5))),
+        "dedup_minhash_auto" -> (() => exec(pipeline.Dedup.minhashNearDuplicatesAuto(
           docXScan, "text", "doc_id", threshold = 0.5))),
         "ann_brute_topk" -> (() => {
           val q = embX.filter(col("vec_id") === 0).select("embedding")

@@ -390,6 +390,38 @@ object OracleSql {
        |      ORDER BY ROUND(dist, 6), vec_id) AS rn
        |  FROM adc) WHERE rn <= $k""".stripMargin.replace("\n", " ")
 
+  /** Batch IVF-PQ search WITH exact re-rank — mirrors
+    * [[graft.pipeline.Ivf.searchAllPq]] at `reRank = shortK`: the ADC
+    * ranking of [[ivfPqBatchSql]] shortlists the top `shortK` codes per
+    * query (ascending rounded distance, ties to the lower id), then the
+    * shortlist only is re-scored by exact cosine on the raw vectors and
+    * cut to `k` (descending rounded cosine, ties to the lower id).
+    */
+  def ivfPqRerankSql(table: String, nLists: Int, subDim: Int, nQueries: Int,
+      nProbe: Int, shortK: Int, k: Int): String = {
+    val adcCore = ivfPqBatchSql(table, nLists, subDim, nQueries, nProbe, shortK)
+    // reuse the shared CTE prefix up to `adc`, swap the final SELECT for
+    // the shortlist + re-rank stages
+    val prefix = adcCore.substring(0, adcCore.indexOf("SELECT q_id, vec_id, adc_dist"))
+    s"""${prefix}SELECT q_id, vec_id, cos FROM (
+       |  SELECT CAST(s.qid AS BIGINT) AS q_id, s.vec_id,
+       |    ROUND(s.dot / (sqrt(s.nx) * sqrt(s.nq)), 6) AS cos,
+       |    row_number() OVER (PARTITION BY s.qid
+       |      ORDER BY ROUND(s.dot / (sqrt(s.nx) * sqrt(s.nq)), 6) DESC,
+       |        s.vec_id) AS rn
+       |  FROM (
+       |    SELECT sh.qid, sh.vec_id, sum(e.v * q.v) AS dot,
+       |      sum(e.v * e.v) AS nx, sum(q.v * q.v) AS nq
+       |    FROM (SELECT qid, vec_id FROM (
+       |        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |          ORDER BY ROUND(dist, 6), vec_id) AS rn FROM adc)
+       |      WHERE rn <= $shortK) sh
+       |    JOIN e ON e.vec_id = sh.vec_id
+       |    JOIN q ON q.qid = sh.qid AND q.i = e.i
+       |    GROUP BY sh.qid, sh.vec_id) s) WHERE rn <= $k""".stripMargin
+      .replace("\n", " ")
+  }
+
   /** Hashed-linear quality score — mirrors
     * [[graft.pipeline.QualityModel.scoreColumn]] with the deterministic
     * formula weight table `w[b] = ((b·2654435761) mod 97 − 48)/100`:

@@ -120,7 +120,43 @@ object RefBench {
       UniformAxis("energy", 100, enR._1, enR._2),
       UniformAxis("delay", 100, deR._1, deR._2))
 
-    val workloads: Seq[(String, () => Unit)] = Seq(
+    // the reference's three loader_compute_* baseline rows
+    // (benchmark_sed.py:182-208 loads the bundled instrument fixtures and
+    // times the materialization; BASELINE.md: mpes 0.016 s, flash
+    // 0.036 s, sxp 0.006 s). Each timed rep here runs the FULL ingest —
+    // HDF5 decode + assemble + materialize — mirroring the reference's
+    // lazy-graph recompute-per-run posture. Skipped (with a stderr note)
+    // when the read-only fixtures are absent.
+    val mpesPath = "/root/reference/tests/data/loader/mpes/Scan0030_2.h5"
+    val flashPath = "/root/reference/tests/data/loader/flash/" +
+      "FLASH1_USER3_stream_2_run43878_file1_20230130T153807.1.h5"
+    val sxpPath =
+      "/root/reference/tests/data/loader/sxp/RAW-R0016-DA03-S00000.h5"
+    def fixture(p: String) = new java.io.File(p).exists()
+    def runMpes(): Unit =
+      exec(graft.loader.StreamFixture.MpesH5Loader.readDataframe(
+        spark, Seq(mpesPath))._1)
+    def runFlash(): Unit =
+      exec(graft.loader.InstrumentH5Loader.readDataframe(
+        spark, Seq(flashPath))._1)
+    def runSxp(): Unit =
+      exec(graft.loader.InstrumentH5Loader.readDataframe(spark, Seq(sxpPath),
+        graft.loader.InstrumentH5Loader.sxpDefaultChannels,
+        pulseChannel = "pulseId", tofChannel = "dldTimeSteps",
+        ubidOffset = 0)._1)
+    val loaderWorkloads: Seq[(String, () => Unit)] = Seq[(String, String, () => Unit)](
+      ("loader_compute_mpes", mpesPath, () => runMpes()),
+      ("loader_compute_flash", flashPath, () => runFlash()),
+      ("loader_compute_sxp", sxpPath, () => runSxp()),
+    ).flatMap { case (name, path, run) =>
+      if (fixture(path)) Some(name -> run)
+      else {
+        System.err.println(s"[refbench] $name skipped: $path missing")
+        None
+      }
+    }
+
+    val workloads: Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
       "binning_1d" -> (() => Binning.histogramCube(events,
         Seq(UniformAxis("t", 1000, 60000.0, 120000.0)))),
       "binning_4d" -> (() => exec(Binning.histogram(events, Seq(
@@ -130,7 +166,7 @@ object RefBench {
         UniformAxis("ADC", 100, 2000.0, 20000.0))))),
       "workflow_1d" -> (() => Binning.histogramCube(chain(events), Seq(ax1dEnergy))),
       "workflow_4d" -> (() => exec(Binning.histogram(chain(events), ax4dWf))),
-    )
+    ) ++ loaderWorkloads
 
     // per-query canary bracket (same probe as Bench): a single-thread
     // CPU reference that exposes frequency/contention drift — the 4-D

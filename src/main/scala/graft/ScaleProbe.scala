@@ -77,6 +77,134 @@ object ScaleProbe {
     val factors = sys.env.get("SPARK_GRAFT_FACTORS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16, 64))
 
+    // "ingest64": the crawl front door at scale — WARC segment files of
+    // growing COUNT (segments ×f, fixed records/segment) through the
+    // full path route: recordsFromPaths → responsesFromRecords →
+    // Curation.ingestCrawlFromPaths (HTTP gate, URL columns, HTML
+    // extraction, language id). Stages are CUMULATIVE (each includes its
+    // upstream — caching the streamed middle would defeat the
+    // memory-bounded-by-one-record design being verified); read marginal
+    // cost as the diff. Heap-after-GC is printed per factor: the decode
+    // path streams record-by-record, so the ceiling must stay flat while
+    // bytes grow 64×.
+    if (args.contains("ingest64")) {
+      import spark.implicits._
+      val segRecords = 200
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ingest64")
+      factors.foreach { f =>
+        val nSegs = 4 * f
+        val segDir = s"$tmpRoot/f$f"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(segDir))
+        // build segments executor-side: parallel gzip across cores; each
+        // record carries ~15 KB of HTML so ×64 is ~0.8 GB of crawl bytes
+        spark.range(0, nSegs, 1, math.min(nSegs, cpus)).as[Long].foreach { s =>
+          val para = ("The quick brown fox jumps over the lazy dog near " +
+            "the riverbank while engineers benchmark streaming ingestion. ") * 12
+          val recs = (0 until segRecords).map { r =>
+            val id = s * segRecords + r
+            val html = s"<html><head><title>Doc $id</title></head><body>" +
+              s"<h1>Document $id</h1>" +
+              (0 until 10).map(p => s"<p>$para seg $s rec $r para $p</p>")
+                .mkString + "</body></html>"
+            pipeline.Warc.responseRecord(
+              s"https://crawl.example.com/seg$s/doc$r", "d", html)
+          }
+          val bytes = pipeline.Warc.encodeBlob(recs, gzipPerRecord = true)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$segDir/seg_$s%05d.warc.gz"), bytes)
+          ()
+        }
+        val segBytes = new java.io.File(segDir).listFiles().map(_.length).sum
+        // decoded volume is what scales the decode/parse work: ~13.5 KB
+        // of HTML per record (the gzip members compress the repeated
+        // prose ~25×, as real WARC segments do)
+        val decodedMb = nSegs * segRecords * 13.5e3 / 1e6
+        println(s"-- factor $f: $nSegs segments, ${nSegs * segRecords} " +
+          f"records, ${segBytes / 1e6}%.1f MB on disk / ~$decodedMb%.0f MB decoded --")
+        val paths = new java.io.File(segDir).listFiles().map(_.getPath)
+          .sorted.toSeq.toDF("path")
+        timed("records", f)(
+          pipeline.Warc.recordsFromPaths(paths).count())
+        timed("responses", f)(
+          pipeline.Warc.responsesFromRecords(
+            pipeline.Warc.recordsFromPaths(paths)).drop("path").count())
+        timed("ingest_full", f)(
+          pipeline.Curation.ingestCrawlFromPaths(paths).count())
+        System.gc()
+        val used = (Runtime.getRuntime.totalMemory() -
+          Runtime.getRuntime.freeMemory()) / 1e6
+        println(f"SCALE heap_after_gc    x$f%-3d $used%8.0f MB")
+        // drop this factor's segments before inflating the next one
+        new java.io.File(segDir).listFiles().foreach(_.delete())
+      }
+      spark.stop()
+      return
+    }
+
+    // "recall64": ANN QUALITY at scale — recall@10 of IVF / IVF-PQ /
+    // IVF-PQ+re-rank against the exact brute-force baseline
+    // (Similarity.bruteTopKBatch + recallAgainst) across
+    // nProbe ∈ {1,2,4,8,√lists} at ×1..×16 (the brute baseline is
+    // Θ(queries × corpus) by definition — it, not the ANN paths, bounds
+    // the probe's factor range). √N centroids (the encoded build rule);
+    // the table this prints backs Ivf.suggestedProbes' default and the
+    // re-rank recall-recovery claim with numbers.
+    if (args.contains("recall64")) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      factors.filter(_ <= 16).foreach { f =>
+        val corpus = emb
+          .withColumn("copy", explode(sequence(lit(0), lit(f - 1))))
+          .select((col("vec_id") * 64 + col("copy")).as("vec_id"),
+            transform(col("embedding"),
+              x => x + col("copy").cast("float") * lit(0.003f)).as("embedding"))
+          .cache()
+        val n = corpus.count()
+        val qn = 64 * f
+        val queries = corpus.filter(col("vec_id") % lit(math.max(1L, n / qn)) === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          .cache()
+        val nq = queries.count()
+        val kRoot = math.max(16, math.sqrt(n.toDouble).toInt)
+        val cents = pipeline.Similarity.kmeansCentroids(corpus, "embedding",
+          "vec_id", kRoot, iters = 3, sampleN = math.max(2000, 4 * kRoot))
+        val pqModel = pipeline.Pq.fitOnSample(corpus, "embedding", "vec_id",
+          dim = 64, m = 8, k = 16, sampleN = 2000)
+        val exact = pipeline.Similarity.bruteTopKBatch(queries, "q_vec",
+          "q_id", corpus, "embedding", "vec_id", k = 10).cache()
+        exact.count()
+        println(s"-- factor $f: $n vectors, $nq queries, $kRoot lists, " +
+          s"suggestedProbes=${pipeline.Ivf.suggestedProbes(kRoot)} --")
+        def avgRecall(d: DataFrame): Double =
+          pipeline.Similarity.recallAgainst(d, exact, "q_id", "vec_id")
+            .agg(avg(col("recall"))).head().getDouble(0)
+        val probeSet =
+          (Seq(1, 2, 4, 8) :+ pipeline.Ivf.suggestedProbes(kRoot))
+            .distinct.sorted
+        probeSet.foreach { np =>
+          def t[A](body: => A): (A, Double) = {
+            val t0 = System.nanoTime()
+            val a = body
+            (a, (System.nanoTime() - t0) / 1e9)
+          }
+          val (rIvf, tIvf) = t(avgRecall(pipeline.Ivf.searchAll(
+            queries, "q_vec", "q_id", corpus, "embedding", "vec_id",
+            cents, k = 10, nProbe = np)))
+          val (rPq, tPq) = t(avgRecall(pipeline.Ivf.searchAllPq(
+            queries, "q_vec", "q_id", corpus, "embedding", "vec_id",
+            cents, pqModel, k = 10, nProbe = np)))
+          val (rRr, tRr) = t(avgRecall(pipeline.Ivf.searchAllPq(
+            queries, "q_vec", "q_id", corpus, "embedding", "vec_id",
+            cents, pqModel, k = 10, nProbe = np, reRank = 50)))
+          val mark = if (np == pipeline.Ivf.suggestedProbes(kRoot)) " <- default" else ""
+          println(f"RECALL x$f%-3d nProbe=$np%-3d ivf=$rIvf%.4f ($tIvf%5.1f s)  " +
+            f"pq=$rPq%.4f ($tPq%5.1f s)  pq_rr50=$rRr%.4f ($tRr%5.1f s)$mark")
+        }
+        exact.unpersist(); queries.unpersist(); corpus.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
     // "index64": the batch-index family — Ivf.searchAll / searchAllPq /
     // TextIndex.searchAll at growing corpus × query-batch scale. The
     // pair-mass-shaped risk here is candidate fan-out per query: with a

@@ -773,6 +773,24 @@ object SparkEntry {
       pipeline.Ivf.searchAllPq(queries, "q_vec", "q_id",
         emb, "embedding", "vec_id", seeds, model, k = 5, nProbe = 2)
     }),
+    // IVF-PQ with exact RE-RANK (the standard recall-recovery stage):
+    // ADC shortlists top-8 codes per query, the shortlist alone is
+    // re-scored by exact cosine on raw vectors and cut to 5 — the
+    // quantization error moves within the shortlist for the price of 8
+    // raw-vector reads per query
+    "q_pq_rerank" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val model = pipeline.Pq.Model(64, 8,
+        Array.tabulate(8)(sub => seeds.map(_.slice(sub * 8, (sub + 1) * 8))))
+      val queries = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      pipeline.Ivf.searchAllPq(queries, "q_vec", "q_id",
+        emb, "embedding", "vec_id", seeds, model, k = 5, nProbe = 2,
+        reRank = 8)
+    }),
     // Embedding covariance moments from Pca's one-pass INTEGER-exact
     // aggregate (the distributed half of PCA; the float covariance +
     // driver-side Jacobi eigen half is spec-covered). Components are
@@ -2177,6 +2195,8 @@ object SparkEntry {
     "q_ivf_topk" -> OracleSql.ivfTopKSql("embeddings", nLists = 8, nProbe = 2, k = 10),
     "q_ivf_batch" -> OracleSql.ivfBatchSql("embeddings", nLists = 8,
       nQueries = 4, nProbe = 2, k = 5),
+    "q_pq_rerank" -> OracleSql.ivfPqRerankSql("embeddings", nLists = 8,
+      subDim = 8, nQueries = 4, nProbe = 2, shortK = 8, k = 5),
     "q_ivf_pq_batch" -> OracleSql.ivfPqBatchSql("embeddings", nLists = 8,
       subDim = 8, nQueries = 4, nProbe = 2, k = 5),
     "q_embed_cov" -> OracleSql.embedCovSql("embeddings"),

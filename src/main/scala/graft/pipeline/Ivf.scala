@@ -127,6 +127,20 @@ object Ivf {
     math.min(max.toLong, math.max(min.toLong,
       math.round(math.sqrt(math.max(corpusSize, 0L).toDouble)))).toInt
 
+  /** The probe-count scale rule, encoded (not folklore): `nProbe ≈
+    * √nLists`, floored at 1. With `k ≈ √N` lists (see
+    * [[suggestedCentroids]]) a probe costs ~√N candidate rows, so
+    * √nLists probes cost ~N^0.75 per query — sublinear in the corpus —
+    * while the round-11 `recall64` rehearsal (NOTES.md) measured
+    * recall@10 on the synthetic embeddings rising from the single-probe
+    * floor to ≥0.95 by nProbe ≈ √nLists and saturating past it: the
+    * knee sits at √nLists, which is also FAISS-practice for IVF probe
+    * budgets. Callers trade from there: fewer probes for latency, more
+    * for recall.
+    */
+  def suggestedProbes(nLists: Int, min: Int = 1): Int =
+    math.max(min, math.round(math.sqrt(math.max(nLists, 0).toDouble)).toInt)
+
   /** [[build]] with the list count chosen from data — the auto form
     * mirroring [[Dedup.minhashNearDuplicatesAuto]]: counts the corpus,
     * picks `k = `[[suggestedCentroids]]`(n)`, fits centroids on a bounded
@@ -217,9 +231,18 @@ object Ivf {
     * `partitions × queries × k` rows — the window form it replaced
     * shuffled the full candidate fan-out (queries × nProbe × list size,
     * the f² quantity the `index64` rehearsal measures). Query batches
-    * are assumed broadcast-sized; pass `broadcastQueries = false` for a
-    * mega-batch (the routed side then shuffles on `list_id` instead —
-    * same output, [[TextIndex.searchAll]]'s escape hatch).
+    * are assumed broadcast-sized (`broadcastQueries = true` ships
+    * `queries × nProbe` rows WITH their vectors to every executor — past
+    * autoBroadcastJoinThreshold-scale row counts that is broadcast/driver
+    * memory pressure); pass `broadcastQueries = false` for a mega-batch
+    * (the routed side then shuffles on `list_id` instead — same output,
+    * [[TextIndex.searchAll]]'s escape hatch). On a real batch, raise the
+    * ObjectHashAggregate fallback threshold first —
+    * [[TopKAgg.tuneForBatchSearch]] — or the rank heap silently degrades
+    * to sort-based aggregation past 128 query groups per task.
+    *
+    * `nProbe` defaults to the encoded [[suggestedProbes]] rule
+    * (√nLists — the measured recall knee).
     */
   def searchAll(
       queries: DataFrame,
@@ -230,16 +253,17 @@ object Ivf {
       idCol: String,
       centroids: Array[Array[Double]],
       k: Int,
-      nProbe: Int = 2,
+      nProbe: Int = -1,
       preAssigned: Boolean = false,
       broadcastQueries: Boolean = true,
   ): DataFrame = {
+    val probes = if (nProbe > 0) nProbe else suggestedProbes(centroids.length)
     val posted =
       if (preAssigned) corpus.select(col(idCol), col(vecCol), col("list_id"))
       else corpus.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol),
         KMeans.assign(corpus, vecCol, centroids).as("list_id"))
     val routed = queries.select(col(qIdCol), col(qVecCol),
-      explode(KMeans.assignK(queries, qVecCol, centroids, nProbe)).as("_probe"))
+      explode(KMeans.assignK(queries, qVecCol, centroids, probes)).as("_probe"))
     val cand = (if (broadcastQueries) broadcast(routed) else routed)
       .join(posted, routed("_probe") === posted("list_id"))
     val scored = cand.select(col(qIdCol), col(idCol),
@@ -260,6 +284,21 @@ object Ivf {
     * Output: `(qIdCol, idCol, adc_dist)` — ascending approximate
     * squared L2, rounded to 6, ties to the lower id (mirrors
     * [[Pq.adcTopK]]).
+    *
+    * '''Re-rank''' (`reRank = k' > k`): the standard recall-recovery
+    * stage every production IVF-PQ ships — the ADC scan shortlists the
+    * top `k'` codes per query, then the shortlist ONLY is re-scored by
+    * exact cosine on raw vectors and cut to `k`. The shortlist is
+    * `queries × k'` rows, so the extra cost is one broadcast semi-join
+    * against the vector source (the corpus never shuffles) — quantization
+    * error moves WITHIN the shortlist for the price of reading `k'`
+    * raw vectors per query. Output becomes `(qIdCol, idCol, cos)` —
+    * descending exact cosine, the same contract as [[searchAll]]. With
+    * `preEncoded = true` the codes-only lake holds no raw vectors, so
+    * `rawVectors` (a `(idCol, vecCol)` frame, e.g. the original
+    * embedding lake) is required. `nProbe` defaults to the encoded
+    * [[suggestedProbes]] rule. The round-11 `recall64` rehearsal
+    * (NOTES.md) measures the ADC→re-rank recall gap closing.
     */
   def searchAllPq(
       queries: DataFrame,
@@ -271,10 +310,15 @@ object Ivf {
       centroids: Array[Array[Double]],
       model: Pq.Model,
       k: Int,
-      nProbe: Int = 2,
+      nProbe: Int = -1,
       preEncoded: Boolean = false,
       broadcastQueries: Boolean = true,
+      reRank: Int = 0,
+      rawVectors: Option[DataFrame] = None,
   ): DataFrame = {
+    val probes = if (nProbe > 0) nProbe else suggestedProbes(centroids.length)
+    require(reRank == 0 || reRank >= k,
+      s"reRank must be 0 (off) or >= k, got reRank=$reRank k=$k")
     val sc = queries.sparkSession.sparkContext
     val posted =
       if (preEncoded) corpus.select(col(idCol), col("list_id"), col("pq_code"))
@@ -285,7 +329,7 @@ object Ivf {
           Pq.encodeColumn(f, vecCol, model).as("pq_code"))
       }
     val routed = queries.select(col(qIdCol), col(qVecCol),
-      explode(KMeans.assignK(queries, qVecCol, centroids, nProbe)).as("_probe"))
+      explode(KMeans.assignK(queries, qVecCol, centroids, probes)).as("_probe"))
     val cand = (if (broadcastQueries) broadcast(routed) else routed)
       .join(posted, routed("_probe") === posted("list_id"))
     val bc = sc.broadcast(model.codebooks)
@@ -297,8 +341,27 @@ object Ivf {
     // NaN distances are dropped by the rank step on either path
     val scored = cand.select(col(qIdCol), col(idCol),
       (lit(0.0) - round(dist, 6)).as("_negd"))
-    TopKAgg.rankTopK(scored, qIdCol, idCol, "_negd", k)
-      .select(col(qIdCol), col(idCol),
+    val adcRanked = TopKAgg.rankTopK(scored, qIdCol, idCol, "_negd",
+      if (reRank > 0) reRank else k)
+    if (reRank == 0)
+      adcRanked.select(col(qIdCol), col(idCol),
         (lit(0.0) - col("_negd")).as("adc_dist"))
+    else {
+      val vecs = rawVectors.getOrElse {
+        require(!preEncoded,
+          "a preEncoded (codes-only) lake holds no raw vectors — pass " +
+            "rawVectors = Some(frame with (idCol, vecCol)) for re-rank")
+        corpus
+      }.select(col(idCol), col(vecCol))
+      // queries × reRank rows — broadcast both small sides so the raw
+      // vector source is read map-only (one semi-join prune, no shuffle)
+      val shortlist = adcRanked.select(col(qIdCol), col(idCol))
+      val rescored = vecs
+        .join(broadcast(shortlist), Seq(idCol))
+        .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+        .select(col(qIdCol), col(idCol),
+          round(Dedup.cosine(col(qVecCol), col(vecCol)), 6).as("cos"))
+      TopKAgg.rankTopK(rescored, qIdCol, idCol, "cos", k)
+    }
   }
 }

@@ -216,6 +216,78 @@ class IvfSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("suggestedProbes encodes √nLists; it is the batch-search default") {
+    assert(Ivf.suggestedProbes(0) === 1)
+    assert(Ivf.suggestedProbes(1) === 1)
+    assert(Ivf.suggestedProbes(16) === 4)
+    assert(Ivf.suggestedProbes(1024) === 32)
+    assert(Ivf.suggestedProbes(2, min = 3) === 3)
+    // default-nProbe call ≡ the explicit suggestedProbes(nLists) call
+    val df = clustered()
+    val cents = seedCentroids(df, 8)
+    val queries = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(norm(Ivf.searchAll(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", cents, k = 3)) ===
+      norm(Ivf.searchAll(queries, "q_vec", "q_id",
+        df, "embedding", "vec_id", cents, k = 3,
+        nProbe = Ivf.suggestedProbes(8))))
+  }
+
+  test("searchAllPq re-rank: exact cosine over the ADC shortlist, both " +
+      "vector sources, recall never below the plain ADC cut") {
+    val df = clustered()
+    val cents = seedCentroids(df, 3)
+    val model = Pq.Model(4, 2,
+      Array.tabulate(2)(s => seedCentroids(df, 8).map(_.slice(s * 2, (s + 1) * 2))))
+    val queries = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val reranked = Ivf.searchAllPq(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", cents, model, k = 3, nProbe = 2, reRank = 10)
+    assert(reranked.columns.toSeq === Seq("q_id", "vec_id", "cos"))
+    // hand-built expectation: exact cosine re-rank of the ADC top-10
+    val shortlist = Ivf.searchAllPq(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", cents, model, k = 10, nProbe = 2)
+      .select(col("q_id"), col("vec_id"))
+    val rescored = df.join(shortlist, Seq("vec_id"))
+      .join(queries, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Dedup.cosine(col("q_vec"), col("embedding")), 6).as("cos"))
+    val want = TopKAgg.rankTopK(rescored, "q_id", "vec_id", "cos", 3)
+    assert(norm(reranked) === norm(want))
+    // codes-only lake: preEncoded + rawVectors gives the same answer
+    val dir = Files.createTempDirectory("ivfpq_rr").toString
+    Ivf.build(df, "embedding", "vec_id", cents, dir, pqModel = Some(model))
+    val postings = spark.read.parquet(s"$dir/postings")
+    val viaLake = Ivf.searchAllPq(queries, "q_vec", "q_id",
+      postings, "embedding", "vec_id", cents, model, k = 3, nProbe = 2,
+      preEncoded = true, reRank = 10, rawVectors = Some(df))
+    assert(norm(viaLake) === norm(reranked))
+    // preEncoded without rawVectors must fail loudly, not return wrong rows
+    val e = intercept[IllegalArgumentException](
+      Ivf.searchAllPq(queries, "q_vec", "q_id",
+        postings, "embedding", "vec_id", cents, model, k = 3, nProbe = 2,
+        preEncoded = true, reRank = 10))
+    assert(e.getMessage.contains("rawVectors"))
+    // re-rank is the recall-recovery stage: against the exact baseline it
+    // can only improve (or match) the plain ADC cut on every query
+    val exact = Similarity.bruteTopKBatch(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", k = 3)
+    def recall(d: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAgainst(d, exact, "q_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val rAdc = recall(Ivf.searchAllPq(queries, "q_vec", "q_id",
+      df, "embedding", "vec_id", cents, model, k = 3, nProbe = 2))
+    val rRr = recall(reranked)
+    rRr.foreach { case (q, r) => assert(r >= rAdc(q), s"query $q") }
+  }
+
   test("merge equals a from-scratch build: postings and search results") {
     val dirInc = Files.createTempDirectory("ivf_inc").toString
     val dirAll = Files.createTempDirectory("ivf_all").toString
