@@ -62,6 +62,8 @@ object PlanDump {
       "q_ivf_batch — batch IVF ANN (map-side probe routing, broadcast query join, mergeable TopKAgg heap rank)" -> "q_ivf_batch",
       "q_ivf_pq_batch — batch IVF-PQ (codes-only corpus exchange, codegen ADC distance)" -> "q_ivf_pq_batch",
       "q_text_batch — batch BM25 (broadcast query-term join, one score-sum exchange, mergeable TopKAgg heap rank)" -> "q_text_batch",
+      "q_text_batch_auto — batch BM25 at default settings (auto df-prune folds into the broadcast query-term side; candidate exchange bounded)" -> "q_text_batch_auto",
+      "q_pq_rerank — IVF-PQ + exact re-rank (ADC heap shortlist, broadcast semi-join onto raw vectors, second bounded heap rank)" -> "q_pq_rerank",
       "q_html_extract — HTML→text extraction (native codegen kernel inline in the scan)" -> "q_html_extract",
       "q_robots — robots.txt filter (broadcast rule join + one URL-keyed aggregate)" -> "q_robots",
       "q_trigram_ppl — trigram stupid-backoff LM (n-gram count equi-joins + broadcast scalars)" -> "q_trigram_ppl",

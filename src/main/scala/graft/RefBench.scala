@@ -121,40 +121,47 @@ object RefBench {
       UniformAxis("delay", 100, deR._1, deR._2))
 
     // the reference's three loader_compute_* baseline rows
-    // (benchmark_sed.py:182-208 loads the bundled instrument fixtures and
-    // times the materialization; BASELINE.md: mpes 0.016 s, flash
-    // 0.036 s, sxp 0.006 s). Each timed rep here runs the FULL ingest —
-    // HDF5 decode + assemble + materialize — mirroring the reference's
-    // lazy-graph recompute-per-run posture. Skipped (with a stderr note)
-    // when the read-only fixtures are absent.
+    // (benchmark_sed.py:182-208; BASELINE.md: mpes 0.016 s, flash
+    // 0.036 s, sxp 0.006 s). Like-for-like posture: the reference calls
+    // read_dataframe ONCE in setup (for flash/sxp that pass builds the
+    // parquet buffer) and times only `loaded_dataframe.compute()` — so
+    // here the dataframe is BUILT ONCE, untimed (flash/sxp through the
+    // bufferDir parquet buffer, matching the baseline rows' own
+    // "materialize ... buffer" wording), and each timed rep is the
+    // materialization alone. Skipped with a stderr note when the
+    // read-only fixtures are absent.
     val mpesPath = "/root/reference/tests/data/loader/mpes/Scan0030_2.h5"
     val flashPath = "/root/reference/tests/data/loader/flash/" +
       "FLASH1_USER3_stream_2_run43878_file1_20230130T153807.1.h5"
     val sxpPath =
       "/root/reference/tests/data/loader/sxp/RAW-R0016-DA03-S00000.h5"
     def fixture(p: String) = new java.io.File(p).exists()
-    def runMpes(): Unit =
-      exec(graft.loader.StreamFixture.MpesH5Loader.readDataframe(
-        spark, Seq(mpesPath))._1)
-    def runFlash(): Unit =
-      exec(graft.loader.InstrumentH5Loader.readDataframe(
-        spark, Seq(flashPath))._1)
-    def runSxp(): Unit =
-      exec(graft.loader.InstrumentH5Loader.readDataframe(spark, Seq(sxpPath),
-        graft.loader.InstrumentH5Loader.sxpDefaultChannels,
-        pulseChannel = "pulseId", tofChannel = "dldTimeSteps",
-        ubidOffset = 0)._1)
-    val loaderWorkloads: Seq[(String, () => Unit)] = Seq[(String, String, () => Unit)](
-      ("loader_compute_mpes", mpesPath, () => runMpes()),
-      ("loader_compute_flash", flashPath, () => runFlash()),
-      ("loader_compute_sxp", sxpPath, () => runSxp()),
-    ).flatMap { case (name, path, run) =>
-      if (fixture(path)) Some(name -> run)
-      else {
-        System.err.println(s"[refbench] $name skipped: $path missing")
-        None
+    val bufRoot = java.nio.file.Files
+      .createTempDirectory("graft_refbench_loaders").toString
+    val loaderWorkloads: Seq[(String, () => Unit)] =
+      Seq[(String, String, () => DataFrame)](
+        ("loader_compute_mpes", mpesPath, () =>
+          graft.loader.StreamFixture.MpesH5Loader.readDataframe(
+            spark, Seq(mpesPath))._1),
+        ("loader_compute_flash", flashPath, () =>
+          graft.loader.InstrumentH5Loader.readDataframe(spark, Seq(flashPath),
+            graft.loader.InstrumentH5Loader.flashDefaultChannels,
+            pulseChannel = "pulseId", tofChannel = "dldTimeSteps",
+            ubidOffset = 5, bufferDir = Some(s"$bufRoot/flash"))._1),
+        ("loader_compute_sxp", sxpPath, () =>
+          graft.loader.InstrumentH5Loader.readDataframe(spark, Seq(sxpPath),
+            graft.loader.InstrumentH5Loader.sxpDefaultChannels,
+            pulseChannel = "pulseId", tofChannel = "dldTimeSteps",
+            ubidOffset = 0, bufferDir = Some(s"$bufRoot/sxp"))._1),
+      ).flatMap { case (name, path, build) =>
+        if (fixture(path)) {
+          val df = build() // setup, untimed — decode + buffer happen here
+          Some(name -> (() => exec(df)))
+        } else {
+          System.err.println(s"[refbench] $name skipped: $path missing")
+          None
+        }
       }
-    }
 
     val workloads: Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
       "binning_1d" -> (() => Binning.histogramCube(events,

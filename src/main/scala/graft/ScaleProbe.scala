@@ -123,13 +123,23 @@ object ScaleProbe {
           f"records, ${segBytes / 1e6}%.1f MB on disk / ~$decodedMb%.0f MB decoded --")
         val paths = new java.io.File(segDir).listFiles().map(_.getPath)
           .sorted.toSeq.toDF("path")
+        // each stage aggregates over its HEAVY column — a bare count()
+        // would let Catalyst prune the decode/extract projections and
+        // time only the record framing (measured: 0.6 s for ~700 MB of
+        // "extraction", i.e. the work never ran)
+        def forced(df: DataFrame, heavy: String): Long = {
+          val r = df.agg(count(lit(1)), sum(length(col(heavy)))).head()
+          if (r.isNullAt(1) && r.getLong(0) > 0)
+            sys.error(s"$heavy all-null — probe no longer forces the work")
+          r.getLong(0)
+        }
         timed("records", f)(
-          pipeline.Warc.recordsFromPaths(paths).count())
+          forced(pipeline.Warc.recordsFromPaths(paths), "payload"))
         timed("responses", f)(
-          pipeline.Warc.responsesFromRecords(
-            pipeline.Warc.recordsFromPaths(paths)).drop("path").count())
+          forced(pipeline.Warc.responsesFromRecords(
+            pipeline.Warc.recordsFromPaths(paths)).drop("path"), "body"))
         timed("ingest_full", f)(
-          pipeline.Curation.ingestCrawlFromPaths(paths).count())
+          forced(pipeline.Curation.ingestCrawlFromPaths(paths), "text"))
         System.gc()
         val used = (Runtime.getRuntime.totalMemory() -
           Runtime.getRuntime.freeMemory()) / 1e6
@@ -242,6 +252,16 @@ object ScaleProbe {
             "embedding", "vec_id", centsFixed, k = 10, nProbe = 2).count())
         timed(s"ivf_search_root", f)(
           pipeline.Ivf.searchAll(queries, "q_vec", "q_id", corpus,
+            "embedding", "vec_id", centsRoot, k = 10, nProbe = 2).count())
+        // same search with URL-STRING doc ids: since round 11 these ride
+        // the TopKStrAgg heap — the leg must track the integral-id
+        // numbers (pre-round-11 they fell back to the full-candidate-mass
+        // window, the 2.5 GB-at-×16 shape)
+        val corpusS = corpus.select(
+          concat(lit("https://crawl.example.com/doc/"), col("vec_id"))
+            .as("vec_id"), col("embedding"))
+        timed(s"ivf_root_strid", f)(
+          pipeline.Ivf.searchAll(queries, "q_vec", "q_id", corpusS,
             "embedding", "vec_id", centsRoot, k = 10, nProbe = 2).count())
         val pqModel = pipeline.Pq.fitOnSample(corpus, "embedding", "vec_id",
           dim = 64, m = 8, k = 16, sampleN = 2000)

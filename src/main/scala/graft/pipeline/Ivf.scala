@@ -128,15 +128,19 @@ object Ivf {
       math.round(math.sqrt(math.max(corpusSize, 0L).toDouble)))).toInt
 
   /** The probe-count scale rule, encoded (not folklore): `nProbe ≈
-    * √nLists`, floored at 1. With `k ≈ √N` lists (see
-    * [[suggestedCentroids]]) a probe costs ~√N candidate rows, so
-    * √nLists probes cost ~N^0.75 per query — sublinear in the corpus —
-    * while the round-11 `recall64` rehearsal (NOTES.md) measured
-    * recall@10 on the synthetic embeddings rising from the single-probe
-    * floor to ≥0.95 by nProbe ≈ √nLists and saturating past it: the
-    * knee sits at √nLists, which is also FAISS-practice for IVF probe
-    * budgets. Callers trade from there: fewer probes for latency, more
-    * for recall.
+    * √nLists`, floored at 1 — FAISS-practice for IVF probe budgets.
+    * With `k ≈ √N` lists (see [[suggestedCentroids]]) a probe costs
+    * ~√N candidate rows, so √nLists probes cost ~N^0.75 per query —
+    * sublinear in the corpus — while probing a vanishing FRACTION
+    * (√nLists / nLists → 0) of the lists. The round-11 `recall64`
+    * rehearsal (NOTES.md) records the measured recall@10 ladder across
+    * nProbe ∈ {1,2,4,8,√nLists} at ×1..×16: on clustered corpora the
+    * curve knees early; on the synthetic near-uniform embeddings (the
+    * adversarial case for any inverted file) recall climbs smoothly
+    * with probed mass, and √nLists is the cost-bounded compromise the
+    * table lets users tune from — more probes for recall, fewer for
+    * latency, `nLists` for the exhaustive recall≡1.0 bound
+    * (spec-pinned).
     */
   def suggestedProbes(nLists: Int, min: Int = 1): Int =
     math.max(min, math.round(math.sqrt(math.max(nLists, 0).toDouble)).toInt)
@@ -191,7 +195,10 @@ object Ivf {
 
   /** Single-query search against the on-lake index. The `list_id IN`
     * predicate is a partition filter: only the probed directories are
-    * read (spec-pinned via the scan's partition count).
+    * read (spec-pinned via the scan's partition count). `nProbe` keeps
+    * a small fixed default here (one driver-side query is latency-bound,
+    * not exchange-bound); see [[suggestedProbes]] for the recall-backed
+    * budget rule the batch forms default to.
     */
   def search(
       spark: SparkSession,

@@ -165,9 +165,12 @@ object TextIndex {
     * final ranking runs as [[TopKAgg]] — a mergeable heap whose partial
     * phase caps the second exchange at `partitions × queries × k` rows,
     * where the window form it replaces re-shuffled the whole candidate
-    * set. Query batches are assumed broadcast-sized (bounded thousands);
-    * set `broadcastQueries = false` for a mega-batch and the planner
-    * falls back to a shuffle join.
+    * set — on a real batch call [[TopKAgg.tuneForBatchSearch]] once per
+    * session first, or the heap silently degrades to sort-based
+    * aggregation past 128 query groups per task. Query batches are
+    * assumed broadcast-sized (bounded thousands); set
+    * `broadcastQueries = false` for a mega-batch and the planner falls
+    * back to a shuffle join.
     *
     * That score-sum exchange is `Θ(Σ_q Σ_{t∈q} df(t))` — exact BM25's
     * irreducible cost, and it is dominated by STOPWORD-grade terms
