@@ -99,6 +99,50 @@ class RobotsSpec extends SparkSpec {
       6L -> 0, 7L -> 1))
   }
 
+  test("CachedRegexpLike: >1024 live patterns match correctly under " +
+      "eviction churn and the cache never empties") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // 3000 distinct anchored patterns — ~3× the 1024 cap, so every
+    // round of the sweep churns evictions. Each pattern matches exactly
+    // its own subject and rejects its neighbor: an eviction that broke
+    // matching (or a clear-all that emptied the cache) flips a result.
+    val n = 3000
+    def pat(i: Int) = s"^/seg$i(/.*)?$$"
+    def subj(i: Int) = s"/seg$i/deep"
+    // parallel churn across threads, two full sweeps (second sweep hits
+    // a cache that is already at the cap for most entries)
+    val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        for (_ <- 0 until 2; i <- t until n by 8) {
+          val ok = CachedRegexpLike.matches(
+            UTF8String.fromString(subj(i)), UTF8String.fromString(pat(i))) &&
+            !CachedRegexpLike.matches(
+              UTF8String.fromString(subj(i + n)), UTF8String.fromString(pat(i)))
+          if (!ok) bad.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(bad.get() === 0)
+    // evict-one keeps the cache populated at ~the cap (the pre-round-11
+    // clear-all left it near-empty after every 1024th distinct pattern)
+    val size = CachedRegexpLike.cacheSize
+    assert(size > 512 && size <= 1024 + 8,
+      s"cache should sit near the 1024 cap after churn, got $size")
+    // the Column path agrees with the built-in RLIKE on a mixed frame
+    val df = spark.range(500).select(
+      concat(lit("/seg"), col("id"), lit("/deep")).as("s"),
+      concat(lit("^/seg"), (col("id") + col("id") % 2), lit("(/.*)?$")).as("p"))
+    val cached = org.apache.spark.sql.GraftBridge.column(CachedRegexpLike(
+      org.apache.spark.sql.GraftBridge.expression(col("s")),
+      org.apache.spark.sql.GraftBridge.expression(col("p"))))
+    val rows = df.select(col("s"), cached.as("a"), expr("s RLIKE p").as("b"))
+      .collect()
+    assert(rows.length === 500)
+    rows.foreach(r => assert(r.getBoolean(1) === r.getBoolean(2), r.getString(0)))
+  }
+
   test("filterAllowed plan: rule side broadcasts, one URL-keyed exchange") {
     val robots = Seq(("a.com", "User-agent: *\nDisallow: /p"))
       .toDF("domain", "robots")
