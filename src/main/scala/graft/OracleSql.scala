@@ -402,7 +402,12 @@ object OracleSql {
     val adcCore = ivfPqBatchSql(table, nLists, subDim, nQueries, nProbe, shortK)
     // reuse the shared CTE prefix up to `adc`, swap the final SELECT for
     // the shortlist + re-rank stages
-    val prefix = adcCore.substring(0, adcCore.indexOf("SELECT q_id, vec_id, adc_dist"))
+    val marker = "SELECT q_id, vec_id, adc_dist"
+    val idx = adcCore.indexOf(marker)
+    require(idx >= 0,
+      s"ivfPqBatchSql's final projection no longer starts with '$marker' — " +
+        "update ivfPqRerankSql's splice point alongside it")
+    val prefix = adcCore.substring(0, idx)
     s"""${prefix}SELECT q_id, vec_id, cos FROM (
        |  SELECT CAST(s.qid AS BIGINT) AS q_id, s.vec_id,
        |    ROUND(s.dot / (sqrt(s.nx) * sqrt(s.nq)), 6) AS cos,

@@ -145,14 +145,18 @@ object CubeIO {
           case f: Float => Hdf5Minimal.Dataset(k, Hdf5Minimal.F64(Array(f.toDouble)))
           case i: Int => Hdf5Minimal.Dataset(k, Hdf5Minimal.I64(Array(i.toLong)))
           case l: Long => Hdf5Minimal.Dataset(k, Hdf5Minimal.I64(Array(l)))
-          // integral sequences keep exactness as I64; any other all-numeric
-          // sequence (Double/Float/mixed) widens to F64 — only genuinely
-          // mixed/non-numeric sequences degrade to the comma-joined string
-          case s: Seq[_] if s.nonEmpty &&
-              s.forall(e => e.isInstanceOf[Int] || e.isInstanceOf[Long]) =>
+          // fixed-width integral sequences keep exactness as I64;
+          // Float/Double sequences widen losslessly to F64. Arbitrary-
+          // precision types (BigInt/BigDecimal — >53 significant bits
+          // would corrupt through doubleValue) and mixed/non-numeric
+          // sequences keep the exact comma-joined string form.
+          case s: Seq[_] if s.nonEmpty && s.forall(e =>
+              e.isInstanceOf[Byte] || e.isInstanceOf[Short] ||
+                e.isInstanceOf[Int] || e.isInstanceOf[Long]) =>
             Hdf5Minimal.Dataset(k, Hdf5Minimal.I64(
               s.map(_.asInstanceOf[Number].longValue).toArray))
-          case s: Seq[_] if s.nonEmpty && s.forall(_.isInstanceOf[Number]) =>
+          case s: Seq[_] if s.nonEmpty && s.forall(e =>
+              e.isInstanceOf[Float] || e.isInstanceOf[Double]) =>
             Hdf5Minimal.Dataset(k, Hdf5Minimal.F64(
               s.map(_.asInstanceOf[Number].doubleValue).toArray))
           case s: Seq[_] => Hdf5Minimal.Dataset(k,

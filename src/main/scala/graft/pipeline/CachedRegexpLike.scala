@@ -89,9 +89,9 @@ object CachedRegexpLike {
           victim = order.poll()
       }
       pat = java.util.regex.Pattern.compile(ps)
-      if (cache.putIfAbsent(ps, pat) == null) order.add(ps)
-      else pat = cache.get(ps) // lost the insert race — reuse the winner's
-      if (pat == null) pat = java.util.regex.Pattern.compile(ps) // evicted between
+      val prev = cache.putIfAbsent(ps, pat)
+      if (prev == null) order.add(ps) // we won the insert — queue once
+      else pat = prev // lost the race — use the winner's atomically
     }
     pat.matcher(s.toString).find(0)
   }

@@ -264,6 +264,10 @@ object Ivf {
       preAssigned: Boolean = false,
       broadcastQueries: Boolean = true,
   ): DataFrame = {
+    // -1 is the ONLY auto sentinel: a dynamically computed nProbe that
+    // underflows to 0 must fail loudly, not silently probe √nLists
+    require(nProbe == -1 || nProbe >= 1,
+      s"nProbe must be >= 1 (or -1 for the suggestedProbes default), got $nProbe")
     val probes = if (nProbe > 0) nProbe else suggestedProbes(centroids.length)
     val posted =
       if (preAssigned) corpus.select(col(idCol), col(vecCol), col("list_id"))
@@ -323,6 +327,8 @@ object Ivf {
       reRank: Int = 0,
       rawVectors: Option[DataFrame] = None,
   ): DataFrame = {
+    require(nProbe == -1 || nProbe >= 1,
+      s"nProbe must be >= 1 (or -1 for the suggestedProbes default), got $nProbe")
     val probes = if (nProbe > 0) nProbe else suggestedProbes(centroids.length)
     require(reRank == 0 || reRank >= k,
       s"reRank must be 0 (off) or >= k, got reRank=$reRank k=$k")
@@ -361,11 +367,18 @@ object Ivf {
         corpus
       }.select(col(idCol), col(vecCol))
       // queries × reRank rows — broadcast both small sides so the raw
-      // vector source is read map-only (one semi-join prune, no shuffle)
+      // vector source is read map-only (one semi-join prune, no
+      // shuffle). The mega-batch escape hatch applies here too: with
+      // broadcastQueries = false the shortlist is reRank× LARGER than
+      // the query batch the caller already declared un-broadcastable,
+      // so both re-rank joins fall back to shuffle joins with the rest
+      // of the plan.
+      def side(d: DataFrame): DataFrame =
+        if (broadcastQueries) broadcast(d) else d
       val shortlist = adcRanked.select(col(qIdCol), col(idCol))
       val rescored = vecs
-        .join(broadcast(shortlist), Seq(idCol))
-        .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+        .join(side(shortlist), Seq(idCol))
+        .join(side(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
         .select(col(qIdCol), col(idCol),
           round(Dedup.cosine(col(qVecCol), col(vecCol)), 6).as("cos"))
       TopKAgg.rankTopK(rescored, qIdCol, idCol, "cos", k)

@@ -186,11 +186,11 @@ object TextIndex {
     * never pruned, so behavior only changes where the unpruned plan was
     * headed for the cliff. `maxDfFraction = Some(r)` overrides with an
     * exact fractional cap (no floor); `autoDfPrune = false` restores the
-    * pre-round-11 unpruned plan. When a `vocab` lake is supplied, the
-    * dropped terms are censused (one broadcast-sized lookup) and named
-    * in a driver-side WARN; without one, a single INFO line states the
-    * active rule (deriving df twice just to warn would double the index
-    * pass). Ranking is exact over the survivors; a query whose terms are
+    * pre-round-11 unpruned plan. A driver-side WARN names the active
+    * rule and the override knobs whenever the cap can prune (no eager
+    * job — searchAll stays a pure plan builder); [[termDfs]] is the
+    * bounded lookup for seeing exactly which terms a query loses.
+    * Ranking is exact over the survivors; a query whose terms are
     * ALL pruned returns no rows (same as a query of unindexed terms).
     */
   def searchAll(
@@ -223,22 +223,20 @@ object TextIndex {
         qt0.filter(col("df") <= lit(r * nDocs))
       case None if autoDfPrune =>
         val cap = math.max(autoPruneMinDf.toDouble, AutoPruneFraction * nDocs)
-        vocab match {
-          case Some(v) =>
-            val dropped = qTerms.select("term").distinct()
-              .join(v.select("term", "df"), Seq("term"))
-              .filter(col("df") > cap).select("term").limit(6)
-              .collect().map(_.getString(0))
-            if (dropped.nonEmpty) logger.warn(
-              s"searchAll auto df-prune dropped stopword-grade query terms " +
-                s"(df > $cap of $nDocs docs), e.g. ${dropped.mkString(", ")} — " +
-                "their idf ≈ 0 but they dominate the candidate exchange; " +
-                "override with maxDfFraction = Some(r) or autoDfPrune = false")
-          case None => logger.info(
-            s"searchAll auto df-prune active: query terms with df > $cap " +
-              s"of $nDocs docs are dropped before candidate generation " +
-              "(override with maxDfFraction / autoDfPrune)")
-        }
+        // one driver-side log line per plan BUILD, never a Spark job:
+        // searchAll is a lazy plan builder, and an eager dropped-term
+        // census would run a cluster job at construction time for plans
+        // that may never execute (the first round-11 cut did exactly
+        // that when a vocab was supplied). `termDfs` is the bounded
+        // lookup a caller uses to see exactly which terms the rule
+        // drops; the WARN fires only when the cap is actually below the
+        // corpus size (i.e. the rule CAN prune something).
+        if (cap < nDocs) logger.warn(
+          s"searchAll auto df-prune active: query terms with df > $cap " +
+            s"of $nDocs docs are dropped before candidate generation — " +
+            "their idf ≈ 0 but they dominate the candidate exchange; " +
+            "override with maxDfFraction = Some(r) or autoDfPrune = false; " +
+            "inspect per-term dfs with TextIndex.termDfs")
         qt0.filter(col("df") <= lit(cap))
       case None => qt0
     }

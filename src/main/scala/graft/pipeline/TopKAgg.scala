@@ -157,14 +157,19 @@ final class TopKStrState(val k: Int) {
       val c = java.lang.Double.compare(a._1, b._1)
       if (c != 0) c else b._2.compareTo(a._2)
     })
-  /** `id` must be SAFE TO RETAIN (cloned off any reused row buffer). */
+  /** `id` may point into a reused row buffer: the comparison against
+    * the heap root reads it in place, and it is CLONED only on the two
+    * insert paths — on candidate-mass input nearly every warm-heap row
+    * is rejected, so the hot path stays allocation-free like the
+    * `(Double, Long)` sibling.
+    */
   def offer(score: Double, id: UTF8String): Unit = {
     if (score.isNaN) return
-    if (heap.size < k) heap.add((score, id))
+    if (heap.size < k) heap.add((score, id.clone()))
     else {
       val w = heap.peek()
       if (score > w._1 || (score == w._1 && id.compareTo(w._2) < 0)) {
-        heap.poll(); heap.add((score, id))
+        heap.poll(); heap.add((score, id.clone()))
       }
     }
   }
@@ -192,8 +197,7 @@ case class TopKStrAgg(
     val s = left.eval(input)
     val id = right.eval(input)
     if (s != null && id != null)
-      buffer.offer(s.asInstanceOf[Double],
-        id.asInstanceOf[UTF8String].clone())
+      buffer.offer(s.asInstanceOf[Double], id.asInstanceOf[UTF8String])
     buffer
   }
 
@@ -201,7 +205,7 @@ case class TopKStrAgg(
     val it = other.heap.iterator()
     while (it.hasNext) {
       val e = it.next()
-      buffer.offer(e._1, e._2) // already cloned at update time
+      buffer.offer(e._1, e._2) // re-clones on insert (bounded: ≤ k rows)
     }
     buffer
   }

@@ -190,6 +190,35 @@ class PipelineSpec extends SparkSpec {
     assert(!viaAgg.exists(_._3.isNaN))
   }
 
+  test("rankTopK window fallback (non-heap id types): parity, ties, NaN") {
+    // decimal ids ride neither heap — the case _ window branch must
+    // keep the same contract (score desc, ascending-id ties, NaN
+    // excluded); this is the only end-to-end driver of that branch now
+    // that string ids moved to the heap
+    val cand = spark.range(8000).repartition(16)
+      .select((col("id") % 13).as("q_id"),
+        (col("id") * 7919 % 10007).cast("decimal(10,0)").as("doc_id"),
+        when(col("id") % 53 === 0, lit(Double.NaN))
+          .otherwise((col("id") * 31 % 7).cast("double") / 10.0).as("score"))
+      .distinct()
+    val ranked = TopKAgg.rankTopK(cand, "q_id", "doc_id", "score", 4)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"),
+      s"decimal ids must take the window fallback:\n$plan")
+    val got = ranked.collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).longValue, r.getDouble(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val want = cand.filter(!isnan(col("score")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 4).drop("_rn")
+      .collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).longValue, r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.size === 13 * 4)
+    assert(!got.exists(_._3.isNaN))
+  }
+
   test("simhash: identical docs distance 0, near dups close, unrelated far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -152,7 +152,7 @@ class TextIndexSpec extends SparkSpec {
       run(Seq("gardening"), None, auto = false))
     // a pure-stopword query returns no rows under the active rule
     assert(run(Seq("spark"), None, auto = true, minDf = 2) === Seq.empty)
-    // the vocab-censused path (WARN branch) prunes identically
+    // the vocab-supplied path prunes identically (no eager census job)
     val vocab = Some(spark.read.parquet(s"$dir/vocab"))
     val viaVocab = TextIndex.searchAll(
       Seq((0L, Seq("spark", "gardening"))).toDF("q_id", "terms"), "q_id",
