@@ -607,6 +607,58 @@ class StreamingSpec extends SparkSpec {
     assert(batchScores.map(_._1) === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("streaming retrieval: IVF batch search over a query stream " +
+      "matches the batch answer (foreachBatch, frozen quantizer)") {
+    import graft.pipeline.Ivf
+    // queries ARRIVE as a stream; each micro-batch runs the same
+    // Ivf.searchAll plan against the static corpus with a frozen
+    // quantizer — the decontamination/retrieval-on-arrival shape for
+    // embeddings (per-query top-k is independent across queries, so
+    // micro-batching cannot change any answer)
+    val dim = 4
+    val centers = Array(
+      Array(10.0, 0.0, 0.0, 0.0),
+      Array(0.0, 10.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 0.0))
+    val corpus = (0 until 120).map { i =>
+      val r = new scala.util.Random(i)
+      val c = centers(i % 3)
+      (i.toLong, Seq.tabulate(dim)(d => (c(d) + r.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = corpus.filter(col("vec_id") < 3).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val queries = corpus.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dir = Files.createTempDirectory("stream-ann").toFile.getPath + "/q"
+    queries.filter(col("q_id") < 3).repartition(1).write
+      .mode("append").parquet(dir)
+    queries.filter(col("q_id") >= 3).repartition(1).write
+      .mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // force >1 micro-batch
+      .parquet(dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Ivf.searchAll(batch, "q_vec", "q_id", corpus,
+            "embedding", "vec_id", cents, k = 4, nProbe = 2)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val want = Ivf.searchAll(queries, "q_vec", "q_id", corpus,
+      "embedding", "vec_id", cents, k = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.size === want.length)
+    assert(got.toSet === want.toSet)
+    assert(got.map(_._1).distinct.sorted === Seq(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
   test("indexStream: micro-batch ingestion equals a from-scratch build") {
     val idxDir = Files.createTempDirectory("stream-tidx-inc").toString
     val allDir = Files.createTempDirectory("stream-tidx-all").toString
