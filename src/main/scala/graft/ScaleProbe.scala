@@ -77,6 +77,59 @@ object ScaleProbe {
     val factors = sys.env.get("SPARK_GRAFT_FACTORS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16, 64))
 
+    // "loader64": instrument-loader THROUGHPUT at growing file count —
+    // the real mpes/flash fixtures copied ×f and ingested through the
+    // full decode→assemble path. This is the scale framing the
+    // BENCH_REF loader_compute_* rows cannot show: those time one tiny
+    // file and measure Spark's fixed per-job latency floor (~0.1-1 s);
+    // here the file count grows 64× and the question is whether
+    // events/s scales with the file parallelism (one decode task per
+    // file — a beamtime run IS many files).
+    if (args.contains("loader64")) {
+      val mpes = "/root/reference/tests/data/loader/mpes/Scan0030_2.h5"
+      val flash = "/root/reference/tests/data/loader/flash/" +
+        "FLASH1_USER3_stream_2_run43878_file1_20230130T153807.1.h5"
+      if (!new java.io.File(mpes).exists()) {
+        println("loader64: fixtures missing, skipping"); spark.stop(); return
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_loader64")
+      def copies(src: String, tag: String, f: Int): Seq[String] =
+        (0 until f).map { i =>
+          val dst = java.nio.file.Paths.get(s"$tmp/${tag}_$i.h5")
+          if (!java.nio.file.Files.exists(dst))
+            java.nio.file.Files.copy(java.nio.file.Paths.get(src), dst)
+          dst.toString
+        }
+      val mpesAliases = Seq("Stream_0" -> "X", "Stream_1" -> "Y",
+        "Stream_2" -> "t", "Stream_4" -> "ADC")
+      // experiment knob: SPARK_GRAFT_MAXPART overrides
+      // spark.sql.files.maxPartitionBytes for the packing hypothesis
+      sys.env.get("SPARK_GRAFT_MAXPART").foreach(v =>
+        spark.conf.set("spark.sql.files.maxPartitionBytes", v))
+      factors.foreach { f =>
+        val mp = copies(mpes, "mpes", f)
+        val t0 = System.nanoTime()
+        val n = loader.StreamFixture.ingest(spark, mp, mpesAliases)
+          .agg(count(lit(1)), sum(col("t"))).head().getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE loader_mpes      x$f%-3d $sec%8.2f s  rows=$n%-12d ${n / sec / 1e6}%6.1f M ev/s")
+        val fl = copies(flash, "flash", f)
+        val t1 = System.nanoTime()
+        val (ev, _) = loader.InstrumentH5Loader.readDataframe(spark, fl)
+        val nf = ev.agg(count(lit(1)), sum(col("dldTimeSteps"))).head().getLong(0)
+        val sec1 = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE loader_flash     x$f%-3d $sec1%8.2f s  rows=$nf%-12d ${nf / sec1 / 1e6}%6.1f M ev/s")
+        // GC between factors: a multi-factor run in ONE JVM otherwise
+        // contaminates later factors with earlier ones' old-gen debris
+        // (measured: mpes ×64 read 46 s after a ×1..×16 prefix vs 6.1 s
+        // on a fresh JVM — same build, same data). For publishable
+        // numbers run each factor in its own JVM (SPARK_GRAFT_FACTORS=64).
+        System.gc()
+      }
+      spark.stop()
+      return
+    }
+
     // "ingest64": the crawl front door at scale — WARC segment files of
     // growing COUNT (segments ×f, fixed records/segment) through the
     // full path route: recordsFromPaths → responsesFromRecords →

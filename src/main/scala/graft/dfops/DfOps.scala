@@ -133,12 +133,27 @@ object DfOps {
     * per-pulse channel values onto electrons.
     *
     * The dask original iterates `map_overlap` passes to cross fully-null
-    * partitions; one window pass replaces the iteration hack. Requires a
-    * stable ordering column (file sequence + row position, materialized at
-    * ingestion — SURVEY.md §7.4 risk 3). Pass `partitionCols` (e.g. the file
-    * id) whenever the fill cannot cross that boundary: the unpartitioned
-    * variant funnels all rows through one window and is the scale
-    * bottleneck.
+    * partitions; this is the same split-then-stitch idea expressed
+    * exactly once. Requires a stable ordering column (file sequence +
+    * row position, materialized at ingestion — SURVEY.md §7.4 risk 3).
+    * With `partitionCols` (e.g. the file id) the fill is one keyed
+    * window — use it whenever the fill cannot cross that boundary.
+    *
+    * The UNPARTITIONED (global) variant is TWO-PHASE since round 11: a
+    * keyless `Window.orderBy` funnels the entire frame through ONE task
+    * (the loader64 rehearsal measured the flash assemble path dying on
+    * exactly that at ×64 — 6.5 M rows, one core). Instead the frame
+    * range-partitions on `orderCol`, each partition fills locally in
+    * parallel, every partition's LAST filled row (one row per
+    * partition — bounded by `spark.sql.shuffle.partitions`) forms a
+    * tiny carry table whose own keyless prefix-window is over ≤ a few
+    * hundred rows, and the carries broadcast-join back to patch each
+    * partition's leading nulls. Values are identical to the one-window
+    * form for a unique `orderCol` (ties may land in either partition —
+    * the same tie nondeterminism the keyless window had). Cost: the
+    * within-fill subtree is evaluated twice (once for the carry rows);
+    * at any size where that matters the single-task window was not an
+    * option.
     */
   def forwardFill(
       df: DataFrame,
@@ -146,16 +161,18 @@ object DfOps {
       orderCol: String,
       partitionCols: Seq[String] = Nil,
   ): DataFrame = {
-    val base =
-      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
-      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
-    val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cols.foldLeft(df)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    if (partitionCols.nonEmpty) {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cols.foldLeft(df)((d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    } else globalFill(df, cols, orderCol, backward = false)
   }
 
   /** `backward_fill_lazy` (`sed/core/dfops.py:260-315`): mirror of
-    * [[forwardFill]] filling from the next non-null value.
+    * [[forwardFill]] filling from the next non-null value (same
+    * two-phase global form).
     */
   def backwardFill(
       df: DataFrame,
@@ -163,12 +180,60 @@ object DfOps {
       orderCol: String,
       partitionCols: Seq[String] = Nil,
   ): DataFrame = {
-    val base =
-      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
-      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
-    val w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    cols.foldLeft(df)((d, c) =>
-      d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+    if (partitionCols.nonEmpty) {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      cols.foldLeft(df)((d, c) =>
+        d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+    } else globalFill(df, cols, orderCol, backward = true)
+  }
+
+  /** Shared two-phase global fill (see [[forwardFill]]). `backward`
+    * mirrors every direction: the local window fills from the following
+    * rows, the carry row is each partition's FIRST filled row, and the
+    * carry prefix-scan looks at following partitions.
+    */
+  private def globalFill(
+      df: DataFrame,
+      cols: Seq[String],
+      orderCol: String,
+      backward: Boolean,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val pid = "_gf_pid"
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .withColumn(pid, spark_partition_id())
+    val local = Window.partitionBy(col(pid)).orderBy(col(orderCol))
+    val localW =
+      if (backward) local.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fillOne(d: DataFrame, c: String): DataFrame =
+      if (backward) d.withColumn(c, first(col(c), ignoreNulls = true).over(localW))
+      else d.withColumn(c, last(col(c), ignoreNulls = true).over(localW))
+    val within = cols.foldLeft(ranged)(fillOne)
+    // one carry row per partition: the last (first, backward) filled row
+    val edge = Window.partitionBy(col(pid))
+      .orderBy(if (backward) col(orderCol) else col(orderCol).desc)
+    val carrySrc = within
+      .withColumn("_gf_rn", row_number().over(edge))
+      .filter(col("_gf_rn") === 1)
+      .select(col(pid) +: cols.map(col): _*)
+    // prefix-scan the carries: keyless window over ≤ n rows (tiny by
+    // construction — this is the ONLY keyless window left in the fill)
+    val scan0 = Window.orderBy(if (backward) col(pid).desc else col(pid))
+    val scanW = scan0.rowsBetween(Window.unboundedPreceding, -1) // strictly before
+    val carry = cols.foldLeft(carrySrc)((d, c) =>
+      d.withColumn(s"_gf_c_$c",
+        last(col(c), ignoreNulls = true).over(scanW)))
+      .select(col(pid) +: cols.map(c => col(s"_gf_c_$c")): _*)
+    val patched = within.join(broadcast(carry), Seq(pid), "left")
+    cols.foldLeft(patched)((d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"_gf_c_$c")))
+        .drop(s"_gf_c_$c"))
+      .drop(pid)
   }
 
   /** As-of join: for every left row, attach `valueCols` from the latest

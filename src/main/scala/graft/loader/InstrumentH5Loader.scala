@@ -72,8 +72,7 @@ object InstrumentH5Loader extends Loader {
     val chB = spark.sparkContext.broadcast(channels)
     val fileIdsB = spark.sparkContext.broadcast(fileIds)
     val enc: Encoder[Row] = Encoders.row(longSchema)
-    spark.read.format("binaryFile").load(ordered: _*)
-      .select(col("path"), col("content"))
+    StreamFixture.fileBytesFrame(spark, ordered)
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val fileId = fileIdsB.value.getOrElse(

@@ -219,8 +219,7 @@ object StreamFixture {
     val enc: Encoder[Row] = Encoders.row(outSchema)
     val aliasesB = spark.sparkContext.broadcast(aliases)
     val fileIdsB = spark.sparkContext.broadcast(fileIds)
-    spark.read.format("binaryFile").load(ordered: _*)
-      .select(col("path"), col("content"))
+    fileBytesFrame(spark, ordered)
       .mapPartitions { rows =>
         val as = aliasesB.value
         rows.flatMap { r =>
@@ -259,9 +258,45 @@ object StreamFixture {
     }
   }
 
+  /** Executor-side `(path, content)` frame — one whole file per row,
+    * spread over `min(nFiles, defaultParallelism)` tasks. This replaces
+    * the `binaryFile` source for decode inputs: binaryFile PACKS files
+    * into partitions by byte size (`spark.sql.files.maxPartitionBytes`,
+    * 128 MB), which is right for IO-bound scans and wrong for CPU-bound
+    * per-file decode — 64 × 3.8 MB instrument files packed into two
+    * 128 MB partitions ran the whole decode on 2 of 32 cores (the
+    * round-11 `loader64` rehearsal measured the cliff: 34.7 s vs ~3 s
+    * spread). Only path strings shuffle (round-robin); each task opens
+    * its files through the Hadoop FS layer, so every binaryFile scheme
+    * (hdfs://, s3a://, file:) keeps working, and the 2 GB binaryFile
+    * per-file ceiling becomes an explicit require.
+    */
+  private[loader] def fileBytesFrame(
+      spark: SparkSession, ordered: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val n = math.max(1, math.min(ordered.length,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(ordered).repartition(n)
+      .mapPartitions { paths =>
+        // one Configuration per task (its constructor parses XML)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        paths.map { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(conf)
+          val len = fs.getFileStatus(hp).getLen
+          require(len <= Int.MaxValue - 512,
+            s"$p is ${len} B — exceeds the single-buffer decode limit")
+          val buf = new Array[Byte](len.toInt)
+          val in = fs.open(hp)
+          try in.readFully(0, buf) finally in.close()
+          (p, buf)
+        }
+      }.toDF("path", "content")
+  }
+
   /** Driver-side whole-file read through the Hadoop filesystem layer, so
-    * channel discovery works on every scheme the `binaryFile` ingestion
-    * itself supports (hdfs://, s3a://, ...), not just local paths.
+    * channel discovery works on every scheme the ingestion itself
+    * supports (hdfs://, s3a://, ...), not just local paths.
     */
   private def readFileBytes(spark: SparkSession, path: String): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -314,8 +349,7 @@ object StreamFixture {
     val enc: Encoder[Row] = Encoders.row(outSchema)
     val aliasesB = spark.sparkContext.broadcast(aliases)
     val fileIdsB = spark.sparkContext.broadcast(fileIds)
-    spark.read.format("binaryFile").load(ordered: _*)
-      .select(col("path"), col("content"))
+    fileBytesFrame(spark, ordered)
       .mapPartitions { rows =>
         val as = aliasesB.value
         rows.flatMap { r =>
