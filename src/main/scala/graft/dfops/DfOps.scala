@@ -214,13 +214,18 @@ object DfOps {
       if (backward) d.withColumn(c, first(col(c), ignoreNulls = true).over(localW))
       else d.withColumn(c, last(col(c), ignoreNulls = true).over(localW))
     val within = cols.foldLeft(ranged)(fillOne)
-    // one carry row per partition: the last (first, backward) filled row
-    val edge = Window.partitionBy(col(pid))
-      .orderBy(if (backward) col(orderCol) else col(orderCol).desc)
-    val carrySrc = within
-      .withColumn("_gf_rn", row_number().over(edge))
-      .filter(col("_gf_rn") === 1)
-      .select(col(pid) +: cols.map(col): _*)
+    // one carry row per partition: the value at the greatest (smallest,
+    // backward) orderCol among that column's NON-NULL rows — i.e. the
+    // partition's last filled value, computed as a partial-aggregating
+    // groupBy over the raw ranged frame (map-side combine; much cheaper
+    // than a second full window subtree, which would also re-evaluate
+    // the within-fill)
+    def edgeVal(c: String): Column = {
+      val key = when(col(c).isNotNull, col(orderCol))
+      (if (backward) min_by(col(c), key) else max_by(col(c), key)).as(c)
+    }
+    val carrySrc = ranged.groupBy(col(pid))
+      .agg(edgeVal(cols.head), cols.tail.map(edgeVal): _*)
     // prefix-scan the carries: keyless window over ≤ n rows (tiny by
     // construction — this is the ONLY keyless window left in the fill)
     val scan0 = Window.orderBy(if (backward) col(pid).desc else col(pid))
