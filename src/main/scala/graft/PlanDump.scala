@@ -26,7 +26,7 @@ object PlanDump {
       "q_calib_roundtrip — config-reloaded calibration (pure fused projection)" -> "q_calib_roundtrip",
       "q_zipf — vocab rank via range-repartition + zipWithIndex (no keyless window)" -> "q_zipf",
       "q_ngram_jaccard — blocked pair join (native sorted-merge intersect kernel)" -> "q_ngram_jaccard",
-      "q_ffill — ordered window fill" -> "q_ffill",
+      "q_ffill — two-phase global fill (parallel range-partition fill + tiny carry prefix-scan + broadcast patch; no single-task window)" -> "q_ffill",
       "q_dfield — native codegen bilinear grid lookup (no UDF)" -> "q_dfield",
       "q_asof — as-of join as union + running window (no nested-loop join)" -> "q_asof",
       "q_tfidf — chained aggregations, document frequency from per-doc counts" -> "q_tfidf",
