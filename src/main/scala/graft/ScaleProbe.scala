@@ -102,10 +102,6 @@ object ScaleProbe {
         }
       val mpesAliases = Seq("Stream_0" -> "X", "Stream_1" -> "Y",
         "Stream_2" -> "t", "Stream_4" -> "ADC")
-      // experiment knob: SPARK_GRAFT_MAXPART overrides
-      // spark.sql.files.maxPartitionBytes for the packing hypothesis
-      sys.env.get("SPARK_GRAFT_MAXPART").foreach(v =>
-        spark.conf.set("spark.sql.files.maxPartitionBytes", v))
       factors.foreach { f =>
         val mp = copies(mpes, "mpes", f)
         val t0 = System.nanoTime()

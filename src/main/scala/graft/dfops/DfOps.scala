@@ -200,10 +200,35 @@ object DfOps {
       orderCol: String,
       backward: Boolean,
   ): DataFrame = {
+    if (cols.isEmpty) return df // nothing to fill — the old form's no-op
     val spark = df.sparkSession
+    val pid = "_gf_pid"
+    val reserved = pid +: cols.map(c => s"_gf_c_$c")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"globalFill reserves ${clash.mkString(", ")} — rename the input column(s)")
+    // CORRECTNESS INVARIANT: `ranged` is consumed by TWO plan branches
+    // (the fill window and the carry aggregate), and RangePartitioner's
+    // sample seed derives from the physical RDD id — the branches agree
+    // on partition ids ONLY because Spark dedupes identical canonical
+    // exchanges (spark.sql.exchange.reuse; both branches share this one
+    // `ranged` object, so the canonical plans are equal by
+    // construction, cached inputs included). If reuse is disabled, two
+    // independently-sampled exchanges could draw different boundaries
+    // and a boundary row would be patched with the wrong side's carry —
+    // fall back to the single-window form (correct, the pre-round-11
+    // plan) rather than risk silently wrong fills.
+    if (!spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean) {
+      val w0 = Window.orderBy(col(orderCol))
+      val w =
+        if (backward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return cols.foldLeft(df)((d, c) => d.withColumn(c,
+        (if (backward) first(col(c), ignoreNulls = true)
+         else last(col(c), ignoreNulls = true)).over(w)))
+    }
     val n = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
-    val pid = "_gf_pid"
     val ranged = df.repartitionByRange(n, col(orderCol))
       .withColumn(pid, spark_partition_id())
     val local = Window.partitionBy(col(pid)).orderBy(col(orderCol))
@@ -221,7 +246,14 @@ object DfOps {
     // than a second full window subtree, which would also re-evaluate
     // the within-fill)
     def edgeVal(c: String): Column = {
-      val key = when(col(c).isNotNull, col(orderCol))
+      // the ordering key must rank a NULL orderCol the way the sort
+      // does (nulls first) instead of letting max_by/min_by SKIP the
+      // row — wrap it in a never-null struct whose leading flag orders
+      // nulls below every real value; rows whose VALUE is null still
+      // skip via the outer when (null key)
+      val orderKey = struct(col(orderCol).isNotNull.as("_nn"),
+        col(orderCol).as("_v"))
+      val key = when(col(c).isNotNull, orderKey)
       (if (backward) min_by(col(c), key) else max_by(col(c), key)).as(c)
     }
     val carrySrc = ranged.groupBy(col(pid))

