@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.binning._
+
+/** Scratch experiment harness for huge-cube histogram strategies (the
+  * rows ≈ cells regime where map-side partial aggregation barely
+  * combines). Times each variant at the reference's 4-D shape:
+  * `SPARK_GRAFT_REFBENCH_ROWS` rows (default 1e8) into 100⁴ cells.
+  *
+  * Not part of the driver contract; run manually:
+  * {{{ sbt "runMain graft.BinProbe A B C" }}}
+  */
+object BinProbe {
+
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(20, Runtime.getRuntime.availableProcessors()).toString)
+    val n = sys.env.getOrElse("SPARK_GRAFT_REFBENCH_ROWS", "100000000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REFBENCH_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nSplits = cpus.toInt * 4
+    def events: DataFrame = spark.range(0L, n, 1L, nSplits).select(
+      (rand(42) * 2048.0).as("X"),
+      (rand(43) * 2048.0).as("Y"),
+      (rand(44) * 60000.0 + 60000.0).as("t"),
+      (rand(45) * 18000.0 + 2000.0).as("ADC"))
+
+    val bpa = sys.env.getOrElse("SPARK_GRAFT_BINS_PER_AXIS", "100").toInt
+    val axes = Seq(
+      UniformAxis("X", bpa, 0.0, 2048.0),
+      UniformAxis("Y", bpa, 0.0, 2048.0),
+      UniformAxis("t", bpa, 60000.0, 120000.0),
+      UniformAxis("ADC", bpa, 2000.0, 20000.0))
+    val b = bpa.toLong
+    val strides = Seq(b * b * b, b * b, b, 1L)
+    val cells = b * b * b * b
+    println(s"[binprobe] bins/axis=$bpa cells=$cells rows=$n")
+    val decode = axes.zip(strides).map { case (ax, s) =>
+      (expr(s"_flat div ${s}L") % ax.nBins).as(Binning.idxName(ax))
+    }
+
+    def flatDf: DataFrame =
+      events.select(Binning.flatBinIndex(axes, strides).as("_flat"))
+        .filter(col("_flat") >= 0)
+
+    // A: current shipped plan (partial + final hash agg)
+    def variantA(): Unit = exec(
+      flatDf.groupBy(col("_flat")).agg(count(lit(1)).as("cnt"))
+        .select(decode :+ col("cnt"): _*))
+
+    // B: raw-key shuffle first; agg runs once, post-shuffle
+    def variantB(): Unit = exec(
+      flatDf.repartition(col("_flat"))
+        .groupBy(col("_flat")).agg(count(lit(1)).as("cnt"))
+        .select(decode :+ col("cnt"): _*))
+
+    // C: span-partitioned dense accumulation (raw-key shuffle on the
+    // span id, mapPartitions increments into dense long arrays)
+    def variantC(): Unit = {
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val span = (cells + p - 1) / p
+      val shuffled = flatDf
+        .repartition(p, expr(s"_flat div ${span}L"))
+        .as[Long]
+      val sparse = shuffled.mapPartitions { it =>
+        val acc = new java.util.HashMap[Long, Array[Long]]()
+        while (it.hasNext) {
+          val f = it.next()
+          val sid = f / span
+          var a = acc.get(sid)
+          if (a == null) { a = new Array[Long](span.toInt); acc.put(sid, a) }
+          a((f - sid * span).toInt) += 1L
+        }
+        val out = Iterator.newBuilder[(Long, Long)]
+        acc.forEach { (sid, a) =>
+          var i = 0
+          while (i < a.length) {
+            if (a(i) != 0L) out += ((sid * span + i, a(i)))
+            i += 1
+          }
+        }
+        out.result()
+      }.toDF("_flat", "cnt")
+      exec(sparse.select(decode :+ col("cnt"): _*))
+    }
+
+    // C2: span-dense with 16x spans per partition (balanced hash load)
+    // and a direct-indexed array-of-arrays accumulator (no boxing)
+    def variantC2(): Unit = {
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val nSpans = 16 * p
+      val span = (cells + nSpans - 1) / nSpans
+      val shuffled = flatDf
+        .repartition(p, expr(s"_flat div ${span}L"))
+        .as[Long]
+      val sparse = shuffled.mapPartitions { it =>
+        val arrs = new Array[Array[Long]](nSpans)
+        while (it.hasNext) {
+          val f = it.next()
+          val sid = (f / span).toInt
+          var a = arrs(sid)
+          if (a == null) { a = new Array[Long](span.toInt); arrs(sid) = a }
+          a((f - sid.toLong * span).toInt) += 1L
+        }
+        Iterator.range(0, nSpans).filter(arrs(_) != null).flatMap { sid =>
+          val a = arrs(sid)
+          Iterator.range(0, a.length).filter(a(_) != 0L)
+            .map(i => (sid.toLong * span + i, a(i)))
+        }
+      }.toDF("_flat", "cnt")
+      exec(sparse.select(decode :+ col("cnt"): _*))
+    }
+
+    // B2: raw-key shuffle + primitive open-addressing hash count (no
+    // span math — works for any key distribution)
+    def variantB2(): Unit = {
+      val shuffled = flatDf.repartition(col("_flat")).as[Long]
+      val sparse = shuffled.mapPartitions { it =>
+        var cap = 1 << 20
+        var mask = cap - 1
+        var keys = new Array[Long](cap)
+        var cnts = new Array[Long](cap)
+        var used = new Array[Boolean](cap)
+        var size = 0
+        def insert(k: Long, c: Long): Unit = {
+          var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
+          while (used(i) && keys(i) != k) i = (i + 1) & mask
+          if (!used(i)) { used(i) = true; keys(i) = k; size += 1 }
+          cnts(i) += c
+        }
+        def grow(): Unit = {
+          val ok = keys; val oc = cnts; val ou = used
+          cap <<= 1; mask = cap - 1; size = 0
+          keys = new Array[Long](cap); cnts = new Array[Long](cap)
+          used = new Array[Boolean](cap)
+          var i = 0
+          while (i < ok.length) { if (ou(i)) insert(ok(i), oc(i)); i += 1 }
+        }
+        while (it.hasNext) {
+          insert(it.next(), 1L)
+          if (size * 4 > cap * 3) grow()
+        }
+        Iterator.range(0, cap).filter(used(_)).map(i => (keys(i), cnts(i)))
+      }.toDF("_flat", "cnt")
+      exec(sparse.select(decode :+ col("cnt"): _*))
+    }
+
+    // shared primitive open-hash count kernel over an iterator of keyed
+    // increments
+    def hashCount(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+      var cap = 1 << 16
+      var mask = cap - 1
+      var keys = new Array[Long](cap)
+      var cnts = new Array[Long](cap)
+      var used = new Array[Boolean](cap)
+      var size = 0
+      def insert(k: Long, c: Long): Unit = {
+        var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
+        while (used(i) && keys(i) != k) i = (i + 1) & mask
+        if (!used(i)) { used(i) = true; keys(i) = k; size += 1 }
+        cnts(i) += c
+      }
+      def grow(): Unit = {
+        val ok = keys; val oc = cnts; val ou = used
+        cap <<= 1; mask = cap - 1; size = 0
+        keys = new Array[Long](cap); cnts = new Array[Long](cap)
+        used = new Array[Boolean](cap)
+        var i = 0
+        while (i < ok.length) { if (ou(i)) insert(ok(i), oc(i)); i += 1 }
+      }
+      while (it.hasNext) {
+        val kv = it.next()
+        insert(kv._1, kv._2)
+        if (size * 4 > cap * 3) grow()
+      }
+      Iterator.range(0, cap).filter(used(_)).map(i => (keys(i), cnts(i)))
+    }
+
+    // E: skew-safe — local open-hash combine (no shuffle), then classic
+    // groupBy-sum over the pre-combined rows
+    def variantE(): Unit = {
+      val local = flatDf.as[Long]
+        .mapPartitions(it => hashCount(it.map((_, 1L))))
+        .toDF("_flat", "cnt")
+      exec(local.groupBy(col("_flat")).agg(sum("cnt").as("cnt"))
+        .select(decode :+ col("cnt"): _*))
+    }
+
+    // E2: skew-safe, fully primitive — local combine, raw repartition of
+    // the combined rows, open-hash merge on the reduce side
+    def variantE2(): Unit = {
+      val local = flatDf.as[Long]
+        .mapPartitions(it => hashCount(it.map((_, 1L))))
+      val merged = local.repartition(col("_1"))
+        .mapPartitions(hashCount)
+        .toDF("_flat", "cnt")
+      exec(merged.select(decode :+ col("cnt"): _*))
+    }
+
+    // D: like A but with 4x shuffle partitions (smaller final maps)
+    def variantD(): Unit = {
+      val p = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", (p.toInt * 4).toString)
+      try variantA() finally spark.conf.set("spark.sql.shuffle.partitions", p)
+    }
+
+    // product paths (must track A / E2 / B2 above)
+    def product(plan: HistogramPlan): Unit =
+      exec(Binning.histogram(events, axes, plan = plan))
+
+    val variants = Map[String, () => Unit](
+      "A" -> (() => variantA()), "B" -> (() => variantB()),
+      "C" -> (() => variantC()), "D" -> (() => variantD()),
+      "C2" -> (() => variantC2()), "B2" -> (() => variantB2()),
+      "E" -> (() => variantE()), "E2" -> (() => variantE2()),
+      "CL" -> (() => product(HistogramPlan.Classic)),
+      "K" -> (() => product(HistogramPlan.Kernel)),
+      "R" -> (() => product(HistogramPlan.RawShuffle)))
+    val names = if (args.nonEmpty) args.toSeq else Seq("A", "B", "C")
+    for (name <- names) {
+      val run = variants(name)
+      run() // warm-up
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[binprobe] $name min=${times.min}%.3f  " +
+        times.map(t => f"$t%.2f").mkString(" "))
+    }
+    spark.stop()
+  }
+}

@@ -61,6 +61,15 @@ object SparkEntry {
     UniformAxis("l_tax", 9, 0.0, 0.09),
   )
 
+  /** 4-D at the reference's 100-bins-per-axis cube scale (1e8 cells) —
+    * routes [[HistogramPlan.Kernel]] under auto. */
+  val ax4dHuge: Seq[UniformAxis] = Seq(
+    UniformAxis("l_quantity", 100, 1.0, 50.0),
+    UniformAxis("l_extendedprice", 100, 900.0, 105000.0),
+    UniformAxis("l_discount", 100, 0.0, 0.11),
+    UniformAxis("l_tax", 100, 0.0, 0.09),
+  )
+
   /** Explicit (non-uniform) edges over events.value (`_hist_from_bins`). */
   val axEdges: EdgesAxis =
     EdgesAxis("value", Array(0.0, 10.0, 50.0, 100.0, 200.0, 350.0, 500.0))
@@ -195,6 +204,12 @@ object SparkEntry {
     // A3: 4-D histogram (binning_4d analog)
     "q_bin4d" -> ((s, dir) =>
       Binning.histogram(table(s, dir, "lineitem"), ax4d)),
+    // A3 at reference cube scale: 100 bins/axis = 1e8 cells ≥ the 2^17
+    // auto-routing floor, so this row gates the primitive two-phase
+    // count kernel (HistogramPlan.Kernel) the classic q_bin4d cube is
+    // too small to reach
+    "q_bin4d_huge" -> ((s, dir) =>
+      Binning.histogram(table(s, dir, "lineitem"), ax4dHuge)),
     // A2: explicit-edge histogram (binsearch kernel)
     "q_bin_edges" -> ((s, dir) =>
       Binning.histogram(table(s, dir, "events"), Seq(axEdges))),
@@ -1770,6 +1785,7 @@ object SparkEntry {
     "q_bin1d" -> OracleSql.histogramSql("events", Seq(ax1dValue)),
     "q_bin2d" -> OracleSql.histogramSql("lineitem", Seq(axQty, axDisc)),
     "q_bin4d" -> OracleSql.histogramSql("lineitem", ax4d),
+    "q_bin4d_huge" -> OracleSql.histogramSql("lineitem", ax4dHuge),
     "q_bin_edges" -> OracleSql.histogramSql("events", Seq(axEdges)),
     "q_bin_per_part" -> {
       val j = OracleSql.uniformJ("value", ax1dValue)

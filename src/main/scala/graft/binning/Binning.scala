@@ -105,6 +105,7 @@ object Binning {
       df: DataFrame,
       axes: Seq[BinAxis],
       countName: String = "cnt",
+      plan: HistogramPlan = HistogramPlan.Auto,
   ): DataFrame = {
     require(axes.nonEmpty, "at least one bin axis required")
     flatStrides(axes) match {
@@ -121,12 +122,29 @@ object Binning {
         val decode = axes.zip(strides).map { case (ax, s) =>
           (expr(s"_flat div ${s}L") % ax.nBins).as(idxName(ax))
         }
-        df.select(flatBinIndex(axes, strides).as("_flat"))
+        val cells = axes.map(_.nBins.toLong).product
+        val flat = df.select(flatBinIndex(axes, strides).as("_flat"))
           .filter(col("_flat") >= 0) // -1 ⇔ out of range / null on any axis
-          .groupBy(col("_flat"))
-          .agg(count(lit(1)).as(countName))
-          .select(decode :+ col(countName): _*)
+        val chosen = plan match {
+          case HistogramPlan.Auto =>
+            if (cells >= HistogramKernel.kernelCellsFloor) HistogramPlan.Kernel
+            else HistogramPlan.Classic
+          case p => p
+        }
+        val counted = chosen match {
+          case HistogramPlan.Classic =>
+            flat.groupBy(col("_flat")).agg(count(lit(1)).as(countName))
+          case HistogramPlan.Kernel =>
+            kernelCounts(flat, cells, raw = false).toDF("_flat", countName)
+          case HistogramPlan.RawShuffle =>
+            kernelCounts(flat, cells, raw = true).toDF("_flat", countName)
+          case HistogramPlan.Auto => throw new IllegalStateException("resolved")
+        }
+        counted.select(decode :+ col(countName): _*)
       case None =>
+        require(plan == HistogramPlan.Auto || plan == HistogramPlan.Classic,
+          s"plan $plan needs the flat bin key, but this cube's cell count " +
+            "overflows the Long key space; use Auto or Classic")
         val idxCols = axes.map(ax => binIndex(ax).as(idxName(ax)))
         // null index ⇔ out of range on that axis ⇔ drop the event
         val keep = axes.map(ax => col(idxName(ax)).isNotNull).reduce(_ && _)
@@ -134,6 +152,31 @@ object Binning {
           .groupBy(axes.map(ax => col(idxName(ax))): _*)
           .agg(count(lit(1)).as(countName))
     }
+  }
+
+  /** The primitive count paths over the flat-key frame (see
+    * [[HistogramPlan]] for the strategy trade-offs and measurements).
+    * `raw = false` is the skew-safe two-phase form: open-hash combine per
+    * map task, exchange pre-combined `(cell, count)` rows, open-hash
+    * merge; `raw = true` exchanges raw keys and counts once on the
+    * reduce side.
+    */
+  private def kernelCounts(
+      flat: DataFrame,
+      cells: Long,
+      raw: Boolean,
+  ): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    val spark = flat.sparkSession
+    import spark.implicits._
+    val p = HistogramKernel.mergePartitions(spark, cells)
+    if (raw)
+      flat.repartition(p, col("_flat")).as[Long]
+        .mapPartitions(HistogramKernel.countKeys)
+    else
+      flat.as[Long]
+        .mapPartitions(HistogramKernel.countKeys)
+        .repartition(p, col("_1"))
+        .mapPartitions(HistogramKernel.mergeCounts)
   }
 
   /** The fused flat-key bin-index column (see [[FlatBinIndexExpr]]). */

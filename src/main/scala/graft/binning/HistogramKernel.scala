@@ -1,0 +1,139 @@
+package graft.binning
+
+/** Physical strategy for the sparse N-D histogram's count aggregation
+  * (see [[Binning.histogram]]).
+  *
+  * The decision variable is the map-side combining factor: Catalyst's
+  * partial HashAggregate only pays for itself when a map task sees each
+  * live cell many times, and a map task's row count is BOUNDED
+  * (`spark.sql.files.maxPartitionBytes` ⇒ ~1–4 M rows) no matter how big
+  * the corpus is. So for cube cardinalities past ~10⁵ cells the partial
+  * aggregate combines almost nothing — every row pays two UnsafeRow hash
+  * passes (partial + final) for a ≤ few-% shuffle reduction. Measured at
+  * the reference shape (1e8 rows, 80 map tasks, local[20]; min-of-reps,
+  * same box, interleaved — the full table is in NOTES.md round-12):
+  *
+  *   cells      classic   kernel    rawShuffle
+  *   1e4        1.00 s    1.30 s    2.58 s
+  *   1.05e5     1.89 s    1.98 s    3.02 s
+  *   1e6        5.38 s    4.76 s    3.30 s
+  *   9.8e6      8.08 s    6.04 s    4.94 s
+  *   1e8        8.21 s    6.60 s    5.35 s
+  *
+  * [[HistogramPlan.Kernel]] (the ≥ 2¹⁷-cell default) stays exactly as
+  * skew-safe as the classic plan — a hot cell still collapses to one row
+  * per map task before the exchange — while replacing both UnsafeRow
+  * hash aggregations with one primitive open-addressing pass per side.
+  * [[HistogramPlan.RawShuffle]] is ~25 % faster again but ships raw
+  * events keyed by cell, so a single hot cell (a bright diffraction spot,
+  * a stuck detector pixel) funnels its entire event mass through ONE
+  * reduce task — opt-in only, for data known to be smooth.
+  */
+sealed trait HistogramPlan
+object HistogramPlan {
+
+  /** Route by cube cardinality: ≥ [[HistogramKernel.kernelCellsFloor]]
+    * cells → [[Kernel]], else [[Classic]]. */
+  case object Auto extends HistogramPlan
+
+  /** Catalyst partial + final HashAggregate on the flat key — optimal
+    * when the cube is small enough for strong map-side combining. */
+  case object Classic extends HistogramPlan
+
+  /** Two-phase primitive count: per-map-task open-hash combine, shuffle
+    * the pre-combined `(cell, count)` rows, open-hash merge per reduce
+    * task. Same shuffle volume and skew behavior as [[Classic]]. */
+  case object Kernel extends HistogramPlan
+
+  /** Single-pass: shuffle raw flat keys, one open-hash count per reduce
+    * task. Fastest on smooth data; NOT skew-safe (see class doc). */
+  case object RawShuffle extends HistogramPlan
+}
+
+/** Primitive long→long open-addressing count maps used by the
+  * [[HistogramPlan.Kernel]] / [[HistogramPlan.RawShuffle]] physical
+  * paths. Fibonacci-multiplier hashing, linear probing, ×2 growth at ¾
+  * load; allocation-free per row.
+  */
+object HistogramKernel {
+
+  /** [[HistogramPlan.Auto]] switches to the kernel plan at this cube
+    * cardinality — the measured classic↔kernel crossover (see
+    * [[HistogramPlan]] scaladoc table) sits between 1e5 (classic +5 %)
+    * and 1e6 cells (kernel −12 %). */
+  val kernelCellsFloor: Long = 1L << 17
+
+  private final class LongCountMap(initialCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(initialCap, 16) * 2 - 1)
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var cnts = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var size = 0
+
+    private def slotOf(k: Long): Int =
+      java.lang.Long.hashCode(k * -7046029254386353131L) & mask
+
+    def add(k: Long, c: Long): Unit = {
+      var i = slotOf(k)
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      if (!used(i)) {
+        used(i) = true; keys(i) = k; size += 1
+        if (size * 4 > cap * 3) {
+          grow() // moves every entry, including k (with its count so far)
+          i = slotOf(k)
+          while (!(used(i) && keys(i) == k)) i = (i + 1) & mask
+        }
+      }
+      cnts(i) += c
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val oc = cnts; val ou = used
+      cap <<= 1; mask = cap - 1; size = 0
+      keys = new Array[Long](cap); cnts = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ou(i)) {
+          // direct insert (fresh table can't trigger nested growth at
+          // the same load factor)
+          var j = java.lang.Long.hashCode(ok(i) * -7046029254386353131L) & mask
+          while (used(j)) j = (j + 1) & mask
+          used(j) = true; keys(j) = ok(i); cnts(j) = oc(i); size += 1
+        }
+        i += 1
+      }
+    }
+
+    def result(): Iterator[(Long, Long)] =
+      Iterator.range(0, cap).filter(used(_)).map(i => (keys(i), cnts(i)))
+  }
+
+  /** Count occurrences of each key (the local-combine / raw-count pass). */
+  def countKeys(it: Iterator[Long]): Iterator[(Long, Long)] = {
+    val m = new LongCountMap(1 << 16)
+    while (it.hasNext) m.add(it.next(), 1L)
+    m.result()
+  }
+
+  /** Sum pre-combined `(key, count)` rows (the merge pass). */
+  def mergeCounts(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val m = new LongCountMap(1 << 16)
+    while (it.hasNext) { val kv = it.next(); m.add(kv._1, kv._2) }
+    m.result()
+  }
+
+  /** Reduce-side partition count for the kernel/raw exchanges: the
+    * session's `spark.sql.shuffle.partitions`, auto-raised so a dense
+    * cube's merge map stays ≲ 256 MB per task (17 B/entry), capped at
+    * 4096 — callers with genuinely larger live-cell counts should size
+    * `spark.sql.shuffle.partitions` themselves.
+    */
+  def mergePartitions(spark: org.apache.spark.sql.SparkSession,
+      cells: Long): Int = {
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val perTask = (256L << 20) / 17 // entries that fit the 256 MB target
+    math.max(base, math.min(4096L, cells / perTask + 1).toInt)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.binning
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The primitive count paths behind [[HistogramPlan.Kernel]] /
+  * [[HistogramPlan.RawShuffle]]: value parity against the classic
+  * Catalyst plan (including skewed and edge-key inputs), the auto
+  * routing rule, and the physical plan shapes.
+  */
+class HistogramKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other                    => other.toString
+    }
+  }
+
+  private def asMap(df: DataFrame): Map[Seq[Long], Long] =
+    df.collect()
+      .map(r => Seq.tabulate(r.length - 1)(r.getLong) -> r.getLong(r.length - 1))
+      .toMap
+
+  // 4 small axes (2·3·5·7 = 210 cells) with NaN / out-of-range rows mixed in
+  private val axes = Seq(
+    UniformAxis("a", 2, 0.0, 2.0), UniformAxis("b", 3, 0.0, 3.0),
+    UniformAxis("c", 5, 0.0, 5.0), UniformAxis("d", 7, 0.0, 7.0))
+  private lazy val events = {
+    val r = new scala.util.Random(7)
+    Seq.tabulate(5000) { i =>
+      def v(n: Int) = i % 31 match {
+        case 29 => Double.NaN
+        case 30 => -99.0 // out of range on every axis
+        case _  => r.nextDouble() * n
+      }
+      (v(2), v(3), v(5), v(7))
+    }.toDF("a", "b", "c", "d").repartition(7)
+  }
+
+  test("kernel and rawShuffle match the classic plan cell-for-cell") {
+    val classic = asMap(Binning.histogram(events, axes, plan = HistogramPlan.Classic))
+    val kernel = asMap(Binning.histogram(events, axes, plan = HistogramPlan.Kernel))
+    val raw = asMap(Binning.histogram(events, axes, plan = HistogramPlan.RawShuffle))
+    assert(classic.nonEmpty && classic.values.sum > 0)
+    assert(kernel === classic)
+    assert(raw === classic)
+  }
+
+  test("parity holds on a single hot cell (the skew case)") {
+    val hot = Seq.fill(3000)((0.4, 0.4, 0.4, 0.4)) ++
+      Seq.tabulate(50)(i => (1.0, 2.0, (i % 5).toDouble, (i % 7).toDouble))
+    val df = hot.toDF("a", "b", "c", "d").repartition(5)
+    val classic = asMap(Binning.histogram(df, axes, plan = HistogramPlan.Classic))
+    val kernel = asMap(Binning.histogram(df, axes, plan = HistogramPlan.Kernel))
+    assert(kernel === classic)
+    assert(classic(Seq(0L, 0L, 0L, 0L)) === 3000L)
+  }
+
+  test("flat key 0 (first cell) survives map growth in both kernel passes") {
+    // enough distinct keys to force several LongCountMap growths past the
+    // 2^16 initial capacity, with key 0 present — the growth re-find must
+    // not lose it (an unused slot has keys(i)==0 too)
+    val n = 200000
+    val keys = spark.range(n).select((col("id") % (n / 2)).as("_flat")).as[Long]
+    // countKeys runs per partition → sum the per-partition outputs by key
+    val counted = keys.mapPartitions(HistogramKernel.countKeys).collect()
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(counted.size === n / 2)
+    assert(counted(0L) === 2L)
+    assert(counted.values.sum === n.toLong)
+    val merged = keys.mapPartitions(HistogramKernel.countKeys)
+      .repartition(col("_1"))
+      .mapPartitions(HistogramKernel.mergeCounts).collect().toMap
+    assert(merged === counted)
+  }
+
+  test("auto routes by cube cardinality at kernelCellsFloor") {
+    val small = Binning.histogram(events, axes) // 210 cells → classic
+    assert(planOf(small).contains("HashAggregate"))
+    assert(!planOf(small).contains("SerializeFromObject"), planOf(small))
+    // 60^4 = 1.296e7 cells ≥ 2^17 → kernel (mapPartitions shows up as an
+    // object boundary; no partial/final HashAggregate pair on the count)
+    val huge = Seq.fill(100)((1.0, 2.0, 3.0, 4.0)).toDF("a", "b", "c", "d")
+    val hugeAxes = Seq("a", "b", "c", "d").map(UniformAxis(_, 60, 0.0, 60.0))
+    val routed = Binning.histogram(huge, hugeAxes)
+    val p = planOf(routed)
+    assert(p.contains("SerializeFromObject"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(asMap(routed) === Map(Seq(1L, 2L, 3L, 4L) -> 100L))
+  }
+
+  test("kernel plan shuffles exactly once, on the pre-combined rows") {
+    val df = Binning.histogram(events, axes, plan = HistogramPlan.Kernel)
+    val p = planOf(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("explicit kernel/rawShuffle on an unflattenable cube is rejected") {
+    val giant = Seq.tabulate(4)(_ =>
+      UniformAxis("a", 2000000000, 0.0, 1.0)) // 1.6e37 cells > Long
+    intercept[IllegalArgumentException] {
+      Binning.histogram(events.select(col("a")), giant.take(4).zipWithIndex.map {
+        case (ax, i) => ax.copy(column = Seq("a", "b", "c", "d")(i))
+      }, plan = HistogramPlan.Kernel)
+    }
+  }
+
+  test("mergePartitions: session floor, 256 MB-target raise, 4096 cap") {
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(HistogramKernel.mergePartitions(spark, 1000L) === base)
+    val perTask = (256L << 20) / 17
+    assert(HistogramKernel.mergePartitions(spark, perTask * 50) === 51)
+    assert(HistogramKernel.mergePartitions(spark, Long.MaxValue / 4) === 4096)
+  }
+}
