@@ -154,12 +154,19 @@ object DfOps {
     * within-fill subtree is evaluated twice (once for the carry rows);
     * at any size where that matters the single-task window was not an
     * option.
+    *
+    * `smallFrame = true` opts back into the one-window form for frames
+    * the CALLER knows are small (a single file's materialization, a
+    * bounded census table): same values, several fewer stages of
+    * scheduler latency, one task. Never set it on data that grows with
+    * the corpus.
     */
   def forwardFill(
       df: DataFrame,
       cols: Seq[String],
       orderCol: String,
       partitionCols: Seq[String] = Nil,
+      smallFrame: Boolean = false,
   ): DataFrame = {
     if (partitionCols.nonEmpty) {
       val w = Window.partitionBy(partitionCols.map(col): _*)
@@ -167,7 +174,7 @@ object DfOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       cols.foldLeft(df)((d, c) =>
         d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    } else globalFill(df, cols, orderCol, backward = false)
+    } else globalFill(df, cols, orderCol, backward = false, smallFrame)
   }
 
   /** `backward_fill_lazy` (`sed/core/dfops.py:260-315`): mirror of
@@ -179,6 +186,7 @@ object DfOps {
       cols: Seq[String],
       orderCol: String,
       partitionCols: Seq[String] = Nil,
+      smallFrame: Boolean = false,
   ): DataFrame = {
     if (partitionCols.nonEmpty) {
       val w = Window.partitionBy(partitionCols.map(col): _*)
@@ -186,7 +194,7 @@ object DfOps {
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       cols.foldLeft(df)((d, c) =>
         d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
-    } else globalFill(df, cols, orderCol, backward = true)
+    } else globalFill(df, cols, orderCol, backward = true, smallFrame)
   }
 
   /** Shared two-phase global fill (see [[forwardFill]]). `backward`
@@ -199,8 +207,14 @@ object DfOps {
       cols: Seq[String],
       orderCol: String,
       backward: Boolean,
+      smallFrame: Boolean = false,
   ): DataFrame = {
     if (cols.isEmpty) return df // nothing to fill — the old form's no-op
+    // `smallFrame` callers (e.g. a SINGLE-file loader materialization,
+    // whose decode is one task anyway) take the one-window form: the
+    // two-phase machinery buys parallelism the upstream can't feed and
+    // costs several extra tiny stages of scheduler latency
+    if (smallFrame) return singleWindowFill(df, cols, orderCol, backward)
     val spark = df.sparkSession
     val pid = "_gf_pid"
     val reserved = pid +: cols.map(c => s"_gf_c_$c")
@@ -218,15 +232,8 @@ object DfOps {
     // and a boundary row would be patched with the wrong side's carry —
     // fall back to the single-window form (correct, the pre-round-11
     // plan) rather than risk silently wrong fills.
-    if (!spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean) {
-      val w0 = Window.orderBy(col(orderCol))
-      val w =
-        if (backward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      return cols.foldLeft(df)((d, c) => d.withColumn(c,
-        (if (backward) first(col(c), ignoreNulls = true)
-         else last(col(c), ignoreNulls = true)).over(w)))
-    }
+    if (!spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean)
+      return singleWindowFill(df, cols, orderCol, backward)
     val n = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     val ranged = df.repartitionByRange(n, col(orderCol))
@@ -271,6 +278,26 @@ object DfOps {
       d.withColumn(c, coalesce(col(c), col(s"_gf_c_$c")))
         .drop(s"_gf_c_$c"))
       .drop(pid)
+  }
+
+  /** The pre-round-11 one-task global fill: a single keyless window.
+    * Used when the caller declares the frame small ([[forwardFill]]'s
+    * `smallFrame`) and as the correctness fallback when exchange reuse
+    * is disabled (see [[globalFill]]'s invariant note).
+    */
+  private def singleWindowFill(
+      df: DataFrame,
+      cols: Seq[String],
+      orderCol: String,
+      backward: Boolean,
+  ): DataFrame = {
+    val w0 = Window.orderBy(col(orderCol))
+    val w =
+      if (backward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) => d.withColumn(c,
+      (if (backward) first(col(c), ignoreNulls = true)
+       else last(col(c), ignoreNulls = true)).over(w)))
   }
 
   /** As-of join: for every left row, attach `valueCols` from the latest

@@ -204,8 +204,12 @@ object InstrumentH5Loader extends Loader {
     }
     val trainFrames = channels.filter(_.format == "per_train")
       .map(channelFrame(long, _))
+    // a SINGLE input file decodes on one task no matter what, so the
+    // two-phase global fill's extra stages buy parallelism the upstream
+    // can't feed — take the one-window form and its lower latency there;
+    // multi-file loads keep the scale-safe two-phase fill (loader64)
     ChannelLoader.assemble(elec, pulseFrames, trainFrames, tofChannel,
-      trainKeys = keys)
+      trainKeys = keys, smallFrame = paths.size == 1)
   }
 
   /** [[Loader]] contract entry: flash HEXTOF channel geometry by default. */

@@ -206,6 +206,7 @@ object ChannelLoader {
       trainFrames: Seq[DataFrame],
       tofColumn: String,
       trainKeys: Seq[String] = Seq("trainId"),
+      smallFrame: Boolean = false,
   ): (DataFrame, DataFrame) = {
     val withPulse = pulseFrames.foldLeft(electronFrame)(
       (acc, f) => acc.join(f, trainKeys :+ "pulseId", "full_outer"))
@@ -215,7 +216,7 @@ object ChannelLoader {
     val filled = graft.dfops.DfOps.forwardFill(
       joined.withColumn("_ord",
         struct(trainKeys.map(col) :+ col("pulseId") :+ col("electronId"): _*)),
-      trainCols, "_ord").drop("_ord")
+      trainCols, "_ord", smallFrame = smallFrame).drop("_ord")
     val events = filled.na.drop(Seq(tofColumn))
     val timed = filled.filter(col("electronId") === 0 || col("electronId").isNull)
     (events, timed)

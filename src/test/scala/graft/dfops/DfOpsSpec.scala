@@ -122,6 +122,33 @@ class DfOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("_gf_pid"))
   }
 
+  test("smallFrame fill: identical values, single-window plan") {
+    val df = spark.range(3000).repartition(8).select(
+      col("id"),
+      when(col("id") % 700 === 0, col("id").cast("double")).as("v"))
+    val twoPhase = DfOps.forwardFill(df, Seq("v"), "id")
+      .orderBy("id").select("v").as[Double].collect()
+    val one = DfOps.forwardFill(df, Seq("v"), "id", smallFrame = true)
+    val oneV = one.orderBy("id").select("v").as[Double].collect()
+    assert(oneV.toSeq === twoPhase.toSeq)
+    // plan: ONE keyless window, none of the two-phase machinery (range
+    // exchange + carry aggregate + broadcast patch join)
+    one.collect()
+    val p = one.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert("Window".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("rangepartitioning"),
+      p)
+    val back = DfOps.backwardFill(df, Seq("v"), "id", smallFrame = true)
+      .orderBy("id").collect().map(r => Option(r.get(1)))
+    val back2 = DfOps.backwardFill(df, Seq("v"), "id")
+      .orderBy("id").collect().map(r => Option(r.get(1)))
+    assert(back.toSeq === back2.toSeq)
+  }
+
   test("backwardFill mirrors forwardFill") {
     val df = spark.range(10).select(
       col("id"),
