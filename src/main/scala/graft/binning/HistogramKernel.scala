@@ -10,15 +10,16 @@ package graft.binning
   * the corpus is. So for cube cardinalities past ~10⁵ cells the partial
   * aggregate combines almost nothing — every row pays two UnsafeRow hash
   * passes (partial + final) for a ≤ few-% shuffle reduction. Measured at
-  * the reference shape (1e8 rows, 80 map tasks, local[20]; min-of-reps,
-  * same box, interleaved — the full table is in NOTES.md round-12):
+  * the reference shape (1e8 rows, 80 map tasks, local[20]; min of 3
+  * interleaved reps, one JVM per cell count — the full protocol and
+  * table are in NOTES.md round-12):
   *
   *   cells      classic   kernel    rawShuffle
-  *   1e4        1.00 s    1.30 s    2.58 s
-  *   1.05e5     1.89 s    1.98 s    3.02 s
-  *   1e6        5.38 s    4.76 s    3.30 s
-  *   9.8e6      8.08 s    6.04 s    4.94 s
-  *   1e8        8.21 s    6.60 s    5.35 s
+  *   1e4        0.87 s    0.91 s    2.37 s
+  *   1.05e5     2.08 s    1.84 s    2.87 s
+  *   1e6        5.04 s    3.86 s    3.28 s
+  *   9.8e6      6.57 s    5.19 s    4.11 s
+  *   1e8        8.2-10.5  6.32 s    5.45 s
   *
   * [[HistogramPlan.Kernel]] (the ≥ 2¹⁷-cell default) stays exactly as
   * skew-safe as the classic plan — a hot cell still collapses to one row
@@ -59,8 +60,9 @@ object HistogramKernel {
 
   /** [[HistogramPlan.Auto]] switches to the kernel plan at this cube
     * cardinality — the measured classic↔kernel crossover (see
-    * [[HistogramPlan]] scaladoc table) sits between 1e5 (classic +5 %)
-    * and 1e6 cells (kernel −12 %). */
+    * [[HistogramPlan]] scaladoc table) sits near 1e5 cells (the two are
+    * within ~10 % there; classic clearly wins at 1e4, kernel from 1e6
+    * up), so 2¹⁷ is a conservative switch point. */
   val kernelCellsFloor: Long = 1L << 17
 
   private final class LongCountMap(initialCap: Int) {
