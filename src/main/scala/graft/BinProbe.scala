@@ -125,88 +125,33 @@ object BinProbe {
       exec(sparse.select(decode :+ col("cnt"): _*))
     }
 
-    // B2: raw-key shuffle + primitive open-addressing hash count (no
-    // span math — works for any key distribution)
+    // B2: raw-key shuffle + the SHIPPED primitive count kernel (what
+    // HistogramPlan.RawShuffle runs — kept so the probe times product
+    // code, not a drifted copy)
     def variantB2(): Unit = {
-      val shuffled = flatDf.repartition(col("_flat")).as[Long]
-      val sparse = shuffled.mapPartitions { it =>
-        var cap = 1 << 20
-        var mask = cap - 1
-        var keys = new Array[Long](cap)
-        var cnts = new Array[Long](cap)
-        var used = new Array[Boolean](cap)
-        var size = 0
-        def insert(k: Long, c: Long): Unit = {
-          var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
-          while (used(i) && keys(i) != k) i = (i + 1) & mask
-          if (!used(i)) { used(i) = true; keys(i) = k; size += 1 }
-          cnts(i) += c
-        }
-        def grow(): Unit = {
-          val ok = keys; val oc = cnts; val ou = used
-          cap <<= 1; mask = cap - 1; size = 0
-          keys = new Array[Long](cap); cnts = new Array[Long](cap)
-          used = new Array[Boolean](cap)
-          var i = 0
-          while (i < ok.length) { if (ou(i)) insert(ok(i), oc(i)); i += 1 }
-        }
-        while (it.hasNext) {
-          insert(it.next(), 1L)
-          if (size * 4 > cap * 3) grow()
-        }
-        Iterator.range(0, cap).filter(used(_)).map(i => (keys(i), cnts(i)))
-      }.toDF("_flat", "cnt")
+      val sparse = flatDf.repartition(col("_flat")).as[Long]
+        .mapPartitions(HistogramKernel.countKeys)
+        .toDF("_flat", "cnt")
       exec(sparse.select(decode :+ col("cnt"): _*))
-    }
-
-    // shared primitive open-hash count kernel over an iterator of keyed
-    // increments
-    def hashCount(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
-      var cap = 1 << 16
-      var mask = cap - 1
-      var keys = new Array[Long](cap)
-      var cnts = new Array[Long](cap)
-      var used = new Array[Boolean](cap)
-      var size = 0
-      def insert(k: Long, c: Long): Unit = {
-        var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
-        while (used(i) && keys(i) != k) i = (i + 1) & mask
-        if (!used(i)) { used(i) = true; keys(i) = k; size += 1 }
-        cnts(i) += c
-      }
-      def grow(): Unit = {
-        val ok = keys; val oc = cnts; val ou = used
-        cap <<= 1; mask = cap - 1; size = 0
-        keys = new Array[Long](cap); cnts = new Array[Long](cap)
-        used = new Array[Boolean](cap)
-        var i = 0
-        while (i < ok.length) { if (ou(i)) insert(ok(i), oc(i)); i += 1 }
-      }
-      while (it.hasNext) {
-        val kv = it.next()
-        insert(kv._1, kv._2)
-        if (size * 4 > cap * 3) grow()
-      }
-      Iterator.range(0, cap).filter(used(_)).map(i => (keys(i), cnts(i)))
     }
 
     // E: skew-safe — local open-hash combine (no shuffle), then classic
     // groupBy-sum over the pre-combined rows
     def variantE(): Unit = {
       val local = flatDf.as[Long]
-        .mapPartitions(it => hashCount(it.map((_, 1L))))
+        .mapPartitions(HistogramKernel.countKeys)
         .toDF("_flat", "cnt")
       exec(local.groupBy(col("_flat")).agg(sum("cnt").as("cnt"))
         .select(decode :+ col("cnt"): _*))
     }
 
-    // E2: skew-safe, fully primitive — local combine, raw repartition of
-    // the combined rows, open-hash merge on the reduce side
+    // E2: skew-safe, fully primitive — exactly HistogramPlan.Kernel's
+    // shape, built from the shipped kernel functions
     def variantE2(): Unit = {
-      val local = flatDf.as[Long]
-        .mapPartitions(it => hashCount(it.map((_, 1L))))
-      val merged = local.repartition(col("_1"))
-        .mapPartitions(hashCount)
+      val merged = flatDf.as[Long]
+        .mapPartitions(HistogramKernel.countKeys)
+        .repartition(col("_1"))
+        .mapPartitions(HistogramKernel.mergeCounts)
         .toDF("_flat", "cnt")
       exec(merged.select(decode :+ col("cnt"): _*))
     }

@@ -168,7 +168,19 @@ object Binning {
   ): org.apache.spark.sql.Dataset[(Long, Long)] = {
     val spark = flat.sparkSession
     import spark.implicits._
-    val p = HistogramKernel.mergePartitions(spark, cells)
+    // live cells ≤ rows: bound the merge-exchange raise by Catalyst's
+    // row estimate (from source file sizes) so a SPARSE giant cube over
+    // a small frame doesn't schedule thousands of near-empty tasks; an
+    // unknown/garbage estimate degrades to the cells-only bound
+    val rowsEst: Long = try {
+      val bytes = flat.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes <= 0 || bytes > BigInt(Long.MaxValue)) Long.MaxValue
+      // deliberately OVER-estimate rows (≥4 B/row would be compressed
+      // parquet territory): the safe error direction is raising more
+      // partitions, never under-sizing the merge maps
+      else math.max(1L, (bytes / 4).toLong)
+    } catch { case _: Exception => Long.MaxValue }
+    val p = HistogramKernel.mergePartitions(spark, cells, rowsEst)
     if (raw)
       flat.repartition(p, col("_flat")).as[Long]
         .mapPartitions(HistogramKernel.countKeys)

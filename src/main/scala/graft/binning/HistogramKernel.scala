@@ -127,15 +127,20 @@ object HistogramKernel {
   }
 
   /** Reduce-side partition count for the kernel/raw exchanges: the
-    * session's `spark.sql.shuffle.partitions`, auto-raised so a dense
-    * cube's merge map stays ≲ 256 MB per task (17 B/entry), capped at
-    * 4096 — callers with genuinely larger live-cell counts should size
-    * `spark.sql.shuffle.partitions` themselves.
+    * session's `spark.sql.shuffle.partitions`, auto-raised so the merge
+    * map stays ≲ 256 MB per task (17 B/entry), capped at 4096 — callers
+    * with genuinely larger live-cell counts should size
+    * `spark.sql.shuffle.partitions` themselves. Live cells are bounded
+    * by min(cells, rows), so the raise is driven by that bound — a
+    * sparse giant cube (10¹² cells, 10⁶ rows) must not schedule 4096
+    * near-empty tasks. `liveCellsBound` = the caller's row estimate
+    * (Catalyst plan stats), or `cells` when unknown.
     */
   def mergePartitions(spark: org.apache.spark.sql.SparkSession,
-      cells: Long): Int = {
+      cells: Long, liveCellsBound: Long = Long.MaxValue): Int = {
     val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val perTask = (256L << 20) / 17 // entries that fit the 256 MB target
-    math.max(base, math.min(4096L, cells / perTask + 1).toInt)
+    val live = math.min(cells, liveCellsBound)
+    math.max(base, math.min(4096L, live / perTask + 1).toInt)
   }
 }

@@ -49,17 +49,21 @@ class CopyTool(
   def copy(source: String, forceCopy: Boolean = false): String = {
     val srcFs = new Path(source).getFileSystem(conf)
     val src = srcFs.makeQualified(new Path(source))
-    require(srcFs.exists(src), s"Source not found: $source")
+    // one metadata round trip for the source (the source root is the
+    // SLOW filesystem this tool exists for — every extra status call is
+    // a remote HEAD)
+    val srcStatus = try srcFs.getFileStatus(src) catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(s"Source not found: $source")
+    }
     val rootQ = srcFs.makeQualified(new Path(sourceRoot))
-    val rel = relativize(rootQ, if (srcFs.getFileStatus(src).isFile)
-      src.getParent else src)
+    val rel = relativize(rootQ, if (srcStatus.isFile) src.getParent else src)
     val destFs = new Path(destRoot).getFileSystem(conf)
     val ddir = destFs.makeQualified(
       if (rel.isEmpty) new Path(destRoot) else new Path(destRoot, rel))
 
     val files: Seq[(Path, Long)] =
-      if (srcFs.getFileStatus(src).isFile)
-        Seq(src -> srcFs.getFileStatus(src).getLen)
+      if (srcStatus.isFile) Seq(src -> srcStatus.getLen)
       else {
         val it = srcFs.listFiles(src, true)
         val b = Seq.newBuilder[(Path, Long)]
@@ -68,7 +72,7 @@ class CopyTool(
       }
     require(files.nonEmpty, s"No files found at path: $source")
 
-    val srcBase = if (srcFs.getFileStatus(src).isFile) src.getParent else src
+    val srcBase = if (srcStatus.isFile) src.getParent else src
     val tasks = files.map { case (p, len) =>
       val destFile = new Path(ddir, relativize(srcBase, p))
       (p.toString, destFile.toString, len)
@@ -79,19 +83,19 @@ class CopyTool(
     }
 
     if (toCopy.nonEmpty) {
-      // free-space check (mirrorutil.py:102-120): best-effort — not
-      // every FileSystem reports capacity (object stores return 0)
+      // free-space check (mirrorutil.py:102-120): create the dest root
+      // FIRST so the probe sees a real directory (a local-FS probe of a
+      // nonexistent path reports 0 free — which must mean "disk full",
+      // not "skip the check"); filesystems that don't report capacity
+      // (object stores: the default getStatus says Long.MaxValue) skip
       val needed = toCopy.map(_._3).sum -
         toCopy.map { case (_, d, _) =>
           val dp = new Path(d)
           if (destFs.exists(dp)) destFs.getFileStatus(dp).getLen else 0L
         }.sum
-      // probe free space at the destination ROOT (ddir may not exist
-      // yet — a local-FS probe of a nonexistent path reports 0)
-      val remaining = try {
-        val r = destFs.getStatus(new Path(destRoot)).getRemaining
-        if (r <= 0) Long.MaxValue else r // 0 ⇒ FS doesn't report capacity
-      } catch { case _: Exception => Long.MaxValue }
+      destFs.mkdirs(new Path(destRoot), new FsPermission("775"))
+      val remaining = try destFs.getStatus(new Path(destRoot)).getRemaining
+        catch { case _: Exception => Long.MaxValue }
       if (remaining < Long.MaxValue && needed > remaining - safetyMarginBytes)
         throw new java.io.IOException(
           f"Target disk full, only ${remaining / gb}%.2f GB free, but " +
@@ -151,7 +155,12 @@ class CopyTool(
       if (subdirs.isEmpty) Seq(p) else subdirs.toIndexedSeq.flatMap(leaves)
     }
     if (!fs.exists(root)) return Seq.empty
-    leaves(root)
+    // the root itself is NEVER a scan candidate — a flat destination
+    // (files straight under destRoot, no subdirs) must not offer the
+    // whole staging tree for deletion (the reference's leaf-walk would;
+    // deliberate divergence)
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .toIndexedSeq.flatMap(leaves)
       .map(p => ScanEntry(p.toString,
         fs.getFileStatus(p).getModificationTime, size(p.toString)))
       .sortBy(_.modifiedMs)

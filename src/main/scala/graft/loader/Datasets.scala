@@ -89,6 +89,13 @@ class Datasets(
         throw new IllegalArgumentException(s"registry row $name has no url"))
       val zip = new File(dir, s"$name.zip")
       download(url, zip)
+      // a stale partial that is >= the remote size answers 416 ("already
+      // complete") yet is not a readable zip — delete it and fetch fresh
+      // once instead of wedging every retry on the same corrupt file
+      if (!zipReadable(zip)) {
+        zip.delete()
+        download(url, zip)
+      }
       extract(zip, dir)
       if (state.path("rearrange_files").asBoolean(false))
         rearrange(dir, strings(state, "subdirs"))
@@ -177,25 +184,52 @@ object Datasets {
     out.result().sorted
   }
 
+  /** Whether the file parses as a zip archive (central directory reads). */
+  private[loader] def zipReadable(f: File): Boolean =
+    f.exists() && (try { new ZipFile(f).close(); true } catch {
+      case _: Exception => false
+    })
+
   /** Resumable download: an existing partial file continues via an HTTP
     * `Range` header — 416 means already complete, 206 appends, 200
-    * restarts (`dataset.py:222-267`). */
+    * restarts (`dataset.py:222-267`). Redirects are followed manually
+    * (up to 5, cross-protocol included — `HttpURLConnection` refuses
+    * http→https hops that dataset hosts commonly serve).
+    */
   private[loader] def download(url: String, target: File): Unit = {
     val have = if (target.exists()) target.length() else 0L
-    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
-    if (have > 0) conn.setRequestProperty("Range", s"bytes=$have-")
-    conn.connect()
-    val code = conn.getResponseCode
-    if (code == 416) { conn.disconnect(); return } // fully downloaded
-    require(code == 200 || code == 206, s"GET $url failed: HTTP $code")
-    val append = code == 206 && have > 0
-    val in = conn.getInputStream
-    val out = new FileOutputStream(target, append)
-    try {
-      val buf = new Array[Byte](1 << 15)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } finally { out.close(); in.close(); conn.disconnect() }
+    var current = url
+    var hops = 0
+    while (hops <= 5) {
+      val conn = new URL(current).openConnection().asInstanceOf[HttpURLConnection]
+      conn.setInstanceFollowRedirects(false)
+      try {
+        if (have > 0) conn.setRequestProperty("Range", s"bytes=$have-")
+        conn.connect()
+        val code = conn.getResponseCode
+        if (code == 301 || code == 302 || code == 303 || code == 307 ||
+            code == 308) {
+          val loc = Option(conn.getHeaderField("Location")).getOrElse(
+            throw new java.io.IOException(s"redirect without Location: $current"))
+          current = new URL(new URL(current), loc).toString
+          hops += 1
+        } else if (code == 416) {
+          return // fully downloaded
+        } else {
+          require(code == 200 || code == 206, s"GET $current failed: HTTP $code")
+          val append = code == 206 && have > 0
+          val in = conn.getInputStream
+          val out = new FileOutputStream(target, append)
+          try {
+            val buf = new Array[Byte](1 << 15)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally { out.close(); in.close() }
+          return
+        }
+      } finally conn.disconnect()
+    }
+    throw new java.io.IOException(s"too many redirects fetching $url")
   }
 
   /** Extract missing / size-mismatched entries, preserving each entry's

@@ -204,12 +204,21 @@ object InstrumentH5Loader extends Loader {
     }
     val trainFrames = channels.filter(_.format == "per_train")
       .map(channelFrame(long, _))
-    // a SINGLE input file decodes on one task no matter what, so the
-    // two-phase global fill's extra stages buy parallelism the upstream
-    // can't feed — take the one-window form and its lower latency there;
-    // multi-file loads keep the scale-safe two-phase fill (loader64)
+    // a SINGLE SMALL input file decodes on one task no matter what, so
+    // the two-phase global fill's extra stages buy parallelism the
+    // upstream can't feed — take the one-window form and its lower
+    // latency there. Gated on file size as well as count: a multi-GB
+    // single file has millions of events, and (especially through the
+    // multi-partition bufferDir read) the two-phase fill's parallel
+    // sort is the right plan for it. Multi-file loads always keep the
+    // scale-safe two-phase fill (loader64).
+    val small = paths.size == 1 && (try {
+      val hp = new org.apache.hadoop.fs.Path(paths.head)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(hp).getLen <= ChannelLoader.smallFrameMaxBytes
+    } catch { case _: Exception => false })
     ChannelLoader.assemble(elec, pulseFrames, trainFrames, tofChannel,
-      trainKeys = keys, smallFrame = paths.size == 1)
+      trainKeys = keys, smallFrame = small)
   }
 
   /** [[Loader]] contract entry: flash HEXTOF channel geometry by default. */

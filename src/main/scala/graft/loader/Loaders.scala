@@ -135,6 +135,14 @@ object GenericLoader extends Loader {
   */
 object ChannelLoader {
 
+  /** [[assemble]]'s `smallFrame` routing is sensible only below this
+    * single-file size (~a few hundred MB ≈ a few M events): above it the
+    * two-phase fill's parallel sort beats a one-task window even for one
+    * file (see InstrumentH5Loader's call site).
+    */
+  val smallFrameMaxBytes: Long = 512L << 20
+
+
   /** The 7 named `dldAux` slots of the HEXTOF detector
     * (`sed/config/flash_example_config.yaml:95-167`).
     */

@@ -117,5 +117,11 @@ class HistogramKernelSpec extends SparkSpec {
     val perTask = (256L << 20) / 17
     assert(HistogramKernel.mergePartitions(spark, perTask * 50) === 51)
     assert(HistogramKernel.mergePartitions(spark, Long.MaxValue / 4) === 4096)
+    // live-cell bound: a sparse giant cube over a small frame must not
+    // inflate the exchange — rows cap the raise
+    assert(HistogramKernel.mergePartitions(spark, Long.MaxValue / 4,
+      liveCellsBound = 1000000L) === base)
+    assert(HistogramKernel.mergePartitions(spark, Long.MaxValue / 4,
+      liveCellsBound = perTask * 50) === 51)
   }
 }

@@ -102,6 +102,20 @@ class CopyToolSpec extends SparkSpec {
     intercept[java.io.FileNotFoundException](ct.cleanupOldestScan())
   }
 
+  test("a flat destination (files straight under destRoot) is never a " +
+      "deletion candidate") {
+    val src = tmp("ct_src7"); val dst = tmp("ct_dst7")
+    // file directly under the source root maps straight into destRoot
+    val f = write(src, "only.dat", "data")
+    val ct = new CopyTool(spark, src, dst)
+    ct.copy(f)
+    assert(Files.exists(Paths.get(dst, "only.dat")))
+    // no scan subdirectories → nothing to report, nothing to delete
+    assert(ct.scanReport().isEmpty)
+    intercept[java.io.FileNotFoundException](ct.cleanupOldestScan(force = true))
+    assert(Files.exists(Paths.get(dst, "only.dat")), "staging root deleted!")
+  }
+
   test("safety margin: an impossible margin fails before copying") {
     val src = tmp("ct_src6"); val dst = tmp("ct_dst6")
     write(src, "scan/a.txt", "data")

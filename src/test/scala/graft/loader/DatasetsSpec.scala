@@ -137,6 +137,46 @@ class DatasetsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Datasets.extract(evil, dir))
   }
 
+  test("a stale over-long partial zip recovers via delete-and-refetch " +
+      "(the 416 wedge)") {
+    val zip = mkZip("a.txt" -> "alpha")
+    val hits = new AtomicInteger(0)
+    val server = serve(zip, hits)
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.zip"
+      val (module, user, root) = fixture()
+      writeRegistry(module, url)
+      val ds = new Datasets(module, user, s"$root/none.json")
+      // plant a corrupt partial LONGER than the remote: resume sends
+      // Range past EOF, server answers 416 ("complete"), but the file
+      // is not a zip — get() must delete it and fetch fresh
+      val dir = Paths.get(root, "datasets", "Demo")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("Demo.zip"),
+        Array.fill[Byte](zip.length + 100)(0x42))
+      val got = ds.get("Demo", rootDir = Some(root))
+      assert(Files.readString(Paths.get(got.dir, "a.txt")) === "alpha")
+    } finally server.stop(0)
+  }
+
+  test("download follows redirects (302 hop to the payload)") {
+    val zip = mkZip("r.txt" -> "via-redirect")
+    val hits = new AtomicInteger(0)
+    val server = serve(zip, hits)
+    server.createContext("/moved.zip", (ex: HttpExchange) => {
+      ex.getResponseHeaders.add("Location", "/data.zip")
+      ex.sendResponseHeaders(302, -1)
+      ex.close()
+    })
+    try {
+      val dir = Files.createTempDirectory("rd").toString
+      val target = new File(dir, "r.zip")
+      Datasets.download(
+        s"http://127.0.0.1:${server.getAddress.getPort}/moved.zip", target)
+      assert(Files.readAllBytes(target.toPath).toSeq === zip.toSeq)
+    } finally server.stop(0)
+  }
+
   test("rearrange flattens declared subdirs; missing subdir raises") {
     val zip = mkZip("inner/deep/c.txt" -> "c", "inner/d.txt" -> "d")
     val hits = new AtomicInteger(0)
