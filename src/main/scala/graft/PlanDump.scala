@@ -19,6 +19,7 @@ object PlanDump {
     val dir = "/root/testdata/sf0.01"
     val sections = Seq(
       "q_bin4d — 4-D histogram (scan→project→partial agg→exchange→final)" -> "q_bin4d",
+      "q_bin4d_huge — 4-D histogram at 1e8 cells (primitive two-phase count kernel: local combine → one exchange of pre-combined rows → merge; no HashAggregate)" -> "q_bin4d_huge",
       "q_filter_range — predicate + projection pushdown into the scan" -> "q_filter_range",
       "q_cosine_topk — brute-force ANN (TakeOrderedAndProject, no global sort)" -> "q_cosine_topk",
       "q_minhash_pairs — LSH banding (bounded bucket-key shuffle join)" -> "q_minhash_pairs",

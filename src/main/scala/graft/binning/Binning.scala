@@ -216,6 +216,13 @@ object Binning {
     * `return_partitions=True` path, `sed/binning/binning.py:353-356`): per
     * input file / per category cubes in one aggregation. Pass e.g.
     * `input_file_name()` or any categorical column.
+    *
+    * Always the classic Catalyst plan: the [[HistogramPlan.Kernel]] path
+    * needs a single Long key, and the part column is an arbitrary type
+    * whose exact value must survive (hashing it to 64 bits could merge
+    * two categories). Callers with a HUGE per-part cube and an integral
+    * part id can fold it into an extra leading [[UniformAxis]] on
+    * [[histogram]] instead — same result, kernel-routable.
     */
   def histogramPer(
       df: DataFrame,
