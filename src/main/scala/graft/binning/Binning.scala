@@ -135,9 +135,9 @@ object Binning {
           case HistogramPlan.Classic =>
             flat.groupBy(col("_flat")).agg(count(lit(1)).as(countName))
           case HistogramPlan.Kernel =>
-            kernelCounts(flat, cells, raw = false).toDF("_flat", countName)
+            kernelCounts(flat, cells, raw = false, countName)
           case HistogramPlan.RawShuffle =>
-            kernelCounts(flat, cells, raw = true).toDF("_flat", countName)
+            kernelCounts(flat, cells, raw = true, countName)
           case HistogramPlan.Auto => throw new IllegalStateException("resolved")
         }
         counted.select(decode :+ col(countName): _*)
@@ -165,9 +165,9 @@ object Binning {
       flat: DataFrame,
       cells: Long,
       raw: Boolean,
-  ): org.apache.spark.sql.Dataset[(Long, Long)] = {
+      countName: String,
+  ): DataFrame = {
     val spark = flat.sparkSession
-    import spark.implicits._
     // live cells ≤ rows: bound the merge-exchange raise by Catalyst's
     // row estimate (from source file sizes) so a SPARSE giant cube over
     // a small frame doesn't schedule thousands of near-empty tasks; an
@@ -181,14 +181,10 @@ object Binning {
       else math.max(1L, (bytes / 4).toLong)
     } catch { case _: Exception => Long.MaxValue }
     val p = HistogramKernel.mergePartitions(spark, cells, rowsEst)
-    if (raw)
-      flat.repartition(p, col("_flat")).as[Long]
-        .mapPartitions(HistogramKernel.countKeys)
-    else
-      flat.as[Long]
-        .mapPartitions(HistogramKernel.countKeys)
-        .repartition(p, col("_1"))
-        .mapPartitions(HistogramKernel.mergeCounts)
+    // the native whole-operator form (graft.plans.CountByKey): counts
+    // UnsafeRows directly — no DeserializeToObject/SerializeFromObject
+    // boundary on the event-mass passes
+    graft.plans.CountByKey(flat, p, twoPhase = !raw, countName)
   }
 
   /** The fused flat-key bin-index column (see [[FlatBinIndexExpr]]). */

@@ -112,7 +112,27 @@ object HistogramKernel {
       Iterator.range(0, cap).filter(used(_)).map(i => (keys(i), cnts(i)))
   }
 
-  /** Count occurrences of each key (the local-combine / raw-count pass). */
+  /** Count directly over UnsafeRows (the [[graft.plans.CountByKeyExec]]
+    * hot path — no object boundary): key at ordinal 0; `cntOrdinal` ≥ 0
+    * sums that column (the merge side), −1 counts 1 per row.
+    */
+  def countInternalRows(
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      cntOrdinal: Int): Iterator[(Long, Long)] = {
+    val m = new LongCountMap(1 << 16)
+    if (cntOrdinal < 0) while (it.hasNext) m.add(it.next().getLong(0), 1L)
+    else while (it.hasNext) {
+      val r = it.next()
+      m.add(r.getLong(0), r.getLong(cntOrdinal))
+    }
+    m.result()
+  }
+
+  /** Count occurrences of each key (the local-combine / raw-count pass).
+    * Dataset-level form, used by probes/specs; the product plan runs
+    * [[countInternalRows]] through [[graft.plans.CountByKeyExec]], which
+    * skips the object boundary entirely.
+    */
   def countKeys(it: Iterator[Long]): Iterator[(Long, Long)] = {
     val m = new LongCountMap(1 << 16)
     while (it.hasNext) m.add(it.next(), 1L)

@@ -82,15 +82,19 @@ class HistogramKernelSpec extends SparkSpec {
   test("auto routes by cube cardinality at kernelCellsFloor") {
     val small = Binning.histogram(events, axes) // 210 cells → classic
     assert(planOf(small).contains("HashAggregate"))
-    assert(!planOf(small).contains("SerializeFromObject"), planOf(small))
-    // 60^4 = 1.296e7 cells ≥ 2^17 → kernel (mapPartitions shows up as an
-    // object boundary; no partial/final HashAggregate pair on the count)
+    assert(!planOf(small).contains("CountByKey"), planOf(small))
+    // 60^4 = 1.296e7 cells ≥ 2^17 → the native CountByKey operator
+    // (partial exec → ENSURE_REQUIREMENTS exchange → final exec; no
+    // HashAggregate, no object boundary)
     val huge = Seq.fill(100)((1.0, 2.0, 3.0, 4.0)).toDF("a", "b", "c", "d")
     val hugeAxes = Seq("a", "b", "c", "d").map(UniformAxis(_, 60, 0.0, 60.0))
     val routed = Binning.histogram(huge, hugeAxes)
     val p = planOf(routed)
-    assert(p.contains("SerializeFromObject"), p)
+    assert("CountByKey true".r.findAllIn(p).length === 1, p)
+    assert("CountByKey false".r.findAllIn(p).length === 1, p)
+    assert(p.contains("ENSURE_REQUIREMENTS"), p)
     assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("SerializeFromObject") && !p.contains("DeserializeToObject"), p)
     assert(asMap(routed) === Map(Seq(1L, 2L, 3L, 4L) -> 100L))
   }
 
