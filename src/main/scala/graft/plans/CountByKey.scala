@@ -24,8 +24,12 @@ import graft.binning.HistogramKernel
   * `spark.experimental.extraStrategies`), and a physical exec
   * ([[CountByKeyExec]]) whose FINAL side declares
   * `ClusteredDistribution(key)` so `EnsureRequirements` inserts the one
-  * hash exchange — Spark's own machinery places, sizes (AQE), and reuses
-  * the shuffle exactly as for a built-in aggregate.
+  * hash exchange — Spark's own machinery places and reuses the shuffle
+  * like a built-in aggregate's. The exchange width is pinned to
+  * [[graft.binning.HistogramKernel.mergePartitions]]'s sizing
+  * (`requiredNumPartitions`), which intentionally takes AQE's
+  * post-shuffle coalescing out of the loop: the merge map's memory is
+  * the constraint, not the partition byte size AQE optimizes for.
   *
   * Two-phase form (skew-safe, the default): partial exec counts each map
   * partition's rows, the exchange moves pre-combined `(key, cnt)` rows,
@@ -54,6 +58,13 @@ final case class CountByKeyPlan(
   // missing-input rule)
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(cnt)
+
+  // the node CONSUMES its child's key column even though no expression
+  // argument mentions it — without this, ColumnPruning sees an empty
+  // reference set and prunes `_flat` away under any consumer that only
+  // reads `cnt` (e.g. histogram(...).agg(sum("cnt")))
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    child.outputSet
 
   override protected def withNewChildInternal(c: LogicalPlan): CountByKeyPlan =
     copy(child = c)
@@ -137,8 +148,16 @@ object CountByKey {
       cntName: String): DataFrame = {
     val spark = flat.sparkSession
     CountByKeyStrategy.register(spark)
-    GraftBridge.ofRows(spark, CountByKeyPlan(
+    val keyName = flat.columns.head
+    val df = GraftBridge.ofRows(spark, CountByKeyPlan(
       GraftBridge.analyzedPlan(flat), numPartitions, twoPhase,
       AttributeReference(cntName, LongType, nullable = false)()))
+    // hide the node's produced `cnt` behind a Project alias:
+    // DeduplicateRelations knows how to regenerate conflicting Project
+    // aliases on a self-join, but not a custom node's produced
+    // attribute — without this, joining a kernel-routed histogram with
+    // itself dies with INTERNAL_ERROR "conflicting references"
+    import org.apache.spark.sql.functions.col
+    df.select(col(keyName), col(cntName).as(cntName))
   }
 }

@@ -98,6 +98,23 @@ class HistogramKernelSpec extends SparkSpec {
     assert(asMap(routed) === Map(Seq(1L, 2L, 3L, 4L) -> 100L))
   }
 
+  test("kernel-routed histograms survive cnt-only consumers and self-joins") {
+    val huge = Seq.tabulate(120)(i =>
+      (i % 2 * 1.0, i % 3 * 1.0, i % 5 * 1.0, i % 7 * 1.0))
+      .toDF("a", "b", "c", "d")
+    val hugeAxes = Seq("a", "b", "c", "d").map(UniformAxis(_, 60, 0.0, 60.0))
+    val h = Binning.histogram(huge, hugeAxes)
+    // ColumnPruning: a consumer that references only cnt must not prune
+    // the key column out from under the node
+    val total = h.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total === 120L)
+    assert(h.count() === h.collect().length.toLong)
+    // DeduplicateRelations: self-join must not die on the produced attr
+    val joined = h.as("l").join(h.as("r"),
+      Seq("bin_a", "bin_b", "bin_c", "bin_d"))
+    assert(joined.count() === h.count())
+  }
+
   test("kernel plan shuffles exactly once, on the pre-combined rows") {
     val df = Binning.histogram(events, axes, plan = HistogramPlan.Kernel)
     val p = planOf(df)
