@@ -149,4 +149,35 @@ class BinningProperties extends SparkSpec {
       assert(out.forall(v => v >= ys.min - 1e-9 && v <= ys.max + 1e-9))
     }
   }
+
+  test("LongCountMap: countKeys/mergeCounts match a reference map under " +
+      "adversarial keys (40 cases)") {
+    // hand-rolled property test: random key streams with duplicates and
+    // the hash's worst friends — 0, ±1, Long.Min/Max, dense sequential
+    // runs (clustered under multiply-shift), keys differing only in
+    // high bits — sized past the 2^16 initial capacity to force growth
+    cases(40, 12L) { r =>
+      val style = r.nextInt(4)
+      val n = 50000 + r.nextInt(150000)
+      val keys: Seq[Long] = style match {
+        case 0 => Seq.fill(n)(r.nextLong())
+        case 1 => val base = r.nextLong(); Seq.tabulate(n)(i => base + i / 2)
+        case 2 => Seq.tabulate(n)(i => (i % 997).toLong << 48) // high bits only
+        case 3 => Seq.fill(n)(Seq(0L, -1L, 1L, Long.MinValue,
+          Long.MaxValue, r.nextLong() % 100)(r.nextInt(6)))
+      }
+      keys
+    }.foreach { keys =>
+      val expect = keys.groupMapReduce(identity)(_ => 1L)(_ + _)
+      val counted = HistogramKernel.countKeys(keys.iterator).toSeq
+      assert(counted.map(_._1).distinct.size === counted.size, "dup keys out")
+      assert(counted.toMap === expect)
+      // split into 7 chunks, count each, merge the pre-combined rows —
+      // must equal the one-pass count (the kernel's two-phase contract)
+      val chunks = keys.grouped(math.max(1, keys.size / 7)).toSeq
+      val partials = chunks.flatMap(c => HistogramKernel.countKeys(c.iterator))
+      val merged = HistogramKernel.mergeCounts(partials.iterator).toMap
+      assert(merged === expect)
+    }
+  }
 }
