@@ -54,6 +54,36 @@ class Processor(
   def dataframe: DataFrame = df
   def timed: Option[DataFrame] = timedDf
 
+  /** The reference's transparent staging hook (`sed/core/processor.py:
+    * 340-362` `cpy`, constructed at `:150-162`): when
+    * `core.use_copy_tool` is true, mirror a path (or path list) from
+    * `core.copy_tool_source` into `core.copy_tool_dest` through
+    * [[graft.loader.CopyTool]] and return the staged path; otherwise
+    * return the input unchanged. Loaders then read the staged copies —
+    * on a cluster this stages network/beamline trees into job-local
+    * storage before the distributed decode.
+    */
+  def cpy(path: String): String =
+    copyTool.map(_.copy(path)).getOrElse(path)
+
+  /** [[cpy]] over a path list (`sed/core/processor.py:354-357`). */
+  def cpy(paths: Seq[String]): Seq[String] =
+    copyTool.map(ct => paths.map(ct.copy(_))).getOrElse(paths)
+
+  private lazy val copyTool: Option[graft.loader.CopyTool] =
+    if (!SedConfig.getBoolean(config, "core.use_copy_tool")) None
+    else {
+      val src = SedConfig.node(config, "core.copy_tool_source").map(_.asText())
+      val dst = SedConfig.node(config, "core.copy_tool_dest").map(_.asText())
+      // the reference silently disables the tool on missing keys
+      // (processor.py:160-162 catches the KeyError) — mirror that
+      if (src.isEmpty || dst.isEmpty) None
+      else Some(new graft.loader.CopyTool(spark, src.get, dst.get,
+        safetyMarginBytes = SedConfig.getDouble(config,
+          "core.copy_tool_kwds.safetyMargin", (1L << 30).toDouble).toLong,
+        ntasks = SedConfig.getInt(config, "core.copy_tool_kwds.ntasks", 25)))
+    }
+
   // ------------------------------------------------------------------
   // calibration parameter state (the persistence surface of
   // `sed/core/processor.py` — each apply path records its parameters so

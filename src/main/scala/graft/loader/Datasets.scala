@@ -161,6 +161,57 @@ object Datasets {
     * (un-flattened) subdirectories. */
   final case class Fetched(dir: String, subdirs: Seq[String])
 
+  /** The reference's bundled registry (`sed/dataset/datasets.json`):
+    * the named public datasets its tutorials fetch. The `Test` row is
+    * the fixture entry `available` hides, kept for parity.
+    */
+  val builtinRegistryJson: String =
+    """{
+      |  "WSe2": {
+      |    "url": "https://zenodo.org/record/6369728/files/WSe2.zip",
+      |    "subdirs": ["Scan049_1", "energycal_2019_01_08"]
+      |  },
+      |  "Gd_W110": {
+      |    "url": "https://zenodo.org/records/10658470/files/single_event_data.zip",
+      |    "subdirs": ["analysis_data", "calibration_data"],
+      |    "rearrange_files": true
+      |  },
+      |  "W110": {
+      |    "url": "https://zenodo.org/records/12609441/files/single_event_data.zip",
+      |    "subdirs": ["analysis_data", "calibration_data"],
+      |    "rearrange_files": true
+      |  },
+      |  "TaS2": {
+      |    "url": "https://zenodo.org/records/10160182/files/TaS2.zip",
+      |    "subdirs": ["Scan0121_1", "energycal_2020_07_20"]
+      |  },
+      |  "Au_Mica": {
+      |    "url": "https://zenodo.org/records/13952965/files/Au_Mica_SXP.zip"
+      |  },
+      |  "Test": {
+      |    "url": "http://test.com/files/file.zip",
+      |    "subdirs": ["subdir"],
+      |    "rearrange_files": true
+      |  }
+      |}""".stripMargin
+
+  /** A [[Datasets]] backed by the bundled registry: the builtin JSON is
+    * materialized once under the user registry's directory (as the
+    * module layer), so `datasets.get("WSe2")`-style calls work out of
+    * the box like the reference's `from sed.dataset import datasets`.
+    */
+  def withBuiltinRegistry(
+      userRegistry: String,
+      folderRegistry: String = "./datasets.json",
+  ): Datasets = {
+    val dir = Paths.get(userRegistry).toAbsolutePath.getParent
+    Files.createDirectories(dir)
+    val module = dir.resolve("datasets.builtin.json")
+    if (!Files.exists(module))
+      Files.writeString(module, builtinRegistryJson)
+    new Datasets(module.toString, userRegistry, folderRegistry)
+  }
+
   private def strings(n: ObjectNode, field: String): Seq[String] =
     Option(n.get(field)).toSeq.flatMap(_.elements().asScala.map(_.asText()))
 

@@ -463,4 +463,30 @@ class ProcessorSpec extends SparkSpec {
       hist.agg(sum("cnt")).first().getLong(0))
     assert(meta.contains("bin_value") && meta.contains("counts"))
   }
+
+  test("cpy: config-gated staging through the CopyTool (processor.py:340-362)") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("cpy_src").toString
+    val dst = Files.createTempDirectory("cpy_dst").toString
+    val f = Paths.get(src, "scan", "a.dat")
+    Files.createDirectories(f.getParent)
+    Files.writeString(f, "events")
+    // tool disabled (default): paths pass through untouched
+    val off = new Processor(spark, spark.range(1).toDF())
+    assert(off.cpy(f.toString) === f.toString)
+    // enabled: the mirrored path comes back and the bytes landed
+    val cfg = graft.config.SedConfig.parseString(
+      s"""{"core": {"use_copy_tool": true,
+         | "copy_tool_source": "$src", "copy_tool_dest": "$dst"}}""".stripMargin)
+    val on = new Processor(spark, spark.range(1).toDF(), config = cfg)
+    val staged = on.cpy(f.toString)
+    assert(staged !== f.toString)
+    assert(Files.readString(Paths.get(dst, "scan", "a.dat")) === "events")
+    assert(on.cpy(Seq(f.toString)).head === staged)
+    // missing keys silently disable, like the reference's KeyError catch
+    val broken = graft.config.SedConfig.parseString(
+      """{"core": {"use_copy_tool": true}}""")
+    val p2 = new Processor(spark, spark.range(1).toDF(), config = broken)
+    assert(p2.cpy(f.toString) === f.toString)
+  }
 }

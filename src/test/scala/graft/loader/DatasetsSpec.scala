@@ -222,6 +222,14 @@ class DatasetsSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("builtin registry lists the reference's named datasets") {
+    val root = Files.createTempDirectory("dsb").toString
+    val ds = Datasets.withBuiltinRegistry(
+      s"$root/user/datasets.json", s"$root/none.json")
+    assert(ds.available.toSet ===
+      Set("WSe2", "Gd_W110", "W110", "TaS2", "Au_Mica")) // Test hidden
+  }
+
   test("unknown dataset name raises with the available list") {
     val (module, user, root) = fixture()
     writeRegistry(module, "http://unused/")
