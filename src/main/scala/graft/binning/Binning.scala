@@ -174,13 +174,31 @@ object Binning {
     // unknown/garbage estimate degrades to the cells-only bound
     val rowsEst: Long = try {
       val bytes = flat.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (bytes <= 0 || bytes > BigInt(Long.MaxValue)) Long.MaxValue
+      // a stats-less relation (LogicalRDD, some views) reports exactly
+      // spark.sql.defaultSizeInBytes (= Long.MaxValue by default) — a
+      // sentinel, not an estimate; anything at/above it is "unknown"
+      val unknown = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+      if (bytes <= 0 || bytes >= unknown || bytes > BigInt(Long.MaxValue))
+        Long.MaxValue
       // deliberately OVER-estimate rows (≥4 B/row would be compressed
       // parquet territory): the safe error direction is raising more
       // partitions, never under-sizing the merge maps
       else math.max(1L, (bytes / 4).toLong)
     } catch { case _: Exception => Long.MaxValue }
-    val p = HistogramKernel.mergePartitions(spark, cells, rowsEst)
+    // stats-less relation (LocalRelation / RDD-backed: sizeInBytes =
+    // defaultSizeInBytes = huge): a genuinely sparse giant cube would
+    // re-open the 4096-near-empty-tasks case the cells-only bound was
+    // built to close. Clamp by the child's actual partition count × the
+    // partial pass's per-task emit bound — live cells can never exceed
+    // what the map tasks emit. (Planning-only rdd probe, same posture as
+    // ensureParallelism.)
+    val rowsBound: Long =
+      if (rowsEst != Long.MaxValue) rowsEst
+      else try {
+        val parts = flat.rdd.getNumPartitions.toLong
+        parts * HistogramKernel.partialFlushEntries
+      } catch { case _: Exception => Long.MaxValue }
+    val p = HistogramKernel.mergePartitions(spark, cells, rowsBound)
     // the native whole-operator form (graft.plans.CountByKey): counts
     // UnsafeRows directly — no DeserializeToObject/SerializeFromObject
     // boundary on the event-mass passes

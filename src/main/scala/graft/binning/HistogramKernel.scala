@@ -65,6 +65,13 @@ object HistogramKernel {
     * up), so 2¹⁷ is a conservative switch point. */
   val kernelCellsFloor: Long = 1L << 17
 
+  /** Hard capacity ceiling: past 2³⁰ slots the ×2 growth would overflow
+    * Int indexing, so the map stops growing (probe chains lengthen but
+    * stay correct) and fails with a clear message as the load nears 1 —
+    * ~1e9 live entries ≈ 17 GB, far past any sane per-task budget.
+    */
+  private val maxCap: Int = 1 << 30
+
   private final class LongCountMap(initialCap: Int) {
     private var cap = Integer.highestOneBit(math.max(initialCap, 16) * 2 - 1)
     private var mask = cap - 1
@@ -72,6 +79,9 @@ object HistogramKernel {
     private var cnts = new Array[Long](cap)
     private var used = new Array[Boolean](cap)
     private var size = 0
+
+    /** Live entries — the partial pass's flush trigger. */
+    def entryCount: Int = size
 
     private def slotOf(k: Long): Int =
       java.lang.Long.hashCode(k * -7046029254386353131L) & mask
@@ -81,10 +91,21 @@ object HistogramKernel {
       while (used(i) && keys(i) != k) i = (i + 1) & mask
       if (!used(i)) {
         used(i) = true; keys(i) = k; size += 1
-        if (size * 4 > cap * 3) {
-          grow() // moves every entry, including k (with its count so far)
-          i = slotOf(k)
-          while (!(used(i) && keys(i) == k)) i = (i + 1) & mask
+        // load check in Long: at cap = 2³⁰ the Int products overflow and
+        // read as a negative "never grow" — then add() would spin forever
+        // at size == cap
+        if (size.toLong * 4 > cap.toLong * 3) {
+          if (cap >= maxCap) {
+            if (size >= maxCap - (maxCap >> 4)) throw new IllegalStateException(
+              s"count map exceeded ~$size live keys in one task; raise " +
+                "spark.sql.shuffle.partitions (merge side) or lower the " +
+                "partial flush bound")
+            // else: stop growing; linear probing stays correct
+          } else {
+            grow() // moves every entry, including k (with its count so far)
+            i = slotOf(k)
+            while (!(used(i) && keys(i) == k)) i = (i + 1) & mask
+          }
         }
       }
       cnts(i) += c
@@ -112,21 +133,55 @@ object HistogramKernel {
       Iterator.range(0, cap).filter(used(_)).map(i => (keys(i), cnts(i)))
   }
 
+  /** Partial-pass flush bound (live entries per map-task count map). The
+    * bounded-rows-per-map-task argument in this file's scaladoc holds for
+    * file scans (`maxPartitionBytes` ⇒ ~1–4 M rows/task) but NOT for
+    * cached / repartitioned / computed upstreams, whose partitions can be
+    * arbitrarily large — without a bound a huge non-scan partition OOMs
+    * where the classic HashAggregate would have spilled. 2²² entries ≈
+    * 143 MB of map (17 B/slot at ¾ load) per in-flight task; flushing
+    * emits the map's contents and resets — DUPLICATE keys across flushes
+    * are safe, the final merge sums them. File-scan tasks (≲4 M rows)
+    * never trigger it.
+    */
+  val partialFlushEntries: Int = 1 << 22
+
   /** Count directly over UnsafeRows (the [[graft.plans.CountByKeyExec]]
     * hot path — no object boundary): key at ordinal 0; `cntOrdinal` ≥ 0
     * sums that column (the merge side), −1 counts 1 per row.
+    *
+    * `flushEntries` bounds the map's live entries: on reaching it the
+    * current counts are emitted and the map reset (partial side only —
+    * duplicates merge downstream; a FINAL-side caller must leave it at
+    * `Int.MaxValue` or it would emit the same key twice in its output).
     */
   def countInternalRows(
       it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      cntOrdinal: Int): Iterator[(Long, Long)] = {
-    val m = new LongCountMap(1 << 16)
-    if (cntOrdinal < 0) while (it.hasNext) m.add(it.next().getLong(0), 1L)
-    else while (it.hasNext) {
-      val r = it.next()
-      m.add(r.getLong(0), r.getLong(cntOrdinal))
+      cntOrdinal: Int,
+      flushEntries: Int = Int.MaxValue): Iterator[(Long, Long)] =
+    new Iterator[(Long, Long)] {
+      private var inner: Iterator[(Long, Long)] = Iterator.empty
+      private def refill(): Unit = {
+        val m = new LongCountMap(1 << 16)
+        if (cntOrdinal < 0)
+          while (it.hasNext && m.entryCount < flushEntries)
+            m.add(it.next().getLong(0), 1L)
+        else
+          while (it.hasNext && m.entryCount < flushEntries) {
+            val r = it.next()
+            m.add(r.getLong(0), r.getLong(cntOrdinal))
+          }
+        inner = m.result()
+      }
+      override def hasNext: Boolean = {
+        while (!inner.hasNext && it.hasNext) refill()
+        inner.hasNext
+      }
+      override def next(): (Long, Long) = {
+        if (!hasNext) throw new NoSuchElementException("empty count iterator")
+        inner.next()
+      }
     }
-    m.result()
-  }
 
   /** Count occurrences of each key (the local-combine / raw-count pass).
     * Dataset-level form, used by probes/specs; the product plan runs

@@ -128,8 +128,9 @@ class CopyTool(
           applyMeta(dfs, dp, new FsPermission("664"), grp)
       }
     }
-    if (srcFs.getFileStatus(src).isFile)
-      new Path(ddir, src.getName).toString
+    // cached status: no second metadata round trip to the (slow) source
+    // FS, and no spurious FileNotFound if the source vanished mid-copy
+    if (srcStatus.isFile) new Path(ddir, src.getName).toString
     else ddir.toString
   }
 

@@ -47,6 +47,13 @@ final case class CountByKeyPlan(
 ) extends UnaryNode {
   require(child.output.size == 1 && child.output.head.dataType == LongType,
     s"CountByKeyPlan needs a single LongType key column, got ${child.output}")
+  // a nullable key's null rows would be read via getLong(0) and silently
+  // counted as key 0 — diverging from groupBy's null-group semantics.
+  // Callers filter/compute non-null keys (Binning's `_flat >= 0` filter on
+  // the non-nullable FlatBinIndexExpr); demand the plan proves it.
+  require(!child.output.head.nullable,
+    "CountByKeyPlan needs a non-nullable key column: filter nulls out " +
+      "first (a null would silently count as key 0)")
 
   /** The key attribute, reused from the child (like Aggregate's grouping
     * references). */
@@ -122,8 +129,17 @@ final case class CountByKeyExec(
     // merge pre-combined (key, cnt) rows only when the child actually
     // emits them (the final side of the two-phase form)
     val cntOrdinal = if (!partial && child.output.size == 2) 1 else -1
+    // the PARTIAL map flushes at a bounded entry count so a huge
+    // non-scan partition (cached/repartitioned upstream) can't OOM the
+    // map task — duplicates across flushes merge in the final pass. The
+    // FINAL side must stay unbounded (one output row per key); its map is
+    // sized by HistogramKernel.mergePartitions' exchange width instead.
+    val flush =
+      if (partial) conf.getConfString("spark.graft.countByKey.flushEntries",
+        HistogramKernel.partialFlushEntries.toString).toInt
+      else Int.MaxValue
     child.execute().mapPartitions { it =>
-      val counted = HistogramKernel.countInternalRows(it, cntOrdinal)
+      val counted = HistogramKernel.countInternalRows(it, cntOrdinal, flush)
       val proj = UnsafeProjection.create(Array(LongType, LongType): Array[org.apache.spark.sql.types.DataType])
       val row = new SpecificInternalRow(Seq(LongType, LongType))
       counted.map { case (k, c) =>

@@ -132,6 +132,66 @@ class HistogramKernelSpec extends SparkSpec {
     }
   }
 
+  test("partial flush bounds the map and duplicates merge to exact counts") {
+    // countInternalRows with a tiny flush bound: output may repeat keys
+    // (one per flush epoch) but grouped sums stay exact
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val rows = Iterator.tabulate(1000)(i =>
+      new GenericInternalRow(Array[Any]((i % 10).toLong))
+        : org.apache.spark.sql.catalyst.InternalRow)
+    val out = HistogramKernel.countInternalRows(rows, -1, flushEntries = 3).toSeq
+    assert(out.size > 10, s"flush never triggered: ${out.size}") // epochs > 1
+    val summed = out.groupMapReduce(_._1)(_._2)(_ + _)
+    assert(summed === (0L until 10L).map(_ -> 100L).toMap)
+    // end-to-end through the native operator on a non-scan upstream:
+    // parity with classic under a forced-tiny flush bound
+    spark.conf.set("spark.graft.countByKey.flushEntries", "4")
+    try {
+      val classic = asMap(Binning.histogram(events, axes, plan = HistogramPlan.Classic))
+      val kernel = asMap(Binning.histogram(events, axes, plan = HistogramPlan.Kernel))
+      assert(kernel === classic)
+    } finally spark.conf.unset("spark.graft.countByKey.flushEntries")
+  }
+
+  test("nullable key columns are rejected (null would count as key 0)") {
+    val nullable = Seq[java.lang.Long](1L, null, 2L).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.CountByKey(nullable, 4, twoPhase = true, "cnt").collect()
+    }
+    assert(e.getMessage.contains("non-nullable"))
+  }
+
+  test("stats-less upstream still gets a bounded merge exchange") {
+    // an RDD-backed frame has no size stats (sizeInBytes = conf default,
+    // effectively infinite) — a sparse GIANT cube over it must clamp the
+    // exchange width by childPartitions × flush bound, not spray 4096
+    // near-empty tasks
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val rdd = spark.sparkContext.parallelize(
+      Seq.tabulate(100)(i => org.apache.spark.sql.Row(i / 100.0)), 4)
+    val df = spark.createDataFrame(rdd, schema)
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(Long.MaxValue) / 2) // precondition: stats really are absent
+    // 3 giant axes on one column → 1e12-cell cube, kernel-routed
+    val giantAxes = Seq("a", "a", "a").map(UniformAxis(_, 10000, 0.0, 1.0))
+    val h = Binning.histogram(df.select(col("a"), col("a").as("b"),
+      col("a").as("c")),
+      Seq(UniformAxis("a", 10000, 0.0, 1.0), UniformAxis("b", 10000, 0.0, 1.0),
+        UniformAxis("c", 10000, 0.0, 1.0)))
+    val p = planOf(h)
+    assert(p.contains("CountByKey"), p)
+    val widths = "hashpartitioning\\([^)]*, (\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(widths.nonEmpty, p)
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bound = math.max(base,
+      (4L * HistogramKernel.partialFlushEntries / ((256L << 20) / 17) + 1).toInt)
+    assert(widths.forall(_ <= bound), s"exchange widths $widths > bound $bound\n$p")
+    assert(giantAxes.map(_.nBins.toLong).product >= HistogramKernel.kernelCellsFloor)
+  }
+
   test("mergePartitions: session floor, 256 MB-target raise, 4096 cap") {
     val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
     assert(HistogramKernel.mergePartitions(spark, 1000L) === base)
