@@ -544,13 +544,14 @@ object OracleSql {
     * `SELECT bin_<c0>…, count(*) AS cnt GROUP BY all bins`, dropping
     * out-of-range events exactly as the kernel does.
     */
-  def histogramSql(table: String, axes: Seq[BinAxis], extraWhere: Option[String] = None): String = {
+  def histogramSql(table: String, axes: Seq[BinAxis], extraWhere: Option[String] = None,
+      groupCols: Seq[String] = Nil): String = {
     val js = axes.zipWithIndex.map {
       case (u: UniformAxis, i) => Some(s"j$i" -> uniformJ(u.column, u))
       case _                   => None
     }
     val jSelect = js.flatten.map { case (nm, sql) => s"$sql AS $nm" }
-    val idxSelect = axes.zipWithIndex.map {
+    val idxSelect = groupCols ++ axes.zipWithIndex.map {
       case (u: UniformAxis, i) => s"${uniformIdx(s"j$i", u)} AS bin_${u.column}"
       case (e: EdgesAxis, _)   => s"${edgesIdx(e.column, e)} AS bin_${e.column}"
     }
@@ -558,8 +559,8 @@ object OracleSql {
       case (u: UniformAxis, i) => uniformKeep(s"j$i", u)
       case (e: EdgesAxis, _)   => s"${edgesIdx(e.column, e)} IS NOT NULL"
     }
-    val binNames = axes.map(ax => s"bin_${ax.column}")
-    val passthrough = axes.collect { case e: EdgesAxis => e.column }
+    val binNames = groupCols ++ axes.map(ax => s"bin_${ax.column}")
+    val passthrough = groupCols ++ axes.collect { case e: EdgesAxis => e.column }
     val innerCols = (passthrough ++ jSelect).distinct
     val inner =
       if (jSelect.isEmpty) table

@@ -217,6 +217,14 @@ object SparkEntry {
     "q_bin_per_part" -> ((s, dir) =>
       Binning.histogramPer(
         table(s, dir, "events"), col("event_type"), "event_type", Seq(ax1dValue))),
+    // A3 return_partitions=True at kernel scale: integral part ids with
+    // caller-supplied bounds fold into the flat Long key as a synthetic
+    // leading axis (7 parts × 100³ cells = 7e6 ≥ the 2^17 auto floor →
+    // the CountByKey kernel; see HistogramKernelSpec's plan pins)
+    "q_bin_per_part_huge" -> ((s, dir) =>
+      Binning.histogramPer(
+        table(s, dir, "lineitem"), col("l_linenumber"), "l_linenumber",
+        ax4dHuge.take(3), partBounds = Some((1L, 7L)))),
     // A12 count rate / elapsed time (`get_count_rate`/`get_elapsed_time`,
     // sed/loader/base/loader.py): per-type rows via the grouped formula,
     // plus an 'ALL' row computed by the ACTUAL driver-side operator — so
@@ -1786,6 +1794,8 @@ object SparkEntry {
     "q_bin2d" -> OracleSql.histogramSql("lineitem", Seq(axQty, axDisc)),
     "q_bin4d" -> OracleSql.histogramSql("lineitem", ax4d),
     "q_bin4d_huge" -> OracleSql.histogramSql("lineitem", ax4dHuge),
+    "q_bin_per_part_huge" -> OracleSql.histogramSql("lineitem",
+      ax4dHuge.take(3), groupCols = Seq("l_linenumber")),
     "q_bin_edges" -> OracleSql.histogramSql("events", Seq(axEdges)),
     "q_bin_per_part" -> {
       val j = OracleSql.uniformJ("value", ax1dValue)

@@ -231,12 +231,24 @@ object Binning {
     * input file / per category cubes in one aggregation. Pass e.g.
     * `input_file_name()` or any categorical column.
     *
-    * Always the classic Catalyst plan: the [[HistogramPlan.Kernel]] path
-    * needs a single Long key, and the part column is an arbitrary type
-    * whose exact value must survive (hashing it to 64 bits could merge
-    * two categories). Callers with a HUGE per-part cube and an integral
-    * part id can fold it into an extra leading [[UniformAxis]] on
-    * [[histogram]] instead — same result, kernel-routable.
+    * By default the classic Catalyst plan: the [[HistogramPlan.Kernel]]
+    * path needs a single Long key, and the part column is an arbitrary
+    * type whose exact value must survive (hashing it to 64 bits could
+    * merge two categories). With `partBounds = Some((lo, hi))` and an
+    * INTEGRAL part column, the part id is folded into the flat Long key
+    * as a synthetic leading axis (`key = (part − lo) · cells + flat` —
+    * exact: the uniform axis has delta = 1 and integral inputs sit at
+    * bin centers), so a huge per-part cube (per-file × 100³) routes
+    * through the same [[HistogramPlan.Auto]] kernel machinery as
+    * [[histogram]] instead of paying the double UnsafeRow hash pass.
+    * Folded-path divergences from the classic plan (documented contract):
+    * rows whose part id is NULL or outside `[lo, hi]` are DROPPED — the
+    * same posture as out-of-range axis values — where the classic plan
+    * would keep them as their own groups; the output part column is
+    * reconstructed (`bin + lo`) and cast back to the input's dtype.
+    * Non-integral part columns, bounds past 2⁵³ (double-exact integer
+    * range), or a span × cells product overflowing the Long key space
+    * all fall back to the classic plan.
     */
   def histogramPer(
       df: DataFrame,
@@ -244,6 +256,47 @@ object Binning {
       partName: String,
       axes: Seq[BinAxis],
       countName: String = "cnt",
+      partBounds: Option[(Long, Long)] = None,
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType => SqlLongType}
+    val doubleExact = 1L << 53
+    val fold = partBounds.flatMap { case (lo, hi) =>
+      val dtype = df.select(partCol).schema.head.dataType
+      val integral = dtype match {
+        case ByteType | ShortType | IntegerType | SqlLongType => true
+        case _ => false
+      }
+      val span = hi - lo + 1
+      val cellsFit = flatStrides(axes).exists { _ =>
+        val total = BigInt(span) * axes.map(ax => BigInt(ax.nBins)).product
+        total <= BigInt(Long.MaxValue) / 2
+      }
+      if (integral && hi >= lo && span > 0 && span <= Int.MaxValue &&
+          math.abs(lo) < doubleExact && math.abs(hi) + 1 < doubleExact &&
+          cellsFit)
+        Some((lo, span.toInt, dtype))
+      else None
+    }
+    fold match {
+      case Some((lo, span, dtype)) =>
+        val tmp = "_graft_part_fold"
+        val partAxis = UniformAxis(tmp, span, lo.toDouble, lo.toDouble + span)
+        val h = histogram(df.withColumn(tmp, partCol), partAxis +: axes, countName)
+        h.select(
+          (col(idxName(partAxis)) + lit(lo)).cast(dtype).as(partName)
+            +: axes.map(ax => col(idxName(ax))) :+ col(countName): _*)
+      case None => histogramPerClassic(df, partCol, partName, axes, countName)
+    }
+  }
+
+  /** The classic per-part plan: part value as its own group key (see
+    * [[histogramPer]]). */
+  private def histogramPerClassic(
+      df: DataFrame,
+      partCol: Column,
+      partName: String,
+      axes: Seq[BinAxis],
+      countName: String,
   ): DataFrame = {
     flatStrides(axes) match {
       case Some(strides) =>

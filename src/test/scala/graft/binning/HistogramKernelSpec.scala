@@ -192,6 +192,46 @@ class HistogramKernelSpec extends SparkSpec {
     assert(giantAxes.map(_.nBins.toLong).product >= HistogramKernel.kernelCellsFloor)
   }
 
+  test("histogramPer folds bounded integral parts into the kernel key") {
+    val r = new scala.util.Random(11)
+    val df = Seq.tabulate(4000)(i =>
+      (i % 7 + 1, r.nextDouble() * 2, r.nextDouble() * 3, r.nextDouble() * 5))
+      .toDF("part", "a", "b", "c").repartition(5)
+    val smallAxes = axes.take(3) // 2·3·5 = 30 cells × 7 parts < 2^17
+    val classic = Binning.histogramPer(df, col("part"), "part", smallAxes)
+    val folded = Binning.histogramPer(df, col("part"), "part", smallAxes,
+      partBounds = Some((1L, 7L)))
+    // value parity, part dtype preserved (int in, int out)
+    assert(folded.schema("part").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    def toMap(h: DataFrame) = h.collect().map { row =>
+      (row.getInt(0), row.getLong(1), row.getLong(2), row.getLong(3)) ->
+        row.getLong(4)
+    }.toMap
+    assert(toMap(folded) === toMap(classic))
+    // routing: folded cube ≥ 2^17 cells → CountByKey kernel; the classic
+    // (no-bounds) path stays a HashAggregate on the composite key
+    val bigAxes = Seq("a", "b", "c").map(UniformAxis(_, 60, 0.0, 60.0))
+    val pFold = planOf(Binning.histogramPer(df, col("part"), "part", bigAxes,
+      partBounds = Some((1L, 7L)))) // 7 × 216000 = 1.5e6 ≥ 2^17
+    assert(pFold.contains("CountByKey"), pFold)
+    assert(!pFold.contains("HashAggregate"), pFold)
+    val pClassic = planOf(Binning.histogramPer(df, col("part"), "part", bigAxes))
+    assert(!pClassic.contains("CountByKey"), pClassic)
+    assert(pClassic.contains("HashAggregate"), pClassic)
+    // non-integral part: bounds are ignored, classic plan
+    val pStr = planOf(Binning.histogramPer(df, col("part").cast("string"),
+      "part", bigAxes, partBounds = Some((1L, 7L))))
+    assert(!pStr.contains("CountByKey"), pStr)
+    // fold contract: parts outside [lo, hi] (and null parts) are dropped,
+    // like out-of-range axis values
+    val withStray = df.union(Seq((99, 0.5, 0.5, 0.5)).toDF("part", "a", "b", "c"))
+    val strayFolded = Binning.histogramPer(withStray, col("part"), "part",
+      smallAxes, partBounds = Some((1L, 7L)))
+    assert(strayFolded.agg(sum("cnt")).collect()(0).getLong(0) ===
+      folded.agg(sum("cnt")).collect()(0).getLong(0))
+  }
+
   test("mergePartitions: session floor, 256 MB-target raise, 4096 cap") {
     val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
     assert(HistogramKernel.mergePartitions(spark, 1000L) === base)
