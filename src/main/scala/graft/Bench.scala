@@ -16,20 +16,34 @@ import graft.dfops.DfOps
   * extensions, on `SPARK_GRAFT_SF_DIR`. Prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Timing discipline: the session is warmed up (JVM + codegen) with one
-  * untimed run, then each workload executes to a noop sink — `count()`
-  * would let Catalyst prune the projections being measured — and the best
-  * of five runs is reported, matching the reference's min-of-5
-  * (`benchmark_sed.py:57`). A single-thread CPU canary (~0.03 s quiet)
-  * brackets EVERY query's timed reps and the worse of each pair is
-  * reported per query (`canaries`), plus a whole-suite minimum
-  * (`canary_sec`): a mid-suite load spike that inflates one query then
-  * visibly inflates that query's canary. The suite SELF-HEALS: queries
-  * whose canary exceeds 1.3× the suite-quiet minimum re-run (≤2 rounds,
-  * quietest attempt kept), a 1×-slower-than-10× reading re-runs once
-  * (impossible at steady state), and anything still hot is named in the
-  * artifact's `contaminated` list — so cross-round comparison needs no
-  * forensics.
+  * Timing discipline (the BinProbe protocol, promoted here after round 12
+  * proved the old per-query min-of-5 unreproducible on a shared box —
+  * same-HEAD committed artifacts swung 2.8 s → 47.2 s on allocation-heavy
+  * queries while the single-thread CPU canary stayed quiet):
+  *
+  *  - one untimed warm-up + one shuffle-metered run per workload, then
+  *    reps are INTERLEAVED across workloads in rounds within this one
+  *    JVM — a transient load spike lands on one rep of several queries
+  *    instead of every rep of one query, so the per-query min survives;
+  *  - every rep is bracketed by a canary PAIR: the single-thread CPU
+  *    probe (~0.05 s quiet) AND a multi-threaded stream-triad bandwidth
+  *    probe (~0.05 s quiet) — the mechanism that moved the round-12
+  *    artifacts was memory-bandwidth weather, invisible to a
+  *    single-thread CPU probe;
+  *  - a rep is QUIET iff all four bracket readings sit within 1.3× the
+  *    suite-wide quiet minimum of their kind; per query the artifact
+  *    reports min / median / spread (max÷min) over its quiet reps;
+  *  - the suite SELF-HEALS: while any query has < 2 quiet reps, up to
+  *    `extraRounds` additional full interleaved rounds run; a query with
+  *    ZERO quiet reps after that falls back to all-rep stats and is named
+  *    in `contaminated` — a committed artifact either carries clean
+  *    numbers or says exactly which ones aren't.
+  *
+  * Each workload executes to a noop sink — `count()` would let Catalyst
+  * prune the projections being measured. The reported headline stays the
+  * per-query MIN (the reference's own min-of-5, `benchmark_sed.py:57`);
+  * `medians`/`spreads` exist so a cross-round reader can tell a real
+  * regression (min moved, spread tight) from weather (spread wide).
   */
 object Bench {
 
@@ -37,8 +51,8 @@ object Bench {
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** Fixed single-thread CPU-bound probe (~0.1 s quiet): measures machine
-    * load, independent of Spark.
+  /** Fixed single-thread CPU-bound probe (~0.05 s quiet): measures machine
+    * CPU load, independent of Spark.
     */
   private def canary(): Double = {
     val t0 = System.nanoTime()
@@ -47,6 +61,49 @@ object Bench {
     while (i < 20000000) { s += java.lang.Math.sqrt(i.toDouble); i += 1 }
     if (s < 0) println(s) // defeat dead-code elimination
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Multi-threaded stream-triad memory-bandwidth probe (~0.05 s quiet):
+    * 8 threads each sweep `a(i) = b(i) + s·c(i)` over a 16 MiB slice,
+    * twice — ~800 MB of memory traffic, far past any L3. Another
+    * process's allocation storm (the round-12 contamination mechanism)
+    * slows THIS probe even when the CPU probe stays quiet. Arrays are
+    * allocated once and reused: the probe must not itself create GC
+    * pressure.
+    */
+  private object Triad {
+    private val threads = 8
+    private val perThread = 1 << 21 // doubles per slice (16 MiB)
+    private val passes = 4 // ~1.6 GB of traffic: pool dispatch jitter ≪ 1%
+    private val n = threads * perThread
+    private lazy val a = new Array[Double](n)
+    private lazy val b = Array.tabulate(n)(i => (i % 1024).toDouble)
+    private lazy val c = Array.tabulate(n)(i => ((i * 7) % 1024).toDouble)
+    // fixed pool: per-probe Thread.start()/join() added ms-scale jitter —
+    // 10 %+ of a quiet reading, enough to fake a hot bracket
+    private lazy val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      threads, (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+
+    def probe(): Double = {
+      val (aa, bb, cc) = (a, b, c) // force init outside the timed region
+      val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]]()
+      (0 until threads).foreach { t =>
+        tasks.add(() => {
+          val lo = t * perThread
+          val hi = lo + perThread
+          var pass = 0
+          while (pass < passes) {
+            var i = lo
+            while (i < hi) { aa(i) = bb(i) + 0.5 * cc(i); i += 1 }
+            pass += 1
+          }
+        })
+      }
+      val t0 = System.nanoTime()
+      pool.invokeAll(tasks)
+      if (aa(0) < -1) println(aa(0)) // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
   }
 
   /** Cumulative shuffle-write bytes across all completed stages — the
@@ -205,69 +262,79 @@ object Bench {
       meter.bytes.get() - before
     }
 
-    /** Warm-up + min-of-`reps` timing + per-query canary bracket + one
-      * metered rep for shuffle bytes. Returns (minSec, canarySec, shuffleMB).
-      */
-    def timeOne(name: String, run: () => Unit, reps: Int): (Double, Double, Double) = {
-      // per-workload untimed warm-up: whole-stage-codegen class generation
-      // and its C2 compilation happen per distinct plan
-      try run()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val cBefore = canary()
-      val shuffled = shuffleDelta(() =>
-        try run()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") })
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try run()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val cAfter = canary()
-      (times.min, math.max(cBefore, cAfter), shuffled / 1e6)
+    /** One rep's reading: seconds plus the four bracket canaries. */
+    case class Rep(sec: Double, cpuB: Double, bwB: Double,
+        cpuA: Double, bwA: Double) {
+      // bw threshold looser than cpu: the triad's own scheduling noise is
+      // larger than the sqrt loop's, while real bandwidth weather (the
+      // round-12 contamination) swings 2-3× — still cleanly past 1.5×
+      def quiet(cpuMin: Double, bwMin: Double): Boolean =
+        math.max(cpuB, cpuA) <= 1.3 * cpuMin &&
+          math.max(bwB, bwA) <= 1.5 * bwMin
     }
 
-    /** Self-healing suite run: canary pairs bracket every query's timed
-      * reps; any query whose canary exceeds 1.3× the suite-quiet minimum
-      * (a mid-suite load spike landed on it) is RE-RUN, up to `retries`
-      * rounds, keeping the quietest attempt. Queries still hot after the
-      * retries are reported in `contaminated` — so a committed artifact
-      * either carries clean numbers or names exactly which ones aren't,
-      * and cross-round comparison needs no forensics.
+    /** Per-query aggregate over quiet reps (or all reps when none quiet). */
+    case class QStat(name: String, min: Double, median: Double,
+        spread: Double, cpuCanary: Double, bwCanary: Double,
+        shuffleMb: Double, quietReps: Int)
+
+    /** The interleaved, canary-bracketed, self-healing suite run (see the
+      * object scaladoc for the protocol).
       */
     def runSuite(
-        ws: Seq[(String, () => Unit)], reps: Int, retries: Int = 2,
-    ): (Seq[(String, Double, Double, Double)], Seq[String], Map[String, Int]) = {
-      var rs = ws.map { case (name, run) =>
-        val (sec, can, mb) = timeOne(name, run, reps)
-        (name, sec, can, mb)
-      }
-      val byName = ws.toMap
-      // per-query re-measurement counts: a best-of retry can silently mask
-      // a load-correlated regression across rounds, so the artifact names
-      // every re-measured query (ADVICE r9) — a reader comparing rounds
-      // knows which numbers are first-attempt and which aren't
-      val retried = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-      for (_ <- 1 to retries) {
-        val quiet = rs.map(_._3).min
-        rs = rs.map { case q @ (name, _, can, _) =>
-          if (can > 1.3 * quiet) {
-            retried(name) += 1
-            val (sec2, can2, mb2) = timeOne(name, byName(name), reps)
-            if (can2 < can) (name, sec2, can2, mb2) else q
-          } else q
+        ws: Seq[(String, () => Unit)], rounds: Int, extraRounds: Int = 2,
+    ): (Seq[QStat], Seq[String], Int) = {
+      def tryRun(name: String, run: () => Unit): Unit =
+        try run()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      // per-workload untimed warm-up (whole-stage-codegen generation + C2
+      // compile happen per distinct plan) and one shuffle-metered run
+      val shuffleMb = ws.map { case (name, run) =>
+        tryRun(name, run)
+        name -> shuffleDelta(() => tryRun(name, run)) / 1e6
+      }.toMap
+      val reps = collection.mutable.Map.empty[String, Vector[Rep]]
+        .withDefaultValue(Vector.empty)
+      def oneRound(): Unit = {
+        var cpuPrev = canary()
+        var bwPrev = Triad.probe()
+        for ((name, run) <- ws) {
+          val t0 = System.nanoTime()
+          tryRun(name, run)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val cpuNext = canary()
+          val bwNext = Triad.probe()
+          reps(name) = reps(name) :+ Rep(sec, cpuPrev, bwPrev, cpuNext, bwNext)
+          cpuPrev = cpuNext; bwPrev = bwNext
         }
       }
-      val quiet = rs.map(_._3).min
-      (rs, rs.filter(_._3 > 1.3 * quiet).map(_._1), retried.toMap)
+      (1 to rounds).foreach(_ => oneRound())
+      def quietMins(): (Double, Double) = {
+        val all = reps.values.flatten
+        (all.flatMap(r => Seq(r.cpuB, r.cpuA)).min,
+          all.flatMap(r => Seq(r.bwB, r.bwA)).min)
+      }
+      var extra = 0
+      while (extra < extraRounds && {
+        val (cm, bm) = quietMins()
+        ws.exists { case (n, _) => reps(n).count(_.quiet(cm, bm)) < 2 }
+      }) { oneRound(); extra += 1 }
+      val (cpuMin, bwMin) = quietMins()
+      val stats = ws.map { case (name, _) =>
+        val all = reps(name)
+        val q = all.filter(_.quiet(cpuMin, bwMin))
+        val use = if (q.nonEmpty) q else all
+        val secs = use.map(_.sec).sorted
+        QStat(name, secs.head, secs(secs.size / 2),
+          if (secs.head > 0) secs.last / secs.head else 1.0,
+          use.map(r => math.max(r.cpuB, r.cpuA)).min,
+          use.map(r => math.max(r.bwB, r.bwA)).min,
+          shuffleMb(name), q.size)
+      }
+      (stats, stats.filter(_.quietReps == 0).map(_.name), extra)
     }
 
-    val canaryBefore = canary()
-    var (results, _, retried1xCanary) = runSuite(workloads, reps = 5)
-    val retried1x = collection.mutable.Map.empty[String, Int]
-      .withDefaultValue(0)
-    retried1xCanary.foreach { case (k, v) => retried1x(k) += v }
-    val canarySec = math.min(canaryBefore, canary())
+    val (results, contaminated1x, extra1x) = runSuite(workloads, rounds = 5)
 
     // ---- 10× weak-scaling leg ----------------------------------------
     // The sf0.1 numbers are sub-second — small enough that fixed costs
@@ -280,7 +347,7 @@ object Bench {
     // rows (identical copies would grow it quadratically and the bench
     // would measure output explosion, not throughput).
     val x10 = sys.env.getOrElse("SPARK_GRAFT_X10", "true").toBoolean
-    val (x10Results, x10Contaminated, x10Retried): (Seq[(String, Double, Double, Double)], Seq[String], Map[String, Int]) = if (!x10) (Seq.empty, Seq.empty, Map.empty[String, Int]) else {
+    val (x10Results, x10Contaminated, x10Extra): (Seq[QStat], Seq[String], Int) = if (!x10) (Seq.empty, Seq.empty, 0) else {
       val dir = java.nio.file.Files.createTempDirectory("graft_bench_x10").toString
       val copies = explode(sequence(lit(0), lit(9))).as("copy")
       lineitem
@@ -353,7 +420,7 @@ object Bench {
         "text_quality" -> (() => exec(pipeline.TextOps.qualityColumns(
           docXScan, "text"))),
       )
-      val out = runSuite(x10Workloads, reps = 3)
+      val out = runSuite(x10Workloads, rounds = 3)
       liX.unpersist(); embX.unpersist()
       try {
         import scala.reflect.io.Directory
@@ -362,51 +429,36 @@ object Bench {
       out
     }
 
-    // cross-leg sanity: a query CANNOT be meaningfully slower at 1× than
-    // at 10× rows in steady state — if the 1× leg reads >15% slower, its
-    // run was contaminated in a way the canaries missed (e.g. a spike
-    // inside the timed reps with quiet brackets); re-run the 1×
-    // measurement once and keep the faster of the two. The 15% band
-    // exists because fixed-cost-dominated queries (top-k over cached
-    // input, small cubes) time ~equal in both legs and run-to-run noise
-    // flips the sign — only real inversions (r8's 0.53 s vs 0.149 s was
-    // 3.5×) warrant a retry.
-    if (x10Results.nonEmpty) {
-      val x10ByName = x10Results.map(r => r._1 -> r._2).toMap
-      val byName = workloads.toMap
-      results = results.map { case q @ (name, sec, _, _) =>
-        x10ByName.get(name) match {
-          case Some(sec10) if sec > 1.15 * sec10 =>
-            retried1x(name) += 1
-            val (sec2, can2, mb2) = timeOne(name, byName(name), reps = 5)
-            if (sec2 < sec) (name, sec2, can2, mb2) else q
-          case _ => q
-        }
+    // cross-leg sanity, report-only: a query CANNOT be meaningfully slower
+    // at 1× than at 10× rows in steady state — with quiet-gated interleaved
+    // mins an inversion means both legs' quiet reps still disagree with
+    // physics, so NAME it rather than silently re-measure. The 15% band
+    // exists because fixed-cost-dominated queries (top-k over cached input,
+    // small cubes) time ~equal in both legs and noise flips the sign.
+    val inverted1x: Seq[String] = if (x10Results.isEmpty) Seq.empty else {
+      val x10ByName = x10Results.map(r => r.name -> r.min).toMap
+      results.collect {
+        case r if x10ByName.get(r.name).exists(s10 => r.min > 1.15 * s10) =>
+          r.name
       }
     }
-    // the published contamination names must describe the FINAL numbers —
-    // recompute after the cross-leg pass may have replaced entries
-    val contaminated1x = {
-      val quiet = results.map(_._3).min
-      results.filter(_._3 > 1.3 * quiet).map(_._1)
-    }
 
-    def jmap(rs: Seq[(String, Double, Double, Double)], f: ((String, Double, Double, Double)) => Double): String =
-      rs.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
-    val qs = jmap(results, _._2)
-    val cs = jmap(results, _._3)
-    val mbs = jmap(results, _._4)
-    val total = results.map(_._2).sum
+    def jmap(rs: Seq[QStat], f: QStat => Double): String =
+      rs.map { r => "\"" + r.name + "\":" + f(r) }.mkString("{", ",", "}")
+    def jmapi(rs: Seq[QStat], f: QStat => Int): String =
+      rs.map { r => "\"" + r.name + "\":" + f(r) }.mkString("{", ",", "}")
     def jlist(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def jretries(m: Map[String, Int]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
+    def legJson(rs: Seq[QStat], cont: Seq[String], extra: Int): String =
+      s""""queries":${jmap(rs, _.min)},"medians":${jmap(rs, _.median)},"spreads":${jmap(rs, _.spread)},"canaries":${jmap(rs, _.cpuCanary)},"bw_canaries":${jmap(rs, _.bwCanary)},"shuffle_mb":${jmap(rs, _.shuffleMb)},"quiet_reps":${jmapi(rs, _.quietReps)},"contaminated":${jlist(cont)},"extra_rounds":$extra"""
+    val total = results.map(_.min).sum
+    val canarySec = results.map(_.cpuCanary).min
+    val bwCanarySec = results.map(_.bwCanary).min
     val x10Part = if (x10Results.isEmpty) "" else {
-      val t10 = x10Results.map(_._2).sum
-      s""","x10":{"rows_factor":10,"total_sec":$t10,"queries":${jmap(x10Results, _._2)},"canaries":${jmap(x10Results, _._3)},"shuffle_mb":${jmap(x10Results, _._4)},"contaminated":${jlist(x10Contaminated)},"retried":${jretries(x10Retried)}}"""
+      val t10 = x10Results.map(_.min).sum
+      s""","x10":{"rows_factor":10,"total_sec":$t10,${legJson(x10Results, x10Contaminated, x10Extra)}}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_sec":$canarySec,"canaries":$cs,"shuffle_mb":$mbs,"contaminated":${jlist(contaminated1x)},"retried":${jretries(retried1x.toMap)}$x10Part,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",${legJson(results, contaminated1x, extra1x)},"canary_sec":$canarySec,"bw_canary_sec":$bwCanarySec,"inverted_1x":${jlist(inverted1x)}$x10Part,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
