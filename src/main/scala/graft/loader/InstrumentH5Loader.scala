@@ -217,8 +217,15 @@ object InstrumentH5Loader extends Loader {
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getFileStatus(hp).getLen <= ChannelLoader.smallFrameMaxBytes
     } catch { case _: Exception => false })
-    ChannelLoader.assemble(elec, pulseFrames, trainFrames, tofChannel,
-      trainKeys = keys, smallFrame = small)
+    val (events, timed) = ChannelLoader.assemble(elec, pulseFrames,
+      trainFrames, tofChannel, trainKeys = keys, smallFrame = small)
+    // single SMALL file: run the assemble once here and hand back
+    // LocalRelation-backed frames — later materializations are one
+    // exchange-free job, not a re-run of the whole join/fill plan
+    // (ChannelLoader.driverLocalMaxBytes scaladoc; parity spec-pinned)
+    if (ChannelLoader.eagerSmallLoad(spark, paths))
+      (ChannelLoader.driverLocal(events), ChannelLoader.driverLocal(timed))
+    else (events, timed)
   }
 
   /** [[Loader]] contract entry: flash HEXTOF channel geometry by default. */

@@ -142,6 +142,44 @@ object ChannelLoader {
     */
   val smallFrameMaxBytes: Long = 512L << 20
 
+  /** Single input files at or below this size load EAGERLY: the lazy
+    * multi-stage assemble (channel joins + window fills, several
+    * exchanges) runs ONCE at read time and the returned frame is
+    * LocalRelation-backed, so every later materialization is one
+    * exchange-free job instead of re-running the whole assemble — the
+    * reference's own posture (its `read_dataframe` walks the graph
+    * in-process in milliseconds; Spark's multi-job re-assemble paid a
+    * 12–88× scheduler floor on ≤300 k-event files, BENCH_REF round 12).
+    * Values are identical by construction — the eager path collects the
+    * exact lazy plan (spec-pinned on the real instrument fixtures). 64 MB
+    * of file bounds the driver heap at a few hundred MB of Row objects;
+    * larger or multi-file loads keep the fully-lazy distributed plan.
+    */
+  val driverLocalMaxBytes: Long = 64L << 20
+
+  /** True when `paths` is one file at or below [[driverLocalMaxBytes]]
+    * (and `spark.graft.loader.eagerSmall` isn't set to false — the
+    * opt-out exists for parity testing and debugging, not tuning).
+    */
+  def eagerSmallLoad(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Boolean =
+    spark.conf.get("spark.graft.loader.eagerSmall", "true").toBoolean &&
+    paths.size == 1 && (try {
+      val hp = new org.apache.hadoop.fs.Path(paths.head)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(hp).getLen <= driverLocalMaxBytes
+    } catch { case _: Exception => false })
+
+  /** Run `df`'s plan once and return the same rows as a
+    * LocalRelation-backed frame (see [[driverLocalMaxBytes]]). Schema and
+    * values are unchanged; downstream transforms still distribute
+    * (LocalTableScan parallelizes across the session's cores).
+    */
+  def driverLocal(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
 
   /** The 7 named `dldAux` slots of the HEXTOF detector
     * (`sed/config/flash_example_config.yaml:95-167`).

@@ -254,7 +254,14 @@ object StreamFixture {
       val ordered = GenericLoader.naturalSort(paths)
       val aliases = groupsAndAliases(readFileBytes(spark, ordered.head))
       require(aliases.nonEmpty, s"${ordered.head}: no Stream datasets found")
-      (ingest(spark, paths, aliases), Some(ingestTimed(spark, paths, aliases)))
+      val events = ingest(spark, paths, aliases)
+      val timed = ingestTimed(spark, paths, aliases)
+      // single small file: decode once, return LocalRelation-backed
+      // frames (see ChannelLoader.driverLocalMaxBytes)
+      if (ChannelLoader.eagerSmallLoad(spark, paths))
+        (ChannelLoader.driverLocal(events),
+          Some(ChannelLoader.driverLocal(timed)))
+      else (events, Some(timed))
     }
   }
 

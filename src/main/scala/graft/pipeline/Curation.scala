@@ -95,10 +95,12 @@ object Curation {
       // the sparse plan's pair exchanges cliff), "default", or "inline";
       // see Dedup.minhashNearDuplicatesAuto
       nearDupPlan: String = "auto",
-      // census cost bound for the auto plan at lake scale: fraction < 1
-      // censuses a deterministic sample (estimates rescale exactly in
-      // expectation); pairMassPerDoc is the inline-routing threshold
-      nearDupCensusFraction: Double = 1.0,
+      // census cost bound for the auto plan: fraction < 1 censuses a
+      // deterministic sample (estimates rescale exactly in expectation;
+      // tiny corpora auto-fall back to an exact census — see
+      // Dedup.minhashNearDuplicatesAuto); pairMassPerDoc is the
+      // inline-routing threshold
+      nearDupCensusFraction: Double = 0.1,
       nearDupPairMassPerDoc: Double = 32.0,
       sentenceCensor: Boolean = false,
       dsirTargetExpr: Option[String] = None,

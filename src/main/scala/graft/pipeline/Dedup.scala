@@ -424,8 +424,19 @@ object Dedup {
     * [[minhashPreferInline]] rule routes duplicate-heavy corpora to the
     * clique-robust inline plan before the default plan's pair-keyed
     * exchanges cliff. Output is identical either way (parity is
-    * plan-pinned in PipelineSpec); the census costs one extra signature
-    * pass — bound it with `censusFraction` on huge corpora.
+    * plan-pinned in PipelineSpec).
+    *
+    * The census is SAMPLED by default (`censusFraction = 0.1` — both
+    * estimates rescale exactly in expectation, see
+    * [[minhashPairMassCensus]]), bounding its cost to ~10 % of one
+    * signature pass so the shipped auto plan stays within ~1.2× of the
+    * pinned default plan on benign corpora (round-12 measured the full
+    * census at 1.5–1.9×). Estimate concentration comes from clique /
+    * bucket counts, which is exactly the regime where routing matters;
+    * on a TINY corpus the sample is too small to decide — so if the
+    * sampled pass saw fewer than `minSampledDocs`, the census re-runs
+    * exact, which at that size costs almost nothing. Set
+    * `censusFraction = 1.0` to force the exact census at any size.
     */
   def minhashNearDuplicatesAuto(
       df: DataFrame,
@@ -438,10 +449,18 @@ object Dedup {
       seed: Long = 42L,
       portable: Boolean = false,
       pairMassPerDoc: Double = 32.0,
-      censusFraction: Double = 1.0,
+      censusFraction: Double = 0.1,
+      minSampledDocs: Double = 400.0,
   ): DataFrame = {
-    val (docs, pairMass) = minhashPairMassCensus(df, textCol, idCol, k,
+    val sampled = minhashPairMassCensus(df, textCol, idCol, k,
       numHashes, bands, seed, portable, censusFraction)
+    val (docs, pairMass) =
+      if (censusFraction < 1.0 && sampled._1 * censusFraction < minSampledDocs)
+        // tiny corpus: the sample can't decide routing — census exactly
+        // (two passes over < minSampledDocs/fraction docs ≈ free)
+        minhashPairMassCensus(df, textCol, idCol, k, numHashes, bands, seed,
+          portable, 1.0)
+      else sampled
     val inline = minhashPreferInline(docs, pairMass, pairMassPerDoc)
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       f"minhash auto-plan: docs≈$docs%.0f, pre-distinct pair mass≈" +

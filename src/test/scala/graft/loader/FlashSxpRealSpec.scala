@@ -125,6 +125,32 @@ class FlashSxpRealSpec extends SparkSpec {
     } finally ev.unpersist()
   }
 
+  test("eager small-file load: LocalRelation plan, values identical to lazy") {
+    assume(exists(flashPath))
+    // default: single small file loads eagerly — the materialization plan
+    // is one LocalTableScan, no joins/exchanges/windows left to re-run
+    val (eager, eagerTimed) = InstrumentH5Loader.readDataframe(spark, Seq(flashPath))
+    val plan = eager.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("Window") &&
+      !plan.contains("Join"), plan)
+    // opt-out: the fully-lazy distributed plan, same rows
+    spark.conf.set("spark.graft.loader.eagerSmall", "false")
+    try {
+      val (lazyEv, lazyTimed) = InstrumentH5Loader.readDataframe(spark, Seq(flashPath))
+      val lp = lazyEv.queryExecution.executedPlan.toString
+      // the lazy plan still carries the whole assemble (joins + window
+      // fills); its leaf LocalTableScan is just the file-path list
+      assert(lp.contains("Join") && lp.contains("Window"), lp)
+      def key(df: org.apache.spark.sql.DataFrame): Set[String] = {
+        val cols = df.columns.sorted
+        df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
+      }
+      assert(key(eager) === key(lazyEv))
+      assert(key(eagerTimed.get) === key(lazyTimed.get))
+    } finally spark.conf.unset("spark.graft.loader.eagerSmall")
+  }
+
   test("multi-file load with colliding train ids never cross-joins") {
     assume(exists(flashPath))
     // two copies of the SAME file = every trainId collides across files;

@@ -91,6 +91,26 @@ class PipelineSpec extends SparkSpec {
     assert(ds > 20 && ds < 90, s"sampled docs estimate $ds")
   }
 
+  test("sampled census (the shipped 0.1 default) routes like exact census") {
+    // big enough that the 0.1 sample clears the tiny-corpus fallback
+    // (sampled docs ≈ 600 ≥ 400): routing decisions must match the exact
+    // census on both corpus shapes the rule separates
+    val benign = spark.range(6000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(j =>
+        concat(lit(s"w${j}_"), col("id"))): _*).as("text"))
+    val cliques = spark.range(6000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(j =>
+        concat(lit(s"w${j}_"), col("id") % 120)): _*).as("text"))
+    for ((corpus, expectInline) <- Seq(benign -> false, cliques -> true)) {
+      val exact = Dedup.minhashPairMassCensus(corpus, "text", "doc_id")
+      val sampled = Dedup.minhashPairMassCensus(corpus, "text", "doc_id",
+        fraction = 0.1)
+      assert(Dedup.minhashPreferInline(exact._1, exact._2) === expectInline)
+      assert(Dedup.minhashPreferInline(sampled._1, sampled._2) === expectInline,
+        s"sampled census flipped routing: exact=$exact sampled=$sampled")
+    }
+  }
+
   test("minhash auto plan routes a clique corpus to the inline shape," +
       " identical output") {
     val clique = docs.withColumn("copy", explode(sequence(lit(0), lit(7))))
