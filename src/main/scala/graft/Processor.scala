@@ -758,8 +758,16 @@ class Processor(
         case Some(scalar) => Map("value" -> scalar)
         case None => Map.empty
       }
+      // provenance includes the Python-side closing step: this writer
+      // emits the NXmpes skeleton + local validation; the FAIRmat
+      // appdef check runs in pynxtools (sed/io/nexus.py:13-47) — record
+      // the exact command so a CI can pick it up from the file itself
+      val validation: Map[String, Any] = Map("validation" -> Map(
+        "local" -> "graft.export.CubeIO.validateNexus (skeleton, ran at export)",
+        "appdef_command" -> s"verify_nexus $faddr",
+        "appdef_tool" -> "pynxtools (pip install pynxtools[mpes])"))
       graft.export.CubeIO.writeNexus(cube, faddr,
-        extraMetadata + ("process" -> (metadata.get ++ userProc)))
+        extraMetadata + ("process" -> (metadata.get ++ validation ++ userProc)))
     } else throw new IllegalArgumentException(
       s"Unrecognized file format: $faddr")
   }

@@ -126,6 +126,48 @@ object ScaleProbe {
       return
     }
 
+    // "bin64": the kernel histogram's weak-scaling rehearsal — rows
+    // ×1..×64 through the SHIPPED HistogramPlan.Auto (CountByKey kernel
+    // at both cube sizes here) at the two cube regimes that matter:
+    // ~1e6 cells (32⁴ — strong map-side combining still possible) and
+    // 1e8 cells (100⁴, the reference shape — rows ≈ cells, combining
+    // ~nil). Reports per-factor sec + shuffle MB + the merge-map live-
+    // entry high-water mark, i.e. the 256 MB/task sizing claim MEASURED
+    // (peakMB = entries × 17 B). Healthy = sec and shuffle ~linear in
+    // rows, peak bounded by mergePartitions' target.
+    if (args.contains("bin64")) {
+      import graft.binning._
+      val baseRows = sys.env.getOrElse("SPARK_GRAFT_BIN64_ROWS", "4000000").toLong
+      for (bpa <- Seq(32, 100)) {
+        val axes = Seq(
+          UniformAxis("X", bpa, 0.0, 2048.0),
+          UniformAxis("Y", bpa, 0.0, 2048.0),
+          UniformAxis("t", bpa, 60000.0, 120000.0),
+          UniformAxis("ADC", bpa, 2000.0, 20000.0))
+        factors.foreach { f =>
+          val rows = baseRows * f
+          def events = spark.range(0L, rows, 1L, cpus * 4).select(
+            (rand(42) * 2048.0).as("X"),
+            (rand(43) * 2048.0).as("Y"),
+            (rand(44) * 60000.0 + 60000.0).as("t"),
+            (rand(45) * 18000.0 + 2000.0).as("ADC"))
+          graft.binning.HistogramKernel.maxMapEntries.set(0L)
+          timedAlways(s"bin_k_${bpa}e4", f) {
+            val h = Binning.histogram(events, axes)
+            h.write.format("noop").mode("overwrite").save()
+            -1L
+          }
+          val peak = graft.binning.HistogramKernel.maxMapEntries.get()
+          println(f"SCALE bin_k_${bpa}e4_peak x$f%-3d merge-map peak " +
+            f"$peak%d entries = ${peak * 17 / 1e6}%8.1f MB")
+          // GC between factors (same rationale as loader64's note)
+          System.gc()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // "ingest64": the crawl front door at scale — WARC segment files of
     // growing COUNT (segments ×f, fixed records/segment) through the
     // full path route: recordsFromPaths → responsesFromRecords →

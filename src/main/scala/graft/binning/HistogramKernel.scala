@@ -155,6 +155,13 @@ object HistogramKernel {
     * duplicates merge downstream; a FINAL-side caller must leave it at
     * `Int.MaxValue` or it would emit the same key twice in its output).
     */
+  /** Probe instrumentation (bin64 ScaleProbe): high-water mark of live
+    * entries in any count map built since the last `set(0)`. One atomic
+    * update per MAP (not per row) — free on the hot path. In-JVM only:
+    * meaningful for local-mode probes, per-executor on a cluster.
+    */
+  val maxMapEntries = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def countInternalRows(
       it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       cntOrdinal: Int,
@@ -171,6 +178,7 @@ object HistogramKernel {
             val r = it.next()
             m.add(r.getLong(0), r.getLong(cntOrdinal))
           }
+        maxMapEntries.getAndAccumulate(m.entryCount.toLong, Math.max(_, _))
         inner = m.result()
       }
       override def hasNext: Boolean = {

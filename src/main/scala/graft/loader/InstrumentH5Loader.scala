@@ -220,8 +220,8 @@ object InstrumentH5Loader extends Loader {
     val (events, timed) = ChannelLoader.assemble(elec, pulseFrames,
       trainFrames, tofChannel, trainKeys = keys, smallFrame = small)
     // single SMALL file: run the assemble once here and hand back
-    // LocalRelation-backed frames — later materializations are one
-    // exchange-free job, not a re-run of the whole join/fill plan
+    // parquet-spill-backed frames — later materializations are one
+    // exchange-free scan job, not a re-run of the whole join/fill plan
     // (ChannelLoader.driverLocalMaxBytes scaladoc; parity spec-pinned)
     if (ChannelLoader.eagerSmallLoad(spark, paths))
       (ChannelLoader.driverLocal(events), ChannelLoader.driverLocal(timed))

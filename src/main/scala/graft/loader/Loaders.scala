@@ -144,16 +144,17 @@ object ChannelLoader {
 
   /** Single input files at or below this size load EAGERLY: the lazy
     * multi-stage assemble (channel joins + window fills, several
-    * exchanges) runs ONCE at read time and the returned frame is
-    * LocalRelation-backed, so every later materialization is one
-    * exchange-free job instead of re-running the whole assemble — the
-    * reference's own posture (its `read_dataframe` walks the graph
-    * in-process in milliseconds; Spark's multi-job re-assemble paid a
-    * 12–88× scheduler floor on ≤300 k-event files, BENCH_REF round 12).
-    * Values are identical by construction — the eager path collects the
-    * exact lazy plan (spec-pinned on the real instrument fixtures). 64 MB
-    * of file bounds the driver heap at a few hundred MB of Row objects;
-    * larger or multi-file loads keep the fully-lazy distributed plan.
+    * exchanges — 11-13 Spark jobs per materialization on the real
+    * flash/sxp fixtures) runs ONCE at read time, spills to a compact
+    * session-temp parquet, and the returned frame is that scan — every
+    * later materialization is ONE exchange-free job instead of a re-run
+    * of the whole assemble. This mirrors the reference's own posture
+    * (its `read_dataframe` walks an in-memory graph in milliseconds;
+    * Spark's multi-job re-assemble paid a 12–88× scheduler floor on
+    * ≤300 k-event files, BENCH_REF round 12). Values are identical by
+    * construction — the eager path materializes the exact lazy plan
+    * (spec-pinned on the real instrument fixtures). Larger or multi-file
+    * loads keep the fully-lazy distributed plan.
     */
   val driverLocalMaxBytes: Long = 64L << 20
 
@@ -170,14 +171,35 @@ object ChannelLoader {
         .getFileStatus(hp).getLen <= driverLocalMaxBytes
     } catch { case _: Exception => false })
 
-  /** Run `df`'s plan once and return the same rows as a
-    * LocalRelation-backed frame (see [[driverLocalMaxBytes]]). Schema and
-    * values are unchanged; downstream transforms still distribute
-    * (LocalTableScan parallelizes across the session's cores).
+  /** Run `df`'s plan once, spill the rows to a compact session-temp
+    * parquet, and return the scan (see [[driverLocalMaxBytes]]). Schema
+    * and values are unchanged; downstream transforms still distribute.
+    * Three constructions were measured before this one (297 k-row mpes
+    * fixture, 9 cols):
+    *  - `createDataFrame(collect(), schema)` keeps EXTERNAL Rows in the
+    *    plan and re-converts every field per execution (~1 s);
+    *  - a LocalRelation of internal rows re-serializes the rows into the
+    *    tasks per execution (`parallelize` ships data inside the task
+    *    partitions, ~0.3 s);
+    *  - even CACHED, the ParallelCollectionRDD stays in the cached plan's
+    *    lineage, so every job still serializes the row data into its
+    *    task binaries (~0.3–0.4 s per action, cache hit or not).
+    * A parquet spill has none of these: the lineage is a file scan whose
+    * tasks carry only split metadata — one ~40–80 ms job per
+    * materialization, the OS page cache holds the bytes, and nothing
+    * pins executor memory. The spill lives under the JVM temp dir and is
+    * removed on shutdown.
     */
   def driverLocal(df: DataFrame): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_eager_load")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir.toString)).deleteRecursively()
+        ()
+      } catch { case _: Throwable => () }))
+    df.write.mode("overwrite").parquet(dir.toString)
+    df.sparkSession.read.parquet(dir.toString)
   }
 
 

@@ -256,7 +256,7 @@ object StreamFixture {
       require(aliases.nonEmpty, s"${ordered.head}: no Stream datasets found")
       val events = ingest(spark, paths, aliases)
       val timed = ingestTimed(spark, paths, aliases)
-      // single small file: decode once, return LocalRelation-backed
+      // single small file: decode once, return parquet-spill-backed
       // frames (see ChannelLoader.driverLocalMaxBytes)
       if (ChannelLoader.eagerSmallLoad(spark, paths))
         (ChannelLoader.driverLocal(events),

@@ -464,6 +464,69 @@ class ProcessorSpec extends SparkSpec {
     assert(meta.contains("bin_value") && meta.contains("counts"))
   }
 
+  test("end-to-end: dataset fetch -> cpy staging -> load -> compute parity") {
+    // the reference's load-by-dataset-name flow (dataset.py -> processor
+    // cpy -> loader): registry row served by a local HTTP server carrying
+    // the REAL mpes fixture, fetched by Datasets.get, staged through
+    // Processor.cpy, loaded, computed — the staged path must be
+    // value-identical to loading the fixture directly
+    import java.nio.file.{Files, Paths}
+    val fixturePath = "/root/reference/tests/data/loader/mpes/Scan0030_2.h5"
+    assume(new java.io.File(fixturePath).exists())
+    val h5 = Files.readAllBytes(Paths.get(fixturePath))
+    val zipBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      val e = new java.util.zip.ZipEntry("Scan0030_2.h5")
+      e.setTime(1600000000000L)
+      z.putNextEntry(e); z.write(h5); z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/scan.zip",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, zipBytes.length)
+        ex.getResponseBody.write(zipBytes)
+        ex.close()
+      })
+    server.start()
+    val root = Files.createTempDirectory("e2e").toString
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/scan.zip"
+      Files.createDirectories(Paths.get(s"$root/module"))
+      Files.writeString(Paths.get(s"$root/module/datasets.json"),
+        s"""{"Scan": {"url": "$url"}}""")
+      val fetched = new graft.loader.Datasets(
+        s"$root/module/datasets.json", s"$root/user/datasets.json",
+        s"$root/folder/datasets.json").get("Scan", rootDir = Some(root))
+      val fetchedH5 = new java.io.File(fetched.dir)
+        .listFiles().filter(_.getName.endsWith(".h5")).map(_.toString)
+      assert(fetchedH5.length === 1)
+      // cpy staging into a job-local dest
+      val dst = Files.createTempDirectory("e2e_dst").toString
+      val cfg = graft.config.SedConfig.parseString(
+        s"""{"core": {"use_copy_tool": true,
+           | "copy_tool_source": "${fetched.dir}",
+           | "copy_tool_dest": "$dst"}}""".stripMargin)
+      val stagingProc = new Processor(spark, spark.range(1).toDF(), config = cfg)
+      val staged = stagingProc.cpy(fetchedH5.head)
+      assert(staged.contains(dst) && staged != fetchedH5.head, staged)
+      // load staged vs direct, compute the same cube, compare exactly
+      def cubeOf(path: String): (Long, Seq[Double]) = {
+        val (ev, _) = graft.loader.StreamFixture.MpesH5Loader
+          .readDataframe(spark, Seq(path))
+        val p = new Processor(spark, ev)
+        val cube = p.compute(Seq(UniformAxis("X", 64, 0.0, 2048.0)))
+        (ev.count(), cube.data.toSeq.map(_.toDouble))
+      }
+      val (nStaged, cubeStaged) = cubeOf(staged)
+      val (nDirect, cubeDirect) = cubeOf(fixturePath)
+      assert(nStaged === nDirect && nStaged > 0)
+      assert(cubeStaged === cubeDirect)
+    } finally server.stop(0)
+  }
+
   test("cpy: config-gated staging through the CopyTool (processor.py:340-362)") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("cpy_src").toString

@@ -125,13 +125,13 @@ class FlashSxpRealSpec extends SparkSpec {
     } finally ev.unpersist()
   }
 
-  test("eager small-file load: LocalRelation plan, values identical to lazy") {
+  test("eager small-file load: one-scan plan, values identical to lazy") {
     assume(exists(flashPath))
     // default: single small file loads eagerly — the materialization plan
-    // is one LocalTableScan, no joins/exchanges/windows left to re-run
+    // is one parquet-spill scan, no joins/exchanges/windows left to re-run
     val (eager, eagerTimed) = InstrumentH5Loader.readDataframe(spark, Seq(flashPath))
     val plan = eager.queryExecution.executedPlan.toString
-    assert(plan.contains("LocalTableScan"), plan)
+    assert(plan.contains("Scan parquet") && plan.contains("graft_eager_load"), plan)
     assert(!plan.contains("Exchange") && !plan.contains("Window") &&
       !plan.contains("Join"), plan)
     // opt-out: the fully-lazy distributed plan, same rows
@@ -139,8 +139,7 @@ class FlashSxpRealSpec extends SparkSpec {
     try {
       val (lazyEv, lazyTimed) = InstrumentH5Loader.readDataframe(spark, Seq(flashPath))
       val lp = lazyEv.queryExecution.executedPlan.toString
-      // the lazy plan still carries the whole assemble (joins + window
-      // fills); its leaf LocalTableScan is just the file-path list
+      // the lazy plan still carries the whole assemble
       assert(lp.contains("Join") && lp.contains("Window"), lp)
       def key(df: org.apache.spark.sql.DataFrame): Set[String] = {
         val cols = df.columns.sorted
