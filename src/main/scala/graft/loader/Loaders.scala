@@ -198,7 +198,10 @@ object ChannelLoader {
         new Directory(new java.io.File(dir.toString)).deleteRecursively()
         ()
       } catch { case _: Throwable => () }))
-    df.write.mode("overwrite").parquet(dir.toString)
+    // one output file: the data is ≤ driverLocalMaxBytes by the caller's
+    // gate, and a single file scans as a single clean split (20 shuffle
+    // partitions would otherwise fragment into 20 tiny files)
+    df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
     df.sparkSession.read.parquet(dir.toString)
   }
 
