@@ -95,12 +95,13 @@ object Curation {
       // the sparse plan's pair exchanges cliff), "default", or "inline";
       // see Dedup.minhashNearDuplicatesAuto
       nearDupPlan: String = "auto",
-      // census cost bound for the auto plan: fraction < 1 censuses a
-      // deterministic sample (estimates rescale exactly in expectation;
-      // tiny corpora auto-fall back to an exact census — see
-      // Dedup.minhashNearDuplicatesAuto); pairMassPerDoc is the
-      // inline-routing threshold
-      nearDupCensusFraction: Double = 0.1,
+      // census cost knob for the auto plan: 1.0 (default) = exact census
+      // over a CACHED signature table that the chosen plan then reuses
+      // (one signature pass total); < 1 = uncached sampled census with
+      // exact-expectation rescale, for corpora too large to persist even
+      // spilled signatures — see Dedup.minhashNearDuplicatesAuto.
+      // pairMassPerDoc is the inline-routing threshold
+      nearDupCensusFraction: Double = 1.0,
       nearDupPairMassPerDoc: Double = 32.0,
       sentenceCensor: Boolean = false,
       dsirTargetExpr: Option[String] = None,

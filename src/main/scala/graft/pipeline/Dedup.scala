@@ -293,13 +293,28 @@ object Dedup {
       inlineVerify: Boolean = false,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // hash-repartition by id: this ONE exchange materializes the expensive
     // signature projection and is the shared, reused input of the band
     // explode and both attach joins below (and already satisfies the
     // attach joins' partitioning requirement)
     val sigs = minhashSignatures(df, textCol, idCol, k, numHashes, seed, portable)
       .repartition(col("id"))
+    minhashFromSigs(sigs, numHashes, bands, threshold, inlineVerify)
+  }
+
+  /** Both physical near-dup plans over a prepared `(id, sig)` frame (see
+    * [[minhashNearDuplicates]] for their semantics) — split out so the
+    * auto path can feed BOTH the census and the chosen plan from one
+    * cached signature table instead of shingling the corpus twice.
+    */
+  private def minhashFromSigs(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      inlineVerify: Boolean,
+  ): DataFrame = {
+    val rows = numHashes / bands
     if (inlineVerify) {
       // signatures ride the band exchange; both sigs are present at pair
       // formation, so verification is an inline projection and the
@@ -386,6 +401,13 @@ object Dedup {
       else df.sample(withReplacement = false, fraction, seed)
     val sigs = minhashSignatures(base, textCol, idCol, k, numHashes, seed,
       portable)
+    val (docs, pairMass) = censusOfSigs(sigs, numHashes, bands)
+    (docs / fraction, pairMass / (fraction * fraction))
+  }
+
+  /** The census aggregate over a prepared signature frame. */
+  private def censusOfSigs(
+      sigs: DataFrame, numHashes: Int, bands: Int): (Double, Double) = {
     val row = minhashBands(sigs, numHashes, bands)
       .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("n"))
       .agg(
@@ -394,8 +416,7 @@ object Dedup {
         coalesce(sum(col("n").cast("double") * (col("n") - 1) / 2.0),
           lit(0.0)).as("pair_mass"))
       .collect()(0)
-    val docs = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-    (docs / fraction, row.getDouble(1) / (fraction * fraction))
+    (if (row.isNullAt(0)) 0.0 else row.getDouble(0), row.getDouble(1))
   }
 
   /** The plan rule [[minhashNearDuplicatesAuto]] encodes (previously
@@ -419,24 +440,28 @@ object Dedup {
   ): Boolean = pairMass > pairMassPerDoc * docs
 
   /** [[minhashNearDuplicates]] with the physical plan chosen from data,
-    * not folklore: a one-agg bucket-size census ([[minhashPairMassCensus]])
-    * estimates the pre-distinct candidate-pair mass, and the
-    * [[minhashPreferInline]] rule routes duplicate-heavy corpora to the
-    * clique-robust inline plan before the default plan's pair-keyed
-    * exchanges cliff. Output is identical either way (parity is
-    * plan-pinned in PipelineSpec).
+    * not folklore: a one-agg bucket-size census estimates the
+    * pre-distinct candidate-pair mass, and the [[minhashPreferInline]]
+    * rule routes duplicate-heavy corpora to the clique-robust inline
+    * plan before the default plan's pair-keyed exchanges cliff. Output
+    * is identical either way (parity is plan-pinned in PipelineSpec).
     *
-    * The census is SAMPLED by default (`censusFraction = 0.1` — both
-    * estimates rescale exactly in expectation, see
-    * [[minhashPairMassCensus]]), bounding its cost to ~10 % of one
-    * signature pass so the shipped auto plan stays within ~1.2× of the
-    * pinned default plan on benign corpora (round-12 measured the full
-    * census at 1.5–1.9×). Estimate concentration comes from clique /
-    * bucket counts, which is exactly the regime where routing matters;
-    * on a TINY corpus the sample is too small to decide — so if the
-    * sampled pass saw fewer than `minSampledDocs`, the census re-runs
-    * exact, which at that size costs almost nothing. Set
-    * `censusFraction = 1.0` to force the exact census at any size.
+    * The census premium is paid ONCE, not twice: the signature table is
+    * built, id-partitioned, and persisted (MEMORY_AND_DISK), the census
+    * aggregates over it (triggering the cache build), and the CHOSEN
+    * plan reuses the same cached signatures — so auto's total work is
+    * one signature pass + one small bucket aggregate on top of the
+    * pinned plan, instead of round-12's full second shingling pass (a
+    * sampled census was measured first and saves nothing at bench
+    * scale: the fixed scan+exchange dominates there, not shingling).
+    * The cache stays registered so the returned lazy plan can use it;
+    * Spark evicts it under memory pressure (safe — it recomputes), and
+    * batch callers can `spark.catalog.clearCache()` between corpora. At
+    * ~300 B/doc the cache also fits lake-scale clusters (1e9 docs ≈
+    * 300 GB spread over executors, spilling to disk); corpora too large
+    * even for that can pass `censusFraction < 1` to take the UNCACHED
+    * sampled-census path ([[minhashPairMassCensus]]'s exact-expectation
+    * rescale) and let the chosen plan re-shingle.
     */
   def minhashNearDuplicatesAuto(
       df: DataFrame,
@@ -449,26 +474,30 @@ object Dedup {
       seed: Long = 42L,
       portable: Boolean = false,
       pairMassPerDoc: Double = 32.0,
-      censusFraction: Double = 0.1,
-      minSampledDocs: Double = 400.0,
+      censusFraction: Double = 1.0,
   ): DataFrame = {
-    val sampled = minhashPairMassCensus(df, textCol, idCol, k,
-      numHashes, bands, seed, portable, censusFraction)
-    val (docs, pairMass) =
-      if (censusFraction < 1.0 && sampled._1 * censusFraction < minSampledDocs)
-        // tiny corpus: the sample can't decide routing — census exactly
-        // (two passes over < minSampledDocs/fraction docs ≈ free)
-        minhashPairMassCensus(df, textCol, idCol, k, numHashes, bands, seed,
-          portable, 1.0)
-      else sampled
-    val inline = minhashPreferInline(docs, pairMass, pairMassPerDoc)
-    org.slf4j.LoggerFactory.getLogger(getClass).info(
-      f"minhash auto-plan: docs≈$docs%.0f, pre-distinct pair mass≈" +
-        f"$pairMass%.0f (${pairMass / math.max(docs, 1.0)}%.1f per doc) → " +
-        (if (inline) "inline-verify plan (duplicate-heavy)"
-         else "default sparse plan"))
-    minhashNearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold,
-      seed, portable, inlineVerify = inline)
+    def log(docs: Double, pairMass: Double, inline: Boolean): Unit =
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        f"minhash auto-plan: docs≈$docs%.0f, pre-distinct pair mass≈" +
+          f"$pairMass%.0f (${pairMass / math.max(docs, 1.0)}%.1f per doc) → " +
+          (if (inline) "inline-verify plan (duplicate-heavy)"
+           else "default sparse plan"))
+    if (censusFraction < 1.0) {
+      val (docs, pairMass) = minhashPairMassCensus(df, textCol, idCol, k,
+        numHashes, bands, seed, portable, censusFraction)
+      val inline = minhashPreferInline(docs, pairMass, pairMassPerDoc)
+      log(docs, pairMass, inline)
+      minhashNearDuplicates(df, textCol, idCol, k, numHashes, bands,
+        threshold, seed, portable, inlineVerify = inline)
+    } else {
+      val sigs = minhashSignatures(df, textCol, idCol, k, numHashes, seed,
+        portable).repartition(col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (docs, pairMass) = censusOfSigs(sigs, numHashes, bands)
+      val inline = minhashPreferInline(docs, pairMass, pairMassPerDoc)
+      log(docs, pairMass, inline)
+      minhashFromSigs(sigs, numHashes, bands, threshold, inline)
+    }
   }
 
   /** Incremental near-dup matching: candidate pairs between a NEW batch
