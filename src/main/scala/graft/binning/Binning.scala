@@ -189,9 +189,16 @@ object Binning {
     // defaultSizeInBytes = huge): a genuinely sparse giant cube would
     // re-open the 4096-near-empty-tasks case the cells-only bound was
     // built to close. Clamp by the child's actual partition count × the
-    // partial pass's per-task emit bound — live cells can never exceed
-    // what the map tasks emit. (Planning-only rdd probe, same posture as
-    // ensureParallelism.)
+    // partial flush bound — a HEURISTIC, not a guarantee: a flushing
+    // map task can emit more distinct keys than one flush epoch, so a
+    // stats-less child with billions of rows per partition could
+    // under-raise here. That corner fails LOUDLY and actionably (the
+    // merge map's 2^30 ceiling names spark.sql.shuffle.partitions)
+    // rather than silently scheduling 4096 near-empty tasks on the
+    // common sparse case. (Planning-only rdd probe, same posture as
+    // ensureParallelism. A user-lowered spark.sql.defaultSizeInBytes
+    // can only misread a real estimate as "unknown", which raises MORE
+    // partitions — the safe direction.)
     val rowsBound: Long =
       if (rowsEst != Long.MaxValue) rowsEst
       else try {
@@ -281,7 +288,14 @@ object Binning {
       case Some((lo, span, dtype)) =>
         val tmp = "_graft_part_fold"
         val partAxis = UniformAxis(tmp, span, lo.toDouble, lo.toDouble + span)
-        val h = histogram(df.withColumn(tmp, partCol), partAxis +: axes, countName)
+        // explicit bounds filter: the uniform axis folds its RIGHT EDGE
+        // into the last bin (kernel semantics), so a stray part id of
+        // exactly hi+1 would silently count into part hi instead of
+        // dropping — enforce the documented drop contract here (null
+        // parts fail `between` too)
+        val inBounds = df.filter(partCol.between(lo, lo + span - 1))
+        val h = histogram(inBounds.withColumn(tmp, partCol), partAxis +: axes,
+          countName)
         h.select(
           (col(idxName(partAxis)) + lit(lo)).cast(dtype).as(partName)
             +: axes.map(ax => col(idxName(ax))) :+ col(countName): _*)

@@ -146,6 +146,13 @@ object HistogramKernel {
     */
   val partialFlushEntries: Int = 1 << 22
 
+  /** Probe instrumentation (bin64 ScaleProbe): high-water mark of live
+    * entries in any count map built since the last `set(0)`. One atomic
+    * update per MAP (not per row) — free on the hot path. In-JVM only:
+    * meaningful for local-mode probes, per-executor on a cluster.
+    */
+  val maxMapEntries = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Count directly over UnsafeRows (the [[graft.plans.CountByKeyExec]]
     * hot path — no object boundary): key at ordinal 0; `cntOrdinal` ≥ 0
     * sums that column (the merge side), −1 counts 1 per row.
@@ -155,29 +162,25 @@ object HistogramKernel {
     * duplicates merge downstream; a FINAL-side caller must leave it at
     * `Int.MaxValue` or it would emit the same key twice in its output).
     */
-  /** Probe instrumentation (bin64 ScaleProbe): high-water mark of live
-    * entries in any count map built since the last `set(0)`. One atomic
-    * update per MAP (not per row) — free on the hot path. In-JVM only:
-    * meaningful for local-mode probes, per-executor on a cluster.
-    */
-  val maxMapEntries = new java.util.concurrent.atomic.AtomicLong(0L)
-
   def countInternalRows(
       it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       cntOrdinal: Int,
       flushEntries: Int = Int.MaxValue): Iterator[(Long, Long)] =
     new Iterator[(Long, Long)] {
       private var inner: Iterator[(Long, Long)] = Iterator.empty
+      require(flushEntries > 0, s"flushEntries must be positive: $flushEntries")
       private def refill(): Unit = {
         val m = new LongCountMap(1 << 16)
+        // consume at least one row per epoch: a bound the guard above
+        // missed could otherwise spin hasNext -> refill forever
         if (cntOrdinal < 0)
+          do m.add(it.next().getLong(0), 1L)
           while (it.hasNext && m.entryCount < flushEntries)
-            m.add(it.next().getLong(0), 1L)
         else
-          while (it.hasNext && m.entryCount < flushEntries) {
+          do {
             val r = it.next()
             m.add(r.getLong(0), r.getLong(cntOrdinal))
-          }
+          } while (it.hasNext && m.entryCount < flushEntries)
         maxMapEntries.getAndAccumulate(m.entryCount.toLong, Math.max(_, _))
         inner = m.result()
       }

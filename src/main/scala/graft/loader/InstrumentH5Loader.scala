@@ -212,19 +212,30 @@ object InstrumentH5Loader extends Loader {
     // multi-partition bufferDir read) the two-phase fill's parallel
     // sort is the right plan for it. Multi-file loads always keep the
     // scale-safe two-phase fill (loader64).
-    val small = paths.size == 1 && (try {
-      val hp = new org.apache.hadoop.fs.Path(paths.head)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(hp).getLen <= ChannelLoader.smallFrameMaxBytes
-    } catch { case _: Exception => false })
+    // fetch the single file's length ONCE for both size gates (a second
+    // getFileStatus would be an extra metadata round trip to a possibly
+    // slow source FS — the same pattern CopyTool.copy avoids)
+    val singleLen: Option[Long] =
+      if (paths.size != 1) None
+      else try {
+        val hp = new org.apache.hadoop.fs.Path(paths.head)
+        Some(hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(hp).getLen)
+      } catch { case _: Exception => None }
+    val small = singleLen.exists(_ <= ChannelLoader.smallFrameMaxBytes)
     val (events, timed) = ChannelLoader.assemble(elec, pulseFrames,
       trainFrames, tofChannel, trainKeys = keys, smallFrame = small)
-    // single SMALL file: run the assemble once here and hand back
-    // parquet-spill-backed frames — later materializations are one
+    // single SMALL file: run the events assemble once here and hand back
+    // a parquet-spill-backed frame — later materializations are one
     // exchange-free scan job, not a re-run of the whole join/fill plan
-    // (ChannelLoader.driverLocalMaxBytes scaladoc; parity spec-pinned)
-    if (ChannelLoader.eagerSmallLoad(spark, paths))
-      (ChannelLoader.driverLocal(events), ChannelLoader.driverLocal(timed))
+    // (ChannelLoader.driverLocalMaxBytes scaladoc; parity spec-pinned).
+    // The timed frame stays LAZY: most callers never materialize it, and
+    // spilling it here would run the whole assemble a second time at
+    // load for nothing; its (rare, small) consumers pay the lazy plan.
+    val eager =
+      spark.conf.get("spark.graft.loader.eagerSmall", "true").toBoolean &&
+        singleLen.exists(_ <= ChannelLoader.driverLocalMaxBytes)
+    if (eager) (ChannelLoader.driverLocal(events), timed)
     else (events, timed)
   }
 

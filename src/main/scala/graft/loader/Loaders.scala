@@ -190,19 +190,28 @@ object ChannelLoader {
     * pins executor memory. The spill lives under the JVM temp dir and is
     * removed on shutdown.
     */
-  def driverLocal(df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_eager_load")
+  /** One spill root per JVM, cleaned by ONE shutdown hook (a hook per
+    * load would grow the JVM's hook set without bound in a long-lived
+    * session). */
+  private lazy val spillRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_eager_load")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
         import scala.reflect.io.Directory
-        new Directory(new java.io.File(dir.toString)).deleteRecursively()
+        new Directory(new java.io.File(root.toString)).deleteRecursively()
         ()
       } catch { case _: Throwable => () }))
+    root
+  }
+  private val spillSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def driverLocal(df: DataFrame): DataFrame = {
+    val dir = spillRoot.resolve(s"spill_${spillSeq.incrementAndGet()}").toString
     // one output file: the data is ≤ driverLocalMaxBytes by the caller's
     // gate, and a single file scans as a single clean split (20 shuffle
     // partitions would otherwise fragment into 20 tiny files)
-    df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
-    df.sparkSession.read.parquet(dir.toString)
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
   }
 
 

@@ -256,11 +256,11 @@ object StreamFixture {
       require(aliases.nonEmpty, s"${ordered.head}: no Stream datasets found")
       val events = ingest(spark, paths, aliases)
       val timed = ingestTimed(spark, paths, aliases)
-      // single small file: decode once, return parquet-spill-backed
-      // frames (see ChannelLoader.driverLocalMaxBytes)
+      // single small file: decode once, return a parquet-spill-backed
+      // events frame (see ChannelLoader.driverLocalMaxBytes); the timed
+      // frame stays lazy — most callers never materialize it
       if (ChannelLoader.eagerSmallLoad(spark, paths))
-        (ChannelLoader.driverLocal(events),
-          Some(ChannelLoader.driverLocal(timed)))
+        (ChannelLoader.driverLocal(events), Some(timed))
       else (events, Some(timed))
     }
   }

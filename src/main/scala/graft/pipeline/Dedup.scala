@@ -454,14 +454,18 @@ object Dedup {
     * pinned plan, instead of round-12's full second shingling pass (a
     * sampled census was measured first and saves nothing at bench
     * scale: the fixed scan+exchange dominates there, not shingling).
-    * The cache stays registered so the returned lazy plan can use it;
-    * Spark evicts it under memory pressure (safe — it recomputes), and
-    * batch callers can `spark.catalog.clearCache()` between corpora. At
-    * ~300 B/doc the cache also fits lake-scale clusters (1e9 docs ≈
-    * 300 GB spread over executors, spilling to disk); corpora too large
-    * even for that can pass `censusFraction < 1` to take the UNCACHED
-    * sampled-census path ([[minhashPairMassCensus]]'s exact-expectation
-    * rescale) and let the chosen plan re-shingle.
+    * Storage is MEMORY_ONLY deliberately: the returned plan is lazy, so
+    * this function has no safe place to unpersist — memory-only blocks
+    * self-evict under LRU pressure (recompute is safe, and never worse
+    * than round-12's unconditional second pass), whereas a disk tier
+    * would accumulate spill files across corpora in a long-lived
+    * session with no bound. Batch callers can still
+    * `spark.catalog.clearCache()` between corpora; ~300 B/doc means
+    * 1e9 docs ≈ 300 GB of storage memory across a lake-scale cluster.
+    * Corpora too large even for that can pass `censusFraction < 1` to
+    * take the UNCACHED sampled-census path
+    * ([[minhashPairMassCensus]]'s exact-expectation rescale) and let
+    * the chosen plan re-shingle.
     */
   def minhashNearDuplicatesAuto(
       df: DataFrame,
@@ -492,7 +496,7 @@ object Dedup {
     } else {
       val sigs = minhashSignatures(df, textCol, idCol, k, numHashes, seed,
         portable).repartition(col("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val (docs, pairMass) = censusOfSigs(sigs, numHashes, bands)
       val inline = minhashPreferInline(docs, pairMass, pairMassPerDoc)
       log(docs, pairMass, inline)

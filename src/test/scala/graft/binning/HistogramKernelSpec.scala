@@ -224,12 +224,31 @@ class HistogramKernelSpec extends SparkSpec {
       "part", bigAxes, partBounds = Some((1L, 7L))))
     assert(!pStr.contains("CountByKey"), pStr)
     // fold contract: parts outside [lo, hi] (and null parts) are dropped,
-    // like out-of-range axis values
-    val withStray = df.union(Seq((99, 0.5, 0.5, 0.5)).toDF("part", "a", "b", "c"))
+    // like out-of-range axis values — including hi+1 EXACTLY, which the
+    // uniform axis's right-edge fold would otherwise silently count into
+    // part hi (self-review round-13 catch)
+    val withStray = df.union(
+      Seq((99, 0.5, 0.5, 0.5), (8, 0.5, 0.5, 0.5)).toDF("part", "a", "b", "c"))
     val strayFolded = Binning.histogramPer(withStray, col("part"), "part",
       smallAxes, partBounds = Some((1L, 7L)))
     assert(strayFolded.agg(sum("cnt")).collect()(0).getLong(0) ===
       folded.agg(sum("cnt")).collect()(0).getLong(0))
+  }
+
+  test("part fold is exact across a 2e9-id span (double-rounding margin)") {
+    // integer part values sit at bin CENTERS of the synthetic axis, so
+    // the 1e-11 rounding guard has a 0.5 margin — exact while the
+    // round-trip error (~v·2.2e-16) stays under 0.5, i.e. to spans
+    // ~2e15, far past the Int nBins ceiling. Pin the extreme in-reach
+    // span: ids at both ends and mid-span decode bit-exactly.
+    val span = 2000000000L // near Int.MaxValue
+    val ids = Seq(0L, 1L, 999999999L, 1999999999L)
+    val df = ids.map(i => (i, 0.5)).toDF("part", "a")
+    val h = Binning.histogramPer(df, col("part"), "part",
+      Seq(UniformAxis("a", 2, 0.0, 2.0)), partBounds = Some((0L, span - 1)))
+    val parts = h.collect().map(_.getLong(0)).sorted.toSeq
+    assert(parts === ids)
+    assert(h.collect().forall(_.getLong(2) === 1L))
   }
 
   test("mergePartitions: session floor, 256 MB-target raise, 4096 cap") {
