@@ -20,6 +20,7 @@ object PlanDump {
     val sections = Seq(
       "q_bin4d — 4-D histogram (scan→project→partial agg→exchange→final)" -> "q_bin4d",
       "q_bin4d_huge — 4-D histogram at 1e8 cells (primitive two-phase count kernel: local combine → one exchange of pre-combined rows → merge; no HashAggregate)" -> "q_bin4d_huge",
+      "q_bin_per_part_huge — per-part cube with integral part ids folded into the flat kernel key (bounds filter → CountByKey; part decoded + cast back after the agg)" -> "q_bin_per_part_huge",
       "q_filter_range — predicate + projection pushdown into the scan" -> "q_filter_range",
       "q_cosine_topk — brute-force ANN (TakeOrderedAndProject, no global sort)" -> "q_cosine_topk",
       "q_minhash_pairs — LSH banding (bounded bucket-key shuffle join)" -> "q_minhash_pairs",
