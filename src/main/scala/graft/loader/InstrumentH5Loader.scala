@@ -232,10 +232,8 @@ object InstrumentH5Loader extends Loader {
     // The timed frame stays LAZY: most callers never materialize it, and
     // spilling it here would run the whole assemble a second time at
     // load for nothing; its (rare, small) consumers pay the lazy plan.
-    val eager =
-      spark.conf.get("spark.graft.loader.eagerSmall", "true").toBoolean &&
-        singleLen.exists(_ <= ChannelLoader.driverLocalMaxBytes)
-    if (eager) (ChannelLoader.driverLocal(events), timed)
+    if (ChannelLoader.eagerSmallLoad(spark, singleLen))
+      (ChannelLoader.driverLocal(events), timed)
     else (events, timed)
   }
 

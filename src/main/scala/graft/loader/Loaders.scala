@@ -163,13 +163,48 @@ object ChannelLoader {
     * opt-out exists for parity testing and debugging, not tuning).
     */
   def eagerSmallLoad(spark: org.apache.spark.sql.SparkSession,
-      paths: Seq[String]): Boolean =
+      paths: Seq[String]): Boolean = {
+    val len: Option[Long] =
+      if (paths.size != 1) None
+      else try {
+        val hp = new org.apache.hadoop.fs.Path(paths.head)
+        Some(hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(hp).getLen)
+      } catch { case _: Exception => None }
+    eagerSmallLoad(spark, len)
+  }
+
+  /** [[eagerSmallLoad]] with the single file's length already in hand
+    * (no extra metadata round trip — callers that sized the smallFrame
+    * gate pass the same status here). `None` = not a single readable
+    * file. The conf key and threshold live HERE only, so the two
+    * loaders' eager behavior cannot silently diverge.
+    */
+  def eagerSmallLoad(spark: org.apache.spark.sql.SparkSession,
+      singleFileLen: Option[Long]): Boolean =
     spark.conf.get("spark.graft.loader.eagerSmall", "true").toBoolean &&
-    paths.size == 1 && (try {
-      val hp = new org.apache.hadoop.fs.Path(paths.head)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(hp).getLen <= driverLocalMaxBytes
-    } catch { case _: Exception => false })
+      singleFileLen.exists(_ <= driverLocalMaxBytes)
+
+  /** One spill root per JVM, cleaned by ONE shutdown hook (a hook per
+    * load would grow the JVM's hook set without bound in a long-lived
+    * session). Spills live until JVM exit BY NECESSITY: the returned
+    * frames reference them lazily, so nothing earlier is safe to
+    * delete. Each is one parquet file ≤ the ≤64 MB source (usually far
+    * smaller compressed); a long-lived service loading unbounded
+    * distinct files should set `spark.graft.loader.eagerSmall=false`.
+    * (The reference's own parquet buffers persist PERMANENTLY by
+    * design — exit-scoped spill is strictly tighter.) */
+  private lazy val spillRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_eager_load")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(root.toString)).deleteRecursively()
+        ()
+      } catch { case _: Throwable => () }))
+    root
+  }
+  private val spillSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Run `df`'s plan once, spill the rows to a compact session-temp
     * parquet, and return the scan (see [[driverLocalMaxBytes]]). Schema
@@ -190,21 +225,6 @@ object ChannelLoader {
     * pins executor memory. The spill lives under the JVM temp dir and is
     * removed on shutdown.
     */
-  /** One spill root per JVM, cleaned by ONE shutdown hook (a hook per
-    * load would grow the JVM's hook set without bound in a long-lived
-    * session). */
-  private lazy val spillRoot: java.nio.file.Path = {
-    val root = java.nio.file.Files.createTempDirectory("graft_eager_load")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(root.toString)).deleteRecursively()
-        ()
-      } catch { case _: Throwable => () }))
-    root
-  }
-  private val spillSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
   def driverLocal(df: DataFrame): DataFrame = {
     val dir = spillRoot.resolve(s"spill_${spillSeq.incrementAndGet()}").toString
     // one output file: the data is ≤ driverLocalMaxBytes by the caller's

@@ -447,7 +447,7 @@ object Dedup {
     * is identical either way (parity is plan-pinned in PipelineSpec).
     *
     * The census premium is paid ONCE, not twice: the signature table is
-    * built, id-partitioned, and persisted (MEMORY_AND_DISK), the census
+    * built, id-partitioned, and persisted (MEMORY_ONLY), the census
     * aggregates over it (triggering the cache build), and the CHOSEN
     * plan reuses the same cached signatures — so auto's total work is
     * one signature pass + one small bucket aggregate on top of the

@@ -138,6 +138,10 @@ final case class CountByKeyExec(
       if (partial) conf.getConfString("spark.graft.countByKey.flushEntries",
         HistogramKernel.partialFlushEntries.toString).toInt
       else Int.MaxValue
+    // fail misconfiguration HERE (driver side, once) — inside the task
+    // iterator it would burn 4 retry attempts per task first
+    require(flush > 0,
+      s"spark.graft.countByKey.flushEntries must be positive: $flush")
     child.execute().mapPartitions { it =>
       val counted = HistogramKernel.countInternalRows(it, cntOrdinal, flush)
       val proj = UnsafeProjection.create(Array(LongType, LongType): Array[org.apache.spark.sql.types.DataType])

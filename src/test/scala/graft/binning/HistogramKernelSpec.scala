@@ -246,9 +246,9 @@ class HistogramKernelSpec extends SparkSpec {
     val df = ids.map(i => (i, 0.5)).toDF("part", "a")
     val h = Binning.histogramPer(df, col("part"), "part",
       Seq(UniformAxis("a", 2, 0.0, 2.0)), partBounds = Some((0L, span - 1)))
-    val parts = h.collect().map(_.getLong(0)).sorted.toSeq
-    assert(parts === ids)
-    assert(h.collect().forall(_.getLong(2) === 1L))
+    val rows = h.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === ids)
+    assert(rows.forall(_.getLong(2) === 1L))
   }
 
   test("mergePartitions: session floor, 256 MB-target raise, 4096 cap") {
