@@ -180,4 +180,32 @@ class BinningProperties extends SparkSpec {
       assert(merged === expect)
     }
   }
+
+  test("part fold == classic per-part plan on random bounds/ids (15 cases)") {
+    // randomized adversarial check of the histogramPer integral fold:
+    // random id offsets (incl. negative and ~2^40-magnitude), random
+    // spans, ids sprinkled ON the bounds and just outside them. The
+    // folded kernel plan must agree with the classic composite-key plan
+    // restricted to in-bounds rows, cell-for-cell.
+    import org.apache.spark.sql.functions.col
+    val ax = Seq(UniformAxis("x", 5, 0.0, 5.0))
+    cases(15, 7L) { r =>
+      val lo = Seq(-1L * r.nextInt(1000), 0L, r.nextInt(1000).toLong,
+        (1L << 40) + r.nextInt(1000))(r.nextInt(4))
+      val span = 1L + r.nextInt(2000)
+      val ids = Seq.fill(120)(lo - 2 + (r.nextInt(span.toInt + 4)).toLong)
+      val xs = Seq.fill(120)(r.nextDouble() * 5.0)
+      (lo, span, ids.zip(xs))
+    }.foreach { case (lo, span, rows) =>
+      val df = rows.toDF("part", "x")
+      val folded = Binning.histogramPer(df, col("part"), "part", ax,
+        partBounds = Some((lo, lo + span - 1)))
+      val classicInBounds = Binning.histogramPer(
+        df.filter(col("part").between(lo, lo + span - 1)),
+        col("part"), "part", ax)
+      def toMap(h: org.apache.spark.sql.DataFrame) =
+        h.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(toMap(folded) === toMap(classicInBounds), s"lo=$lo span=$span")
+    }
+  }
 }
