@@ -27,11 +27,17 @@ object Lake {
   ): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, tableName)
-    if (loc.exists())
-      scala.reflect.io.Directory(loc).deleteRecursively()
+    // orphan-location cleanup through the CATALOG's own path resolution +
+    // the Hadoop FS layer: a java.io.File on the warehouse URI's path
+    // would silently no-op on hdfs://'/s3a:// warehouses, miss the
+    // lowercased table dir and db-qualified names (db.tbl lives under
+    // db.db/tbl), and in the worst case delete an unrelated LOCAL
+    // directory that happens to share the path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write
       .mode("overwrite")
       .format("parquet")
@@ -91,8 +97,17 @@ object Lake {
       array(zCols.map(c => min(col(c)).cast("double")): _*).as("lo"),
       array(zCols.map(c => max(col(c)).cast("double")): _*).as("hi"),
     ).head()
-    val lo = statsRow.getSeq[Double](0)
-    val hi = statsRow.getSeq[Double](1)
+    // loud guard: an empty frame (or an all-null zCol) yields null
+    // min/max, which would otherwise surface as an opaque NPE inside
+    // the scaling arithmetic
+    val loRaw = statsRow.getSeq[Any](0)
+    val hiRaw = statsRow.getSeq[Any](1)
+    zCols.zipWithIndex.foreach { case (c, i) =>
+      require(loRaw(i) != null && hiRaw(i) != null,
+        s"writeZOrdered: column $c has no non-null values (empty input?)")
+    }
+    val lo = loRaw.map(_.asInstanceOf[Double])
+    val hi = hiRaw.map(_.asInstanceOf[Double])
     val levels = (1L << bitsPerCol).toDouble
     val binned = zCols.zipWithIndex.map { case (c, i) =>
       val span = math.max(hi(i) - lo(i), java.lang.Double.MIN_NORMAL)
@@ -111,18 +126,22 @@ object Lake {
     * Execute an action on `df` first so adaptive planning has finalized.
     */
   def hasExchange(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val root = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    root.exists {
+    // an EXECUTED AQE plan replaces materialized exchanges with
+    // ShuffleQueryStageExec LEAVES (the exchange hangs off the stage's
+    // `plan` member, not the tree) — a plain exists over children would
+    // return a false NEGATIVE on exactly the executed plans the scaladoc
+    // asks callers to probe, passing the "co-located" assertion vacuously
+    def walk(p: SparkPlan): Boolean = p match {
       case _: ShuffleExchangeLike => true
-      case a: AdaptiveSparkPlanExec => // reused subquery stages
-        a.executedPlan.exists(_.isInstanceOf[ShuffleExchangeLike])
-      case _ => false
+      case _: ShuffleQueryStageExec => true
+      case q: QueryStageExec => walk(q.plan)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other.children.exists(walk)
     }
+    walk(df.queryExecution.executedPlan)
   }
 
   // ---- small-file compaction (the OPTIMIZE half of lake maintenance) ----
@@ -173,7 +192,19 @@ object Lake {
     val in = new HPath(path)
     val fs = in.getFileSystem(hconf)
     require(fs.exists(in), s"compact: input path $path does not exist")
-    val files = fs.listStatus(in)
+    val entries = fs.listStatus(in)
+    // a MIXED layout (top-level files + partition subdirs) would compact
+    // only the top level and report success over silent row loss — fail
+    // loudly and point at the per-leaf workflow (the fully-partitioned
+    // case already fails via the nonEmpty require). Hidden entries
+    // (_SUCCESS, _temporary, .crc) are not data.
+    val dataDirs = entries.filter(st => st.isDirectory &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    require(dataDirs.isEmpty,
+      s"compact: $path contains subdirectories " +
+        s"(${dataDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "partitioned layout? compact each leaf directory instead")
+    val files = entries
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => st.getPath.toString -> st.getLen).toSeq
     require(files.nonEmpty,
@@ -186,15 +217,33 @@ object Lake {
         "write to a fresh directory and move atomically")
     outFs.mkdirs(out)
     var written = 0
+    // singleton (already-at-target) files copy byte-for-byte as
+    // DISTRIBUTED tasks: FileUtil.copy on the driver would stream every
+    // multi-GB file through one machine sequentially — on an object
+    // store that turns a metadata-shaped maintenance pass into hours of
+    // driver-bound IO (the same distribution posture as CopyTool)
+    val singles = plan.zipWithIndex.collect {
+      case (g, i) if g.size == 1 => (g.head, f"part-copy-$i%05d.parquet")
+    }
+    if (singles.nonEmpty) {
+      val confBox = spark.sparkContext.broadcast(
+        org.apache.spark.GraftSparkBridge.hadoopConfBox(spark.sparkContext))
+      val outStr = out.toString
+      spark.sparkContext
+        .parallelize(singles, math.min(singles.size,
+          spark.sparkContext.defaultParallelism))
+        .foreach { case (src, name) =>
+          val c = confBox.value.value
+          val sp = new HPath(src)
+          FileUtil.copy(sp.getFileSystem(c), sp,
+            new HPath(outStr).getFileSystem(c), new HPath(outStr, name),
+            /* deleteSource = */ false, c)
+        }
+    }
     plan.foreach { group =>
-      if (group.size == 1) {
-        FileUtil.copy(fs, new HPath(group.head), outFs,
-          new HPath(out, f"part-copy-$written%05d.parquet"),
-          /* deleteSource = */ false, hconf)
-      } else {
+      if (group.size > 1)
         spark.read.parquet(group: _*).coalesce(1)
           .write.mode("append").parquet(outPath)
-      }
       written += 1
     }
     plan.size

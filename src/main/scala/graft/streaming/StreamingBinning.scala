@@ -68,6 +68,11 @@ object StreamingBinning {
     stream
       .select(col(sectorCol).cast("long").as("sector"),
         col(valueCol).cast("double").as("v"))
+      // a single null/uncastable key or value would kill the WHOLE live
+      // query ("Null value appeared in non-nullable field" — primitive
+      // tuple encoder); a long-running monitor drops dirty rows instead
+      // (documented divergence: the batch groupBy keeps a null group)
+      .filter(col("sector").isNotNull && col("v").isNotNull)
       .as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[SectorState, SectorUpdate](
@@ -121,12 +126,19 @@ object StreamingBinning {
     stream
       .select(col(keyCol).cast("long").as("k"),
         col(tsCol).cast("long").as("t"), col(valueCol).cast("string").as("v"))
+      // null key/ts would kill the live query via the primitive tuple
+      // encoder — drop dirty rows (see runningSectorMeans)
+      .filter(col("k").isNotNull && col("t").isNotNull)
       .as[(Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Scd2State, Scd2Closed](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[Scd2State]) =>
-          val sorted = rows.toSeq.sortBy(_._2)
+          // (ts, value) ordering: equal-timestamp changes need a
+          // DETERMINISTIC fold — Append-mode closed intervals are
+          // irrevocable, and the batch operator exposes the same
+          // value-as-tie-break via scd2(tieBreak = Seq(valueCol))
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
           var cur = state.getOption
           val out = scala.collection.mutable.ArrayBuffer[Scd2Closed]()
           sorted.foreach { case (_, ts, v) =>
@@ -161,6 +173,8 @@ object StreamingBinning {
       .select(col(keyCol).cast("long").as("k"),
         col(tsCol).cast("long").as("ts"), col(typeCol).cast("string").as("t"))
       .filter(col("t").isin(steps: _*))
+      // null key/ts would kill the live query (primitive tuple encoder)
+      .filter(col("k").isNotNull && col("ts").isNotNull)
       .as[(Long, Long, String)]
       .groupByKey(_._1)
       .mapGroupsWithState[FunnelState, FunnelUpdate](
@@ -288,25 +302,66 @@ object StreamingBinning {
         col("session_window.end").as("session_end") :+
         col("n_events"): _*)
 
-  /** Sink a streaming sparse histogram as per-batch cube snapshots: each
-    * micro-batch's windows are densified and exported via the provided
-    * callback (e.g. [[graft.export.CubeIO.writeDense]] keyed by batch id)
-    * — the live-monitoring surface of the batch `compute()`.
+  /** Sink a streaming sparse histogram ([[windowedHistogram]] output) as
+    * per-batch cube snapshots via the provided callback (e.g.
+    * [[graft.export.CubeIO.writeDense]] keyed by batch id) — the
+    * live-monitoring surface of the batch `compute()`.
+    *
+    * Runs in UPDATE mode: each micro-batch delivers only the window-cells
+    * whose counts changed; they upsert (new totals replace old) into a
+    * driver-side accumulator, and the cube summed across retained
+    * windows is handed to `onBatch`. Complete mode would both re-emit
+    * ALL history every batch and pin every window ever opened in the
+    * state store (watermark eviction does not apply under Complete) —
+    * unbounded on a long-running query. Update keeps the state store
+    * watermark-bounded; the driver store is bounded by `retainWindows`
+    * (most-recent window starts kept; 0 = keep all, only safe for
+    * bounded streams/tests — set it for live monitors). Driver memory is
+    * O(retained windows × filled cells); the cube itself must fit the
+    * same densify cap as the batch path.
     */
   def cubeSnapshotSink(
       binned: DataFrame,
       axes: Seq[graft.binning.BinAxis],
       onBatch: (graft.binning.BinnedCube, Long) => Unit,
-  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      countName: String = "cnt",
+      retainWindows: Int = 0,
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cells = axes.map(_.nBins.toLong).product
+    require(cells <= 200L * 1000 * 1000,
+      s"cubeSnapshotSink: $cells cells exceeds the densify cap")
+    val shape = axes.map(_.nBins)
+    val strides = new Array[Long](axes.length)
+    var st = 1L
+    for (i <- axes.indices.reverse) { strides(i) = st; st *= shape(i) }
+    val acc = scala.collection.mutable.Map.empty[(Long, Seq[Long]), Long]
     binned.writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val cube = Binning.densify(
-          batch.groupBy(axes.map(ax => col(Binning.idxName(ax))): _*)
-            .agg(sum(col("cnt")).cast("long").as("cnt")),
-          axes)
-        onBatch(cube, id)
+        val rows = batch.select(
+          col("window.start").cast("long") +:
+            axes.map(ax => col(Binning.idxName(ax))) :+
+            col(countName).cast("long"): _*).collect()
+        rows.foreach { r =>
+          val idxs = Seq.tabulate(axes.length)(i => r.getLong(i + 1))
+          acc((r.getLong(0), idxs)) = r.getLong(axes.length + 1)
+        }
+        if (retainWindows > 0) {
+          val keep = acc.keys.map(_._1).toSeq.distinct.sorted
+            .takeRight(retainWindows).toSet
+          acc.filterInPlace { case ((w, _), _) => keep(w) }
+        }
+        val data = new Array[Long](cells.toInt)
+        acc.foreach { case ((_, idxs), c) =>
+          var flat = 0L
+          var i = 0
+          while (i < idxs.length) { flat += idxs(i) * strides(i); i += 1 }
+          data(flat.toInt) += c
+        }
+        onBatch(graft.binning.BinnedCube(
+          axes.map(_.column), axes.map(_.centers), data, shape), id)
       }
+  }
 
   /** Per-micro-batch drift monitor: each batch's histogram over `ax` is
     * PSI-compared against the FIXED `baseline` frame

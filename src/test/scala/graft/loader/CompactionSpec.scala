@@ -43,6 +43,23 @@ class CompactionSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("compact: mixed flat+partitioned layout fails loudly (no silent loss)") {
+    // top-level files PLUS partition subdirs: the non-recursive listing
+    // would compact only the top level and report success over dropped
+    // rows — must refuse instead (self-review round-13 catch). Hidden
+    // entries (_SUCCESS) stay allowed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixed").toString
+    val in = s"$dir/in"
+    spark.range(100).select(col("id"), (col("id") % 3).as("p"))
+      .repartition(2).write.parquet(in)
+    spark.range(50).select(col("id"))
+      .write.parquet(s"$in/p=extra") // a partition-style subdir
+    val e = intercept[IllegalArgumentException] {
+      Lake.compact(spark, in, s"$dir/out", targetBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("subdirectories"))
+  }
+
   test("compact: empty input and non-empty output fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact3").toString
     // empty input: a silent 0-group success would mask a bad path/scheme

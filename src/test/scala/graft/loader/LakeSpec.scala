@@ -28,6 +28,29 @@ class LakeSpec extends SparkSpec {
     assert(Lake.hasExchange(plain))
   }
 
+  test("hasExchange sees materialized AQE query stages (executed plans)") {
+    // after the probed df ITSELF executes, AQE replaces its exchanges
+    // with ShuffleQueryStageExec LEAVES — the old child-walk returned a
+    // false negative exactly on the executed plans the scaladoc asks
+    // callers to probe (self-review round-13 catch)
+    val left = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("a"))
+    val right = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("b"))
+    val shuffling = left.hint("merge").join(right.hint("merge"), Seq("k"))
+    shuffling.collect() // executes THIS df's plan (not a derived count)
+    assert(Lake.hasExchange(shuffling),
+      "executed AQE plan with a shuffle must still report hasExchange")
+  }
+
+  test("writeZOrdered fails loudly on empty input (no opaque NPE)") {
+    val empty = spark.range(0).select(col("id").as("x"), col("id").as("y"))
+    val e = intercept[IllegalArgumentException] {
+      Lake.writeZOrdered(empty,
+        java.nio.file.Files.createTempDirectory("zempty").toString + "/out",
+        Seq("x", "y"))
+    }
+    assert(e.getMessage.contains("no non-null values"))
+  }
+
   test("aggregation on the bucket key is also exchange-free") {
     val agg = Lake.readTable(spark, "lake_left").groupBy("k").count()
     agg.count()

@@ -436,7 +436,10 @@ class StreamingSpec extends SparkSpec {
 
   test("runningSectorMeans keeps per-key state across micro-batches") {
     val dir = Files.createTempDirectory("stream-in3").toFile.getPath + "/data"
-    Seq((0L, 10.0), (0L, 20.0), (1L, 5.0)).toDF("sector", "v").write.parquet(dir)
+    // the null-key row must be DROPPED, not kill the live query (the
+    // primitive tuple encoder throws on null — self-review round-13)
+    Seq((Some(0L), 10.0), (Some(0L), 20.0), (Some(1L), 5.0), (None, 7.0))
+      .toDF("sector", "v").write.parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
     val out = StreamingBinning.runningSectorMeans(stream, "sector", "v")
