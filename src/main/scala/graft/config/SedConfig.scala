@@ -124,10 +124,16 @@ object SedConfig {
   /** Subtree at a dotted path, if present. */
   def node(cfg: JsonNode, path: String): Option[JsonNode] = Option(at(cfg, path))
 
-  private def at(cfg: JsonNode, path: String): JsonNode =
-    path.split('.').foldLeft(cfg: JsonNode) { (n, k) =>
+  private def at(cfg: JsonNode, path: String): JsonNode = {
+    val r = path.split('.').foldLeft(cfg: JsonNode) { (n, k) =>
       if (n == null) null else n.get(k)
     }
+    // an explicit `key: null` (Python None round-tripped through YAML)
+    // behaves like an absent key: the typed accessors would otherwise
+    // coerce NullNode to the literal "null" / 0.0 / 0 / false and feed
+    // garbage downstream with no error
+    if (r != null && r.isNull) null else r
+  }
 
   /** `"@alias"` indirection for axis arguments
     * (`sed/core/processor.py:2102-2104`): `"@energy"` resolves through

@@ -156,8 +156,17 @@ object YamlShim {
       .filter { case (l, _) => l.trim.nonEmpty }
       .map { case (l, i) => Line(indentOf(l), l.trim, i) }
     if (lines.isEmpty) F.objectNode()
-    else parseBlock(lines, 0, lines.head.indent,
-      collection.mutable.Map.empty[String, JsonNode])._1
+    else {
+      val (node, next) = parseBlock(lines, 0, lines.head.indent,
+        collection.mutable.Map.empty[String, JsonNode])
+      // a dedent to an INTERMEDIATE indent ends every open block without
+      // consuming the line — dropping it silently would vanish config
+      // keys with no diagnostic (PyYAML errors here too)
+      require(next >= lines.length,
+        s"YAML parse stopped at line ${lines(next).num + 1} " +
+          s"('${lines(next).text}'): misindented block?")
+      node
+    }
   }
 
   private final case class Line(indent: Int, text: String, num: Int)
@@ -345,10 +354,14 @@ object YamlShim {
       case IntRe()                     =>
         // canonicalize to IntNode when in range (Jackson node equality
         // is class-sensitive: IntNode(1) != LongNode(1), and the JSON
-        // reader produces IntNode — round-trips must agree)
-        val l = s.toLong
-        if (l >= Int.MinValue && l <= Int.MaxValue) F.numberNode(l.toInt)
-        else F.numberNode(l)
+        // reader produces IntNode — round-trips must agree). Digits past
+        // Long.MaxValue keep the documented degrade-to-string contract
+        // instead of NumberFormatException-ing the whole layered load.
+        try {
+          val l = s.toLong
+          if (l >= Int.MinValue && l <= Int.MaxValue) F.numberNode(l.toInt)
+          else F.numberNode(l)
+        } catch { case _: NumberFormatException => F.textNode(s) }
       case FloatRe(_, _)               => F.numberNode(s.toDouble)
       case _                           => F.textNode(s)
     }

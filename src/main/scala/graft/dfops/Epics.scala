@@ -46,6 +46,11 @@ object Epics {
     */
   def parsePayload(json: String): (Array[Double], Array[Double]) = {
     val root = new ObjectMapper().readTree(json)
+    // an unarchived / typo'd channel answers `[]` — surface that as the
+    // empty series (callers name the channel in their error), not an NPE
+    if (root == null || !root.isArray || root.size() == 0 ||
+        root.get(0).get("data") == null)
+      return (Array.empty[Double], Array.empty[Double])
     val data = root.get(0).get("data")
     val n = data.size()
     val ts = new Array[Double](n)
@@ -105,9 +110,23 @@ object Epics {
     val range = df.agg(
       min(col(tsColumn)).cast("double"), max(col(tsColumn)).cast("double")).head()
     require(!range.isNullAt(0), s"no rows / all-null $tsColumn — nothing to attach to")
-    val (ts, vals) = client.fetch(
+    val (tsRaw, valsRaw) = client.fetch(
       channel, range.getDouble(0) - marginSec, range.getDouble(1) + marginSec)
-    require(ts.nonEmpty, s"archiver returned no samples for $channel")
-    DfOps.addTimeStampedData(df, destColumn, tsColumn, ts, vals)
+    require(tsRaw.nonEmpty, s"archiver returned no samples for $channel")
+    // real archiver streams can repeat a timestamp (coalesced writes) —
+    // np.interp tolerates that; the strict piecewise kernel requires
+    // ascending knots, so keep the LAST sample per timestamp
+    val dedup = tsRaw.zip(valsRaw).foldLeft(
+      List.empty[(Double, Double)]) {
+      case (acc @ ((pt, _) :: rest), (t, v)) =>
+        if (t == pt) (t, v) :: rest else (t, v) :: acc
+      case (Nil, tv) => tv :: Nil
+    }.reverse
+    val (ts, vals) = (dedup.map(_._1).toArray, dedup.map(_._2).toArray)
+    // a single archived sample in the window means the PV was constant
+    // there — np.interp returns that constant; the 2-knot kernel can't
+    if (ts.length == 1)
+      df.withColumn(destColumn, lit(vals(0)))
+    else DfOps.addTimeStampedData(df, destColumn, tsColumn, ts, vals)
   }
 }

@@ -89,7 +89,10 @@ object CubeIO {
   def readH5(path: String): BinnedCube = {
     val root = Hdf5Minimal.read(path)
     val bd = root.dataset("binned/BinnedData")
-    val axDs = root.group("axes").datasets.sortBy(_.name)
+    // numeric order on the axN suffix: lexicographic would slot ax10
+    // between ax1 and ax2 and silently mislabel cubes of ≥11 dimensions
+    val axDs = root.group("axes").datasets
+      .sortBy(d => d.name.drop(2).toIntOption.getOrElse(Int.MaxValue))
     val meta =
       if (root.hasChild("metadata")) root.group("metadata").attrs
       else Map.empty[String, String]
@@ -198,11 +201,14 @@ object CubeIO {
           Hdf5Minimal.Dataset(n, Hdf5Minimal.F64(c),
             attrs = axisUnits.get(n).map("units" -> _).toMap)
         },
-      attrs = Map(
+      // pass-through attrs FIRST: a cube attr named signal/axes/
+      // NX_class/<axis>_indices must not clobber the structural plot
+      // annotations (readNexus would chase a bogus axis name)
+      attrs = plain.toMap ++ (Map(
         "NX_class" -> "NXdata",
         "signal" -> "data",
         "axes" -> cube.axisNames.mkString(":"),
-      ) ++ indices ++ plain,
+      ) ++ indices),
     )
     val entryDatasets =
       Hdf5Minimal.Dataset("definition", Hdf5Minimal.Str("NXmpes")) +:
@@ -415,11 +421,24 @@ object CubeIO {
       s"""{"shape": [${cube.shape.mkString(", ")}],
          | "dtype": "int64", "order": "C",
          | "axes": {${axes.map { case (n, c) =>
-          s""""$n": [${c.mkString(", ")}]"""
+          s""""${jsonEscape(n)}": [${c.mkString(", ")}]"""
         }.mkString(", ")}},
-         | "attrs": {${cube.attrs.map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")}}}""".stripMargin
+         | "attrs": {${cube.attrs.map { case (k, v) =>
+          s""""${jsonEscape(k)}": "${jsonEscape(v)}"""" }.mkString(", ")}}}""".stripMargin
     Files.writeString(Paths.get(path + ".json"), json)
   }
+
+  /** Minimal JSON string escape (quotes, backslashes, control chars) —
+    * an attr value containing `"` would otherwise emit a malformed
+    * header that numpy-side consumers and [[readDense]] cannot parse.
+    */
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   /** Round-trip loader for [[writeDense]] (shape/axes parsed from the
     * header, data from the raw buffer).
@@ -433,7 +452,9 @@ object CubeIO {
     val shape = arr("shape").map(_.toInt).toSeq
     val axisNames = """"axes": \{(.*)\}, "attrs"""".r
       .findFirstMatchIn(header).get.group(1)
-      .split("\\]").flatMap(s => """"(\w+)": \[""".r.findFirstMatchIn(s).map(_.group(1)))
+      // any non-quote run: \w+ silently DROPPED axis names containing
+      // '-', '.', etc., mis-assembling the cube on reload
+      .split("\\]").flatMap(s => """"([^"]+)": \[""".r.findFirstMatchIn(s).map(_.group(1)))
       .toSeq
     val axes = axisNames.map(arr)
     val bytes = Files.readAllBytes(Paths.get(path + ".bin"))
@@ -444,9 +465,10 @@ object CubeIO {
 
   private def axesJson(axes: Seq[BinAxis], attrs: Map[String, String]): String = {
     val ax = axes.map { a =>
-      s""""${a.column}": {"idx_column": "${Binning.idxName(a)}", "centers": [${a.centers.mkString(", ")}]}"""
+      s""""${jsonEscape(a.column)}": {"idx_column": "${jsonEscape(Binning.idxName(a))}", "centers": [${a.centers.mkString(", ")}]}"""
     }.mkString(", ")
-    val at = attrs.map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
+    val at = attrs.map { case (k, v) =>
+      s""""${jsonEscape(k)}": "${jsonEscape(v)}"""" }.mkString(", ")
     s"""{"axes": {$ax}, "attrs": {$at}}"""
   }
 }

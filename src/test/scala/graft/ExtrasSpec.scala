@@ -56,6 +56,31 @@ class ExtrasSpec extends SparkSpec {
     intercept[NoSuchElementException] { SedConfig.getString(cfg, "nope.deep") }
   }
 
+  test("explicit nulls, misindents, and over-long ints behave sanely") {
+    // explicit `key: null` == absent key: the typed accessors previously
+    // coerced NullNode to the literal "null"/0.0/0/false (self-review
+    // round-13 catch)
+    val cfg = SedConfig.parseString(
+      """{"dataframe": {"x_column": null}, "v": null}""")
+    assert(SedConfig.getString(cfg, "dataframe.x_column", "X") === "X")
+    assert(SedConfig.getDouble(cfg, "v", 1.5) === 1.5)
+    assert(SedConfig.node(cfg, "dataframe.x_column").isEmpty)
+    intercept[NoSuchElementException] {
+      SedConfig.getString(cfg, "dataframe.x_column")
+    }
+    // a dedent to an INTERMEDIATE indent is a parse error (PyYAML errors
+    // too) — previously everything after it silently vanished
+    val e = intercept[IllegalArgumentException] {
+      graft.config.YamlShim.parse("a:\n    b: 1\n  c: 2\n")
+    }
+    assert(e.getMessage.contains("misindented"))
+    // digits past Long.MaxValue degrade to string per the documented
+    // contract (previously NumberFormatException killed the whole load)
+    val big = graft.config.YamlShim.parse("run_id: 12345678901234567890\n")
+    assert(big.get("run_id").isTextual &&
+      big.get("run_id").textValue() === "12345678901234567890")
+  }
+
   test("YAML config shim: mpes-shaped YAML loads and layers with JSON") {
     val dir = Files.createTempDirectory("yamlcfg")
     val yaml = dir.resolve("base.yaml")

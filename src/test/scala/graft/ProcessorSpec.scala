@@ -344,6 +344,24 @@ class ProcessorSpec extends SparkSpec {
     assert(back.shape === cube.shape)
     assert(back.axisNames === cube.axisNames)
     assert(back.axes.head.toSeq === Seq(0.5, 1.5))
+    // adversarial names/values (self-review round-13): a quoted attr
+    // value must emit VALID JSON, and a non-\w axis name ("E-EF") must
+    // survive the reload — both previously corrupted the header
+    val tricky = BinnedCube(
+      Seq("E-EF", "k.x"),
+      Seq(Array(0.5, 1.5), Array(0.0, 1.0, 2.0)),
+      Array(1L, 2L, 3L, 4L, 5L, 6L),
+      Seq(2, 3),
+      Map("note" -> """say "hi" \ done"""))
+    val p2 = Files.createTempDirectory("cube2").toFile.getPath + "/c"
+    CubeIO.writeDense(tricky, p2)
+    val b2 = CubeIO.readDense(p2)
+    assert(b2.axisNames === Seq("E-EF", "k.x"))
+    assert(b2.data.toSeq === tricky.data.toSeq)
+    // the header is real JSON (jackson parses it)
+    val header = Files.readString(java.nio.file.Paths.get(p2 + ".json"))
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(header)
+    assert(parsed.get("attrs").get("note").asText() === """say "hi" \ done""")
   }
 
   test("CubeIO HDF5 cube container round-trips in the reference layout") {

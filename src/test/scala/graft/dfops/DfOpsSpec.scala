@@ -337,6 +337,30 @@ class DfOpsSpec extends SparkSpec {
     assert(out("b") === ((10.0, 10.0)))
   }
 
+  test("EPICS degenerate series: 1 sample, duplicate ts, empty payload") {
+    // a single archived sample = the PV was constant in the window
+    // (np.interp semantics); previously crashed piecewiseLinear's
+    // >=2-knot require
+    val events = Seq(10.0, 20.0).toDF("ts")
+    val one = Epics.addArchiverData(events, "pv", "ts",
+      (_, _, _) => (Array(12.0), Array(7.5)), "CH")
+      .select("pv").collect().map(_.getDouble(0)).toSeq
+    assert(one === Seq(7.5, 7.5))
+    // duplicate timestamps (coalesced archiver writes): LAST sample wins,
+    // the strict ascending-knot kernel must not throw
+    val dup = Epics.addArchiverData(events, "pv", "ts",
+      (_, _, _) => (Array(10.0, 10.0, 20.0), Array(1.0, 2.0, 4.0)), "CH")
+      .select("ts", "pv").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(dup(10.0) === 2.0 && dup(20.0) === 4.0)
+    // an unarchived channel answers [] — a named error, not an NPE
+    assert(Epics.parsePayload("[]")._1.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Epics.addArchiverData(events, "pv", "ts",
+        (_, _, _) => Epics.parsePayload("[]"), "NO:SUCH:PV")
+    }
+    assert(e.getMessage.contains("NO:SUCH:PV"))
+  }
+
   test("EPICS archiver series attaches through the interp core (offline client)") {
     // archiver-appliance payload shape: [{"data":[{secs,nanos,val},...]}]
     val payload =
