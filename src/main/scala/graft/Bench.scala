@@ -47,6 +47,41 @@ import graft.dfops.DfOps
   */
 object Bench {
 
+  /** Committed quiet-box calibration: the canary constants this box reads
+    * in a verified-quiet state (three same-HEAD r13 validation runs; cpu
+    * single-thread sqrt probe, bw 8-thread stream triad). The RELATIVE
+    * per-rep gating above cannot see a WHOLE-RUN baseline shift — two
+    * same-code runs once read 2.37 s vs 1.63 s with flat within-run
+    * canaries — so the artifact also carries `run_quiet`: whether this
+    * run's suite-minimum canaries sit within the absolute envelope of the
+    * committed constants. A false `run_quiet` means cross-run comparisons
+    * of this artifact are weather, not code.
+    */
+  val quietCpuCanarySec: Double = 0.046
+  val quietBwCanarySec: Double = 0.020
+
+  /** True iff a run whose suite-wide canary minima are `cpuMin`/`bwMin`
+    * is comparable against other quiet runs: cpu within 1.3× and bw
+    * within 1.5× of the committed quiet constants (bw gets the wider
+    * band — bandwidth contention from neighbors is burstier than CPU
+    * steal and the triad reads noisier even when quiet).
+    */
+  def runQuiet(cpuMin: Double, bwMin: Double): Boolean =
+    cpuMin <= quietCpuCanarySec * 1.3 && bwMin <= quietBwCanarySec * 1.5
+
+  /** Write the artifact JSON next to stdout: round 13's one-line stdout
+    * JSON outgrew the driver's tail-capture window and the committed
+    * artifact lost its whole ×1 leg (`parsed: null`) — the file is the
+    * durable copy, the stdout line stays for the driver.
+    */
+  def emitArtifact(json: String, path: String): Unit = {
+    println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] artifact write to $path failed: $e") }
+  }
+
   /** Force full computation of every column without collecting. */
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -458,7 +493,13 @@ object Bench {
       val t10 = x10Results.map(_.min).sum
       s""","x10":{"rows_factor":10,"total_sec":$t10,${legJson(x10Results, x10Contaminated, x10Extra)}}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec",${legJson(results, contaminated1x, extra1x)},"canary_sec":$canarySec,"bw_canary_sec":$bwCanarySec,"inverted_1x":${jlist(inverted1x)}$x10Part,"sf":"$sfDir"}""")
+    // run_quiet judges the WHOLE run (both legs' canary minima) against
+    // the committed quiet-box constants — see quietCpuCanarySec
+    val allCpuMin = (results ++ x10Results).map(_.cpuCanary).min
+    val allBwMin = (results ++ x10Results).map(_.bwCanary).min
+    val quiet = runQuiet(allCpuMin, allBwMin)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",${legJson(results, contaminated1x, extra1x)},"canary_sec":$canarySec,"bw_canary_sec":$bwCanarySec,"run_quiet":$quiet,"quiet_cpu_ref":$quietCpuCanarySec,"quiet_bw_ref":$quietBwCanarySec,"inverted_1x":${jlist(inverted1x)}$x10Part,"sf":"$sfDir"}"""
+    emitArtifact(json, sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json"))
     spark.stop()
   }
 }

@@ -246,7 +246,9 @@ object RefBench {
     val contJ = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retrJ = retried.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"refbench_total","value":$total,"unit":"sec","queries":${jmap(results)},"canaries":${jmap(canaries)},"contaminated":$contJ,"retried":$retrJ,"rows":$n,"cores":$cpus}""")
+    val json = s"""{"metric":"refbench_total","value":$total,"unit":"sec","queries":${jmap(results)},"canaries":${jmap(canaries)},"contaminated":$contJ,"retried":$retrJ,"rows":$n,"cores":$cpus}"""
+    Bench.emitArtifact(json,
+      sys.env.getOrElse("SPARK_GRAFT_REFBENCH_OUT", "BENCH_REF.json"))
     spark.stop()
   }
 }

@@ -278,8 +278,11 @@ object Binning {
         val total = BigInt(span) * axes.map(ax => BigInt(ax.nBins)).product
         total <= BigInt(Long.MaxValue) / 2
       }
+      // direct range comparisons, NOT math.abs: abs(Long.MinValue) is
+      // Long.MinValue (negative) and would pass an abs-based guard, letting
+      // part ids near -2^63 collapse in the Double-typed bin arithmetic
       if (integral && hi >= lo && span > 0 && span <= Int.MaxValue &&
-          math.abs(lo) < doubleExact && math.abs(hi) + 1 < doubleExact &&
+          lo > -doubleExact && hi < doubleExact - 1 &&
           cellsFit)
         Some((lo, span.toInt, dtype))
       else None

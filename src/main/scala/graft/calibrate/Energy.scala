@@ -48,6 +48,7 @@ object Energy {
     * same order so the FP result is identical).
     */
   def tof2evpoly(t: Column, polyA: Seq[Double], energyOffset: Double): Column = {
+    require(polyA.nonEmpty, "tof2evpoly needs at least one coefficient")
     val asc = polyA.reverse // a(i) multiplies t^(i+1)
     var power: Column = t
     var energy: Column = lit(asc.head) * power

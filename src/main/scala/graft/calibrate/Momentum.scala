@@ -66,6 +66,10 @@ object Momentum {
     require(invDfield.length == 2)
     val rows = invDfield(0).length
     val cols = invDfield(0)(0).length
+    // the codegen'd interp indexes (r0+1, c0+1) unconditionally — a
+    // degenerate 1-row/1-col field would read past the grid
+    require(rows >= 2 && cols >= 2,
+      s"applyDfield: deformation field must be >= 2x2, got ${rows}x$cols")
     // map detector coordinates onto grid indices (momentum.py:2054-2060)
     val xScale = (rows - 1).toDouble / (detectorRanges._1._2 - detectorRanges._1._1)
     val yScale = (cols - 1).toDouble / (detectorRanges._2._2 - detectorRanges._2._1)

@@ -147,12 +147,16 @@ object Fields {
     val cols = g(0).length
     val rc = math.min(math.max(r, 0.0), rows - 1.0)
     val cc = math.min(math.max(c, 0.0), cols - 1.0)
-    val r0 = math.min(rc.toInt, rows - 2)
-    val c0 = math.min(cc.toInt, cols - 2)
+    // r1/c1 clamp keeps 1-row/1-col grids in bounds (fr/fc are 0 there,
+    // so the degenerate axis interpolates to the single sample)
+    val r0 = math.max(0, math.min(rc.toInt, rows - 2))
+    val c0 = math.max(0, math.min(cc.toInt, cols - 2))
+    val r1 = math.min(r0 + 1, rows - 1)
+    val c1 = math.min(c0 + 1, cols - 1)
     val fr = rc - r0
     val fc = cc - c0
-    g(r0)(c0) * (1 - fr) * (1 - fc) + g(r0 + 1)(c0) * fr * (1 - fc) +
-      g(r0)(c0 + 1) * (1 - fr) * fc + g(r0 + 1)(c0 + 1) * fr * fc
+    g(r0)(c0) * (1 - fr) * (1 - fc) + g(r1)(c0) * fr * (1 - fc) +
+      g(r0)(c1) * (1 - fr) * fc + g(r1)(c1) * fr * fc
   }
 
   /** Compose an affine transform onto existing deformation fields

@@ -592,10 +592,33 @@ object Hdf5Minimal {
   def isHdf5(bytes: Array[Byte]): Boolean =
     bytes.length >= 8 && Signature.indices.forall(i => bytes(i) == Signature(i))
 
+  /** Validate a file address before dereferencing it: in-bounds for
+    * `need` bytes and representable as an array index. Every address
+    * read FROM the file goes through here — a lying header (truncated
+    * file, address past 2³¹, negative offset) must fail with a named
+    * error, not truncate through `.toInt` into a silent misparse of
+    * whatever bytes happen to sit at the wrapped index.
+    */
+  private def checkedAddr(addr: Long, need: Long, fileLen: Int, what: String): Int = {
+    require(addr >= 0 && need >= 0 && addr <= fileLen - need &&
+        addr <= Int.MaxValue.toLong,
+      s"$what: address $addr (+$need bytes) outside file of $fileLen bytes")
+    addr.toInt
+  }
+
+  /** Recursion bound for B-tree walks and group nesting: a hostile file
+    * with a cyclic tree (a node whose child pointer loops back) must
+    * fail with a named error, not a StackOverflowError. Real HDF5 trees
+    * are ≤ a handful of levels; 64 is far past any legitimate file.
+    */
+  private val MaxTreeDepth = 64
+
   /** Parse a file into its root [[Group]]. */
   def parse(bytes: Array[Byte]): Group = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(isHdf5(bytes), "not an HDF5 file (bad signature)")
+    require(bytes.length >= 96,
+      s"truncated superblock: ${bytes.length} bytes < the 96-byte v0 superblock")
     val sbVersion = buf.get(8) & 0xff
     require(sbVersion <= 1,
       s"superblock v$sbVersion unsupported (minimal reader handles v0/v1)")
@@ -604,7 +627,7 @@ object Hdf5Minimal {
     // root symbol-table entry: at 56 for v0; v1 adds 4 bytes before it
     val rootEntry = if (sbVersion == 0) 56 else 60
     val rootHdr = buf.getLong(rootEntry + 8)
-    readGroup(bytes, buf, rootHdr)
+    readGroup(bytes, buf, rootHdr, depth = 0)
   }
 
   def read(path: String): Group =
@@ -615,49 +638,65 @@ object Hdf5Minimal {
     (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
   }
 
-  private def readGroup(bytes: Array[Byte], buf: ByteBuffer, hdrAddr: Long): Group = {
+  private def readGroup(
+      bytes: Array[Byte], buf: ByteBuffer, hdrAddr: Long, depth: Int,
+  ): Group = {
+    require(depth < MaxTreeDepth,
+      s"group nesting exceeds $MaxTreeDepth levels (cyclic group structure?)")
     val (msgs, attrs) = readObjectHeader(buf, hdrAddr)
     val symtab = msgs.find(_._1 == 0x0011).getOrElse(
       throw new IllegalArgumentException(
         "group has no symbol-table message (new-style groups unsupported)"))
     val sb = ByteBuffer.wrap(symtab._2).order(ByteOrder.LITTLE_ENDIAN)
     val btreeAddr = sb.getLong(0)
-    val heapAddr = sb.getLong(8)
-    require(buf.getInt(heapAddr.toInt) == asciiTag("HEAP"), "bad local heap")
-    val heapData = buf.getLong(heapAddr.toInt + 24)
+    val heapAddr0 = checkedAddr(sb.getLong(8), 32, bytes.length, "local heap")
+    require(buf.getInt(heapAddr0) == asciiTag("HEAP"), "bad local heap")
+    val heapData = buf.getLong(heapAddr0 + 24)
     def heapName(off: Long): String = {
-      var i = (heapData + off).toInt
+      var i = checkedAddr(heapData + off, 1, bytes.length, "heap name")
       val s = new StringBuilder
-      while (bytes(i) != 0) { s.append(bytes(i).toChar); i += 1 }
+      while (bytes(i) != 0) {
+        s.append(bytes(i).toChar)
+        i += 1
+        require(i < bytes.length, "unterminated heap name (truncated heap)")
+      }
       s.toString
     }
 
     val entries = ArrayBuffer[(String, Long)]()
-    def walkBtree(addr: Long): Unit = {
-      require(buf.getInt(addr.toInt) == asciiTag("TREE"), "bad group B-tree node")
-      val level = buf.get(addr.toInt + 5) & 0xff
-      val used = buf.getShort(addr.toInt + 6) & 0xffff
-      var p = addr.toInt + 24 + 8 // skip header + key 0
+    def walkBtree(addr0: Long, treeDepth: Int): Unit = {
+      require(treeDepth < MaxTreeDepth,
+        s"group B-tree deeper than $MaxTreeDepth levels (cyclic tree?)")
+      val addr = checkedAddr(addr0, 24 + 8, bytes.length, "group B-tree node")
+      require(buf.getInt(addr) == asciiTag("TREE"), "bad group B-tree node")
+      val level = buf.get(addr + 5) & 0xff
+      val used = buf.getShort(addr + 6) & 0xffff
+      checkedAddr(addr0 + 24 + 8, used.toLong * 16, bytes.length,
+        "group B-tree entries")
+      var p = addr + 24 + 8 // skip header + key 0
       (0 until used).foreach { _ =>
-        val child = buf.getLong(p); p += 16 // child + following key
-        if (level > 0) walkBtree(child)
+        val childA = buf.getLong(p); p += 16 // child + following key
+        if (level > 0) walkBtree(childA, treeDepth + 1)
         else {
-          require(buf.getInt(child.toInt) == asciiTag("SNOD"), "bad symbol node")
-          val n = buf.getShort(child.toInt + 6) & 0xffff
+          val child = checkedAddr(childA, 8, bytes.length, "symbol node")
+          require(buf.getInt(child) == asciiTag("SNOD"), "bad symbol node")
+          val n = buf.getShort(child + 6) & 0xffff
+          checkedAddr(childA + 8, n.toLong * 40, bytes.length, "symbol entries")
           (0 until n).foreach { i =>
-            val e = child.toInt + 8 + i * 40
+            val e = child + 8 + i * 40
             entries += ((heapName(buf.getLong(e)), buf.getLong(e + 8)))
           }
         }
       }
     }
-    walkBtree(btreeAddr)
+    walkBtree(btreeAddr, 0)
 
     val datasets = ArrayBuffer[Dataset]()
     val subgroups = ArrayBuffer[(String, Group)]()
     entries.sortBy(_._1).foreach { case (name, hdr) =>
       val (cmsgs, _) = readObjectHeader(buf, hdr)
-      if (cmsgs.exists(_._1 == 0x0011)) subgroups += ((name, readGroup(bytes, buf, hdr)))
+      if (cmsgs.exists(_._1 == 0x0011))
+        subgroups += ((name, readGroup(bytes, buf, hdr, depth + 1)))
       else datasets += readDataset(bytes, buf, name, hdr)
     }
     Group(datasets.toSeq, subgroups.toSeq, attrs)
@@ -671,8 +710,18 @@ object Hdf5Minimal {
       msgs.find(_._1 == t).map(_._2).getOrElse(
         throw new IllegalArgumentException(s"dataset $name missing $what"))
     val dims = parseDataspace(msg(0x0001, "dataspace"))
-    val n = dims.product
+    require(dims.forall(_ >= 0), s"dataset $name: negative dataspace dim")
     val (cls, size, signed) = parseDatatype(msg(0x0003, "datatype"), name)
+    require(size > 0 && size <= 64,
+      s"dataset $name: implausible datatype size $size")
+    // overflow-safe: a lying dataspace (dims whose product wraps Long)
+    // must fail with a named error, not allocate a wrapped-small array
+    // and then corrupt or crash during chunk assembly
+    val nBig = dims.foldLeft(BigInt(1))(_ * BigInt(_))
+    require(nBig * size <= BigInt(Int.MaxValue),
+      s"dataset $name: dataspace ${dims.mkString("x")} x $size bytes " +
+        "exceeds the 2 GiB single-dataset bound")
+    val n = nBig.toLong
     val lay = ByteBuffer.wrap(msg(0x0008, "data layout")).order(ByteOrder.LITTLE_ENDIAN)
     require(lay.get(0) == 3,
       s"dataset $name: only data-layout message v3 supported (got v${lay.get(0)})")
@@ -684,8 +733,9 @@ object Hdf5Minimal {
         else {
           require(dataSize == n * size,
             s"dataset $name: layout/dataspace size mismatch")
-          java.util.Arrays.copyOfRange(
-            bytes, dataAddr.toInt, (dataAddr + dataSize).toInt)
+          val a = checkedAddr(dataAddr, dataSize, bytes.length,
+            s"dataset $name data")
+          java.util.Arrays.copyOfRange(bytes, a, a + dataSize.toInt)
         }
       case 2 => // chunked, v1 chunk B-tree
         val filters = msgs.find(_._1 == 0x000B)
@@ -730,12 +780,15 @@ object Hdf5Minimal {
 
   /** Filter-pipeline message (0x000B), v1 or v2 encoding. */
   private def parseFilterPipeline(body: Array[Byte], name: String): Seq[Filter] = {
+    require(body.length >= 2, s"dataset $name: truncated filter pipeline")
     val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
     val version = body(0) & 0xff
     val nFilters = body(1) & 0xff
     val out = ArrayBuffer[Filter]()
     var p = if (version == 1) 8 else 2
     (0 until nFilters).foreach { _ =>
+      require(body.length >= p + 8,
+        s"dataset $name: filter pipeline truncated at entry ${out.length}")
       val id = b.getShort(p) & 0xffff
       var nameLen = 0
       if (version == 1) { nameLen = b.getShort(p + 2) & 0xffff; p += 2 }
@@ -765,7 +818,7 @@ object Hdf5Minimal {
           inf.setInput(cur)
           val out = new Array[Byte](chunkBytes)
           var off = 0
-          while (!inf.finished() && off < chunkBytes) {
+          try while (!inf.finished() && off < chunkBytes) {
             val k = inf.inflate(out, off, chunkBytes - off)
             // zero progress while unfinished = truncated, dictionary-
             // preset, or corrupt stream — fail, never spin
@@ -773,8 +826,11 @@ object Hdf5Minimal {
               s"dataset $name: deflate chunk stalled at $off/$chunkBytes " +
                 "bytes (truncated, preset-dictionary, or corrupt stream)")
             off += k
-          }
-          inf.end()
+          } catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"dataset $name: corrupt deflate chunk: ${e.getMessage}")
+          } finally inf.end()
           cur = out
         case 2 => // shuffle: [all byte0][all byte1]... -> interleaved
           val es = f.clientData.headOption.getOrElse(1)
@@ -793,6 +849,8 @@ object Hdf5Minimal {
             cur = out
           }
         case 3 => // fletcher32: 4-byte checksum appended; strip
+          require(cur.length >= 4,
+            s"dataset $name: fletcher32 chunk shorter than its checksum")
           cur = java.util.Arrays.copyOf(cur, cur.length - 4)
         case other => throw new IllegalArgumentException(
           s"dataset $name: filter id $other unsupported " +
@@ -819,8 +877,14 @@ object Hdf5Minimal {
       s"dataset $name: chunk dimensionality ${cdimsAll.mkString("x")} " +
         s"inconsistent with dataspace ${dims.mkString("x")} elem $elemSize")
     val chunkDims = cdimsAll.init
-    val total = dims.product * elemSize
-    require(total <= Int.MaxValue, s"dataset $name: > 2 GiB in one file")
+    require(chunkDims.forall(_ > 0),
+      s"dataset $name: zero-size chunk dimension")
+    // lying chunk dims must not wrap the per-chunk byte count
+    require(chunkDims.foldLeft(BigInt(elemSize))(_ * BigInt(_)) <=
+        BigInt(Int.MaxValue),
+      s"dataset $name: chunk ${chunkDims.mkString("x")} x $elemSize bytes " +
+        "exceeds the 2 GiB bound")
+    val total = dims.product * elemSize // bounded by the caller's BigInt guard
     val out = new Array[Byte](total.toInt)
     if (btAddr == Undef) return out // dataset allocated but never written
 
@@ -849,22 +913,35 @@ object Hdf5Minimal {
     }
 
     val keySize = 8 + 8 * ndims
-    def walkChunkTree(addr: Long): Unit = {
-      require(buf.getInt(addr.toInt) == asciiTag("TREE") &&
-        (buf.get(addr.toInt + 4) & 0xff) == 1,
+    def walkChunkTree(addr0: Long, treeDepth: Int): Unit = {
+      require(treeDepth < MaxTreeDepth,
+        s"dataset $name: chunk B-tree deeper than $MaxTreeDepth levels " +
+          "(cyclic tree?)")
+      val addr = checkedAddr(addr0, 24, bytes.length,
+        s"dataset $name chunk B-tree node")
+      require(buf.getInt(addr) == asciiTag("TREE") &&
+        (buf.get(addr + 4) & 0xff) == 1,
         s"dataset $name: bad chunk B-tree node")
-      val level = buf.get(addr.toInt + 5) & 0xff
-      val used = buf.getShort(addr.toInt + 6) & 0xffff
-      var p = addr.toInt + 24
+      val level = buf.get(addr + 5) & 0xff
+      val used = buf.getShort(addr + 6) & 0xffff
+      checkedAddr(addr0 + 24, used.toLong * (keySize + 8), bytes.length,
+        s"dataset $name chunk B-tree entries")
+      var p = addr + 24
       (0 until used).foreach { _ =>
         val storedSize = buf.getInt(p).toLong & 0xffffffffL
         val filterMask = buf.getInt(p + 4)
         val offs = (0 until ndims).map(j => buf.getLong(p + 8 + 8 * j))
         val child = buf.getLong(p + keySize)
-        if (level > 0) walkChunkTree(child)
+        if (level > 0) walkChunkTree(child, treeDepth + 1)
         else {
+          // a negative element offset would land arraycopy at a wrapped
+          // destination index — reject lying keys before copying
+          require(offs.forall(_ >= 0),
+            s"dataset $name: negative chunk offset ${offs.mkString(",")}")
+          val c0 = checkedAddr(child, storedSize, bytes.length,
+            s"dataset $name chunk data")
           val stored = java.util.Arrays.copyOfRange(
-            bytes, child.toInt, (child + storedSize).toInt)
+            bytes, c0, c0 + storedSize.toInt)
           val raw =
             if (filters.isEmpty) stored
             else defilter(stored, filters, filterMask, chunkBytes, name)
@@ -876,7 +953,7 @@ object Hdf5Minimal {
         p += keySize + 8
       }
     }
-    walkChunkTree(btAddr)
+    walkChunkTree(btAddr, 0)
     out
   }
 
@@ -887,22 +964,27 @@ object Hdf5Minimal {
       buf: ByteBuffer,
       addr: Long,
   ): (Seq[(Int, Array[Byte])], Map[String, String]) = {
-    val version = buf.get(addr.toInt) & 0xff
+    val fileLen = buf.capacity()
+    val a0 = checkedAddr(addr, 16, fileLen, "object header")
+    val version = buf.get(a0) & 0xff
     require(version == 1,
       s"object header v$version unsupported (minimal reader handles v1)")
-    val nMsgs = buf.getShort(addr.toInt + 2) & 0xffff
+    val nMsgs = buf.getShort(a0 + 2) & 0xffff
     val msgs = ArrayBuffer[(Int, Array[Byte])]()
-    var blocks = List((addr + 16, buf.getInt(addr.toInt + 8).toLong))
+    var blocks = List((addr + 16, buf.getInt(a0 + 8).toLong))
     var remaining = nMsgs
     while (remaining > 0 && blocks.nonEmpty) {
       var (p, left) = blocks.head
       blocks = blocks.tail
       while (remaining > 0 && left >= 8) {
-        val tpe = buf.getShort(p.toInt) & 0xffff
-        val size = buf.getShort(p.toInt + 2) & 0xffff
+        val pi = checkedAddr(p, 8, fileLen, "header message")
+        val tpe = buf.getShort(pi) & 0xffff
+        val size = buf.getShort(pi + 2) & 0xffff
+        checkedAddr(p + 8, size, fileLen, "header message body")
         val body = new Array[Byte](size)
-        val d = buf.duplicate(); d.position(p.toInt + 8); d.get(body)
+        val d = buf.duplicate(); d.position(pi + 8); d.get(body)
         if (tpe == 0x0010) { // continuation: (offset, length)
+          require(size >= 16, "truncated continuation message")
           val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
           blocks = (cb.getLong(0), cb.getLong(8)) :: blocks
         } else msgs += ((tpe, body))
@@ -917,29 +999,38 @@ object Hdf5Minimal {
 
   /** v1 string attribute → (name, value); non-string attrs are skipped. */
   private def parseAttr(body: Array[Byte]): Option[(String, String)] = {
+    require(body.length >= 8, "truncated attribute message")
     val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
     if ((b.get(0) & 0xff) != 1) return None // v1 only
     val nameSize = b.getShort(2) & 0xffff
     val dtSize = b.getShort(4) & 0xffff
     val dsSize = b.getShort(6) & 0xffff
+    require(body.length >= 8 + nameSize, "attribute name past message end")
     val name = new String(body, 8, math.max(0, nameSize - 1), "UTF-8")
     val dtOff = 8 + pad8(nameSize)
+    require(body.length >= dtOff + 8, s"attribute $name: truncated datatype")
     val cls = body(dtOff) & 0x0f
     if (cls != 3) return None
     val valueSize = ByteBuffer.wrap(body, dtOff + 4, 4)
       .order(ByteOrder.LITTLE_ENDIAN).getInt
     val dataOff = dtOff + pad8(dtSize) + pad8(dsSize)
+    require(valueSize >= 0 && body.length >= dataOff + valueSize,
+      s"attribute $name: value ($valueSize bytes at $dataOff) past message end")
     val raw = new String(body, dataOff, valueSize, "UTF-8")
     Some((name, raw.takeWhile(_ != 0)))
   }
 
   /** Dimensions of a dataspace (v1 or v2 encoding); scalar → Seq(1). */
   private def parseDataspace(body: Array[Byte]): Seq[Long] = {
+    require(body.length >= 2, "truncated dataspace message")
     val version = body(0) & 0xff
     val rank = body(1) & 0xff
     if (rank == 0) Seq(1L)
     else {
       val dimsOff = if (version == 1) 8 else 4 // v2: version,rank,flags,type
+      require(body.length >= dimsOff + 8 * rank,
+        s"dataspace message truncated: rank $rank needs " +
+          s"${dimsOff + 8 * rank} bytes, got ${body.length}")
       val b = ByteBuffer.wrap(body, dimsOff, 8 * rank).order(ByteOrder.LITTLE_ENDIAN)
       Seq.fill(rank)(b.getLong)
     }
@@ -950,6 +1041,7 @@ object Hdf5Minimal {
     * class only; meaningless for other classes).
     */
   private def parseDatatype(body: Array[Byte], name: String): (Int, Int, Boolean) = {
+    require(body.length >= 8, s"dataset $name: truncated datatype message")
     val cls = body(0) & 0x0f
     val bitField0 = body(1) & 0xff
     require((bitField0 & 0x01) == 0,

@@ -216,7 +216,6 @@ object Lake {
       s"compact: $outPath is not empty — an append there would duplicate rows; " +
         "write to a fresh directory and move atomically")
     outFs.mkdirs(out)
-    var written = 0
     // singleton (already-at-target) files copy byte-for-byte as
     // DISTRIBUTED tasks: FileUtil.copy on the driver would stream every
     // multi-GB file through one machine sequentially — on an object
@@ -244,7 +243,6 @@ object Lake {
       if (group.size > 1)
         spark.read.parquet(group: _*).coalesce(1)
           .write.mode("append").parquet(outPath)
-      written += 1
     }
     plan.size
   }

@@ -179,10 +179,20 @@ object ChannelLoader {
     * gate pass the same status here). `None` = not a single readable
     * file. The conf key and threshold live HERE only, so the two
     * loaders' eager behavior cannot silently diverge.
+    *
+    * LOCAL MODE ONLY: [[driverLocal]] spills to a `java.io.tmpdir`
+    * directory and reads it back. On a cluster the coalesce(1) write
+    * task lands on an executor's local disk (file:// default FS — the
+    * read-back then fails) or resolves against the cluster FS while the
+    * shutdown hook cleans only the driver-local path (HDFS/S3 — a
+    * silent spill leak). The optimization targets the interactive
+    * single-node case the reference serves; clusters keep the lazy
+    * distributed plan, which is the right plan there anyway.
     */
   def eagerSmallLoad(spark: org.apache.spark.sql.SparkSession,
       singleFileLen: Option[Long]): Boolean =
-    spark.conf.get("spark.graft.loader.eagerSmall", "true").toBoolean &&
+    spark.sparkContext.isLocal &&
+      spark.conf.get("spark.graft.loader.eagerSmall", "true").toBoolean &&
       singleFileLen.exists(_ <= driverLocalMaxBytes)
 
   /** One spill root per JVM, cleaned by ONE shutdown hook (a hook per

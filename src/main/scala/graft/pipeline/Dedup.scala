@@ -439,6 +439,27 @@ object Dedup {
       docs: Double, pairMass: Double, pairMassPerDoc: Double = 32.0,
   ): Boolean = pairMass > pairMassPerDoc * docs
 
+  /** Doc-count floor under which [[minhashNearDuplicatesAuto]] skips the
+    * census (when the optimizer KNOWS the row count — CBO stats or a
+    * LocalRelation). 50 k docs is two decades under the ×64 routing
+    * crossover for corpora with realistic duplication.
+    */
+  val censusFloorDocs: Long = 50000L
+
+  /** Plan-stats floor test, zero Spark jobs: row count ≤
+    * [[censusFloorDocs]] when the optimizer carries one, else scan-stats
+    * bytes ≤ `floorBytes` (parquet scans without CBO report only
+    * `sizeInBytes` = compressed file bytes; 16 MB is ≥2× the bench ×10
+    * corpus and ~1e5 docs of web-page shape).
+    */
+  private def underCensusFloor(df: DataFrame, floorBytes: Long): Boolean = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount match {
+      case Some(n) => n <= BigInt(censusFloorDocs)
+      case None => stats.sizeInBytes <= BigInt(floorBytes)
+    }
+  }
+
   /** [[minhashNearDuplicates]] with the physical plan chosen from data,
     * not folklore: a one-agg bucket-size census estimates the
     * pre-distinct candidate-pair mass, and the [[minhashPreferInline]]
@@ -466,6 +487,19 @@ object Dedup {
     * take the UNCACHED sampled-census path
     * ([[minhashPairMassCensus]]'s exact-expectation rescale) and let
     * the chosen plan re-shingle.
+    *
+    * TOY-SCALE FLOOR: the census is a flat ~0.2–0.4 s Spark action, which
+    * only matters when the dedup itself is sub-second — exactly the small
+    * corpora where routing cannot pay for itself. When the input's
+    * plan-stats say the corpus is small (row count ≤ [[censusFloorDocs]]
+    * when the optimizer knows it, else scan size ≤ `censusFloorBytes` —
+    * parquet scans without CBO stats report only bytes), the census is
+    * skipped and the default sparse plan runs directly; pair mass there is
+    * bounded by n²/2, far under the measured ×64 crossover for real
+    * corpora. The one shape this floor misjudges is a tiny corpus that is
+    * ONE giant near-duplicate clique (pair mass ~n²/2 REACHED, not just
+    * bounded) — such corpora belong in [[exactDuplicates]] first; pass
+    * `censusFloorBytes = 0` to force the census if you have one.
     */
   def minhashNearDuplicatesAuto(
       df: DataFrame,
@@ -479,6 +513,7 @@ object Dedup {
       portable: Boolean = false,
       pairMassPerDoc: Double = 32.0,
       censusFraction: Double = 1.0,
+      censusFloorBytes: Long = 16L << 20,
   ): DataFrame = {
     def log(docs: Double, pairMass: Double, inline: Boolean): Unit =
       org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -486,6 +521,13 @@ object Dedup {
           f"$pairMass%.0f (${pairMass / math.max(docs, 1.0)}%.1f per doc) → " +
           (if (inline) "inline-verify plan (duplicate-heavy)"
            else "default sparse plan"))
+    if (censusFloorBytes > 0 && underCensusFloor(df, censusFloorBytes)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        "minhash auto-plan: corpus under the census floor — default sparse " +
+          "plan without a census (see censusFloorDocs)")
+      return minhashNearDuplicates(df, textCol, idCol, k, numHashes, bands,
+        threshold, seed, portable, inlineVerify = false)
+    }
     if (censusFraction < 1.0) {
       val (docs, pairMass) = minhashPairMassCensus(df, textCol, idCol, k,
         numHashes, bands, seed, portable, censusFraction)

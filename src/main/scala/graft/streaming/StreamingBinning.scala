@@ -315,17 +315,28 @@ object StreamingBinning {
     * state store (watermark eviction does not apply under Complete) —
     * unbounded on a long-running query. Update keeps the state store
     * watermark-bounded; the driver store is bounded by `retainWindows`
-    * (most-recent window starts kept; 0 = keep all, only safe for
-    * bounded streams/tests — set it for live monitors). Driver memory is
-    * O(retained windows × filled cells); the cube itself must fit the
-    * same densify cap as the batch path.
+    * (most-recent window starts kept; the default 256 bounds a live
+    * monitor, 0 = keep ALL windows — only safe for bounded
+    * streams/tests). Driver memory is O(retained windows × filled
+    * cells); the cube itself must fit the same densify cap as the
+    * batch path.
+    *
+    * RESTART SEMANTICS: the accumulator is in-memory driver state while
+    * the query itself checkpoints. After a restart the state store
+    * resumes, but the accumulator starts empty and Update mode only
+    * re-delivers cells that CHANGE post-restart — snapshots are
+    * therefore only complete within one query run. A monitor that must
+    * survive restarts should persist each snapshot in `onBatch` (keyed
+    * by batch id) and treat the post-restart cube as a fresh epoch, or
+    * seed a fresh sink from the last persisted snapshot before
+    * `start()`.
     */
   def cubeSnapshotSink(
       binned: DataFrame,
       axes: Seq[graft.binning.BinAxis],
       onBatch: (graft.binning.BinnedCube, Long) => Unit,
       countName: String = "cnt",
-      retainWindows: Int = 0,
+      retainWindows: Int = 256,
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val cells = axes.map(_.nBins.toLong).product
     require(cells <= 200L * 1000 * 1000,

@@ -402,4 +402,20 @@ class ContractSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 1, plan)
   }
+
+  test("runQuiet: absolute canary envelope around the committed constants") {
+    // at the committed quiet constants the run is quiet
+    assert(Bench.runQuiet(Bench.quietCpuCanarySec, Bench.quietBwCanarySec))
+    // boundary: cpu 1.3×, bw 1.5× still quiet; just past either is not
+    assert(Bench.runQuiet(Bench.quietCpuCanarySec * 1.3,
+      Bench.quietBwCanarySec * 1.5))
+    assert(!Bench.runQuiet(Bench.quietCpuCanarySec * 1.31,
+      Bench.quietBwCanarySec))
+    assert(!Bench.runQuiet(Bench.quietCpuCanarySec,
+      Bench.quietBwCanarySec * 1.51))
+    // both dimensions gate independently — a loud bw probe is not excused
+    // by a quiet cpu probe (the round-12 contamination shape)
+    assert(!Bench.runQuiet(0.0, 1.0))
+    assert(!Bench.runQuiet(1.0, 0.0))
+  }
 }

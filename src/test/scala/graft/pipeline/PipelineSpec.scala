@@ -118,8 +118,10 @@ class PipelineSpec extends SparkSpec {
         concat_ws(" ", col("text"), concat(lit("t"), col("copy"))).as("text"))
     val (d, pm) = Dedup.minhashPairMassCensus(clique, "text", "doc_id")
     assert(Dedup.minhashPreferInline(d, pm)) // ≈186 pre-distinct pairs/doc
+    // censusFloorBytes = 0: this spec pins the CENSUS routing, which the
+    // toy-scale floor would otherwise bypass on a 48-doc corpus
     val auto = Dedup.minhashNearDuplicatesAuto(clique, "text", "doc_id",
-      threshold = 0.5)
+      threshold = 0.5, censusFloorBytes = 0L)
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b", "est_jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -141,7 +143,7 @@ class PipelineSpec extends SparkSpec {
     val (d, pm) = Dedup.minhashPairMassCensus(docs, "text", "doc_id")
     assert(!Dedup.minhashPreferInline(d, pm)) // few pairs per doc
     val auto = Dedup.minhashNearDuplicatesAuto(docs, "text", "doc_id",
-      threshold = 0.5)
+      threshold = 0.5, censusFloorBytes = 0L)
     auto.collect()
     val plan = auto.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -152,6 +154,41 @@ class PipelineSpec extends SparkSpec {
     // joins on top of the band-keyed join
     assert(plan.contains("HashAggregate"), plan)
     assert(plan.split("Join").length - 1 === 3, plan)
+  }
+
+  test("auto plan skips the census entirely under the toy-scale floor") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // floored path: constructing the plan fires ZERO Spark jobs (the
+      // census is an eager collect; the skip must remove the action, not
+      // just ignore its answer)
+      org.apache.spark.GraftSparkBridge.drainListeners(spark.sparkContext)
+      val before = jobs.get()
+      val auto = Dedup.minhashNearDuplicatesAuto(docs, "text", "doc_id",
+        threshold = 0.5)
+      org.apache.spark.GraftSparkBridge.drainListeners(spark.sparkContext)
+      assert(jobs.get() === before,
+        "census action ran despite the corpus sitting under the floor")
+      // and the result is the default plan's result
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(norm(auto) === norm(Dedup.minhashNearDuplicates(
+        docs, "text", "doc_id", threshold = 0.5)))
+      // disabling the floor restores the census action
+      org.apache.spark.GraftSparkBridge.drainListeners(spark.sparkContext)
+      val before2 = jobs.get()
+      Dedup.minhashNearDuplicatesAuto(docs, "text", "doc_id",
+        threshold = 0.5, censusFloorBytes = 0L)
+      org.apache.spark.GraftSparkBridge.drainListeners(spark.sparkContext)
+      assert(jobs.get() > before2, "census action missing with floor disabled")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("TopKAgg == window row_number ranking across partitions, ties and" +
