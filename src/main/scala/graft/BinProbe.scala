@@ -39,6 +39,42 @@ object BinProbe {
       (rand(44) * 60000.0 + 60000.0).as("t"),
       (rand(45) * 18000.0 + 2000.0).as("ADC"))
 
+    // "crossover" mode: sweep the cube size through [2^16, 2^22] cells and
+    // time the three materialization paths histogramCube chooses between —
+    // DenseHistogramAgg (per-partition dense buffers, no per-cell
+    // shuffle), kernel+densify, classic+densify. The denseMaxCells
+    // default came from a PRE-kernel measurement; the kernel changed the
+    // sparse side's economics at >= 2^17 cells, so the routing boundary
+    // needs re-measuring (this table feeds NOTES + the default).
+    if (args.contains("crossover")) {
+      for (bpa <- Seq(18, 22, 26, 32, 40, 48)) {
+        val axes4 = Seq(
+          UniformAxis("X", bpa, 0.0, 2048.0),
+          UniformAxis("Y", bpa, 0.0, 2048.0),
+          UniformAxis("t", bpa, 60000.0, 120000.0),
+          UniformAxis("ADC", bpa, 2000.0, 20000.0))
+        val cCells = axes4.map(_.nBins.toLong).product
+        val paths = Seq[(String, () => Unit)](
+          "dense" -> (() => { DenseHistogramAgg.denseHistogram(events, axes4); () }),
+          "kernel" -> (() => { Binning.densify(
+            Binning.histogram(events, axes4, plan = HistogramPlan.Kernel), axes4); () }),
+          "classic" -> (() => { Binning.densify(
+            Binning.histogram(events, axes4, plan = HistogramPlan.Classic), axes4); () }))
+        for ((nm, run) <- paths) {
+          run() // warm-up
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            run()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[crossover] bpa=$bpa%-3d cells=$cCells%-9d $nm%-8s " +
+            f"min=${times.min}%.3f  " + times.map(t => f"$t%.2f").mkString(" "))
+        }
+      }
+      spark.stop()
+      return
+    }
+
     val bpa = sys.env.getOrElse("SPARK_GRAFT_BINS_PER_AXIS", "100").toInt
     val axes = Seq(
       UniformAxis("X", bpa, 0.0, 2048.0),

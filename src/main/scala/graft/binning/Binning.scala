@@ -339,15 +339,34 @@ object Binning {
 
   /** Materialized histogram with automatic physical-path selection: cubes
     * up to `denseMaxCells` use [[DenseHistogramAgg]] (per-partition dense
-    * buffers, no per-cell shuffle — measured 2-3× faster than
-    * sparse+densify at bench scale); larger cubes aggregate sparsely and
-    * densify, bounded by [[densify]]'s `maxCells` guard. `denseMaxCells`
-    * defaults to 2²⁰ cells = 8 MB of buffer per partition.
+    * buffers, no per-cell shuffle); larger cubes aggregate sparsely
+    * (kernel-routed [[histogram]]) and densify, bounded by [[densify]]'s
+    * `maxCells` guard.
+    *
+    * `denseMaxCells` defaults to 2²¹ cells = 16 MB of buffer per partial
+    * aggregation, set from the round-14 crossover re-measure (1e8 rows,
+    * 16 cores, min-of-3 after warm-up — the pre-kernel 2²⁰ default was
+    * re-measured because the CountByKey kernel changed the sparse side's
+    * economics):
+    * {{{
+    * cells      dense   kernel  classic
+    * 105 k      0.98    1.21    1.32
+    * 234 k      1.04    1.61    2.36
+    * 457 k      1.38    2.54    3.02
+    * 1.05 M     2.54    3.53    4.14
+    * 2.56 M     5.26    4.35    5.76
+    * 5.31 M     9.64    5.67    7.10   (sec)
+    * }}}
+    * Dense wins everywhere below ~2.2 M cells (1.4× at 2²⁰); the kernel
+    * takes over above (1.7× at 2²²·³, growing with cells since the dense
+    * buffer merge is O(cells) per task while the kernel's exchange
+    * carries only filled cells). 2²¹ sits at the measured break-even.
+    * Reproduce with `runMain graft.BinProbe crossover`.
     */
   def histogramCube(
       df: DataFrame,
       axes: Seq[BinAxis],
-      denseMaxCells: Long = 1L << 20,
+      denseMaxCells: Long = 1L << 21,
   ): BinnedCube = {
     val cells = axes.map(_.nBins.toLong).product
     if (cells <= denseMaxCells) DenseHistogramAgg.denseHistogram(df, axes)

@@ -76,6 +76,16 @@ class CalibrateSpec extends SparkSpec {
     assert(math.abs(out(1) - 0.02 * 44.0) < 1e-12)
   }
 
+  test("applyDfield rejects degenerate fields; tof2evpoly rejects an empty" +
+      " polynomial") {
+    val df = Seq((1.0, 1.0)).toDF("X", "Y")
+    val degenerate = Array(Array(Array(1.0, 2.0)), Array(Array(1.0, 2.0)))
+    val e = intercept[IllegalArgumentException](Momentum.applyDfield(
+      spark, df, degenerate, "X", "Y", "Xm", "Ym", ((0.0, 1.0), (0.0, 1.0))))
+    assert(e.getMessage.contains(">= 2x2"))
+    intercept[IllegalArgumentException](Energy.tof2evpoly(col("X"), Nil, 0.0))
+  }
+
   test("applyDfield: identity field returns the scaled input coordinates") {
     val n = 17
     // inverse field that maps grid position (r, c) to (r, c): identity warp

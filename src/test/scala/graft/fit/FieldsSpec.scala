@@ -78,6 +78,15 @@ class FieldsSpec extends AnyFunSuite {
     }
   }
 
+  test("bilinear survives degenerate 1-row / 1-col grids") {
+    val row = Array(Array(1.0, 3.0, 5.0)) // 1 x 3
+    assert(Fields.bilinear(row, 0.0, 1.0) === 3.0)
+    assert(Fields.bilinear(row, 7.0, 0.5) === 2.0) // r clamps, c interpolates
+    val colG = Array(Array(2.0), Array(4.0)) // 2 x 1
+    assert(Fields.bilinear(colG, 0.5, 0.0) === 3.0)
+    assert(Fields.bilinear(Array(Array(9.0)), 3.0, -1.0) === 9.0) // 1 x 1
+  }
+
   test("momentumCalibrate maps both reference points exactly") {
     val ((convR, convC), (det0R, det0C)) = Fields.momentumCalibrate(
       pointA = (300.0, 200.0), pointB = (100.0, 400.0),
