@@ -47,7 +47,10 @@ case class DenseHistogramAgg(
     buffer
   }
 
-  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+  // clone: never alias live mutable buffer state into the output (one
+  // copy per query — the aggregate has a single global group)
+  override def eval(buffer: Array[Long]): Any =
+    new GenericArrayData(buffer.clone())
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(numCells * 8).order(ByteOrder.LITTLE_ENDIAN)

@@ -64,11 +64,14 @@ object Momentum {
       detectorRanges: ((Double, Double), (Double, Double)),
   ): DataFrame = {
     require(invDfield.length == 2)
-    val rows = invDfield(0).length
-    val cols = invDfield(0)(0).length
     // the codegen'd interp indexes (r0+1, c0+1) unconditionally — a
-    // degenerate 1-row/1-col field would read past the grid
-    require(rows >= 2 && cols >= 2,
+    // degenerate field must get the named error (rows checked before
+    // cols so a 0-row field doesn't crash the cols read itself)
+    val rows = invDfield(0).length
+    require(rows >= 2, s"applyDfield: deformation field must be >= 2x2, " +
+      s"got $rows rows")
+    val cols = invDfield(0)(0).length
+    require(cols >= 2,
       s"applyDfield: deformation field must be >= 2x2, got ${rows}x$cols")
     // map detector coordinates onto grid indices (momentum.py:2054-2060)
     val xScale = (rows - 1).toDouble / (detectorRanges._1._2 - detectorRanges._1._1)

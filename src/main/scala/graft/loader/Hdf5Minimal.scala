@@ -652,7 +652,13 @@ object Hdf5Minimal {
     val heapAddr0 = checkedAddr(sb.getLong(8), 32, bytes.length, "local heap")
     require(buf.getInt(heapAddr0) == asciiTag("HEAP"), "bad local heap")
     val heapData = buf.getLong(heapAddr0 + 24)
+    // heapData and off are validated INDIVIDUALLY before summing: a
+    // negative data-segment address plus a modest offset can land the
+    // sum in-bounds and silently read a "name" from arbitrary file bytes
+    require(heapData >= 0 && heapData <= bytes.length,
+      s"local heap data segment at $heapData outside file")
     def heapName(off: Long): String = {
+      require(off >= 0, s"negative heap name offset $off")
       var i = checkedAddr(heapData + off, 1, bytes.length, "heap name")
       val s = new StringBuilder
       while (bytes(i) != 0) {
@@ -795,6 +801,9 @@ object Hdf5Minimal {
       else if (id >= 256) { nameLen = b.getShort(p + 2) & 0xffff; p += 2 }
       val nClient = b.getShort(p + 4) & 0xffff
       p += 6 + (if (version == 1) pad8(nameLen) else nameLen)
+      require(p >= 0 && nClient * 4 <= body.length - p,
+        s"dataset $name: filter client data ($nClient values at $p) past " +
+          "message end")
       val cvals = (0 until nClient).map(i => b.getInt(p + 4 * i))
       p += 4 * nClient
       if (version == 1 && nClient % 2 == 1) p += 4
@@ -1014,7 +1023,10 @@ object Hdf5Minimal {
     val valueSize = ByteBuffer.wrap(body, dtOff + 4, 4)
       .order(ByteOrder.LITTLE_ENDIAN).getInt
     val dataOff = dtOff + pad8(dtSize) + pad8(dsSize)
-    require(valueSize >= 0 && body.length >= dataOff + valueSize,
+    // subtraction form: dataOff + valueSize can overflow Int and bypass
+    // an additive bound
+    require(valueSize >= 0 && dataOff <= body.length &&
+        valueSize <= body.length - dataOff,
       s"attribute $name: value ($valueSize bytes at $dataOff) past message end")
     val raw = new String(body, dataOff, valueSize, "UTF-8")
     Some((name, raw.takeWhile(_ != 0)))

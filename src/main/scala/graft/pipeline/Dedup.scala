@@ -449,8 +449,9 @@ object Dedup {
   /** Plan-stats floor test, zero Spark jobs: row count ≤
     * [[censusFloorDocs]] when the optimizer carries one, else scan-stats
     * bytes ≤ `floorBytes` (parquet scans without CBO report only
-    * `sizeInBytes` = compressed file bytes; 16 MB is ≥2× the bench ×10
-    * corpus and ~1e5 docs of web-page shape).
+    * `sizeInBytes` = compressed file bytes; the 8 MB default covers the
+    * bench ×10 corpus with margin and ~1e5 docs of web-page shape —
+    * see the caller's scaladoc for the dictionary-compression caveat).
     */
   private def underCensusFloor(df: DataFrame, floorBytes: Long): Boolean = {
     val stats = df.queryExecution.optimizedPlan.stats
@@ -496,10 +497,18 @@ object Dedup {
     * parquet scans without CBO stats report only bytes), the census is
     * skipped and the default sparse plan runs directly; pair mass there is
     * bounded by n²/2, far under the measured ×64 crossover for real
-    * corpora. The one shape this floor misjudges is a tiny corpus that is
-    * ONE giant near-duplicate clique (pair mass ~n²/2 REACHED, not just
-    * bounded) — such corpora belong in [[exactDuplicates]] first; pass
-    * `censusFloorBytes = 0` to force the census if you have one.
+    * corpora.
+    *
+    * Two shapes the floor misjudges, both with the same remedy: (a) a
+    * tiny corpus that is ONE giant near-duplicate clique (pair mass
+    * ~n²/2 REACHED, not just bounded); (b) a corpus of byte-identical
+    * documents, which parquet dictionary-encoding can compress far past
+    * the ~60 B/doc the byte floor assumes, so MORE than
+    * [[censusFloorDocs]] docs slip under it. Both are exact-duplicate
+    * pathologies — run [[exactDuplicates]] first (always the right call
+    * there), or pass `censusFloorBytes = 0` to force the census.
+    * Near-duplicate-but-not-identical text does not dictionary-compress
+    * this way, so the floor holds for it.
     */
   def minhashNearDuplicatesAuto(
       df: DataFrame,
@@ -513,7 +522,7 @@ object Dedup {
       portable: Boolean = false,
       pairMassPerDoc: Double = 32.0,
       censusFraction: Double = 1.0,
-      censusFloorBytes: Long = 16L << 20,
+      censusFloorBytes: Long = 8L << 20,
   ): DataFrame = {
     def log(docs: Double, pairMass: Double, inline: Boolean): Unit =
       org.slf4j.LoggerFactory.getLogger(getClass).info(

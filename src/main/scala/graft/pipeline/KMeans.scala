@@ -148,7 +148,11 @@ case class VectorSumAgg(
     buffer
   }
 
-  override def eval(buffer: Array[Double]): Any = new GenericArrayData(buffer)
+  // clone: the buffer is live mutable state — wrapping it uncopied would
+  // alias the output onto later updates if the engine evaluates the same
+  // buffer more than once (window frames)
+  override def eval(buffer: Array[Double]): Any =
+    new GenericArrayData(buffer.clone())
 
   override def serialize(buffer: Array[Double]): Array[Byte] = {
     val bb = ByteBuffer.allocate((dim + 2) * 8).order(ByteOrder.LITTLE_ENDIAN)

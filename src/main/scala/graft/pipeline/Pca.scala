@@ -105,7 +105,10 @@ case class VectorMomentsAgg(
     buffer
   }
 
-  override def eval(buffer: Array[Double]): Any = new GenericArrayData(buffer)
+  // clone: see VectorSumAgg.eval — never alias live mutable buffer state
+  // into the output
+  override def eval(buffer: Array[Double]): Any =
+    new GenericArrayData(buffer.clone())
 
   override def serialize(buffer: Array[Double]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buffer.length * 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -202,7 +205,9 @@ case class LongVectorMomentsAgg(
     buffer
   }
 
-  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+  // clone: see VectorSumAgg.eval
+  override def eval(buffer: Array[Long]): Any =
+    new GenericArrayData(buffer.clone())
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buffer.length * 8).order(ByteOrder.LITTLE_ENDIAN)

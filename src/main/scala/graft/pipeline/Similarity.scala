@@ -135,11 +135,17 @@ object Similarity {
     val lo = array_min(vec).cast("double")
     val hi = array_max(vec).cast("double")
     val scale = when(hi === lo, lit(1.0)).otherwise((hi - lo) / 255.0)
-    struct(
-      transform(vec, x => round((x.cast("double") - lo) / scale).cast("int"))
-        .as("codes"),
-      lo.as("lo"),
-      scale.as("scale"))
+    // bind (vec, lo, scale) ONCE via the lambda-binding rule (see
+    // truncateNormalize): referencing `lo`/`scale` directly inside the
+    // per-component transform would re-run their O(dim) array_min/max
+    // scans per component — O(dim²) per row
+    transform(array(struct(vec.as("v"), lo.as("l"), scale.as("s"))), b =>
+      struct(
+        transform(b.getField("v"), x =>
+          round((x.cast("double") - b.getField("l")) / b.getField("s"))
+            .cast("int")).as("codes"),
+        b.getField("l").as("lo"),
+        b.getField("s").as("scale"))).getItem(0)
   }
 
   /** Matryoshka truncation (Kusupati et al. 2022, "Matryoshka

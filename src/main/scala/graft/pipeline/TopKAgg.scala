@@ -96,9 +96,15 @@ case class TopKAgg(
   }
 
   override def eval(buffer: TopKState): Any = {
-    val arr = new Array[(Double, Long)](buffer.heap.size)
-    var i = arr.length - 1
-    while (i >= 0) { arr(i) = buffer.heap.poll(); i -= 1 } // worst pops first
+    // NON-destructive: eval must not drain the heap — under a window
+    // frame (or any engine path that evaluates the same buffer more than
+    // once) a polling eval would return the full result once and empty
+    // arrays after
+    val arr = buffer.heap.toArray(new Array[(Double, Long)](0))
+    java.util.Arrays.sort(arr, (a: (Double, Long), b: (Double, Long)) => {
+      val c = java.lang.Double.compare(b._1, a._1) // best (highest) first
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    })
     new GenericArrayData(arr.map(e =>
       new GenericInternalRow(Array[Any](e._2, e._1)): Any))
   }
@@ -211,9 +217,13 @@ case class TopKStrAgg(
   }
 
   override def eval(buffer: TopKStrState): Any = {
-    val arr = new Array[(Double, UTF8String)](buffer.heap.size)
-    var i = arr.length - 1
-    while (i >= 0) { arr(i) = buffer.heap.poll(); i -= 1 } // worst pops first
+    // non-destructive for the same reason as [[TopKAgg.eval]]
+    val arr = buffer.heap.toArray(new Array[(Double, UTF8String)](0))
+    java.util.Arrays.sort(arr,
+      (a: (Double, UTF8String), b: (Double, UTF8String)) => {
+        val c = java.lang.Double.compare(b._1, a._1) // best first
+        if (c != 0) c else a._2.compareTo(b._2)
+      })
     new GenericArrayData(arr.map(e =>
       new GenericInternalRow(Array[Any](e._2, e._1)): Any))
   }

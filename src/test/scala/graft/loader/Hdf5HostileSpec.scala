@@ -15,6 +15,33 @@ import Hdf5Minimal._
   */
 class Hdf5HostileSpec extends AnyFunSuite {
 
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+
+  /** Watchdog (CodecFuzzSpec's `bounded`): a fuzzed parse must FAIL on a
+    * spin, not wedge the suite; SOE/OOM inside count as failures too.
+    */
+  private def bounded(what: String)(body: => Any): Boolean = {
+    val fut = pool.submit(new java.util.concurrent.Callable[Boolean] {
+      def call(): Boolean =
+        try { body; true }
+        catch {
+          case _: StackOverflowError =>
+            fail(s"$what: StackOverflowError on fuzzed input")
+          case _: OutOfMemoryError =>
+            fail(s"$what: OutOfMemoryError on fuzzed input")
+          case _: Throwable => false // loud failure is fine
+        }
+    })
+    try fut.get(20, java.util.concurrent.TimeUnit.SECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        fut.cancel(true)
+        fail(s"$what: parse did not terminate within 20 s (spin?)")
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+  }
+
   private def patchLong(b: Array[Byte], off: Int, v: Long): Unit = {
     var i = 0
     while (i < 8) { b(off + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
@@ -141,14 +168,7 @@ class Hdf5HostileSpec extends AnyFunSuite {
         val pos = 8 + rnd.nextInt(b.length - 8)
         b(pos) = (b(pos) ^ (1 << rnd.nextInt(8))).toByte
       }
-      try { parse(b); parsed += 1 }
-      catch {
-        case _: StackOverflowError =>
-          fail("StackOverflowError on fuzzed input — unbounded recursion")
-        case _: OutOfMemoryError =>
-          fail("OutOfMemoryError on fuzzed input — unbounded allocation")
-        case _: Throwable => failedLoud += 1
-      }
+      if (bounded(s"fuzz case")(parse(b))) parsed += 1 else failedLoud += 1
     }
     // the split is corruption-dependent; both outcomes must occur (a
     // fuzzer whose every run still parses isn't reaching the parser)
