@@ -61,6 +61,7 @@ object Gif {
     val width = u16(6)
     val height = u16(8)
     require(width > 0 && height > 0, s"bad GIF geometry $width x $height")
+    PixelCodec.checkDecodedDims(width, height, "GIF screen")
     val packed = bytes(10) & 0xff
     var pos = 13
     val globalTable: Array[Int] =

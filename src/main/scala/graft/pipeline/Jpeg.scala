@@ -333,6 +333,7 @@ object Jpeg {
       }
     }
     require(comps != null && width > 0 && height > 0, "JPEG has no frame header")
+    PixelCodec.checkDecodedDims(width, height, "JPEG SOF")
     require(scanComps.length == comps.length,
       "multi-scan (non-interleaved) baseline JPEG unsupported")
 
@@ -617,6 +618,8 @@ object Jpeg {
             require(comps == null, "multiple SOF markers")
             require((bytes(seg) & 0xff) == 8, "only 8-bit JPEG supported")
             height = u16(seg + 1); width = u16(seg + 3)
+            require(width > 0 && height > 0, "bad SOF2 geometry")
+            PixelCodec.checkDecodedDims(width, height, "JPEG SOF2")
             val nc = bytes(seg + 5) & 0xff
             require(nc == 1 || nc == 3, s"$nc-component JPEG unsupported")
             comps = Array.tabulate(nc) { c =>

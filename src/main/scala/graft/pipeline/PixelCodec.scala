@@ -24,6 +24,21 @@ object PixelCodec {
   /** Mono float samples in [-1, 1] plus the sample rate. */
   final case class Audio(sampleRate: Int, nChannels: Int, samples: Array[Double])
 
+  /** Decoded-image plausibility cap (2²⁷ pixels ≈ an 11600² image):
+    * compressed formats declare their dimensions in a header, so a
+    * hostile few-hundred-byte file can demand a multi-GB pixel buffer
+    * before one compressed byte is read — under heap pressure that OOMs
+    * the executor (the codec fuzz caught exactly this in-suite). Lying
+    * headers must fail NAMED and cheap, before allocation.
+    */
+  val MaxDecodedPixels: Long = 1L << 27
+
+  /** Shared guard: named error when `w × h` (per frame) is implausible. */
+  private[pipeline] def checkDecodedDims(w: Int, h: Int, what: String): Unit =
+    require(w.toLong * h <= MaxDecodedPixels,
+      s"$what declares $w x $h = ${w.toLong * h} pixels — past the " +
+        s"$MaxDecodedPixels plausibility cap (lying header?)")
+
   private def u32be(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
@@ -81,6 +96,7 @@ object PixelCodec {
       i = data + len + 4 // skip CRC
     }
     require(width > 0 && height > 0 && colorType >= 0, "missing IHDR")
+    checkDecodedDims(width, height, "PNG IHDR")
     val isPal = colorType == 3
     if (isPal) require(palette != null, "palette PNG without PLTE")
     // channels as stored in the stream (palette = 1 index channel)

@@ -250,8 +250,11 @@ object TextIndex {
     * re-tokenizing the indexed corpus: new postings append into their
     * term-bucket directories (only the delta is written), the vocab df
     * counts merge through one full-outer join materialized to a fresh
-    * directory and swapped in atomically, and the stats row updates
-    * from the exact running `sum_len`. Returns the new corpus size.
+    * directory and swapped in (old → `vocab_old`, new → `vocab`, drop
+    * `vocab_old` — NOT one atomic op: a crash mid-swap leaves both
+    * generations on disk and `vocab` possibly absent, recoverable by
+    * renaming either back), and the stats row updates from the exact
+    * running `sum_len`. Returns the new corpus size.
     *
     * Caller contract: `newDocs` ids must be disjoint from the indexed
     * ids (an id-level check would cost a full postings scan — the same
@@ -285,9 +288,17 @@ object TextIndex {
     val hconf = spark.sparkContext.hadoopConfiguration
     val vocabPath = new HPath(s"$dir/vocab")
     val fs = vocabPath.getFileSystem(hconf)
-    fs.delete(vocabPath, true)
+    // recoverable swap order (NOT delete-then-rename: a crash in that
+    // window loses the only vocab copy): park the old generation, move
+    // the new one in, then drop the parked copy
+    val oldPath = new HPath(s"$dir/vocab_old")
+    fs.delete(oldPath, true) // leftover from a previous crashed swap
+    require(fs.rename(vocabPath, oldPath),
+      s"could not park $dir/vocab for the swap")
     require(fs.rename(new HPath(s"$dir/vocab_new"), vocabPath),
-      s"could not swap $dir/vocab_new into place")
+      s"could not swap $dir/vocab_new into place (old vocab parked at " +
+        s"$oldPath)")
+    fs.delete(oldPath, true)
 
     val d = newDocs.select(TextOps.tokenCount(col(textCol)).as("_l"))
       .agg(count(lit(1)), sum(col("_l")).cast("long")).head()

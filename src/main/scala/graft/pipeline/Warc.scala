@@ -53,11 +53,33 @@ object Warc {
   private val GzipMagic0 = 0x1f.toByte
   private val GzipMagic1 = 0x8b.toByte
 
+  /** Per-member inflate cap (1 GiB): deflate's ~1000:1 max ratio lets a
+    * megabyte-scale hostile member (a zip bomb — real crawls contain
+    * them) inflate to executor-OOM scale; past the cap the member is
+    * treated as corrupt (tail drops, job survives). Legit whole-stream
+    * members larger than this belong on the streaming
+    * [[recordsFromPaths]] route, which never materializes a member.
+    */
+  val MaxInflatedMemberBytes: Int = 1 << 30
+
+  /** Header-line cap for the streaming reader: WARC/HTTP header lines
+    * are short; a newline-free hostile stream must not buffer itself
+    * into memory as one "line".
+    */
+  val MaxHeaderLineBytes: Int = 1 << 20
+
   /** Split a blob that is either a plain WARC record stream or a
     * concatenation of per-record gzip members into individual record
     * byte ranges (inflated when needed).
     */
   def splitBlob(blob: Array[Byte]): Seq[Array[Byte]] =
+    splitBlob(blob, MaxInflatedMemberBytes)
+
+  /** [[splitBlob]] with an explicit inflate cap (test hook for the bomb
+    * guard — a real 1 GiB-crossing fixture would be a 1 GiB test).
+    */
+  private[pipeline] def splitBlob(
+      blob: Array[Byte], maxInflated: Int): Seq[Array[Byte]] =
     if (blob.length >= 2 && blob(0) == GzipMagic0 && blob(1) == GzipMagic1) {
       // concatenated gzip members: inflate one member at a time so a
       // corrupt member truncates only the tail, never the whole blob
@@ -66,7 +88,7 @@ object Warc {
       while (off + 10 <= blob.length && blob(off) == GzipMagic0 &&
         blob(off + 1) == GzipMagic1) {
         try {
-          val (data, next) = inflateMember(blob, off)
+          val (data, next) = inflateMember(blob, off, maxInflated)
           // a member usually holds exactly one record (Common Crawl), but
           // whole-stream-gzipped WARCs pack MANY records into a single
           // member — re-frame every member so neither layout loses data
@@ -85,7 +107,8 @@ object Warc {
     * raw deflate stream with one pass, and returns (data, offset past the
     * 8-byte CRC/ISIZE trailer).
     */
-  private def inflateMember(blob: Array[Byte], off: Int): (Array[Byte], Int) = {
+  private def inflateMember(blob: Array[Byte], off: Int,
+      maxInflated: Int): (Array[Byte], Int) = {
     var i = off
     require(blob(i) == GzipMagic0 && blob(i + 1) == GzipMagic1, "not gzip")
     val flg = blob(i + 3) & 0xff
@@ -103,7 +126,14 @@ object Warc {
     val tmp = new Array[Byte](8192)
     while (!inf.finished()) {
       val n = inf.inflate(tmp)
-      if (n > 0) buf.write(tmp, 0, n)
+      if (n > 0) {
+        if (buf.size() + n > maxInflated) {
+          inf.end()
+          throw new java.io.IOException(
+            s"gzip member inflates past $maxInflated bytes (bomb?)")
+        }
+        buf.write(tmp, 0, n)
+      }
       else if (inf.needsInput())
         throw new java.io.IOException("truncated gzip member")
     }
@@ -236,8 +266,12 @@ object Warc {
     if (headerEnd < 0) return null
     val head = new String(payload, 0, headerEnd, StandardCharsets.UTF_8)
     val lines = head.split("\r\n").toSeq
+    // toIntOption, not isDigit-then-toInt: an all-digit status longer
+    // than Int ("99999999999") passed the digit check and then blew the
+    // task with NumberFormatException
     val status = lines.head.split(" ") match {
-      case parts if parts.length >= 2 && parts(1).forall(_.isDigit) =>
+      case parts if parts.length >= 2 &&
+          parts(1).toIntOption.exists(_ >= 0) =>
         parts(1).toInt
       case _ => return null
     }
@@ -328,7 +362,13 @@ object Warc {
       val sb = new ByteArrayOutputStream(128)
       var c = buf.read()
       if (c < 0) return null
-      while (c >= 0 && c != '\n') { sb.write(c); c = buf.read() }
+      while (c >= 0 && c != '\n') {
+        // header lines are short; a newline-free hostile stream must not
+        // buffer itself into driver/executor memory as one "line" —
+        // treat as malformed (ends the iterator, parsed prefix kept)
+        if (sb.size() >= MaxHeaderLineBytes) return null
+        sb.write(c); c = buf.read()
+      }
       val bytes = sb.toByteArray
       val n =
         if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
@@ -358,14 +398,21 @@ object Warc {
             case (k, v) if k.equalsIgnoreCase("Content-Length") => v
           }.flatMap(_.toLongOption).filter(_ >= 0).getOrElse(0L)
           if (len > Int.MaxValue - 16) return null // >2 GB single payload
-          val payload = new Array[Byte](len.toInt)
-          var off = 0
-          while (off < payload.length) {
-            val k = buf.read(payload, off, payload.length - off)
-            if (k < 0) return null // truncated payload drops
-            off += k
+          // chunked read, NOT a len-sized pre-allocation: a lying
+          // Content-Length (2 GB on a 1 KB stream) must cost memory
+          // proportional to the BYTES ACTUALLY PRESENT, and a short read
+          // must drop the record, not keep a mostly-zero giant array
+          val acc = new ByteArrayOutputStream(math.min(len, 1L << 16).toInt)
+          val tmp = new Array[Byte](1 << 16)
+          var remaining = len
+          var truncated = false
+          while (remaining > 0 && !truncated) {
+            val k = buf.read(tmp, 0, math.min(remaining, tmp.length.toLong).toInt)
+            if (k < 0) truncated = true
+            else { acc.write(tmp, 0, k); remaining -= k }
           }
-          Record(headers.toSeq, payload)
+          if (truncated) return null // truncated payload drops
+          Record(headers.toSeq, acc.toByteArray)
         } catch { case _: Exception => null }
 
       def hasNext: Boolean = nextRec != null

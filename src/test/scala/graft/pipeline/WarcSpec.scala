@@ -127,6 +127,41 @@ class WarcSpec extends SparkSpec {
     assert(recs.nonEmpty)
   }
 
+  test("gzip bomb: a member inflating past the cap drops as corrupt tail," +
+      " leading members survive") {
+    val good = blob(Seq(1), gz = true) // two small members (warcinfo + resp)
+    // a member of 64 KB zeros — crosses a 1 KB test cap by 64x
+    val bombPayload = Warc.encodeRecord(Seq("WARC-Type" -> "resource"),
+      new Array[Byte](64 * 1024))
+    val bomb = Warc.encodeBlob(Seq(bombPayload), gzipPerRecord = true)
+    val recs = Warc.splitBlob(good ++ bomb, maxInflated = 1024)
+      .flatMap(b => Option(Warc.parseRecord(b)))
+    assert(recs.map(_.recordType) === Seq("warcinfo", "response"))
+    // with the real cap the same blob parses all three
+    assert(Warc.parseAll(good ++ bomb).size === 3)
+  }
+
+  test("streaming reader: lying Content-Length, newline-free stream, and" +
+      " huge status are bounded and loud-dropped") {
+    // record claiming 1e9 bytes over a short stream: drops, prior kept
+    val lying = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 1000000000\r\n\r\nshort").getBytes
+    val okThenLying = blob(Seq(1), gz = false) ++ lying
+    val got = Warc.recordIterator(
+      new java.io.ByteArrayInputStream(okThenLying)).toSeq
+    assert(got.map(_.recordType) === Seq("warcinfo", "response"))
+    // newline-free 3 MB stream: terminates with zero records
+    val noNewline = Array.fill(3 << 20)('A'.toByte)
+    assert(Warc.recordIterator(
+      new java.io.ByteArrayInputStream(noNewline)).toSeq === Seq())
+    // all-digit status wider than Int must yield null, not blow the task
+    val bad = ("HTTP/1.1 99999999999 OK\r\nContent-Type: text/plain" +
+      "\r\n\r\nx").getBytes
+    assert(Warc.parseHttpMessage(bad) === null)
+    assert(Warc.parseHttpMessage(
+      "HTTP/1.1 -20 NO\r\n\r\nx".getBytes) === null)
+  }
+
   test("records(): one row per record, carried columns preserved") {
     val df = Seq((10L, blob(Seq(1, 2), gz = true)),
       (11L, blob(Seq(3), gz = false))).toDF("file_id", "warc")
