@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -63,10 +64,44 @@ object Robots {
     out.toSeq
   }
 
+  /** Linear-time RFC 9309 wildcard match: does `rule` (literals + `*`
+    * any-sequence + optional TRAILING `$` end-anchor) match a PREFIX of
+    * `path` (the whole path when anchored)? The classic greedy
+    * two-pointer matcher — O(|path|·|rule|) worst case — replaces the
+    * Java-regex route in [[filterAllowed]]: a hostile robots.txt rule
+    * like `/a*a*a*…a$` compiles to a catastrophic-backtracking
+    * `^/a.*a.*…a$` whose evaluation against every URL of the domain is
+    * an executor DoS (regex `.*` chains backtrack super-polynomially;
+    * robots.txt is UNTRUSTED crawl input). Semantics are identical to
+    * the regex form on every well-behaved pattern (spec-pinned).
+    */
+  def wildcardMatch(path: String, rule: String): Boolean = {
+    val anchored = rule.nonEmpty && rule.charAt(rule.length - 1) == '$'
+    val pat = if (anchored) rule.substring(0, rule.length - 1) else rule
+    val n = path.length
+    val m = pat.length
+    var ti = 0
+    var pi = 0
+    var starPi = -1
+    var starTi = -1
+    while (ti < n) {
+      if (!anchored && pi == m) return true // pattern consumed → prefix hit
+      if (pi < m && pat.charAt(pi) == '*') { starPi = pi; starTi = ti; pi += 1 }
+      else if (pi < m && pat.charAt(pi) == path.charAt(ti)) { pi += 1; ti += 1 }
+      else if (starPi >= 0) { starTi += 1; ti = starTi; pi = starPi + 1 }
+      else return false
+    }
+    // path exhausted: remaining pattern must be all-stars (match empty)
+    while (pi < m && pat.charAt(pi) == '*') pi += 1
+    pi == m
+  }
+
   /** RFC 9309 §2.2.3: `*` in a rule matches any character sequence and a
     * TRAILING `$` anchors the match at the path end (a mid-rule `$` is
     * literal). None for plain prefix rules — the common case, matched
     * with codegen'd `startsWith`; Some(anchored Java regex) otherwise.
+    * The regex is emitted for SQL-oracle mirroring; the Spark-side match
+    * runs [[wildcardMatch]] (see its DoS note).
     */
   def wildcardRegex(path: String): Option[String] =
     if (!path.contains('*') && !path.endsWith("$")) None
@@ -150,15 +185,14 @@ object Robots {
         col("path").as("_rpath"), col("path_len").as("_rlen"),
         col("path_regex").as("_rregex"))
     // prefix rules stay on the codegen'd startsWith fast path; wildcard
-    // rules pay a hash lookup + pre-compiled regex match per row (the
-    // built-in regexp_like would Pattern.compile per URL×rule row for a
-    // non-foldable pattern column — see CachedRegexpLike)
-    val cachedLike = org.apache.spark.sql.GraftBridge.column(
-      CachedRegexpLike(
+    // rules run the LINEAR greedy matcher ([[wildcardMatch]]) — never a
+    // regex, whose backtracking a hostile robots.txt controls
+    val wildcard = org.apache.spark.sql.GraftBridge.column(
+      WildcardPathMatch(
         org.apache.spark.sql.GraftBridge.expression(col(pathCol)),
-        org.apache.spark.sql.GraftBridge.expression(col("_rregex"))))
+        org.apache.spark.sql.GraftBridge.expression(col("_rpath"))))
     val matches =
-      when(col("_rregex").isNotNull, cachedLike)
+      when(col("_rregex").isNotNull, wildcard)
         .otherwise(col(pathCol).startsWith(col("_rpath")))
     val keyed = urls.join(broadcast(eff),
         urls(domainCol) === col("_rdom"), "left")
@@ -171,4 +205,43 @@ object Robots {
         (col("_best").isNull || col("_best") % 2 === 1).cast("int"))
       .drop("_best")
   }
+}
+
+/** [[Robots.wildcardMatch]] as a codegen predicate `(path, rulePath)` —
+  * the guaranteed-linear replacement for regex matching of UNTRUSTED
+  * robots.txt wildcard rules (see the matcher's DoS note). Stays inside
+  * whole-stage codegen via a static helper call, like
+  * [[CachedRegexpLike]].
+  */
+case class WildcardPathMatch(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Predicate {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"needs two string inputs, got $other")
+    }
+
+  override def nullSafeEval(s: Any, p: Any): Any =
+    Robots.wildcardMatch(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+      p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val helper = Robots.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (s, p) =>
+      s"${ev.value} = $helper.wildcardMatch($s.toString(), $p.toString());")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WildcardPathMatch =
+    copy(left = newLeft, right = newRight)
 }

@@ -99,6 +99,43 @@ class RobotsSpec extends SparkSpec {
       6L -> 0, 7L -> 1))
   }
 
+  test("wildcardMatch: agrees with the regex form on well-behaved rules," +
+      " survives the catastrophic-backtracking rule in milliseconds") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // property parity: random rules over a tiny alphabet (stars common,
+    // optional anchor) vs the regex route on random paths
+    val rnd = new scala.util.Random(14L)
+    def randRule(): String = {
+      val body = (0 until 1 + rnd.nextInt(8)).map(_ =>
+        "ab/*".charAt(rnd.nextInt(4))).mkString
+      "/" + body + (if (rnd.nextBoolean()) "$" else "")
+    }
+    def randPath(): String =
+      "/" + (0 until rnd.nextInt(12)).map(_ =>
+        "ab/".charAt(rnd.nextInt(3))).mkString
+    (0 until 2000).foreach { _ =>
+      val rule = randRule()
+      val path = randPath()
+      val viaRegex = Robots.wildcardRegex(rule) match {
+        case Some(re) => CachedRegexpLike.matches(
+          UTF8String.fromString(path), UTF8String.fromString(re))
+        case None => path.startsWith(rule)
+      }
+      assert(Robots.wildcardMatch(path, rule) === viaRegex,
+        s"rule '$rule' path '$path'")
+    }
+    // the DoS shape: 25 stars, non-matching long path — the regex form
+    // backtracks super-polynomially here; the linear matcher must
+    // answer (false) in bounded time
+    val evil = "/" + "a*" * 25 + "a$"
+    val victim = "/" + "a" * 2000 + "b"
+    val t0 = System.nanoTime()
+    assert(!Robots.wildcardMatch(victim, evil))
+    assert(Robots.wildcardMatch("/" + "a" * 26, evil)) // and can match
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 1000.0, s"linear matcher took $ms ms on the DoS rule")
+  }
+
   test("CachedRegexpLike: >1024 live patterns match correctly under " +
       "eviction churn and the cache never empties") {
     import org.apache.spark.unsafe.types.UTF8String
