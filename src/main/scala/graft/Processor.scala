@@ -692,13 +692,18 @@ class Processor(
       dfPartitions: Option[Int] = None,
   ): BinnedCube = {
     // P7 partition selection (`processor.py:2210-2216`): bin only the
-    // first N input files — pruned at the scan via input_file_name
+    // FIRST N input files in the loader's natural order — a bare
+    // `distinct().limit(n)` would pick an arbitrary n files (Spark gives
+    // limit-after-distinct no ordering), silently binning a different
+    // subset per run; the reference's "first N partitions" is its sorted
+    // file list. Pruned at the scan via input_file_name.
     val limited = dfPartitions match {
       case None => df
       case Some(n) =>
-        val files = df.select(input_file_name()).distinct()
-          .limit(n).collect().map(_.getString(0))
-        df.filter(input_file_name().isin(files.toIndexedSeq: _*))
+        val files = loader.GenericLoader.naturalSort(
+          df.select(input_file_name()).distinct()
+            .collect().map(_.getString(0)).toSeq).take(n)
+        df.filter(input_file_name().isin(files: _*))
     }
     val filtered = filters.foldLeft(limited) { case (d, (c, lo, up)) =>
       require(d.columns.contains(c), s"Filter column $c not in dataframe")

@@ -260,6 +260,24 @@ class ProcessorSpec extends SparkSpec {
     assert(err.getMessage.contains("nope"))
   }
 
+  test("compute(dfPartitions = N) bins the FIRST N files in natural order") {
+    import spark.implicits._
+    // file names whose natural order (2 < 10) differs from the
+    // lexicographic order ("f10" < "f2") — the arbitrary
+    // distinct-then-limit selection this pins against would also flake
+    // run to run
+    val dir = Files.createTempDirectory("proc-parts").toString
+    Seq((2, 100.0), (2, 200.0)).toDF("k", "value")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    Seq((10, 300.0)).toDF("k", "value")
+      .coalesce(1).write.parquet(s"$dir/f10")
+    val base = spark.read.parquet(s"$dir/f2", s"$dir/f10")
+    val p = new Processor(spark, base, None)
+    val ax = UniformAxis("value", 10, 0.0, 500.0)
+    assert(p.compute(Seq(ax), dfPartitions = Some(1)).total === 2L) // f2 only
+    assert(p.compute(Seq(ax), dfPartitions = Some(2)).total === 3L)
+  }
+
   test("compute-time jitter de-quantizes an integer column across bins") {
     import spark.implicits._
     // all mass on the integer value 5 → without jitter one bin, with ±0.5
