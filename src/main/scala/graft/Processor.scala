@@ -696,13 +696,16 @@ class Processor(
     // `distinct().limit(n)` would pick an arbitrary n files (Spark gives
     // limit-after-distinct no ordering), silently binning a different
     // subset per run; the reference's "first N partitions" is its sorted
-    // file list. Pruned at the scan via input_file_name.
+    // file list. takeOrdered keeps only n names per partition and merges
+    // them on the driver, so a million-file lake never ships its full
+    // distinct file list driver-side. Pruned at the scan via
+    // input_file_name.
     val limited = dfPartitions match {
       case None => df
       case Some(n) =>
-        val files = loader.GenericLoader.naturalSort(
-          df.select(input_file_name()).distinct()
-            .collect().map(_.getString(0)).toSeq).take(n)
+        val files = df.select(input_file_name()).distinct()
+          .rdd.map(_.getString(0))
+          .takeOrdered(n)(loader.GenericLoader.naturalOrdering).toSeq
         df.filter(input_file_name().isin(files: _*))
     }
     val filtered = filters.foldLeft(limited) { case (d, (c, lo, up)) =>

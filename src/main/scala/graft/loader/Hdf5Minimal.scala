@@ -812,6 +812,42 @@ object Hdf5Minimal {
     out.toSeq
   }
 
+  /** HDF5's Fletcher-32 over `data[0, len)` (H5checksum.c
+    * `H5_checksum_fletcher32`): 16-bit big-endian words accumulated in
+    * two sums, modulo-0xffff end-around reductions deferred across
+    * ≤360-word blocks (mirrored exactly — the final double reduction
+    * makes the schedule value-invariant, but matching it keeps the code
+    * reviewable against the C), odd trailing byte taken as the HIGH
+    * byte of a final word.
+    */
+  private[loader] def fletcher32(data: Array[Byte], len: Int): Int = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var i = 0
+    var words = len / 2
+    while (words > 0) {
+      var tlen = math.min(words, 360)
+      words -= tlen
+      while (tlen > 0) {
+        sum1 += ((data(i) & 0xffL) << 8) | (data(i + 1) & 0xffL)
+        sum2 += sum1
+        i += 2
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(len - 1) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    ((sum2 << 16) | sum1).toInt
+  }
+
   /** Undo a chunk's filter pipeline (reverse application order); bits set
     * in `mask` mark filters that were skipped when the chunk was written.
     */
@@ -857,10 +893,21 @@ object Hdf5Minimal {
             }
             cur = out
           }
-        case 3 => // fletcher32: 4-byte checksum appended; strip
+        case 3 => // fletcher32: verify the appended 4-byte checksum, strip
           require(cur.length >= 4,
             s"dataset $name: fletcher32 chunk shorter than its checksum")
-          cur = java.util.Arrays.copyOf(cur, cur.length - 4)
+          val dlen = cur.length - 4
+          // checksum is UINT32ENCODE'd little-endian after the data;
+          // hdf5 ≤1.6.2 wrote it byte-reversed and its own reader
+          // accepts both forms, so both are accepted here
+          val stored = (cur(dlen) & 0xff) | ((cur(dlen + 1) & 0xff) << 8) |
+            ((cur(dlen + 2) & 0xff) << 16) | ((cur(dlen + 3) & 0xff) << 24)
+          val computed = fletcher32(cur, dlen)
+          require(computed == stored ||
+              computed == Integer.reverseBytes(stored),
+            f"dataset $name: fletcher32 checksum mismatch (stored 0x" +
+              f"$stored%08x, computed 0x$computed%08x) — corrupt chunk")
+          cur = java.util.Arrays.copyOf(cur, dlen)
         case other => throw new IllegalArgumentException(
           s"dataset $name: filter id $other unsupported " +
             "(deflate/shuffle/fletcher32 only — szip/lzf out of scope)")

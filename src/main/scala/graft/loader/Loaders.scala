@@ -39,9 +39,16 @@ object GenericLoader extends Loader {
       if (part.head.isDigit) (0, f"${BigInt(part)}%040d") else (1, part)
     }.toSeq
 
-  def naturalSort(files: Seq[String]): Seq[String] =
-    files.sortBy(naturalSortKey)(
+  /** [[naturalSortKey]]'s ordering as a serializable Ordering[String] —
+    * usable executor-side (`RDD.takeOrdered`) for bounded first-N file
+    * selection without collecting a full file list to the driver.
+    */
+  val naturalOrdering: Ordering[String] =
+    Ordering.by(naturalSortKey)(
       scala.math.Ordering.Implicits.seqOrdering[Seq, (Int, String)])
+
+  def naturalSort(files: Seq[String]): Seq[String] =
+    files.sorted(naturalOrdering)
 
   /** S2 file gathering: glob a folder by extension, natural-sort, slice
     * `[fStart, fEnd) by fStep`.

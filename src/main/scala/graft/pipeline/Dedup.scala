@@ -447,17 +447,51 @@ object Dedup {
   val censusFloorDocs: Long = 50000L
 
   /** Plan-stats floor test, zero Spark jobs: row count ≤
-    * [[censusFloorDocs]] when the optimizer carries one, else scan-stats
-    * bytes ≤ `floorBytes` (parquet scans without CBO report only
-    * `sizeInBytes` = compressed file bytes; the 8 MB default covers the
-    * bench ×10 corpus with margin and ~1e5 docs of web-page shape —
-    * see the caller's scaladoc for the dictionary-compression caveat).
+    * [[censusFloorDocs]] when the optimizer carries one, else a leaf
+    * row count for driver-resident inputs (LocalRelation / Range carry
+    * exact counts the size-only stats visitor drops above the leaf),
+    * else scan-stats bytes ≤ `floorBytes` — and the byte floor applies
+    * ONLY when every leaf is a file scan, where `sizeInBytes` is real
+    * file bytes. In-memory / RDD-backed plans report schema-default
+    * estimates (~20 B per string regardless of content), which would
+    * put arbitrarily large corpora under the floor; for those the safe
+    * direction is to run the census. (Parquet scans without CBO report
+    * compressed file bytes; the 8 MB default covers the bench ×10
+    * corpus with margin and ~1e5 docs of web-page shape — see the
+    * caller's scaladoc for the dictionary-compression caveat.) Leaf
+    * counts are an output bound only for non-multiplying plans, so the
+    * leaf path is skipped when the plan contains a Join or Generate.
     */
   private def underCensusFloor(df: DataFrame, floorBytes: Long): Boolean = {
-    val stats = df.queryExecution.optimizedPlan.stats
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    val plan = df.queryExecution.optimizedPlan
+    val stats = plan.stats
     stats.rowCount match {
       case Some(n) => n <= BigInt(censusFloorDocs)
-      case None => stats.sizeInBytes <= BigInt(floorBytes)
+      case None =>
+        val leaves = plan.collectLeaves()
+        val multiplying = plan.exists {
+          case _: Join | _: Generate => true
+          case _ => false
+        }
+        val leafRows = leaves.map {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            Some(BigInt(l.data.length))
+          case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
+            Some(r.numElements)
+          case _ => None
+        }
+        if (!multiplying && leaves.nonEmpty && leafRows.forall(_.isDefined))
+          leafRows.flatten.sum <= BigInt(censusFloorDocs)
+        else {
+          val allFileScans = leaves.nonEmpty && leaves.forall {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            case _ => false
+          }
+          allFileScans && stats.sizeInBytes <= BigInt(floorBytes)
+        }
     }
   }
 

@@ -266,12 +266,13 @@ object Warc {
     if (headerEnd < 0) return null
     val head = new String(payload, 0, headerEnd, StandardCharsets.UTF_8)
     val lines = head.split("\r\n").toSeq
-    // toIntOption, not isDigit-then-toInt: an all-digit status longer
-    // than Int ("99999999999") passed the digit check and then blew the
+    // Both checks are needed: toIntOption alone accepts a signed form
+    // ("+200") the status grammar forbids, and isDigit-then-toInt alone
+    // let an all-digit status longer than Int ("99999999999") blow the
     // task with NumberFormatException
     val status = lines.head.split(" ") match {
-      case parts if parts.length >= 2 &&
-          parts(1).toIntOption.exists(_ >= 0) =>
+      case parts if parts.length >= 2 && parts(1).nonEmpty &&
+          parts(1).forall(_.isDigit) && parts(1).toIntOption.isDefined =>
         parts(1).toInt
       case _ => return null
     }

@@ -346,6 +346,7 @@ object StreamingBinning {
     var st = 1L
     for (i <- axes.indices.reverse) { strides(i) = st; st *= shape(i) }
     val acc = scala.collection.mutable.Map.empty[(Long, Seq[Long]), Long]
+    var evictionWarned = false
     binned.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -358,9 +359,20 @@ object StreamingBinning {
           acc((r.getLong(0), idxs)) = r.getLong(axes.length + 1)
         }
         if (retainWindows > 0) {
-          val keep = acc.keys.map(_._1).toSeq.distinct.sorted
-            .takeRight(retainWindows).toSet
-          acc.filterInPlace { case ((w, _), _) => keep(w) }
+          val starts = acc.keys.map(_._1).toSeq.distinct.sorted
+          if (starts.length > retainWindows) {
+            val keep = starts.takeRight(retainWindows).toSet
+            if (!evictionWarned) {
+              evictionWarned = true
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"cubeSnapshotSink: retainWindows=$retainWindows reached " +
+                  s"at batch $id — evicting ${starts.length - retainWindows}" +
+                  " oldest window(s) from snapshots from here on; pass " +
+                  "retainWindows=0 to keep all windows (bounded streams " +
+                  "only)")
+            }
+            acc.filterInPlace { case ((w, _), _) => keep(w) }
+          }
         }
         val data = new Array[Long](cells.toInt)
         acc.foreach { case ((_, idxs), c) =>

@@ -175,4 +175,47 @@ class Hdf5HostileSpec extends AnyFunSuite {
     assert(failedLoud > 0)
     assert(parsed + failedLoud === 600)
   }
+
+  test("fletcher32 matches the H5checksum.c algorithm on pinned vectors") {
+    // expected values computed with an independent (Python) mirror of
+    // H5_checksum_fletcher32: 16-bit big-endian words, 360-word blocks,
+    // odd byte high-padded
+    def f(s: Array[Byte]): Int = Hdf5Minimal.fletcher32(s, s.length)
+    assert(f("abcde".getBytes("UTF-8")) === 0x4ff029c7)
+    assert(f("abcdef".getBytes("UTF-8")) === 0x50562a2d)
+    assert(f("abcdefgh".getBytes("UTF-8")) === 0xe1eb9195)
+    // >360-word input exercises the block-reduction path
+    val big = Array.tabulate(2560)(i => (i % 256).toByte)
+    assert(f(big) === 0xf0fa827d)
+    assert(f(Array.emptyByteArray) === 0)
+  }
+
+  test("defilter verifies fletcher32: valid passes, corrupt chunk is a" +
+      " named error, pre-1.6.3 byte-reversed checksum accepted") {
+    val data = Array.tabulate(100)(i => (i * 7).toByte)
+    val sum = Hdf5Minimal.fletcher32(data, data.length)
+    def withChecksum(cksum: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOf(data, data.length + 4)
+      out(data.length) = (cksum & 0xff).toByte
+      out(data.length + 1) = ((cksum >> 8) & 0xff).toByte
+      out(data.length + 2) = ((cksum >> 16) & 0xff).toByte
+      out(data.length + 3) = ((cksum >>> 24) & 0xff).toByte
+      out
+    }
+    val filters = Seq(Hdf5Minimal.Filter(3, Nil))
+    assert(Hdf5Minimal.defilter(withChecksum(sum), filters, 0,
+      data.length, "d").toSeq === data.toSeq)
+    // hdf5 ≤1.6.2 stored the checksum byte-reversed
+    assert(Hdf5Minimal.defilter(withChecksum(Integer.reverseBytes(sum)),
+      filters, 0, data.length, "d").toSeq === data.toSeq)
+    val corrupt = withChecksum(sum)
+    corrupt(13) = (corrupt(13) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException] {
+      Hdf5Minimal.defilter(corrupt, filters, 0, data.length, "d")
+    }
+    assert(e.getMessage.contains("fletcher32 checksum mismatch"))
+    // filter-mask bit set = filter skipped at write time: no verify
+    assert(Hdf5Minimal.defilter(corrupt, filters, 1,
+      corrupt.length, "d").toSeq === corrupt.toSeq)
+  }
 }

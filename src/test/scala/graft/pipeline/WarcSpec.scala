@@ -160,6 +160,10 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parseHttpMessage(bad) === null)
     assert(Warc.parseHttpMessage(
       "HTTP/1.1 -20 NO\r\n\r\nx".getBytes) === null)
+    // signed forms parse under toIntOption but the status grammar is
+    // digits only
+    assert(Warc.parseHttpMessage(
+      "HTTP/1.1 +200 OK\r\n\r\nx".getBytes) === null)
   }
 
   test("records(): one row per record, carried columns preserved") {
