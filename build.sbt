@@ -11,6 +11,26 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[…] masters launch executor JVMs through the SPARK_HOME
+// launcher, whose Scala-version autodetect only understands source
+// checkouts ("Cannot find any build directories"); pin it for the
+// binary dist at /opt/spark.
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+// ClusterSmokeSpec boots a local-cluster[2,…] master (separate executor
+// processes). A JVM can hold only one SparkContext and the shared test
+// session is local[4], so that suite gets its own forked JVM.
+Test / testGrouping := {
+  val opts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars((Test / envVars).value)
+  val (cluster, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.cluster.ClusterSmokeSpec")
+  Seq(Tests.Group("rest", rest, Tests.SubProcess(opts))) ++
+    (if (cluster.nonEmpty)
+      Seq(Tests.Group("cluster", cluster, Tests.SubProcess(opts)))
+    else Nil)
+}
 // Forked run output must reach stdout RAW (no "[info] " logger prefix):
 // the round driver parses Bench's one-line JSON from stdout, and sbt's
 // default LoggedOutput strategy breaks that (BENCH_r{1,2}.json: parsed=null).

@@ -1,0 +1,195 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.binning.{Binning, HistogramPlan}
+import graft.{loader => gl}
+import graft.pipeline
+
+/** Multi-JVM smoke: the engine's cluster-aware branches executed across
+  * REAL JVM boundaries for the first time. `local-cluster[2,2,1536]`
+  * launches two separate executor processes through SPARK_HOME (the
+  * driver holds only master+worker endpoints), so everything here
+  * crosses process serialization, not local[..] thread handoff:
+  *
+  *  - the CountByKey custom exec's partial/merge rows (kernel histogram),
+  *  - TypedImperativeAggregate serialize/merge (TopKAgg batch search),
+  *  - the minhash auto census + MEMORY_ONLY persist across executors,
+  *  - the instrument loader's `isLocal` gate taking the LAZY branch
+  *    (the eager parquet spill would be executor-local and unreadable),
+  *  - WARC ingestion's mapPartitions decode on executor JVMs,
+  *  - GraftBridge codegen statics resolving via the executor classpath.
+  *
+  * The suite runs in its own forked JVM (build.sbt `Test/testGrouping`):
+  * the shared SparkSpec session is `local[4]`, and `getOrCreate` cannot
+  * change an existing context's master.
+  */
+class ClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$sfDir/lineitem.parquet").exists()
+
+  private lazy val spark: SparkSession = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    val s = SparkSession.builder()
+      .master("local-cluster[2,2,1536]")
+      .appName("graft-cluster-smoke")
+      // executor JVMs are fresh processes: they need this build's
+      // classes (and scalatest for the lambdas defined in this file)
+      .config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit =
+    if (haveData) spark.stop()
+
+  /** Distinct executor-process names (`pid@host`) a 16-partition job
+    * actually ran on — proves multi-JVM execution, not just multi-slot
+    * registration.
+    */
+  private def executorJvms(): Set[String] =
+    spark.range(0, 256, 1, 16).rdd
+      .map(_ => java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getName)
+      .distinct().collect().toSet
+
+  test("two separate executor JVMs run the work; driver is not one of them") {
+    assume(haveData)
+    assert(!spark.sparkContext.isLocal)
+    val driverJvm =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    val jvms = executorJvms()
+    assert(jvms.size === 2, s"expected 2 executor JVMs, saw $jvms")
+    assert(!jvms.contains(driverJvm), "work ran in the driver JVM")
+  }
+
+  test("kernel histogram (CountByKey partial/merge) crosses JVM" +
+      " boundaries and matches the classic HashAggregate plan") {
+    assume(haveData)
+    val li = SparkEntry.table(spark, sfDir, "lineitem").repartition(8)
+    def key(df: DataFrame): Map[Seq[Long], Long] =
+      df.collect().map { r =>
+        (0 until 4).map(r.getLong) -> r.getLong(4)
+      }.toMap
+    val kernel = key(Binning.histogram(li, SparkEntry.ax4dHuge,
+      plan = HistogramPlan.Kernel))
+    val classic = key(Binning.histogram(li, SparkEntry.ax4dHuge,
+      plan = HistogramPlan.Classic))
+    assert(kernel.nonEmpty)
+    assert(kernel === classic)
+    // the raw-shuffle variant serializes bare keys instead of
+    // pre-combined maps — different wire format, same cells
+    val raw = key(Binning.histogram(li, SparkEntry.ax4dHuge,
+      plan = HistogramPlan.RawShuffle))
+    assert(raw === classic)
+  }
+
+  test("TypedImperativeAggregate (TopKAgg) serialize/merge across" +
+      " executors matches a window-rank recompute") {
+    assume(haveData)
+    val emb = SparkEntry.table(spark, sfDir, "embeddings").repartition(8)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = pipeline.Similarity.bruteTopKBatch(
+      queries, "q_vec", "q_id", emb, "embedding", "vec_id", k = 5)
+    val got = top.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty)
+    // independent plan: the same scored frame ranked with a window
+    // function (no imperative aggregate) must agree exactly
+    val scored = emb
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(pipeline.Dedup.cosine(col("q_vec"), col("embedding")), 6)
+          .as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val expect = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).drop("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+    // and every query's best match is itself at cosine 1
+    val self = got.filter { case (q, id, _) => q == id }
+    assert(self.size === queries.count())
+    assert(self.forall(_._3 === 1.0))
+  }
+
+  test("minhash auto census + MEMORY_ONLY persist route correctly with" +
+      " executor-side storage, parity with the direct plan") {
+    assume(haveData)
+    val docs = SparkEntry.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).repartition(8)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // censusFloorBytes = 0 forces the census + cached-signature reuse —
+    // the path whose persist blocks now live in executor JVMs
+    val auto = pairs(pipeline.Dedup.minhashNearDuplicatesAuto(
+      docs, "text", "doc_id", threshold = 0.2, portable = true,
+      censusFloorBytes = 0L))
+    val direct = pairs(pipeline.Dedup.minhashNearDuplicates(
+      docs, "text", "doc_id", threshold = 0.2, portable = true))
+    assert(auto === direct)
+    assert(auto.nonEmpty)
+  }
+
+  test("instrument load takes the LAZY distributed branch on a cluster" +
+      " (eager driver-local spill is gated off)") {
+    val flashPath = "/root/reference/tests/data/loader/flash/" +
+      "FLASH1_USER3_stream_2_run43878_file1_20230130T153807.1.h5"
+    assume(haveData && new java.io.File(flashPath).exists())
+    // the gate itself: cluster mode refuses the eager path outright
+    assert(!gl.ChannelLoader.eagerSmallLoad(spark, Some(1L)))
+    val (events, timedOpt) =
+      gl.InstrumentH5Loader.readDataframe(spark, Seq(flashPath))
+    val plan = events.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_eager_load"), plan)
+    assert(events.count() === 102240L)
+    assert(timedOpt.get.filter(col("electronId") === 0).count() === 46291L)
+  }
+
+  test("WARC ingest decodes on executor JVMs") {
+    assume(haveData)
+    import spark.implicits._
+    val docs = SparkEntry.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(8)
+    val blobs = docs.map { case (id, text) =>
+      val html = s"<html><body><p>${text.replace("&", "&amp;")
+        .replace("<", "&lt;").replace(">", "&gt;")}</p></body></html>"
+      val rec = pipeline.Warc.responseRecord(s"https://ex.com/doc/$id",
+        "2026-01-01T00:00:00Z", html)
+      (id, pipeline.Warc.encodeBlob(
+        Seq(pipeline.Warc.warcinfoRecord(s"f$id.warc"), rec),
+        gzipPerRecord = id % 2 == 0))
+    }.toDF("doc_id", "warc")
+    val out = pipeline.Warc.responses(blobs, "warc")
+      .select(col("doc_id"), col("http_status"), col("target_uri"))
+      .collect()
+    assert(out.length === docs.count())
+    assert(out.forall(_.getInt(1) == 200))
+    assert(out.forall(r =>
+      r.getString(2) == s"https://ex.com/doc/${r.getLong(0)}"))
+  }
+}
