@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object DfOps {
 
+  /** Guard for operators that stage work through reserved temp columns:
+    * `withColumn` silently REPLACES an existing column, so an input that
+    * already carries one of these names would corrupt the result (or, in
+    * [[asofJoin]], return the temp column's contents as user data)
+    * instead of failing loudly.
+    */
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = df.columns.toSet.intersect(names.toSet)
+    require(clash.isEmpty,
+      s"input already has reserved column(s) ${clash.mkString(", ")} — " +
+        "rename them first")
+  }
+
   /** T1 `apply_jitter` (`sed/core/dfops.py:16-70`): de-quantize digitized
     * columns with uniform `U(-amp, amp)` or normal `N(0, amp)` noise into
     * new `<col>_jittered` columns (or in place via `colsJittered`).
@@ -36,6 +49,7 @@ object DfOps {
     require(outNames.length == cols.length)
     val ampSeq = if (amps.length == 1) Seq.fill(cols.length)(amps.head) else amps
     require(ampSeq.length == cols.length)
+    requireFresh(df, "_jitter_noise")
     val noise =
       if (jitterType == "uniform") rand(seed) * 2.0 - 1.0 else randn(seed)
     val withNoise = df.withColumn("_jitter_noise", noise)
@@ -114,7 +128,11 @@ object DfOps {
       if (needMean.isEmpty) Map.empty
       else {
         val row = df.agg(avg(needMean.head), needMean.tail.map(avg(_)): _*).first()
-        needMean.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
+        // an empty frame / all-null column has a null mean: propagate NaN
+        // (numpy's mean-of-empty) instead of NPEing inside Row.getDouble
+        needMean.zipWithIndex.map { case (c, i) =>
+          c -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
+        }.toMap
       }
     val target = rename.getOrElse(targetColumn)
     var shifted: Column = col(targetColumn)
@@ -330,6 +348,8 @@ object DfOps {
       valueCols: Seq[String],
   ): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
+    requireFresh(left, "_ord", "_isLeft", "_vals")
+    requireFresh(right, "_isLeft", "_vals")
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(valueCols.contains),
       s"left already has ${valueCols.filter(leftCols.contains).mkString(",")}")
@@ -392,9 +412,16 @@ object DfOps {
       keyCols: Seq[String] = Nil,
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    requireFresh(left, "_bk")
+    requireFresh(right, "_bk")
     val lb = left.withColumn("_bk",
       floor(col(pointCol) / lit(bucketWidth)).cast("long"))
-    val rb = right.withColumn("_bk",
+    // Inverted intervals (end < start — corrupt rows) are dropped UP
+    // FRONT: they can never match the residual [start, end) filter, but
+    // sequence(hi, lo) would generate a DESCENDING array of |hi-lo|
+    // buckets — one bad row with end ≈ -1e18 is an executor-killing
+    // allocation. Empty intervals (end == start) match nothing either.
+    val rb = right.filter(col(endCol) > col(startCol)).withColumn("_bk",
       // floor(end/w) over-covers by one bucket when end sits exactly on a
       // boundary (end is exclusive) — harmless: the residual filter drops
       // those candidates, and the alternative exact arithmetic costs a
@@ -614,6 +641,7 @@ object DfOps {
       saltBuckets: Int = 16,
       seed: Long = 7L,
   ): DataFrame = {
+    requireFresh(df, "_salt")
     val salted = df.withColumn("_salt",
       (rand(seed) * saltBuckets).cast("int"))
     val partial = salted
@@ -669,6 +697,7 @@ object DfOps {
       keyCols: Seq[String],
       tiebreak: Seq[Column] = Nil,
   ): DataFrame = {
+    requireFresh(df, "_to")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol) +: tiebreak: _*)
     val pairs = df
@@ -708,6 +737,7 @@ object DfOps {
       scoreCol: String = "mad_z",
       flagCol: String = "is_outlier",
   ): DataFrame = {
+    requireFresh(df, "_dev", "_mad")
     val w =
       if (keyCols.isEmpty) Window.partitionBy()
       else Window.partitionBy(keyCols.map(col): _*)
@@ -755,6 +785,7 @@ object DfOps {
       ordering: Seq[Column],
       k: Int,
   ): DataFrame = {
+    requireFresh(df, "_rn")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)

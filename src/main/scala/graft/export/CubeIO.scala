@@ -411,11 +411,23 @@ object CubeIO {
     * [[readDense]].
     */
   def writeDense(cube: BinnedCube, path: String): Unit = {
-    val buf = ByteBuffer.allocate(cube.data.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-    cube.data.foreach(buf.putLong)
-    Files.write(Paths.get(path + ".bin"), buf.array(),
+    // slab-streamed: a whole-cube buffer would spike 8 B/cell transient
+    // memory and overflow Int at 2^28 cells (the densify cap is 2e8)
+    val out = Files.newOutputStream(Paths.get(path + ".bin"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
+    try {
+      val slab = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < cube.data.length) {
+        slab.clear()
+        val n = math.min(cube.data.length - i, slab.capacity() / 8)
+        var j = 0
+        while (j < n) { slab.putLong(cube.data(i + j)); j += 1 }
+        out.write(slab.array(), 0, n * 8)
+        i += n
+      }
+    } finally out.close()
     val axes = cube.axisNames.zip(cube.axes)
     val json =
       s"""{"shape": [${cube.shape.mkString(", ")}],
@@ -446,7 +458,10 @@ object CubeIO {
   def readDense(path: String): BinnedCube = {
     val header = Files.readString(Paths.get(path + ".json")).replaceAll("\\s+", " ")
     def arr(name: String): Array[Double] = {
-      val m = (s""""$name": \\[([^\\]]*)\\]""").r.findFirstMatchIn(header)
+      // quote the name: an axis named e.g. "p(x)" must match literally,
+      // not as a regex group
+      val m = (s""""${java.util.regex.Pattern.quote(name)}": \\[([^\\]]*)\\]""")
+        .r.findFirstMatchIn(header)
       m.get.group(1).split(",").map(_.trim.toDouble)
     }
     val shape = arr("shape").map(_.toInt).toSeq

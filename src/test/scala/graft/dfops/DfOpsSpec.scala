@@ -562,6 +562,39 @@ class DfOpsSpec extends SparkSpec {
       3L -> ((5L, 11.0, 15.0)), 4L -> ((5L, 16.0, 20.0))))
   }
 
+  test("rangeJoin: inverted/empty intervals are dropped, never exploded") {
+    val pts = Seq(5.0, 50.0).toDF("x")
+    // end << start would make sequence() build a DESCENDING bucket array
+    // of |span/width| entries — one corrupt row must not allocate it
+    val ivs = Seq((0.0, -1.0e12, "bad"), (4.0, 6.0, "ok"), (7.0, 7.0, "empty"))
+      .toDF("lo", "hi", "tag")
+    val got = DfOps.rangeJoin(pts, "x", ivs, "lo", "hi", bucketWidth = 8.0)
+      .select("x", "tag").collect().map(r => (r.getDouble(0), r.getString(1)))
+    assert(got.toSeq === Seq((5.0, "ok")))
+  }
+
+  test("reserved temp columns are rejected loudly, not silently replaced") {
+    val base = Seq((1L, 2.0)).toDF("id", "v")
+    def err(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    assert(err(DfOps.applyJitter(base.withColumn("_jitter_noise", lit(1.0)),
+      Seq("v"))).contains("_jitter_noise"))
+    assert(err(DfOps.asofJoin(base.withColumn("_ord", lit(1)), base,
+      "v", "v", Nil, Seq("w"))).contains("_ord"))
+    assert(err(DfOps.rangeJoin(base.withColumn("_bk", lit(1)), "v",
+      Seq((0.0, 1.0)).toDF("lo", "hi"), "lo", "hi", 1.0)).contains("_bk"))
+    assert(err(DfOps.topKPerGroup(base.withColumn("_rn", lit(1)),
+      Seq("id"), Seq(col("v")), 1)).contains("_rn"))
+  }
+
+  test("offsetByOtherColumns: empty/all-null mean propagates NaN, not NPE") {
+    val df = Seq((1.0, Option.empty[Double])).toDF("t", "o")
+    val out = DfOps.offsetByOtherColumns(df, "t", Seq("o"), Seq(1.0),
+      reductions = Seq(Some("mean")))
+      .select("t").as[Double].head()
+    assert(out.isNaN)
+  }
+
   test("mapColumns2D: rotation round trip") {
     val df = Seq((1.0, 0.0), (0.0, 1.0)).toDF("x", "y")
     val c = math.cos(0.5); val s = math.sin(0.5)
