@@ -321,15 +321,17 @@ object StreamingBinning {
     * cells); the cube itself must fit the same densify cap as the
     * batch path.
     *
-    * RESTART SEMANTICS: the accumulator is in-memory driver state while
-    * the query itself checkpoints. After a restart the state store
-    * resumes, but the accumulator starts empty and Update mode only
-    * re-delivers cells that CHANGE post-restart — snapshots are
-    * therefore only complete within one query run. A monitor that must
-    * survive restarts should persist each snapshot in `onBatch` (keyed
-    * by batch id) and treat the post-restart cube as a fresh epoch, or
-    * seed a fresh sink from the last persisted snapshot before
-    * `start()`.
+    * RESTART SEMANTICS: the accumulator is driver state while the query
+    * itself checkpoints, and Update mode only re-delivers cells that
+    * CHANGE post-restart. With `stateDir = None` snapshots are therefore
+    * complete only within one query run. Pass a `stateDir` (a durable
+    * directory, paired with the query's checkpoint) and the sink
+    * persists the accumulator after every batch (atomic tmp+rename) and
+    * seeds a fresh accumulator from it on the first post-restart batch —
+    * snapshots then stay complete across restarts. Replayed batches
+    * (crash between persist and checkpoint commit) are harmless: cell
+    * upserts carry TOTALS, so re-applying a delta is idempotent. The
+    * persisted file is the same bounded size as the accumulator.
     */
   def cubeSnapshotSink(
       binned: DataFrame,
@@ -337,6 +339,7 @@ object StreamingBinning {
       onBatch: (graft.binning.BinnedCube, Long) => Unit,
       countName: String = "cnt",
       retainWindows: Int = 256,
+      stateDir: Option[String] = None,
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val cells = axes.map(_.nBins.toLong).product
     require(cells <= 200L * 1000 * 1000,
@@ -347,9 +350,16 @@ object StreamingBinning {
     for (i <- axes.indices.reverse) { strides(i) = st; st *= shape(i) }
     val acc = scala.collection.mutable.Map.empty[(Long, Seq[Long]), Long]
     var evictionWarned = false
+    var restored = stateDir.isEmpty
     binned.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!restored) {
+          restored = true
+          stateDir.foreach(d => restoreAcc(d, axes.length).foreach {
+            case (k, v) => acc(k) = v
+          })
+        }
         val rows = batch.select(
           col("window.start").cast("long") +:
             axes.map(ax => col(Binning.idxName(ax))) :+
@@ -374,6 +384,7 @@ object StreamingBinning {
             acc.filterInPlace { case ((w, _), _) => keep(w) }
           }
         }
+        stateDir.foreach(d => persistAcc(d, axes.length, acc))
         val data = new Array[Long](cells.toInt)
         acc.foreach { case ((_, idxs), c) =>
           var flat = 0L
@@ -384,6 +395,58 @@ object StreamingBinning {
         onBatch(graft.binning.BinnedCube(
           axes.map(_.column), axes.map(_.centers), data, shape), id)
       }
+  }
+
+  /** Durable accumulator file layout (`<stateDir>/acc.bin`): magic int,
+    * version int, nAxes int, nEntries int, then per entry windowStart +
+    * nAxes indices + count as big-endian longs. Written to a temp name
+    * and atomically renamed, so a crash mid-write leaves the previous
+    * complete state.
+    */
+  private val AccMagic = 0x47525354 // "GRST"
+
+  private def persistAcc(dir: String, nAxes: Int,
+      acc: scala.collection.Map[(Long, Seq[Long]), Long]): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(root)
+    val tmp = root.resolve("acc.bin.tmp")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(tmp)))
+    try {
+      out.writeInt(AccMagic); out.writeInt(1)
+      out.writeInt(nAxes); out.writeInt(acc.size)
+      acc.foreach { case ((w, idxs), c) =>
+        out.writeLong(w)
+        idxs.foreach(out.writeLong)
+        out.writeLong(c)
+      }
+    } finally out.close()
+    java.nio.file.Files.move(tmp, root.resolve("acc.bin"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def restoreAcc(dir: String, nAxes: Int)
+      : Seq[((Long, Seq[Long]), Long)] = {
+    val f = java.nio.file.Paths.get(dir, "acc.bin")
+    if (!java.nio.file.Files.exists(f)) return Nil
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(f)))
+    try {
+      require(in.readInt() == AccMagic && in.readInt() == 1,
+        s"$f: not a cubeSnapshotSink state file")
+      val fileAxes = in.readInt()
+      require(fileAxes == nAxes,
+        s"$f: state has $fileAxes axes, sink expects $nAxes — stale dir?")
+      val n = in.readInt()
+      require(n >= 0, s"$f: negative entry count")
+      Seq.fill(n) {
+        val w = in.readLong()
+        val idxs = Seq.fill(nAxes)(in.readLong())
+        val c = in.readLong()
+        ((w, idxs), c)
+      }
+    } finally in.close()
   }
 
   /** Per-micro-batch drift monitor: each batch's histogram over `ax` is

@@ -367,6 +367,58 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get(2) === 2L) // 15.x → bin 2
   }
 
+  test("cubeSnapshotSink stateDir: snapshots stay complete across a" +
+      " kill/restart (fresh sink, same checkpoint + state)") {
+    val root = Files.createTempDirectory("stream-restart").toFile.getPath
+    val dataDir = s"$root/data"
+    val ckpt = s"$root/ckpt"
+    val state = s"$root/state"
+    val ax = UniformAxis("value", 4, 0.0, 40.0)
+    def startSink(onCube: graft.binning.BinnedCube => Unit) = {
+      val schema = spark.read.parquet(dataDir).schema
+      val stream = spark.readStream.schema(schema).parquet(dataDir)
+      val binned = StreamingBinning.windowedHistogram(
+        stream, Seq(ax), "ts", "1 minute")
+      StreamingBinning.cubeSnapshotSink(binned, Seq(ax),
+          (cube, _) => onCube(cube), stateDir = Some(state))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    // run 1: three events land in bins 1 and 2 of window 00:00
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 15.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 15.5),
+    ).toDF("ts", "value").coalesce(1).write.parquet(dataDir)
+    @volatile var run1: Option[graft.binning.BinnedCube] = None
+    val q1 = startSink(c => run1 = Some(c))
+    q1.awaitTermination()
+    assert(run1.get.total === 3L)
+    // kill happened here. run 2 is a FRESH sink instance (empty in-memory
+    // accumulator) on the same checkpoint: the new file only touches bin 3
+    // and a later window, so Update mode never re-delivers bins 1/2 —
+    // without the stateDir restore they would vanish from snapshots
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 25.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:10"), 25.5),
+    ).toDF("ts", "value").coalesce(1).write.mode("append").parquet(dataDir)
+    @volatile var run2: Option[graft.binning.BinnedCube] = None
+    val q2 = startSink(c => run2 = Some(c))
+    q2.awaitTermination()
+    val got = run2.get
+    // snapshot across both runs == batch recompute over ALL data
+    val batch = Binning.histogram(spark.read.parquet(dataDir), Seq(ax))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.total === 5L)
+    (0 until 4).foreach { b =>
+      assert(got(b) === batch.getOrElse(b.toLong, 0L), s"bin $b")
+    }
+    // and the persisted state file is present + bounded
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(state, "acc.bin")))
+  }
+
   test("funnelStream matches the batch funnel and carries state across batches") {
     val steps = Seq("A", "B", "C")
     val rows = Seq(
