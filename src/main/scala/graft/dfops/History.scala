@@ -28,6 +28,8 @@ object History {
   def scd2(df: DataFrame, keyCols: Seq[String], orderCol: String,
       attrCols: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty && attrCols.nonEmpty, "keys and attrs required")
+    require(!df.columns.contains("__prev"),
+      "input already has reserved column __prev — rename it first")
     val ord = (orderCol +: tieBreak).map(col)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
     val state = struct(attrCols.map(col): _*)

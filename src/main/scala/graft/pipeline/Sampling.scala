@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = df.columns.toSet.intersect(names.toSet)
+    require(clash.isEmpty,
+      s"input already has reserved column(s) ${clash.mkString(", ")} — " +
+        "rename them first")
+  }
+
   /** Per-mille deterministic hash bucket of a key column (0..999): the
     * portable two-polynomial hash of the key's string form, reduced mod
     * 1000. Stable across engines — [[graft.OracleSql.portableTokenHashSql]]
@@ -70,6 +77,7 @@ object Sampling {
       orderCol: String,
       maxPerGroup: Int,
   ): DataFrame = {
+    requireFresh(df, "_rn")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxPerGroup)
@@ -238,6 +246,7 @@ object Sampling {
       groupCols: Seq[String],
       k: Int,
   ): DataFrame = {
+    requireFresh(df, "_pri")
     val u = (pmod(TextOps.portableTokenHash(col(keyCol).cast("string")),
       lit(1000003L)).cast("double") + 0.5) / 1000003.0
     val w = col(weightCol).cast("double")
@@ -324,6 +333,7 @@ object Sampling {
       frac: Double,
   ): DataFrame = {
     require(frac >= 0 && frac <= 1, s"frac=$frac")
+    requireFresh(df, "_rn", "_n")
     val byGroup = Window.partitionBy(groupCols.map(col): _*)
     val ranked = byGroup.orderBy(col(scoreCol).desc, col(idCol))
     df.withColumn("_rn", row_number().over(ranked))
@@ -388,6 +398,7 @@ object Sampling {
       posCol: String = "shuffle_pos",
       numPartitions: Int = 0,
   ): DataFrame = {
+    requireFresh(df, "__shuffle_h")
     val h = pmod(TextOps.portableTokenHash(
       concat(col(keyCol).cast("string"), lit("\u0001" + salt))),
       lit(1000000007L))

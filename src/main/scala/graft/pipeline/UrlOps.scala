@@ -89,8 +89,11 @@ object UrlOps {
     * for a literal).
     */
   def dropBlockedDomainsTable(df: DataFrame, urlCol: String,
-      blocklist: DataFrame, domainCol: String): DataFrame =
+      blocklist: DataFrame, domainCol: String): DataFrame = {
+    require(!df.columns.contains("__dom"),
+      "input already has reserved column __dom — rename it first")
     df.withColumn("__dom", registeredDomainOf(hostOf(col(urlCol))))
       .join(blocklist.select(col(domainCol).as("__dom")), Seq("__dom"), "left_anti")
       .drop("__dom")
+  }
 }
