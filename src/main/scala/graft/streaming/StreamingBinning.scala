@@ -351,14 +351,18 @@ object StreamingBinning {
     val acc = scala.collection.mutable.Map.empty[(Long, Seq[Long]), Long]
     var evictionWarned = false
     var restored = stateDir.isEmpty
+    // captured at build time: foreachBatch bodies run on the driver, and
+    // the state path goes through the Hadoop FS API so a cluster can
+    // point it at the same durable FS as the checkpoint (hdfs://, s3a://)
+    val hadoopConf = new org.apache.hadoop.conf.Configuration(
+      binned.sparkSession.sparkContext.hadoopConfiguration)
     binned.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!restored) {
           restored = true
-          stateDir.foreach(d => restoreAcc(d, axes.length).foreach {
-            case (k, v) => acc(k) = v
-          })
+          stateDir.foreach(d => restoreAcc(d, axes.length, hadoopConf)
+            .foreach { case (k, v) => acc(k) = v })
         }
         val rows = batch.select(
           col("window.start").cast("long") +:
@@ -384,7 +388,7 @@ object StreamingBinning {
             acc.filterInPlace { case ((w, _), _) => keep(w) }
           }
         }
-        stateDir.foreach(d => persistAcc(d, axes.length, acc))
+        stateDir.foreach(d => persistAcc(d, axes.length, acc, hadoopConf))
         val data = new Array[Long](cells.toInt)
         acc.foreach { case ((_, idxs), c) =>
           var flat = 0L
@@ -399,19 +403,25 @@ object StreamingBinning {
 
   /** Durable accumulator file layout (`<stateDir>/acc.bin`): magic int,
     * version int, nAxes int, nEntries int, then per entry windowStart +
-    * nAxes indices + count as big-endian longs. Written to a temp name
-    * and atomically renamed, so a crash mid-write leaves the previous
+    * nAxes indices + count as big-endian longs. All IO goes through the
+    * Hadoop `FileSystem` for the URI (local path, hdfs://, s3a:// — the
+    * same durable FS the checkpoint lives on); the write lands on a
+    * temp name and swaps in via `FileContext.rename(OVERWRITE)` (atomic
+    * on HDFS and posix), so a crash mid-write leaves the previous
     * complete state.
     */
   private val AccMagic = 0x47525354 // "GRST"
 
   private def persistAcc(dir: String, nAxes: Int,
-      acc: scala.collection.Map[(Long, Seq[Long]), Long]): Unit = {
-    val root = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(root)
-    val tmp = root.resolve("acc.bin.tmp")
+      acc: scala.collection.Map[(Long, Seq[Long]), Long],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val qRoot = fs.makeQualified(root)
+    val tmp = new org.apache.hadoop.fs.Path(qRoot, "acc.bin.tmp")
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(tmp)))
+      fs.create(tmp, true)))
     try {
       out.writeInt(AccMagic); out.writeInt(1)
       out.writeInt(nAxes); out.writeInt(acc.size)
@@ -421,17 +431,20 @@ object StreamingBinning {
         out.writeLong(c)
       }
     } finally out.close()
-    java.nio.file.Files.move(tmp, root.resolve("acc.bin"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.hadoop.fs.FileContext.getFileContext(qRoot.toUri, conf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(qRoot, "acc.bin"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  private def restoreAcc(dir: String, nAxes: Int)
+  private def restoreAcc(dir: String, nAxes: Int,
+      conf: org.apache.hadoop.conf.Configuration)
       : Seq[((Long, Seq[Long]), Long)] = {
-    val f = java.nio.file.Paths.get(dir, "acc.bin")
-    if (!java.nio.file.Files.exists(f)) return Nil
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val f = new org.apache.hadoop.fs.Path(root, "acc.bin")
+    if (!fs.exists(f)) return Nil
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      java.nio.file.Files.newInputStream(f)))
+      fs.open(f)))
     try {
       require(in.readInt() == AccMagic && in.readInt() == 1,
         s"$f: not a cubeSnapshotSink state file")

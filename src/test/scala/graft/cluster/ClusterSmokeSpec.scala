@@ -168,6 +168,60 @@ class ClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(timedOpt.get.filter(col("electronId") === 0).count() === 46291L)
   }
 
+  test("Bloom probe (codegen expression over broadcast filter bytes)" +
+      " evaluates on executors") {
+    assume(haveData)
+    val docs = SparkEntry.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).repartition(8)
+    val fp = pipeline.Dedup.buildBloomFingerprint(
+      docs.filter(col("doc_id") % 2 === 0), "text",
+      expectedItems = 10000, fpp = 0.001)
+    val kept = pipeline.Dedup.dropBloomSeen(docs, "text", fp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // Bloom has no false negatives: every even-id doc's text was added,
+    // so no doc sharing one of those texts survives
+    val evenTexts = docs.filter(col("doc_id") % 2 === 0)
+      .select("text").collect().map(_.getString(0)).toSet
+    val keptTexts = docs.filter(col("doc_id").isin(kept.toSeq: _*))
+      .select("text").collect().map(_.getString(0))
+    assert(keptTexts.forall(t => !evenTexts.contains(t)))
+  }
+
+  test("stateful streaming (mapGroupsWithState) keeps its state store on" +
+      " executor JVMs across micro-batches") {
+    assume(haveData)
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("cluster-stream").toFile.getPath
+    val dataDir = s"$root/data"
+    // two files = two micro-batches (maxFilesPerTrigger=1): the running
+    // means must carry per-key state ACROSS batches through the
+    // cluster's state store
+    Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("sector", "v")
+      .coalesce(1).write.parquet(dataDir)
+    Seq((1L, 30.0), (2L, 15.0)).toDF("sector", "v")
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    val schema = spark.read.parquet(dataDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dataDir)
+    val out = graft.streaming.StreamingBinning
+      .runningSectorMeans(stream, "sector", "v")
+    val q = out.writeStream.format("memory").queryName("cluster_means")
+      .outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // last update per sector reflects ALL rows of both batches
+    val last = spark.table("cluster_means")
+      .groupBy("sector").agg(max(struct(col("n"), col("mean"))).as("s"))
+      .select(col("sector"), col("s.n"), col("s.mean"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(last(1L) === ((3L, 20.0)))
+    assert(last(2L) === ((2L, 10.0)))
+  }
+
   test("WARC ingest decodes on executor JVMs") {
     assume(haveData)
     import spark.implicits._
