@@ -10,8 +10,14 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER (dev only): run the SAME gate under e.g.
+    // local-cluster[2,4,3072] — every query's full plan then executes
+    // across real executor-JVM boundaries (the driver never sets this).
+    // local-cluster executors are fresh processes: hand them this
+    // build's classes and the JDK17 module opens.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // batch-search TopKAgg: keep ObjectHashAggregate in the hash path
       // for query-batch group counts (see TopKAgg scaladoc)
@@ -24,7 +30,21 @@ object Verify {
       // is timestamp[us] and SparkEntry.table normalizes either to Long ns.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    val builder =
+      if (!master.startsWith("local-cluster")) builder0
+      else builder0
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions", Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar",
+        ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
