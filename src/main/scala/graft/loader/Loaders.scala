@@ -368,7 +368,13 @@ object ChannelLoader {
       forceRecreate: Boolean = false,
   ): DataFrame = {
     val spark = df.sparkSession
-    val exists = new java.io.File(path).exists()
+    // existence through the Hadoop FS for the path's scheme: a
+    // java.io.File check is always false on hdfs://'/s3a:// buffers, so
+    // a cluster would silently REWRITE the buffer lake on every reuse
+    // call instead of scanning it
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(hp)
     if (!exists || forceRecreate)
       df.write.mode("overwrite").parquet(path)
     val buffered = spark.read.parquet(path)

@@ -259,13 +259,21 @@ object TextIndex {
     * Caller contract: `newDocs` ids must be disjoint from the indexed
     * ids (an id-level check would cost a full postings scan — the same
     * reason [[Dedup]]'s incremental paths put disjointness on the
-    * caller).
+    * caller). Crash window: postings append first, vocab/stats after —
+    * a crash between them leaves the appended postings uncounted in
+    * vocab/stats, and RE-RUNNING the same merge would append those
+    * postings twice. Recover by restoring the postings directory from
+    * a snapshot (or rebuilding); do not blind-retry a crashed merge.
     */
   def merge(newDocs: DataFrame, textCol: String, idCol: String,
       dir: String): Long = {
     import org.apache.hadoop.fs.{Path => HPath}
     val spark = newDocs.sparkSession
     val statsRow = spark.read.parquet(s"$dir/stats").head()
+    // empty batch: a no-op that must not run the swap machinery (and
+    // whose null sum(_l) would NPE the stats arithmetic below)
+    if (newDocs.isEmpty)
+      return statsRow.getLong(statsRow.fieldIndex("n_docs"))
     val n0 = statsRow.getLong(statsRow.fieldIndex("n_docs"))
     val sum0 = statsRow.getLong(statsRow.fieldIndex("sum_len"))
     val nBuckets = statsRow.getInt(statsRow.fieldIndex("n_buckets"))

@@ -89,6 +89,18 @@ class TextIndexSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("merge of an EMPTY batch is a no-op (no NPE, index untouched)") {
+    val dir = Files.createTempDirectory("tidx_empty").toString
+    TextIndex.build(corpus, "text", "doc_id", dir, nBuckets = 8)
+    val statsBefore = TextIndex.loadStats(spark, dir)
+    val n = TextIndex.merge(corpus.filter(col("doc_id") < 0),
+      "text", "doc_id", dir)
+    assert(n === statsBefore._1)
+    assert(TextIndex.loadStats(spark, dir) === statsBefore)
+    // the vocab generation was never swapped
+    assert(!new java.io.File(s"$dir/vocab_old").exists())
+  }
+
   test("scoreColumn is map-only and matches search scores (0.0 for no hits)") {
     val dir = Files.createTempDirectory("tidx").toString
     TextIndex.build(corpus, "text", "doc_id", dir, nBuckets = 8)
