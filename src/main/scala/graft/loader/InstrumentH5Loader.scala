@@ -155,15 +155,27 @@ object InstrumentH5Loader extends Loader {
         val manifest = (channels.map(_.name).sorted.mkString("channels:", ",", "") +:
           GenericLoader.naturalSort(paths).map(StreamFixture.normPath)
             .zipWithIndex.map { case (p, i) => s"$i:$p" }).mkString("\n")
-        val mf = java.nio.file.Paths.get(dir, "_graft_manifest.txt")
-        if (!new java.io.File(dir).exists()) {
+        // all buffer IO through the Hadoop FS for the dir's scheme: a
+        // java.io/java.nio check is local-only, so a cluster buffer on
+        // hdfs://'/s3a:// would re-write on every call and then fail
+        // the manifest write confusingly
+        val dirPath = new org.apache.hadoop.fs.Path(dir)
+        val bufFs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val mf = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.txt")
+        if (!bufFs.exists(dirPath)) {
           raw.write.partitionBy("channel").parquet(dir)
-          java.nio.file.Files.write(mf, manifest.getBytes("UTF-8"))
+          val out = bufFs.create(mf, true)
+          try out.write(manifest.getBytes("UTF-8")) finally out.close()
         }
-        require(java.nio.file.Files.exists(mf),
+        require(bufFs.exists(mf),
           s"buffer $dir has no manifest (written by something else?) — " +
             "use a fresh bufferDir")
-        val stored = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+        val stored = {
+          val in = bufFs.open(mf)
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        }
         require(stored == manifest,
           s"buffer $dir was written from a different (file, channel) set " +
             "than this call requests — use a fresh bufferDir")
