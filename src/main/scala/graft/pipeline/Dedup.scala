@@ -1283,6 +1283,10 @@ object Dedup {
     val pairs = pairsForPlan(df, textCol, idCol, threshold, numHashes, bands,
       if (plan.nonEmpty) plan else if (inlineVerify) "inline" else "default",
       censusFraction, pairMassPerDoc)
+    val clash = df.columns.toSet.intersect(Set("_cluster", "_rk"))
+    require(clash.isEmpty,
+      s"input already has reserved column(s) ${clash.mkString(", ")} — " +
+        "rename them first")
     val cc = connectedComponents(pairs)
     val labels = snapshotAndFree(cc, cc).withColumnRenamed("id", idCol)
     val ranked = df.join(labels, Seq(idCol), "left")
