@@ -1201,6 +1201,27 @@ object SparkEntry {
         .count().na.fill(0L)),
     // Morton (Z-order) code of two binned keys — the multi-dimensional
     // lake-layout key behind stats-pruned scans (Lake.writeZOrdered)
+    // TFRecord sink/source round-trip: documents -> tf.train.Example
+    // shards (CRC32C-masked framing, hand-rolled proto) -> typed
+    // read-back. The oracle is the SOURCE TABLE itself, so framing,
+    // Example encode/decode, null-feature omission and shard streaming
+    // are ALL load-bearing for the hash to match.
+    "q_tfrecord_roundtrip" -> ((s, dir) => {
+      // deterministic per-SF path (the q_text_search convention);
+      // writeRecords refuses a pre-existing dir, so clear it first
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_tfrec_gate_" +
+        math.abs(dir.hashCode).toString
+      val hp = new org.apache.hadoop.fs.Path(tmp)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      pipeline.TfRecord.writeExamples(docs, tmp, Seq("doc_id", "text"))
+      pipeline.TfRecord.readExamples(s, tmp,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+    }),
     "q_zorder" -> ((s, dir) =>
       table(s, dir, "events").select(col("event_id"),
         loader.Lake.zValue(
@@ -2445,6 +2466,8 @@ object SparkEntry {
         | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         | FROM events GROUP BY user_id""".stripMargin.replace("\n", " "),
+    "q_tfrecord_roundtrip" ->
+      "SELECT doc_id, text FROM documents",
     "q_zorder" -> {
       val terms = for {
         j <- 0 until 8

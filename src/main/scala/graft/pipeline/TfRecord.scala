@@ -1,0 +1,526 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dependency-free TFRecord source/sink — the interchange format of
+  * TF/JAX training pipelines, so a corpus curated here can feed a data
+  * loader (and an existing TFRecord lake can be audited here) without a
+  * TensorFlow dependency. Two layers, both implemented to the PUBLIC
+  * specs:
+  *
+  *  - '''record framing''' (`tensorflow/core/lib/io/record_writer`):
+  *    `uint64 length (LE) | masked crc32c(length) | data |
+  *    masked crc32c(data)`, `mask(c) = ((c >>> 15) | (c << 17)) +
+  *    0xa282ead8` over uint32, CRC32C = Castagnoli
+  *    (`java.util.zip.CRC32C`);
+  *  - '''`tf.train.Example`''' protobuf subset (`Example → Features →
+  *    map<string, Feature>`, `Feature = BytesList | FloatList |
+  *    Int64List`): hand-rolled protobuf wire encode/decode (varints,
+  *    length-delimited fields, packed AND unpacked repeated scalars;
+  *    unknown fields skipped by wire type).
+  *
+  * Scale shape: writes stream one `.tfrecord` shard per input partition
+  * from the executors (Hadoop FS — local/hdfs/s3a — temp name + rename
+  * per shard); reads list the shard files (driver state is the file
+  * LIST only) and stream-decode with memory bounded by ONE record.
+  * Hostile-input posture matches WARC: a lying length field is capped
+  * by `maxRecordBytes` with a named error before any allocation, CRC
+  * mismatches name the offset, truncated tails fail loudly.
+  */
+object TfRecord {
+
+  /** Framing mask from the TFRecord spec. */
+  private def maskCrc(crc: Long): Int =
+    ((((crc >>> 15) | (crc << 17)) + 0xa282ead8L) & 0xffffffffL).toInt
+
+  private def crc32c(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32C()
+    c.update(bytes, off, len)
+    c.getValue
+  }
+
+  /** Frame one record into `out`. */
+  private def writeFramed(out: java.io.DataOutputStream,
+      data: Array[Byte]): Unit = {
+    val lenBuf = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(data.length.toLong)
+      .array()
+    out.write(lenBuf)
+    writeIntLE(out, maskCrc(crc32c(lenBuf, 0, 8)))
+    out.write(data)
+    writeIntLE(out, maskCrc(crc32c(data, 0, data.length)))
+  }
+
+  private def writeIntLE(out: java.io.DataOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+
+  /** Streaming record iterator over one framed stream. `verifyCrc`
+    * checks both checksums (default — corruption fails loudly with the
+    * record offset); `maxRecordBytes` bounds the allocation a lying
+    * length field can cause (the WARC zip-bomb posture).
+    */
+  private[pipeline] def recordIterator(
+      in: java.io.InputStream,
+      maxRecordBytes: Long,
+      verifyCrc: Boolean,
+  ): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+    private val din = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(in, 1 << 16))
+    private var nextRec: Array[Byte] = null
+    private var done = false
+    private var offset = 0L
+
+    private def readIntLE(): Int = {
+      val a = din.read(); val b = din.read(); val c = din.read(); val d = din.read()
+      if ((a | b | c | d) < 0) throw new java.io.EOFException(
+        s"tfrecord: truncated checksum at offset $offset")
+      a | (b << 8) | (c << 16) | (d << 24)
+    }
+
+    private def advance(): Unit = {
+      if (done || nextRec != null) return
+      val lenBuf = new Array[Byte](8)
+      val first = din.read()
+      if (first < 0) { done = true; return } // clean EOF at a boundary
+      lenBuf(0) = first.toByte
+      var got = 1
+      while (got < 8) {
+        val k = din.read(lenBuf, got, 8 - got)
+        if (k < 0) throw new java.io.EOFException(
+          s"tfrecord: truncated length header at offset $offset")
+        got += k
+      }
+      val len = java.nio.ByteBuffer.wrap(lenBuf)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      val lenCrc = readIntLE()
+      if (verifyCrc) {
+        val want = maskCrc(crc32c(lenBuf, 0, 8))
+        if (lenCrc != want) throw new IllegalArgumentException(
+          f"tfrecord: length checksum mismatch at offset $offset " +
+            f"(stored 0x$lenCrc%08x, computed 0x$want%08x)")
+      }
+      // allocation bound BEFORE the array exists: a lying 8-byte length
+      // must not become a heap-sized allocation
+      if (len < 0 || len > maxRecordBytes) throw new IllegalArgumentException(
+        s"tfrecord: record of $len bytes at offset $offset exceeds " +
+          s"maxRecordBytes=$maxRecordBytes (corrupt or hostile length)")
+      val data = new Array[Byte](len.toInt)
+      var dGot = 0
+      while (dGot < len) {
+        val k = din.read(data, dGot, len.toInt - dGot)
+        if (k < 0) throw new java.io.EOFException(
+          s"tfrecord: truncated record data at offset $offset")
+        dGot += k
+      }
+      val dataCrc = readIntLE()
+      if (verifyCrc) {
+        val want = maskCrc(crc32c(data, 0, data.length))
+        if (dataCrc != want) throw new IllegalArgumentException(
+          f"tfrecord: data checksum mismatch at offset $offset " +
+            f"(stored 0x$dataCrc%08x, computed 0x$want%08x)")
+      }
+      offset += 8 + 4 + len + 4
+      nextRec = data
+    }
+
+    override def hasNext: Boolean = { advance(); nextRec != null }
+    override def next(): Array[Byte] = {
+      advance()
+      if (nextRec == null) throw new NoSuchElementException
+      val r = nextRec; nextRec = null; r
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // protobuf wire subset (tf.train.Example)
+  // ------------------------------------------------------------------
+
+  private def varintLen(v: Long): Int = {
+    var n = 1
+    var x = v
+    while ((x & ~0x7fL) != 0) { n += 1; x >>>= 7 }
+    n
+  }
+
+  private final class ProtoOut(cap: Int = 64) {
+    private var buf = new Array[Byte](cap)
+    private var n = 0
+    private def ensure(k: Int): Unit =
+      if (n + k > buf.length) {
+        var c = buf.length
+        while (c < n + k) c *= 2
+        buf = java.util.Arrays.copyOf(buf, c)
+      }
+    def varint(v: Long): Unit = {
+      ensure(10)
+      var x = v
+      while ((x & ~0x7fL) != 0) { buf(n) = ((x & 0x7f) | 0x80).toByte; n += 1; x >>>= 7 }
+      buf(n) = x.toByte; n += 1
+    }
+    def tag(field: Int, wire: Int): Unit = varint((field << 3) | wire)
+    def bytes(b: Array[Byte]): Unit = { ensure(b.length); System.arraycopy(b, 0, buf, n, b.length); n += b.length }
+    def floatLE(f: Float): Unit = {
+      ensure(4)
+      val bits = java.lang.Float.floatToIntBits(f)
+      buf(n) = bits.toByte; buf(n + 1) = (bits >>> 8).toByte
+      buf(n + 2) = (bits >>> 16).toByte; buf(n + 3) = (bits >>> 24).toByte
+      n += 4
+    }
+    def lenDelimited(field: Int, payload: ProtoOut): Unit = {
+      tag(field, 2); varint(payload.n.toLong); ensure(payload.n)
+      System.arraycopy(payload.buf, 0, buf, n, payload.n); n += payload.n
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, n)
+    def size: Int = n
+  }
+
+  /** One typed feature value. */
+  sealed trait FeatureValue
+  final case class BytesFeature(values: Seq[Array[Byte]]) extends FeatureValue
+  final case class Int64Feature(values: Seq[Long]) extends FeatureValue
+  final case class FloatFeature(values: Seq[Float]) extends FeatureValue
+
+  /** Encode one `tf.train.Example` from a feature map (deterministic:
+    * features emit in sorted-name order, so identical maps produce
+    * identical bytes — TF parsers do not care about entry order).
+    */
+  def encodeExample(features: Map[String, FeatureValue]): Array[Byte] = {
+    val featuresMsg = new ProtoOut()
+    features.toSeq.sortBy(_._1).foreach { case (name, fv) =>
+      val feature = new ProtoOut()
+      fv match {
+        case BytesFeature(vs) =>
+          val bl = new ProtoOut()
+          vs.foreach { b => bl.tag(1, 2); bl.varint(b.length.toLong); bl.bytes(b) }
+          feature.lenDelimited(1, bl)
+        case FloatFeature(vs) =>
+          val fl = new ProtoOut()
+          // packed form (what TF writes): field 1, wire 2, 4·n payload
+          fl.tag(1, 2); fl.varint(4L * vs.length)
+          vs.foreach(fl.floatLE)
+          feature.lenDelimited(2, fl)
+        case Int64Feature(vs) =>
+          val il = new ProtoOut()
+          il.tag(1, 2); il.varint(vs.map(varintLen).map(_.toLong).sum)
+          vs.foreach(il.varint)
+          feature.lenDelimited(3, il)
+      }
+      val entry = new ProtoOut()
+      val key = name.getBytes("UTF-8")
+      entry.tag(1, 2); entry.varint(key.length.toLong); entry.bytes(key)
+      entry.lenDelimited(2, feature)
+      featuresMsg.lenDelimited(1, entry)
+    }
+    val example = new ProtoOut()
+    example.lenDelimited(1, featuresMsg)
+    example.toArray
+  }
+
+  private final class ProtoIn(buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0
+      var out = 0L
+      while (true) {
+        if (pos >= end) throw new IllegalArgumentException(
+          s"tfrecord proto: truncated varint at $pos")
+        if (shift >= 64) throw new IllegalArgumentException(
+          s"tfrecord proto: varint wider than 64 bits at $pos")
+        val b = buf(pos); pos += 1
+        out |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return out
+        shift += 7
+      }
+      0L // unreachable
+    }
+    def sub(len: Int): ProtoIn = {
+      require(len >= 0 && pos + len <= end,
+        s"tfrecord proto: length $len at $pos runs past $end")
+      val s = new ProtoIn(buf, pos, pos + len)
+      pos += len
+      s
+    }
+    def slice(len: Int): Array[Byte] = {
+      require(len >= 0 && pos + len <= end,
+        s"tfrecord proto: length $len at $pos runs past $end")
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+      pos += len
+      out
+    }
+    def floatLE(): Float = {
+      require(pos + 4 <= end, s"tfrecord proto: truncated float at $pos")
+      val bits = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
+        ((buf(pos + 2) & 0xff) << 16) | ((buf(pos + 3) & 0xff) << 24)
+      pos += 4
+      java.lang.Float.intBitsToFloat(bits)
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint(); ()
+      case 1 => require(pos + 8 <= end, "truncated fixed64"); pos += 8
+      case 2 => val l = varint(); sub(l.toInt); ()
+      case 5 => require(pos + 4 <= end, "truncated fixed32"); pos += 4
+      case other => throw new IllegalArgumentException(
+        s"tfrecord proto: unsupported wire type $other")
+    }
+  }
+
+  /** Decode an Example's feature map (subset parser; unknown fields at
+    * any level skip by wire type, exactly like a generated parser).
+    */
+  def decodeExample(bytes: Array[Byte]): Map[String, FeatureValue] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, FeatureValue]
+    val ex = new ProtoIn(bytes, 0, bytes.length)
+    while (ex.hasMore) {
+      val tag = ex.varint()
+      if ((tag >> 3) == 1 && (tag & 7) == 2) {
+        val features = ex.sub(ex.varint().toInt)
+        while (features.hasMore) {
+          val ftag = features.varint()
+          if ((ftag >> 3) == 1 && (ftag & 7) == 2) {
+            val entry = features.sub(features.varint().toInt)
+            var key: String = null
+            var value: FeatureValue = null
+            while (entry.hasMore) {
+              val etag = entry.varint()
+              (etag >> 3, etag & 7) match {
+                case (1, 2) => key = new String(entry.slice(entry.varint().toInt), "UTF-8")
+                case (2, 2) => value = decodeFeature(entry.sub(entry.varint().toInt))
+                case (_, w) => entry.skip(w.toInt)
+              }
+            }
+            if (key != null && value != null) out(key) = value
+          } else features.skip((ftag & 7).toInt)
+        }
+      } else ex.skip((tag & 7).toInt)
+    }
+    out.toMap
+  }
+
+  private def decodeFeature(f: ProtoIn): FeatureValue = {
+    var out: FeatureValue = null
+    while (f.hasMore) {
+      val tag = f.varint()
+      (tag >> 3, tag & 7) match {
+        case (1, 2) => // BytesList
+          val bl = f.sub(f.varint().toInt)
+          val vs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          while (bl.hasMore) {
+            val t = bl.varint()
+            if ((t >> 3) == 1 && (t & 7) == 2) vs += bl.slice(bl.varint().toInt)
+            else bl.skip((t & 7).toInt)
+          }
+          out = BytesFeature(vs.toSeq)
+        case (2, 2) => // FloatList (packed or message-framed)
+          val fl = f.sub(f.varint().toInt)
+          val vs = scala.collection.mutable.ArrayBuffer.empty[Float]
+          while (fl.hasMore) {
+            val t = fl.varint()
+            (t >> 3, t & 7) match {
+              case (1, 2) => // packed block
+                val block = fl.sub(fl.varint().toInt)
+                while (block.hasMore) vs += block.floatLE()
+              case (1, 5) => vs += fl.floatLE() // unpacked element
+              case (_, w) => fl.skip(w.toInt)
+            }
+          }
+          out = FloatFeature(vs.toSeq)
+        case (3, 2) => // Int64List (packed or unpacked)
+          val il = f.sub(f.varint().toInt)
+          val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (il.hasMore) {
+            val t = il.varint()
+            (t >> 3, t & 7) match {
+              case (1, 2) =>
+                val block = il.sub(il.varint().toInt)
+                while (block.hasMore) vs += block.varint()
+              case (1, 0) => vs += il.varint()
+              case (_, w) => il.skip(w.toInt)
+            }
+          }
+          out = Int64Feature(vs.toSeq)
+        case (_, w) => f.skip(w.toInt)
+      }
+    }
+    if (out == null) BytesFeature(Seq.empty) else out
+  }
+
+  // ------------------------------------------------------------------
+  // Spark surface
+  // ------------------------------------------------------------------
+
+  /** Write a binary column as framed TFRecord shards, one
+    * `part-NNNNN.tfrecord` per input partition, streamed from the
+    * executors through the Hadoop FS (temp name + rename per shard —
+    * a crashed task leaves only `_tmp.` litter, never a half shard
+    * under a final name). Returns the record count. `dir` must not
+    * already exist (append would duplicate records silently).
+    */
+  def writeRecords(df: DataFrame, binCol: String, dir: String): Long = {
+    val spark = df.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(hp),
+      s"tfrecord: $dir already exists — writing into it would mix shards")
+    fs.mkdirs(hp)
+    val confBox = spark.sparkContext.broadcast(
+      org.apache.spark.GraftSparkBridge.hadoopConfBox(spark.sparkContext))
+    val idx = df.schema.fieldIndex(binCol)
+    require(df.schema(idx).dataType == BinaryType,
+      s"tfrecord: $binCol must be binary, got ${df.schema(idx).dataType}")
+    val counts = df.rdd.mapPartitionsWithIndex { (part, rows) =>
+      val conf = confBox.value.value
+      val fin = new org.apache.hadoop.fs.Path(dir, f"part-$part%05d.tfrecord")
+      val tmp = new org.apache.hadoop.fs.Path(dir, f"_tmp.part-$part%05d")
+      val pfs = fin.getFileSystem(conf)
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 16))
+      var n = 0L
+      try {
+        rows.foreach { r =>
+          val b = r.getAs[Array[Byte]](idx)
+          if (b != null) { writeFramed(out, b); n += 1 }
+        }
+      } finally out.close()
+      if (n == 0) { pfs.delete(tmp, false); Iterator.single(0L) }
+      else {
+        require(pfs.rename(tmp, fin), s"tfrecord: could not commit $fin")
+        Iterator.single(n)
+      }
+    }.collect()
+    counts.sum
+  }
+
+  /** Read framed TFRecord shards back as `(path, record: binary)` —
+    * one task per shard file, memory bounded by one record.
+    */
+  def readRecords(
+      spark: SparkSession,
+      dir: String,
+      maxRecordBytes: Long = 1L << 30,
+      verifyCrc: Boolean = true,
+  ): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tfrecord"))
+      .map(_.getPath.toString)
+      .sorted
+      .toSeq
+    require(files.nonEmpty, s"tfrecord: no .tfrecord shards under $dir")
+    import spark.implicits._
+    val paths = files.toDF("path").repartition(files.length, col("path"))
+    val confBox = spark.sparkContext.broadcast(
+      org.apache.spark.GraftSparkBridge.hadoopConfBox(spark.sparkContext))
+    val outSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("record", BinaryType)))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    paths.mapPartitions { rows =>
+      val conf = confBox.value.value
+      rows.flatMap { r =>
+        val p = r.getString(0)
+        val hPath = new org.apache.hadoop.fs.Path(p)
+        val stream = hPath.getFileSystem(conf).open(hPath)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          try stream.close() catch { case _: Exception => () }
+        }
+        recordIterator(stream, maxRecordBytes, verifyCrc)
+          .map(rec => Row(p, rec))
+      }
+    }(enc)
+  }
+
+  /** Supported per-column Example encodings (see [[writeExamples]]). */
+  private def featureOf(dt: DataType, v: Any): FeatureValue = (dt, v) match {
+    case (StringType, s: String) => BytesFeature(Seq(s.getBytes("UTF-8")))
+    case (BinaryType, b: Array[Byte]) => BytesFeature(Seq(b))
+    case (LongType, l: Long) => Int64Feature(Seq(l))
+    case (IntegerType, i: Int) => Int64Feature(Seq(i.toLong))
+    case (FloatType, f: Float) => FloatFeature(Seq(f))
+    case (DoubleType, d: Double) => FloatFeature(Seq(d.toFloat))
+    case (ArrayType(LongType, _), s: scala.collection.Seq[_]) =>
+      Int64Feature(s.map(_.asInstanceOf[Long]).toSeq)
+    case (ArrayType(IntegerType, _), s: scala.collection.Seq[_]) =>
+      Int64Feature(s.map(_.asInstanceOf[Int].toLong).toSeq)
+    case (ArrayType(FloatType, _), s: scala.collection.Seq[_]) =>
+      FloatFeature(s.map(_.asInstanceOf[Float]).toSeq)
+    case (ArrayType(DoubleType, _), s: scala.collection.Seq[_]) =>
+      FloatFeature(s.map(_.asInstanceOf[Double].toFloat).toSeq)
+    case (other, _) => throw new IllegalArgumentException(
+      s"tfrecord: unsupported feature type $other")
+  }
+
+  /** Write `cols` of `df` as `tf.train.Example` records (feature name =
+    * column name; string/binary → BytesList, integral → Int64List,
+    * floating → FloatList — `double` narrows to proto `float`, the
+    * Example schema's only floating type). Null-valued features are
+    * omitted from their record (proto absence), matching TF convention.
+    */
+  def writeExamples(df: DataFrame, dir: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "no feature columns given")
+    val fields = cols.map(c => df.schema(df.schema.fieldIndex(c)))
+    val src = df.select(cols.map(col): _*)
+    val outSchema = StructType(Seq(StructField("example", BinaryType)))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    val encoded = src.mapPartitions { rows =>
+      rows.map { r =>
+        val feats = fields.zipWithIndex.flatMap { case (f, i) =>
+          if (r.isNullAt(i)) None
+          else Some(f.name -> featureOf(f.dataType, r.get(i)))
+        }.toMap
+        Row(encodeExample(feats))
+      }
+    }(enc)
+    writeRecords(encoded, "example", dir)
+  }
+
+  /** Read an Example lake back into typed columns: for each requested
+    * field, the feature decodes to the Spark type — `string`/`binary`
+    * take the FIRST BytesList element, `long` the first Int64 element,
+    * `float` the first float, `array<...>` the whole list; absent
+    * features yield null. One task per shard, streaming.
+    */
+  def readExamples(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      maxRecordBytes: Long = 1L << 30,
+      verifyCrc: Boolean = true,
+  ): DataFrame = {
+    val recs = readRecords(spark, dir, maxRecordBytes, verifyCrc)
+    val enc: Encoder[Row] = Encoders.row(schema)
+    recs.select("record").mapPartitions { rows =>
+      rows.map { r =>
+        val feats = decodeExample(r.getAs[Array[Byte]](0))
+        Row.fromSeq(schema.fields.toSeq.map { f =>
+          feats.get(f.name) match {
+            case None => null
+            case Some(v) => (f.dataType, v) match {
+              case (StringType, BytesFeature(vs)) =>
+                vs.headOption.map(new String(_, "UTF-8")).orNull
+              case (BinaryType, BytesFeature(vs)) => vs.headOption.orNull
+              case (LongType, Int64Feature(vs)) =>
+                vs.headOption.map(Long.box).orNull
+              case (FloatType, FloatFeature(vs)) =>
+                vs.headOption.map(Float.box).orNull
+              case (DoubleType, FloatFeature(vs)) =>
+                vs.headOption.map(x => Double.box(x.toDouble)).orNull
+              case (ArrayType(LongType, _), Int64Feature(vs)) => vs
+              case (ArrayType(FloatType, _), FloatFeature(vs)) => vs
+              case (ArrayType(DoubleType, _), FloatFeature(vs)) =>
+                vs.map(_.toDouble)
+              case (dt, got) => throw new IllegalArgumentException(
+                s"tfrecord: feature '${f.name}' is ${got.getClass.getSimpleName}, " +
+                  s"requested $dt")
+            }
+          }
+        })
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class TfRecordSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dir() = Files.createTempDirectory("tfrec").toString
+
+  test("framing matches the public TFRecord spec byte for byte") {
+    // golden computed with an INDEPENDENT (Python) CRC32C + framing
+    // implementation, itself validated against the standard Castagnoli
+    // check value crc32c("123456789") == 0xE3069283
+    val d = dir()
+    val n = TfRecord.writeRecords(
+      Seq(Tuple1("hello tfrecord".getBytes("UTF-8"))).toDF("rec")
+        .coalesce(1),
+      "rec", s"$d/lake")
+    assert(n === 1L)
+    val shard = new java.io.File(s"$d/lake").listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).head
+    val bytes = Files.readAllBytes(shard.toPath)
+    val hex = bytes.map(b => f"${b & 0xff}%02x").mkString
+    assert(hex === "0e00000000000000c5e5693f68656c6c6f2074667265636f72649f5b7622")
+  }
+
+  test("record round-trip across shards preserves bytes and count") {
+    val d = dir()
+    val recs = (0 until 257).map(i =>
+      Tuple1(Array.tabulate(i % 50 + 1)(j => ((i * 31 + j) % 256).toByte)))
+    val written = TfRecord.writeRecords(
+      recs.toDF("rec").repartition(4), "rec", s"$d/lake")
+    assert(written === 257L)
+    val back = TfRecord.readRecords(spark, s"$d/lake")
+      .select("record").collect().map(_.getAs[Array[Byte]](0))
+    assert(back.length === 257)
+    def key(b: Array[Byte]) = b.toSeq
+    assert(back.map(key).sortBy(_.mkString(",")).toSeq ===
+      recs.map(r => key(r._1)).sortBy(_.mkString(",")).toSeq)
+  }
+
+  test("hostile input: corrupt CRC, lying length, truncation all fail" +
+      " with NAMED errors") {
+    val d = dir()
+    TfRecord.writeRecords(Seq(Tuple1("payload-bytes".getBytes))
+      .toDF("rec").coalesce(1), "rec", s"$d/lake")
+    val shard = new java.io.File(s"$d/lake").listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).head.toPath
+    val good = Files.readAllBytes(shard)
+    def parse(b: Array[Byte], verify: Boolean = true,
+        maxRec: Long = 1L << 30) =
+      TfRecord.recordIterator(new java.io.ByteArrayInputStream(b),
+        maxRec, verify).toSeq
+    // flip a data byte -> data checksum mismatch
+    val flipped = good.clone(); flipped(14) = (flipped(14) ^ 1).toByte
+    val e1 = intercept[IllegalArgumentException](parse(flipped))
+    assert(e1.getMessage.contains("data checksum mismatch"))
+    // ... and with verification off the (wrong) bytes still parse
+    assert(parse(flipped, verify = false).head.length === 13)
+    // lying giant length: bounded BEFORE allocation
+    val lying = good.clone()
+    lying(6) = 0x7f.toByte // length |= 0x7f << 48
+    val e2 = intercept[IllegalArgumentException](parse(lying, verify = false))
+    assert(e2.getMessage.contains("exceeds maxRecordBytes"))
+    // with verification on, the tampered length dies at its checksum
+    val e2b = intercept[IllegalArgumentException](parse(lying))
+    assert(e2b.getMessage.contains("length checksum mismatch"))
+    // truncated tail
+    val e3 = intercept[java.io.EOFException](
+      parse(good.take(good.length - 2)))
+    assert(e3.getMessage.contains("truncated"))
+    // tight per-record cap also bounds honest records
+    val e4 = intercept[IllegalArgumentException](parse(good, maxRec = 4))
+    assert(e4.getMessage.contains("exceeds maxRecordBytes"))
+  }
+
+  test("Example proto: all feature kinds round-trip; unknown fields and" +
+      " unpacked scalars are tolerated") {
+    val feats = Map[String, TfRecord.FeatureValue](
+      "text" -> TfRecord.BytesFeature(Seq("héllo".getBytes("UTF-8"))),
+      "ids" -> TfRecord.Int64Feature(Seq(-1L, 0L, Long.MaxValue, 42L)),
+      "vec" -> TfRecord.FloatFeature(Seq(1.5f, -0.25f, 0f)),
+      "empty" -> TfRecord.Int64Feature(Seq.empty))
+    val bytes = TfRecord.encodeExample(feats)
+    val back = TfRecord.decodeExample(bytes)
+    assert(back.keySet === feats.keySet)
+    assert(new String(back("text").asInstanceOf[TfRecord.BytesFeature]
+      .values.head, "UTF-8") === "héllo")
+    assert(back("ids").asInstanceOf[TfRecord.Int64Feature].values ===
+      Seq(-1L, 0L, Long.MaxValue, 42L))
+    assert(back("vec").asInstanceOf[TfRecord.FloatFeature].values ===
+      Seq(1.5f, -0.25f, 0f))
+    assert(back("empty").asInstanceOf[TfRecord.Int64Feature].values.isEmpty)
+    // identical maps encode identically (sorted feature order)
+    assert(TfRecord.encodeExample(feats).toSeq === bytes.toSeq)
+    // an UNKNOWN top-level field prepended must be skipped, not fatal:
+    // field 9, wire 2, 3 payload bytes
+    val unknown = Array[Byte](0x4a, 3, 1, 2, 3) ++ bytes
+    assert(TfRecord.decodeExample(unknown).keySet === feats.keySet)
+    // unpacked int64 element (tag 0x08) inside an Int64List also decodes
+    // (proto parsers must accept both packed and unpacked)
+    // Int64List{8, 7} unpacked = [0x08 0x07] wrapped as Feature field 3
+    val unpackedFeature = Array[Byte](0x1a, 2, 0x08, 0x07)
+    val entry = Array[Byte](0x0a, 1, 'x'.toByte, 0x12,
+      unpackedFeature.length.toByte) ++ unpackedFeature
+    val features = Array[Byte](0x0a, entry.length.toByte) ++ entry
+    val example = Array[Byte](0x0a, features.length.toByte) ++ features
+    assert(TfRecord.decodeExample(example)("x")
+      .asInstanceOf[TfRecord.Int64Feature].values === Seq(7L))
+  }
+
+  test("writeExamples/readExamples: typed round-trip incl. null features") {
+    val d = dir()
+    val df = Seq(
+      (0L, Option("alpha doc"), Seq(1.0f, 2.5f)),
+      (1L, None, Seq(0.5f)),
+      (2L, Option("gamma"), Seq.empty[Float]),
+    ).toDF("doc_id", "text", "vec")
+    val n = TfRecord.writeExamples(df, s"$d/lake", Seq("doc_id", "text", "vec"))
+    assert(n === 3L)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("vec", ArrayType(FloatType))))
+    val back = TfRecord.readExamples(spark, s"$d/lake", schema)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)),
+        Option(r.getSeq[Float](2)).map(_.toSeq)))
+      .sortBy(_._1)
+    assert(back(0) === ((0L, Some("alpha doc"), Some(Seq(1.0f, 2.5f)))))
+    // null text was omitted from its record -> reads back null
+    assert(back(1) === ((1L, None, Some(Seq(0.5f)))))
+    // an EMPTY list is a present feature with zero elements, not null
+    assert(back(2) === ((2L, Some("gamma"), Some(Seq.empty[Float]))))
+  }
+
+  test("writeRecords refuses a pre-existing directory") {
+    val d = dir()
+    TfRecord.writeRecords(Seq(Tuple1(Array[Byte](1))).toDF("rec"),
+      "rec", s"$d/lake")
+    val e = intercept[IllegalArgumentException](
+      TfRecord.writeRecords(Seq(Tuple1(Array[Byte](2))).toDF("rec"),
+        "rec", s"$d/lake"))
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("fuzz: 300 random bit flips never hang or mis-parse silently") {
+    val d = dir()
+    TfRecord.writeRecords(
+      (0 until 20).map(i => Tuple1(s"record number $i with text".getBytes))
+        .toDF("rec").coalesce(1), "rec", s"$d/lake")
+    val shard = new java.io.File(s"$d/lake").listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).head.toPath
+    val good = Files.readAllBytes(shard)
+    val rnd = new scala.util.Random(11)
+    var loud = 0
+    (0 until 300).foreach { _ =>
+      val b = good.clone()
+      val flips = 1 + rnd.nextInt(4)
+      (0 until flips).foreach { _ =>
+        val p = rnd.nextInt(b.length)
+        b(p) = (b(p) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      try {
+        val out = TfRecord.recordIterator(
+          new java.io.ByteArrayInputStream(b), 1L << 20, true).toSeq
+        // parsed without error: with CRC on, every surviving record's
+        // checksum matched, so silent corruption cannot pass unnoticed
+        assert(out.length <= 20)
+      } catch {
+        case _: IllegalArgumentException | _: java.io.EOFException =>
+          loud += 1
+      }
+    }
+    assert(loud > 0) // the fuzzer actually reached the parser
+  }
+}
