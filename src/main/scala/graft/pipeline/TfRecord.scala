@@ -104,10 +104,13 @@ object TfRecord {
             f"(stored 0x$lenCrc%08x, computed 0x$want%08x)")
       }
       // allocation bound BEFORE the array exists: a lying 8-byte length
-      // must not become a heap-sized allocation
-      if (len < 0 || len > maxRecordBytes) throw new IllegalArgumentException(
+      // must not become a heap-sized allocation. The effective cap also
+      // clamps to what a JVM byte array can hold, so a caller-supplied
+      // maxRecordBytes past 2^31 cannot overflow the Int conversion
+      val cap = math.min(maxRecordBytes, (Int.MaxValue - 16).toLong)
+      if (len < 0 || len > cap) throw new IllegalArgumentException(
         s"tfrecord: record of $len bytes at offset $offset exceeds " +
-          s"maxRecordBytes=$maxRecordBytes (corrupt or hostile length)")
+          s"maxRecordBytes=$cap (corrupt or hostile length)")
       val data = new Array[Byte](len.toInt)
       var dGot = 0
       while (dGot < len) {
