@@ -362,7 +362,8 @@ object TfRecord {
     * under a final name). Returns the record count. `dir` must not
     * already exist (append would duplicate records silently).
     */
-  def writeRecords(df: DataFrame, binCol: String, dir: String): Long = {
+  def writeRecords(df: DataFrame, binCol: String, dir: String,
+      gzip: Boolean = false): Long = {
     val spark = df.sparkSession
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -374,13 +375,18 @@ object TfRecord {
     val idx = df.schema.fieldIndex(binCol)
     require(df.schema(idx).dataType == BinaryType,
       s"tfrecord: $binCol must be binary, got ${df.schema(idx).dataType}")
+    val ext = if (gzip) ".tfrecord.gz" else ".tfrecord"
     val counts = df.rdd.mapPartitionsWithIndex { (part, rows) =>
       val conf = confBox.value.value
-      val fin = new org.apache.hadoop.fs.Path(dir, f"part-$part%05d.tfrecord")
+      val fin = new org.apache.hadoop.fs.Path(dir, f"part-$part%05d$ext")
       val tmp = new org.apache.hadoop.fs.Path(dir, f"_tmp.part-$part%05d")
       val pfs = fin.getFileSystem(conf)
+      // GZIP wraps the WHOLE framed stream (TFRecordOptions GZIP — the
+      // common Common-Crawl-scale on-disk form); framing is unchanged
+      val raw: java.io.OutputStream =
+        new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 16)
       val out = new java.io.DataOutputStream(
-        new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 16))
+        if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw)
       var n = 0L
       try {
         rows.foreach { r =>
@@ -409,7 +415,8 @@ object TfRecord {
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(hp)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".tfrecord"))
+      .filter(st => st.isFile && (st.getPath.getName.endsWith(".tfrecord")
+        || st.getPath.getName.endsWith(".tfrecord.gz")))
       .map(_.getPath.toString)
       .sorted
       .toSeq
@@ -427,10 +434,15 @@ object TfRecord {
       rows.flatMap { r =>
         val p = r.getString(0)
         val hPath = new org.apache.hadoop.fs.Path(p)
-        val stream = hPath.getFileSystem(conf).open(hPath)
+        val fsStream = hPath.getFileSystem(conf).open(hPath)
+        val stream: java.io.InputStream =
+          if (p.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(fsStream, 1 << 16)
+          else fsStream
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
           try stream.close() catch { case _: Exception => () }
+          try fsStream.close() catch { case _: Exception => () }
         }
         recordIterator(stream, maxRecordBytes, verifyCrc)
           .map(rec => Row(p, rec))
@@ -464,7 +476,8 @@ object TfRecord {
     * Example schema's only floating type). Null-valued features are
     * omitted from their record (proto absence), matching TF convention.
     */
-  def writeExamples(df: DataFrame, dir: String, cols: Seq[String]): Long = {
+  def writeExamples(df: DataFrame, dir: String, cols: Seq[String],
+      gzip: Boolean = false): Long = {
     require(cols.nonEmpty, "no feature columns given")
     val fields = cols.map(c => df.schema(df.schema.fieldIndex(c)))
     val src = df.select(cols.map(col): _*)
@@ -479,7 +492,7 @@ object TfRecord {
         Row(encodeExample(feats))
       }
     }(enc)
-    writeRecords(encoded, "example", dir)
+    writeRecords(encoded, "example", dir, gzip)
   }
 
   /** Read an Example lake back into typed columns: for each requested

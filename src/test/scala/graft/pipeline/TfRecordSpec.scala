@@ -139,6 +139,29 @@ class TfRecordSpec extends SparkSpec {
     assert(back(2) === ((2L, Some("gamma"), Some(Seq.empty[Float]))))
   }
 
+  test("gzip shards (.tfrecord.gz) round-trip records and Examples") {
+    val d = dir()
+    val recs = (0 until 40).map(i => Tuple1(s"gz record $i".getBytes))
+    val n = TfRecord.writeRecords(recs.toDF("rec").repartition(3),
+      "rec", s"$d/lake", gzip = true)
+    assert(n === 40L)
+    val shardNames = new java.io.File(s"$d/lake").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")) // Hadoop local-FS .crc sidecars
+    assert(shardNames.nonEmpty && shardNames.forall(_.endsWith(".tfrecord.gz")),
+      shardNames.mkString(", "))
+    val back = TfRecord.readRecords(spark, s"$d/lake")
+      .select("record").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0))).sorted
+    assert(back.toSeq === recs.map(r => new String(r._1)).sorted)
+    // and the typed Example surface composes with gzip unchanged
+    val df = Seq((7L, "zipped text")).toDF("doc_id", "text")
+    TfRecord.writeExamples(df, s"$d/ex", Seq("doc_id", "text"), gzip = true)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val row = TfRecord.readExamples(spark, s"$d/ex", schema).head()
+    assert((row.getLong(0), row.getString(1)) === ((7L, "zipped text")))
+  }
+
   test("writeRecords refuses a pre-existing directory") {
     val d = dir()
     TfRecord.writeRecords(Seq(Tuple1(Array[Byte](1))).toDF("rec"),
