@@ -36,6 +36,36 @@ object TrainingExport {
         col("pack_offset"))
       .write.mode("overwrite").partitionBy("pack_group").parquet(dir)
 
+  /** [[writeTokenShards]] in TFRecord form — the layout a TF/JAX input
+    * pipeline streams directly: packs become `tf.train.Example` records
+    * (`doc_id`/`pack_group`/`pack_id`/`pack_offset`/`n_tokens` Int64
+    * features + the text as a BytesList), pack groups HASHED onto at
+    * most `numGroups` `.tfrecord[.gz]` shards (a shard may hold several
+    * whole groups — hash collisions coalesce, never split), records
+    * grouped by `pack_group` in `(pack_id, pack_offset)` trainer read
+    * order within each shard. Same single pack_group exchange as the
+    * parquet form (the explicit repartition aligns shards with groups;
+    * the sort is within partitions only). Returns the record count.
+    */
+  def writeTokenShardsTfRecord(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      dir: String,
+      budget: Long,
+      numGroups: Int,
+      gzip: Boolean = false,
+  ): Long = {
+    val packed = TextOps.packSequences(df, textCol, idCol, budget, numGroups,
+      carryCols = Seq(textCol))
+      .repartition(numGroups, col("pack_group"))
+      .sortWithinPartitions(col("pack_group"), col("pack_id"),
+        col("pack_offset"))
+    TfRecord.writeExamples(packed, dir,
+      Seq(idCol, textCol, "pack_group", "pack_id", "pack_offset", "n_tokens"),
+      gzip)
+  }
+
   /** Read shards back with the partition column restored to its long
     * type (parquet partition values parse as strings by default unless
     * type inference is on — normalize so round-trips are schema-stable).

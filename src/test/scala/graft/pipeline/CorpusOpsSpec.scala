@@ -367,6 +367,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dirs.length === rt.map(_._2).distinct.length)
   }
 
+  test("writeTokenShardsTfRecord: trainer-ordered Example shards match" +
+      " the pack assignment") {
+    import org.apache.spark.sql.types._
+    val df = (1 to 60)
+      .map(i => (i.toLong, Seq.fill(i % 4 + 1)(s"t$i").mkString(" ")))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tfshards")
+      .toFile.getPath + "/lake"
+    val n = TrainingExport.writeTokenShardsTfRecord(df, "text", "id", dir,
+      budget = 12L, numGroups = 3, gzip = true)
+    assert(n === 60L)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("pack_group", LongType), StructField("pack_id", LongType),
+      StructField("pack_offset", LongType)))
+    val back = TfRecord.readExamples(spark, dir, schema)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(back.length === 60)
+    val direct = TextOps.packSequences(df, "text", "id", 12L, 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4, r._5))).toMap
+    back.foreach { case (id, text, grp, pack, off) =>
+      assert(direct(id) === ((grp, pack, off)), s"id $id")
+      assert(text === Seq.fill((id % 4 + 1).toInt)(s"t$id").mkString(" "))
+    }
+    // within each shard, records arrive grouped by pack_group in
+    // (pack_id, pack_offset) order — the trainer streams sequentially
+    // (groups HASH onto shards, so one shard may hold several groups)
+    val byShard = TfRecord.readRecords(spark, dir)
+      .collect().groupBy(_.getString(0))
+    byShard.values.foreach { rows =>
+      val order = rows.map { r =>
+        val f = TfRecord.decodeExample(r.getAs[Array[Byte]](1))
+        def i64(k: String) =
+          f(k).asInstanceOf[TfRecord.Int64Feature].values.head
+        (i64("pack_group"), i64("pack_id"), i64("pack_offset"))
+      }
+      assert(order.toSeq === order.sortBy(identity).toSeq)
+    }
+  }
+
   test("writeJsonl round-trips the corpus with exact shard count") {
     val df = (1 to 200)
       .map(i => (i.toLong, s"text $i with unicode α🌍 and \"quotes\"",
