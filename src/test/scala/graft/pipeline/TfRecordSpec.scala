@@ -172,6 +172,57 @@ class TfRecordSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("property: 500 random feature maps encode/decode exactly" +
+      " (unicode names, negative/extreme longs, NaN/Inf floats)") {
+    val rnd = new scala.util.Random(20260816L)
+    def randName(): String = {
+      // whole code points only: char-indexing a pool containing an
+      // astral char (🌍 = surrogate PAIR) can emit a lone surrogate,
+      // which is invalid UTF-16 and round-trips as '?' by design
+      val pool = Seq("a", "b", "c", "X", "Y", "Z", "0", "1", "9", "_",
+        "α", "β", "🌍", "-", "!", "/", ".")
+      (0 until 1 + rnd.nextInt(12))
+        .map(_ => pool(rnd.nextInt(pool.length))).mkString
+    }
+    def randFeature(): TfRecord.FeatureValue = rnd.nextInt(3) match {
+      case 0 => TfRecord.BytesFeature(Seq.fill(rnd.nextInt(4))(
+        Array.fill(rnd.nextInt(60))(rnd.nextInt(256).toByte)))
+      case 1 => TfRecord.Int64Feature(Seq.fill(rnd.nextInt(6))(
+        rnd.nextInt(5) match {
+          case 0 => Long.MinValue
+          case 1 => Long.MaxValue
+          case 2 => -1L
+          case _ => rnd.nextLong()
+        }))
+      case _ => TfRecord.FloatFeature(Seq.fill(rnd.nextInt(6))(
+        rnd.nextInt(5) match {
+          case 0 => Float.NaN
+          case 1 => Float.PositiveInfinity
+          case 2 => -0.0f
+          case _ => rnd.nextFloat() * 1e6f - 5e5f
+        }))
+    }
+    (0 until 500).foreach { i =>
+      val feats = (0 until rnd.nextInt(5))
+        .map(_ => randName() -> randFeature()).toMap
+      val back = TfRecord.decodeExample(TfRecord.encodeExample(feats))
+      assert(back.keySet === feats.keySet, s"case $i keys")
+      feats.foreach { case (k, v) =>
+        (v, back(k)) match {
+          case (TfRecord.BytesFeature(a), TfRecord.BytesFeature(b)) =>
+            assert(a.map(_.toSeq) === b.map(_.toSeq), s"case $i '$k'")
+          case (TfRecord.Int64Feature(a), TfRecord.Int64Feature(b)) =>
+            assert(a === b, s"case $i '$k'")
+          case (TfRecord.FloatFeature(a), TfRecord.FloatFeature(b)) =>
+            // bit-level compare: NaN != NaN under ===, -0.0 must survive
+            assert(a.map(java.lang.Float.floatToRawIntBits) ===
+              b.map(java.lang.Float.floatToRawIntBits), s"case $i '$k'")
+          case (x, y) => fail(s"case $i '$k': kind changed $x -> $y")
+        }
+      }
+    }
+  }
+
   test("fuzz: 300 random bit flips never hang or mis-parse silently") {
     val d = dir()
     TfRecord.writeRecords(
