@@ -495,6 +495,73 @@ object TfRecord {
     writeRecords(encoded, "example", dir, gzip)
   }
 
+  /** Infer a Spark schema from up to `sampleRecords` Examples sampled
+    * ACROSS the shards (driver-side, bounded streams, records split
+    * evenly over the files — the audit entry point for an unknown
+    * TFRecord lake): BytesList → `binary` (or
+    * `array<binary>` when any sampled record is multi-valued),
+    * Int64List → `long`/`array<long>`, FloatList →
+    * `float`/`array<float>`. Every field is nullable (absence is the
+    * proto convention). Feature names sort for determinism. Callers
+    * wanting `string` for text features re-type after inspection —
+    * bytes is the only lossless default (proto cannot distinguish).
+    */
+  def inferSchema(
+      spark: SparkSession,
+      dir: String,
+      sampleRecords: Int = 100,
+      maxRecordBytes: Long = 1L << 30,
+  ): StructType = {
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = fs.listStatus(hp)
+      .filter(st => st.isFile && (st.getPath.getName.endsWith(".tfrecord")
+        || st.getPath.getName.endsWith(".tfrecord.gz")))
+      .map(_.getPath).sortBy(_.getName).toSeq
+    require(shards.nonEmpty, s"tfrecord: no .tfrecord shards under $dir")
+    val perShard = math.max(1, sampleRecords / shards.length)
+    // (kind, everMultiValued) per feature name
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Int, Boolean)]
+    shards.foreach { shard =>
+      val fsStream = fs.open(shard)
+      val stream: java.io.InputStream =
+        if (shard.getName.endsWith(".gz"))
+          new java.util.zip.GZIPInputStream(fsStream, 1 << 16)
+        else fsStream
+      try {
+        recordIterator(stream, maxRecordBytes, verifyCrc = true)
+          .take(perShard)
+          .foreach { rec =>
+            decodeExample(rec).foreach { case (k, v) =>
+              val (kind, n) = v match {
+                case BytesFeature(vs) => (0, vs.length)
+                case FloatFeature(vs) => (1, vs.length)
+                case Int64Feature(vs) => (2, vs.length)
+              }
+              seen.get(k) match {
+                case Some((k0, _)) if k0 != kind =>
+                  throw new IllegalArgumentException(
+                    s"tfrecord: feature '$k' changes kind across records — " +
+                      "pass an explicit schema")
+                case Some((k0, multi)) => seen(k) = (k0, multi || n > 1)
+                case None => seen(k) = (kind, n > 1)
+              }
+            }
+          }
+      } finally { stream.close(); fsStream.close() }
+    }
+    require(seen.nonEmpty, s"tfrecord: no decodable Examples under $dir")
+    StructType(seen.toSeq.sortBy(_._1).map { case (name, (kind, multi)) =>
+      val scalar = kind match {
+        case 0 => BinaryType
+        case 1 => FloatType
+        case _ => LongType
+      }
+      StructField(name, if (multi) ArrayType(scalar) else scalar)
+    })
+  }
+
   /** Read an Example lake back into typed columns: for each requested
     * field, the feature decodes to the Spark type — `string`/`binary`
     * take the FIRST BytesList element, `long` the first Int64 element,
@@ -526,6 +593,7 @@ object TfRecord {
                 vs.headOption.map(Float.box).orNull
               case (DoubleType, FloatFeature(vs)) =>
                 vs.headOption.map(x => Double.box(x.toDouble)).orNull
+              case (ArrayType(BinaryType, _), BytesFeature(vs)) => vs
               case (ArrayType(LongType, _), Int64Feature(vs)) => vs
               case (ArrayType(FloatType, _), FloatFeature(vs)) => vs
               case (ArrayType(DoubleType, _), FloatFeature(vs)) =>

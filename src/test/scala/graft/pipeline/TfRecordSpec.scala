@@ -162,6 +162,37 @@ class TfRecordSpec extends SparkSpec {
     assert((row.getLong(0), row.getString(1)) === ((7L, "zipped text")))
   }
 
+  test("inferSchema: kinds and multiplicity from a sample; mixed kinds" +
+      " are a named error") {
+    val d = dir()
+    val df = Seq(
+      (1L, "one", Seq(1.0f), Seq(10L, 11L)),
+      (2L, "two", Seq(2.0f, 3.0f), Seq(20L)),
+    ).toDF("id", "text", "vec", "tags")
+    TfRecord.writeExamples(df, s"$d/lake", Seq("id", "text", "vec", "tags"))
+    val inferred = TfRecord.inferSchema(spark, s"$d/lake")
+    val byName = inferred.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("id") === LongType)
+    assert(byName("text") === BinaryType) // bytes: the lossless default
+    assert(byName("vec") === ArrayType(FloatType)) // multi in SOME record
+    assert(byName("tags") === ArrayType(LongType))
+    // and the inferred schema actually reads the lake back
+    val back = TfRecord.readExamples(spark, s"$d/lake", inferred)
+      .collect().map(r => (r.getLong(byName.keySet.toSeq.sorted.indexOf("id")),
+        new String(r.getAs[Array[Byte]](inferred.fieldIndex("text")), "UTF-8")))
+      .sortBy(_._1)
+    assert(back.map(_._2).toSeq === Seq("one", "two"))
+    // a feature changing kind across records must refuse, not guess
+    val d2 = dir()
+    val r1 = TfRecord.encodeExample(Map("x" -> TfRecord.Int64Feature(Seq(1L))))
+    val r2 = TfRecord.encodeExample(Map("x" -> TfRecord.FloatFeature(Seq(1f))))
+    TfRecord.writeRecords(Seq(Tuple1(r1), Tuple1(r2)).toDF("rec")
+      .coalesce(1), "rec", s"$d2/lake")
+    val e = intercept[IllegalArgumentException](
+      TfRecord.inferSchema(spark, s"$d2/lake"))
+    assert(e.getMessage.contains("changes kind"))
+  }
+
   test("writeRecords refuses a pre-existing directory") {
     val d = dir()
     TfRecord.writeRecords(Seq(Tuple1(Array[Byte](1))).toDF("rec"),
