@@ -1208,7 +1208,12 @@ object SparkEntry {
     // are ALL load-bearing for the hash to match.
     "q_tfrecord_roundtrip" -> ((s, dir) => {
       // deterministic per-SF path (the q_text_search convention);
-      // writeRecords refuses a pre-existing dir, so clear it first
+      // writeRecords refuses a pre-existing COMMITTED dir, so clear it
+      // first. NOTE: java.io.tmpdir works only because the gate runs
+      // single-box (local / local-cluster); on a real multi-node
+      // cluster executor-local /tmp is invisible to the driver's shard
+      // listing — use a shared FS (hdfs/s3a) there, as TfRecord's own
+      // scaladoc says. Do not copy this tmpdir pattern into pipelines.
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_tfrec_gate_" +
         math.abs(dir.hashCode).toString
       val hp = new org.apache.hadoop.fs.Path(tmp)

@@ -152,12 +152,23 @@ object TfRecord {
   private final class ProtoOut(cap: Int = 64) {
     private var buf = new Array[Byte](cap)
     private var n = 0
-    private def ensure(k: Int): Unit =
+    // largest byte[] a JVM reliably allocates; also the framing cap
+    private val MaxMessageBytes = Int.MaxValue - 16
+    private def ensure(k: Int): Unit = {
+      // guard BEFORE the doubling loop: once capacity passes 2^30 the
+      // `c *= 2` would overflow Int (2^31 → negative → 0) and spin
+      // forever, hanging the task instead of failing with a named error
+      if (k < 0 || n > MaxMessageBytes - k)
+        throw new IllegalArgumentException(
+          s"tfrecord proto: example too large ($n + $k bytes exceeds " +
+            s"the $MaxMessageBytes-byte message cap)")
       if (n + k > buf.length) {
         var c = buf.length
-        while (c < n + k) c *= 2
+        while (c < n + k)
+          c = if (c > MaxMessageBytes / 2) MaxMessageBytes else c * 2
         buf = java.util.Arrays.copyOf(buf, c)
       }
+    }
     def varint(v: Long): Unit = {
       ensure(10)
       var x = v
@@ -355,20 +366,43 @@ object TfRecord {
   // Spark surface
   // ------------------------------------------------------------------
 
+  /** Name of the driver-written commit marker (Hadoop convention). */
+  val SuccessMarker = "_SUCCESS"
+
   /** Write a binary column as framed TFRecord shards, one
     * `part-NNNNN.tfrecord` per input partition, streamed from the
-    * executors through the Hadoop FS (temp name + rename per shard —
-    * a crashed task leaves only `_tmp.` litter, never a half shard
-    * under a final name). Returns the record count. `dir` must not
-    * already exist (append would duplicate records silently).
+    * executors through the Hadoop FS. Commit protocol (safe under
+    * speculative execution and task retries):
+    *
+    *  - each task ATTEMPT writes `_tmp.part-NNNNN.<taskAttemptId>` — two
+    *    live attempts of the same partition never touch the same file;
+    *  - the attempt renames its tmp to `part-NNNNN.tfrecord`;
+    *    if the final name already exists (a sibling attempt committed
+    *    first) the rename is treated as success and the loser's tmp is
+    *    deleted — the committed bytes are an identical encode of the
+    *    same partition;
+    *  - after the job, the DRIVER sweeps `_tmp.*` litter and writes a
+    *    `_SUCCESS` marker; [[readRecords]] requires the marker by
+    *    default, so a job that died after renaming SOME shards is not
+    *    silently read as a complete dataset.
+    *
+    * Returns the record count. `dir` must not already contain a
+    * committed dataset (a `_SUCCESS` marker — appending would mix
+    * shards); an UNcommitted leftover dir from a died job is wiped so
+    * retries are clean.
     */
   def writeRecords(df: DataFrame, binCol: String, dir: String,
       gzip: Boolean = false): Long = {
     val spark = df.sparkSession
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(hp),
-      s"tfrecord: $dir already exists — writing into it would mix shards")
+    if (fs.exists(hp)) {
+      require(!fs.exists(new org.apache.hadoop.fs.Path(hp, SuccessMarker)),
+        s"tfrecord: $dir already holds a committed dataset — writing " +
+          "into it would mix shards")
+      // no marker → a prior write died mid-job; wipe for a clean retry
+      fs.delete(hp, true)
+    }
     fs.mkdirs(hp)
     val confBox = spark.sparkContext.broadcast(
       org.apache.spark.GraftSparkBridge.hadoopConfBox(spark.sparkContext))
@@ -378,8 +412,11 @@ object TfRecord {
     val ext = if (gzip) ".tfrecord.gz" else ".tfrecord"
     val counts = df.rdd.mapPartitionsWithIndex { (part, rows) =>
       val conf = confBox.value.value
+      val tc = org.apache.spark.TaskContext.get()
+      val attempt = if (tc == null) 0L else tc.taskAttemptId()
       val fin = new org.apache.hadoop.fs.Path(dir, f"part-$part%05d$ext")
-      val tmp = new org.apache.hadoop.fs.Path(dir, f"_tmp.part-$part%05d")
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir, f"_tmp.part-$part%05d.$attempt")
       val pfs = fin.getFileSystem(conf)
       // GZIP wraps the WHOLE framed stream (TFRecordOptions GZIP — the
       // common Common-Crawl-scale on-disk form); framing is unchanged
@@ -395,34 +432,64 @@ object TfRecord {
         }
       } finally out.close()
       if (n == 0) { pfs.delete(tmp, false); Iterator.single(0L) }
-      else {
-        require(pfs.rename(tmp, fin), s"tfrecord: could not commit $fin")
+      else if (pfs.rename(tmp, fin)) Iterator.single(n)
+      else if (pfs.exists(fin)) {
+        // idempotent commit: a sibling/prior attempt of this partition
+        // already renamed its identical encode into place
+        pfs.delete(tmp, false)
         Iterator.single(n)
-      }
+      } else throw new java.io.IOException(s"tfrecord: could not commit $fin")
     }.collect()
+    // driver-side epilogue: sweep attempt litter, then mark committed
+    fs.listStatus(hp).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith("_tmp."))
+        fs.delete(st.getPath, false)
+    }
+    fs.create(new org.apache.hadoop.fs.Path(hp, SuccessMarker), true).close()
     counts.sum
   }
 
+  private def listShards(fs: org.apache.hadoop.fs.FileSystem,
+      hp: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(hp)
+      .filter(st => st.isFile && (st.getPath.getName.endsWith(".tfrecord")
+        || st.getPath.getName.endsWith(".tfrecord.gz")))
+      .map(_.getPath).sortBy(_.getName).toSeq
+
   /** Read framed TFRecord shards back as `(path, record: binary)` —
     * one task per shard file, memory bounded by one record.
+    *
+    * `requireCommitted` (default true) demands the writer's `_SUCCESS`
+    * marker, so a [[writeRecords]] job that died after committing SOME
+    * shards reads as a loud error instead of a silently-partial
+    * dataset. Pass false for lakes written by OTHER tools (TF's own
+    * writers emit no marker).
     */
   def readRecords(
       spark: SparkSession,
       dir: String,
       maxRecordBytes: Long = 1L << 30,
       verifyCrc: Boolean = true,
+      requireCommitted: Boolean = true,
   ): DataFrame = {
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(hp)
-      .filter(st => st.isFile && (st.getPath.getName.endsWith(".tfrecord")
-        || st.getPath.getName.endsWith(".tfrecord.gz")))
-      .map(_.getPath.toString)
-      .sorted
-      .toSeq
+    if (requireCommitted)
+      require(fs.exists(new org.apache.hadoop.fs.Path(hp, SuccessMarker)),
+        s"tfrecord: $dir has no $SuccessMarker marker — the write never " +
+          "committed (or the lake was written by another tool: pass " +
+          "requireCommitted=false)")
+    val files = listShards(fs, hp).map(_.toString)
     require(files.nonEmpty, s"tfrecord: no .tfrecord shards under $dir")
     import spark.implicits._
-    val paths = files.toDF("path").repartition(files.length, col("path"))
+    // parallelize with numSlices == files.length puts EXACTLY one path
+    // per partition → one task per shard file, no shuffle. (Hashing on
+    // the path — repartition(n, col) — collides several shards into
+    // one task and leaves others empty; round-robin repartition from a
+    // multi-partition local relation starts each input partition at a
+    // pseudo-random offset and collides the same way.)
+    val paths = spark.sparkContext.parallelize(files, files.length)
+      .toDF("path")
     val confBox = spark.sparkContext.broadcast(
       org.apache.spark.GraftSparkBridge.hadoopConfBox(spark.sparkContext))
     val outSchema = StructType(Seq(
@@ -506,6 +573,20 @@ object TfRecord {
     * wanting `string` for text features re-type after inspection —
     * bytes is the only lossless default (proto cannot distinguish).
     */
+  /** The shards [[inferSchema]] actually opens: at most
+    * `min(shards, sampleRecords)` of them, spread evenly across the
+    * sorted list (first shard always included). A lake of a million
+    * shards must not cost a million serial driver-side opens for a
+    * 100-record sample — the old `max(1, sample/shards)` per-shard
+    * floor did exactly that.
+    */
+  private[pipeline] def shardsToVisit[A](shards: Seq[A],
+      sampleRecords: Int): Seq[A] = {
+    val k = math.min(shards.length, math.max(1, sampleRecords))
+    if (k >= shards.length) shards
+    else (0 until k).map(i => shards((i.toLong * shards.length / k).toInt))
+  }
+
   def inferSchema(
       spark: SparkSession,
       dir: String,
@@ -514,11 +595,9 @@ object TfRecord {
   ): StructType = {
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val shards = fs.listStatus(hp)
-      .filter(st => st.isFile && (st.getPath.getName.endsWith(".tfrecord")
-        || st.getPath.getName.endsWith(".tfrecord.gz")))
-      .map(_.getPath).sortBy(_.getName).toSeq
-    require(shards.nonEmpty, s"tfrecord: no .tfrecord shards under $dir")
+    val allShards = listShards(fs, hp)
+    require(allShards.nonEmpty, s"tfrecord: no .tfrecord shards under $dir")
+    val shards = shardsToVisit(allShards, sampleRecords)
     val perShard = math.max(1, sampleRecords / shards.length)
     // (kind, everMultiValued) per feature name
     val seen = scala.collection.mutable.LinkedHashMap

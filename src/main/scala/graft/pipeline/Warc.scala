@@ -267,12 +267,16 @@ object Warc {
     val head = new String(payload, 0, headerEnd, StandardCharsets.UTF_8)
     val lines = head.split("\r\n").toSeq
     // Both checks are needed: toIntOption alone accepts a signed form
-    // ("+200") the status grammar forbids, and isDigit-then-toInt alone
+    // ("+200") the status grammar forbids, and digits-then-toInt alone
     // let an all-digit status longer than Int ("99999999999") blow the
-    // task with NumberFormatException
+    // task with NumberFormatException. The digit test is ASCII-only
+    // ('0'..'9'): Char.isDigit also accepts Unicode digits (Arabic-Indic
+    // "٢٠٠", Devanagari "२००") that Integer.parseInt would then parse,
+    // which the RFC 9112 status grammar (3 DIGIT) forbids
     val status = lines.head.split(" ") match {
       case parts if parts.length >= 2 && parts(1).nonEmpty &&
-          parts(1).forall(_.isDigit) && parts(1).toIntOption.isDefined =>
+          parts(1).forall(c => c >= '0' && c <= '9') &&
+          parts(1).toIntOption.isDefined =>
         parts(1).toInt
       case _ => return null
     }

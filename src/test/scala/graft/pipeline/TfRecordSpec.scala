@@ -147,6 +147,7 @@ class TfRecordSpec extends SparkSpec {
     assert(n === 40L)
     val shardNames = new java.io.File(s"$d/lake").listFiles().map(_.getName)
       .filterNot(_.startsWith(".")) // Hadoop local-FS .crc sidecars
+      .filterNot(_ == "_SUCCESS")   // the driver's commit marker
     assert(shardNames.nonEmpty && shardNames.forall(_.endsWith(".tfrecord.gz")),
       shardNames.mkString(", "))
     val back = TfRecord.readRecords(spark, s"$d/lake")
@@ -193,14 +194,74 @@ class TfRecordSpec extends SparkSpec {
     assert(e.getMessage.contains("changes kind"))
   }
 
-  test("writeRecords refuses a pre-existing directory") {
+  test("commit protocol: _SUCCESS marker gates reads; committed dirs" +
+      " refuse re-write; uncommitted leftovers retry clean") {
     val d = dir()
     TfRecord.writeRecords(Seq(Tuple1(Array[Byte](1))).toDF("rec"),
       "rec", s"$d/lake")
+    // the writer committed: marker present, read succeeds
+    assert(new java.io.File(s"$d/lake/_SUCCESS").exists())
+    assert(TfRecord.readRecords(spark, s"$d/lake").count() === 1L)
+    // a COMMITTED dataset refuses a second write (would mix shards)
     val e = intercept[IllegalArgumentException](
       TfRecord.writeRecords(Seq(Tuple1(Array[Byte](2))).toDF("rec"),
         "rec", s"$d/lake"))
-    assert(e.getMessage.contains("already exists"))
+    assert(e.getMessage.contains("committed dataset"))
+    // simulate a job that died after renaming SOME shards: marker gone
+    assert(new java.io.File(s"$d/lake/_SUCCESS").delete())
+    val e2 = intercept[IllegalArgumentException](
+      TfRecord.readRecords(spark, s"$d/lake").count())
+    assert(e2.getMessage.contains("_SUCCESS"))
+    // external lakes (no marker by design) read with the flag
+    assert(TfRecord.readRecords(spark, s"$d/lake",
+      requireCommitted = false).count() === 1L)
+    // and a RETRY of the write wipes the uncommitted leftovers cleanly
+    val n = TfRecord.writeRecords(
+      Seq(Tuple1(Array[Byte](2)), Tuple1(Array[Byte](3))).toDF("rec")
+        .coalesce(1), "rec", s"$d/lake")
+    assert(n === 2L)
+    assert(TfRecord.readRecords(spark, s"$d/lake").count() === 2L)
+    // attempt litter never survives the driver epilogue
+    assert(!new java.io.File(s"$d/lake").listFiles()
+      .exists(_.getName.startsWith("_tmp.")))
+  }
+
+  test("readRecords runs exactly one task per shard file (round-robin," +
+      " not hash-on-path)") {
+    val d = dir()
+    TfRecord.writeRecords(
+      (0 until 64).map(i => Tuple1(s"rec $i".getBytes))
+        .toDF("rec").repartition(8), "rec", s"$d/lake")
+    val recs = TfRecord.readRecords(spark, s"$d/lake")
+    // every partition holds the records of exactly one shard: distinct
+    // paths per partition == 1, and no partition is empty
+    val perPart = recs.rdd.mapPartitions { it =>
+      Iterator.single(it.map(_.getString(0)).toSet.size)
+    }.collect()
+    assert(perPart.length === 8)
+    assert(perPart.forall(_ === 1), perPart.mkString(","))
+  }
+
+  test("shardsToVisit bounds inferSchema's driver sweep to" +
+      " min(shards, sampleRecords), evenly spread") {
+    val shards = (0 until 1000).map(i => f"part-$i%05d")
+    val v = TfRecord.shardsToVisit(shards, 10)
+    assert(v.length === 10)
+    assert(v.head === "part-00000") // first shard always sampled
+    assert(v === v.sorted && v.distinct === v) // ordered, no repeats
+    // evenly spread: consecutive picks ~100 apart
+    val idx = v.map(s => s.drop(5).toInt)
+    assert(idx.sliding(2).forall { case Seq(a, b) => b - a == 100 })
+    // fewer shards than the sample -> all of them
+    assert(TfRecord.shardsToVisit(shards.take(3), 10) === shards.take(3))
+    // degenerate sample sizes still visit something
+    assert(TfRecord.shardsToVisit(shards, 0).length === 1)
+    // and end-to-end: a many-shard lake infers from a bounded sample
+    val d = dir()
+    val df = (0 until 40).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    TfRecord.writeExamples(df.repartition(20), s"$d/lake", Seq("id", "text"))
+    val inferred = TfRecord.inferSchema(spark, s"$d/lake", sampleRecords = 5)
+    assert(inferred.fieldNames.toSeq === Seq("id", "text"))
   }
 
   test("property: 500 random feature maps encode/decode exactly" +

@@ -164,6 +164,13 @@ class WarcSpec extends SparkSpec {
     // digits only
     assert(Warc.parseHttpMessage(
       "HTTP/1.1 +200 OK\r\n\r\nx".getBytes) === null)
+    // ...and ASCII digits only: Char.isDigit (and Integer.parseInt)
+    // accept Unicode digits — Arabic-Indic "٢٠٠" and Devanagari "२००"
+    // would otherwise parse as 200 despite RFC 9112's 3-DIGIT grammar
+    assert(Warc.parseHttpMessage(
+      "HTTP/1.1 ٢٠٠ OK\r\n\r\nx".getBytes("UTF-8")) === null)
+    assert(Warc.parseHttpMessage(
+      "HTTP/1.1 २०० OK\r\n\r\nx".getBytes("UTF-8")) === null)
   }
 
   test("records(): one row per record, carried columns preserved") {
