@@ -34,10 +34,13 @@ import graft.dfops.DfOps
   *    suite-wide quiet minimum of their kind; per query the artifact
   *    reports min / median / spread (max÷min) over its quiet reps;
   *  - the suite SELF-HEALS: while any query has < 2 quiet reps, up to
-  *    `extraRounds` additional full interleaved rounds run; a query with
-  *    ZERO quiet reps after that falls back to all-rep stats and is named
-  *    in `contaminated` — a committed artifact either carries clean
-  *    numbers or says exactly which ones aren't.
+  *    10 additional full interleaved rounds run; a query with ZERO quiet
+  *    reps after that falls back to all-rep stats and is named in
+  *    `contaminated`, and any query still under 2 quiet reps is named in
+  *    `unusable` — in which case the artifact carries `"usable":false`
+  *    and the process EXITS NONZERO, so a contaminated run can never be
+  *    archived as the round's number of record (protocol extracted to
+  *    [[BenchProtocol]] and spec-pinned with scripted canaries).
   *
   * Each workload executes to a noop sink — `count()` would let Catalyst
   * prune the projections being measured. The reported headline stays the
@@ -297,79 +300,23 @@ object Bench {
       meter.bytes.get() - before
     }
 
-    /** One rep's reading: seconds plus the four bracket canaries. */
-    case class Rep(sec: Double, cpuB: Double, bwB: Double,
-        cpuA: Double, bwA: Double) {
-      // bw threshold looser than cpu: the triad's own scheduling noise is
-      // larger than the sqrt loop's, while real bandwidth weather (the
-      // round-12 contamination) swings 2-3× — still cleanly past 1.5×
-      def quiet(cpuMin: Double, bwMin: Double): Boolean =
-        math.max(cpuB, cpuA) <= 1.3 * cpuMin &&
-          math.max(bwB, bwA) <= 1.5 * bwMin
-    }
-
-    /** Per-query aggregate over quiet reps (or all reps when none quiet). */
-    case class QStat(name: String, min: Double, median: Double,
-        spread: Double, cpuCanary: Double, bwCanary: Double,
-        shuffleMb: Double, quietReps: Int)
-
-    /** The interleaved, canary-bracketed, self-healing suite run (see the
-      * object scaladoc for the protocol).
+    import BenchProtocol.QStat
+    /** The interleaved, canary-bracketed, self-healing suite run —
+      * [[BenchProtocol.runSuite]] with the real probes. `maxExtraRounds`
+      * is the round-16 hardening: the old budget of 2 let round-15's
+      * driver artifact archive `quiet_reps:0` numbers as the number of
+      * record; 10 extra rounds (~35 s ×1 / ~80 s ×10 worst case) ride
+      * out transient weather, and what survives is named `unusable`.
       */
-    def runSuite(
-        ws: Seq[(String, () => Unit)], rounds: Int, extraRounds: Int = 2,
-    ): (Seq[QStat], Seq[String], Int) = {
-      def tryRun(name: String, run: () => Unit): Unit =
-        try run()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      // per-workload untimed warm-up (whole-stage-codegen generation + C2
-      // compile happen per distinct plan) and one shuffle-metered run
-      val shuffleMb = ws.map { case (name, run) =>
-        tryRun(name, run)
-        name -> shuffleDelta(() => tryRun(name, run)) / 1e6
-      }.toMap
-      val reps = collection.mutable.Map.empty[String, Vector[Rep]]
-        .withDefaultValue(Vector.empty)
-      def oneRound(): Unit = {
-        var cpuPrev = canary()
-        var bwPrev = Triad.probe()
-        for ((name, run) <- ws) {
-          val t0 = System.nanoTime()
-          tryRun(name, run)
-          val sec = (System.nanoTime() - t0) / 1e9
-          val cpuNext = canary()
-          val bwNext = Triad.probe()
-          reps(name) = reps(name) :+ Rep(sec, cpuPrev, bwPrev, cpuNext, bwNext)
-          cpuPrev = cpuNext; bwPrev = bwNext
-        }
-      }
-      (1 to rounds).foreach(_ => oneRound())
-      def quietMins(): (Double, Double) = {
-        val all = reps.values.flatten
-        (all.flatMap(r => Seq(r.cpuB, r.cpuA)).min,
-          all.flatMap(r => Seq(r.bwB, r.bwA)).min)
-      }
-      var extra = 0
-      while (extra < extraRounds && {
-        val (cm, bm) = quietMins()
-        ws.exists { case (n, _) => reps(n).count(_.quiet(cm, bm)) < 2 }
-      }) { oneRound(); extra += 1 }
-      val (cpuMin, bwMin) = quietMins()
-      val stats = ws.map { case (name, _) =>
-        val all = reps(name)
-        val q = all.filter(_.quiet(cpuMin, bwMin))
-        val use = if (q.nonEmpty) q else all
-        val secs = use.map(_.sec).sorted
-        QStat(name, secs.head, secs(secs.size / 2),
-          if (secs.head > 0) secs.last / secs.head else 1.0,
-          use.map(r => math.max(r.cpuB, r.cpuA)).min,
-          use.map(r => math.max(r.bwB, r.bwA)).min,
-          shuffleMb(name), q.size)
-      }
-      (stats, stats.filter(_.quietReps == 0).map(_.name), extra)
-    }
+    def runSuite(ws: Seq[(String, () => Unit)], rounds: Int)
+        : BenchProtocol.SuiteResult =
+      BenchProtocol.runSuite(ws, rounds, maxExtraRounds = 10,
+        cpuProbe = () => canary(), bwProbe = () => Triad.probe(),
+        shuffleMbOf = (_, run) => shuffleDelta(run) / 1e6)
 
-    val (results, contaminated1x, extra1x) = runSuite(workloads, rounds = 5)
+    val r1x = runSuite(workloads, rounds = 5)
+    val (results, contaminated1x, extra1x) =
+      (r1x.stats, r1x.contaminated, r1x.extraRounds)
 
     // ---- 10× weak-scaling leg ----------------------------------------
     // The sf0.1 numbers are sub-second — small enough that fixed costs
@@ -382,7 +329,9 @@ object Bench {
     // rows (identical copies would grow it quadratically and the bench
     // would measure output explosion, not throughput).
     val x10 = sys.env.getOrElse("SPARK_GRAFT_X10", "true").toBoolean
-    val (x10Results, x10Contaminated, x10Extra): (Seq[QStat], Seq[String], Int) = if (!x10) (Seq.empty, Seq.empty, 0) else {
+    val rX10: BenchProtocol.SuiteResult = if (!x10)
+      BenchProtocol.SuiteResult(Seq.empty, Seq.empty, 0, Seq.empty)
+    else {
       val dir = java.nio.file.Files.createTempDirectory("graft_bench_x10").toString
       val copies = explode(sequence(lit(0), lit(9))).as("copy")
       lineitem
@@ -463,6 +412,8 @@ object Bench {
       } catch { case _: Throwable => () }
       out
     }
+    val (x10Results, x10Contaminated, x10Extra) =
+      (rX10.stats, rX10.contaminated, rX10.extraRounds)
 
     // cross-leg sanity, report-only: a query CANNOT be meaningfully slower
     // at 1× than at 10× rows in steady state — with quiet-gated interleaved
@@ -484,22 +435,37 @@ object Bench {
       rs.map { r => "\"" + r.name + "\":" + f(r) }.mkString("{", ",", "}")
     def jlist(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def legJson(rs: Seq[QStat], cont: Seq[String], extra: Int): String =
-      s""""queries":${jmap(rs, _.min)},"medians":${jmap(rs, _.median)},"spreads":${jmap(rs, _.spread)},"canaries":${jmap(rs, _.cpuCanary)},"bw_canaries":${jmap(rs, _.bwCanary)},"shuffle_mb":${jmap(rs, _.shuffleMb)},"quiet_reps":${jmapi(rs, _.quietReps)},"contaminated":${jlist(cont)},"extra_rounds":$extra"""
+    def legJson(r: BenchProtocol.SuiteResult): String = {
+      val rs = r.stats
+      s""""queries":${jmap(rs, _.min)},"medians":${jmap(rs, _.median)},"spreads":${jmap(rs, _.spread)},"canaries":${jmap(rs, _.cpuCanary)},"bw_canaries":${jmap(rs, _.bwCanary)},"shuffle_mb":${jmap(rs, _.shuffleMb)},"quiet_reps":${jmapi(rs, _.quietReps)},"contaminated":${jlist(r.contaminated)},"unusable":${jlist(r.unusable)},"extra_rounds":${r.extraRounds}"""
+    }
     val total = results.map(_.min).sum
     val canarySec = results.map(_.cpuCanary).min
     val bwCanarySec = results.map(_.bwCanary).min
     val x10Part = if (x10Results.isEmpty) "" else {
       val t10 = x10Results.map(_.min).sum
-      s""","x10":{"rows_factor":10,"total_sec":$t10,${legJson(x10Results, x10Contaminated, x10Extra)}}"""
+      s""","x10":{"rows_factor":10,"total_sec":$t10,${legJson(rX10)}}"""
     }
     // run_quiet judges the WHOLE run (both legs' canary minima) against
     // the committed quiet-box constants — see quietCpuCanarySec
     val allCpuMin = (results ++ x10Results).map(_.cpuCanary).min
     val allBwMin = (results ++ x10Results).map(_.bwCanary).min
     val quiet = runQuiet(allCpuMin, allBwMin)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",${legJson(results, contaminated1x, extra1x)},"canary_sec":$canarySec,"bw_canary_sec":$bwCanarySec,"run_quiet":$quiet,"quiet_cpu_ref":$quietCpuCanarySec,"quiet_bw_ref":$quietBwCanarySec,"inverted_1x":${jlist(inverted1x)}$x10Part,"sf":"$sfDir"}"""
+    // irrecoverable contamination: a query that still lacks 2 quiet reps
+    // after the 10-round extension budget. Named per leg in `unusable`,
+    // rolled up in `usable`, and signalled with a NONZERO exit below —
+    // round 15 showed that an exit-0 headline total from a contaminated
+    // run gets archived as the number of record
+    val unusableAll =
+      (r1x.unusable.map("1x:" + _) ++ rX10.unusable.map("x10:" + _))
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",${legJson(r1x)},"canary_sec":$canarySec,"bw_canary_sec":$bwCanarySec,"run_quiet":$quiet,"quiet_cpu_ref":$quietCpuCanarySec,"quiet_bw_ref":$quietBwCanarySec,"usable":${unusableAll.isEmpty},"inverted_1x":${jlist(inverted1x)}$x10Part,"sf":"$sfDir"}"""
     emitArtifact(json, sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json"))
     spark.stop()
+    if (unusableAll.nonEmpty) {
+      System.err.println("[bench] UNUSABLE after extension budget " +
+        s"(queries without 2 quiet reps): ${unusableAll.mkString(", ")} — " +
+        "numbers for these are weather, not code; exiting nonzero")
+      sys.exit(3)
+    }
   }
 }

@@ -1,0 +1,120 @@
+package graft
+
+/** The interleaved, canary-bracketed, self-healing benchmark protocol —
+  * extracted from [[Bench]] so a spec can drive it with SCRIPTED canary
+  * probes and pin the contamination handling (round-15's driver
+  * artifact self-reported `quiet_reps:0` on two queries yet exited 0
+  * with a headline total; the protocol now extends until every query
+  * has ≥ 2 quiet reps or names itself unusable).
+  *
+  * Protocol (see Bench's scaladoc for the measurement rationale):
+  *
+  *  - one untimed warm-up + one shuffle-metered run per workload, then
+  *    reps are INTERLEAVED across workloads in rounds — a transient
+  *    load spike lands on one rep of several queries instead of every
+  *    rep of one query;
+  *  - every rep is bracketed by a canary PAIR (single-thread CPU probe
+  *    + multi-thread bandwidth probe); a rep is QUIET iff all four
+  *    bracket readings sit within 1.3×/1.5× of the suite-wide quiet
+  *    minimum of their kind;
+  *  - the suite SELF-HEALS: while any query has < 2 quiet reps, up to
+  *    `maxExtraRounds` additional full interleaved rounds run;
+  *  - a query still under 2 quiet reps after the budget is named in
+  *    `unusable` (and, at zero quiet reps, in `contaminated`): the
+  *    artifact either carries clean numbers or says exactly which ones
+  *    are weather — and [[Bench]] exits NONZERO so the round driver
+  *    records the run as contaminated instead of archiving weather as
+  *    the number of record.
+  */
+object BenchProtocol {
+
+  /** One rep's reading: seconds plus the four bracket canaries. */
+  final case class Rep(sec: Double, cpuB: Double, bwB: Double,
+      cpuA: Double, bwA: Double) {
+    // bw threshold looser than cpu: the triad's own scheduling noise is
+    // larger than the sqrt loop's, while real bandwidth weather (the
+    // round-12 contamination) swings 2-3× — still cleanly past 1.5×
+    def quiet(cpuMin: Double, bwMin: Double): Boolean =
+      math.max(cpuB, cpuA) <= 1.3 * cpuMin &&
+        math.max(bwB, bwA) <= 1.5 * bwMin
+  }
+
+  /** Per-query aggregate over quiet reps (or all reps when none quiet). */
+  final case class QStat(name: String, min: Double, median: Double,
+      spread: Double, cpuCanary: Double, bwCanary: Double,
+      shuffleMb: Double, quietReps: Int)
+
+  /** Suite outcome. `contaminated` = zero quiet reps (stats fall back to
+    * all reps); `unusable` = fewer than the required 2 quiet reps after
+    * the extension budget — the superset the driver must treat as
+    * not-a-number-of-record.
+    */
+  final case class SuiteResult(stats: Seq[QStat], contaminated: Seq[String],
+      extraRounds: Int, unusable: Seq[String])
+
+  /** Run the suite. `cpuProbe`/`bwProbe` are injectable for the spec;
+    * `shuffleMbOf` maps a workload run to its shuffle-write megabytes
+    * (Bench passes the listener delta; the spec passes a constant).
+    */
+  def runSuite(
+      ws: Seq[(String, () => Unit)],
+      rounds: Int,
+      maxExtraRounds: Int,
+      cpuProbe: () => Double,
+      bwProbe: () => Double,
+      shuffleMbOf: (String, () => Unit) => Double,
+  ): SuiteResult = {
+    def tryRun(name: String, run: () => Unit): Unit =
+      try run()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+    // per-workload untimed warm-up (whole-stage-codegen generation + C2
+    // compile happen per distinct plan) and one shuffle-metered run
+    val shuffleMb = ws.map { case (name, run) =>
+      tryRun(name, run)
+      name -> shuffleMbOf(name, () => tryRun(name, run))
+    }.toMap
+    val reps = collection.mutable.Map.empty[String, Vector[Rep]]
+      .withDefaultValue(Vector.empty)
+    def oneRound(): Unit = {
+      var cpuPrev = cpuProbe()
+      var bwPrev = bwProbe()
+      for ((name, run) <- ws) {
+        val t0 = System.nanoTime()
+        tryRun(name, run)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cpuNext = cpuProbe()
+        val bwNext = bwProbe()
+        reps(name) = reps(name) :+ Rep(sec, cpuPrev, bwPrev, cpuNext, bwNext)
+        cpuPrev = cpuNext; bwPrev = bwNext
+      }
+    }
+    (1 to rounds).foreach(_ => oneRound())
+    def quietMins(): (Double, Double) = {
+      val all = reps.values.flatten
+      (all.flatMap(r => Seq(r.cpuB, r.cpuA)).min,
+        all.flatMap(r => Seq(r.bwB, r.bwA)).min)
+    }
+    def shortOfQuiet(): Boolean = {
+      val (cm, bm) = quietMins()
+      ws.exists { case (n, _) => reps(n).count(_.quiet(cm, bm)) < 2 }
+    }
+    var extra = 0
+    while (extra < maxExtraRounds && shortOfQuiet()) { oneRound(); extra += 1 }
+    val (cpuMin, bwMin) = quietMins()
+    val stats = ws.map { case (name, _) =>
+      val all = reps(name)
+      val q = all.filter(_.quiet(cpuMin, bwMin))
+      val use = if (q.nonEmpty) q else all
+      val secs = use.map(_.sec).sorted
+      QStat(name, secs.head, secs(secs.size / 2),
+        if (secs.head > 0) secs.last / secs.head else 1.0,
+        use.map(r => math.max(r.cpuB, r.cpuA)).min,
+        use.map(r => math.max(r.bwB, r.bwA)).min,
+        shuffleMb(name), q.size)
+    }
+    SuiteResult(stats,
+      stats.filter(_.quietReps == 0).map(_.name),
+      extra,
+      stats.filter(_.quietReps < 2).map(_.name))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the benchmark suite protocol with SCRIPTED canary probes — the
+  * round-16 hardening: a contaminated run must extend itself, and when
+  * extension cannot heal it, it must NAME the unusable queries instead
+  * of exiting clean with a headline total (round 15's driver artifact
+  * archived `quiet_reps:0` numbers as the number of record).
+  *
+  * No SparkSession: the protocol is pure orchestration; workloads here
+  * are no-op closures and shuffle MB a constant.
+  */
+class BenchProtocolSpec extends AnyFunSuite {
+
+  private val QUIET_CPU = 0.05
+  private val QUIET_BW = 0.02
+  private val HOT = 10.0
+
+  private def ws(names: String*): Seq[(String, () => Unit)] =
+    names.map(n => n -> (() => ()))
+
+  /** Probe pair that replays scripted (cpu, bw) readings in call order;
+    * falls back to quiet once the script is exhausted.
+    */
+  private final class Script(readings: Seq[(Double, Double)]) {
+    private var i = -1
+    val cpu: () => Double = () => { i += 1; readings.lift(i).map(_._1).getOrElse(QUIET_CPU) }
+    // bw probe fires right after cpu in both bracket positions: reuse i
+    val bw: () => Double = () => readings.lift(i).map(_._2).getOrElse(QUIET_BW)
+  }
+
+  private def run(workloads: Seq[(String, () => Unit)],
+      script: Seq[(Double, Double)], rounds: Int = 3,
+      maxExtra: Int = 10): BenchProtocol.SuiteResult = {
+    val s = new Script(script)
+    BenchProtocol.runSuite(workloads, rounds, maxExtra, s.cpu, s.bw,
+      (_, _) => 1.25)
+  }
+
+  test("quiet box: no extension, no contamination, all reps quiet") {
+    val r = run(ws("a", "b", "c"), script = Seq.empty, rounds = 3)
+    assert(r.extraRounds === 0)
+    assert(r.contaminated.isEmpty && r.unusable.isEmpty)
+    assert(r.stats.map(_.name) === Seq("a", "b", "c"))
+    assert(r.stats.forall(_.quietReps === 3))
+    assert(r.stats.forall(_.shuffleMb === 1.25))
+  }
+
+  test("transient spike: the suite self-heals with extra rounds and the" +
+      " artifact stays clean") {
+    // 2 workloads → 3 probe pairs per round. Round 1 quiet (sets the
+    // suite-wide floor, 1 quiet rep each), round 2 fully HOT (0 quiet
+    // reps), script exhausted from round 3 → quiet again. After the 2
+    // base rounds every query has only 1 quiet rep, so exactly one
+    // extension round must run to reach 2.
+    val quietRound = Seq.fill(3)((QUIET_CPU, QUIET_BW))
+    val hotRound = Seq.fill(3)((HOT, HOT))
+    val r = run(ws("a", "b"), script = quietRound ++ hotRound, rounds = 2)
+    assert(r.extraRounds === 1)
+    assert(r.contaminated.isEmpty && r.unusable.isEmpty)
+    assert(r.stats.forall(_.quietReps === 2))
+  }
+
+  test("irrecoverable contamination: the affected query is named" +
+      " unusable AND contaminated; quiet queries stay clean") {
+    // 3 workloads → 4 probe pairs per round (leading + one after each
+    // workload); brackets are SHARED between neighbours: a = pairs 0,1;
+    // b = 1,2; c = 2,3. Heating pair 1 (between a and b) in EVERY round
+    // keeps both a and b permanently un-quiet while c stays clean — the
+    // round-15 shape, where contamination pinned to one time window of
+    // each interleaved round poisoned the adjacent queries only.
+    def round = Seq((QUIET_CPU, QUIET_BW), (HOT, HOT),
+      (QUIET_CPU, QUIET_BW), (QUIET_CPU, QUIET_BW))
+    val script = Seq.fill(20)(round).flatten // hot every round, forever
+    val r = run(ws("a", "b", "c"), script, rounds = 3, maxExtra = 4)
+    assert(r.extraRounds === 4) // budget exhausted
+    assert(r.unusable === Seq("a", "b"))
+    assert(r.contaminated === Seq("a", "b")) // zero quiet reps for both
+    assert(r.stats.find(_.name == "c").get.quietReps >= 2)
+    // contaminated queries still REPORT stats (all-rep fallback), so the
+    // artifact stays parseable — they are just flagged not-a-number
+    val a = r.stats.find(_.name == "a").get
+    assert(a.min >= 0 && a.median >= 0)
+  }
+
+  test("one slow bracket under the 1.3x/1.5x band is still quiet" +
+      " (thresholds are relative to the suite-wide minimum)") {
+    // probe readings at 1.2× cpu / 1.4× bw of the quiet floor: inside
+    // both bands → no extension
+    val mild = Seq.fill(12)((QUIET_CPU * 1.2, QUIET_BW * 1.4))
+    val r = run(ws("a", "b"), script = (QUIET_CPU, QUIET_BW) +: mild,
+      rounds = 3)
+    assert(r.extraRounds === 0)
+    assert(r.unusable.isEmpty)
+  }
+
+  test("a workload that throws never aborts the suite (named stderr," +
+      " stats still emitted)") {
+    val boom = Seq("ok" -> (() => ()),
+      "boom" -> (() => throw new RuntimeException("kaput")))
+    val r = run(boom, script = Seq.empty, rounds = 2)
+    assert(r.stats.map(_.name) === Seq("ok", "boom"))
+    assert(r.unusable.isEmpty) // canaries quiet; failure is a run error,
+    // not weather — timings of the throwing stub are near-zero but real
+  }
+}
