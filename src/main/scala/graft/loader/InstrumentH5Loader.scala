@@ -249,6 +249,47 @@ object InstrumentH5Loader extends Loader {
     else (events, timed)
   }
 
+  /** FLASH `read_dataframe(runs=, collect_metadata=)`
+    * (`sed/loader/flash/loader.py:896-929`): resolve each run's files
+    * in `folder` through the DAQ naming glob, load the (events, timed)
+    * frames, and — when `collectMetadata` — fetch the runs' SciCat
+    * catalogue metadata ([[ScicatMetadata]], `loader.py:839-846`) into
+    * the returned dict. Requiring a [[ScicatMetadata.Config]] only when
+    * the flag is set mirrors the reference, where the retriever is
+    * constructed (and its no-URL/token ValueError raised) only inside
+    * `parse_metadata`. Catalogue fetch FAILURES warn per run and leave
+    * that run's keys absent — a catalogue outage never fails the data
+    * load. Metadata is a handful of driver-side HTTP round trips per
+    * load; the data path is untouched.
+    */
+  def readRuns(
+      spark: SparkSession,
+      folder: String,
+      runs: Seq[String],
+      channels: Seq[Channel] = flashDefaultChannels,
+      extension: String = "h5",
+      pulseChannel: String = "pulseId",
+      tofChannel: String = "dldTimeSteps",
+      ubidOffset: Int = 5,
+      bufferDir: Option[String] = None,
+      collectMetadata: Boolean = false,
+      scicat: Option[ScicatMetadata.Config] = None,
+      beamtimeId: String = "",
+      metadata: Map[String, Any] = Map.empty,
+  ): (DataFrame, DataFrame, Map[String, Any]) = {
+    val files = runs.flatMap(r =>
+      GenericLoader.getFilesFromRunId(folder, r, extension))
+    val (events, timed) = readDataframe(
+      spark, files, channels, pulseChannel, tofChannel, ubidOffset, bufferDir)
+    val meta =
+      if (!collectMetadata) metadata
+      else ScicatMetadata.getMetadata(
+        scicat.getOrElse(throw new IllegalArgumentException(
+          "scicat: no URL or token provided for fetching metadata")),
+        beamtimeId, runs, metadata)
+    (events, timed, meta)
+  }
+
   /** [[Loader]] contract entry: flash HEXTOF channel geometry by default. */
   override def readDataframe(
       spark: SparkSession, paths: Seq[String]): (DataFrame, Option[DataFrame]) = {

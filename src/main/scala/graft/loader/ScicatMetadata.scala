@@ -1,0 +1,150 @@
+package graft.loader
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.jdk.CollectionConverters._
+
+/** FLASH SciCat metadata retriever — per-run dataset metadata fetched
+  * over HTTP from a SciCat catalogue instance, keyed by beamtime + run
+  * (`sed/loader/flash/metadata.py:19-124`, wired into the loader at
+  * `sed/loader/flash/loader.py:839-846` and invoked on every
+  * `read_dataframe(collect_metadata=True)`, `loader.py:929`).
+  *
+  * Behavior mirrors the reference exactly:
+  *
+  *  - configuration must provide BOTH the catalogue URL and a token,
+  *    else construction refuses (`metadata.py:33-34`);
+  *  - per run, `pid = "<beamtimeId>/<run>"`, URL-escaped `/` → `%2F`
+  *    (`_reformat_pid`, `metadata.py:121-124` — SciCat prefixes pids
+  *    with `/` at some sites; at DESY the prefix is empty);
+  *  - the NEW dataset URL form `{base}/Datasets/{pid}` is tried first;
+  *    an HTTP-successful but EMPTY body means an older SciCat
+  *    deployment, so the OLD form `{base}/Datasets/%2F{pid}` is
+  *    retried (`_get_metadata_per_run`, `metadata.py:95-107`);
+  *  - auth is a `Authorization: Bearer <token>` header with
+  *    JSON content/accept headers and a 10 s timeout;
+  *  - a FAILED fetch (network error, non-2xx) warns and yields an
+  *    empty map for that run — a catalogue outage must not fail the
+  *    data load (`metadata.py:108-112`);
+  *  - runs merge into one flat dict, later runs overwriting earlier
+  *    keys — the reference's own (documented-as-imperfect) semantics
+  *    (`get_metadata`, `metadata.py:66-75`).
+  *
+  * Driver-side only: metadata is a handful of HTTP round trips per
+  * load, never per partition — nothing here touches executors.
+  */
+object ScicatMetadata {
+
+  /** Catalogue endpoint + token. Mirrors the reference's constructor
+    * contract: both must be present (`metadata.py:28-34`; the explicit
+    * `token` argument overrides the config entry, like the reference's
+    * `scicat_token` parameter).
+    */
+  final case class Config(url: String, token: String, timeoutMs: Int = 10000) {
+    require(url != null && url.nonEmpty && token != null && token.nonEmpty,
+      "scicat: no URL or token provided for fetching metadata")
+  }
+
+  /** Build a [[Config]] from a parsed metadata config section
+    * (`scicat_url` / `scicat_token` keys, `metadata.py:28-31`),
+    * with an optional explicit token override.
+    */
+  def configFrom(metadataConfig: Map[String, String],
+      scicatToken: Option[String] = None): Config = {
+    val tok = scicatToken.orElse(metadataConfig.get("scicat_token"))
+    val url = metadataConfig.get("scicat_url")
+    require(tok.exists(_.nonEmpty) && url.exists(_.nonEmpty),
+      "scicat: no URL or token provided for fetching metadata")
+    Config(url.get, tok.get)
+  }
+
+  /** SciCat pid escaping: `/` → `%2F` (`metadata.py:121-124`). */
+  def reformatPid(pid: String): String = pid.replace("/", "%2F")
+
+  /** Current SciCat dataset URL form (`metadata.py:115-118`). */
+  def newDatasetUrl(base: String, pid: String): String =
+    s"$base/Datasets/${reformatPid(pid)}"
+
+  /** Pre-v4 SciCat form with the leading escaped slash
+    * (`metadata.py:110-113`).
+    */
+  def oldDatasetUrl(base: String, pid: String): String =
+    s"$base/Datasets/%2F${reformatPid(pid)}"
+
+  private val mapper = new ObjectMapper()
+
+  /** JsonNode → plain Scala values (objects → Map, arrays → Seq,
+    * integral → Long, other numbers → Double), so catalogue metadata
+    * merges into the processor's `Map[String, Any]` metadata tree.
+    */
+  private[loader] def toScala(n: JsonNode): Any = {
+    if (n == null || n.isNull) null
+    else if (n.isObject)
+      n.properties().asScala.map(e => e.getKey -> toScala(e.getValue)).toMap
+    else if (n.isArray) n.asScala.map(toScala).toSeq
+    else if (n.isTextual) n.asText()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else n.asText()
+  }
+
+  /** One GET with the reference's headers; Some(body) on HTTP success
+    * (2xx), None on any failure. The body may be empty — the caller
+    * uses that to detect the old-URL deployments.
+    */
+  private def get(url: String, cfg: Config): Option[String] =
+    try {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(cfg.timeoutMs)
+      conn.setReadTimeout(cfg.timeoutMs)
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setRequestProperty("Accept", "application/json")
+      conn.setRequestProperty("Authorization", s"Bearer ${cfg.token}")
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300) {
+        // drain + close the error stream so the connection can be reused
+        val es = conn.getErrorStream
+        if (es != null) { es.readAllBytes(); es.close() }
+        None
+      } else {
+        val in = conn.getInputStream
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Metadata for one pid: new URL first; empty-body success retries
+    * the old URL form; failure (either request) warns and returns the
+    * empty map, exactly like the reference (`metadata.py:88-112`).
+    */
+  def metadataPerRun(cfg: Config, pid: String): Map[String, Any] = {
+    val body = get(newDatasetUrl(cfg.url, pid), cfg) match {
+      case Some(b) if b.nonEmpty => Some(b)
+      case Some(_) => get(oldDatasetUrl(cfg.url, pid), cfg)
+      case None => None
+    }
+    body.filter(_.nonEmpty).flatMap { b =>
+      try Some(toScala(mapper.readTree(b)) match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case other => Map("value" -> other)
+      })
+      catch { case _: Exception => None }
+    } match {
+      case Some(m) => m
+      case None =>
+        System.err.println(s"[scicat] failed to retrieve metadata for PID $pid")
+        Map.empty
+    }
+  }
+
+  /** Metadata for a beamtime's runs, merged flat into `existing` —
+    * later runs overwrite earlier keys (the reference's semantics,
+    * `metadata.py:66-75`, including its TODO about multi-run merges).
+    */
+  def getMetadata(cfg: Config, beamtimeId: String, runs: Seq[String],
+      existing: Map[String, Any] = Map.empty): Map[String, Any] =
+    runs.foldLeft(existing) { (acc, run) =>
+      acc ++ metadataPerRun(cfg, s"$beamtimeId/$run")
+    }
+}

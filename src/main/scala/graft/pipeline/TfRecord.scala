@@ -653,8 +653,13 @@ object TfRecord {
       schema: StructType,
       maxRecordBytes: Long = 1L << 30,
       verifyCrc: Boolean = true,
+      requireCommitted: Boolean = true,
   ): DataFrame = {
-    val recs = readRecords(spark, dir, maxRecordBytes, verifyCrc)
+    // requireCommitted passes through: [[inferSchema]] deliberately takes
+    // no marker (it is the audit entry for lakes OTHER tools wrote), so
+    // the typed read of such a lake needs the same escape
+    val recs = readRecords(spark, dir, maxRecordBytes, verifyCrc,
+      requireCommitted)
     val enc: Encoder[Row] = Encoders.row(schema)
     recs.select("record").mapPartitions { rows =>
       rows.map { r =>

@@ -361,7 +361,7 @@ object StreamingBinning {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!restored) {
           restored = true
-          stateDir.foreach(d => restoreAcc(d, axes.length, hadoopConf)
+          stateDir.foreach(d => restoreAcc(d, shape, hadoopConf)
             .foreach { case (k, v) => acc(k) = v })
         }
         val rows = batch.select(
@@ -436,13 +436,24 @@ object StreamingBinning {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  private def restoreAcc(dir: String, nAxes: Int,
+  /** Hostile-input posture (the TfRecord/WARC one): the entry count is
+    * cross-checked against the ACTUAL file length before any entry is
+    * read — a lying/truncated `nEntries` is a named error, not a raw
+    * EOFException mid-stream or a giant allocation — and every restored
+    * bin index is validated against the sink's axes SHAPE, because an
+    * `acc.bin` from a different binning config (same axis count, more
+    * bins) would otherwise crash the stream later with an unnamed
+    * ArrayIndexOutOfBounds inside the densify loop.
+    */
+  private def restoreAcc(dir: String, shape: Seq[Int],
       conf: org.apache.hadoop.conf.Configuration)
       : Seq[((Long, Seq[Long]), Long)] = {
+    val nAxes = shape.length
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
     val f = new org.apache.hadoop.fs.Path(root, "acc.bin")
     if (!fs.exists(f)) return Nil
+    val fileLen = fs.getFileStatus(f).getLen
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       fs.open(f)))
     try {
@@ -452,11 +463,21 @@ object StreamingBinning {
       require(fileAxes == nAxes,
         s"$f: state has $fileAxes axes, sink expects $nAxes — stale dir?")
       val n = in.readInt()
-      require(n >= 0, s"$f: negative entry count")
+      val want = 16L + n.toLong * 8L * (nAxes + 2)
+      require(n >= 0 && fileLen == want,
+        s"$f: claims $n entries (${want}B) but holds ${fileLen}B — " +
+          "truncated or corrupt state")
       Seq.fill(n) {
         val w = in.readLong()
-        val idxs = Seq.fill(nAxes)(in.readLong())
+        val idxs = Seq.tabulate(nAxes) { i =>
+          val idx = in.readLong()
+          require(idx >= 0 && idx < shape(i),
+            s"$f: bin index $idx out of range for axis $i " +
+              s"(${shape(i)} bins) — state from a different binning config?")
+          idx
+        }
         val c = in.readLong()
+        require(c >= 0, s"$f: negative count $c — corrupt state")
         ((w, idxs), c)
       }
     } finally in.close()

@@ -1,0 +1,189 @@
+package graft.loader
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.SparkSpec
+
+/** FLASH SciCat metadata retriever against a LIVE local HTTP stub —
+  * the DatasetsSpec/Epics pattern: URL construction, token auth
+  * headers, the new→old dataset URL fallback, failure tolerance, and
+  * the multi-run merge semantics, all per
+  * `sed/loader/flash/metadata.py:19-124`; plus the loader wiring
+  * (`readRuns(collectMetadata=true)`, `loader.py:839-846,929`) against
+  * the real FLASH HEXTOF fixture.
+  */
+class ScicatMetadataSpec extends SparkSpec {
+
+  private def serve(handler: HttpExchange => Unit): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      try handler(ex) finally ex.close()
+    })
+    server.start()
+    server
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    if (bytes.isEmpty) ex.sendResponseHeaders(code, -1)
+    else {
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+    }
+  }
+
+  private def base(server: HttpServer): String =
+    s"http://127.0.0.1:${server.getAddress.getPort}/api/v3"
+
+  test("URL construction and pid reformatting match the reference") {
+    assert(ScicatMetadata.reformatPid("11013410/43878") === "11013410%2F43878")
+    assert(ScicatMetadata.newDatasetUrl("https://cat/api/v3", "11013410/43878")
+      === "https://cat/api/v3/Datasets/11013410%2F43878")
+    assert(ScicatMetadata.oldDatasetUrl("https://cat/api/v3", "11013410/43878")
+      === "https://cat/api/v3/Datasets/%2F11013410%2F43878")
+  }
+
+  test("config requires BOTH url and token; explicit token overrides") {
+    intercept[IllegalArgumentException](
+      ScicatMetadata.configFrom(Map("scicat_url" -> "https://cat")))
+    intercept[IllegalArgumentException](
+      ScicatMetadata.configFrom(Map("scicat_token" -> "tok")))
+    intercept[IllegalArgumentException](ScicatMetadata.Config("", "tok"))
+    val c = ScicatMetadata.configFrom(
+      Map("scicat_url" -> "https://cat", "scicat_token" -> "cfgTok"),
+      scicatToken = Some("override"))
+    assert(c.token === "override" && c.url === "https://cat")
+  }
+
+  test("new-URL deployment: bearer token + JSON headers sent, metadata" +
+      " parsed to plain Scala values") {
+    val seenAuth = new java.util.concurrent.atomic.AtomicReference[String]
+    val server = serve { ex =>
+      seenAuth.set(ex.getRequestHeaders.getFirst("Authorization"))
+      if (ex.getRequestURI.toString == "/api/v3/Datasets/11013410%2F43878" &&
+          ex.getRequestHeaders.getFirst("Accept") == "application/json")
+        respond(ex, 200,
+          """{"pid":"11013410/43878","sampleName":"WSe2",
+            |"runNumber":43878,"energy":36.5,"tags":["hextof","trARPES"],
+            |"creationLocation":{"facility":"FLASH","beamline":"PG2"}}"""
+            .stripMargin)
+      else respond(ex, 404, """{"error":"not found"}""")
+    }
+    try {
+      val cfg = ScicatMetadata.Config(base(server), "tok123")
+      val m = ScicatMetadata.getMetadata(cfg, "11013410", Seq("43878"))
+      assert(seenAuth.get === "Bearer tok123")
+      assert(m("sampleName") === "WSe2")
+      assert(m("runNumber") === 43878L)
+      assert(m("energy") === 36.5)
+      assert(m("tags") === Seq("hextof", "trARPES"))
+      assert(m("creationLocation") ===
+        Map("facility" -> "FLASH", "beamline" -> "PG2"))
+    } finally server.stop(0)
+  }
+
+  test("old deployment: empty-body success on the new URL falls back to" +
+      " the old %2F-prefixed form") {
+    val newHits = new AtomicInteger(0)
+    val oldHits = new AtomicInteger(0)
+    val server = serve { ex =>
+      ex.getRequestURI.toString match {
+        case "/api/v3/Datasets/11013410%2F43878" =>
+          newHits.incrementAndGet(); respond(ex, 200, "")
+        case "/api/v3/Datasets/%2F11013410%2F43878" =>
+          oldHits.incrementAndGet()
+          respond(ex, 200, """{"sampleName":"TaS2","old":true}""")
+        case _ => respond(ex, 404, "")
+      }
+    }
+    try {
+      val cfg = ScicatMetadata.Config(base(server), "tok")
+      val m = ScicatMetadata.getMetadata(cfg, "11013410", Seq("43878"))
+      assert(newHits.get === 1 && oldHits.get === 1)
+      assert(m("sampleName") === "TaS2")
+      assert(m("old") === true)
+    } finally server.stop(0)
+  }
+
+  test("failures tolerate: non-2xx and unreachable server both yield an" +
+      " empty map, never an exception (outage must not fail the load)") {
+    val server = serve(ex => respond(ex, 500, """{"error":"boom"}"""))
+    try {
+      val cfg = ScicatMetadata.Config(base(server), "tok")
+      assert(ScicatMetadata.getMetadata(cfg, "bt", Seq("1")) === Map.empty)
+    } finally server.stop(0)
+    // stopped server: connection refused
+    val dead = ScicatMetadata.Config(
+      s"http://127.0.0.1:${server.getAddress.getPort}/api/v3", "tok",
+      timeoutMs = 1500)
+    assert(ScicatMetadata.getMetadata(dead, "bt", Seq("1")) === Map.empty)
+    // malformed JSON body: warned, empty — not a parse crash
+    val bad = serve(ex => respond(ex, 200, "{not json"))
+    try {
+      val cfg = ScicatMetadata.Config(base(bad), "tok")
+      assert(ScicatMetadata.getMetadata(cfg, "bt", Seq("1")) === Map.empty)
+    } finally bad.stop(0)
+  }
+
+  test("multi-run merge: later runs overwrite earlier keys (the" +
+      " reference's flat dict.update semantics)") {
+    val server = serve { ex =>
+      ex.getRequestURI.toString match {
+        case "/api/v3/Datasets/bt%2F1" =>
+          respond(ex, 200, """{"a":1,"shared":"first"}""")
+        case "/api/v3/Datasets/bt%2F2" =>
+          respond(ex, 200, """{"b":2,"shared":"second"}""")
+        case _ => respond(ex, 404, "")
+      }
+    }
+    try {
+      val cfg = ScicatMetadata.Config(base(server), "tok")
+      val m = ScicatMetadata.getMetadata(cfg, "bt", Seq("1", "2"),
+        existing = Map("kept" -> "yes"))
+      assert(m === Map("kept" -> "yes", "a" -> 1L, "b" -> 2L,
+        "shared" -> "second"))
+    } finally server.stop(0)
+  }
+
+  test("readRuns wiring: collectMetadata=true fetches the run's SciCat" +
+      " metadata beside the real FLASH frames; =false skips HTTP entirely") {
+    val flashPath = "/root/reference/tests/data/loader/flash/" +
+      "FLASH1_USER3_stream_2_run43878_file1_20230130T153807.1.h5"
+    assume(new java.io.File(flashPath).exists())
+    val dir = java.nio.file.Files.createTempDirectory("scicat_runs")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(flashPath),
+      dir.resolve("FLASH1_USER3_stream_2_run43878_file1.h5"))
+    val hits = new AtomicInteger(0)
+    val server = serve { ex =>
+      hits.incrementAndGet()
+      if (ex.getRequestURI.toString == "/api/v3/Datasets/11013410%2F43878")
+        respond(ex, 200, """{"sampleName":"WSe2"}""")
+      else respond(ex, 404, "")
+    }
+    try {
+      val cfg = ScicatMetadata.Config(base(server), "tok")
+      val (events, _, meta) = InstrumentH5Loader.readRuns(
+        spark, dir.toString, Seq("43878"),
+        collectMetadata = true, scicat = Some(cfg), beamtimeId = "11013410",
+        metadata = Map("preexisting" -> 7))
+      assert(events.count() > 0)
+      assert(meta === Map("preexisting" -> 7, "sampleName" -> "WSe2"))
+      assert(hits.get === 1)
+      // flag off: metadata passes through untouched, zero HTTP traffic
+      val (_, _, meta2) = InstrumentH5Loader.readRuns(
+        spark, dir.toString, Seq("43878"),
+        scicat = Some(cfg), beamtimeId = "11013410",
+        metadata = Map("only" -> 1))
+      assert(meta2 === Map("only" -> 1))
+      assert(hits.get === 1)
+      // flag on without a config refuses, like the reference's
+      // MetadataRetriever constructor
+      intercept[IllegalArgumentException](InstrumentH5Loader.readRuns(
+        spark, dir.toString, Seq("43878"),
+        collectMetadata = true, beamtimeId = "11013410"))
+    } finally server.stop(0)
+  }
+}

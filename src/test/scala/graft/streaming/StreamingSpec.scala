@@ -419,6 +419,58 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(state, "acc.bin")))
   }
 
+  test("cubeSnapshotSink stateDir: hostile acc.bin (lying entry count," +
+      " out-of-range bin index, wrong axis count) fails restore with" +
+      " NAMED errors") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val ax = UniformAxis("value", 4, 0.0, 40.0)
+    // handcraft state files against the documented layout: magic,
+    // version, nAxes, nEntries ints then per-entry longs
+    def accBin(nAxes: Int, claimedEntries: Int,
+        entries: Seq[Seq[Long]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(0x47525354); out.writeInt(1)
+      out.writeInt(nAxes); out.writeInt(claimedEntries)
+      entries.foreach(_.foreach(out.writeLong))
+      out.close(); bos.toByteArray
+    }
+    def runWith(bytes: Array[Byte]): Throwable = {
+      val root = Files.createTempDirectory("stream-hostile").toFile.getPath
+      val dataDir = s"$root/data"
+      val state = s"$root/state"
+      JFiles.createDirectories(JPaths.get(state))
+      JFiles.write(JPaths.get(state, "acc.bin"), bytes)
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0))
+        .toDF("ts", "value").coalesce(1).write.parquet(dataDir)
+      val schema = spark.read.parquet(dataDir).schema
+      val stream = spark.readStream.schema(schema).parquet(dataDir)
+      val binned = StreamingBinning.windowedHistogram(
+        stream, Seq(ax), "ts", "1 minute")
+      val q = StreamingBinning.cubeSnapshotSink(binned, Seq(ax),
+          (_, _) => (), stateDir = Some(state))
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.awaitTermination())
+    }
+    def rootMessage(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // (a) claims 100 entries, holds one — length check fires BEFORE any
+    // entry parse (a truncated file must not surface as raw EOFException)
+    val lying = runWith(accBin(1, 100, Seq(Seq(0L, 1L, 2L))))
+    assert(rootMessage(lying).contains("truncated or corrupt state"))
+    // (b) bin index 9 on a 4-bin axis: a state file from a DIFFERENT
+    // binning config must refuse at restore, not crash the densify loop
+    val outOfRange = runWith(accBin(1, 1, Seq(Seq(0L, 9L, 2L))))
+    assert(rootMessage(outOfRange).contains("out of range for axis"))
+    // (c) wrong axis count names the stale dir
+    val wrongAxes = runWith(accBin(3, 0, Seq.empty))
+    assert(rootMessage(wrongAxes).contains("stale dir"))
+  }
+
   test("funnelStream matches the batch funnel and carries state across batches") {
     val steps = Seq("A", "B", "C")
     val rows = Seq(
