@@ -198,40 +198,79 @@ object TfRecord {
   final case class Int64Feature(values: Seq[Long]) extends FeatureValue
   final case class FloatFeature(values: Seq[Float]) extends FeatureValue
 
+  /** One `Feature` message (`BytesList`/`FloatList`/`Int64List`). */
+  private def encodeFeature(fv: FeatureValue): ProtoOut = {
+    val feature = new ProtoOut()
+    fv match {
+      case BytesFeature(vs) =>
+        val bl = new ProtoOut()
+        vs.foreach { b => bl.tag(1, 2); bl.varint(b.length.toLong); bl.bytes(b) }
+        feature.lenDelimited(1, bl)
+      case FloatFeature(vs) =>
+        val fl = new ProtoOut()
+        // packed form (what TF writes): field 1, wire 2, 4·n payload
+        fl.tag(1, 2); fl.varint(4L * vs.length)
+        vs.foreach(fl.floatLE)
+        feature.lenDelimited(2, fl)
+      case Int64Feature(vs) =>
+        val il = new ProtoOut()
+        il.tag(1, 2); il.varint(vs.map(varintLen).map(_.toLong).sum)
+        vs.foreach(il.varint)
+        feature.lenDelimited(3, il)
+    }
+    feature
+  }
+
+  /** One `Features` message: `map<string, Feature>` as repeated
+    * key/value entry messages, sorted by name for determinism.
+    */
+  private def encodeFeatures(features: Map[String, FeatureValue]): ProtoOut = {
+    val featuresMsg = new ProtoOut()
+    features.toSeq.sortBy(_._1).foreach { case (name, fv) =>
+      val entry = new ProtoOut()
+      val key = name.getBytes("UTF-8")
+      entry.tag(1, 2); entry.varint(key.length.toLong); entry.bytes(key)
+      entry.lenDelimited(2, encodeFeature(fv))
+      featuresMsg.lenDelimited(1, entry)
+    }
+    featuresMsg
+  }
+
   /** Encode one `tf.train.Example` from a feature map (deterministic:
     * features emit in sorted-name order, so identical maps produce
     * identical bytes — TF parsers do not care about entry order).
     */
   def encodeExample(features: Map[String, FeatureValue]): Array[Byte] = {
-    val featuresMsg = new ProtoOut()
-    features.toSeq.sortBy(_._1).foreach { case (name, fv) =>
-      val feature = new ProtoOut()
-      fv match {
-        case BytesFeature(vs) =>
-          val bl = new ProtoOut()
-          vs.foreach { b => bl.tag(1, 2); bl.varint(b.length.toLong); bl.bytes(b) }
-          feature.lenDelimited(1, bl)
-        case FloatFeature(vs) =>
-          val fl = new ProtoOut()
-          // packed form (what TF writes): field 1, wire 2, 4·n payload
-          fl.tag(1, 2); fl.varint(4L * vs.length)
-          vs.foreach(fl.floatLE)
-          feature.lenDelimited(2, fl)
-        case Int64Feature(vs) =>
-          val il = new ProtoOut()
-          il.tag(1, 2); il.varint(vs.map(varintLen).map(_.toLong).sum)
-          vs.foreach(il.varint)
-          feature.lenDelimited(3, il)
-      }
+    val example = new ProtoOut()
+    example.lenDelimited(1, encodeFeatures(features))
+    example.toArray
+  }
+
+  /** Encode one `tf.train.SequenceExample` — the context + feature_lists
+    * form sequence/speech pipelines store (public proto:
+    * `SequenceExample{ Features context = 1; FeatureLists
+    * feature_lists = 2; }`, `FeatureLists{ map<string, FeatureList>
+    * feature_list = 1; }`, `FeatureList{ repeated Feature feature = 1 }`).
+    * Deterministic like [[encodeExample]]: both maps emit sorted by name.
+    */
+  def encodeSequenceExample(
+      context: Map[String, FeatureValue],
+      featureLists: Map[String, Seq[FeatureValue]],
+  ): Array[Byte] = {
+    val out = new ProtoOut()
+    out.lenDelimited(1, encodeFeatures(context))
+    val lists = new ProtoOut()
+    featureLists.toSeq.sortBy(_._1).foreach { case (name, fvs) =>
+      val list = new ProtoOut()
+      fvs.foreach(fv => list.lenDelimited(1, encodeFeature(fv)))
       val entry = new ProtoOut()
       val key = name.getBytes("UTF-8")
       entry.tag(1, 2); entry.varint(key.length.toLong); entry.bytes(key)
-      entry.lenDelimited(2, feature)
-      featuresMsg.lenDelimited(1, entry)
+      entry.lenDelimited(2, list)
+      lists.lenDelimited(1, entry)
     }
-    val example = new ProtoOut()
-    example.lenDelimited(1, featuresMsg)
-    example.toArray
+    out.lenDelimited(2, lists)
+    out.toArray
   }
 
   private final class ProtoIn(buf: Array[Byte], var pos: Int, val end: Int) {
@@ -282,6 +321,27 @@ object TfRecord {
     }
   }
 
+  /** Parse a `Features` message payload into `out`. */
+  private def decodeFeaturesMsg(features: ProtoIn,
+      out: scala.collection.mutable.LinkedHashMap[String, FeatureValue]): Unit =
+    while (features.hasMore) {
+      val ftag = features.varint()
+      if ((ftag >> 3) == 1 && (ftag & 7) == 2) {
+        val entry = features.sub(features.varint().toInt)
+        var key: String = null
+        var value: FeatureValue = null
+        while (entry.hasMore) {
+          val etag = entry.varint()
+          (etag >> 3, etag & 7) match {
+            case (1, 2) => key = new String(entry.slice(entry.varint().toInt), "UTF-8")
+            case (2, 2) => value = decodeFeature(entry.sub(entry.varint().toInt))
+            case (_, w) => entry.skip(w.toInt)
+          }
+        }
+        if (key != null && value != null) out(key) = value
+      } else features.skip((ftag & 7).toInt)
+    }
+
   /** Decode an Example's feature map (subset parser; unknown fields at
     * any level skip by wire type, exactly like a generated parser).
     */
@@ -290,28 +350,57 @@ object TfRecord {
     val ex = new ProtoIn(bytes, 0, bytes.length)
     while (ex.hasMore) {
       val tag = ex.varint()
-      if ((tag >> 3) == 1 && (tag & 7) == 2) {
-        val features = ex.sub(ex.varint().toInt)
-        while (features.hasMore) {
-          val ftag = features.varint()
-          if ((ftag >> 3) == 1 && (ftag & 7) == 2) {
-            val entry = features.sub(features.varint().toInt)
-            var key: String = null
-            var value: FeatureValue = null
-            while (entry.hasMore) {
-              val etag = entry.varint()
-              (etag >> 3, etag & 7) match {
-                case (1, 2) => key = new String(entry.slice(entry.varint().toInt), "UTF-8")
-                case (2, 2) => value = decodeFeature(entry.sub(entry.varint().toInt))
-                case (_, w) => entry.skip(w.toInt)
-              }
-            }
-            if (key != null && value != null) out(key) = value
-          } else features.skip((ftag & 7).toInt)
-        }
-      } else ex.skip((tag & 7).toInt)
+      if ((tag >> 3) == 1 && (tag & 7) == 2)
+        decodeFeaturesMsg(ex.sub(ex.varint().toInt), out)
+      else ex.skip((tag & 7).toInt)
     }
     out.toMap
+  }
+
+  /** Decode a SequenceExample into (context, feature_lists). Unknown
+    * fields skip by wire type at every level, like [[decodeExample]].
+    */
+  def decodeSequenceExample(bytes: Array[Byte])
+      : (Map[String, FeatureValue], Map[String, Seq[FeatureValue]]) = {
+    val ctx = scala.collection.mutable.LinkedHashMap.empty[String, FeatureValue]
+    val lists =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[FeatureValue]]
+    val se = new ProtoIn(bytes, 0, bytes.length)
+    while (se.hasMore) {
+      val tag = se.varint()
+      (tag >> 3, tag & 7) match {
+        case (1, 2) => decodeFeaturesMsg(se.sub(se.varint().toInt), ctx)
+        case (2, 2) => // FeatureLists
+          val fls = se.sub(se.varint().toInt)
+          while (fls.hasMore) {
+            val ftag = fls.varint()
+            if ((ftag >> 3) == 1 && (ftag & 7) == 2) {
+              val entry = fls.sub(fls.varint().toInt)
+              var key: String = null
+              val fvs = scala.collection.mutable.ArrayBuffer.empty[FeatureValue]
+              while (entry.hasMore) {
+                val etag = entry.varint()
+                (etag >> 3, etag & 7) match {
+                  case (1, 2) =>
+                    key = new String(entry.slice(entry.varint().toInt), "UTF-8")
+                  case (2, 2) => // FeatureList{ repeated Feature = 1 }
+                    val fl = entry.sub(entry.varint().toInt)
+                    while (fl.hasMore) {
+                      val ltag = fl.varint()
+                      if ((ltag >> 3) == 1 && (ltag & 7) == 2)
+                        fvs += decodeFeature(fl.sub(fl.varint().toInt))
+                      else fl.skip((ltag & 7).toInt)
+                    }
+                  case (_, w) => entry.skip(w.toInt)
+                }
+              }
+              if (key != null) lists(key) = fvs.toSeq
+            } else fls.skip((ftag & 7).toInt)
+          }
+        case (_, w) => se.skip(w.toInt)
+      }
+    }
+    (ctx.toMap, lists.toMap)
   }
 
   private def decodeFeature(f: ProtoIn): FeatureValue = {
@@ -369,6 +458,42 @@ object TfRecord {
   /** Name of the driver-written commit marker (Hadoop convention). */
   val SuccessMarker = "_SUCCESS"
 
+  /** Shard compression, mirroring the public `TFRecordOptions`
+    * compression_type values: `""` (none), `"GZIP"`, `"ZLIB"` (raw
+    * RFC 1950 deflate). Either wraps the WHOLE framed stream; framing
+    * is unchanged. TF readers take the compression as an option (files
+    * carry no marker); this engine encodes it in the shard extension
+    * (`.tfrecord` / `.tfrecord.gz` / `.tfrecord.zlib`) so reads
+    * self-describe per file.
+    */
+  private def shardExt(compression: String): String =
+    compression.toUpperCase match {
+      case "" | "NONE" => ".tfrecord"
+      case "GZIP" => ".tfrecord.gz"
+      case "ZLIB" => ".tfrecord.zlib"
+      case other => throw new IllegalArgumentException(
+        s"tfrecord: unknown compression '$other' (use '', GZIP or ZLIB)")
+    }
+
+  private def wrapOut(raw: java.io.OutputStream,
+      compression: String): java.io.OutputStream =
+    compression.toUpperCase match {
+      case "" | "NONE" => raw
+      case "GZIP" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+      case "ZLIB" => new java.util.zip.DeflaterOutputStream(raw,
+        new java.util.zip.Deflater(), 1 << 16)
+      case other => throw new IllegalArgumentException(
+        s"tfrecord: unknown compression '$other'")
+    }
+
+  private def wrapIn(path: String,
+      raw: java.io.InputStream): java.io.InputStream =
+    if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16)
+    else if (path.endsWith(".zlib"))
+      new java.util.zip.InflaterInputStream(raw,
+        new java.util.zip.Inflater(), 1 << 16)
+    else raw
+
   /** Write a binary column as framed TFRecord shards, one
     * `part-NNNNN.tfrecord` per input partition, streamed from the
     * executors through the Hadoop FS. Commit protocol (safe under
@@ -392,7 +517,7 @@ object TfRecord {
     * retries are clean.
     */
   def writeRecords(df: DataFrame, binCol: String, dir: String,
-      gzip: Boolean = false): Long = {
+      compression: String = ""): Long = {
     val spark = df.sparkSession
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -409,7 +534,7 @@ object TfRecord {
     val idx = df.schema.fieldIndex(binCol)
     require(df.schema(idx).dataType == BinaryType,
       s"tfrecord: $binCol must be binary, got ${df.schema(idx).dataType}")
-    val ext = if (gzip) ".tfrecord.gz" else ".tfrecord"
+    val ext = shardExt(compression)
     val counts = df.rdd.mapPartitionsWithIndex { (part, rows) =>
       val conf = confBox.value.value
       val tc = org.apache.spark.TaskContext.get()
@@ -418,12 +543,9 @@ object TfRecord {
       val tmp = new org.apache.hadoop.fs.Path(
         dir, f"_tmp.part-$part%05d.$attempt")
       val pfs = fin.getFileSystem(conf)
-      // GZIP wraps the WHOLE framed stream (TFRecordOptions GZIP — the
-      // common Common-Crawl-scale on-disk form); framing is unchanged
       val raw: java.io.OutputStream =
         new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 16)
-      val out = new java.io.DataOutputStream(
-        if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw)
+      val out = new java.io.DataOutputStream(wrapOut(raw, compression))
       var n = 0L
       try {
         rows.foreach { r =>
@@ -453,7 +575,8 @@ object TfRecord {
       hp: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
     fs.listStatus(hp)
       .filter(st => st.isFile && (st.getPath.getName.endsWith(".tfrecord")
-        || st.getPath.getName.endsWith(".tfrecord.gz")))
+        || st.getPath.getName.endsWith(".tfrecord.gz")
+        || st.getPath.getName.endsWith(".tfrecord.zlib")))
       .map(_.getPath).sortBy(_.getName).toSeq
 
   /** Read framed TFRecord shards back as `(path, record: binary)` —
@@ -502,10 +625,7 @@ object TfRecord {
         val p = r.getString(0)
         val hPath = new org.apache.hadoop.fs.Path(p)
         val fsStream = hPath.getFileSystem(conf).open(hPath)
-        val stream: java.io.InputStream =
-          if (p.endsWith(".gz"))
-            new java.util.zip.GZIPInputStream(fsStream, 1 << 16)
-          else fsStream
+        val stream = wrapIn(p, fsStream)
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
           try stream.close() catch { case _: Exception => () }
@@ -544,7 +664,7 @@ object TfRecord {
     * omitted from their record (proto absence), matching TF convention.
     */
   def writeExamples(df: DataFrame, dir: String, cols: Seq[String],
-      gzip: Boolean = false): Long = {
+      compression: String = ""): Long = {
     require(cols.nonEmpty, "no feature columns given")
     val fields = cols.map(c => df.schema(df.schema.fieldIndex(c)))
     val src = df.select(cols.map(col): _*)
@@ -559,7 +679,7 @@ object TfRecord {
         Row(encodeExample(feats))
       }
     }(enc)
-    writeRecords(encoded, "example", dir, gzip)
+    writeRecords(encoded, "example", dir, compression)
   }
 
   /** Infer a Spark schema from up to `sampleRecords` Examples sampled
@@ -604,10 +724,7 @@ object TfRecord {
       .empty[String, (Int, Boolean)]
     shards.foreach { shard =>
       val fsStream = fs.open(shard)
-      val stream: java.io.InputStream =
-        if (shard.getName.endsWith(".gz"))
-          new java.util.zip.GZIPInputStream(fsStream, 1 << 16)
-        else fsStream
+      val stream = wrapIn(shard.getName, fsStream)
       try {
         recordIterator(stream, maxRecordBytes, verifyCrc = true)
           .take(perShard)

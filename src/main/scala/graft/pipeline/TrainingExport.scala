@@ -54,7 +54,7 @@ object TrainingExport {
       dir: String,
       budget: Long,
       numGroups: Int,
-      gzip: Boolean = false,
+      compression: String = "",
   ): Long = {
     val packed = TextOps.packSequences(df, textCol, idCol, budget, numGroups,
       carryCols = Seq(textCol))
@@ -63,7 +63,7 @@ object TrainingExport {
         col("pack_offset"))
     TfRecord.writeExamples(packed, dir,
       Seq(idCol, textCol, "pack_group", "pack_id", "pack_offset", "n_tokens"),
-      gzip)
+      compression)
   }
 
   /** Read shards back with the partition column restored to its long

@@ -376,7 +376,7 @@ class CorpusOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("tfshards")
       .toFile.getPath + "/lake"
     val n = TrainingExport.writeTokenShardsTfRecord(df, "text", "id", dir,
-      budget = 12L, numGroups = 3, gzip = true)
+      budget = 12L, numGroups = 3, compression = "GZIP")
     assert(n === 60L)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType),

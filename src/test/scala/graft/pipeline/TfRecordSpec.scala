@@ -143,7 +143,7 @@ class TfRecordSpec extends SparkSpec {
     val d = dir()
     val recs = (0 until 40).map(i => Tuple1(s"gz record $i".getBytes))
     val n = TfRecord.writeRecords(recs.toDF("rec").repartition(3),
-      "rec", s"$d/lake", gzip = true)
+      "rec", s"$d/lake", compression = "GZIP")
     assert(n === 40L)
     val shardNames = new java.io.File(s"$d/lake").listFiles().map(_.getName)
       .filterNot(_.startsWith(".")) // Hadoop local-FS .crc sidecars
@@ -156,7 +156,8 @@ class TfRecordSpec extends SparkSpec {
     assert(back.toSeq === recs.map(r => new String(r._1)).sorted)
     // and the typed Example surface composes with gzip unchanged
     val df = Seq((7L, "zipped text")).toDF("doc_id", "text")
-    TfRecord.writeExamples(df, s"$d/ex", Seq("doc_id", "text"), gzip = true)
+    TfRecord.writeExamples(df, s"$d/ex", Seq("doc_id", "text"),
+      compression = "GZIP")
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val row = TfRecord.readExamples(spark, s"$d/ex", schema).head()
@@ -262,6 +263,103 @@ class TfRecordSpec extends SparkSpec {
     TfRecord.writeExamples(df.repartition(20), s"$d/lake", Seq("id", "text"))
     val inferred = TfRecord.inferSchema(spark, s"$d/lake", sampleRecords = 5)
     assert(inferred.fieldNames.toSeq === Seq("id", "text"))
+  }
+
+  test("ZLIB shards (.tfrecord.zlib) round-trip; unknown compression is" +
+      " a named error; bytes ARE raw zlib (RFC 1950)") {
+    val d = dir()
+    val recs = (0 until 30).map(i => Tuple1(s"zlib record $i".getBytes))
+    val n = TfRecord.writeRecords(recs.toDF("rec").repartition(2),
+      "rec", s"$d/lake", compression = "ZLIB")
+    assert(n === 30L)
+    val shards = new java.io.File(s"$d/lake").listFiles().map(_.getName)
+      .filterNot(f => f.startsWith(".") || f == "_SUCCESS")
+    assert(shards.nonEmpty && shards.forall(_.endsWith(".tfrecord.zlib")))
+    // RFC 1950 header: CMF 0x78 (deflate, 32K window) in byte 0
+    val raw = Files.readAllBytes(new java.io.File(s"$d/lake")
+      .listFiles().filter(_.getName.endsWith(".zlib")).head.toPath)
+    assert((raw(0) & 0xff) === 0x78)
+    val back = TfRecord.readRecords(spark, s"$d/lake")
+      .select("record").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0))).sorted
+    assert(back.toSeq === recs.map(r => new String(r._1)).sorted)
+    // Examples compose with ZLIB unchanged, incl. schema inference
+    val df = Seq((3L, "zlib text")).toDF("doc_id", "text")
+    TfRecord.writeExamples(df, s"$d/ex", Seq("doc_id", "text"),
+      compression = "ZLIB")
+    val inferred = TfRecord.inferSchema(spark, s"$d/ex")
+    val row = TfRecord.readExamples(spark, s"$d/ex", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))).head()
+    assert((row.getLong(0), row.getString(1)) === ((3L, "zlib text")))
+    assert(inferred.fieldNames.toSeq === Seq("doc_id", "text"))
+    val e = intercept[IllegalArgumentException](
+      TfRecord.writeRecords(recs.toDF("rec"), "rec", s"$d/bad",
+        compression = "LZ4"))
+    assert(e.getMessage.contains("unknown compression"))
+  }
+
+  test("SequenceExample: context + feature_lists round-trip; interop" +
+      " with the Example parser's Features layer; unknown fields skip") {
+    val ctx = Map[String, TfRecord.FeatureValue](
+      "utterance_id" -> TfRecord.BytesFeature(Seq("utt-42".getBytes)),
+      "sample_rate" -> TfRecord.Int64Feature(Seq(16000L)))
+    val lists = Map[String, Seq[TfRecord.FeatureValue]](
+      "tokens" -> Seq(
+        TfRecord.Int64Feature(Seq(5L, 7L)),
+        TfRecord.Int64Feature(Seq(11L)),
+        TfRecord.Int64Feature(Seq.empty)),
+      "frames" -> Seq(
+        TfRecord.FloatFeature(Seq(0.5f, -1.5f)),
+        TfRecord.FloatFeature(Seq(2.25f))))
+    val bytes = TfRecord.encodeSequenceExample(ctx, lists)
+    val (c2, l2) = TfRecord.decodeSequenceExample(bytes)
+    assert(c2.keySet === ctx.keySet)
+    assert(new String(c2("utterance_id")
+      .asInstanceOf[TfRecord.BytesFeature].values.head) === "utt-42")
+    assert(c2("sample_rate") === TfRecord.Int64Feature(Seq(16000L)))
+    assert(l2("tokens") === lists("tokens"))
+    assert(l2("frames").map(_.asInstanceOf[TfRecord.FloatFeature].values)
+      === Seq(Seq(0.5f, -1.5f), Seq(2.25f)))
+    // determinism: identical inputs encode identically
+    assert(TfRecord.encodeSequenceExample(ctx, lists).toSeq === bytes.toSeq)
+    // unknown top-level field (field 9, wire 2) skips cleanly
+    val unknown = Array[Byte](0x4a, 3, 1, 2, 3) ++ bytes
+    assert(TfRecord.decodeSequenceExample(unknown)._2("tokens")
+      === lists("tokens"))
+    // empty SequenceExample decodes to empty maps
+    assert(TfRecord.decodeSequenceExample(Array.empty) === ((Map.empty, Map.empty)))
+  }
+
+  test("property: 300 random SequenceExamples encode/decode exactly") {
+    val rnd = new scala.util.Random(16L)
+    def randFeature(): TfRecord.FeatureValue = rnd.nextInt(3) match {
+      case 0 => TfRecord.BytesFeature(Seq.fill(rnd.nextInt(3))(
+        Array.fill(rnd.nextInt(20))(rnd.nextInt(256).toByte)))
+      case 1 => TfRecord.Int64Feature(Seq.fill(rnd.nextInt(4))(rnd.nextLong()))
+      case _ => TfRecord.FloatFeature(Seq.fill(rnd.nextInt(4))(rnd.nextFloat()))
+    }
+    def eq(a: TfRecord.FeatureValue, b: TfRecord.FeatureValue): Boolean =
+      (a, b) match {
+        case (TfRecord.BytesFeature(x), TfRecord.BytesFeature(y)) =>
+          x.map(_.toSeq) == y.map(_.toSeq)
+        case (x, y) => x == y
+      }
+    (0 until 300).foreach { i =>
+      val ctx = (0 until rnd.nextInt(4))
+        .map(j => s"c$j" -> randFeature()).toMap
+      val lists = (0 until rnd.nextInt(4))
+        .map(j => s"l$j" -> Seq.fill(rnd.nextInt(5))(randFeature())).toMap
+      val (c2, l2) = TfRecord.decodeSequenceExample(
+        TfRecord.encodeSequenceExample(ctx, lists))
+      assert(c2.keySet === ctx.keySet, s"case $i ctx keys")
+      ctx.foreach { case (k, v) => assert(eq(v, c2(k)), s"case $i ctx '$k'") }
+      assert(l2.keySet === lists.keySet, s"case $i list keys")
+      lists.foreach { case (k, vs) =>
+        assert(vs.length === l2(k).length, s"case $i list '$k' length")
+        vs.zip(l2(k)).foreach { case (a, b) =>
+          assert(eq(a, b), s"case $i list '$k'") }
+      }
+    }
   }
 
   test("property: 500 random feature maps encode/decode exactly" +
