@@ -22,6 +22,10 @@ import graft.pipeline
   *  - the instrument loader's `isLocal` gate taking the LAZY branch
   *    (the eager parquet spill would be executor-local and unreadable),
   *  - WARC ingestion's mapPartitions decode on executor JVMs,
+  *  - TFRecord shard write (attempt-tmp + rename + driver `_SUCCESS`)
+  *    and one-task-per-shard read, both on executor JVMs,
+  *  - `cubeSnapshotSink(stateDir=)` kill/restart with the streaming
+  *    aggregation's state stores living on the executors,
   *  - GraftBridge codegen statics resolving via the executor classpath.
   *
   * The suite runs in its own forked JVM (build.sbt `Test/testGrouping`):
@@ -220,6 +224,83 @@ class ClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(last(1L) === ((3L, 20.0)))
     assert(last(2L) === ((2L, 10.0)))
+  }
+
+  test("TFRecord shards write from and read back on executor JVMs" +
+      " (shared directory, commit marker, one task per shard)") {
+    assume(haveData)
+    val dir = java.nio.file.Files
+      .createTempDirectory("cluster-tfrec").toFile.getPath + "/lake"
+    // single box, so java.io.tmpdir IS the shared FS here; on a real
+    // multi-node cluster this directory must be hdfs/s3a (TfRecord doc)
+    val docs = SparkEntry.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").repartition(8)
+    val n = pipeline.TfRecord.writeExamples(docs, dir, Seq("doc_id", "text"))
+    assert(n === docs.count())
+    // the commit protocol ran: marker present, no attempt litter
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.contains("_SUCCESS"))
+    assert(!names.exists(_.startsWith("_tmp.")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val back = pipeline.TfRecord.readExamples(spark, dir, schema)
+    // decode happens on the executors, one task per shard file
+    assert(back.rdd.getNumPartitions ===
+      names.count(_.endsWith(".tfrecord")))
+    val got = back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === want)
+  }
+
+  test("cubeSnapshotSink(stateDir) kill/restart stays complete with" +
+      " executor-side state stores (local-cluster)") {
+    assume(haveData)
+    import spark.implicits._
+    import graft.binning.UniformAxis
+    val root = java.nio.file.Files
+      .createTempDirectory("cluster-restart").toFile.getPath
+    val dataDir = s"$root/data"
+    val ax = UniformAxis("value", 4, 0.0, 40.0)
+    def startSink(onCube: graft.binning.BinnedCube => Unit) = {
+      val schema = spark.read.parquet(dataDir).schema
+      val stream = spark.readStream.schema(schema).parquet(dataDir)
+      val binned = graft.streaming.StreamingBinning.windowedHistogram(
+        stream, Seq(ax), "ts", "1 minute")
+      graft.streaming.StreamingBinning.cubeSnapshotSink(binned, Seq(ax),
+          (cube, _) => onCube(cube), stateDir = Some(s"$root/state"))
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 15.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 15.5),
+    ).toDF("ts", "value").coalesce(1).write.parquet(dataDir)
+    @volatile var run1: Option[graft.binning.BinnedCube] = None
+    val q1 = startSink(c => run1 = Some(c))
+    q1.awaitTermination()
+    assert(run1.get.total === 3L)
+    // "kill": q1 is gone; run 2 is a FRESH sink on the same checkpoint.
+    // The new file only touches bin 3 / a later window, so Update mode
+    // never re-delivers bins 1/2 — they must come from the state restore
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 25.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:10"), 25.5),
+    ).toDF("ts", "value").coalesce(1).write.mode("append").parquet(dataDir)
+    @volatile var run2: Option[graft.binning.BinnedCube] = None
+    val q2 = startSink(c => run2 = Some(c))
+    q2.awaitTermination()
+    val got = run2.get
+    val batch = Binning.histogram(spark.read.parquet(dataDir), Seq(ax))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.total === 5L)
+    (0 until 4).foreach { b =>
+      assert(got(b) === batch.getOrElse(b.toLong, 0L), s"bin $b")
+    }
   }
 
   test("WARC ingest decodes on executor JVMs") {
