@@ -1227,6 +1227,24 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
     }),
+    // same contract through the ZLIB (RFC 1950) shard codec — deflate
+    // wrap/unwrap, extension routing and the commit marker all
+    // load-bearing for the hash (oracle = source table, like above)
+    "q_tfrecord_zlib" -> ((s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_tfrec_zlib_gate_" +
+        math.abs(dir.hashCode).toString
+      val hp = new org.apache.hadoop.fs.Path(tmp)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      pipeline.TfRecord.writeExamples(docs, tmp, Seq("doc_id", "text"),
+        compression = "ZLIB")
+      pipeline.TfRecord.readExamples(s, tmp,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+    }),
     "q_zorder" -> ((s, dir) =>
       table(s, dir, "events").select(col("event_id"),
         loader.Lake.zValue(
@@ -2472,6 +2490,8 @@ object SparkEntry {
         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         | FROM events GROUP BY user_id""".stripMargin.replace("\n", " "),
     "q_tfrecord_roundtrip" ->
+      "SELECT doc_id, text FROM documents",
+    "q_tfrecord_zlib" ->
       "SELECT doc_id, text FROM documents",
     "q_zorder" -> {
       val terms = for {
