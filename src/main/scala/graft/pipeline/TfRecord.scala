@@ -782,29 +782,134 @@ object TfRecord {
       rows.map { r =>
         val feats = decodeExample(r.getAs[Array[Byte]](0))
         Row.fromSeq(schema.fields.toSeq.map { f =>
-          feats.get(f.name) match {
-            case None => null
-            case Some(v) => (f.dataType, v) match {
-              case (StringType, BytesFeature(vs)) =>
-                vs.headOption.map(new String(_, "UTF-8")).orNull
-              case (BinaryType, BytesFeature(vs)) => vs.headOption.orNull
-              case (LongType, Int64Feature(vs)) =>
-                vs.headOption.map(Long.box).orNull
-              case (FloatType, FloatFeature(vs)) =>
-                vs.headOption.map(Float.box).orNull
-              case (DoubleType, FloatFeature(vs)) =>
-                vs.headOption.map(x => Double.box(x.toDouble)).orNull
-              case (ArrayType(BinaryType, _), BytesFeature(vs)) => vs
-              case (ArrayType(LongType, _), Int64Feature(vs)) => vs
-              case (ArrayType(FloatType, _), FloatFeature(vs)) => vs
-              case (ArrayType(DoubleType, _), FloatFeature(vs)) =>
-                vs.map(_.toDouble)
-              case (dt, got) => throw new IllegalArgumentException(
-                s"tfrecord: feature '${f.name}' is ${got.getClass.getSimpleName}, " +
-                  s"requested $dt")
-            }
-          }
+          feats.get(f.name).map(typedValue(f.name, f.dataType, _)).orNull
         })
+      }
+    }(enc)
+  }
+
+  /** One feature decoded to the requested Spark type: `string`/`binary`
+    * take the FIRST BytesList element, `long` the first Int64, `float`
+    * the first float, `array<...>` the whole list.
+    */
+  private def typedValue(name: String, dt: DataType, v: FeatureValue): Any =
+    (dt, v) match {
+      case (StringType, BytesFeature(vs)) =>
+        vs.headOption.map(new String(_, "UTF-8")).orNull
+      case (BinaryType, BytesFeature(vs)) => vs.headOption.orNull
+      case (LongType, Int64Feature(vs)) => vs.headOption.map(Long.box).orNull
+      case (FloatType, FloatFeature(vs)) => vs.headOption.map(Float.box).orNull
+      case (DoubleType, FloatFeature(vs)) =>
+        vs.headOption.map(x => Double.box(x.toDouble)).orNull
+      case (ArrayType(BinaryType, _), BytesFeature(vs)) => vs
+      case (ArrayType(StringType, _), BytesFeature(vs)) =>
+        vs.map(new String(_, "UTF-8"))
+      case (ArrayType(LongType, _), Int64Feature(vs)) => vs
+      case (ArrayType(FloatType, _), FloatFeature(vs)) => vs
+      case (ArrayType(DoubleType, _), FloatFeature(vs)) => vs.map(_.toDouble)
+      case (other, got) => throw new IllegalArgumentException(
+        s"tfrecord: feature '$name' is ${got.getClass.getSimpleName}, " +
+          s"requested $other")
+    }
+
+  // ------------------------------------------------------------------
+  // SequenceExample Spark surface
+  // ------------------------------------------------------------------
+
+  /** Write rows as `tf.train.SequenceExample` records. `contextCols`
+    * encode like [[writeExamples]] (scalar/array → context features).
+    * Each of `sequenceCols` must be array-typed and becomes a
+    * FeatureList — the TIMESTEP axis is the outer array:
+    *
+    *  - `array<long|int|float|double|string|binary>` → one SINGLE-valued
+    *    Feature per element (the classic per-timestep token/label form);
+    *  - `array<array<long|int|float|double>>` → one multi-valued Feature
+    *    per inner list (per-timestep vectors, e.g. audio frames).
+    *
+    * Null context features are omitted (proto absence); a null sequence
+    * column yields an absent feature_list. Returns the record count.
+    */
+  def writeSequenceExamples(df: DataFrame, dir: String,
+      contextCols: Seq[String], sequenceCols: Seq[String],
+      compression: String = ""): Long = {
+    require(sequenceCols.nonEmpty, "no sequence columns given")
+    val all = contextCols ++ sequenceCols
+    val fields = all.map(c => df.schema(df.schema.fieldIndex(c)))
+    val nCtx = contextCols.length
+    // per-timestep element type of each sequence column (validated once)
+    val seqElem = fields.drop(nCtx).map { f =>
+      f.dataType match {
+        case ArrayType(et, _) => et
+        case other => throw new IllegalArgumentException(
+          s"tfrecord: sequence column ${f.name} must be array-typed, " +
+            s"got $other")
+      }
+    }
+    val src = df.select(all.map(col): _*)
+    val outSchema = StructType(Seq(StructField("example", BinaryType)))
+    val enc: Encoder[Row] = Encoders.row(outSchema)
+    val encoded = src.mapPartitions { rows =>
+      rows.map { r =>
+        val ctx = fields.take(nCtx).zipWithIndex.flatMap { case (f, i) =>
+          if (r.isNullAt(i)) None
+          else Some(f.name -> featureOf(f.dataType, r.get(i)))
+        }.toMap
+        val lists = fields.drop(nCtx).zipWithIndex.flatMap { case (f, j) =>
+          val i = nCtx + j
+          if (r.isNullAt(i)) None
+          else {
+            val steps = r.getSeq[Any](i)
+            Some(f.name -> steps.map(step =>
+              featureOf(seqElem(j), step)).toSeq)
+          }
+        }.toMap
+        Row(encodeSequenceExample(ctx, lists))
+      }
+    }(enc)
+    writeRecords(encoded, "example", dir, compression)
+  }
+
+  /** Read a SequenceExample lake back into typed columns. Context
+    * fields decode like [[readExamples]]. Sequence fields must be
+    * array-typed: the OUTER array is the timestep axis — declare
+    * `array<T>` (T scalar) for single-valued-per-step lists, or
+    * `array<array<T>>` for per-step vectors. Absent features/lists
+    * yield null. One task per shard, streaming.
+    */
+  def readSequenceExamples(
+      spark: SparkSession,
+      dir: String,
+      contextSchema: StructType,
+      sequenceSchema: StructType,
+      maxRecordBytes: Long = 1L << 30,
+      verifyCrc: Boolean = true,
+      requireCommitted: Boolean = true,
+  ): DataFrame = {
+    val seqStep: Seq[DataType] = sequenceSchema.fields.toSeq.map { f =>
+      f.dataType match {
+        case ArrayType(et, _) => et
+        case other => throw new IllegalArgumentException(
+          s"tfrecord: sequence field ${f.name} must be array-typed " +
+            s"(outer array = timesteps), got $other")
+      }
+    }
+    val schema = StructType(contextSchema.fields.toSeq ++
+      sequenceSchema.fields.toSeq)
+    val recs = readRecords(spark, dir, maxRecordBytes, verifyCrc,
+      requireCommitted)
+    val enc: Encoder[Row] = Encoders.row(schema)
+    recs.select("record").mapPartitions { rows =>
+      rows.map { r =>
+        val (ctx, lists) = decodeSequenceExample(r.getAs[Array[Byte]](0))
+        val ctxVals = contextSchema.fields.toSeq.map { f =>
+          ctx.get(f.name).map(typedValue(f.name, f.dataType, _)).orNull
+        }
+        val seqVals = sequenceSchema.fields.toSeq.zip(seqStep).map {
+          case (f, step) => lists.get(f.name)
+            .map(_.map(fv => typedValue(f.name, step, fv)))
+            .orNull
+        }
+        Row.fromSeq(ctxVals ++ seqVals)
       }
     }(enc)
   }

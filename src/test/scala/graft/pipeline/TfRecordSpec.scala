@@ -330,6 +330,47 @@ class TfRecordSpec extends SparkSpec {
     assert(TfRecord.decodeSequenceExample(Array.empty) === ((Map.empty, Map.empty)))
   }
 
+  test("writeSequenceExamples/readSequenceExamples: typed round-trip" +
+      " (per-step scalars, per-step vectors, null context + sequence)") {
+    val d = dir()
+    val df = Seq(
+      (0L, Option("utt-a"), Option(Seq(5L, 7L, 11L)),
+        Option(Seq(Seq(0.5f, 1.5f), Seq(2.5f, 3.5f)))),
+      (1L, None, Option(Seq(13L)), None),
+      (2L, Option("utt-c"), None, Option(Seq(Seq(9.0f)))),
+    ).toDF("id", "name", "tokens", "frames")
+    val n = TfRecord.writeSequenceExamples(df, s"$d/lake",
+      contextCols = Seq("id", "name"),
+      sequenceCols = Seq("tokens", "frames"))
+    assert(n === 3L)
+    val ctxSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val seqSchema = StructType(Seq(
+      StructField("tokens", ArrayType(LongType)),
+      StructField("frames", ArrayType(ArrayType(FloatType)))))
+    val back = TfRecord.readSequenceExamples(
+        spark, s"$d/lake", ctxSchema, seqSchema)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getSeq[Long](2)).map(_.toSeq),
+        Option(r.getSeq[scala.collection.Seq[Float]](3))
+          .map(_.map(_.toSeq).toSeq)))
+      .sortBy(_._1)
+    assert(back(0) === ((0L, Some("utt-a"), Some(Seq(5L, 7L, 11L)),
+      Some(Seq(Seq(0.5f, 1.5f), Seq(2.5f, 3.5f))))))
+    // null context feature and null feature_list both read back null
+    assert(back(1) === ((1L, None, Some(Seq(13L)), None)))
+    assert(back(2) === ((2L, Some("utt-c"), None, Some(Seq(Seq(9.0f))))))
+    // a non-array sequence column is a named error, write and read side
+    val e = intercept[IllegalArgumentException](
+      TfRecord.writeSequenceExamples(df, s"$d/bad",
+        contextCols = Seq.empty, sequenceCols = Seq("id")))
+    assert(e.getMessage.contains("must be array-typed"))
+    val e2 = intercept[IllegalArgumentException](
+      TfRecord.readSequenceExamples(spark, s"$d/lake",
+        ctxSchema, StructType(Seq(StructField("tokens", LongType)))))
+    assert(e2.getMessage.contains("must be array-typed"))
+  }
+
   test("property: 300 random SequenceExamples encode/decode exactly") {
     val rnd = new scala.util.Random(16L)
     def randFeature(): TfRecord.FeatureValue = rnd.nextInt(3) match {
