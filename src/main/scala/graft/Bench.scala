@@ -315,8 +315,7 @@ object Bench {
         shuffleMbOf = (_, run) => shuffleDelta(run) / 1e6)
 
     val r1x = runSuite(workloads, rounds = 5)
-    val (results, contaminated1x, extra1x) =
-      (r1x.stats, r1x.contaminated, r1x.extraRounds)
+    val results = r1x.stats
 
     // ---- 10× weak-scaling leg ----------------------------------------
     // The sf0.1 numbers are sub-second — small enough that fixed costs
@@ -412,8 +411,7 @@ object Bench {
       } catch { case _: Throwable => () }
       out
     }
-    val (x10Results, x10Contaminated, x10Extra) =
-      (rX10.stats, rX10.contaminated, rX10.extraRounds)
+    val x10Results = rX10.stats
 
     // cross-leg sanity, report-only: a query CANNOT be meaningfully slower
     // at 1× than at 10× rows in steady state — with quiet-gated interleaved

@@ -15,11 +15,12 @@ import org.apache.spark.sql.types._
   *    masked crc32c(data)`, `mask(c) = ((c >>> 15) | (c << 17)) +
   *    0xa282ead8` over uint32, CRC32C = Castagnoli
   *    (`java.util.zip.CRC32C`);
-  *  - '''`tf.train.Example`''' protobuf subset (`Example → Features →
-  *    map<string, Feature>`, `Feature = BytesList | FloatList |
-  *    Int64List`): hand-rolled protobuf wire encode/decode (varints,
-  *    length-delimited fields, packed AND unpacked repeated scalars;
-  *    unknown fields skipped by wire type).
+  *  - '''`tf.train.Example` / `tf.train.SequenceExample`''' protobuf
+  *    subsets (`Example → Features → map<string, Feature>`,
+  *    `Feature = BytesList | FloatList | Int64List`; SequenceExample
+  *    adds `context` + `feature_lists`): hand-rolled protobuf wire
+  *    encode/decode (varints, length-delimited fields, packed AND
+  *    unpacked repeated scalars; unknown fields skipped by wire type).
   *
   * Scale shape: writes stream one `.tfrecord` shard per input partition
   * from the executors (Hadoop FS — local/hdfs/s3a — temp name + rename
@@ -834,6 +835,9 @@ object TfRecord {
       compression: String = ""): Long = {
     require(sequenceCols.nonEmpty, "no sequence columns given")
     val all = contextCols ++ sequenceCols
+    require(all.distinct.length == all.length,
+      s"tfrecord: context/sequence column names overlap: " +
+        all.diff(all.distinct).distinct.mkString(", "))
     val fields = all.map(c => df.schema(df.schema.fieldIndex(c)))
     val nCtx = contextCols.length
     // per-timestep element type of each sequence column (validated once)
@@ -895,6 +899,10 @@ object TfRecord {
     }
     val schema = StructType(contextSchema.fields.toSeq ++
       sequenceSchema.fields.toSeq)
+    require(schema.fieldNames.distinct.length == schema.fieldNames.length,
+      s"tfrecord: context/sequence field names overlap: " +
+        schema.fieldNames.diff(schema.fieldNames.distinct)
+          .distinct.mkString(", "))
     val recs = readRecords(spark, dir, maxRecordBytes, verifyCrc,
       requireCommitted)
     val enc: Encoder[Row] = Encoders.row(schema)
