@@ -1245,6 +1245,31 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
     }),
+    // SequenceExample round-trip: text splits into per-timestep token
+    // features (split/join on a single space is lossless, empties
+    // included — Spark split keeps trailing empties), writes as
+    // context(doc_id) + feature_lists(tokens), reads back typed and
+    // reassembles the text — so the FeatureList encode/decode and the
+    // null→absent-list convention are load-bearing for the hash
+    "q_tfrecord_seq" -> ((s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_tfrec_seq_gate_" +
+        math.abs(dir.hashCode).toString
+      val hp = new org.apache.hadoop.fs.Path(tmp)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      pipeline.TfRecord.writeSequenceExamples(docs, tmp,
+        contextCols = Seq("doc_id"), sequenceCols = Seq("tokens"))
+      pipeline.TfRecord.readSequenceExamples(s, tmp,
+        contextSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))),
+        sequenceSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tokens",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)))))
+        .select(col("doc_id"), array_join(col("tokens"), " ").as("text"))
+    }),
     "q_zorder" -> ((s, dir) =>
       table(s, dir, "events").select(col("event_id"),
         loader.Lake.zValue(
@@ -2492,6 +2517,8 @@ object SparkEntry {
     "q_tfrecord_roundtrip" ->
       "SELECT doc_id, text FROM documents",
     "q_tfrecord_zlib" ->
+      "SELECT doc_id, text FROM documents",
+    "q_tfrecord_seq" ->
       "SELECT doc_id, text FROM documents",
     "q_zorder" -> {
       val terms = for {
