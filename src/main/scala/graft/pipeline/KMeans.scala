@@ -265,6 +265,14 @@ object KMeans {
         if (!taken(cc) && d2(cc) < bestD) { bestD = d2(cc); best = cc }
         cc += 1
       }
+      if (best < 0) {
+        // a NaN element makes EVERY distance NaN, so no comparison fires
+        // — fall back to the lowest untaken index, matching [[nearest]]'s
+        // behavior (best stays 0) instead of crashing the task with
+        // taken(-1)
+        var cc2 = 0
+        while (best < 0 && cc2 < n) { if (!taken(cc2)) best = cc2; cc2 += 1 }
+      }
       taken(best) = true
       out(j) = best
       j += 1

@@ -323,4 +323,19 @@ class IvfSpec extends SparkSpec {
     // distances: c0=0.81, c1=0.01, c2=0.01 (tie → lower id first), c3≈16.8
     assert(got === Seq(1, 2, 0))
   }
+
+  test("nearestK on a NaN-bearing vector falls back to index order" +
+      " instead of crashing (all distances NaN)") {
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(5.0, 0.0))
+    // one NaN element poisons EVERY centroid distance; the selection
+    // loop's comparisons never fire — this used to die with taken(-1)
+    val df = Seq((0L, Seq(Float.NaN, 0.0f))).toDF("id", "v")
+    val got = df.select(KMeans.assignK(df, "v", cents, 2).as("p"))
+      .first().getSeq[Int](0)
+    assert(got === Seq(0, 1)) // lowest untaken indices, like nearest()'s 0
+    // and the single-probe form agrees on the same input
+    val one = df.select(KMeans.assign(df, "v", cents).as("c"))
+      .first().getInt(0)
+    assert(one === 0)
+  }
 }
