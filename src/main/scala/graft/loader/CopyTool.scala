@@ -117,15 +117,35 @@ class CopyTool(
           val c = confBox.value.value
           val sp = new Path(s); val dp = new Path(d)
           val sfs = sp.getFileSystem(c); val dfs = dp.getFileSystem(c)
-          if (dfs.exists(dp)) dfs.delete(dp, false) // take ownership
+          // bytes land on an ATTEMPT-keyed temp name, never the final
+          // one (the TfRecord commit posture): two speculative attempts
+          // never interleave writes into one file, and a crashed task
+          // leaves only `._tmp.` litter — not a partial file under the
+          // final name that the size-equality skip could later keep
+          val tc = org.apache.spark.TaskContext.get()
+          val attempt = if (tc == null) 0L else tc.taskAttemptId()
+          val tmp = new Path(dp.getParent, s"._tmp.${dp.getName}.$attempt")
           val in = sfs.open(sp)
-          val out = dfs.create(dp, true)
+          val out = dfs.create(tmp, true)
           try {
             val buf = new Array[Byte](1 << 20)
             var n = in.read(buf)
             while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
           } finally { in.close(); out.close() }
+          if (dfs.exists(dp)) dfs.delete(dp, false) // take ownership
+          if (!dfs.rename(tmp, dp)) {
+            // a sibling attempt committed the identical copy first
+            if (dfs.exists(dp)) dfs.delete(tmp, false)
+            else throw new java.io.IOException(s"could not commit $dp")
+          }
           applyMeta(dfs, dp, new FsPermission("664"), grp)
+      }
+      // driver-side epilogue: sweep attempt litter from killed tasks
+      toCopy.map(t => new Path(t._2).getParent).distinct.foreach { d =>
+        destFs.listStatus(d).foreach { st =>
+          if (st.isFile && st.getPath.getName.startsWith("._tmp."))
+            destFs.delete(st.getPath, false)
+        }
       }
     }
     // cached status: no second metadata round trip to the (slow) source

@@ -2,6 +2,8 @@ package graft.loader
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 
 /** S10 CopyTool (`sed/loader/mirrorutil.py`): tree mirroring with
@@ -52,6 +54,24 @@ class CopyToolSpec extends SparkSpec {
     Files.writeString(destFile, "7654321")
     ct.copy(s"$src/scan", forceCopy = true)
     assert(Files.readString(destFile) === "1234567")
+  }
+
+  test("commit posture: copies land via attempt temp + rename, no" +
+      " ._tmp. litter survives, and stale litter is swept") {
+    val src = tmp("ct_src_tmp"); val dst = tmp("ct_dst_tmp")
+    write(src, "scan/a.txt", "alpha")
+    write(src, "scan/sub/b.txt", "beta")
+    // plant stale litter from a hypothetical killed attempt — the
+    // driver epilogue must sweep it after a copy touching that dir
+    Files.createDirectories(Paths.get(dst, "scan"))
+    Files.writeString(Paths.get(dst, "scan/._tmp.a.txt.99"), "junk")
+    val ct = new CopyTool(spark, src, dst)
+    ct.copy(s"$src/scan")
+    assert(Files.readString(Paths.get(dst, "scan/a.txt")) === "alpha")
+    assert(Files.readString(Paths.get(dst, "scan/sub/b.txt")) === "beta")
+    val leftovers = Files.walk(Paths.get(dst)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("._tmp.")).toSeq
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
   }
 
   test("single-file copy returns the mapped file path") {
