@@ -234,10 +234,26 @@ object Lake {
         .foreach { case (src, name) =>
           val c = confBox.value.value
           val sp = new HPath(src)
-          FileUtil.copy(sp.getFileSystem(c), sp,
-            new HPath(outStr).getFileSystem(c), new HPath(outStr, name),
+          val dfs = new HPath(outStr).getFileSystem(c)
+          // attempt-keyed tmp + idempotent rename (the TfRecord/CopyTool
+          // commit posture): speculative twins never interleave writes
+          // into one final file, and a crashed attempt leaves only litter
+          val tc = org.apache.spark.TaskContext.get()
+          val attempt = if (tc == null) 0L else tc.taskAttemptId()
+          val fin = new HPath(outStr, name)
+          val tmp = new HPath(outStr, s"._tmp.$name.$attempt")
+          FileUtil.copy(sp.getFileSystem(c), sp, dfs, tmp,
             /* deleteSource = */ false, c)
+          if (!dfs.rename(tmp, fin)) {
+            if (dfs.exists(fin)) dfs.delete(tmp, false)
+            else throw new java.io.IOException(s"compact: could not commit $fin")
+          }
         }
+      // sweep litter from killed attempts before the group rewrites land
+      outFs.listStatus(out).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith("._tmp."))
+          outFs.delete(st.getPath, false)
+      }
     }
     plan.foreach { group =>
       if (group.size > 1)
