@@ -28,6 +28,18 @@ object Bpe {
   /** End-of-word marker symbol. */
   val EndOfWord = "</w>"
 
+  /** Per-word symbol cap: the greedy encode is O(len²) per word (each
+    * merge pass rescans the pairs), so a single multi-megabyte unbroken
+    * "word" in hostile crawl text would pin an executor for hours.
+    * Words longer than this emit as ONE piece (word + `</w>`) without
+    * merging, and merge LEARNING skips them — no natural-language word
+    * comes close (the longest real words are < 100 chars; URLs/hashes
+    * past the cap are exactly the strings a subword vocabulary should
+    * not learn merges from). Same posture as real tokenizers, whose
+    * regex pre-tokenizers bound word length before the quadratic step.
+    */
+  val DefaultMaxWordLen = 512
+
   /** Learn `numMerges` merges from a deterministic bounded sample of the
     * corpus (`TakeOrderedAndProject` — no global sort, scales). Classic
     * frequency-greedy learning: repeatedly merge the most frequent
@@ -42,6 +54,7 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       sampleN: Int = 10000,
+      maxWordLen: Int = DefaultMaxWordLen,
   ): Seq[(String, String)] = {
     // top-N by a deterministic portable hash of the text: reproducible
     // across runs yet UNBIASED — ordering by the raw text would train the
@@ -53,7 +66,8 @@ object Bpe {
       .limit(sampleN)
       .collect().map(_.getString(0))
     val wordFreq = mutable.Map.empty[String, Long].withDefaultValue(0L)
-    texts.foreach(t => t.trim.split("\\s+").filter(_.nonEmpty)
+    texts.foreach(t => t.trim.split("\\s+")
+      .filter(w => w.nonEmpty && w.length <= maxWordLen)
       .foreach(w => wordFreq(w) += 1L))
     var words: Map[Vector[String], Long] = wordFreq.map { case (w, n) =>
       (w.map(_.toString).toVector :+ EndOfWord) -> n
@@ -106,8 +120,11 @@ object Bpe {
   def encodeWord(
       word: String,
       rank: Map[(String, String), Int],
+      maxWordLen: Int = DefaultMaxWordLen,
   ): Array[String] = {
     if (word.isEmpty) return Array.empty
+    // the O(len²) guard — see [[DefaultMaxWordLen]]
+    if (word.length > maxWordLen) return Array(word + EndOfWord)
     var syms = mutable.ArrayBuffer.empty[String]
     word.foreach(c => syms += c.toString)
     syms += EndOfWord
@@ -132,10 +149,11 @@ object Bpe {
   }
 
   /** Whitespace-split text → concatenated BPE pieces of every word. */
-  def encode(text: String, rank: Map[(String, String), Int]): Array[String] = {
+  def encode(text: String, rank: Map[(String, String), Int],
+      maxWordLen: Int = DefaultMaxWordLen): Array[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     text.trim.split("\\s+").foreach { w =>
-      if (w.nonEmpty) out ++= encodeWord(w, rank)
+      if (w.nonEmpty) out ++= encodeWord(w, rank, maxWordLen)
     }
     out.toArray
   }

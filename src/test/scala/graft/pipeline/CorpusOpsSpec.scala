@@ -328,6 +328,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L)._2 === Seq.empty)
   }
 
+  test("BPE: a hostile megaword encodes in O(1) as one piece instead of" +
+      " pinning the executor on the O(len^2) merge loop") {
+    val rank = Bpe.ranks(Seq(("a", "a"), ("aa", "aa")))
+    // 2M-char unbroken word: the uncapped greedy loop would run ~1M
+    // rescans of ~2M pairs (~10^12 ops); the cap answers instantly
+    val mega = "a" * 2000000
+    val t0 = System.nanoTime()
+    val pieces = Bpe.encodeWord(mega, rank)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "megaword encode too slow")
+    assert(pieces === Array(mega + Bpe.EndOfWord))
+    // the cap also guards learning: a sample carrying the megaword
+    // learns from the normal words only, quickly
+    val df = Seq((1L, s"low low low $mega newest newest")).toDF("id", "text")
+    val t1 = System.nanoTime()
+    val merges = Bpe.learnMerges(df, "text", numMerges = 4)
+    assert((System.nanoTime() - t1) / 1e9 < 5.0, "megaword learning too slow")
+    assert(merges.nonEmpty)
+    assert(merges.forall { case (a, b) => !(a + b).contains("aaaa") ||
+      (a + b).length <= 8 }) // merges come from the short words
+    // words at/below the cap still merge normally
+    assert(Bpe.encodeWord("aaaa", rank).length < 5)
+  }
+
   test("packSequences budgets on BPE counts when given a subword counter") {
     val df = Seq((1L, "aa aa"), (2L, "aa bb"), (3L, "cc")).toDF("id", "text")
     val merges = Bpe.learnMerges(df, "text", numMerges = 4)
