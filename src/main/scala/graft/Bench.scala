@@ -32,15 +32,26 @@ import graft.dfops.DfOps
   *    single-thread CPU probe;
   *  - a rep is QUIET iff all four bracket readings sit within 1.3× the
   *    suite-wide quiet minimum of their kind; per query the artifact
-  *    reports min / median / spread (max÷min) over its quiet reps;
-  *  - the suite SELF-HEALS: while any query has < 2 quiet reps, up to
-  *    10 additional full interleaved rounds run; a query with ZERO quiet
-  *    reps after that falls back to all-rep stats and is named in
-  *    `contaminated`, and any query still under 2 quiet reps is named in
-  *    `unusable` — in which case the artifact carries `"usable":false`
-  *    and the process EXITS NONZERO, so a contaminated run can never be
-  *    archived as the round's number of record (protocol extracted to
-  *    [[BenchProtocol]] and spec-pinned with scripted canaries).
+  *    reports min / median / spread (max÷min) over its quiet reps.
+  *    For SUB-SECOND queries a quiet rep additionally counts only if it
+  *    AGREES with the query's quiet minimum (1.3× / +50 ms band) — a
+  *    spike shorter than the bracket interval can land wholly inside a
+  *    short timed region without touching either canary, so the floor
+  *    must be reproduced, not just bracketed (round 16's ×1 leg carried
+  *    quiet-rep spreads up to 4.8× this way);
+  *  - the suite SELF-HEALS: while any query has < 2 quiet+agreed reps,
+  *    up to 10 additional full interleaved rounds run; a query with
+  *    ZERO quiet reps after that falls back to all-rep stats and is
+  *    named in `contaminated`, and any query still under 2 quiet+agreed
+  *    reps is named in `unusable`;
+  *  - `usable` and the exit code roll up BOTH weather modes
+  *    ([[BenchProtocol.verdict]]): `unusable` nonempty → exit 3 (noisy
+  *    box), and `run_quiet` false → exit 4 (uniformly hot box: every
+  *    rep mutually quiet but the suite canary minima sit outside the
+  *    committed quiet-box envelope — the whole-run baseline shift the
+  *    absolute constants exist for). Either way the artifact carries
+  *    `"usable":false` and can never be archived as the round's number
+  *    of record (protocol spec-pinned with scripted canaries).
   *
   * Each workload executes to a noop sink — `count()` would let Catalyst
   * prune the projections being measured. The reported headline stays the
@@ -435,7 +446,7 @@ object Bench {
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
     def legJson(r: BenchProtocol.SuiteResult): String = {
       val rs = r.stats
-      s""""queries":${jmap(rs, _.min)},"medians":${jmap(rs, _.median)},"spreads":${jmap(rs, _.spread)},"canaries":${jmap(rs, _.cpuCanary)},"bw_canaries":${jmap(rs, _.bwCanary)},"shuffle_mb":${jmap(rs, _.shuffleMb)},"quiet_reps":${jmapi(rs, _.quietReps)},"contaminated":${jlist(r.contaminated)},"unusable":${jlist(r.unusable)},"extra_rounds":${r.extraRounds}"""
+      s""""queries":${jmap(rs, _.min)},"medians":${jmap(rs, _.median)},"spreads":${jmap(rs, _.spread)},"canaries":${jmap(rs, _.cpuCanary)},"bw_canaries":${jmap(rs, _.bwCanary)},"shuffle_mb":${jmap(rs, _.shuffleMb)},"quiet_reps":${jmapi(rs, _.quietReps)},"agreed_reps":${jmapi(rs, _.agreedReps)},"contaminated":${jlist(r.contaminated)},"unusable":${jlist(r.unusable)},"extra_rounds":${r.extraRounds}"""
     }
     val total = results.map(_.min).sum
     val canarySec = results.map(_.cpuCanary).min
@@ -449,21 +460,32 @@ object Bench {
     val allCpuMin = (results ++ x10Results).map(_.cpuCanary).min
     val allBwMin = (results ++ x10Results).map(_.bwCanary).min
     val quiet = runQuiet(allCpuMin, allBwMin)
-    // irrecoverable contamination: a query that still lacks 2 quiet reps
-    // after the 10-round extension budget. Named per leg in `unusable`,
-    // rolled up in `usable`, and signalled with a NONZERO exit below —
-    // round 15 showed that an exit-0 headline total from a contaminated
-    // run gets archived as the number of record
+    // BOTH weather modes gate `usable` and the exit code (see
+    // BenchProtocol.verdict): per-query contamination the extension
+    // budget could not heal (exit 3), and a UNIFORMLY hot box whose
+    // reps all look quiet relative to each other while the whole run
+    // sits outside the committed quiet envelope (exit 4) — round 16's
+    // artifact reported run_quiet honestly but still said usable:true,
+    // so a driver could archive a baseline-shifted run as the number
+    // of record.
     val unusableAll =
       (r1x.unusable.map("1x:" + _) ++ rX10.unusable.map("x10:" + _))
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",${legJson(r1x)},"canary_sec":$canarySec,"bw_canary_sec":$bwCanarySec,"run_quiet":$quiet,"quiet_cpu_ref":$quietCpuCanarySec,"quiet_bw_ref":$quietBwCanarySec,"usable":${unusableAll.isEmpty},"inverted_1x":${jlist(inverted1x)}$x10Part,"sf":"$sfDir"}"""
+    val (usable, exitCode) = BenchProtocol.verdict(unusableAll, quiet)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",${legJson(r1x)},"canary_sec":$canarySec,"bw_canary_sec":$bwCanarySec,"run_quiet":$quiet,"quiet_cpu_ref":$quietCpuCanarySec,"quiet_bw_ref":$quietBwCanarySec,"usable":$usable,"inverted_1x":${jlist(inverted1x)}$x10Part,"sf":"$sfDir"}"""
     emitArtifact(json, sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json"))
     spark.stop()
-    if (unusableAll.nonEmpty) {
+    if (exitCode == 3) {
       System.err.println("[bench] UNUSABLE after extension budget " +
-        s"(queries without 2 quiet reps): ${unusableAll.mkString(", ")} — " +
-        "numbers for these are weather, not code; exiting nonzero")
+        s"(queries without 2 quiet+agreed reps): ${unusableAll.mkString(", ")}" +
+        " — numbers for these are weather, not code; exiting nonzero")
       sys.exit(3)
+    } else if (exitCode != 0) {
+      System.err.println("[bench] UNUSABLE: uniformly hot box — suite " +
+        f"canary minima cpu=$allCpuMin%.4f/bw=$allBwMin%.4f exceed the " +
+        f"committed quiet envelope (cpu ${quietCpuCanarySec}×1.3, bw " +
+        f"${quietBwCanarySec}×1.5); whole-run baseline shift, exiting " +
+        s"$exitCode")
+      sys.exit(exitCode)
     }
   }
 }

@@ -242,6 +242,67 @@ object ScaleProbe {
       return
     }
 
+    // "tfrecord64": the TFRecord lake's weak-scaling rehearsal — shard
+    // COUNT grows ×f at a fixed 256 records/shard (8 KB binary records,
+    // deterministic sha2-derived bytes), through the full commit
+    // protocol (attempt-keyed tmp → idempotent rename → driver litter
+    // sweep → _SUCCESS) and back. Asserted per factor, not just timed:
+    // exactly one read task per shard file, marker present + zero _tmp
+    // litter after the epilogue, and flat heap-after-GC (write and read
+    // are memory-bounded by one record). The driver's commit epilogue
+    // (one listStatus + marker create) is inside the write timing, so
+    // healthy = write/read seconds ~linear in shards (sec/shard flat ⇔
+    // commit overhead O(files)) with a flat heap ceiling.
+    if (args.contains("tfrecord64")) {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_tfrec64")
+      val recsPerShard = 256
+      val baseShards = 8
+      factors.foreach { f =>
+        val shards = baseShards * f
+        val lake = s"$tmpRoot/f$f"
+        // 8 KB deterministic binary per record: 64 hex chars of sha2
+        // repeated 256× and unhexed — no driver-side materialization
+        val df = spark.range(0L, shards.toLong * recsPerShard, 1L, shards)
+          .select(unhex(repeat(
+            sha2(col("id").cast("string"), 256), 256)).as("rec"))
+        timedAlways("tfrec_write", f) {
+          pipeline.TfRecord.writeRecords(df, "rec", lake)
+        }
+        timedAlways("tfrec_read", f) {
+          pipeline.TfRecord.readRecords(spark, lake)
+            .agg(count(lit(1)), sum(length(col("record")))).head().getLong(0)
+        }
+        // structural assertions — the claims the cluster smoke pinned at
+        // one size, re-checked at every factor
+        val perPart = pipeline.TfRecord.readRecords(spark, lake)
+          .select("path").rdd
+          .mapPartitions(it =>
+            Iterator.single(it.map(_.getString(0)).toSet.size))
+          .collect()
+        require(perPart.length == shards && perPart.forall(_ == 1),
+          s"tfrecord64 x$f: expected one task per shard ($shards), got " +
+            s"${perPart.length} partitions, per-task shard counts " +
+            perPart.distinct.mkString("{", ",", "}"))
+        val names = new java.io.File(lake).listFiles().map(_.getName)
+        require(names.contains("_SUCCESS"), s"tfrecord64 x$f: marker missing")
+        require(!names.exists(_.startsWith("_tmp.")),
+          s"tfrecord64 x$f: attempt litter survived the driver sweep")
+        System.gc()
+        val used = (Runtime.getRuntime.totalMemory() -
+          Runtime.getRuntime.freeMemory()) / 1e6
+        println(f"SCALE heap_after_gc    x$f%-3d $used%8.0f MB  " +
+          s"(shards=$shards, one-task-per-shard ok, marker ok, no litter)")
+        // drop this factor's lake before inflating the next one
+        try {
+          import scala.reflect.io.Directory
+          new Directory(new java.io.File(lake)).deleteRecursively()
+        } catch { case _: Throwable => () }
+        ()
+      }
+      spark.stop()
+      return
+    }
+
     // "recall64": ANN QUALITY at scale — recall@10 of IVF / IVF-PQ /
     // IVF-PQ+re-rank against the exact brute-force baseline
     // (Similarity.bruteTopKBatch + recallAgainst) across

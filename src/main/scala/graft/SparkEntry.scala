@@ -44,6 +44,22 @@ object SparkEntry {
     }
   }
 
+  /** Deterministic per-SF scratch dir for the TFRecord gate rows,
+    * cleared before each run (writeRecords refuses a pre-existing
+    * COMMITTED dir). NOTE: `java.io.tmpdir` works only because the gate
+    * runs single-box (local / local-cluster); on a real multi-node
+    * cluster executor-local /tmp is invisible to the driver's shard
+    * listing — use a shared FS (hdfs/s3a) there, as TfRecord's own
+    * scaladoc says. Do not copy this tmpdir pattern into pipelines.
+    */
+  private def tfrecGateDir(s: SparkSession, dir: String, tag: String): String = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_tfrec_${tag}gate_" +
+      math.abs(dir.hashCode).toString
+    val hp = new org.apache.hadoop.fs.Path(tmp)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    tmp
+  }
+
   // ---- shared axis definitions (single source of truth for Spark + oracle) ----
 
   /** 1-D: 100 bins over events.value, center-range [0, 500) (A2/A3). */
@@ -1207,17 +1223,7 @@ object SparkEntry {
     // Example encode/decode, null-feature omission and shard streaming
     // are ALL load-bearing for the hash to match.
     "q_tfrecord_roundtrip" -> ((s, dir) => {
-      // deterministic per-SF path (the q_text_search convention);
-      // writeRecords refuses a pre-existing COMMITTED dir, so clear it
-      // first. NOTE: java.io.tmpdir works only because the gate runs
-      // single-box (local / local-cluster); on a real multi-node
-      // cluster executor-local /tmp is invisible to the driver's shard
-      // listing — use a shared FS (hdfs/s3a) there, as TfRecord's own
-      // scaladoc says. Do not copy this tmpdir pattern into pipelines.
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_tfrec_gate_" +
-        math.abs(dir.hashCode).toString
-      val hp = new org.apache.hadoop.fs.Path(tmp)
-      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val tmp = tfrecGateDir(s, dir, "")
       val docs = table(s, dir, "documents").select("doc_id", "text")
       pipeline.TfRecord.writeExamples(docs, tmp, Seq("doc_id", "text"))
       pipeline.TfRecord.readExamples(s, tmp,
@@ -1231,10 +1237,7 @@ object SparkEntry {
     // wrap/unwrap, extension routing and the commit marker all
     // load-bearing for the hash (oracle = source table, like above)
     "q_tfrecord_zlib" -> ((s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_tfrec_zlib_gate_" +
-        math.abs(dir.hashCode).toString
-      val hp = new org.apache.hadoop.fs.Path(tmp)
-      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val tmp = tfrecGateDir(s, dir, "zlib_")
       val docs = table(s, dir, "documents").select("doc_id", "text")
       pipeline.TfRecord.writeExamples(docs, tmp, Seq("doc_id", "text"),
         compression = "ZLIB")
@@ -1252,10 +1255,7 @@ object SparkEntry {
     // reassembles the text — so the FeatureList encode/decode and the
     // null→absent-list convention are load-bearing for the hash
     "q_tfrecord_seq" -> ((s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_tfrec_seq_gate_" +
-        math.abs(dir.hashCode).toString
-      val hp = new org.apache.hadoop.fs.Path(tmp)
-      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val tmp = tfrecGateDir(s, dir, "seq_")
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tokens"))
       pipeline.TfRecord.writeSequenceExamples(docs, tmp,
@@ -1269,6 +1269,34 @@ object SparkEntry {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.StringType)))))
         .select(col("doc_id"), array_join(col("tokens"), " ").as("text"))
+    }),
+    // SequenceExample with PER-TIMESTEP FLOAT VECTORS (the speech/
+    // embedding-frame case the typed surface documents): each 64-dim
+    // embedding chunks into 8 timesteps × 8 floats, writes as a
+    // feature_list of multi-valued float Features, reads back as
+    // array<array<float>>, and flattens per component — so the IEEE754
+    // float wire encode/decode and the inner-list framing are
+    // load-bearing for the hash (oracle = source table, exploded)
+    "q_tfrecord_seq_float" -> ((s, dir) => {
+      val tmp = tfrecGateDir(s, dir, "seqf_")
+      val emb = table(s, dir, "embeddings").select(col("vec_id"),
+        transform(sequence(lit(0), lit(7)),
+          i => slice(col("embedding"), i * 8 + 1, lit(8))).as("frames"))
+      pipeline.TfRecord.writeSequenceExamples(emb, tmp,
+        contextCols = Seq("vec_id"), sequenceCols = Seq("frames"))
+      pipeline.TfRecord.readSequenceExamples(s, tmp,
+        contextSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType))),
+        sequenceSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("frames",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType))))))
+        .select(col("vec_id"),
+          posexplode(flatten(col("frames"))).as(Seq("pos", "value")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("value").cast("double").as("value"))
     }),
     "q_zorder" -> ((s, dir) =>
       table(s, dir, "events").select(col("event_id"),
@@ -2520,6 +2548,12 @@ object SparkEntry {
       "SELECT doc_id, text FROM documents",
     "q_tfrecord_seq" ->
       "SELECT doc_id, text FROM documents",
+    // float32 → float64 widening is exact in both engines; the parallel
+    // unnests zip (the q_embed_quant convention)
+    "q_tfrecord_seq_float" ->
+      """SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+        | CAST(unnest(embedding) AS DOUBLE) AS value
+        | FROM embeddings""".stripMargin.replace("\n", " "),
     "q_zorder" -> {
       val terms = for {
         j <- 0 until 8

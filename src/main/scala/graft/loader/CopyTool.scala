@@ -108,6 +108,16 @@ class CopyTool(
         destFs.mkdirs(d, dirPerm)
         applyMeta(destFs, d, dirPerm, group)
       }
+      // stale destinations (wrong size, or forceCopy) are deleted ONCE,
+      // driver-side, before the distributed copy. A per-attempt "take
+      // ownership" delete is unsafe under speculative execution: a
+      // losing attempt could delete the winner's just-committed file
+      // and then be killed before its own rename, leaving NO
+      // destination file after a run that reports success.
+      toCopy.foreach { case (_, d, _) =>
+        val dp = new Path(d)
+        if (destFs.exists(dp)) destFs.delete(dp, false)
+      }
       val confBox = spark.sparkContext.broadcast(
         org.apache.spark.GraftSparkBridge.hadoopConfBox(spark.sparkContext))
       val grp = group
@@ -132,9 +142,10 @@ class CopyTool(
             var n = in.read(buf)
             while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
           } finally { in.close(); out.close() }
-          if (dfs.exists(dp)) dfs.delete(dp, false) // take ownership
+          // rename-first commit: never delete the final name here — a
+          // rename that fails because the destination exists means a
+          // sibling attempt committed the identical copy first
           if (!dfs.rename(tmp, dp)) {
-            // a sibling attempt committed the identical copy first
             if (dfs.exists(dp)) dfs.delete(tmp, false)
             else throw new java.io.IOException(s"could not commit $dp")
           }

@@ -43,6 +43,12 @@ object ScicatMetadata {
   final case class Config(url: String, token: String, timeoutMs: Int = 10000) {
     require(url != null && url.nonEmpty && token != null && token.nonEmpty,
       "scicat: no URL or token provided for fetching metadata")
+    // This retriever speaks HTTP only: a non-http(s) catalogue URL
+    // (file://, jar:) would ClassCastException at openConnection deep
+    // inside a data load — name the misconfiguration at construction,
+    // where it is a config error, not a load failure.
+    require(url.startsWith("http://") || url.startsWith("https://"),
+      s"scicat: catalogue URL must be http(s), got '$url'")
   }
 
   /** Build a [[Config]] from a parsed metadata config section
@@ -112,7 +118,12 @@ object ScicatMetadata {
         val in = conn.getInputStream
         try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // "a catalogue outage must not fail the data load": ANY request
+      // failure — network, TLS, or a connection class surprise — must
+      // degrade to the warn+empty path, not propagate out of the load
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Metadata for one pid: new URL first; empty-body success retries
     * the old URL form; failure (either request) warns and returns the

@@ -515,7 +515,22 @@ object TfRecord {
     * Returns the record count. `dir` must not already contain a
     * committed dataset (a `_SUCCESS` marker — appending would mix
     * shards); an UNcommitted leftover dir from a died job is wiped so
-    * retries are clean.
+    * retries are clean — but ONLY when it holds nothing besides this
+    * writer's own artifact names (`_tmp.part-*` attempts and
+    * `part-*.tfrecord*` shards). A dir with any other content (a lake
+    * written by another tool, a mistyped path) is refused loudly
+    * rather than destroyed.
+    *
+    * Determinism requirement: the idempotent sibling-commit step treats
+    * an already-present final shard as an equivalent encode of the same
+    * partition. That holds only for DETERMINISTIC lineage — the same
+    * requirement Spark's own file committers place on their jobs
+    * (SPARK-23207). After a round-robin `repartition(n)` or other
+    * unordered shuffle, a retried attempt may encode different rows; the
+    * shard content is then whichever attempt committed first and the
+    * returned count may come from the discarded attempt. Sort or
+    * hash-partition on a key before writing if exact shard contents
+    * matter.
     */
   def writeRecords(df: DataFrame, binCol: String, dir: String,
       compression: String = ""): Long = {
@@ -526,7 +541,20 @@ object TfRecord {
       require(!fs.exists(new org.apache.hadoop.fs.Path(hp, SuccessMarker)),
         s"tfrecord: $dir already holds a committed dataset — writing " +
           "into it would mix shards")
-      // no marker → a prior write died mid-job; wipe for a clean retry
+      // No marker: EITHER a prior writeRecords died mid-job (the dir
+      // then holds only this writer's own artifact names) — wipe for a
+      // clean retry — OR it is a lake written by another tool / a
+      // mistyped path, which must be refused, not destroyed.
+      val foreign = fs.listStatus(hp).filterNot { st =>
+        val n = st.getPath.getName
+        st.isFile && (n.startsWith("_tmp.part-") ||
+          (n.startsWith("part-") && n.contains(".tfrecord")))
+      }
+      require(foreign.isEmpty,
+        s"tfrecord: $dir exists without a $SuccessMarker marker and " +
+          s"holds content not written by this writer (e.g. " +
+          s"'${foreign.head.getPath.getName}') — refusing to wipe it; " +
+          "delete the directory explicitly or choose another path")
       fs.delete(hp, true)
     }
     fs.mkdirs(hp)
@@ -601,8 +629,10 @@ object TfRecord {
     if (requireCommitted)
       require(fs.exists(new org.apache.hadoop.fs.Path(hp, SuccessMarker)),
         s"tfrecord: $dir has no $SuccessMarker marker — the write never " +
-          "committed (or the lake was written by another tool: pass " +
-          "requireCommitted=false)")
+          "committed; OR the lake predates this library's marker " +
+          s"protocol (if it is known complete, touch $SuccessMarker " +
+          "into it once to migrate); OR it was written by another " +
+          "tool: pass requireCommitted=false")
     val files = listShards(fs, hp).map(_.toString)
     require(files.nonEmpty, s"tfrecord: no .tfrecord shards under $dir")
     import spark.implicits._

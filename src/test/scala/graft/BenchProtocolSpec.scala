@@ -95,6 +95,83 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(r.unusable.isEmpty)
   }
 
+  test("uniformly hot box: every rep mutually quiet (relative test" +
+      " passes, unusable empty) yet verdict says usable:false, exit 4") {
+    // all canaries elevated TOGETHER — the whole-run baseline shift the
+    // committed quiet constants exist for. Relative to the suite's own
+    // minima every rep is quiet, so the per-query gate cannot fire...
+    val hotAll = Seq.fill(40)((HOT, HOT))
+    val r = run(ws("a", "b"), script = hotAll, rounds = 3)
+    assert(r.extraRounds === 0)
+    assert(r.unusable.isEmpty && r.contaminated.isEmpty)
+    assert(r.stats.forall(_.quietReps === 3))
+    // ...but the absolute run_quiet check does, and verdict folds it
+    // into usable + a DISTINCT exit code so the driver can tell
+    // hot-box from noisy-box
+    assert(!Bench.runQuiet(HOT, HOT))
+    assert(BenchProtocol.verdict(r.unusable, runQuiet = false) ===
+      ((false, 4)))
+    // quiet box for contrast: usable, exit 0
+    assert(BenchProtocol.verdict(Nil, runQuiet = true) === ((true, 0)))
+    // noisy box outranks hot box in the roll-up
+    assert(BenchProtocol.verdict(Seq("1x:q"), runQuiet = false) ===
+      ((false, 3)))
+  }
+
+  test("sub-second floor reproduction: a spike inside the timed region" +
+      " (canaries quiet) forces extension until the min is reproduced") {
+    // the workload sleeps 250 ms on its first two reps (a spike shorter
+    // than the canary bracket: both brackets read quiet) and 40 ms from
+    // rep 3 on. After 3 base rounds only ONE rep sits at the floor —
+    // the plain quiet criterion would stop here and report min=0.04
+    // with median 0.25 — so exactly one extension round must run to
+    // reproduce the floor.
+    var rep = 0 // rep 1 is the protocol's untimed warm-up call
+    val spiky = Seq("spiky" -> (() => {
+      rep += 1
+      Thread.sleep(if (rep <= 3) 250L else 40L)
+    }))
+    val r = run(spiky, script = Seq.empty, rounds = 3)
+    assert(r.extraRounds === 1)
+    assert(r.unusable.isEmpty)
+    val s = r.stats.head
+    assert(s.quietReps === 4) // all reps quiet — the brackets saw nothing
+    assert(s.agreedReps === 2) // but only two reproduce the floor
+    assert(s.min < 0.15, s"floor not at the quiet value: ${s.min}")
+  }
+
+  test("sub-second floor NEVER reproduced: the query is named unusable" +
+      " after the budget even though every rep is canary-quiet") {
+    // one fluke-fast rep, every other rep 6× slower with quiet canaries
+    // — the r16 ×1 shape (workflow_4d min 0.262 s vs median 0.961 s,
+    // usable:true). The floor is never reproduced, so the query must be
+    // named rather than its min archived.
+    var rep = 0 // rep 1 is the untimed warm-up
+    val fluke = Seq("fluke" -> (() => {
+      rep += 1
+      Thread.sleep(if (rep == 2) 40L else 250L)
+    }))
+    val r = run(fluke, script = Seq.empty, rounds = 3, maxExtra = 3)
+    assert(r.extraRounds === 3) // budget exhausted trying to heal
+    assert(r.unusable === Seq("fluke"))
+    assert(r.contaminated.isEmpty) // canaries were quiet throughout
+    assert(r.stats.head.agreedReps === 1)
+    assert(BenchProtocol.verdict(r.unusable, runQuiet = true)._2 === 3)
+  }
+
+  test("at or above 0.5 s the plain quiet criterion stands (long regions" +
+      " dilute short spikes; sustained weather hits the brackets)") {
+    var rep = 0 // rep 1 is the untimed warm-up
+    val long = Seq("long" -> (() => {
+      rep += 1
+      Thread.sleep(if (rep <= 2) 900L else 550L) // spread 1.6×, all ≥0.5 s
+    }))
+    val r = run(long, script = Seq.empty, rounds = 3)
+    assert(r.extraRounds === 0)
+    assert(r.unusable.isEmpty)
+    assert(r.stats.head.agreedReps === r.stats.head.quietReps)
+  }
+
   test("a workload that throws never aborts the suite (named stderr," +
       " stats still emitted)") {
     val boom = Seq("ok" -> (() => ()),

@@ -58,6 +58,20 @@ class ScicatMetadataSpec extends SparkSpec {
     assert(c.token === "override" && c.url === "https://cat")
   }
 
+  test("config refuses non-http(s) catalogue URLs at construction — a" +
+      " file:// URL must be a named config error, not a mid-load CCE") {
+    val e = intercept[IllegalArgumentException](
+      ScicatMetadata.Config("file:///etc/catalogue", "tok"))
+    assert(e.getMessage.contains("http(s)"))
+    intercept[IllegalArgumentException](
+      ScicatMetadata.Config("jar:file:///a.jar!/x", "tok"))
+    intercept[IllegalArgumentException](ScicatMetadata.configFrom(
+      Map("scicat_url" -> "ftp://cat", "scicat_token" -> "tok")))
+    // plain http and https both construct
+    ScicatMetadata.Config("http://cat", "tok")
+    ScicatMetadata.Config("https://cat", "tok")
+  }
+
   test("new-URL deployment: bearer token + JSON headers sent, metadata" +
       " parsed to plain Scala values") {
     val seenAuth = new java.util.concurrent.atomic.AtomicReference[String]

@@ -227,6 +227,63 @@ class TfRecordSpec extends SparkSpec {
       .exists(_.getName.startsWith("_tmp.")))
   }
 
+  test("writeRecords refuses to wipe an uncommitted dir holding foreign" +
+      " content; own-artifact-only litter still retries clean") {
+    import java.nio.file.{Files, Paths}
+    val d = dir()
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(d, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    // a lake written by another tool: .tfrecord shards under names this
+    // writer never produces, no _SUCCESS marker — must NOT be destroyed
+    put("extlake/data-00000-of-00001.tfrecord", Array[Byte](1, 2, 3))
+    val e = intercept[IllegalArgumentException](
+      TfRecord.writeRecords(Seq(Tuple1(Array[Byte](9))).toDF("rec"),
+        "rec", s"$d/extlake"))
+    assert(e.getMessage.contains("refusing to wipe"))
+    assert(Files.exists(Paths.get(d, "extlake/data-00000-of-00001.tfrecord")),
+      "foreign lake was destroyed")
+    // a mistyped path pointing at arbitrary files is equally protected
+    put("photos/img.png", Array[Byte](0x50))
+    val e2 = intercept[IllegalArgumentException](
+      TfRecord.writeRecords(Seq(Tuple1(Array[Byte](9))).toDF("rec"),
+        "rec", s"$d/photos"))
+    assert(e2.getMessage.contains("refusing to wipe"))
+    assert(Files.exists(Paths.get(d, "photos/img.png")))
+    // a SUBDIRECTORY is foreign content too, even under an own-like name
+    put("sublake/part-00000.tfrecord/nested", Array[Byte](1))
+    val e3 = intercept[IllegalArgumentException](
+      TfRecord.writeRecords(Seq(Tuple1(Array[Byte](9))).toDF("rec"),
+        "rec", s"$d/sublake"))
+    assert(e3.getMessage.contains("refusing to wipe"))
+    // own artifacts only (attempt tmp + shard names, no marker) = a
+    // died prior writeRecords → wiped and retried clean
+    put("ownlake/_tmp.part-00000.7", Array[Byte](1))
+    put("ownlake/part-00000.tfrecord", Array[Byte](2))
+    put("ownlake/part-00001.tfrecord.gz", Array[Byte](3))
+    val n = TfRecord.writeRecords(
+      Seq(Tuple1(Array[Byte](4))).toDF("rec").coalesce(1),
+      "rec", s"$d/ownlake")
+    assert(n === 1L)
+    assert(TfRecord.readRecords(spark, s"$d/ownlake").count() === 1L)
+  }
+
+  test("readRecords marker error names the legacy-lake migration path") {
+    import java.nio.file.{Files, Paths}
+    val d = dir()
+    TfRecord.writeRecords(Seq(Tuple1(Array[Byte](1))).toDF("rec"),
+      "rec", s"$d/lake")
+    Files.delete(Paths.get(d, "lake/_SUCCESS"))
+    val e = intercept[IllegalArgumentException](
+      TfRecord.readRecords(spark, s"$d/lake").count())
+    // a pre-marker lake written by an older version of THIS library must
+    // be pointed at the one-time migration, not just "another tool"
+    assert(e.getMessage.contains("touch _SUCCESS"))
+    assert(e.getMessage.contains("requireCommitted=false"))
+  }
+
   test("readRecords runs exactly one task per shard file (round-robin," +
       " not hash-on-path)") {
     val d = dir()
