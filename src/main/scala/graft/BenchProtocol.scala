@@ -68,6 +68,10 @@ object BenchProtocol {
       bwProbe: () => Double,
       shuffleMbOf: (String, () => Unit) => Double,
   ): SuiteResult = {
+    // empty inputs would crash deep inside (quietMins' .min over no
+    // reps, secs.head over no rounds) — name the misuse at the boundary
+    require(ws.nonEmpty, "bench protocol: no workloads given")
+    require(rounds >= 1, s"bench protocol: rounds must be >= 1, got $rounds")
     def tryRun(name: String, run: () => Unit): Unit =
       try run()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }

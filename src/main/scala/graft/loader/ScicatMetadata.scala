@@ -49,6 +49,11 @@ object ScicatMetadata {
     // where it is a config error, not a load failure.
     require(url.startsWith("http://") || url.startsWith("https://"),
       s"scicat: catalogue URL must be http(s), got '$url'")
+    // A token or URL carrying CR/LF could smuggle extra request headers
+    // (HttpURLConnection's own validation varies by JDK) — refuse at
+    // construction; these never legitimately contain control characters.
+    require(!(url + token).exists(c => c == '\r' || c == '\n' || c < ' '),
+      "scicat: URL/token must not contain control characters")
   }
 
   /** Build a [[Config]] from a parsed metadata config section
@@ -98,32 +103,61 @@ object ScicatMetadata {
   /** One GET with the reference's headers; Some(body) on HTTP success
     * (2xx), None on any failure. The body may be empty — the caller
     * uses that to detect the old-URL deployments.
+    *
+    * Redirects: HttpURLConnection follows same-protocol redirects
+    * itself but NOT http→https (common for catalogues that moved behind
+    * TLS — the reference's `requests` follows these). Up to 3 cross-
+    * protocol hops are followed manually; the Bearer token is forwarded
+    * ONLY when the redirect target is the same host (the `requests`
+    * rule: credentials never follow a host change).
     */
-  private def get(url: String, cfg: Config): Option[String] =
-    try {
-      val conn = new java.net.URL(url).openConnection()
-        .asInstanceOf[java.net.HttpURLConnection]
-      conn.setConnectTimeout(cfg.timeoutMs)
-      conn.setReadTimeout(cfg.timeoutMs)
-      conn.setRequestProperty("Content-Type", "application/json")
-      conn.setRequestProperty("Accept", "application/json")
-      conn.setRequestProperty("Authorization", s"Bearer ${cfg.token}")
-      val code = conn.getResponseCode
-      if (code < 200 || code >= 300) {
-        // drain + close the error stream so the connection can be reused
-        val es = conn.getErrorStream
-        if (es != null) { es.readAllBytes(); es.close() }
-        None
-      } else {
-        val in = conn.getInputStream
-        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+  private def get(url: String, cfg: Config): Option[String] = {
+    def fetch(u: String, sendAuth: Boolean, hopsLeft: Int): Option[String] =
+      try {
+        val target = new java.net.URL(u)
+        if (target.getProtocol != "http" && target.getProtocol != "https")
+          return None // a redirect may point anywhere; only http(s) speaks
+        val conn = target.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        // Java's auto-follow forwards ALL headers on same-protocol
+        // redirects — including Authorization across a host change.
+        // Handle every redirect manually so the same-host rule holds.
+        conn.setInstanceFollowRedirects(false)
+        conn.setConnectTimeout(cfg.timeoutMs)
+        conn.setReadTimeout(cfg.timeoutMs)
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setRequestProperty("Accept", "application/json")
+        if (sendAuth)
+          conn.setRequestProperty("Authorization", s"Bearer ${cfg.token}")
+        val code = conn.getResponseCode
+        if (code >= 300 && code < 400 && hopsLeft > 0) {
+          val loc = Option(conn.getHeaderField("Location"))
+          val es = conn.getErrorStream
+          if (es != null) { es.readAllBytes(); es.close() }
+          val in = try conn.getInputStream catch { case _: Exception => null }
+          if (in != null) { in.readAllBytes(); in.close() }
+          loc.flatMap { l =>
+            val next = new java.net.URL(target, l) // relative Location ok
+            val sameHost = next.getHost == target.getHost
+            fetch(next.toString, sendAuth && sameHost, hopsLeft - 1)
+          }
+        } else if (code < 200 || code >= 300) {
+          // drain + close the error stream so the connection can be reused
+          val es = conn.getErrorStream
+          if (es != null) { es.readAllBytes(); es.close() }
+          None
+        } else {
+          val in = conn.getInputStream
+          try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+        }
+      } catch {
+        // "a catalogue outage must not fail the data load": ANY request
+        // failure — network, TLS, or a connection class surprise — must
+        // degrade to the warn+empty path, not propagate out of the load
+        case scala.util.control.NonFatal(_) => None
       }
-    } catch {
-      // "a catalogue outage must not fail the data load": ANY request
-      // failure — network, TLS, or a connection class surprise — must
-      // degrade to the warn+empty path, not propagate out of the load
-      case scala.util.control.NonFatal(_) => None
-    }
+    fetch(url, sendAuth = true, hopsLeft = 3)
+  }
 
   /** Metadata for one pid: new URL first; empty-body success retries
     * the old URL form; failure (either request) warns and returns the

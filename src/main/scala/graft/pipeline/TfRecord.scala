@@ -634,6 +634,17 @@ object TfRecord {
           "into it once to migrate); OR it was written by another " +
           "tool: pass requireCommitted=false")
     val files = listShards(fs, hp).map(_.toString)
+    // a COMMITTED lake with zero shards is a legitimately empty dataset
+    // (every input partition was empty, so no part files were renamed in)
+    // — read it as an empty frame, not an error; only an UNcommitted
+    // shardless dir is a wrong path / never-ran write and stays loud
+    if (files.isEmpty &&
+        fs.exists(new org.apache.hadoop.fs.Path(hp, SuccessMarker))) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("path", StringType),
+          StructField("record", BinaryType))))
+    }
     require(files.nonEmpty, s"tfrecord: no .tfrecord shards under $dir")
     import spark.implicits._
     // parallelize with numSlices == files.length puts EXACTLY one path

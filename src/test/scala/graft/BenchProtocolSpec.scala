@@ -172,6 +172,13 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(r.stats.head.agreedReps === r.stats.head.quietReps)
   }
 
+  test("empty workload list and zero rounds are named misuse, not a" +
+      " crash deep inside quietMins") {
+    intercept[IllegalArgumentException](run(Seq.empty, script = Seq.empty))
+    intercept[IllegalArgumentException](
+      run(ws("a"), script = Seq.empty, rounds = 0))
+  }
+
   test("a workload that throws never aborts the suite (named stderr," +
       " stats still emitted)") {
     val boom = Seq("ok" -> (() => ()),

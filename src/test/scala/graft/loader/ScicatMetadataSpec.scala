@@ -142,6 +142,55 @@ class ScicatMetadataSpec extends SparkSpec {
     } finally bad.stop(0)
   }
 
+  test("redirects: same-host hop followed WITH the token; cross-host" +
+      " hop followed WITHOUT it; a redirect loop degrades to empty") {
+    // cross-host target: bound to `localhost` (a different host STRING
+    // than 127.0.0.1 — the same-host rule compares hosts, like
+    // python-requests' auth-stripping rule)
+    val crossAuth = new java.util.concurrent.atomic.AtomicReference[String]("unset")
+    val crossServer = HttpServer.create(new InetSocketAddress("localhost", 0), 0)
+    crossServer.createContext("/", (ex: HttpExchange) => {
+      try {
+        crossAuth.set(ex.getRequestHeaders.getFirst("Authorization"))
+        respond(ex, 200, """{"from":"cross"}""")
+      } finally ex.close()
+    })
+    crossServer.start()
+    val sameAuth = new java.util.concurrent.atomic.AtomicReference[String]("unset")
+    val server = serve { ex =>
+      val uri = ex.getRequestURI.toString
+      if (uri.startsWith("/api/v3/Datasets/same%2F1")) {
+        // same-protocol, same-host redirect to a sibling path
+        ex.getResponseHeaders.add("Location", "/api/v3/moved/same")
+        respond(ex, 302, "")
+      } else if (uri == "/api/v3/moved/same") {
+        sameAuth.set(ex.getRequestHeaders.getFirst("Authorization"))
+        respond(ex, 200, """{"from":"same"}""")
+      } else if (uri.startsWith("/api/v3/Datasets/cross%2F1")) {
+        ex.getResponseHeaders.add("Location",
+          s"http://localhost:${crossServer.getAddress.getPort}/catalogue")
+        respond(ex, 302, "")
+      } else if (uri.startsWith("/api/v3/Datasets/loop%2F1")) {
+        ex.getResponseHeaders.add("Location", uri) // redirect to itself
+        respond(ex, 302, "")
+      } else respond(ex, 404, "")
+    }
+    try {
+      val cfg = ScicatMetadata.Config(base(server), "sekrit")
+      // same host: followed, token forwarded
+      assert(ScicatMetadata.metadataPerRun(cfg, "same/1") ===
+        Map("from" -> "same"))
+      assert(sameAuth.get === "Bearer sekrit")
+      // cross host: followed, token STRIPPED
+      assert(ScicatMetadata.metadataPerRun(cfg, "cross/1") ===
+        Map("from" -> "cross"))
+      assert(crossAuth.get === null,
+        s"token leaked across hosts: ${crossAuth.get}")
+      // redirect loop: hop budget exhausts → warn + empty, no hang
+      assert(ScicatMetadata.metadataPerRun(cfg, "loop/1") === Map.empty)
+    } finally { server.stop(0); crossServer.stop(0) }
+  }
+
   test("multi-run merge: later runs overwrite earlier keys (the" +
       " reference's flat dict.update semantics)") {
     val server = serve { ex =>

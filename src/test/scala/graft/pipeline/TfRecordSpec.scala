@@ -270,6 +270,26 @@ class TfRecordSpec extends SparkSpec {
     assert(TfRecord.readRecords(spark, s"$d/ownlake").count() === 1L)
   }
 
+  test("an all-empty-partitions write commits a ZERO-shard lake that" +
+      " reads back as an empty frame, not an error") {
+    val d = dir()
+    val n = TfRecord.writeRecords(
+      Seq.empty[Tuple1[Array[Byte]]].toDF("rec"), "rec", s"$d/lake")
+    assert(n === 0L)
+    // the lake IS committed (marker present, no shards — every
+    // partition was empty so no part files were renamed in)
+    assert(new java.io.File(s"$d/lake/_SUCCESS").exists())
+    val back = TfRecord.readRecords(spark, s"$d/lake")
+    assert(back.count() === 0L)
+    assert(back.schema.fieldNames.toSeq === Seq("path", "record"))
+    // an UNcommitted shardless dir stays a loud error (wrong path /
+    // never-ran write)
+    assert(new java.io.File(s"$d/lake/_SUCCESS").delete())
+    intercept[IllegalArgumentException](
+      TfRecord.readRecords(spark, s"$d/lake", requireCommitted = false)
+        .count())
+  }
+
   test("readRecords marker error names the legacy-lake migration path") {
     import java.nio.file.{Files, Paths}
     val d = dir()
