@@ -3176,8 +3176,8 @@ object SparkEntry {
         | FROM documents""".stripMargin.replace("\n", " ")
       s"""WITH u AS ($synth),
          |p AS (SELECT doc_id, url,
-         |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS url_host,
-         |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS url_path,
+         |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS url_host,
+         |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS url_path,
          |  regexp_extract(url, '\\?([^#]*)', 1) AS q FROM u),
          |d AS (SELECT *, string_split(url_host, '.') AS labs,
          |  list_filter(string_split(q, '&'), s -> s <> '' AND
@@ -3205,8 +3205,8 @@ object SparkEntry {
         | source || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END AS url
         | FROM documents),
         |d AS (SELECT doc_id, string_split(
-        |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1), '.') AS labs,
-        |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS url_host
+        |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)), '.') AS labs,
+        |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS url_host
         | FROM u),
         |r AS (SELECT doc_id,
         |  CASE WHEN len(labs) >= 3 AND

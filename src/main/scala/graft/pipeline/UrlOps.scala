@@ -23,8 +23,13 @@ object UrlOps {
     */
   private val secondLevelLabels = Seq("co", "com", "net", "org", "gov", "ac", "edu")
 
+  /** Scheme and host are case-INsensitive (RFC 3986 §3.1/§3.2.2): the
+    * scheme match accepts both cases and the host is lowercased, so
+    * `HTTP://EVIL.Com` cannot slip past a lowercase blocklist. Paths
+    * and query strings keep their case (they are case-sensitive).
+    */
   def hostOf(url: Column): Column =
-    regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
 
   def registeredDomainOf(host: Column): Column = {
     val labels = split(host, "\\.")
@@ -38,7 +43,7 @@ object UrlOps {
   }
 
   def pathOf(url: Column): Column =
-    regexp_extract(url, "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
 
   def queryOf(url: Column): Column = regexp_extract(url, "\\?([^#]*)", 1)
 

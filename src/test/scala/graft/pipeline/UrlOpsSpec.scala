@@ -41,6 +41,24 @@ class UrlOpsSpec extends SparkSpec {
     assert(r.getAs[String]("url_domain") === "localhost")
   }
 
+  test("scheme and host are case-insensitive (RFC 3986): an uppercase" +
+      " URL cannot slip past a lowercase blocklist") {
+    val df = Seq(
+      (1L, "HTTPS://WWW.EVIL.Com/Path?id=1"),
+      (2L, "hTtP://Mixed.Spam.CO.UK/x"),
+      (3L, "https://fine.org/ok"),
+    ).toDF("id", "url")
+    val out = UrlOps.urlColumns(df, "url").orderBy("id").collect()
+    assert(out(0).getAs[String]("url_host") === "www.evil.com")
+    assert(out(0).getAs[String]("url_domain") === "evil.com")
+    // the PATH keeps its case — only scheme/host are case-insensitive
+    assert(out(0).getAs[String]("url_path") === "/Path")
+    assert(out(1).getAs[String]("url_domain") === "spam.co.uk")
+    val kept = UrlOps.dropBlockedDomains(df, "url",
+      Seq("evil.com", "spam.co.uk")).select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(3L), "uppercase URLs bypassed the blocklist")
+  }
+
   test("dropBlockedDomains: literal and table variants agree") {
     val df = Seq(
       (1L, "https://a.spam.com/x"),
