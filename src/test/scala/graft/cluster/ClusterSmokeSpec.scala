@@ -255,6 +255,39 @@ class ClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("CopyTool mirrors across executor JVMs: stale destinations" +
+      " replaced (driver-side delete), rename-first commit, no litter") {
+    assume(haveData)
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("cluster-copytool").toString
+    val src = s"$root/src"; val dst = s"$root/dst"
+    (0 until 12).foreach { i =>
+      val p = Paths.get(src, s"run/seg$i/data_$i.bin")
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array.fill[Byte](1024 + i)(i.toByte))
+    }
+    // plant a STALE destination (wrong size) and attempt litter from a
+    // hypothetical killed task — the driver must delete the stale file
+    // once before the distributed copy and sweep the litter after
+    Files.createDirectories(Paths.get(dst, "run/seg3"))
+    Files.write(Paths.get(dst, "run/seg3/data_3.bin"), Array[Byte](1))
+    Files.write(Paths.get(dst, "run/seg3/._tmp.data_3.bin.77"), Array[Byte](2))
+    val ct = new graft.loader.CopyTool(spark, src, dst, ntasks = 8)
+    ct.copy(s"$src/run")
+    (0 until 12).foreach { i =>
+      val got = Files.readAllBytes(Paths.get(dst, s"run/seg$i/data_$i.bin"))
+      assert(got.length === 1024 + i, s"seg$i wrong size")
+      assert(got.forall(_ == i.toByte), s"seg$i wrong bytes")
+    }
+    val litter = Files.walk(Paths.get(dst)).iterator()
+    val leftovers = new scala.collection.mutable.ArrayBuffer[String]
+    while (litter.hasNext) {
+      val p = litter.next().getFileName.toString
+      if (p.startsWith("._tmp.")) leftovers += p
+    }
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+  }
+
   test("cubeSnapshotSink(stateDir) kill/restart stays complete with" +
       " executor-side state stores (local-cluster)") {
     assume(haveData)
