@@ -255,6 +255,42 @@ class ClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("TFRecord commit protocol survives a REAL task retry: an attempt" +
+      " dying mid-shard leaves litter the epilogue sweeps, the retry" +
+      " commits, and the lake reads back complete") {
+    assume(haveData)
+    val dir = java.nio.file.Files
+      .createTempDirectory("cluster-tfrec-retry").toFile.getPath + "/lake"
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val enc: Encoder[Row] = Encoders.row(
+      StructType(Seq(StructField("rec", BinaryType))))
+    // partition 3's FIRST attempt dies midway through its rows — after
+    // writeRecords has opened (and part-written) its _tmp file. Under
+    // local-cluster spark.task.maxFailures is 4, so Spark retries the
+    // task; the commit protocol must give the retry a fresh
+    // attempt-keyed tmp and sweep the dead attempt's litter.
+    val df = spark.range(0, 64, 1, 8).toDF("id").mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      it.map { r =>
+        val i = r.getLong(0)
+        if (tc.partitionId() == 3 && tc.attemptNumber() == 0 && i % 8 >= 4)
+          throw new RuntimeException("injected first-attempt death")
+        Row(s"record $i".getBytes("UTF-8"))
+      }
+    }(enc)
+    val n = pipeline.TfRecord.writeRecords(df, "rec", dir)
+    assert(n === 64L)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.contains("_SUCCESS"))
+    assert(!names.exists(_.startsWith("_tmp.")),
+      s"dead attempt's litter survived: ${names.mkString(", ")}")
+    assert(names.count(_.endsWith(".tfrecord")) === 8)
+    val got = pipeline.TfRecord.readRecords(spark, dir)
+      .collect().map(r => new String(r.getAs[Array[Byte]](1), "UTF-8")).toSet
+    assert(got === (0L until 64L).map(i => s"record $i").toSet)
+  }
+
   test("CopyTool mirrors across executor JVMs: stale destinations" +
       " replaced (driver-side delete), rename-first commit, no litter") {
     assume(haveData)
