@@ -173,6 +173,11 @@ class ScicatMetadataSpec extends SparkSpec {
       } else if (uri.startsWith("/api/v3/Datasets/loop%2F1")) {
         ex.getResponseHeaders.add("Location", uri) // redirect to itself
         respond(ex, 302, "")
+      } else if (uri.startsWith("/api/v3/Datasets/noloc%2F1")) {
+        respond(ex, 302, "") // 302 with NO Location header
+      } else if (uri.startsWith("/api/v3/Datasets/badloc%2F1")) {
+        ex.getResponseHeaders.add("Location", "ht!tp://:bad:")
+        respond(ex, 302, "")
       } else respond(ex, 404, "")
     }
     try {
@@ -188,6 +193,10 @@ class ScicatMetadataSpec extends SparkSpec {
         s"token leaked across hosts: ${crossAuth.get}")
       // redirect loop: hop budget exhausts → warn + empty, no hang
       assert(ScicatMetadata.metadataPerRun(cfg, "loop/1") === Map.empty)
+      // a 302 with no Location, and one with a garbage Location, both
+      // degrade to warn+empty instead of throwing out of the load
+      assert(ScicatMetadata.metadataPerRun(cfg, "noloc/1") === Map.empty)
+      assert(ScicatMetadata.metadataPerRun(cfg, "badloc/1") === Map.empty)
     } finally { server.stop(0); crossServer.stop(0) }
   }
 

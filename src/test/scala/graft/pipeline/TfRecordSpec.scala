@@ -282,6 +282,18 @@ class TfRecordSpec extends SparkSpec {
     val back = TfRecord.readRecords(spark, s"$d/lake")
     assert(back.count() === 0L)
     assert(back.schema.fieldNames.toSeq === Seq("path", "record"))
+    // the typed surfaces ride the same path: an empty committed lake
+    // reads as an empty TYPED frame too
+    val seq = TfRecord.readSequenceExamples(spark, s"$d/lake",
+      contextSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))),
+      sequenceSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tokens",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))))
+    assert(seq.count() === 0L)
+    assert(seq.schema.fieldNames.toSeq === Seq("doc_id", "tokens"))
     // an UNcommitted shardless dir stays a loud error (wrong path /
     // never-ran write)
     assert(new java.io.File(s"$d/lake/_SUCCESS").delete())
