@@ -120,6 +120,12 @@ object Bench {
     * allocated once and reused: the probe must not itself create GC
     * pressure.
     */
+  /** The bandwidth triad as a callable probe for sibling benches
+    * (RefBench) — CPU canaries alone cannot see the r12 contamination
+    * mechanism (another process's memory traffic).
+    */
+  private[graft] def bwProbe(): Double = Triad.probe()
+
   private object Triad {
     private val threads = 8
     private val perThread = 1 << 21 // doubles per slice (16 MiB)

@@ -188,46 +188,68 @@ object RefBench {
       if (s < 0) println(s)
       (System.nanoTime() - t0) / 1e9
     }
-    /** Warm-up (once per distinct plan) + min-of-`reps` + canary pair. */
+    /** Warm-up (once per distinct plan) + min-of-`reps` + canary PAIRS:
+      * the single-thread CPU probe AND Bench's 8-thread stream triad —
+      * round 17 caught two same-code RefBench runs 40-75 % slow with
+      * QUIET CPU canaries (the r12 bandwidth-weather mechanism: another
+      * process's memory traffic is invisible to a sqrt loop).
+      */
     val warmed = collection.mutable.Set[String]()
-    def timeOne(name: String, run: () => Unit): (Double, Double) = {
+    def timeOne(name: String, run: () => Unit): (Double, Double, Double) = {
       if (warmed.add(name)) run() // codegen + C2, as the reference warms once
       val cBefore = canary()
+      val bwBefore = Bench.bwProbe()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         run()
         (System.nanoTime() - t0) / 1e9
       }
       System.err.println(s"[refbench] $name ${times.map(t => f"$t%.2f").mkString(" ")}")
-      (times.min, math.max(cBefore, canary()))
+      (times.min, math.max(cBefore, canary()),
+        math.max(bwBefore, Bench.bwProbe()))
     }
     // self-healing pass (the same contract as Bench's runSuite): queries
-    // whose canary pair reads > 1.3× the suite-quiet minimum re-run up to
-    // 2 rounds keeping the quietest attempt; anything still hot is named
-    // in `contaminated`, and every re-measured query in `retried` — note
-    // the CPU canary cannot flag memory-bandwidth/shuffle-IO weather (the
-    // 4-D legs' known variance), so totals still compare across runs only
+    // whose canary pair reads hot (cpu > 1.3× / bw > 1.5× the suite-quiet
+    // minima — Bench's bands) re-run up to 2 rounds keeping the quietest
+    // attempt; anything still hot is named in `contaminated`, and every
+    // re-measured query in `retried`
     var rs = workloads.map { case (name, run) =>
-      val (sec, can) = timeOne(name, run)
-      (name, sec, can)
+      val (sec, can, bw) = timeOne(name, run)
+      (name, sec, can, bw)
     }
     val byName = workloads.toMap
     val retried = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    def hot(can: Double, bw: Double): Boolean = {
+      val quietC = rs.map(_._3).min
+      val quietB = rs.map(_._4).min
+      can > 1.3 * quietC || bw > 1.5 * quietB
+    }
     for (_ <- 1 to 2) {
-      val quiet = rs.map(_._3).min
-      rs = rs.map { case q @ (name, _, can) =>
-        if (can > 1.3 * quiet) {
+      val quietC = rs.map(_._3).min
+      val quietB = rs.map(_._4).min
+      rs = rs.map { case q @ (name, _, can, bw) =>
+        if (hot(can, bw)) {
           retried(name) += 1
-          val (sec2, can2) = timeOne(name, byName(name))
-          if (can2 < can) (name, sec2, can2) else q
+          val (sec2, can2, bw2) = timeOne(name, byName(name))
+          // keep whichever attempt's WORST band-normalized canary is
+          // quieter (a retry must not lose a quiet bw to regain cpu)
+          val oldScore = math.max(can / quietC, bw / quietB)
+          val newScore = math.max(can2 / quietC, bw2 / quietB)
+          if (newScore < oldScore) (name, sec2, can2, bw2) else q
         } else q
       }
     }
-    val quietMin = rs.map(_._3).min
-    val contaminated = rs.filter(_._3 > 1.3 * quietMin).map(_._1)
+    val contaminated = rs.filter(r => hot(r._3, r._4)).map(_._1)
+    // absolute whole-run check against the committed quiet-box constants
+    // (Bench.runQuiet): a UNIFORMLY slow box passes the relative test —
+    // cross-run baseline comparisons are only valid when this is true
+    val runQuiet = Bench.runQuiet(rs.map(_._3).min, rs.map(_._4).min)
     val results = collection.mutable.LinkedHashMap[String, Double]()
     val canaries = collection.mutable.LinkedHashMap[String, Double]()
-    rs.foreach { case (n, sec, can) => results(n) = sec; canaries(n) = can }
+    val bwCanaries = collection.mutable.LinkedHashMap[String, Double]()
+    rs.foreach { case (n, sec, can, bw) =>
+      results(n) = sec; canaries(n) = can; bwCanaries(n) = bw
+    }
 
     // cold(ish)-scan variant: same 1-D histogram over a parquet copy
     val fs = new java.io.File(scanDir)
@@ -246,7 +268,7 @@ object RefBench {
     val contJ = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retrJ = retried.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val json = s"""{"metric":"refbench_total","value":$total,"unit":"sec","queries":${jmap(results)},"canaries":${jmap(canaries)},"contaminated":$contJ,"retried":$retrJ,"rows":$n,"cores":$cpus}"""
+    val json = s"""{"metric":"refbench_total","value":$total,"unit":"sec","queries":${jmap(results)},"canaries":${jmap(canaries)},"bw_canaries":${jmap(bwCanaries)},"run_quiet":$runQuiet,"contaminated":$contJ,"retried":$retrJ,"rows":$n,"cores":$cpus}"""
     Bench.emitArtifact(json,
       sys.env.getOrElse("SPARK_GRAFT_REFBENCH_OUT", "BENCH_REF.json"))
     spark.stop()
