@@ -433,13 +433,18 @@ object Bench {
     // cross-leg sanity, report-only: a query CANNOT be meaningfully slower
     // at 1× than at 10× rows in steady state — with quiet-gated interleaved
     // mins an inversion means both legs' quiet reps still disagree with
-    // physics, so NAME it rather than silently re-measure. The 15% band
-    // exists because fixed-cost-dominated queries (top-k over cached input,
-    // small cubes) time ~equal in both legs and noise flips the sign.
+    // physics, so NAME it rather than silently re-measure. The band is
+    // 15% relative AND 50 ms absolute (the floor-agreement slack):
+    // fixed-cost-dominated queries (top-k over cached input, small cubes)
+    // time ~equal in both legs near the per-job overhead floor, where
+    // tens-of-ms scheduler noise flips the sign without meaning anything
+    // — r16/r17 artifacts carried ann_brute_topk (0.136 vs 0.098 s)
+    // this way on a verified-quiet box.
     val inverted1x: Seq[String] = if (x10Results.isEmpty) Seq.empty else {
       val x10ByName = x10Results.map(r => r.name -> r.min).toMap
       results.collect {
-        case r if x10ByName.get(r.name).exists(s10 => r.min > 1.15 * s10) =>
+        case r if x10ByName.get(r.name)
+          .exists(s10 => r.min > 1.15 * s10 && r.min - s10 > 0.05) =>
           r.name
       }
     }
