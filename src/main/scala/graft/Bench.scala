@@ -32,7 +32,10 @@ import graft.dfops.DfOps
   *    single-thread CPU probe;
   *  - a rep is QUIET iff all four bracket readings sit within 1.3× the
   *    suite-wide quiet minimum of their kind; per query the artifact
-  *    reports min / median / spread (max÷min) over its quiet reps.
+  *    reports min / median / spread (max÷min) over its quiet reps, and
+  *    `agreed_spreads` — the same max÷min over the agreed subset, the
+  *    dispersion statistic the usability verdict is actually based on
+  *    (read THAT one when judging a usable artifact's stability).
   *    For SUB-SECOND queries a quiet rep additionally counts only if it
   *    AGREES with the query's quiet minimum (1.3× / +50 ms band) — a
   *    spike shorter than the bracket interval can land wholly inside a
@@ -264,6 +267,15 @@ object Bench {
     val fwdR = Array.tabulate(nGrid, nGrid)((r, c) => r + 5.0 * math.sin(c / 200.0))
     val fwdC = Array.tabulate(nGrid, nGrid)((r, c) => c + 3.0 * math.cos(r / 150.0))
 
+    // The ANN query vector is a CONSTANT of the workload — built once,
+    // untimed. r16/r17 fetched it with a `.first()` INSIDE the timed
+    // closure, adding a scheduler-floor Spark job (~50 ms) per rep to a
+    // ~0.1 s workload; that fixed cost (not the top-k itself) was most
+    // of the ann_brute_topk ×1-slower-than-×10 inversion (VERDICT r17
+    // #1). The reference's equivalent would not refetch per rep either.
+    val annQuery: Array[Double] = embeddings.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
+
     val workloads: Seq[(String, () => Unit)] = Seq(
       // reference binning_1d: 1-D histogram, 1000 bins — dense-aggregate
       // fast path, materialized like the reference's cube
@@ -295,11 +307,8 @@ object Bench {
       // artifact measures what users actually run (census cost included)
       "dedup_minhash_auto" -> (() => exec(pipeline.Dedup.minhashNearDuplicatesAuto(
         documentsScan, "text", "doc_id", threshold = 0.5))),
-      "ann_brute_topk" -> (() => {
-        val q = embeddings.filter(col("vec_id") === 0).select("embedding")
-          .first().getSeq[Float](0).map(_.toDouble).toArray
-        exec(pipeline.Similarity.bruteForceTopK(embeddings, "embedding", "vec_id", q, 10))
-      }),
+      "ann_brute_topk" -> (() => exec(pipeline.Similarity.bruteForceTopK(
+        embeddings, "embedding", "vec_id", annQuery, 10))),
       "text_quality" -> (() => exec(pipeline.TextOps.qualityColumns(
         documents, "text"))),
     )
@@ -325,13 +334,20 @@ object Bench {
       * record; 10 extra rounds (~35 s ×1 / ~80 s ×10 worst case) ride
       * out transient weather, and what survives is named `unusable`.
       */
-    def runSuite(ws: Seq[(String, () => Unit)], rounds: Int)
-        : BenchProtocol.SuiteResult =
+    def runSuite(ws: Seq[(String, () => Unit)], rounds: Int,
+        warmups: Int = 1): BenchProtocol.SuiteResult =
       BenchProtocol.runSuite(ws, rounds, maxExtraRounds = 10,
         cpuProbe = () => canary(), bwProbe = () => Triad.probe(),
-        shuffleMbOf = (_, run) => shuffleDelta(run) / 1e6)
+        shuffleMbOf = (_, run) => shuffleDelta(run) / 1e6,
+        warmups = warmups)
 
-    val r1x = runSuite(workloads, rounds = 5)
+    // warmups=2 on the ×1 leg only: it runs in a FRESH JVM, while the
+    // ×10 leg starts after ~50 executions of the same operators have
+    // fully C2-compiled Spark's scan/agg internals — the ×1 leg's timed
+    // reps were paying JIT the ×10 leg inherited for free, the second
+    // mechanism behind the r17 sub-second ×1/×10 inversion. One extra
+    // untimed pass per workload (~2 s total) pays that cost up front.
+    val r1x = runSuite(workloads, rounds = 5, warmups = 2)
     val results = r1x.stats
 
     // ---- 10× weak-scaling leg ----------------------------------------
@@ -396,6 +412,9 @@ object Bench {
         Delay.appendDelayAxis(en, "l_discount", "delay",
           adcRange = (0.0, 0.11), delayRange = Some((-2.0, 2.0)))
       }
+      // constant of the workload, built untimed (see annQuery above)
+      val annQueryX: Array[Double] = embX.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
       val x10Workloads: Seq[(String, () => Unit)] = Seq(
         "binning_1d" -> (() => Binning.histogramCube(liX,
           Seq(UniformAxis("l_extendedprice", 1000, 900.0, 105000.0)))),
@@ -412,11 +431,8 @@ object Bench {
           docXScan, "text", "doc_id", threshold = 0.5))),
         "dedup_minhash_auto" -> (() => exec(pipeline.Dedup.minhashNearDuplicatesAuto(
           docXScan, "text", "doc_id", threshold = 0.5))),
-        "ann_brute_topk" -> (() => {
-          val q = embX.filter(col("vec_id") === 0).select("embedding")
-            .first().getSeq[Float](0).map(_.toDouble).toArray
-          exec(pipeline.Similarity.bruteForceTopK(embX, "embedding", "vec_id", q, 10))
-        }),
+        "ann_brute_topk" -> (() => exec(pipeline.Similarity.bruteForceTopK(
+          embX, "embedding", "vec_id", annQueryX, 10))),
         "text_quality" -> (() => exec(pipeline.TextOps.qualityColumns(
           docXScan, "text"))),
       )
@@ -434,17 +450,17 @@ object Bench {
     // at 1× than at 10× rows in steady state — with quiet-gated interleaved
     // mins an inversion means both legs' quiet reps still disagree with
     // physics, so NAME it rather than silently re-measure. The band is
-    // 15% relative AND 50 ms absolute (the floor-agreement slack):
-    // fixed-cost-dominated queries (top-k over cached input, small cubes)
-    // time ~equal in both legs near the per-job overhead floor, where
-    // tens-of-ms scheduler noise flips the sign without meaning anything
-    // — r16/r17 artifacts carried ann_brute_topk (0.136 vs 0.098 s)
-    // this way on a verified-quiet box.
+    // 15% relative AND 20 ms absolute: enough slack for per-job scheduler
+    // jitter near the overhead floor, but tight enough that genuine
+    // sub-second inversions are named. (r17 carried a 50 ms band to
+    // excuse ann_brute_topk's inversion; the CAUSES — a timed `.first()`
+    // per rep and the ×1 leg's cold-JVM JIT — are fixed above, so the
+    // band is back to jitter-scale.)
     val inverted1x: Seq[String] = if (x10Results.isEmpty) Seq.empty else {
       val x10ByName = x10Results.map(r => r.name -> r.min).toMap
       results.collect {
         case r if x10ByName.get(r.name)
-          .exists(s10 => r.min > 1.15 * s10 && r.min - s10 > 0.05) =>
+          .exists(s10 => r.min > 1.15 * s10 && r.min - s10 > 0.02) =>
           r.name
       }
     }
@@ -457,7 +473,7 @@ object Bench {
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
     def legJson(r: BenchProtocol.SuiteResult): String = {
       val rs = r.stats
-      s""""queries":${jmap(rs, _.min)},"medians":${jmap(rs, _.median)},"spreads":${jmap(rs, _.spread)},"canaries":${jmap(rs, _.cpuCanary)},"bw_canaries":${jmap(rs, _.bwCanary)},"shuffle_mb":${jmap(rs, _.shuffleMb)},"quiet_reps":${jmapi(rs, _.quietReps)},"agreed_reps":${jmapi(rs, _.agreedReps)},"contaminated":${jlist(r.contaminated)},"unusable":${jlist(r.unusable)},"extra_rounds":${r.extraRounds}"""
+      s""""queries":${jmap(rs, _.min)},"medians":${jmap(rs, _.median)},"spreads":${jmap(rs, _.spread)},"agreed_spreads":${jmap(rs, _.agreedSpread)},"canaries":${jmap(rs, _.cpuCanary)},"bw_canaries":${jmap(rs, _.bwCanary)},"shuffle_mb":${jmap(rs, _.shuffleMb)},"quiet_reps":${jmapi(rs, _.quietReps)},"agreed_reps":${jmapi(rs, _.agreedReps)},"contaminated":${jlist(r.contaminated)},"unusable":${jlist(r.unusable)},"extra_rounds":${r.extraRounds}"""
     }
     val total = results.map(_.min).sum
     val canarySec = results.map(_.cpuCanary).min

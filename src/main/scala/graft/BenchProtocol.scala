@@ -43,10 +43,15 @@ object BenchProtocol {
     * `agreedReps` ≤ `quietReps`: quiet reps whose timing also agrees
     * with the query's quiet minimum (see the floor-reproduction rule in
     * [[runSuite]]); for queries at ≥ 0.5 s the two are equal.
+    * `spread` (max÷min) is over ALL quiet reps; `agreedSpread` is the
+    * same statistic over the agreed subset — the dispersion the verdict
+    * is actually based on (a usable artifact can carry a wide `spread`
+    * from in-band weather the agreement rule already discounted, so the
+    * honest cross-round statistic is `agreedSpread`).
     */
   final case class QStat(name: String, min: Double, median: Double,
-      spread: Double, cpuCanary: Double, bwCanary: Double,
-      shuffleMb: Double, quietReps: Int, agreedReps: Int)
+      spread: Double, agreedSpread: Double, cpuCanary: Double,
+      bwCanary: Double, shuffleMb: Double, quietReps: Int, agreedReps: Int)
 
   /** Suite outcome. `contaminated` = zero quiet reps (stats fall back to
     * all reps); `unusable` = fewer than the required 2 quiet reps after
@@ -59,6 +64,13 @@ object BenchProtocol {
   /** Run the suite. `cpuProbe`/`bwProbe` are injectable for the spec;
     * `shuffleMbOf` maps a workload run to its shuffle-write megabytes
     * (Bench passes the listener delta; the spec passes a constant).
+    * `warmups` is the count of untimed warm-up executions per workload
+    * BEFORE the shuffle-metered run (so every workload executes
+    * `warmups + 1` times untimed): a suite that runs in a fresh JVM can
+    * request extra passes to pay the C2/codegen cost a later suite in
+    * the same JVM inherits for free — the cross-leg JIT asymmetry that
+    * made Bench's ×1 leg read slower than its ×10 leg on sub-second
+    * queries (VERDICT r17).
     */
   def runSuite(
       ws: Seq[(String, () => Unit)],
@@ -67,18 +79,20 @@ object BenchProtocol {
       cpuProbe: () => Double,
       bwProbe: () => Double,
       shuffleMbOf: (String, () => Unit) => Double,
+      warmups: Int = 1,
   ): SuiteResult = {
     // empty inputs would crash deep inside (quietMins' .min over no
     // reps, secs.head over no rounds) — name the misuse at the boundary
     require(ws.nonEmpty, "bench protocol: no workloads given")
     require(rounds >= 1, s"bench protocol: rounds must be >= 1, got $rounds")
+    require(warmups >= 0, s"bench protocol: warmups must be >= 0, got $warmups")
     def tryRun(name: String, run: () => Unit): Unit =
       try run()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-    // per-workload untimed warm-up (whole-stage-codegen generation + C2
-    // compile happen per distinct plan) and one shuffle-metered run
+    // per-workload untimed warm-up(s) (whole-stage-codegen generation +
+    // C2 compile happen per distinct plan) and one shuffle-metered run
     val shuffleMb = ws.map { case (name, run) =>
-      tryRun(name, run)
+      (1 to warmups).foreach(_ => tryRun(name, run))
       name -> shuffleMbOf(name, () => tryRun(name, run))
     }.toMap
     val reps = collection.mutable.Map.empty[String, Vector[Rep]]
@@ -114,18 +128,18 @@ object BenchProtocol {
     // Queries at ≥ 0.5 s keep the plain quiet criterion: a long region
     // dilutes a short spike, and sustained weather hits the brackets.
     val subSecond = 0.5
-    def agreedOf(name: String, cm: Double, bm: Double): Int = {
+    def agreedSubset(name: String, cm: Double, bm: Double): Vector[Rep] = {
       val q = reps(name).filter(_.quiet(cm, bm))
-      if (q.isEmpty) 0
+      if (q.isEmpty) Vector.empty
       else {
         val mn = q.map(_.sec).min
-        if (mn >= subSecond) q.size
-        else q.count(_.sec <= math.max(1.3 * mn, mn + 0.05))
+        if (mn >= subSecond) q
+        else q.filter(_.sec <= math.max(1.3 * mn, mn + 0.05))
       }
     }
     def shortOfQuiet(): Boolean = {
       val (cm, bm) = quietMins()
-      ws.exists { case (n, _) => agreedOf(n, cm, bm) < 2 }
+      ws.exists { case (n, _) => agreedSubset(n, cm, bm).size < 2 }
     }
     var extra = 0
     while (extra < maxExtraRounds && shortOfQuiet()) { oneRound(); extra += 1 }
@@ -135,11 +149,17 @@ object BenchProtocol {
       val q = all.filter(_.quiet(cpuMin, bwMin))
       val use = if (q.nonEmpty) q else all
       val secs = use.map(_.sec).sorted
+      val agreed = agreedSubset(name, cpuMin, bwMin)
+      // dispersion over the reps the verdict counted; with no agreed
+      // reps (contaminated query) fall back to the same reps the other
+      // stats fall back to, so the two spread fields stay comparable
+      val aSecs = (if (agreed.nonEmpty) agreed else use).map(_.sec).sorted
       QStat(name, secs.head, secs(secs.size / 2),
         if (secs.head > 0) secs.last / secs.head else 1.0,
+        if (aSecs.head > 0) aSecs.last / aSecs.head else 1.0,
         use.map(r => math.max(r.cpuB, r.cpuA)).min,
         use.map(r => math.max(r.bwB, r.bwA)).min,
-        shuffleMb(name), q.size, agreedOf(name, cpuMin, bwMin))
+        shuffleMb(name), q.size, agreed.size)
     }
     SuiteResult(stats,
       stats.filter(_.quietReps == 0).map(_.name),

@@ -37,14 +37,62 @@ import graft.dfops.DfOps
   * this is an IO-path cost, not a disk-latency number — the in-memory
   * workloads above stay the BASELINE-comparable metrics).
   *
-  * Prints ONE JSON line like Bench. Not part of the per-round driver
-  * gate; run manually:
+  * Prints ONE JSON line like Bench, and exits like Bench too
+  * ([[BenchProtocol.verdict]]): 3 when queries stay canary-hot after
+  * the retry budget (`contaminated` nonempty), 4 when the whole box is
+  * uniformly hot (`run_quiet` false) — either way `"usable":false` is
+  * in the artifact and a driver that only checks the exit code can
+  * never commit a weather-contaminated refresh. Not part of the
+  * per-round driver gate; run manually:
   * {{{ SPARK_GRAFT_REFBENCH_ROWS=100000000 sbt "runMain graft.RefBench" }}}
   */
 object RefBench {
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** One measured attempt: (name, min seconds, worst cpu canary, worst
+    * bw canary).
+    */
+  type Reading = (String, Double, Double, Double)
+
+  /** The self-heal pass over the first-attempt readings — extracted so
+    * a spec can drive it with scripted re-runs (VERDICT r17 #2: the
+    * by-hand "discard a contaminated refresh" discipline worked at the
+    * r17 close, but protocol beats discipline).
+    *
+    * Queries whose canary pair reads hot (cpu > 1.3× / bw > 1.5× the
+    * suite-quiet minima — Bench's bands) re-run up to `maxRounds`
+    * times; each retry keeps whichever attempt's WORST band-normalized
+    * canary is quieter (a retry must not lose a quiet bw to regain
+    * cpu). Returns (final readings, `contaminated` = still hot after
+    * the budget, per-query retry counts).
+    */
+  private[graft] def selfHeal(initial: Seq[Reading],
+      reRun: String => (Double, Double, Double), maxRounds: Int = 2)
+      : (Seq[Reading], Seq[String], Map[String, Int]) = {
+    require(initial.nonEmpty, "refbench: no readings to adjudicate")
+    var rs = initial
+    val retried = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    def minima(): (Double, Double) = (rs.map(_._3).min, rs.map(_._4).min)
+    def hot(can: Double, bw: Double): Boolean = {
+      val (quietC, quietB) = minima()
+      can > 1.3 * quietC || bw > 1.5 * quietB
+    }
+    for (_ <- 1 to maxRounds) {
+      val (quietC, quietB) = minima()
+      rs = rs.map { case q @ (name, _, can, bw) =>
+        if (hot(can, bw)) {
+          retried(name) += 1
+          val (sec2, can2, bw2) = reRun(name)
+          val oldScore = math.max(can / quietC, bw / quietB)
+          val newScore = math.max(can2 / quietC, bw2 / quietB)
+          if (newScore < oldScore) (name, sec2, can2, bw2) else q
+        } else q
+      }
+    }
+    (rs, rs.filter(r => hot(r._3, r._4)).map(_._1), retried.toMap)
+  }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -208,38 +256,16 @@ object RefBench {
       (times.min, math.max(cBefore, canary()),
         math.max(bwBefore, Bench.bwProbe()))
     }
-    // self-healing pass (the same contract as Bench's runSuite): queries
-    // whose canary pair reads hot (cpu > 1.3× / bw > 1.5× the suite-quiet
-    // minima — Bench's bands) re-run up to 2 rounds keeping the quietest
-    // attempt; anything still hot is named in `contaminated`, and every
-    // re-measured query in `retried`
-    var rs = workloads.map { case (name, run) =>
+    // self-healing pass (the same contract as Bench's runSuite): see
+    // selfHeal — anything still hot after the budget is named in
+    // `contaminated`, and every re-measured query in `retried`
+    val first = workloads.map { case (name, run) =>
       val (sec, can, bw) = timeOne(name, run)
       (name, sec, can, bw)
     }
     val byName = workloads.toMap
-    val retried = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-    def hot(can: Double, bw: Double): Boolean = {
-      val quietC = rs.map(_._3).min
-      val quietB = rs.map(_._4).min
-      can > 1.3 * quietC || bw > 1.5 * quietB
-    }
-    for (_ <- 1 to 2) {
-      val quietC = rs.map(_._3).min
-      val quietB = rs.map(_._4).min
-      rs = rs.map { case q @ (name, _, can, bw) =>
-        if (hot(can, bw)) {
-          retried(name) += 1
-          val (sec2, can2, bw2) = timeOne(name, byName(name))
-          // keep whichever attempt's WORST band-normalized canary is
-          // quieter (a retry must not lose a quiet bw to regain cpu)
-          val oldScore = math.max(can / quietC, bw / quietB)
-          val newScore = math.max(can2 / quietC, bw2 / quietB)
-          if (newScore < oldScore) (name, sec2, can2, bw2) else q
-        } else q
-      }
-    }
-    val contaminated = rs.filter(r => hot(r._3, r._4)).map(_._1)
+    val (rs, contaminated, retried) =
+      selfHeal(first, name => timeOne(name, byName(name)))
     // absolute whole-run check against the committed quiet-box constants
     // (Bench.runQuiet): a UNIFORMLY slow box passes the relative test —
     // cross-run baseline comparisons are only valid when this is true
@@ -268,9 +294,28 @@ object RefBench {
     val contJ = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retrJ = retried.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val json = s"""{"metric":"refbench_total","value":$total,"unit":"sec","queries":${jmap(results)},"canaries":${jmap(canaries)},"bw_canaries":${jmap(bwCanaries)},"run_quiet":$runQuiet,"contaminated":$contJ,"retried":$retrJ,"rows":$n,"cores":$cpus}"""
+    // the same roll-up + exit-code contract as Bench (VERDICT r17 #2):
+    // a contaminated or baseline-shifted refresh exits nonzero so a
+    // driver that only checks the exit code can never commit it —
+    // exit 3 = named queries still hot after the retry budget,
+    // exit 4 = uniformly hot box (run_quiet false). The r17 close
+    // proved the by-hand discipline works AND that the weather happens;
+    // protocol beats discipline.
+    val (usable, exitCode) = BenchProtocol.verdict(contaminated, runQuiet)
+    val json = s"""{"metric":"refbench_total","value":$total,"unit":"sec","queries":${jmap(results)},"canaries":${jmap(canaries)},"bw_canaries":${jmap(bwCanaries)},"run_quiet":$runQuiet,"usable":$usable,"contaminated":$contJ,"retried":$retrJ,"rows":$n,"cores":$cpus}"""
     Bench.emitArtifact(json,
       sys.env.getOrElse("SPARK_GRAFT_REFBENCH_OUT", "BENCH_REF.json"))
     spark.stop()
+    if (exitCode == 3) {
+      System.err.println("[refbench] UNUSABLE: still-hot canaries after " +
+        s"the retry budget: ${contaminated.mkString(", ")} — the refresh " +
+        "is weather, not a number of record; exiting 3")
+      sys.exit(3)
+    } else if (exitCode != 0) {
+      System.err.println("[refbench] UNUSABLE: uniformly hot box (suite " +
+        "canary minima outside the committed quiet envelope) — do not " +
+        "commit this refresh; exiting 4")
+      sys.exit(exitCode)
+    }
   }
 }

@@ -45,6 +45,14 @@ class CopyTool(
   /** Mirror `source` (a file or directory under `sourceRoot`) into the
     * destination tree. Returns the mapped destination path (directory
     * for a directory source, file for a file source).
+    *
+    * Failure window: stale destinations (wrong size / `forceCopy`) are
+    * deleted driver-side BEFORE the distributed copy (required for
+    * speculative-execution safety — see the in-body comment), so a job
+    * that dies mid-copy leaves those files missing rather than stale.
+    * A RERUN HEALS the tree: the size-equality skip re-copies exactly
+    * the missing/mismatched files. Treat a failed `copy()` as "staging
+    * incomplete — rerun", never as "previous staging still intact".
     */
   def copy(source: String, forceCopy: Boolean = false): String = {
     val srcFs = new Path(source).getFileSystem(conf)
@@ -116,7 +124,20 @@ class CopyTool(
       // destination file after a run that reports success.
       toCopy.foreach { case (_, d, _) =>
         val dp = new Path(d)
-        if (destFs.exists(dp)) destFs.delete(dp, false)
+        if (destFs.exists(dp)) {
+          // a DIRECTORY at a destination file path (foreign content, or
+          // a mis-mapped tree) must be a named driver-side error: a
+          // non-recursive delete of a non-empty dir returns false (or
+          // throws) — and if it were left standing, the executors'
+          // rename would fail with exists(dp)=true and the task would
+          // report success WITHOUT having copied anything
+          val st = destFs.getFileStatus(dp)
+          if (st.isDirectory) throw new java.io.IOException(
+            s"Destination $dp is a directory; refusing to replace it " +
+              "with a file — remove it first")
+          if (!destFs.delete(dp, false)) throw new java.io.IOException(
+            s"Could not delete stale destination $dp")
+        }
       }
       val confBox = spark.sparkContext.broadcast(
         org.apache.spark.GraftSparkBridge.hadoopConfBox(spark.sparkContext))

@@ -82,6 +82,29 @@ object ScicatMetadata {
   def oldDatasetUrl(base: String, pid: String): String =
     s"$base/Datasets/%2F${reformatPid(pid)}"
 
+  /** python-requests' `Session.should_strip_auth` rule, inverted: the
+    * Authorization header follows a redirect only when the target keeps
+    * the same host (case-insensitive — RFC 3986 §3.2.2 hosts compare
+    * caseless; a catalogue redirecting to `LOCALHOST` is the same
+    * machine), the same scheme, and the same EFFECTIVE port (an explicit
+    * default port equals the implicit one, e.g. `http://h:80` ≡
+    * `http://h`). The one allowed exception is the standard http→https
+    * upgrade on default ports (80 → 443). In particular a same-host
+    * https→http DOWNGRADE strips: the token must never travel plaintext
+    * just because the catalogue redirected.
+    */
+  private[loader] def shouldForwardAuth(from: java.net.URL,
+      to: java.net.URL): Boolean = {
+    val fromHost = Option(from.getHost).getOrElse("")
+    val toHost = Option(to.getHost).getOrElse("")
+    def eff(u: java.net.URL): Int =
+      if (u.getPort == -1) u.getDefaultPort else u.getPort
+    fromHost.nonEmpty && fromHost.equalsIgnoreCase(toHost) && (
+      (from.getProtocol == "http" && eff(from) == 80 &&
+        to.getProtocol == "https" && eff(to) == 443) ||
+      (from.getProtocol == to.getProtocol && eff(from) == eff(to)))
+  }
+
   private val mapper = new ObjectMapper()
 
   /** JsonNode → plain Scala values (objects → Map, arrays → Seq,
@@ -108,8 +131,9 @@ object ScicatMetadata {
     * itself but NOT http→https (common for catalogues that moved behind
     * TLS — the reference's `requests` follows these). Up to 3 cross-
     * protocol hops are followed manually; the Bearer token is forwarded
-    * ONLY when the redirect target is the same host (the `requests`
-    * rule: credentials never follow a host change).
+    * ONLY per [[shouldForwardAuth]] (the `requests` rule: credentials
+    * never follow a host, scheme, or port change — except the standard
+    * http→https default-port upgrade).
     */
   private def get(url: String, cfg: Config): Option[String] = {
     def fetch(u: String, sendAuth: Boolean, hopsLeft: Int): Option[String] =
@@ -138,8 +162,8 @@ object ScicatMetadata {
           if (in != null) { in.readAllBytes(); in.close() }
           loc.flatMap { l =>
             val next = new java.net.URL(target, l) // relative Location ok
-            val sameHost = next.getHost == target.getHost
-            fetch(next.toString, sendAuth && sameHost, hopsLeft - 1)
+            fetch(next.toString,
+              sendAuth && shouldForwardAuth(target, next), hopsLeft - 1)
           }
         } else if (code < 200 || code >= 300) {
           // drain + close the error stream so the connection can be reused

@@ -45,6 +45,27 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(r.stats.map(_.name) === Seq("a", "b", "c"))
     assert(r.stats.forall(_.quietReps === 3))
     assert(r.stats.forall(_.shuffleMb === 1.25))
+    // on a quiet box the agreed subset IS the quiet set (no-op workloads
+    // all sit within the +50 ms agreement slack), so the two dispersion
+    // fields coincide
+    assert(r.stats.forall(s => s.agreedSpread === s.spread))
+  }
+
+  test("warmups: each workload executes `warmups` untimed passes plus" +
+      " the shuffle-metered run before any timed round") {
+    var calls = 0
+    val counting = Seq("w" -> (() => { calls += 1; () }))
+    val s = new Script(Seq.empty)
+    // the shuffleMbOf stub EXECUTES the run like Bench's listener-delta
+    // implementation does, so the count mirrors production
+    val r = BenchProtocol.runSuite(counting, rounds = 2, maxExtraRounds = 0,
+      s.cpu, s.bw, (_, run) => { run(); 0.0 }, warmups = 3)
+    // 3 warm-ups + 1 shuffle-metered + 2 timed rounds
+    assert(calls === 6)
+    assert(r.stats.head.quietReps === 2) // only the timed rounds count
+    intercept[IllegalArgumentException](
+      BenchProtocol.runSuite(counting, rounds = 1, maxExtraRounds = 0,
+        s.cpu, s.bw, (_, _) => 0.0, warmups = -1))
   }
 
   test("transient spike: the suite self-heals with extra rounds and the" +
@@ -120,36 +141,51 @@ class BenchProtocolSpec extends AnyFunSuite {
 
   test("sub-second floor reproduction: a spike inside the timed region" +
       " (canaries quiet) forces extension until the min is reproduced") {
-    // the workload sleeps 250 ms on its first two reps (a spike shorter
-    // than the canary bracket: both brackets read quiet) and 40 ms from
-    // rep 3 on. After 3 base rounds only ONE rep sits at the floor —
-    // the plain quiet criterion would stop here and report min=0.04
-    // with median 0.25 — so exactly one extension round must run to
-    // reproduce the floor.
+    // the workload sleeps 400 ms on its first two timed reps (a spike
+    // shorter than the canary bracket: both brackets read quiet) and
+    // 20 ms from then on. After 3 base rounds only ONE rep sits at the
+    // floor — the plain quiet criterion would stop here and report
+    // min=0.02 with median 0.4 — so extension rounds must run until the
+    // floor is reproduced. Counts are asserted as RANGES, not exact
+    // values: on a loaded CI box a 20 ms sleep can overshoot past the
+    // max(1.3×min, +50 ms) band and cost an extra extension round
+    // (ADVICE r17); the 400/20 separation keeps the spike reps
+    // unambiguously outside the band either way.
     var rep = 0 // rep 1 is the protocol's untimed warm-up call
     val spiky = Seq("spiky" -> (() => {
       rep += 1
-      Thread.sleep(if (rep <= 3) 250L else 40L)
+      Thread.sleep(if (rep <= 3) 400L else 20L)
     }))
     val r = run(spiky, script = Seq.empty, rounds = 3)
-    assert(r.extraRounds === 1)
+    assert(r.extraRounds >= 1 && r.extraRounds <= 10)
     assert(r.unusable.isEmpty)
     val s = r.stats.head
-    assert(s.quietReps === 4) // all reps quiet — the brackets saw nothing
-    assert(s.agreedReps === 2) // but only two reproduce the floor
+    // all reps quiet — the brackets saw nothing
+    assert(s.quietReps === 3 + r.extraRounds)
+    assert(s.agreedReps >= 2) // the floor was reproduced...
+    assert(s.agreedReps <= s.quietReps - 2) // ...but spike reps never agree
     assert(s.min < 0.15, s"floor not at the quiet value: ${s.min}")
+    // the dispersion the verdict is based on: `spread` spans the spike
+    // reps (they are canary-quiet), `agreedSpread` only the agreed
+    // subset, bounded by the agreement band itself
+    assert(s.spread > 2.0, s"spike reps should widen spread: ${s.spread}")
+    assert(s.agreedSpread <= math.max(1.3, (s.min + 0.05) / s.min) + 1e-9,
+      s"agreedSpread ${s.agreedSpread} escaped the agreement band")
+    assert(s.agreedSpread < s.spread)
   }
 
   test("sub-second floor NEVER reproduced: the query is named unusable" +
       " after the budget even though every rep is canary-quiet") {
-    // one fluke-fast rep, every other rep 6× slower with quiet canaries
+    // one fluke-fast rep, every other rep 20× slower with quiet canaries
     // — the r16 ×1 shape (workflow_4d min 0.262 s vs median 0.961 s,
     // usable:true). The floor is never reproduced, so the query must be
-    // named rather than its min archived.
+    // named rather than its min archived. (400 vs 20 ms: wide enough
+    // that no realistic sleep overshoot can bring the slow reps inside
+    // the fluke's agreement band — ADVICE r17.)
     var rep = 0 // rep 1 is the untimed warm-up
     val fluke = Seq("fluke" -> (() => {
       rep += 1
-      Thread.sleep(if (rep == 2) 40L else 250L)
+      Thread.sleep(if (rep == 2) 20L else 400L)
     }))
     val r = run(fluke, script = Seq.empty, rounds = 3, maxExtra = 3)
     assert(r.extraRounds === 3) // budget exhausted trying to heal

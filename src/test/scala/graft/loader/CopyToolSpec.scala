@@ -74,6 +74,20 @@ class CopyToolSpec extends SparkSpec {
     assert(leftovers.isEmpty, leftovers.mkString(", "))
   }
 
+  test("a non-empty DIRECTORY at a destination file path is a named" +
+      " driver-side error, not a silent no-copy success") {
+    val src = tmp("ct_srcdir"); val dst = tmp("ct_dstdir")
+    write(src, "scan/a.txt", "alpha-longer") // size differs from any dir len
+    // plant a non-empty directory exactly where the FILE must land
+    write(dst, "scan/a.txt/nested.txt", "squatter")
+    val ct = new CopyTool(spark, src, dst)
+    val e = intercept[java.io.IOException](ct.copy(s"$src/scan"))
+    assert(e.getMessage.contains("is a directory"), e.getMessage)
+    // the squatter survives untouched — refusal, not partial demolition
+    assert(Files.readString(Paths.get(dst, "scan/a.txt/nested.txt"))
+      === "squatter")
+  }
+
   test("single-file copy returns the mapped file path") {
     val src = tmp("ct_src3"); val dst = tmp("ct_dst3")
     val f = write(src, "run/only.dat", "payload")

@@ -200,6 +200,81 @@ class ScicatMetadataSpec extends SparkSpec {
     } finally { server.stop(0); crossServer.stop(0) }
   }
 
+  test("redirect auth rule: requests' should_strip_auth — host compare" +
+      " caseless, scheme downgrade and port change strip, http→https" +
+      " default-port upgrade keeps") {
+    def u(s: String) = new java.net.URL(s)
+    val f = (a: String, b: String) => ScicatMetadata.shouldForwardAuth(u(a), u(b))
+    // same host, caseless (RFC 3986 §3.2.2)
+    assert(f("http://cat.desy.de/a", "http://CAT.DESY.DE/b"))
+    assert(f("https://LOCALHOST/a", "https://localhost/b"))
+    // explicit default port equals implicit
+    assert(f("http://cat/a", "http://cat:80/b"))
+    assert(f("https://cat:443/a", "https://cat/b"))
+    // the standard upgrade keeps; any other scheme change strips
+    assert(f("http://cat/a", "https://cat/b"))
+    assert(!f("https://cat/a", "http://cat/b")) // DOWNGRADE: never plaintext
+    assert(!f("http://cat:8080/a", "https://cat/b")) // non-default from-port
+    assert(!f("http://cat/a", "https://cat:8443/b")) // non-default to-port
+    // port change on the same scheme strips
+    assert(!f("http://cat:8080/a", "http://cat:9090/b"))
+    // host change strips regardless of everything else
+    assert(!f("https://cat/a", "https://evil/b"))
+  }
+
+  test("redirects: a mixed-case-host hop keeps the token (hosts are" +
+      " case-insensitive); a same-host PORT change strips it") {
+    assume(try {
+      java.net.InetAddress.getByName("LoCalHost"); true
+    } catch { case _: Exception => false })
+    // port-change target: same 127.0.0.1 host, different port
+    val portAuth = new java.util.concurrent.atomic.AtomicReference[String]("unset")
+    val portServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    portServer.createContext("/", (ex: HttpExchange) => {
+      try {
+        portAuth.set(ex.getRequestHeaders.getFirst("Authorization"))
+        respond(ex, 200, """{"from":"otherPort"}""")
+      } finally ex.close()
+    })
+    portServer.start()
+    val caseAuth = new java.util.concurrent.atomic.AtomicReference[String]("unset")
+    val server = HttpServer.create(new InetSocketAddress("localhost", 0), 0)
+    lazy val port = server.getAddress.getPort
+    server.createContext("/", (ex: HttpExchange) => {
+      try {
+        val uri = ex.getRequestURI.toString
+        if (uri.startsWith("/api/v3/Datasets/case%2F1")) {
+          // same host in DIFFERENT case, same scheme+port
+          ex.getResponseHeaders.add("Location",
+            s"http://LoCalHost:$port/api/v3/moved/case")
+          respond(ex, 302, "")
+        } else if (uri == "/api/v3/moved/case") {
+          caseAuth.set(ex.getRequestHeaders.getFirst("Authorization"))
+          respond(ex, 200, """{"from":"case"}""")
+        } else if (uri.startsWith("/api/v3/Datasets/port%2F1")) {
+          ex.getResponseHeaders.add("Location",
+            s"http://127.0.0.1:${portServer.getAddress.getPort}/catalogue")
+          respond(ex, 302, "")
+        } else respond(ex, 404, "")
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val cfg = ScicatMetadata.Config(s"http://localhost:$port/api/v3", "sekrit")
+      assert(ScicatMetadata.metadataPerRun(cfg, "case/1") ===
+        Map("from" -> "case"))
+      assert(caseAuth.get === "Bearer sekrit",
+        "mixed-case same-host redirect must keep the token")
+      // the port-change redirect source is 127.0.0.1, so route it there
+      val cfg2 = ScicatMetadata.Config(
+        s"http://127.0.0.1:$port/api/v3", "sekrit")
+      assert(ScicatMetadata.metadataPerRun(cfg2, "port/1") ===
+        Map("from" -> "otherPort"))
+      assert(portAuth.get === null,
+        s"token leaked across a port change: ${portAuth.get}")
+    } finally { server.stop(0); portServer.stop(0) }
+  }
+
   test("multi-run merge: later runs overwrite earlier keys (the" +
       " reference's flat dict.update semantics)") {
     val server = serve { ex =>
