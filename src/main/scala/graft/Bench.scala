@@ -394,7 +394,15 @@ object Bench {
       liX.count()
       val docXScan = spark.read.parquet(s"$dir/documents")
         .repartition(nPart, col("doc_id"))
-      val embX = spark.read.parquet(s"$dir/embeddings").cache()
+      // same repartition(nPart) normalization as the ×1 leg's load():
+      // the inflated embeddings are ~8 MB in 32 tiny files, which the
+      // scan coalesces into 1-2 splits — the cached ×10 input then runs
+      // 1-2 tasks where the ×1 leg runs 32, and the ann top-k (floor-
+      // dominated at this size) reads FASTER at 10× rows purely from
+      // task-launch overhead: the remaining ~30 ms of the r17 inversion
+      // after the .first() hoist. Like-for-like task shape in both legs.
+      val embX = spark.read.parquet(s"$dir/embeddings")
+        .repartition(nPart).cache()
       embX.count()
 
       val chainX: DataFrame = {

@@ -303,6 +303,80 @@ object ScaleProbe {
       return
     }
 
+    // "tfrecseq64": the tfrecord64 rehearsal on a SequenceExample
+    // FLOAT-FRAME lake — per-timestep float vectors
+    // (array<array<float>>, the newest wire path: IEEE754 float encode
+    // + inner-list framing, q_tfrecord_seq_float's shape) instead of
+    // opaque binary records. Same per-factor assertions: exactly one
+    // read task per shard, marker present, zero _tmp litter, flat
+    // heap-after-GC — the write path additionally round-trips through
+    // proto encode/decode, so a per-record memory leak or a super-
+    // linear encode cost would surface here first.
+    if (args.contains("tfrecseq64")) {
+      import org.apache.spark.sql.types._
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_tfrecseq64")
+      val recsPerShard = 256
+      val baseShards = 8
+      val steps = 32; val frameDim = 16 // 512 floats/record (~2.3 KB wire)
+      val ctxSchema = StructType(Seq(StructField("id", LongType)))
+      val seqSchema = StructType(Seq(StructField("frames",
+        ArrayType(ArrayType(FloatType)))))
+      factors.foreach { f =>
+        val shards = baseShards * f
+        val lake = s"$tmpRoot/f$f"
+        // deterministic per-(record, timestep, component) floats — no
+        // driver-side materialization, exact in float32
+        val df = spark.range(0L, shards.toLong * recsPerShard, 1L, shards)
+          .select(col("id"),
+            transform(sequence(lit(0), lit(steps - 1)), t =>
+              transform(sequence(lit(0), lit(frameDim - 1)), j =>
+                ((col("id") % 997) * 513 + t * 17 + j).cast("float")
+                  * lit(0.001f))).as("frames"))
+        timedAlways("tfrecseq_write", f) {
+          pipeline.TfRecord.writeSequenceExamples(df, lake,
+            contextCols = Seq("id"), sequenceCols = Seq("frames"))
+        }
+        timedAlways("tfrecseq_read", f) {
+          val back = pipeline.TfRecord.readSequenceExamples(spark, lake,
+            ctxSchema, seqSchema)
+            .agg(count(lit(1)).as("n"),
+              sum(aggregate(flatten(col("frames")), lit(0.0),
+                (acc, x) => acc + x.cast("double"))).as("s")).head()
+          require(back.getLong(0) == shards.toLong * recsPerShard,
+            s"tfrecseq64 x$f: record count ${back.getLong(0)} != " +
+              s"${shards.toLong * recsPerShard}")
+          back.getLong(0)
+        }
+        // structural assertions — same claims as tfrecord64, re-checked
+        // on the SequenceExample lake at every factor
+        val perPart = pipeline.TfRecord.readRecords(spark, lake)
+          .select("path").rdd
+          .mapPartitions(it =>
+            Iterator.single(it.map(_.getString(0)).toSet.size))
+          .collect()
+        require(perPart.length == shards && perPart.forall(_ == 1),
+          s"tfrecseq64 x$f: expected one task per shard ($shards), got " +
+            s"${perPart.length} partitions, per-task shard counts " +
+            perPart.distinct.mkString("{", ",", "}"))
+        val names = new java.io.File(lake).listFiles().map(_.getName)
+        require(names.contains("_SUCCESS"), s"tfrecseq64 x$f: marker missing")
+        require(!names.exists(_.startsWith("_tmp.")),
+          s"tfrecseq64 x$f: attempt litter survived the driver sweep")
+        System.gc()
+        val used = (Runtime.getRuntime.totalMemory() -
+          Runtime.getRuntime.freeMemory()) / 1e6
+        println(f"SCALE heap_after_gc    x$f%-3d $used%8.0f MB  " +
+          s"(shards=$shards, one-task-per-shard ok, marker ok, no litter)")
+        try {
+          import scala.reflect.io.Directory
+          new Directory(new java.io.File(lake)).deleteRecursively()
+        } catch { case _: Throwable => () }
+        ()
+      }
+      spark.stop()
+      return
+    }
+
     // "recall64": ANN QUALITY at scale — recall@10 of IVF / IVF-PQ /
     // IVF-PQ+re-rank against the exact brute-force baseline
     // (Similarity.bruteTopKBatch + recallAgainst) across
