@@ -753,7 +753,9 @@ class Processor(
   def save(faddr: String, extraMetadata: Map[String, Any] = Map.empty): Unit = {
     val cube = lastBinned.getOrElse(
       throw new IllegalStateException("Need to bin data first!"))
-    val lower = faddr.toLowerCase
+    // Locale.ROOT: default-locale case mapping breaks extension
+    // dispatch on tr/az-locale JVMs (".TIF" -> ".t\u0131f")
+    val lower = faddr.toLowerCase(java.util.Locale.ROOT)
     if (lower.endsWith(".tif") || lower.endsWith(".tiff"))
       graft.export.Tiff.writeCube(cube, faddr)
     else if (lower.endsWith(".h5") || lower.endsWith(".hdf5"))

@@ -35,7 +35,7 @@ object SedConfig {
   /** Parse one config file: `.yaml`/`.yml` via [[YamlShim]], else JSON. */
   def parse(path: Path): JsonNode = {
     val text = Files.readString(path)
-    val name = path.getFileName.toString.toLowerCase
+    val name = path.getFileName.toString.toLowerCase(java.util.Locale.ROOT)
     if (name.endsWith(".yaml") || name.endsWith(".yml")) YamlShim.parse(text)
     else mapper.readTree(text)
   }
@@ -62,7 +62,7 @@ object SedConfig {
     val existing: JsonNode =
       if (Files.exists(p) && !overwrite) parse(p) else mapper.createObjectNode()
     val merged = deepMerge(existing, config)
-    val name = path.toLowerCase
+    val name = path.toLowerCase(java.util.Locale.ROOT)
     val text =
       if (name.endsWith(".yaml") || name.endsWith(".yml")) YamlShim.emit(merged)
       else mapper.writerWithDefaultPrettyPrinter().writeValueAsString(merged)

@@ -37,7 +37,12 @@ object Lake {
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // loud on failure (same silent-false class as the TfRecord/CopyTool
+    // stale deletes): a surviving orphan location under a re-created
+    // table would surface as duplicate or mixed buckets
+    if (fs.exists(loc) && !fs.delete(loc, true))
+      throw new java.io.IOException(
+        s"bucketed write: could not remove orphan table location $loc")
     val w = df.write
       .mode("overwrite")
       .format("parquet")
@@ -222,7 +227,9 @@ object Lake {
     // store that turns a metadata-shaped maintenance pass into hours of
     // driver-bound IO (the same distribution posture as CopyTool)
     val singles = plan.zipWithIndex.collect {
-      case (g, i) if g.size == 1 => (g.head, f"part-copy-$i%05d.parquet")
+      // Locale.ROOT zero digit: file names are protocol, see TfRecord
+      case (g, i) if g.size == 1 => (g.head, String.format(
+        java.util.Locale.ROOT, "part-copy-%05d.parquet", Integer.valueOf(i)))
     }
     if (singles.nonEmpty) {
       val confBox = spark.sparkContext.broadcast(

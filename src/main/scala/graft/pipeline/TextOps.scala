@@ -231,7 +231,9 @@ object TextOps {
           substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"")
         else lit(true)
       banned.foldLeft(words && punct) { (acc, b) =>
-        acc && !lower(l).contains(b.toLowerCase)
+        // Locale.ROOT keeps the driver-side literal in parity with
+        // Spark's locale-independent lower() on every JVM locale
+        acc && !lower(l).contains(b.toLowerCase(java.util.Locale.ROOT))
       }
     }
     val out = transform(array(split(col(textCol), "\n")), ls => {
@@ -630,7 +632,8 @@ object TextOps {
     * `isNormalized`, the common fast path); map-only.
     */
   def normalizeUnicode(text: Column, form: String = "NFKC"): Column = {
-    val f = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+    val f = java.text.Normalizer.Form.valueOf(
+      form.toUpperCase(java.util.Locale.ROOT))
     org.apache.spark.sql.GraftBridge.column(
       UnicodeNormalizeExpr(
         org.apache.spark.sql.GraftBridge.resolvedExpression(text), f.name))

@@ -467,8 +467,11 @@ object TfRecord {
     * (`.tfrecord` / `.tfrecord.gz` / `.tfrecord.zlib`) so reads
     * self-describe per file.
     */
+  // Locale.ROOT: a tr/az default-locale JVM uppercases "gzip" to
+  // "GZ\u0130P" (dotted capital I) and a legitimate argument stops
+  // matching
   private def shardExt(compression: String): String =
-    compression.toUpperCase match {
+    compression.toUpperCase(java.util.Locale.ROOT) match {
       case "" | "NONE" => ".tfrecord"
       case "GZIP" => ".tfrecord.gz"
       case "ZLIB" => ".tfrecord.zlib"
@@ -478,7 +481,7 @@ object TfRecord {
 
   private def wrapOut(raw: java.io.OutputStream,
       compression: String): java.io.OutputStream =
-    compression.toUpperCase match {
+    compression.toUpperCase(java.util.Locale.ROOT) match {
       case "" | "NONE" => raw
       case "GZIP" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
       case "ZLIB" => new java.util.zip.DeflaterOutputStream(raw,
@@ -555,7 +558,13 @@ object TfRecord {
           s"holds content not written by this writer (e.g. " +
           s"'${foreign.head.getPath.getName}') — refusing to wipe it; " +
           "delete the directory explicitly or choose another path")
-      fs.delete(hp, true)
+      // a SILENTLY failed wipe (delete returning false) would let stale
+      // part-N shards from the died job survive under the NEW job's
+      // _SUCCESS when the new job writes fewer partitions — the same
+      // silent-false class as CopyTool's stale-destination delete
+      if (!fs.delete(hp, true)) throw new java.io.IOException(
+        s"tfrecord: could not wipe leftover uncommitted dir $dir for a " +
+          "clean retry — stale shards would mix with the new write")
     }
     fs.mkdirs(hp)
     val confBox = spark.sparkContext.broadcast(
@@ -568,9 +577,15 @@ object TfRecord {
       val conf = confBox.value.value
       val tc = org.apache.spark.TaskContext.get()
       val attempt = if (tc == null) 0L else tc.taskAttemptId()
-      val fin = new org.apache.hadoop.fs.Path(dir, f"part-$part%05d$ext")
+      // Locale.ROOT: shard names are PROTOCOL (the own-litter matching
+      // and natural sort key on them) — the f-interpolator's %05d pads
+      // with the DEFAULT locale's zero digit, which is not ASCII '0' on
+      // every JVM locale
+      val part5 = String.format(java.util.Locale.ROOT, "%05d",
+        Integer.valueOf(part))
+      val fin = new org.apache.hadoop.fs.Path(dir, s"part-$part5$ext")
       val tmp = new org.apache.hadoop.fs.Path(
-        dir, f"_tmp.part-$part%05d.$attempt")
+        dir, s"_tmp.part-$part5.$attempt")
       val pfs = fin.getFileSystem(conf)
       val raw: java.io.OutputStream =
         new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 16)

@@ -164,6 +164,32 @@ class TfRecordSpec extends SparkSpec {
     assert((row.getLong(0), row.getString(1)) === ((7L, "zipped text")))
   }
 
+  test("compression matching is locale-independent: gzip/zlib round-trip" +
+      " under a Turkish default locale (dotted-I case mapping)") {
+    // tr_TR uppercases "gzip" to "GZİP" under default-locale
+    // toUpperCase — the match must use Locale.ROOT or a legitimate
+    // argument stops matching on such JVMs
+    val saved = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      assert("gzip".toUpperCase !== "GZIP") // the hazard is real here
+      val d = dir()
+      for ((comp, ext) <- Seq("gzip" -> ".tfrecord.gz",
+          "zlib" -> ".tfrecord.zlib")) {
+        val n = TfRecord.writeRecords(
+          Seq(Tuple1(s"$comp bytes".getBytes)).toDF("rec"),
+          "rec", s"$d/$comp", compression = comp)
+        assert(n === 1L)
+        val shards = new java.io.File(s"$d/$comp").listFiles().map(_.getName)
+          .filterNot(n => n.startsWith(".") || n == "_SUCCESS")
+        assert(shards.forall(_.endsWith(ext)), shards.mkString(", "))
+        val back = TfRecord.readRecords(spark, s"$d/$comp")
+          .select("record").head().getAs[Array[Byte]](0)
+        assert(new String(back) === s"$comp bytes")
+      }
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("inferSchema: kinds and multiplicity from a sample; mixed kinds" +
       " are a named error") {
     val d = dir()
