@@ -7,6 +7,22 @@ import org.apache.spark.sql.types._
 
 import graft.SparkSpec
 
+/** A local filesystem whose RECURSIVE delete refuses (returns false,
+  * as Hadoop filesystems may on races or permission edges) — lets a
+  * spec pin that writeRecords' retry-wipe is loud on a failed wipe
+  * instead of silently mixing stale shards into the new job's lake.
+  * Registered under the `faildel` scheme via `fs.faildel.impl`;
+  * instantiated reflectively by Hadoop, so it must be a public
+  * top-level class with a no-arg constructor.
+  */
+class FailingDeleteFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "faildel"
+  override def getUri: java.net.URI = java.net.URI.create("faildel:///")
+  override def delete(p: org.apache.hadoop.fs.Path,
+      recursive: Boolean): Boolean =
+    if (recursive) false else super.delete(p, recursive)
+}
+
 class TfRecordSpec extends SparkSpec {
   import spark.implicits._
 
@@ -251,6 +267,22 @@ class TfRecordSpec extends SparkSpec {
     // attempt litter never survives the driver epilogue
     assert(!new java.io.File(s"$d/lake").listFiles()
       .exists(_.getName.startsWith("_tmp.")))
+  }
+
+  test("a retry-wipe whose recursive delete FAILS is a named error, not" +
+      " a silent mix of stale shards into the new lake") {
+    import java.nio.file.Paths
+    val d = dir()
+    // stale own-litter from a died job — eligible for the retry wipe
+    Files.write(Paths.get(d, "part-00000.tfrecord"), Array[Byte](1, 2))
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faildel.impl", classOf[FailingDeleteFs].getName)
+    val e = intercept[java.io.IOException](
+      TfRecord.writeRecords(Seq(Tuple1(Array[Byte](9))).toDF("rec"),
+        "rec", s"faildel:$d"))
+    assert(e.getMessage.contains("could not wipe"), e.getMessage)
+    // the stale shard is still there — refusal, not a half-wiped state
+    assert(Files.exists(Paths.get(d, "part-00000.tfrecord")))
   }
 
   test("writeRecords refuses to wipe an uncommitted dir holding foreign" +
