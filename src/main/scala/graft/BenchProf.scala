@@ -34,6 +34,37 @@ object BenchProf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    // "dedup_floor": back-to-back reps of Bench's dedup_exact shape with
+    // per-rep GC deltas — r18's Bench close twice saw a fluke-fast rep
+    // whose floor never reproduced (agreed=1 → named unusable); this
+    // mode separates "bimodal code" (GC / AQE variance would show here
+    // on a quiet box) from "sub-bracket weather" (it would not).
+    if (args.contains("dedup_floor")) {
+      val documents = spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(cpus.toInt).cache()
+      documents.count()
+      def gcStats(): (Long, Long) = {
+        import scala.jdk.CollectionConverters._
+        val beans = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.asScala
+        (beans.map(_.getCollectionCount).sum,
+          beans.map(_.getCollectionTime).sum)
+      }
+      exec(pipeline.Dedup.exactDuplicates(documents, "text", "doc_id")) // warm
+      (1 to 20).foreach { i =>
+        val (c0, g0) = gcStats()
+        val t0 = System.nanoTime()
+        exec(pipeline.Dedup.exactDuplicates(documents, "text", "doc_id"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (c1, g1) = gcStats()
+        println(f"DEDUP_FLOOR rep=$i%-3d $sec%7.3f s  " +
+          f"gc_events=${c1 - c0}%-3d gc_ms=${g1 - g0}%-5d")
+      }
+      spark.stop()
+      return
+    }
+
     val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .repartition(cpus.toInt).cache()
     lineitem.count()
