@@ -324,6 +324,61 @@ class ClusterSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leftovers.isEmpty, leftovers.mkString(", "))
   }
 
+  test("Lake.compact across executor JVMs: singleton files copy" +
+      " byte-for-byte through attempt-tmp + rename, groups rewrite, rows" +
+      " survive, no litter") {
+    assume(haveData)
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val root = Files.createTempDirectory("cluster-compact").toString
+    val in = s"$root/in"; val out = s"$root/out"
+    // 6 small files (each ~1 KB, grouped and rewritten) + 2 large
+    // singletons (≥ targetBytes, byte-for-byte DISTRIBUTED copies — the
+    // commit-protocol path this pin is about)
+    (0 until 6).foreach { i =>
+      spark.range(i * 100L, i * 100L + 100L).toDF("id").coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    Seq(600L -> 100000L, 700000L -> 100000L).foreach { case (start, n) =>
+      spark.range(start, start + n).toDF("id").coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    val targetBytes = 64L * 1024
+    val groups = gl.Lake.compact(spark, in, out, targetBytes)
+    // every row survives the mixed copy/rewrite plan
+    val got = spark.read.parquet(out).as[Long].collect().toSet
+    val want = (0L until 600L).toSet ++ (600L until 100600L) ++
+      (700000L until 800000L)
+    assert(got === want)
+    // the singletons landed byte-identical under the copy names —
+    // proof the executor-side FileUtil.copy → attempt-tmp → rename
+    // chain committed whole files across JVM boundaries
+    def bytes(p: java.nio.file.Path) = Files.readAllBytes(p).toSeq
+    val inBySize = Files.list(Paths.get(in)).iterator()
+    val bigIn = new scala.collection.mutable.ArrayBuffer[Seq[Byte]]
+    while (inBySize.hasNext) {
+      val p = inBySize.next()
+      if (p.getFileName.toString.endsWith(".parquet") &&
+          Files.size(p) >= targetBytes) bigIn += bytes(p)
+    }
+    assert(bigIn.size === 2)
+    val copies = Files.list(Paths.get(out)).iterator()
+    var copied = 0
+    val leftovers = new scala.collection.mutable.ArrayBuffer[String]
+    while (copies.hasNext) {
+      val p = copies.next()
+      val name = p.getFileName.toString
+      if (name.startsWith("part-copy-")) {
+        copied += 1
+        assert(bigIn.exists(_ == bytes(p)), s"$name differs from every input")
+      }
+      if (name.startsWith("._tmp.")) leftovers += name
+    }
+    assert(copied === 2)
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+    assert(groups === 3) // 6 small files fit one 64 KB group + 2 singletons
+  }
+
   test("cubeSnapshotSink(stateDir) kill/restart stays complete with" +
       " executor-side state stores (local-cluster)") {
     assume(haveData)
