@@ -70,7 +70,14 @@ object BenchProtocol {
     * request extra passes to pay the C2/codegen cost a later suite in
     * the same JVM inherits for free — the cross-leg JIT asymmetry that
     * made Bench's ×1 leg read slower than its ×10 leg on sub-second
-    * queries (VERDICT r17).
+    * queries (VERDICT r17). `extraWarmups` adds per-workload passes on
+    * top of `warmups`: an allocation-heavy workload can have a C2
+    * warm-up TAIL much longer than the suite default (dedup_exact's
+    * floor descends monotonically over ~17 executions — BenchProf
+    * `dedup_floor`), so its minimum keeps creeping down through the
+    * timed rounds and the min-anchored agreement band excludes the
+    * earlier reps; paying the tail untimed lets the timed reps start at
+    * the plateau the band is anchored to.
     */
   def runSuite(
       ws: Seq[(String, () => Unit)],
@@ -80,19 +87,23 @@ object BenchProtocol {
       bwProbe: () => Double,
       shuffleMbOf: (String, () => Unit) => Double,
       warmups: Int = 1,
+      extraWarmups: Map[String, Int] = Map.empty,
   ): SuiteResult = {
     // empty inputs would crash deep inside (quietMins' .min over no
     // reps, secs.head over no rounds) — name the misuse at the boundary
     require(ws.nonEmpty, "bench protocol: no workloads given")
     require(rounds >= 1, s"bench protocol: rounds must be >= 1, got $rounds")
     require(warmups >= 0, s"bench protocol: warmups must be >= 0, got $warmups")
+    require(extraWarmups.values.forall(_ >= 0),
+      s"bench protocol: extraWarmups must be >= 0, got $extraWarmups")
     def tryRun(name: String, run: () => Unit): Unit =
       try run()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
     // per-workload untimed warm-up(s) (whole-stage-codegen generation +
     // C2 compile happen per distinct plan) and one shuffle-metered run
     val shuffleMb = ws.map { case (name, run) =>
-      (1 to warmups).foreach(_ => tryRun(name, run))
+      (1 to (warmups + extraWarmups.getOrElse(name, 0)))
+        .foreach(_ => tryRun(name, run))
       name -> shuffleMbOf(name, () => tryRun(name, run))
     }.toMap
     val reps = collection.mutable.Map.empty[String, Vector[Rep]]

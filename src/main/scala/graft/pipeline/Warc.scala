@@ -161,7 +161,8 @@ object Warc {
       // the task (and a NEGATIVE length must not move `end` before
       // `off` — copyOfRange IllegalArgumentException / infinite loop)
       val len = head.linesIterator.collectFirst {
-        case l if l.toLowerCase.startsWith("content-length:") =>
+        case l if l.toLowerCase(java.util.Locale.ROOT)
+            .startsWith("content-length:") =>
           l.substring(l.indexOf(':') + 1).trim
       }.flatMap(_.toLongOption).filter(_ >= 0).getOrElse(0L)
       val end = math.min(headerEnd + 4 + len, blob.length.toLong).toInt
@@ -281,13 +282,15 @@ object Warc {
       case _ => return null
     }
     val contentType = lines.tail.collectFirst {
-      case l if l.toLowerCase.startsWith("content-type:") =>
+      case l if l.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("content-type:") =>
         l.substring(l.indexOf(':') + 1).trim
     }.getOrElse("")
     val ctParts = contentType.split(";").toSeq
     val mime = ctParts.head.trim
     val charset = ctParts.tail.map(_.trim).collectFirst {
-      case p if p.toLowerCase.startsWith("charset=") =>
+      case p if p.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("charset=") =>
         p.substring(8).trim.stripPrefix("\"").stripSuffix("\"")
           .toLowerCase(java.util.Locale.ROOT)
     }.getOrElse("")

@@ -68,6 +68,26 @@ class BenchProtocolSpec extends AnyFunSuite {
         s.cpu, s.bw, (_, _) => 0.0, warmups = -1))
   }
 
+  test("extraWarmups: only the named workload pays the additional untimed" +
+      " passes (the long-C2-tail remedy)") {
+    var a = 0; var b = 0
+    val counting = Seq(
+      "tail" -> (() => { a += 1; () }),
+      "other" -> (() => { b += 1; () }))
+    val s = new Script(Seq.empty)
+    val r = BenchProtocol.runSuite(counting, rounds = 2, maxExtraRounds = 0,
+      s.cpu, s.bw, (_, run) => { run(); 0.0 }, warmups = 1,
+      extraWarmups = Map("tail" -> 4))
+    // tail: 1 + 4 warm-ups + 1 shuffle-metered + 2 timed rounds
+    assert(a === 8)
+    // other: suite default only
+    assert(b === 4)
+    assert(r.stats.forall(_.quietReps === 2))
+    intercept[IllegalArgumentException](
+      BenchProtocol.runSuite(counting, rounds = 1, maxExtraRounds = 0,
+        s.cpu, s.bw, (_, _) => 0.0, extraWarmups = Map("tail" -> -2)))
+  }
+
   test("transient spike: the suite self-heals with extra rounds and the" +
       " artifact stays clean") {
     // 2 workloads → 3 probe pairs per round. Round 1 quiet (sets the
