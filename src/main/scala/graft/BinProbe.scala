@@ -192,6 +192,51 @@ object BinProbe {
       exec(merged.select(decode :+ col("cnt"): _*))
     }
 
+    // S: scan floor — rand generation + bin index + filter, no agg at
+    // all (the cost every variant pays before counting starts)
+    def variantS(): Unit = exec(flatDf)
+
+    // P: partial side only — local open-hash combine to a noop sink, no
+    // exchange, no merge (K minus P ≈ exchange + final merge cost)
+    def variantP(): Unit = exec(
+      flatDf.as[Long].mapPartitions(HistogramKernel.countKeys).toDF("_flat", "cnt"))
+
+    // M: two-phase with a MODULO-INTERLEAVED dense final merge — partial
+    // open-hash combine as in E2, but the merge exchange keys on
+    // `_flat % (16·p)` residue classes (adjacent cube cells scatter
+    // across classes, so a compact physical peak spreads like hash —
+    // unlike the contiguous-span C/C2 layout) and each reduce task
+    // accumulates its classes into DIRECT-INDEXED dense long arrays
+    // (slot = key / nClasses): no key storage, no probe chains, half
+    // the memory traffic of the open-hash merge. Only valid while
+    // cells/p fits a sane dense budget — a routing decision, like
+    // densify's.
+    def variantM(): Unit = {
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val nCls = 16 * p
+      val width = ((cells + nCls - 1) / nCls).toInt
+      val pre = flatDf.as[Long]
+        .mapPartitions(HistogramKernel.countKeys).toDF("_flat", "cnt")
+      val merged = pre.repartition(p, expr(s"_flat % ${nCls}L"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val arrs = new Array[Array[Long]](nCls)
+          while (it.hasNext) {
+            val kv = it.next()
+            val cls = (kv._1 % nCls).toInt
+            var a = arrs(cls)
+            if (a == null) { a = new Array[Long](width); arrs(cls) = a }
+            a((kv._1 / nCls).toInt) += kv._2
+          }
+          Iterator.range(0, nCls).filter(arrs(_) != null).flatMap { cls =>
+            val a = arrs(cls)
+            Iterator.range(0, a.length).filter(a(_) != 0L)
+              .map(i => (i.toLong * nCls + cls, a(i)))
+          }
+        }.toDF("_flat", "cnt")
+      exec(merged.select(decode :+ col("cnt"): _*))
+    }
+
     // D: like A but with 4x shuffle partitions (smaller final maps)
     def variantD(): Unit = {
       val p = spark.conf.get("spark.sql.shuffle.partitions")
@@ -203,11 +248,54 @@ object BinProbe {
     def product(plan: HistogramPlan): Unit =
       exec(Binning.histogram(events, axes, plan = plan))
 
+    // cache-resident-partial A/B: override the partial flush bound the
+    // product K plan reads (spark.graft.countByKey.flushEntries) — a
+    // bound ≤ ~49k keeps the partial map inside its initial 2^16 slots
+    // (~1.1 MB, L2-resident) at the cost of shorter combine epochs
+    sys.env.get("SPARK_GRAFT_FLUSH").foreach { f =>
+      println(s"[binprobe] flushEntries override: $f")
+      spark.conf.set("spark.graft.countByKey.flushEntries", f)
+    }
+
+    // "flushab": INTERLEAVED flush-bound A/B on the product kernel plan —
+    // the conf is read at execution, so flipping it between reps in one
+    // JVM gives both arms the same warm state and the same weather
+    // (single-JVM sequential A-then-B runs here have swung ±20 % on
+    // co-tenant noise, swamping the effect being measured)
+    if (args.contains("flushab")) {
+      val small = sys.env.getOrElse("SPARK_GRAFT_FLUSH_B", "32768")
+      val arms = Seq(
+        "default" -> HistogramKernel.partialFlushEntries.toString,
+        s"flush=$small" -> small)
+      // warm both arms (distinct codegen? same plan — one warms both)
+      product(HistogramPlan.Kernel)
+      val times = collection.mutable.Map.empty[String, Vector[Double]]
+        .withDefaultValue(Vector.empty)
+      (1 to reps).foreach { _ =>
+        arms.foreach { case (nm, f) =>
+          spark.conf.set("spark.graft.countByKey.flushEntries", f)
+          val t0 = System.nanoTime()
+          product(HistogramPlan.Kernel)
+          times(nm) = times(nm) :+ (System.nanoTime() - t0) / 1e9
+        }
+      }
+      spark.conf.unset("spark.graft.countByKey.flushEntries")
+      arms.foreach { case (nm, _) =>
+        val ts = times(nm)
+        println(f"[flushab] $nm%-14s min=${ts.min}%.3f  " +
+          ts.map(t => f"$t%.2f").mkString(" "))
+      }
+      spark.stop()
+      return
+    }
+
     val variants = Map[String, () => Unit](
       "A" -> (() => variantA()), "B" -> (() => variantB()),
       "C" -> (() => variantC()), "D" -> (() => variantD()),
       "C2" -> (() => variantC2()), "B2" -> (() => variantB2()),
       "E" -> (() => variantE()), "E2" -> (() => variantE2()),
+      "S" -> (() => variantS()), "P" -> (() => variantP()),
+      "M" -> (() => variantM()),
       "CL" -> (() => product(HistogramPlan.Classic)),
       "K" -> (() => product(HistogramPlan.Kernel)),
       "R" -> (() => product(HistogramPlan.RawShuffle)))
