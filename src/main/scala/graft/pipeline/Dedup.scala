@@ -114,10 +114,13 @@ object Dedup {
       numHashes: Int = 32,
       seed: Long = 42L,
   ): Column =
-    // bind the shingle-hash array once — inlined, the shingle pipeline
-    // would re-run per hash function (numHashes×)
-    transform(array(baseShingleHashes(text, k)), base =>
-      minhashFromBase(base, numHashes, seed)).getItem(0)
+    // fused text→signature codegen kernel: one in-place pass over the
+    // string's bytes — bit-identical to the declarative
+    // minhashFromBase(baseShingleHashes(…)) pipeline it replaces
+    // (MinHashTextExprSpec pins equality, incl. null/short/unicode)
+    org.apache.spark.sql.GraftBridge.column(
+      MinHashTextExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), k, numHashes, seed))
 
   /** Reduced shingle hashes `h(s) mod p` — materialize this into its own
     * column before fanning out the hash family: the shingle/hash array is
@@ -201,10 +204,21 @@ object Dedup {
       seed: Long = 42L,
       portable: Boolean = false,
   ): DataFrame =
-    ensureParallelism(df)
-      .select(col(idCol).as("id"),
-        baseShingleHashes(col(textCol), k, portable).as("_base"))
-      .select(col("id"), minhashFromBase(col("_base"), numHashes, seed).as("sig"))
+    if (portable)
+      // the SQL-expressible polynomial-hash pipeline the DuckDB oracle
+      // mirrors, exactly as declared (two projections: the shingle-hash
+      // array is materialized once, then reduced)
+      ensureParallelism(df)
+        .select(col(idCol).as("id"),
+          baseShingleHashes(col(textCol), k, portable = true).as("_base"))
+        .select(col("id"), minhashFromBase(col("_base"), numHashes, seed).as("sig"))
+    else
+      // default path: the fused text→signature codegen kernel
+      // ([[MinHashTextExpr]]) — no shingle/base-array materialization,
+      // bit-identical output (spec-pinned)
+      ensureParallelism(df)
+        .select(col(idCol).as("id"),
+          minhashSignature(col(textCol), k, numHashes, seed).as("sig"))
 
   /** Banding-parameter planner (the datasketch recipe): choose the
     * `(bands, rowsPerBand)` factorization of `numHashes` minimizing the
@@ -307,7 +321,7 @@ object Dedup {
     * auto path can feed BOTH the census and the chosen plan from one
     * cached signature table instead of shingling the corpus twice.
     */
-  private def minhashFromSigs(
+  private[graft] def minhashFromSigs(
       sigs: DataFrame,
       numHashes: Int,
       bands: Int,
