@@ -81,6 +81,22 @@ object MinhashProbe {
       println("PLANS dumped to plans/r18/")
     }
 
+    if (args.contains("counts")) {
+      val banded = Dedup.minhashBands(
+        Dedup.minhashSignatures(docXScan, "text", "doc_id")
+          .repartition(col("id")), 32, 8)
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_hash") === col("b.band_hash"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      println(s"COUNT banded=${banded.count()} preDistinct=${cand.count()} " +
+        s"distinct=${cand.distinct().count()} " +
+        s"pairs=${Dedup.minhashNearDuplicates(docXScan, "text", "doc_id",
+          threshold = 0.5).count()}")
+    }
+
     spark.sparkContext.setJobDescription("minhash: OLD declarative sigs")
     time("OLD declarative sigs (noop)") { exec(declSigs(docXScan)) }
     spark.sparkContext.setJobDescription("minhash: OLD full default plan")

@@ -263,12 +263,15 @@ object Dedup {
   def minhashBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // native one-pass band hashing ([[BandHashesExpr]]): the declarative
+    // transform/slice/concat_ws form was interpreted (HOFs are
+    // CodegenFallback) and built one string per band just to feed a byte
+    // hash; consumers key on band-hash EQUALITY only, so swapping the
+    // hash function preserves every candidate set (spec + oracle pinned)
     sigs.select(
       col("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))),
-      )),
+      posexplode(org.apache.spark.sql.GraftBridge.column(BandHashesExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("sig")), bands, rows))),
     ).withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
   }
 
@@ -334,9 +337,8 @@ object Dedup {
       // formation, so verification is an inline projection and the
       // first-matching-band rule replaces the global distinct
       val bandedS = sigs.select(col("id"), col("sig"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))))
+        posexplode(org.apache.spark.sql.GraftBridge.column(BandHashesExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("sig")), bands, rows))))
         .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
       // native codegen kernel: a higher-order slice/filter lambda here is
       // interpreted per candidate row and measured 5× slower than the
@@ -367,7 +369,16 @@ object Dedup {
             && col("a.band_hash") === col("b.band_hash"))
         .filter(col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct() // a pair matching in >1 band is verified once, not per band
+        // a pair matching in >1 band is verified once, not per band. The
+        // dedup is keyed by id_a BEFORE the distinct: HashPartitioning
+        // on id_a satisfies the distinct's ClusteredDistribution(id_a,
+        // id_b) — a subset of the grouping keys — AND is exactly the
+        // partitioning the first signature-attach join needs, so the
+        // pair table crosses the network ONCE here instead of twice
+        // (distinct exchange + join re-key). Guide §2.4: two operations
+        // keyed the same way share one exchange.
+        .repartition(col("id_a"))
+        .distinct()
       // attach sides stay alias-identical so their id-hash exchanges
       // canonicalize to the same subtree and ReuseExchange computes the
       // signature projection once for both joins
