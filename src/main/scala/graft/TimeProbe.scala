@@ -13,8 +13,12 @@ object TimeProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    val names = args.toSeq
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // "ALL" sweeps every declared query (sorted) — the round-opening
+    // hotspot census for optimization work
+    val names =
+      if (args.toSeq == Seq("ALL")) SparkEntry.queries.keys.toSeq.sorted
+      else args.toSeq
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, dir).count()
