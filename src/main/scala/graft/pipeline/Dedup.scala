@@ -793,8 +793,12 @@ object Dedup {
     val raw = df.select(
       col(idCol).as("id"),
       blockCol.as("block"),
-      array_sort(array_distinct(
-        transform(TextOps.charShingles(col(textCol), n), s => xxhash64(s))))
+      // fused distinct-sorted shingle-hash kernel — bit-identical to
+      // array_sort(array_distinct(transform(charShingles, xxhash64)))
+      // (SortedShingleHashesExprSpec), one in-place pass instead of
+      // three interpreted higher-order passes per document
+      org.apache.spark.sql.GraftBridge.column(SortedShingleHashesExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)), n))
         .as("sh"),
     )
     val sets = maxBlockSize.fold(raw)(m => saltBlocks(raw, "block", "id", m))
