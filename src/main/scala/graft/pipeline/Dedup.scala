@@ -204,21 +204,16 @@ object Dedup {
       seed: Long = 42L,
       portable: Boolean = false,
   ): DataFrame =
-    if (portable)
-      // the SQL-expressible polynomial-hash pipeline the DuckDB oracle
-      // mirrors, exactly as declared (two projections: the shingle-hash
-      // array is materialized once, then reduced)
-      ensureParallelism(df)
-        .select(col(idCol).as("id"),
-          baseShingleHashes(col(textCol), k, portable = true).as("_base"))
-        .select(col("id"), minhashFromBase(col("_base"), numHashes, seed).as("sig"))
-    else
-      // default path: the fused text→signature codegen kernel
-      // ([[MinHashTextExpr]]) — no shingle/base-array materialization,
-      // bit-identical output (spec-pinned)
-      ensureParallelism(df)
-        .select(col(idCol).as("id"),
-          minhashSignature(col(textCol), k, numHashes, seed).as("sig"))
+    // the fused text→signature codegen kernel ([[MinHashTextExpr]]) — no
+    // shingle/base-array materialization, bit-identical output on BOTH
+    // hash families (spec-pinned; the portable polynomial is the form
+    // the DuckDB oracle mirrors, and the oracle still passes unchanged)
+    ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.GraftBridge.column(
+          MinHashTextExpr(
+            org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+            k, numHashes, seed, portable)).as("sig"))
 
   /** Banding-parameter planner (the datasketch recipe): choose the
     * `(bands, rowsPerBand)` factorization of `numHashes` minimizing the

@@ -40,7 +40,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `otherwise(array())`, so the output is non-nullable — pinned in
   *    MinHashTextExprSpec.
   */
-case class MinHashTextExpr(child: Expression, k: Int, numHashes: Int, seed: Long)
+case class MinHashTextExpr(child: Expression, k: Int, numHashes: Int, seed: Long,
+    portable: Boolean = false)
     extends UnaryExpression {
 
   require(k >= 1, s"shingle size k=$k must be >= 1")
@@ -69,7 +70,8 @@ case class MinHashTextExpr(child: Expression, k: Int, numHashes: Int, seed: Long
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    MinHashTextExpr.compute(v.asInstanceOf[UTF8String], k, coeffA, coeffB)
+    MinHashTextExpr.compute(v.asInstanceOf[UTF8String], k, coeffA, coeffB,
+      portable)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -86,7 +88,7 @@ case class MinHashTextExpr(child: Expression, k: Int, numHashes: Int, seed: Long
         |  ${c.isNull} ? null : ${c.value};
         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
         |  (org.apache.spark.sql.catalyst.util.ArrayData)
-        |    $helper.compute($in, $k, $aRef, $bRef);
+        |    $helper.compute($in, $k, $aRef, $bRef, $portable);
         |""".stripMargin,
       isNull = FalseLiteral)
   }
@@ -103,31 +105,48 @@ object MinHashTextExpr {
   /** One-pass text → signature kernel shared by interpreted eval and
     * codegen. Walks codepoint starts exactly like `UTF8String.substring`
     * (so char-k-gram boundaries match the declarative `substr` shingles),
-    * hashes each k-gram byte slice in place, reduces it mod 2^31−1 and
-    * folds it into the `numHashes` running minima.
+    * hashes each k-gram — `pmod(xxhash64(slice), p)` by default, or the
+    * portable Horner polynomial over codepoints ([[TextOps.polyHashFixed]],
+    * the form the DuckDB oracle mirrors) — and folds it into the
+    * `numHashes` running minima.
     */
   def compute(s: UTF8String, k: Int,
-      as: Array[Long], bs: Array[Long]): ArrayData = {
+      as: Array[Long], bs: Array[Long], portable: Boolean = false): ArrayData = {
     val n = as.length
     if (s == null) return new GenericArrayData(new Array[Any](n))
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val nb = s.numBytes()
     var mins: Array[Long] = null
-    // ring buffer of the byte offsets of the last k+1 codepoint starts
+    // ring buffers of the last k+1 codepoint start offsets (and, for the
+    // portable polynomial, the last k codepoint values)
     val ring = new Array[Int](k + 1)
+    val cps: Array[Int] = if (portable) new Array[Int](k) else null
     var charIdx = 0
     var b = 0
     while (b < nb) {
       ring(charIdx % (k + 1)) = b
+      if (portable) cps(charIdx % k) = codePointAt(s, b, nb)
       b += UTF8String.numBytesForFirstByte(s.getByte(b))
       charIdx += 1
       if (charIdx >= k) {
-        val start = ring((charIdx - k) % (k + 1))
-        // clamp like UTF8String.substring does on a truncated final char
-        val end = if (b < nb) b else nb
-        var h = XXH64.hashUnsafeBytes(base, off + start, end - start, XxSeed) % P
-        if (h < 0) h += P // pmod
+        var h = 0L
+        if (portable) {
+          // Horner per window over the ring of codepoints, one mod per
+          // step — polyHashFixed verbatim (base 31, p = 2^31−1)
+          var j = charIdx - k
+          while (j < charIdx) {
+            h = (h * 31L + cps(j % k)) % P
+            if (h < 0) h += P
+            j += 1
+          }
+        } else {
+          val start = ring((charIdx - k) % (k + 1))
+          // clamp like UTF8String.substring does on a truncated final char
+          val end = if (b < nb) b else nb
+          h = XXH64.hashUnsafeBytes(base, off + start, end - start, XxSeed) % P
+          if (h < 0) h += P // pmod
+        }
         if (mins == null) {
           mins = new Array[Long](n)
           java.util.Arrays.fill(mins, Long.MaxValue)
@@ -142,5 +161,28 @@ object MinHashTextExpr {
     }
     if (mins == null) new GenericArrayData(new Array[Any](n))
     else new GenericArrayData(mins)
+  }
+
+  /** Unicode codepoint starting at byte offset `b` — the value
+    * `ascii(substring(…))` reads in the declarative portable chain
+    * (`Chr`/`Ascii` are codepoint-based in Spark). Malformed or
+    * truncated sequences fall back to the first byte, matching the
+    * clamped-slice behavior of the byte-hash path.
+    */
+  private def codePointAt(s: UTF8String, b: Int, nb: Int): Int = {
+    val b0 = s.getByte(b) & 0xFF
+    val len = UTF8String.numBytesForFirstByte(s.getByte(b))
+    if (len == 1 || b + len > nb) return b0
+    var cp = len match {
+      case 2 => b0 & 0x1F
+      case 3 => b0 & 0x0F
+      case _ => b0 & 0x07
+    }
+    var i = 1
+    while (i < len) {
+      cp = (cp << 6) | (s.getByte(b + i) & 0x3F)
+      i += 1
+    }
+    cp
   }
 }

@@ -84,15 +84,24 @@ object TextIndex {
       .withColumn("n_buckets", lit(nBuckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     val tf = postingsFrame(df, textCol, idCol)
+    // cluster each write by its partition column first (guide §6 file
+    // sizing): an unclustered partitionBy write opens one file per
+    // (task × bucket) — measured 1024 tiny files per index at 16 tasks ×
+    // 64 buckets, paying open/close/footer per file on write and listing
+    // + per-file open on every pruned read. Repartitioned, each bucket's
+    // rows sit in one task → one file per bucket. Same rows, same
+    // layout contract (term_bucket=… directories), same search results.
     val postings = tf
       .withColumn("term_bucket", pmod(hash(col("term")), lit(nBuckets)))
-    postings.write.mode("overwrite").partitionBy("term_bucket")
+    postings.repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$dir/postings")
     // df(term) from the postings themselves — one more bounded agg,
     // bucketed identically so vocab lookups prune the same way
     val vocab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("term_bucket", pmod(hash(col("term")), lit(nBuckets)))
-    vocab.write.mode("overwrite").partitionBy("term_bucket")
+    vocab.repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$dir/vocab")
     spark.read.parquet(s"$dir/postings").count()
   }

@@ -57,6 +57,29 @@ class MinHashTextExprSpec extends SparkSpec {
     check(k = 5, numHashes = 32, seed = 42L)
   }
 
+  /** The portable (oracle-mirrored polynomial) declarative form, verbatim. */
+  private def declarativePortable(text: Column, k: Int, numHashes: Int,
+      seed: Long): Column =
+    transform(array(Dedup.baseShingleHashes(text, k, portable = true)), base =>
+      Dedup.minhashFromBase(base, numHashes, seed)).getItem(0)
+
+  test("portable fused kernel is bit-identical to the polynomial pipeline") {
+    for ((k, n, seed) <- Seq((5, 32, 42L), (3, 16, 7L))) {
+      val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val fused = org.apache.spark.sql.GraftBridge.column(
+        MinHashTextExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")),
+          k, n, seed, portable = true))
+      val rows = df.select(col("id"), fused.as("fused"),
+        declarativePortable(col("text"), k, n, seed).as("decl")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Any](1) === r.getSeq[Any](2),
+          s"id=${r.getLong(0)} k=$k n=$n seed=$seed")
+      }
+    }
+  }
+
   test("fused kernel is bit-identical across k / numHashes / seed variants") {
     check(k = 1, numHashes = 8, seed = 42L)
     check(k = 3, numHashes = 16, seed = 7L)
