@@ -691,8 +691,12 @@ object Dedup {
     * [[simhashFromHashes]] — remains the idiomatic shape.)
     */
   def simhash(text: Column): Column =
-    transform(array(tokenHashes(text)), hs => simhashFromHashes(hs, 64))
-      .getItem(0)
+    // fused token-array → signature codegen kernel (bit-identical to the
+    // declarative transform + 64 × size(filter(...)) form, spec-pinned;
+    // tokenization stays Spark's split)
+    org.apache.spark.sql.GraftBridge.column(SimHashFromTokensExpr(
+      org.apache.spark.sql.GraftBridge.expression(TextOps.tokens(text)),
+      bits = 64, portable = false))
 
   /** Per-token hash array (the expensive subtree — materialize once).
     * `portable` uses the 62-bit SQL-expressible polynomial token hash.
@@ -735,8 +739,10 @@ object Dedup {
     val width = bits / blocks
     require(width >= 1, s"maxDistance $maxDistance too large for $bits-bit simhash")
     val sigs = ensureParallelism(df)
-      .select(col(idCol).as("id"), tokenHashes(col(textCol), portable).as("_th"))
-      .select(col("id"), simhashFromHashes(col("_th"), bits).as("sig"))
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.GraftBridge.column(SimHashFromTokensExpr(
+          org.apache.spark.sql.GraftBridge.expression(
+            TextOps.tokens(col(textCol))), bits, portable)).as("sig"))
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(array((0 until blocks).map { blk =>
