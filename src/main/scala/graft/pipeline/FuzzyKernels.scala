@@ -64,7 +64,11 @@ object SubBandMinhashes {
     * all sub-bands instead of `subBands` interpreted transforms.
     * `xxhash64(g, i)` chains per child exactly like Spark's expression:
     * `hashInt(i, hashLong(g, 42))` (the band index is an IntegerType
-    * literal in the declarative form).
+    * literal in the declarative form), INCLUDING the null-element fold —
+    * Spark's xxhash64 leaves the running hash unchanged for a null
+    * child, so a null q-gram contributes `hashInt(i, 42)` to the min
+    * (unreachable from [[Fuzzy.qgramsOf]], whose elements are non-null,
+    * but the bit-identity contract holds for it anyway).
     */
   def compute(qg: ArrayData, subBands: Int, buckets: Long): ArrayData = {
     val n = qg.numElements()
@@ -75,10 +79,12 @@ object SubBandMinhashes {
       var any = false
       var j = 0
       while (j < n) {
-        if (!qg.isNullAt(j)) {
-          val h = XXH64.hashInt(i, XXH64.hashLong(qg.getLong(j), Seed))
-          if (!any || h < min) { min = h; any = true }
-        }
+        // null element: xxhash64's fold skips the null child, so the
+        // element's hash is hashInt(i, seed) — not "no contribution"
+        val h =
+          if (qg.isNullAt(j)) XXH64.hashInt(i, Seed)
+          else XXH64.hashInt(i, XXH64.hashLong(qg.getLong(j), Seed))
+        if (!any || h < min) { min = h; any = true }
         j += 1
       }
       val v = if (any) min else 0L // coalesce(array_min(empty), 0)

@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * verbatim: `pmod(poly31(t,8) + len, p) + pmod(poly37(t,8) + 7·len, p)
   * · 2³¹`, out-of-range codepoints read 0), same strict-majority vote
   * (`ones·2 > n` with `n` counting ALL elements and null hashes never
-  * voting), null array → null, empty array → 0.
+  * voting), null array → 0 (never null — see the `nullable` override:
+  * the declarative per-bit `when` chain falls through to `otherwise(0)`
+  * on a null array), empty array → 0.
   */
 case class SimHashFromTokensExpr(child: Expression, bits: Int, portable: Boolean)
     extends UnaryExpression {

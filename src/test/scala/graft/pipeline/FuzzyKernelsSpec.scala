@@ -33,6 +33,31 @@ class FuzzyKernelsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("SubBandMinhashes null-element fold matches xxhash64's (h unchanged)") {
+    // unreachable from qgramsOf (non-null elements), but the declarative
+    // form folds a null child as "hash unchanged", so a null element
+    // contributes hashInt(i, 42) to the min — the kernel must agree
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 100).map { i =>
+      val n = rnd.nextInt(12)
+      val qg = Seq.fill(n)(
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextLong()))
+      (i.toLong, qg, 1L + rnd.nextInt(7))
+    } :+ ((100L, Seq[Option[Long]](None, None), 5L)) // all-null elements
+    val df = rows.toDF("id", "qg", "buckets")
+    val subBands = 6
+    val decl = transform(sequence(lit(0), lit(subBands - 1)), i =>
+      pmod(coalesce(
+        array_min(transform(col("qg"), g => xxhash64(g, i))),
+        lit(0L)), col("buckets")))
+    val fused = org.apache.spark.sql.GraftBridge.column(SubBandMinhashes(
+      org.apache.spark.sql.GraftBridge.expression(col("qg")),
+      org.apache.spark.sql.GraftBridge.expression(col("buckets")), subBands))
+    val bad = df.select(fused.as("f"), decl.as("d"))
+      .filter(not(col("f") <=> col("d"))).count()
+    assert(bad === 0L)
+  }
+
   test("FirstEqualIndex == array_position(zip_with(a,b,===), true)") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 300).map { i =>
