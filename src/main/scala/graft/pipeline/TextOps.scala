@@ -164,20 +164,25 @@ object TextOps {
     */
   def qualityColumns(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    // one tokenization bound per row: the token-derived signals reference
-    // the lambda variable, not three separate regex splits
-    val sig = transform(array(tokens(t)), toks => struct(
-      size(toks).as("n_tokens"),
-      size(filter(toks, w => w.isin(EnStopwords: _*))).as("n_stop"),
-    )).getItem(0)
-    df.withColumn("_q", sig)
+    // one tokenization per row, as a native one-pass kernel: the old
+    // struct form bound the token array once but still ran the stopword
+    // `filter` as an interpreted higher-order function (~20 isin
+    // comparisons per boxed token) — the last CodegenFallback node in
+    // this projection. TokenStopStatsExpr packs (n_tokens, n_stop) into
+    // one long with bit-identical split/trim/isin edge semantics
+    // (TokenStatsExprSpec pins it against the declarative form).
+    val packed = org.apache.spark.sql.GraftBridge.column(TokenStopStatsExpr(
+      org.apache.spark.sql.GraftBridge.expression(t), EnStopwords))
+    val nTokens = shiftright(col("_q"), 32).cast("int")
+    val nStop = col("_q").bitwiseAND(lit(0xFFFFFFFFL)).cast("int")
+    df.withColumn("_q", packed)
       .withColumns(Map(
-        "n_tokens" -> col("_q.n_tokens"),
+        "n_tokens" -> nTokens,
         "n_chars_m" -> length(t),
         "avg_token_len" ->
-          (length(regexp_replace(t, "\\s+", "")).cast("double") / col("_q.n_tokens")),
+          (length(regexp_replace(t, "\\s+", "")).cast("double") / nTokens),
         "punct_ratio" -> (punctCount(t).cast("double") / length(t)),
-        "stopword_ratio" -> (col("_q.n_stop").cast("double") / col("_q.n_tokens")),
+        "stopword_ratio" -> (nStop.cast("double") / nTokens),
       ))
       .drop("_q")
   }
