@@ -84,7 +84,7 @@ class HistogramKernelSpec extends SparkSpec {
     assert(planOf(small).contains("HashAggregate"))
     assert(!planOf(small).contains("CountByKey"), planOf(small))
     // 60^4 = 1.296e7 cells ≥ 2^17 → the native CountByKey operator
-    // (partial exec → ENSURE_REQUIREMENTS exchange → final exec; no
+    // (partial exec → packed narrow-wire exchange → final exec; no
     // HashAggregate, no object boundary)
     val huge = Seq.fill(100)((1.0, 2.0, 3.0, 4.0)).toDF("a", "b", "c", "d")
     val hugeAxes = Seq("a", "b", "c", "d").map(UniformAxis(_, 60, 0.0, 60.0))
@@ -92,7 +92,7 @@ class HistogramKernelSpec extends SparkSpec {
     val p = planOf(routed)
     assert("CountByKey true".r.findAllIn(p).length === 1, p)
     assert("CountByKey false".r.findAllIn(p).length === 1, p)
-    assert(p.contains("ENSURE_REQUIREMENTS"), p)
+    assert(p.contains("PackedCountExchange"), p)
     assert(!p.contains("HashAggregate"), p)
     assert(!p.contains("SerializeFromObject") && !p.contains("DeserializeToObject"), p)
     assert(asMap(routed) === Map(Seq(1L, 2L, 3L, 4L) -> 100L))
@@ -118,8 +118,64 @@ class HistogramKernelSpec extends SparkSpec {
   test("kernel plan shuffles exactly once, on the pre-combined rows") {
     val df = Binning.histogram(events, axes, plan = HistogramPlan.Kernel)
     val p = planOf(df)
-    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    // the one exchange is the packed narrow-wire one; no classic
+    // UnsafeRow exchange remains in the kernel plan
+    assert("PackedCountExchange".r.findAllIn(p).length === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 0, p)
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("packed exchange == classic exchange, cell-for-cell (both phases)") {
+    // conf fallback A/B: same kernel/raw plans with the classic
+    // EnsureRequirements exchange must produce identical cubes — the
+    // packed exchange changes bytes-on-the-wire, never values or
+    // placement (murmur3-exact partitioner)
+    def run(plan: HistogramPlan) = asMap(Binning.histogram(events, axes,
+      plan = plan))
+    val (kernelPacked, rawPacked) =
+      (run(HistogramPlan.Kernel), run(HistogramPlan.RawShuffle))
+    spark.conf.set("spark.graft.countByKey.packedExchange", "false")
+    try {
+      val kernelClassic = run(HistogramPlan.Kernel)
+      val rawClassic = run(HistogramPlan.RawShuffle)
+      assert(kernelPacked === kernelClassic)
+      assert(rawPacked === rawClassic)
+      // and the fallback really is the classic exchange
+      val p = planOf(Binning.histogram(events, axes,
+        plan = HistogramPlan.Kernel))
+      assert(!p.contains("PackedCountExchange"), p)
+      assert(p.contains("ENSURE_REQUIREMENTS"), p)
+    } finally spark.conf.unset("spark.graft.countByKey.packedExchange")
+  }
+
+  test("packed row serializer: zigzag varint roundtrip on edge longs") {
+    import graft.plans.PackedCountRowSerializer
+    import org.apache.spark.sql.catalyst.expressions.SpecificInternalRow
+    import org.apache.spark.sql.types.LongType
+    val pairs = Seq(0L, 1L, -1L, 63L, 64L, 127L, 128L, -128L, 300L,
+      Int.MaxValue.toLong, Int.MinValue.toLong, 1L << 40, -(1L << 40),
+      Long.MaxValue, Long.MinValue).map(k => (k, k ^ 0x5DEECE66DL))
+    for (hasCnt <- Seq(true, false)) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ser = new PackedCountRowSerializer(hasCnt).newInstance()
+      val ss = ser.serializeStream(bos)
+      val w = new SpecificInternalRow(Seq(LongType, LongType))
+      pairs.foreach { case (k, c) =>
+        w.setLong(0, k); w.setLong(1, c)
+        ss.writeKey(0).writeValue(w)
+      }
+      ss.close()
+      // small magnitudes really are small on the wire (0, 1, -1 → 1 byte)
+      assert(bos.toByteArray.length < pairs.length * 21)
+      val ds = ser.deserializeStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      val got = ds.asKeyValueIterator.map { case (_, r) =>
+        val row = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        (row.getLong(0), row.getLong(1)) // copy before next() reuses it
+      }.toList
+      val want = if (hasCnt) pairs else pairs.map { case (k, _) => (k, 1L) }
+      assert(got === want, s"hasCnt=$hasCnt")
+    }
   }
 
   test("explicit kernel/rawShuffle on an unflattenable cube is rejected") {
@@ -182,8 +238,12 @@ class HistogramKernelSpec extends SparkSpec {
         UniformAxis("c", 10000, 0.0, 1.0)))
     val p = planOf(h)
     assert(p.contains("CountByKey"), p)
-    val widths = "hashpartitioning\\([^)]*, (\\d+)\\)".r
-      .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    // merge width: last arg of the packed exchange node (classic-exchange
+    // fallback keeps the hashpartitioning form)
+    val widths = ("hashpartitioning\\([^)]*, (\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1).toInt) ++
+      "PackedCountExchange .*, (\\d+)".r
+        .findAllMatchIn(p).map(_.group(1).toInt)).toSeq
     assert(widths.nonEmpty, p)
     val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val bound = math.max(base,
