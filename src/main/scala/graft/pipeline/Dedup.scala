@@ -254,6 +254,13 @@ object Dedup {
   /** LSH band table `(id, band_idx, band_hash)` of a signature table —
     * ~24 B per (doc, band). At scale, persist it bucketed by
     * `(band_idx, band_hash)` so incremental probes join exchange-free.
+    *
+    * FORMAT STABILITY: band-hash VALUES changed when [[BandHashesExpr]]
+    * replaced the old `xxhash64(concat_ws(...))` form (round 18) —
+    * equality semantics are preserved within one version, but a band
+    * table persisted by an older build will silently join to ZERO
+    * candidates against newly hashed probes. Regenerate any persisted
+    * band table when upgrading across that change.
     */
   def minhashBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -303,6 +310,7 @@ object Dedup {
       seed: Long = 42L,
       portable: Boolean = false,
       inlineVerify: Boolean = false,
+      pairKeyedDistinct: Boolean = false,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // hash-repartition by id: this ONE exchange materializes the expensive
@@ -311,7 +319,8 @@ object Dedup {
     // attach joins' partitioning requirement)
     val sigs = minhashSignatures(df, textCol, idCol, k, numHashes, seed, portable)
       .repartition(col("id"))
-    minhashFromSigs(sigs, numHashes, bands, threshold, inlineVerify)
+    minhashFromSigs(sigs, numHashes, bands, threshold, inlineVerify,
+      pairKeyedDistinct)
   }
 
   /** Both physical near-dup plans over a prepared `(id, sig)` frame (see
@@ -325,6 +334,7 @@ object Dedup {
       bands: Int,
       threshold: Double,
       inlineVerify: Boolean,
+      pairKeyedDistinct: Boolean = false,
   ): DataFrame = {
     val rows = numHashes / bands
     if (inlineVerify) {
@@ -372,7 +382,20 @@ object Dedup {
         // pair table crosses the network ONCE here instead of twice
         // (distinct exchange + join re-key). Guide §2.4: two operations
         // keyed the same way share one exchange.
-        .repartition(col("id_a"))
+        //
+        // SKEW GUARD (guide §2.5, VERDICT r18 #1): keying by id_a alone
+        // puts EVERY candidate pair of one hot document on one partition
+        // — an exchange AQE's skew handling cannot split (it covers
+        // joins, not this aggregate's clustering). When the caller knows
+        // a hot key is possible (`pairKeyedDistinct` — the auto path
+        // gates it on its band census's max bucket size), the distinct
+        // keys by the full (id_a, id_b) pair: partition mass is then
+        // bounded by hash dispersion, at the cost of the one extra
+        // exchange the first attach join re-inserts. Both shapes emit
+        // the identical distinct pair set (spec-pinned).
+        .repartition(
+          (if (pairKeyedDistinct) Seq(col("id_a"), col("id_b"))
+           else Seq(col("id_a"))): _*)
         .distinct()
       // attach sides stay alias-identical so their id-hash exchanges
       // canonicalize to the same subtree and ReuseExchange computes the
@@ -421,22 +444,29 @@ object Dedup {
       else df.sample(withReplacement = false, fraction, seed)
     val sigs = minhashSignatures(base, textCol, idCol, k, numHashes, seed,
       portable)
-    val (docs, pairMass) = censusOfSigs(sigs, numHashes, bands)
+    val (docs, pairMass, _) = censusOfSigs(sigs, numHashes, bands)
     (docs / fraction, pairMass / (fraction * fraction))
   }
 
-  /** The census aggregate over a prepared signature frame. */
+  /** The census aggregate over a prepared signature frame: (docs,
+    * pre-distinct pair mass, max bucket size). The max rides the same
+    * one-row aggregate for free — it bounds the hottest id_a's pair
+    * count (≤ bands × (maxBucket − 1)), the skew signal the keyed
+    * distinct's guard needs.
+    */
   private def censusOfSigs(
-      sigs: DataFrame, numHashes: Int, bands: Int): (Double, Double) = {
+      sigs: DataFrame, numHashes: Int, bands: Int): (Double, Double, Long) = {
     val row = minhashBands(sigs, numHashes, bands)
       .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("n"))
       .agg(
         // each doc contributes exactly one row per band
         (sum(col("n")).cast("double") / bands).as("docs"),
         coalesce(sum(col("n").cast("double") * (col("n") - 1) / 2.0),
-          lit(0.0)).as("pair_mass"))
+          lit(0.0)).as("pair_mass"),
+        coalesce(max(col("n")), lit(0L)).as("max_bucket"))
       .collect()(0)
-    (if (row.isNullAt(0)) 0.0 else row.getDouble(0), row.getDouble(1))
+    (if (row.isNullAt(0)) 0.0 else row.getDouble(0), row.getDouble(1),
+      row.getLong(2))
   }
 
   /** The plan rule [[minhashNearDuplicatesAuto]] encodes (previously
@@ -458,6 +488,19 @@ object Dedup {
   def minhashPreferInline(
       docs: Double, pairMass: Double, pairMassPerDoc: Double = 32.0,
   ): Boolean = pairMass > pairMassPerDoc * docs
+
+  /** Row cap for the hottest id_a through the default plan's id_a-keyed
+    * distinct before the auto path falls back to (id_a, id_b) keying
+    * (`spark.graft.minhash.hotKeyRowCap`). The hottest document's pair
+    * count is bounded by `bands × (maxBucket − 1)` from the census; at
+    * ~24 B per candidate row the 4 M default caps the hot partition's
+    * extra mass near 100 MB — one task's comfortable working set. Only
+    * the regime where the default plan is still the right ROUTE but one
+    * key is hot trips this: pairMass ≤ 32 × docs with a single bucket of
+    * n docs implies n ≤ 8√docs, so the gate engages around 10¹¹ docs —
+    * or earlier on corpora whose mass concentrates in one bucket.
+    */
+  val hotKeyRowCapDefault: Long = 4L << 20
 
   /** Doc-count floor under which [[minhashNearDuplicatesAuto]] skips the
     * census (when the optimizer KNOWS the row count — CBO stats or a
@@ -602,10 +645,23 @@ object Dedup {
       val sigs = minhashSignatures(df, textCol, idCol, k, numHashes, seed,
         portable).repartition(col("id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-      val (docs, pairMass) = censusOfSigs(sigs, numHashes, bands)
+      val (docs, pairMass, maxBucket) = censusOfSigs(sigs, numHashes, bands)
       val inline = minhashPreferInline(docs, pairMass, pairMassPerDoc)
       log(docs, pairMass, inline)
-      minhashFromSigs(sigs, numHashes, bands, threshold, inline)
+      // hot-key guard for the default route (see [[hotKeyRowCapDefault]]):
+      // the hottest id_a's candidate mass is ≤ bands × (maxBucket − 1);
+      // above the cap, key the distinct by the full pair so no single
+      // partition inherits one document's entire candidate set
+      val hotCap = df.sparkSession.conf
+        .getOption("spark.graft.minhash.hotKeyRowCap")
+        .map(_.toLong).getOrElse(hotKeyRowCapDefault)
+      val pairKeyed = !inline &&
+        bands.toDouble * math.max(maxBucket - 1, 0L) > hotCap.toDouble
+      if (pairKeyed)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"minhash auto-plan: hot band bucket (max=$maxBucket docs) — " +
+            s"pair-keyed distinct engaged (cap=$hotCap rows)")
+      minhashFromSigs(sigs, numHashes, bands, threshold, inline, pairKeyed)
     }
   }
 

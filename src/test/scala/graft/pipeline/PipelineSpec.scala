@@ -156,6 +156,47 @@ class PipelineSpec extends SparkSpec {
     assert(plan.split("Join").length - 1 === 3, plan)
   }
 
+  test("hot-key guard: degenerate bucket flips the distinct to pair keying," +
+      " pair set unchanged") {
+    // one hot band bucket: 8 byte-identical copies per base doc agree in
+    // EVERY band (maxBucket = 8), while pairMassPerDoc = 1e18 pins the
+    // ROUTE to the default (distinct-carrying) plan — isolating the
+    // guard. Cap 10 < bands × (maxBucket − 1) = 56 ⇒ pair-keyed distinct.
+    val clique = docs.withColumn("copy", explode(sequence(lit(0), lit(7))))
+      .select((col("doc_id") * 100 + col("copy")).as("doc_id"), col("text"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+    }
+    val pairKeyedRe = "hashpartitioning\\(id_a#\\d+L?, id_b#\\d+L?".r
+    val want = norm(Dedup.minhashNearDuplicates(clique, "text", "doc_id",
+      threshold = 0.5))
+    spark.conf.set("spark.graft.minhash.hotKeyRowCap", "10")
+    try {
+      val guarded = Dedup.minhashNearDuplicatesAuto(clique, "text", "doc_id",
+        threshold = 0.5, pairMassPerDoc = 1e18, censusFloorBytes = 0L)
+      assert(norm(guarded) === want) // identical distinct pair set
+      val plan = finalPlan(guarded)
+      // the distinct's exchange carries BOTH pair columns: the hottest
+      // id_a's candidate mass now disperses by id_b instead of landing
+      // on one partition
+      assert(pairKeyedRe.findFirstIn(plan).isDefined, plan)
+    } finally spark.conf.unset("spark.graft.minhash.hotKeyRowCap")
+    // with the default (high) cap the same corpus keeps the shared
+    // id_a-keyed exchange — the guard costs nothing until it triggers
+    val unguarded = Dedup.minhashNearDuplicatesAuto(clique, "text", "doc_id",
+      threshold = 0.5, pairMassPerDoc = 1e18, censusFloorBytes = 0L)
+    assert(norm(unguarded) === want)
+    assert(pairKeyedRe.findFirstIn(finalPlan(unguarded)).isEmpty)
+  }
+
   test("auto plan skips the census entirely under the toy-scale floor") {
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
