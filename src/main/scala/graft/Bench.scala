@@ -16,6 +16,13 @@ import graft.dfops.DfOps
   * extensions, on `SPARK_GRAFT_SF_DIR`. Prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
+  * Since round 19 the query map also carries a ×100 SCALE LEG (`_x100`
+  * suffixed names, `SPARK_GRAFT_XSCALE` to resize/disable): four
+  * shuffle-heavy workloads re-run on ×100 inflated inputs so the
+  * cpu-count scaling comparison measures parallelism instead of
+  * task-launch floors. Adding entries is contract-allowed; it inflates
+  * `value`, so cross-round TOTALS are comparable only over shared names.
+  *
   * Timing discipline (the BinProbe protocol, promoted here after round 12
   * proved the old per-query min-of-5 unreproducible on a shared box —
   * same-HEAD committed artifacts swung 2.8 s → 47.2 s on allocation-heavy
@@ -471,6 +478,114 @@ object Bench {
     }
     val x10Results = rX10.stats
 
+    // ---- ×100 scale leg (VERDICT r18 #3: "give the scaling block teeth")
+    // At sf0.1 every ×1 workload is sub-second — 8 cores beat 32 on most,
+    // so the driver's low-core/high-core ratios measured task-launch
+    // floors, not parallelism. This leg re-runs the four shuffle-heavy
+    // workloads on ×100 inputs (~60 M lineitem rows / 500 k docs), where
+    // each takes seconds at 32 cores and the cpu-count ratio is a real
+    // scaling signal. Results are ADDED to the artifact's top-level query
+    // map under new `_x100` names — the driver contract allows adding
+    // entries (never renaming/removing); NOTE this inflates the "value"
+    // total by design, so round-over-round totals are comparable only
+    // over the shared names (OPTIMIZATION_r19.md).
+    //
+    // Document copies get per-copy ALPHABET PERMUTATIONS (seeded
+    // Fisher–Yates; identity for copy 0): the ×10 leg's Caesar shifts run
+    // out at 26 copies, while 100 distinct permutations keep cross-copy
+    // shingle overlap negligible (a shared 5-gram needs every letter
+    // mapped identically by two independent permutations, p ≈ 26^-d), so
+    // near-dup candidate and output mass stay LINEAR in rows — the bench
+    // measures throughput, not output explosion.
+    val xsFactor = sys.env.getOrElse("SPARK_GRAFT_XSCALE", "100").toInt
+    val rXs: BenchProtocol.SuiteResult = if (xsFactor <= 1)
+      BenchProtocol.SuiteResult(Seq.empty, Seq.empty, 0, Seq.empty)
+    else {
+      val sfx = s"_x$xsFactor"
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_xs").toString
+      val copiesXs = explode(sequence(lit(0), lit(xsFactor - 1))).as("copy")
+      lineitem
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_linenumber"))
+        .select(col("*"), copiesXs).drop("copy")
+        .repartition(nPart)
+        .write.mode("overwrite").parquet(s"$dir/lineitem")
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val perms: Seq[String] = (0 until xsFactor).map { k =>
+        if (k == 0) alpha
+        else {
+          val arr = alpha.toCharArray
+          val r = new scala.util.Random(k)
+          var i = arr.length - 1
+          while (i > 0) {
+            val j = r.nextInt(i + 1)
+            val t = arr(i); arr(i) = arr(j); arr(j) = t
+            i -= 1
+          }
+          new String(arr)
+        }
+      }
+      val txtXs = perms.zipWithIndex.tail.foldLeft(
+        when(col("copy") === 0, col("text"))) { case (acc, (p, k)) =>
+        acc.when(col("copy") === k, translate(col("text"), alpha, p))
+      }
+      documentsScan
+        .select(col("doc_id"), col("text"), copiesXs)
+        .select(
+          (col("doc_id") + col("copy") * lit(10000000L)).as("doc_id"),
+          txtXs.as("text"))
+        .repartition(nPart, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/documents")
+
+      val liXs = spark.read.parquet(s"$dir/lineitem").cache()
+      liXs.count()
+      val docXsScan = spark.read.parquet(s"$dir/documents")
+        .repartition(nPart, col("doc_id"))
+      val chainXs: DataFrame = {
+        val j = DfOps.applyJitter(liXs, Seq("l_quantity"), amps = Seq(0.5))
+        val m = graft.calibrate.Momentum.applyDfield(spark, j, invD,
+          "l_quantity", "l_linenumber", "xm", "ym", ((0.0, 50.0), (0.0, 8.0)))
+        val k = graft.calibrate.Momentum.appendKAxis(m, "xm", "ym",
+          "kx", "ky", rStart = 0.0, cStart = 0.0, rCenter = 25.0, cCenter = 4.0,
+          rConversion = 0.01, cConversion = 0.01, rStep = 1.0, cStep = 1.0)
+        val corr = Energy.applyEnergyCorrection(k, "l_extendedprice", "tm",
+          Energy.Correction.spherical(_, _, 25.0, 4.0, 0.05, 100.0),
+          "xm", "ym")
+        val en = corr.withColumn("energy",
+          Energy.tof2ev(col("tm"), 1.0e6, 100.0, 2.0, 0, "kinetic", 0.5))
+        Delay.appendDelayAxis(en, "l_discount", "delay",
+          adcRange = (0.0, 0.11), delayRange = Some((-2.0, 2.0)))
+      }
+      val xsWorkloads: Seq[(String, () => Unit)] = Seq(
+        s"binning_4d$sfx" -> (() => exec(Binning.histogram(liXs, Seq(
+          UniformAxis("l_quantity", 100, 1.0, 50.0),
+          UniformAxis("l_extendedprice", 100, 900.0, 105000.0),
+          UniformAxis("l_discount", 100, 0.0, 0.11),
+          UniformAxis("l_tax", 100, 0.0, 0.09))))),
+        s"workflow_4d$sfx" -> (() => exec(Binning.histogram(chainXs, ax4dWf))),
+        s"dedup_exact$sfx" -> (() => exec(pipeline.Dedup.exactDuplicates(
+          docXsScan, "text", "doc_id"))),
+        s"dedup_minhash$sfx" -> (() => exec(pipeline.Dedup.minhashNearDuplicates(
+          docXsScan, "text", "doc_id", threshold = 0.5))),
+      )
+      val out = runSuite(xsWorkloads, rounds = 2,
+        extraWarmups = Map(s"dedup_exact$sfx" -> 2))
+      liXs.unpersist()
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir)).deleteRecursively()
+      } catch { case _: Throwable => () }
+      out
+    }
+    // the scale-leg stats ride the TOP-LEVEL query map (new names) so the
+    // driver's cpu-scaling comparison sees them without contract changes
+    val r1xAll = BenchProtocol.SuiteResult(
+      r1x.stats ++ rXs.stats,
+      r1x.contaminated ++ rXs.contaminated,
+      r1x.extraRounds + rXs.extraRounds,
+      r1x.unusable ++ rXs.unusable)
+    val results1xAll = r1xAll.stats
+
     // cross-leg sanity, report-only: a query CANNOT be meaningfully slower
     // at 1× than at 10× rows in steady state — with quiet-gated interleaved
     // mins an inversion means both legs' quiet reps still disagree with
@@ -500,17 +615,17 @@ object Bench {
       val rs = r.stats
       s""""queries":${jmap(rs, _.min)},"medians":${jmap(rs, _.median)},"spreads":${jmap(rs, _.spread)},"agreed_spreads":${jmap(rs, _.agreedSpread)},"canaries":${jmap(rs, _.cpuCanary)},"bw_canaries":${jmap(rs, _.bwCanary)},"shuffle_mb":${jmap(rs, _.shuffleMb)},"quiet_reps":${jmapi(rs, _.quietReps)},"agreed_reps":${jmapi(rs, _.agreedReps)},"contaminated":${jlist(r.contaminated)},"unusable":${jlist(r.unusable)},"extra_rounds":${r.extraRounds}"""
     }
-    val total = results.map(_.min).sum
-    val canarySec = results.map(_.cpuCanary).min
-    val bwCanarySec = results.map(_.bwCanary).min
+    val total = results1xAll.map(_.min).sum
+    val canarySec = results1xAll.map(_.cpuCanary).min
+    val bwCanarySec = results1xAll.map(_.bwCanary).min
     val x10Part = if (x10Results.isEmpty) "" else {
       val t10 = x10Results.map(_.min).sum
       s""","x10":{"rows_factor":10,"total_sec":$t10,${legJson(rX10)}}"""
     }
-    // run_quiet judges the WHOLE run (both legs' canary minima) against
+    // run_quiet judges the WHOLE run (all legs' canary minima) against
     // the committed quiet-box constants — see quietCpuCanarySec
-    val allCpuMin = (results ++ x10Results).map(_.cpuCanary).min
-    val allBwMin = (results ++ x10Results).map(_.bwCanary).min
+    val allCpuMin = (results1xAll ++ x10Results).map(_.cpuCanary).min
+    val allBwMin = (results1xAll ++ x10Results).map(_.bwCanary).min
     val quiet = runQuiet(allCpuMin, allBwMin)
     // BOTH weather modes gate `usable` and the exit code (see
     // BenchProtocol.verdict): per-query contamination the extension
@@ -521,9 +636,9 @@ object Bench {
     // so a driver could archive a baseline-shifted run as the number
     // of record.
     val unusableAll =
-      (r1x.unusable.map("1x:" + _) ++ rX10.unusable.map("x10:" + _))
+      (r1xAll.unusable.map("1x:" + _) ++ rX10.unusable.map("x10:" + _))
     val (usable, exitCode) = BenchProtocol.verdict(unusableAll, quiet)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",${legJson(r1x)},"canary_sec":$canarySec,"bw_canary_sec":$bwCanarySec,"run_quiet":$quiet,"quiet_cpu_ref":$quietCpuCanarySec,"quiet_bw_ref":$quietBwCanarySec,"usable":$usable,"inverted_1x":${jlist(inverted1x)}$x10Part,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",${legJson(r1xAll)},"canary_sec":$canarySec,"bw_canary_sec":$bwCanarySec,"run_quiet":$quiet,"quiet_cpu_ref":$quietCpuCanarySec,"quiet_bw_ref":$quietBwCanarySec,"usable":$usable,"inverted_1x":${jlist(inverted1x)},"xscale_factor":$xsFactor$x10Part,"sf":"$sfDir"}"""
     emitArtifact(json, sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json"))
     spark.stop()
     if (exitCode == 3) {
