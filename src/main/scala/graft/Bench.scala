@@ -342,12 +342,14 @@ object Bench {
       * out transient weather, and what survives is named `unusable`.
       */
     def runSuite(ws: Seq[(String, () => Unit)], rounds: Int,
-        warmups: Int = 1, extraWarmups: Map[String, Int] = Map.empty)
+        warmups: Int = 1, extraWarmups: Map[String, Int] = Map.empty,
+        selfBracketed: Boolean = false)
         : BenchProtocol.SuiteResult =
       BenchProtocol.runSuite(ws, rounds, maxExtraRounds = 10,
         cpuProbe = () => canary(), bwProbe = () => Triad.probe(),
         shuffleMbOf = (_, run) => shuffleDelta(run) / 1e6,
-        warmups = warmups, extraWarmups = extraWarmups)
+        warmups = warmups, extraWarmups = extraWarmups,
+        selfBracketed = selfBracketed)
 
     // dedup_exact's full-text xxhash is allocation-heavy enough that
     // its C2 warm-up TAIL spans ~17 executions (BenchProf dedup_floor:
@@ -568,8 +570,14 @@ object Bench {
         s"dedup_minhash$sfx" -> (() => exec(pipeline.Dedup.minhashNearDuplicates(
           docXsScan, "text", "doc_id", threshold = 0.5))),
       )
+      // selfBracketed: these workloads are big enough that their own
+      // GC/page-cache residue poisons the canary brackets (the bw triad
+      // read 1.3-1.6× right after them while the ×1 suite stayed quiet)
+      // — the agreement band is the quiet criterion here, canaries stay
+      // recorded (see BenchProtocol.agreedSubset)
       val out = runSuite(xsWorkloads, rounds = 2,
-        extraWarmups = Map(s"dedup_exact$sfx" -> 2))
+        extraWarmups = Map(s"dedup_exact$sfx" -> 2),
+        selfBracketed = true)
       liXs.unpersist()
       try {
         import scala.reflect.io.Directory

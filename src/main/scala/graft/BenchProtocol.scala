@@ -88,6 +88,7 @@ object BenchProtocol {
       shuffleMbOf: (String, () => Unit) => Double,
       warmups: Int = 1,
       extraWarmups: Map[String, Int] = Map.empty,
+      selfBracketed: Boolean = false,
   ): SuiteResult = {
     // empty inputs would crash deep inside (quietMins' .min over no
     // reps, secs.head over no rounds) — name the misuse at the boundary
@@ -140,11 +141,24 @@ object BenchProtocol {
     // dilutes a short spike, and sustained weather hits the brackets.
     val subSecond = 0.5
     def agreedSubset(name: String, cm: Double, bm: Double): Vector[Rep] = {
-      val q = reps(name).filter(_.quiet(cm, bm))
+      // selfBracketed (the ×100 scale leg): workloads big enough to
+      // leave the memory subsystem hot POISON their own brackets — the
+      // bw triad read 1.3-1.6× right after the 60 M-row workloads while
+      // the ×1 suite in the same process stayed at 1.0× (GC/page-cache
+      // residue, not co-tenant weather), so canary gating would burn the
+      // whole extension budget on a structural signal. For those suites
+      // the AGREEMENT band is the quiet criterion for every rep: a
+      // multi-second timed region dilutes bracket-scale spikes, and
+      // sustained weather moves the TIMING itself, which the band
+      // catches. Canary readings are still recorded (QStat fields and
+      // the whole-run `run_quiet` envelope use them).
+      val q =
+        if (selfBracketed) reps(name)
+        else reps(name).filter(_.quiet(cm, bm))
       if (q.isEmpty) Vector.empty
       else {
         val mn = q.map(_.sec).min
-        if (mn >= subSecond) q
+        if (!selfBracketed && mn >= subSecond) q
         else q.filter(_.sec <= math.max(1.3 * mn, mn + 0.05))
       }
     }
@@ -157,7 +171,9 @@ object BenchProtocol {
     val (cpuMin, bwMin) = quietMins()
     val stats = ws.map { case (name, _) =>
       val all = reps(name)
-      val q = all.filter(_.quiet(cpuMin, bwMin))
+      val q =
+        if (selfBracketed) agreedSubset(name, cpuMin, bwMin)
+        else all.filter(_.quiet(cpuMin, bwMin))
       val use = if (q.nonEmpty) q else all
       val secs = use.map(_.sec).sorted
       val agreed = agreedSubset(name, cpuMin, bwMin)

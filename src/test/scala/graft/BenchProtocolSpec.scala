@@ -228,6 +228,47 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(r.stats.head.agreedReps === r.stats.head.quietReps)
   }
 
+  test("selfBracketed: hot brackets don't burn the budget; the agreement" +
+      " band is the quiet criterion for every rep") {
+    // the ×100 scale-leg shape: the workload's own GC/page residue makes
+    // every post-workload bracket read hot (bw 1.6× the quiet floor,
+    // which the pre-workload brackets still establish) — structural, not
+    // co-tenant weather. Canary-gated mode extends to the budget and
+    // names the query unusable; selfBracketed must accept
+    // floor-reproducing reps and finish in the base rounds.
+    val hotBrackets = (0 until 40).map(i =>
+      (QUIET_CPU, if (i % 2 == 0) QUIET_BW else QUIET_BW * 1.6))
+    def w = Seq("big" -> (() => Thread.sleep(30L)))
+    val canaried = {
+      val s = new Script(hotBrackets)
+      BenchProtocol.runSuite(w, 3, 3, s.cpu, s.bw, (_, _) => 1.0)
+    }
+    assert(canaried.unusable === Seq("big")) // the failure mode being fixed
+    val self = {
+      val s = new Script(hotBrackets)
+      BenchProtocol.runSuite(w, 3, 3, s.cpu, s.bw, (_, _) => 1.0,
+        selfBracketed = true)
+    }
+    assert(self.extraRounds === 0)
+    assert(self.unusable.isEmpty && self.contaminated.isEmpty)
+    assert(self.stats.head.agreedReps === 3)
+    // a rep outside the agreement band still doesn't count: floor
+    // reproduction is REQUIRED, not just bracket amnesty
+    var rep = 0
+    def spiky = Seq("spiky" -> (() => {
+      rep += 1
+      Thread.sleep(if (rep <= 3) 400L else 20L)
+    }))
+    val s2 = new Script(hotBrackets)
+    val healed = BenchProtocol.runSuite(spiky, 3, 10, s2.cpu, s2.bw,
+      (_, _) => 1.0, selfBracketed = true)
+    assert(healed.extraRounds >= 1) // extension until the floor reproduced
+    assert(healed.unusable.isEmpty)
+    assert(healed.stats.head.min < 0.15)
+    assert(healed.stats.head.agreedSpread <= math.max(1.3,
+      (healed.stats.head.min + 0.05) / healed.stats.head.min) + 1e-9)
+  }
+
   test("empty workload list and zero rounds are named misuse, not a" +
       " crash deep inside quietMins") {
     intercept[IllegalArgumentException](run(Seq.empty, script = Seq.empty))
